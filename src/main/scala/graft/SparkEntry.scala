@@ -1,13 +1,226 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.operators.Sessionization
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2.
+  *
+  * Numeric-determinism convention: any SUM over doubles is computed as an
+  * exact DECIMAL sum and cast to double at the end, on BOTH sides, so the
+  * result is bit-identical regardless of partitioning / addition order
+  * (a plain double sum differs between Spark and DuckDB and even between
+  * runs at different parallelism).
+  */
 object SparkEntry {
+
+  private val dec = DecimalType(18, 6)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    sessionsPerUser(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- events
+  /** Events with `ts_ms` epoch millis added (shared base for W1-W3 ops). */
+  private def eventsWithMs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
+
+  private def sessionFlags(s: SparkSession, dir: String): DataFrame =
+    Sessionization.withSessionFlags(
+      eventsWithMs(s, dir), col("user_id"), col("ts_ms"),
+      tieBreakers = Seq(col("event_id")))
+
+  private def sessionsPerUser(s: SparkSession, dir: String): DataFrame =
+    sessionFlags(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("is_new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+
+  // --------------------------------------------------------------- queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 scan + A-agg: TPC-H Q1-style pricing summary (group-by aggregate,
+    // partial aggregation map-side; decimal-exact sums).
+    "q01_pricing_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast(dec)), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast(dec)), 2).cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))), 2).cast("double")
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P-filter + projection: predicate + column pruning pushed to parquet.
+    "q02_filter_pushdown" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+    }),
+
+    // J1-style multi-way equi-join: fact-fact shuffle join + broadcast dims.
+    "q03_join_revenue_nation" -> ((s, dir) => {
+      val c = broadcast(Tables.customer(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum((col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))), 2).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no high-value order.
+    "q04_anti_join" -> ((s, dir) => {
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+      Tables.customer(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Semi join (EXISTS).
+    "q05_semi_join" -> ((s, dir) => {
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+      Tables.customer(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // W6-style ranking window: top-3 orders per customer.
+    "q06_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // W1 lag window: inter-event gap per user (the sessionization primitive).
+    "q07_window_lag_gap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      eventsWithMs(s, dir)
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("event_id"), col("user_id"), col("gap_ms"), col("rn"))
+    }),
+
+    // W2+W3: 30-min-gap sessionization flags + running session counter.
+    "q08_sessionize" -> ((s, dir) => {
+      sessionFlags(s, dir)
+        .select(col("event_id"), col("user_id"), col("is_new_session"),
+          col("session_seq").cast("long").as("session_seq"))
+    }),
+
+    // Session rollup: sessions per user (the "sessions" table granularity).
+    "q09_sessions_per_user" -> ((s, dir) => sessionsPerUser(s, dir)),
+
+    // A3/A5/W9: touchpoint path per user — ordered collect + first/last.
+    "q10_touchpoints" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(">",
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("path"),
+          min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_touch"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_touch"),
+          count(lit(1)).as("n_events"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05""".stripMargin,
+
+    "q03_join_revenue_nation" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q06_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q07_window_lag_gap" ->
+      """SELECT event_id, user_id,
+        |  ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap_ms,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events) e""".stripMargin,
+
+    "q08_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ms,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events) e)
+        |SELECT event_id, user_id,
+        |  CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END AS is_new_session,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM g""".stripMargin,
+
+    "q09_sessions_per_user" ->
+      """WITH g AS (
+        |  SELECT user_id, ms,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events) e)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q10_touchpoints" ->
+      """SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |  first(event_type ORDER BY ts, event_id) AS first_touch,
+        |  last(event_type ORDER BY ts, event_id) AS last_touch,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin
+  )
 }

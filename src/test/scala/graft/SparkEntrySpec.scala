@@ -1,0 +1,24 @@
+package graft
+
+/** Smoke: every registered query runs on sf0.001 and returns rows with the
+  * declared column names (oracle parity is checked by scripts/compare_oracle
+  * .py and the driver's DuckDB gate — this spec guards compile-time drift). */
+class SparkEntrySpec extends SparkTestBase {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
