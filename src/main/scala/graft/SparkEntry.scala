@@ -20,6 +20,9 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 6)
 
+  /** Cap on per-user touchpoint paths (bounded per-key aggregation state). */
+  val MaxTouchpoints = 100
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     sessionsPerUser(spark, "/root/testdata/sf0.001")
@@ -68,8 +71,12 @@ object SparkEntry {
     }),
 
     // J1-style multi-way equi-join: fact-fact shuffle join + broadcast dims.
+    // `nation` is broadcast (25 rows, constant at every scale); `customer`
+    // deliberately carries NO hint — it grows with sf, so the choice between
+    // broadcast and shuffle join belongs to AQE + autoBroadcastJoinThreshold
+    // (an unconditional broadcast OOMs executors at 100x — round-1 verdict).
     "q03_join_revenue_nation" -> ((s, dir) => {
-      val c = broadcast(Tables.customer(s, dir))
+      val c = Tables.customer(s, dir)
       val n = broadcast(Tables.nation(s, dir))
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -132,17 +139,35 @@ object SparkEntry {
     "q09_sessions_per_user" -> ((s, dir) => sessionsPerUser(s, dir)),
 
     // A3/A5/W9: touchpoint path per user — ordered collect + first/last.
+    // Path is capped at the first MaxTouchpoints events per user (GA360-style
+    // cap): collect_list per key is otherwise unbounded state — one hot user
+    // with 10^7 events OOMs the task at 100x (round-1 verdict).
     "q10_touchpoints" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(
           concat_ws(">",
             transform(
-              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              slice(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+                1, MaxTouchpoints),
               x => x.getField("event_type"))).as("path"),
           min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_touch"),
           max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_touch"),
           count(lit(1)).as("n_events"))
+    }),
+
+    // W4/W5/W7 exposed: one row per session with start/end/hit-count and the
+    // deterministic id hash (md5 here — DuckDB 1.0 has no sha1; the library
+    // default stays sha1, reference-faithful).
+    "q11_session_table" -> ((s, dir) => {
+      val sess = Sessionization.sessionize(
+        eventsWithMs(s, dir), col("user_id"), col("ts_ms"),
+        tieBreakers = Seq(col("event_id")), idAlgo = "md5")
+      Sessionization.sessions(sess).select(
+        col("user_id"),
+        col("session_seq").cast("long").as("session_seq"),
+        col("session_start_ms"), col("session_end_ms"),
+        col("session_hits"), col("session_id"))
     })
   )
 
@@ -216,11 +241,28 @@ object SparkEntry {
         |FROM g GROUP BY user_id""".stripMargin,
 
     "q10_touchpoints" ->
-      """SELECT user_id,
-        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+      s"""SELECT user_id,
+        |  array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, $MaxTouchpoints), '>') AS path,
         |  first(event_type ORDER BY ts, event_id) AS first_touch,
         |  last(event_type ORDER BY ts, event_id) AS last_touch,
         |  COUNT(*) AS n_events
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q11_session_table" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ms,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    SUM(CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g)
+        |SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+        |  MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+        |  COUNT(*) AS session_hits,
+        |  md5(user_id::VARCHAR || MIN(ms)::VARCHAR || MAX(ms)::VARCHAR) AS session_id
+        |FROM s GROUP BY user_id, seq""".stripMargin
   )
 }

@@ -51,26 +51,35 @@ object Sessionization {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Full sessionization: flags + per-session start/end + deterministic
-    * session id sha1(key || start || end) (reference W7, main.py:437). */
+  /** Full sessionization: flags + per-session start/end/hit-count + a
+    * deterministic session id hash(key || start || end) (reference W7,
+    * main.py:437 uses `sha` = sha1).
+    *
+    * @param idAlgo "sha1" (reference-faithful, default) or "md5" — md5
+    *   exists in DuckDB 1.0 while sha1 does not, so oracle-checked queries
+    *   use md5; the hash choice changes only the id's bit pattern, not the
+    *   grouping semantics.
+    */
   def sessionize(
       df: DataFrame,
       key: Column,
       tsMs: Column,
       gapMs: Long = DefaultGapMs,
-      tieBreakers: Seq[Column] = Nil): DataFrame = {
+      tieBreakers: Seq[Column] = Nil,
+      idAlgo: String = "sha1"): DataFrame = {
     val flagged = withSessionFlags(df, key, tsMs, gapMs, tieBreakers)
     // Window by (key, session_seq): no extra shuffle — child is already
     // hash-partitioned by key; Spark only adds a local sort.
     val ws = Window.partitionBy(key, col("session_seq"))
+    val idInput = concat(key.cast("string"),
+      col("session_start_ms").cast("string"),
+      col("session_end_ms").cast("string"))
     flagged
       .withColumn("session_start_ms", min(tsMs).over(ws))
       .withColumn("session_end_ms", max(tsMs).over(ws))
-      .withColumn(
-        "session_id",
-        sha1(concat(key.cast("string"),
-          col("session_start_ms").cast("string"),
-          col("session_end_ms").cast("string"))))
+      .withColumn("session_hits", count(lit(1)).over(ws))
+      .withColumn("session_id",
+        if (idAlgo == "md5") md5(idInput) else sha1(idInput))
   }
 
   /** One row per session (the reference's `is_new_session = 1` projection,
