@@ -32,6 +32,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // GA body parse: duplicate query-string keys resolve to the LAST
+      // occurrence, matching Python dict(parse_qsl(...)) in the reference
+      // transformation Lambda (default EXCEPTION would throw).
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")

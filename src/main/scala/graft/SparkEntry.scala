@@ -6,6 +6,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 import graft.operators.Sessionization
+import graft.ingest.Ingest
+import graft.functions.GaFunctions
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
@@ -22,6 +24,13 @@ object SparkEntry {
 
   /** Cap on per-user touchpoint paths (bounded per-key aggregation state). */
   val MaxTouchpoints = 100
+
+  /** Checked-in deterministic GA fixtures (graft.tools.MakeGaFixtures).
+    * Absolute so both Spark and the driver's DuckDB oracle resolve them
+    * regardless of working directory. */
+  val GaRaw = "/root/repo/fixtures/ga/raw/records.jsonl"
+  val GaEnriched = "/root/repo/fixtures/ga/enriched/year=2019/month=09/day=23"
+  val GaEnrichedFile = s"$GaEnriched/part-00000.jsonl"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -168,6 +177,28 @@ object SparkEntry {
         col("session_seq").cast("long").as("session_seq"),
         col("session_start_ms"), col("session_end_ms"),
         col("session_hits"), col("session_id"))
+    }),
+
+    // S7+P9+P10: full Firehose ingest — b64 envelope decode, IP
+    // anonymization, GA query-string body parse — all pure expressions.
+    "q12_ga_ingest" -> ((s, _) => {
+      import org.apache.spark.sql.types.{StructType, StructField, StringType}
+      val rawSchema = StructType(Seq(
+        StructField("recordId", StringType), StructField("data", StringType)))
+      val raw = s.read.schema(rawSchema).option("mode", "FAILFAST").json(GaRaw)
+      Ingest.fromFirehose(raw)
+        .select(col("message_id"), col("ip"), col("received_at_apig"),
+          col("body_t"), col("body_cid"), col("body_tid"))
+    }),
+
+    // S1+P8+F1: declared-schema JSONL scan of enriched hits + hits_type
+    // enum mapping, aggregated per type.
+    "q13_ga_hits_type" -> ((s, _) => {
+      Ingest.readEnrichedHits(s, GaEnriched)
+        .select(GaFunctions.hitsType(col("body_t")).as("hits_type"), col("body_cid"))
+        .groupBy(col("hits_type"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("body_cid")).as("n_visitors"))
     })
   )
 
@@ -263,6 +294,46 @@ object SparkEntry {
         |  MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
         |  COUNT(*) AS session_hits,
         |  md5(user_id::VARCHAR || MIN(ms)::VARCHAR || MAX(ms)::VARCHAR) AS session_id
-        |FROM s GROUP BY user_id, seq""".stripMargin
+        |FROM s GROUP BY user_id, seq""".stripMargin,
+
+    "q12_ga_ingest" ->
+      s"""WITH raw AS (
+        |  SELECT decode(from_base64(data)) AS env
+        |  FROM read_json('$GaRaw', format='newline_delimited',
+        |                 columns={recordId:'VARCHAR', data:'VARCHAR'})),
+        |e AS (
+        |  SELECT json_extract_string(env,'$$.message_id') AS message_id,
+        |         json_extract_string(env,'$$.ip') AS ip0,
+        |         json_extract_string(env,'$$.received_at_apig') AS received_at_apig,
+        |         json_extract_string(env,'$$.body') AS body
+        |  FROM raw)
+        |SELECT message_id,
+        |  CASE WHEN strpos(ip0,'.') >= 2
+        |         THEN array_to_string(list_slice(string_split(ip0,'.'),1,3),'.') || '.0'
+        |       WHEN strpos(ip0,':') >= 2
+        |         THEN array_to_string(list_slice(string_split(ip0,':'),1,3),':') || ':0000:0000:0000:0000:0000'
+        |       ELSE '0.0.0.0' END AS ip,
+        |  received_at_apig,
+        |  NULLIF(regexp_extract(body, '(?:^|&)t=([^&]*)', 1), '') AS body_t,
+        |  NULLIF(regexp_extract(body, '(?:^|&)cid=([^&]*)', 1), '') AS body_cid,
+        |  NULLIF(regexp_extract(body, '(?:^|&)tid=([^&]*)', 1), '') AS body_tid
+        |FROM e""".stripMargin,
+
+    "q13_ga_hits_type" ->
+      s"""SELECT CASE body_t
+        |    WHEN 'pageview' THEN 'PAGE'
+        |    WHEN 'screenview' THEN 'APPVIEW'
+        |    WHEN 'event' THEN 'EVENT'
+        |    WHEN 'transaction' THEN 'TRANSACTION'
+        |    WHEN 'item' THEN 'ITEM'
+        |    WHEN 'social' THEN 'SOCIAL'
+        |    WHEN 'exception' THEN 'EXCEPTION'
+        |    WHEN 'timing' THEN 'TIMING'
+        |    ELSE 'UNKNOWN' END AS hits_type,
+        |  COUNT(*) AS n_hits,
+        |  COUNT(DISTINCT body_cid) AS n_visitors
+        |FROM read_json('$GaEnrichedFile', format='newline_delimited',
+        |               columns={body_t:'VARCHAR', body_cid:'VARCHAR'})
+        |GROUP BY 1""".stripMargin
   )
 }
