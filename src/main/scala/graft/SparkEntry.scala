@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.Sessionization
+import graft.operators.{Attribution, Sessionization}
 import graft.ingest.Ingest
 import graft.functions.GaFunctions
 
@@ -52,6 +52,20 @@ object SparkEntry {
       .agg(
         sum(col("is_new_session")).as("n_sessions"),
         count(lit(1)).as("n_events"))
+
+  // ------------------------------------------------------------- GA domain
+  /** Enriched fixture with session flags. Faithful to the reference's
+    * operator order (main.py:1155-1161): flags are computed over ALL hits
+    * (timing hits can absorb a session start), THEN timing/adtiming rows
+    * are dropped. */
+  private def gaFlagged(s: SparkSession): DataFrame = {
+    val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      .withColumn("recv_ms", col("received_at_apig").cast("long"))
+    Sessionization.withSessionFlags(
+      hits, col("body_cid"), col("recv_ms"),
+      tieBreakers = Seq(col("message_id")))
+      .filter(!col("body_t").isin("adtiming", "timing"))
+  }
 
   // --------------------------------------------------------------- queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -199,10 +213,35 @@ object SparkEntry {
         .groupBy(col("hits_type"))
         .agg(count(lit(1)).as("n_hits"),
           countDistinct(col("body_cid")).as("n_visitors"))
+    }),
+
+    // F3-F5 attribution over sessionized fixture hits: sessions per
+    // (source, medium, campaign).
+    "q14_ga_attribution" -> ((s, _) => {
+      val starts = gaFlagged(s).filter(col("is_new_session") === 1)
+      val isNew = col("is_new_session")
+      starts.select(
+        Attribution.source(isNew, col("body_dl"), col("body_dr")).as("traffic_source"),
+        Attribution.medium(isNew, col("body_dl"), col("body_dr")).as("traffic_medium"),
+        Attribution.campaign(isNew, col("body_dl")).as("traffic_campaign"))
+        .groupBy(col("traffic_source"), col("traffic_medium"), col("traffic_campaign"))
+        .agg(count(lit(1)).as("n_sessions"))
     })
   )
 
   // ---------------------------------------------------------------- oracle
+  // DuckDB fragments for the GA attribution mirror (q14): `dlq` is the raw
+  // query string of body_dl in scope.
+  private def dHas(k: String) = s"regexp_matches(dlq, '(^|&)$k=')"
+  private def dVal(k: String) = s"regexp_extract(dlq, '(^|&)$k=([^&]*)', 2)"
+  private val dEngines =
+    "('google','yahoo','bing','aol','ask','comcast','nexttag','local')"
+  private val dChannelCase =
+    s"""CASE WHEN ${dHas("utm_source")} THEN ${dVal("utm_source")}
+       |     WHEN ${dHas("gclid")} OR ${dHas("gclsrc")} OR ${dHas("dclid")} THEN 'google'
+       |     WHEN ${dHas("fbclid")} THEN 'facebook'
+       |     WHEN ${dHas("mscklid")} THEN 'bing'
+       |     ELSE '(direct)' END""".stripMargin
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -334,6 +373,66 @@ object SparkEntry {
         |  COUNT(DISTINCT body_cid) AS n_visitors
         |FROM read_json('$GaEnrichedFile', format='newline_delimited',
         |               columns={body_t:'VARCHAR', body_cid:'VARCHAR'})
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "q14_ga_attribution" ->
+      s"""WITH h AS (
+        |  SELECT body_cid, message_id, body_t, body_dl, body_dr,
+        |         received_at_apig::BIGINT AS ms
+        |  FROM read_json('$GaEnrichedFile', format='newline_delimited',
+        |       columns={body_cid:'VARCHAR', message_id:'VARCHAR', body_t:'VARCHAR',
+        |                body_dl:'VARCHAR', body_dr:'VARCHAR', received_at_apig:'VARCHAR'})),
+        |f AS (
+        |  SELECT *, CASE WHEN ms - LAG(ms) OVER (PARTITION BY body_cid ORDER BY ms, message_id) IS NULL
+        |                   OR ms - LAG(ms) OVER (PARTITION BY body_cid ORDER BY ms, message_id) >= 1800000
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM h),
+        |s AS (SELECT * FROM f WHERE body_t NOT IN ('adtiming','timing') AND is_new = 1),
+        |u AS (
+        |  SELECT *,
+        |    CASE WHEN body_dl IS NULL THEN '' ELSE regexp_extract(body_dl, '\\?([^#]*)', 1) END AS dlq,
+        |    CASE WHEN body_dr IS NULL THEN '' ELSE regexp_extract(body_dr, '\\?([^#]*)', 1) END AS drq,
+        |    regexp_extract(body_dr, '^[a-z-]+://([^/?#]+)', 1) AS host
+        |  FROM s),
+        |u2 AS (
+        |  SELECT *,
+        |    CASE WHEN list_contains(string_split(host,'.'),'www') THEN string_split(host,'.')[2]
+        |         WHEN len(string_split(host,'.')) = 3 THEN string_split(host,'.')[2]
+        |         WHEN len(string_split(host,'.')) = 2 THEN string_split(host,'.')[1]
+        |         ELSE host END AS sh,
+        |    string_split(string_split(string_split(body_dr,'//')[-1],'/')[1],'.')[2] AS mh
+        |  FROM u),
+        |a AS (
+        |  SELECT
+        |    CASE WHEN body_dr IS NULL THEN
+        |      CASE WHEN dlq = '' THEN '(direct)' ELSE $dChannelCase END
+        |    ELSE
+        |      CASE WHEN starts_with(body_dr, 'android-app') THEN string_split(body_dr, '//')[2]
+        |           WHEN sh = 'googleadservices' THEN 'google'
+        |           WHEN dlq = '' AND drq = '' THEN sh
+        |           WHEN dlq <> '' AND ${dHas("utm_source")} THEN ${dVal("utm_source")}
+        |           WHEN drq <> '' THEN sh
+        |           WHEN dlq <> '' AND ${dHas("ref")} THEN ${dVal("ref")}
+        |           WHEN dlq <> '' THEN $dChannelCase
+        |           ELSE '(not set)' END
+        |    END AS traffic_source,
+        |    CASE WHEN body_dr IS NULL THEN
+        |      CASE WHEN dlq <> '' AND ${dHas("utm_medium")} THEN ${dVal("utm_medium")}
+        |           WHEN dlq <> '' AND ${dHas("gclid")} THEN 'paid'
+        |           ELSE '(none)' END
+        |    ELSE
+        |      CASE WHEN mh = 'googleadservices' THEN 'paid'
+        |           WHEN dlq = '' AND mh IN $dEngines THEN 'organic'
+        |           WHEN (dlq = '' AND (mh IS NULL OR mh NOT IN $dEngines))
+        |                OR (dlq <> '' AND ${dHas("ref")}) THEN 'referral'
+        |           WHEN dlq <> '' AND (${dHas("gclid")} OR ${dHas("gclsrc")} OR ${dHas("dclid")}
+        |                OR ${dHas("fbclid")} OR ${dHas("mscklid")}) THEN 'paid'
+        |           WHEN dlq <> '' AND ${dHas("utm_medium")} THEN ${dVal("utm_medium")}
+        |           ELSE '(none)' END
+        |    END AS traffic_medium,
+        |    CASE WHEN ${dHas("utm_campaign")} THEN ${dVal("utm_campaign")} ELSE '(not set)' END AS traffic_campaign
+        |  FROM u2)
+        |SELECT traffic_source, traffic_medium, traffic_campaign, COUNT(*) AS n_sessions
+        |FROM a GROUP BY 1, 2, 3""".stripMargin
   )
 }
