@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
-import graft.operators.{Attribution, Sessionization}
+import graft.operators.{Attribution, Ecommerce, Sessionization}
 import graft.ingest.Ingest
 import graft.functions.GaFunctions
 
@@ -226,6 +226,23 @@ object SparkEntry {
         Attribution.campaign(isNew, col("body_dl")).as("traffic_campaign"))
         .groupBy(col("traffic_source"), col("traffic_medium"), col("traffic_campaign"))
         .agg(count(lit(1)).as("n_sessions"))
+    }),
+
+    // A6+J1+F11+F12: enhanced-ecommerce unpivot via explode_outer (replaces
+    // the reference's RDD flatMap + driver collect + self-join) — revenue
+    // per SKU with brand preserved.
+    "q15_ga_products" -> ((s, _) => {
+      val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      Ecommerce.explodeProducts(hits)
+        .filter(col("prid").isNotNull)
+        .withColumn("action_type", GaFunctions.actionType(col("body_pa")))
+        .groupBy(col("prid"), col("prbr"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("prqt").cast("long")).as("total_qty"),
+          round(sum(when(col("action_type") === "6",
+            col("prqt").cast(dec) * col("prpr").cast(dec))), 2).cast("double")
+            .as("purchase_revenue"))
     })
   )
 
@@ -433,6 +450,28 @@ object SparkEntry {
         |    CASE WHEN ${dHas("utm_campaign")} THEN ${dVal("utm_campaign")} ELSE '(not set)' END AS traffic_campaign
         |  FROM u2)
         |SELECT traffic_source, traffic_medium, traffic_campaign, COUNT(*) AS n_sessions
-        |FROM a GROUP BY 1, 2, 3""".stripMargin
+        |FROM a GROUP BY 1, 2, 3""".stripMargin,
+
+    "q15_ga_products" -> {
+      // Generated UNPIVOT: one UNION ALL branch per product slot 0..19.
+      val attrCols = (0 until 20).flatMap(i =>
+        Seq("id", "br", "pr", "qt").map(a => s"body_pr$i$a:'VARCHAR'")).mkString(", ")
+      val branches = (0 until 20).map(i =>
+        s"SELECT body_pa, body_pr${i}id AS prid, body_pr${i}br AS prbr, " +
+          s"body_pr${i}pr AS prpr, body_pr${i}qt AS prqt FROM h")
+        .mkString("\n  UNION ALL ")
+      s"""WITH h AS (
+        |  SELECT * FROM read_json('$GaEnrichedFile', format='newline_delimited',
+        |       columns={body_pa:'VARCHAR', $attrCols})),
+        |p AS (
+        |  $branches)
+        |SELECT prid, prbr, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(prqt AS BIGINT)) AS BIGINT) AS total_qty,
+        |  CAST(ROUND(SUM(CASE WHEN body_pa = 'purchase'
+        |    THEN CAST(prqt AS DECIMAL(18,6)) * CAST(prpr AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+        |    AS purchase_revenue
+        |FROM p WHERE prid IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
+    }
   )
 }
