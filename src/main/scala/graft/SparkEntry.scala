@@ -243,12 +243,51 @@ object SparkEntry {
           round(sum(when(col("action_type") === "6",
             col("prqt").cast(dec) * col("prpr").cast(dec))), 2).cast("double")
             .as("purchase_revenue"))
+    }),
+
+    // P1+P2+A2+A3/A5+U1+P5: the full daily pipeline's multichannel sessions
+    // table (md5 visit ids so DuckDB can mirror the hash).
+    "q16_ga_sessions" -> ((s, _) => {
+      import graft.jobs.GaPipeline
+      val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      val out = GaPipeline.run(hits,
+        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
+        idAlgo = "md5")
+      out.sessions.select(
+        col("fullVisitorId"), col("visitId"),
+        col("visitNumber").cast("long").as("visitNumber"),
+        col("visitStartTime"), col("date").cast("long").as("date"),
+        col("trafficSource_source"), col("trafficSource_medium"),
+        col("trafficSource_campaign"), col("totals_transactionRevenue"),
+        col("landingPage"), col("touchpoints"), col("touchpoints_wo_direct"),
+        col("first_touchpoint"), col("last_touchpoint"))
+    }),
+
+    // P3 hit-table projection: pageviews with per-user hit numbering,
+    // hour/minute derivations and page-path levels.
+    "q17_ga_pageviews" -> ((s, _) => {
+      import graft.jobs.GaPipeline
+      val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      val out = GaPipeline.run(hits,
+        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
+        idAlgo = "md5")
+      out.pageviews.select(
+        col("fullVisitorId"), col("visitId"), col("requestId"),
+        col("visitStartTime"),
+        col("hits_hitNumber").cast("long").as("hits_hitNumber"),
+        col("hits_hour").cast("long").as("hits_hour"),
+        col("hits_minute").cast("long").as("hits_minute"),
+        col("hits_page_pagePath"), col("hits_page_hostname"),
+        col("hits_page_pagePathLevel1"), col("hits_page_pagePathLevel2"),
+        col("hits_page_pagePathLevel3"), col("hits_page_pagePathLevel4"),
+        col("hits_type"))
     })
   )
 
   // ---------------------------------------------------------------- oracle
-  // DuckDB fragments for the GA attribution mirror (q14): `dlq` is the raw
-  // query string of body_dl in scope.
+  // DuckDB fragments for the GA mirrors (q14/q16/q17): `dlq`/`drq`/`sh`/`mh`
+  // are columns produced by dUrlCtes; all rows in scope are session starts
+  // unless noted.
   private def dHas(k: String) = s"regexp_matches(dlq, '(^|&)$k=')"
   private def dVal(k: String) = s"regexp_extract(dlq, '(^|&)$k=([^&]*)', 2)"
   private val dEngines =
@@ -259,6 +298,77 @@ object SparkEntry {
        |     WHEN ${dHas("fbclid")} THEN 'facebook'
        |     WHEN ${dHas("mscklid")} THEN 'bing'
        |     ELSE '(direct)' END""".stripMargin
+
+  /** URL-dissection CTEs (dlq/drq/host, then sh/mh) over CTE `from`. */
+  private def dUrlCtes(from: String) =
+    s"""u AS (
+       |  SELECT *,
+       |    CASE WHEN body_dl IS NULL THEN '' ELSE regexp_extract(body_dl, '\\?([^#]*)', 1) END AS dlq,
+       |    CASE WHEN body_dr IS NULL THEN '' ELSE regexp_extract(body_dr, '\\?([^#]*)', 1) END AS drq,
+       |    regexp_extract(body_dr, '^[a-z-]+://([^/?#]+)', 1) AS host
+       |  FROM $from),
+       |u2 AS (
+       |  SELECT *,
+       |    CASE WHEN list_contains(string_split(host,'.'),'www') THEN string_split(host,'.')[2]
+       |         WHEN len(string_split(host,'.')) = 3 THEN string_split(host,'.')[2]
+       |         WHEN len(string_split(host,'.')) = 2 THEN string_split(host,'.')[1]
+       |         ELSE host END AS sh,
+       |    string_split(string_split(string_split(body_dr,'//')[-1],'/')[1],'.')[2] AS mh
+       |  FROM u)""".stripMargin
+
+  private val dSourceCase =
+    s"""CASE WHEN body_dr IS NULL THEN
+       |      CASE WHEN dlq = '' THEN '(direct)' ELSE $dChannelCase END
+       |    ELSE
+       |      CASE WHEN starts_with(body_dr, 'android-app') THEN string_split(body_dr, '//')[2]
+       |           WHEN sh = 'googleadservices' THEN 'google'
+       |           WHEN dlq = '' AND drq = '' THEN sh
+       |           WHEN dlq <> '' AND ${dHas("utm_source")} THEN ${dVal("utm_source")}
+       |           WHEN drq <> '' THEN sh
+       |           WHEN dlq <> '' AND ${dHas("ref")} THEN ${dVal("ref")}
+       |           WHEN dlq <> '' THEN $dChannelCase
+       |           ELSE '(not set)' END
+       |    END""".stripMargin
+
+  private val dMediumCase =
+    s"""CASE WHEN body_dr IS NULL THEN
+       |      CASE WHEN dlq <> '' AND ${dHas("utm_medium")} THEN ${dVal("utm_medium")}
+       |           WHEN dlq <> '' AND ${dHas("gclid")} THEN 'paid'
+       |           ELSE '(none)' END
+       |    ELSE
+       |      CASE WHEN mh = 'googleadservices' THEN 'paid'
+       |           WHEN dlq = '' AND mh IN $dEngines THEN 'organic'
+       |           WHEN (dlq = '' AND (mh IS NULL OR mh NOT IN $dEngines))
+       |                OR (dlq <> '' AND ${dHas("ref")}) THEN 'referral'
+       |           WHEN dlq <> '' AND (${dHas("gclid")} OR ${dHas("gclsrc")} OR ${dHas("dclid")}
+       |                OR ${dHas("fbclid")} OR ${dHas("mscklid")}) THEN 'paid'
+       |           WHEN dlq <> '' AND ${dHas("utm_medium")} THEN ${dVal("utm_medium")}
+       |           ELSE '(none)' END
+       |    END""".stripMargin
+
+  private val dCampaignCase =
+    s"CASE WHEN ${dHas("utm_campaign")} THEN ${dVal("utm_campaign")} ELSE '(not set)' END"
+
+  /** URL path per Python urlparse; null URL → ''. */
+  private def dPath(c: String) =
+    s"CASE WHEN $c IS NULL THEN '' ELSE regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/?#]*)?([^?#]*)', 2) END"
+
+  /** Sessionization CTE stack over the enriched fixture: h (typed scan) →
+    * f (gap flag) → r (running session number) → s (timing filter). Extra
+    * body columns to scan go in `extraCols` (name:'TYPE' pairs). */
+  private def dGaSessionCtes(extraCols: String) =
+    s"""h AS (
+       |  SELECT *, received_at_apig::BIGINT AS ms
+       |  FROM read_json('$GaEnrichedFile', format='newline_delimited',
+       |       columns={body_cid:'VARCHAR', message_id:'VARCHAR', body_t:'VARCHAR',
+       |                body_dl:'VARCHAR', body_dr:'VARCHAR', received_at_apig:'VARCHAR'$extraCols})),
+       |f AS (
+       |  SELECT *, CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END AS is_new
+       |  FROM (SELECT *, ms - LAG(ms) OVER (PARTITION BY body_cid ORDER BY ms, message_id) AS gap FROM h)),
+       |r AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY body_cid ORDER BY ms, message_id ROWS UNBOUNDED PRECEDING) AS seq
+       |  FROM f),
+       |s AS (SELECT * FROM r WHERE body_t NOT IN ('adtiming','timing'))""".stripMargin
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -393,61 +503,13 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q14_ga_attribution" ->
-      s"""WITH h AS (
-        |  SELECT body_cid, message_id, body_t, body_dl, body_dr,
-        |         received_at_apig::BIGINT AS ms
-        |  FROM read_json('$GaEnrichedFile', format='newline_delimited',
-        |       columns={body_cid:'VARCHAR', message_id:'VARCHAR', body_t:'VARCHAR',
-        |                body_dl:'VARCHAR', body_dr:'VARCHAR', received_at_apig:'VARCHAR'})),
-        |f AS (
-        |  SELECT *, CASE WHEN ms - LAG(ms) OVER (PARTITION BY body_cid ORDER BY ms, message_id) IS NULL
-        |                   OR ms - LAG(ms) OVER (PARTITION BY body_cid ORDER BY ms, message_id) >= 1800000
-        |            THEN 1 ELSE 0 END AS is_new
-        |  FROM h),
-        |s AS (SELECT * FROM f WHERE body_t NOT IN ('adtiming','timing') AND is_new = 1),
-        |u AS (
-        |  SELECT *,
-        |    CASE WHEN body_dl IS NULL THEN '' ELSE regexp_extract(body_dl, '\\?([^#]*)', 1) END AS dlq,
-        |    CASE WHEN body_dr IS NULL THEN '' ELSE regexp_extract(body_dr, '\\?([^#]*)', 1) END AS drq,
-        |    regexp_extract(body_dr, '^[a-z-]+://([^/?#]+)', 1) AS host
-        |  FROM s),
-        |u2 AS (
-        |  SELECT *,
-        |    CASE WHEN list_contains(string_split(host,'.'),'www') THEN string_split(host,'.')[2]
-        |         WHEN len(string_split(host,'.')) = 3 THEN string_split(host,'.')[2]
-        |         WHEN len(string_split(host,'.')) = 2 THEN string_split(host,'.')[1]
-        |         ELSE host END AS sh,
-        |    string_split(string_split(string_split(body_dr,'//')[-1],'/')[1],'.')[2] AS mh
-        |  FROM u),
+      s"""WITH ${dGaSessionCtes("")},
+        |st AS (SELECT * FROM s WHERE is_new = 1),
+        |${dUrlCtes("st")},
         |a AS (
-        |  SELECT
-        |    CASE WHEN body_dr IS NULL THEN
-        |      CASE WHEN dlq = '' THEN '(direct)' ELSE $dChannelCase END
-        |    ELSE
-        |      CASE WHEN starts_with(body_dr, 'android-app') THEN string_split(body_dr, '//')[2]
-        |           WHEN sh = 'googleadservices' THEN 'google'
-        |           WHEN dlq = '' AND drq = '' THEN sh
-        |           WHEN dlq <> '' AND ${dHas("utm_source")} THEN ${dVal("utm_source")}
-        |           WHEN drq <> '' THEN sh
-        |           WHEN dlq <> '' AND ${dHas("ref")} THEN ${dVal("ref")}
-        |           WHEN dlq <> '' THEN $dChannelCase
-        |           ELSE '(not set)' END
-        |    END AS traffic_source,
-        |    CASE WHEN body_dr IS NULL THEN
-        |      CASE WHEN dlq <> '' AND ${dHas("utm_medium")} THEN ${dVal("utm_medium")}
-        |           WHEN dlq <> '' AND ${dHas("gclid")} THEN 'paid'
-        |           ELSE '(none)' END
-        |    ELSE
-        |      CASE WHEN mh = 'googleadservices' THEN 'paid'
-        |           WHEN dlq = '' AND mh IN $dEngines THEN 'organic'
-        |           WHEN (dlq = '' AND (mh IS NULL OR mh NOT IN $dEngines))
-        |                OR (dlq <> '' AND ${dHas("ref")}) THEN 'referral'
-        |           WHEN dlq <> '' AND (${dHas("gclid")} OR ${dHas("gclsrc")} OR ${dHas("dclid")}
-        |                OR ${dHas("fbclid")} OR ${dHas("mscklid")}) THEN 'paid'
-        |           WHEN dlq <> '' AND ${dHas("utm_medium")} THEN ${dVal("utm_medium")}
-        |           ELSE '(none)' END
-        |    END AS traffic_medium,
-        |    CASE WHEN ${dHas("utm_campaign")} THEN ${dVal("utm_campaign")} ELSE '(not set)' END AS traffic_campaign
+        |  SELECT $dSourceCase AS traffic_source,
+        |         $dMediumCase AS traffic_medium,
+        |         $dCampaignCase AS traffic_campaign
         |  FROM u2)
         |SELECT traffic_source, traffic_medium, traffic_campaign, COUNT(*) AS n_sessions
         |FROM a GROUP BY 1, 2, 3""".stripMargin,
@@ -472,6 +534,69 @@ object SparkEntry {
         |    AS purchase_revenue
         |FROM p WHERE prid IS NOT NULL
         |GROUP BY 1, 2""".stripMargin
-    }
+    },
+
+    "q16_ga_sessions" ->
+      s"""WITH ${dGaSessionCtes(", body_pa:'VARCHAR', body_tr:'VARCHAR'")},
+        |v AS (
+        |  SELECT *, MIN(ms) OVER wv AS first_value, MAX(ms) OVER wv AS last_value,
+        |    SUM(CASE WHEN body_t = 'event' AND body_pa = 'purchase'
+        |        THEN CAST(body_tr AS DECIMAL(18,6)) END) OVER wv AS rev
+        |  FROM s WINDOW wv AS (PARTITION BY body_cid, seq)),
+        |st AS (SELECT * FROM v WHERE is_new = 1),
+        |${dUrlCtes("st")},
+        |p AS (
+        |  SELECT body_cid AS fullVisitorId,
+        |    md5(body_cid || first_value::VARCHAR || last_value::VARCHAR) AS visitId,
+        |    CAST(seq AS BIGINT) AS visitNumber,
+        |    first_value AS visitStartTime,
+        |    CAST(strftime(make_timestamp((ms // 1000) * 1000000), '%Y%m%d') AS BIGINT) AS "date",
+        |    ms,
+        |    $dSourceCase AS trafficSource_source,
+        |    $dMediumCase AS trafficSource_medium,
+        |    $dCampaignCase AS trafficSource_campaign,
+        |    CAST(CAST(rev AS DOUBLE) AS VARCHAR) AS totals_transactionRevenue,
+        |    ${dPath("body_dl")} AS landingPage
+        |  FROM u2
+        |  WHERE strftime(make_timestamp((ms // 1000) * 1000000), '%Y-%m-%d') = '2019-09-23'),
+        |tp AS (
+        |  SELECT fullVisitorId,
+        |    list(trafficSource_source ORDER BY ms, visitId) AS touchpoints,
+        |    first(trafficSource_source ORDER BY ms, visitId) AS first_touchpoint
+        |  FROM p GROUP BY 1)
+        |SELECT p.fullVisitorId, visitId, visitNumber, visitStartTime, "date",
+        |  trafficSource_source, trafficSource_medium, trafficSource_campaign,
+        |  totals_transactionRevenue, landingPage, touchpoints,
+        |  list_filter(touchpoints, x -> x <> '(direct)') AS touchpoints_wo_direct,
+        |  first_touchpoint,
+        |  COALESCE(list_filter(touchpoints, x -> x <> '(direct)')[-1], '(direct)') AS last_touchpoint
+        |FROM p JOIN tp ON p.fullVisitorId = tp.fullVisitorId""".stripMargin,
+
+    "q17_ga_pageviews" ->
+      s"""WITH ${dGaSessionCtes("")},
+        |v AS (
+        |  SELECT *, MIN(ms) OVER wv AS first_value, MAX(ms) OVER wv AS last_value,
+        |    ROW_NUMBER() OVER (PARTITION BY body_cid ORDER BY ms, message_id) AS evseq
+        |  FROM s WINDOW wv AS (PARTITION BY body_cid, seq)),
+        |pv AS (SELECT * FROM v WHERE body_t = 'pageview'),
+        |lv AS (
+        |  SELECT *, list_filter(string_split(${dPath("body_dl")}, '/'), x -> x <> '') AS parts
+        |  FROM pv)
+        |SELECT body_cid AS fullVisitorId,
+        |  md5(body_cid || first_value::VARCHAR || last_value::VARCHAR) AS visitId,
+        |  message_id AS requestId,
+        |  first_value AS visitStartTime,
+        |  CAST(evseq AS BIGINT) AS hits_hitNumber,
+        |  CAST(EXTRACT(hour FROM make_timestamp((ms // 1000) * 1000000)) AS BIGINT) AS hits_hour,
+        |  CAST(EXTRACT(minute FROM make_timestamp((ms // 1000) * 1000000)) AS BIGINT) AS hits_minute,
+        |  ${dPath("body_dl")} AS hits_page_pagePath,
+        |  CASE WHEN body_dl IS NULL THEN ''
+        |       ELSE coalesce(regexp_extract(body_dl, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '') END AS hits_page_hostname,
+        |  CASE WHEN len(parts) >= 1 THEN '/' || parts[1] ELSE '' END AS hits_page_pagePathLevel1,
+        |  CASE WHEN len(parts) >= 2 THEN '/' || parts[2] ELSE '' END AS hits_page_pagePathLevel2,
+        |  CASE WHEN len(parts) >= 3 THEN '/' || parts[3] ELSE '' END AS hits_page_pagePathLevel3,
+        |  CASE WHEN len(parts) >= 4 THEN '/' || parts[4] ELSE '' END AS hits_page_pagePathLevel4,
+        |  'PAGE' AS hits_type
+        |FROM lv""".stripMargin
   )
 }

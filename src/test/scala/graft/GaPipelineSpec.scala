@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Ingest
+import graft.jobs.{DailyJob, GaPipeline}
+
+class GaPipelineSpec extends SparkTestBase {
+
+  private lazy val hits =
+    Ingest.readEnrichedHits(spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
+  private lazy val out = GaPipeline.run(
+    hits, GaPipeline.loadHistory(spark, "/nonexistent/history"), "2019-09-23")
+
+  test("sessions: one row per session; timing-absorbed session start disappears") {
+    val sess = out.sessions
+    // v15: its only session start was a timing hit (dropped after flags) ->
+    // no session row at all (faithful to reference operator order).
+    assert(sess.filter(col("fullVisitorId") === "cid-v15").count() == 0)
+    // v01 has two sessions
+    assert(sess.filter(col("fullVisitorId") === "cid-v01").count() == 2)
+    // v17's midnight-spanning session starts on 09-22 and is DROPPED by the
+    // new_sessions day filter (P5) — the reference silently never
+    // sessionizes it (SURVEY §2.8); only the on-date session survives.
+    val v17 = sess.filter(col("fullVisitorId") === "cid-v17")
+      .select("date").collect().map(_.getInt(0)).sorted.toSeq
+    assert(v17 == Seq(20190923))
+  }
+
+  test("per-session revenue lands on the session-start row as a string") {
+    val v01 = out.sessions.filter(col("fullVisitorId") === "cid-v01")
+      .select("visitNumber", "totals_transactionRevenue")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(v01(2) == "99.75") // purchase session
+    assert(v01(1) == null)    // no purchase: NULL (reference faithful)
+  }
+
+  test("touchpoints accumulate across a visitor's sessions") {
+    val v12 = out.sessions.filter(col("fullVisitorId") === "cid-v12")
+      .orderBy("visitNumber")
+      .select("touchpoints", "first_touchpoint", "last_touchpoint")
+      .collect()
+    assert(v12.length == 2)
+    val tps = v12(0).getSeq[String](0)
+    assert(tps == Seq("bing", "google")) // mscklid session then dclid session
+    assert(v12(0).getString(1) == "bing")
+    assert(v12(0).getString(2) == "google")
+  }
+
+  test("hit tables partition the export rows by type with correct filters") {
+    assert(out.pageviews.filter(col("hits_type") =!= "PAGE").count() == 0)
+    assert(out.events.filter(col("hits_product_productSKU").isNotNull).count() == 0)
+    val productRows = out.products.collect()
+    assert(productRows.nonEmpty)
+    assert(productRows.forall(_.getAs[String]("hits_type") == "EVENT"))
+    assert(out.transactions.count() == 1) // v01's transaction hit
+    assert(out.items.count() == 2)        // v01's two item hits
+  }
+
+  test("export table: hit numbering is per-user (reference quirk W6)") {
+    val export = GaPipeline.exportTable(
+      graft.operators.Ecommerce.explodeProducts(
+        GaPipeline.withDerivedColumns(GaPipeline.sessionized(hits)))
+        .withColumn("product_revenue", lit(null).cast("double")))
+    val v01 = export.filter(col("fullVisitorId") === "cid-v01" &&
+        col("hits_product_productSKU").isNull)
+      .select("hits_hitNumber").collect().map(_.getInt(0)).sorted.toSeq
+    // v01 has 7 hits; the purchase hit (sequence 4) explodes into 2 SKU
+    // rows (excluded by the SKU filter): numbering continues across its
+    // two sessions — per-user, not per-session.
+    assert(v01 == Seq(1, 2, 3, 5, 6, 7))
+  }
+
+  test("DailyJob writes history + six daily tables; day filter drops off-date sessions") {
+    val tmp = Files.createTempDirectory("gajob").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths)
+    val history = spark.read.parquet(paths.historyPath)
+    // v17's 09-22 session is excluded by the day filter
+    assert(history.filter(col("date") === 20190922).count() == 0)
+    val nSessions = spark.read.parquet(paths.daily("sessions")).count()
+    assert(nSessions == history.count())
+    assert(spark.read.parquet(paths.daily("pageviews")).count() > 0)
+    assert(spark.read.parquet(paths.daily("transactions")).count() == 1)
+    // Second run: the appended sessions table now contains history-union-
+    // today (both on-date), so the append grows 2N — total 3N. This is the
+    // reference's documented re-run double-append defect (main.py:1320-1325,
+    // SURVEY §2.8), reproduced faithfully; StreamingJob is the fixed path.
+    DailyJob.run(spark, paths)
+    assert(spark.read.parquet(paths.historyPath).count() == 3 * nSessions)
+  }
+}
