@@ -31,6 +31,7 @@ object SparkEntry {
   val GaRaw = "/root/repo/fixtures/ga/raw/records.jsonl"
   val GaEnriched = "/root/repo/fixtures/ga/enriched/year=2019/month=09/day=23"
   val GaEnrichedFile = s"$GaEnriched/part-00000.jsonl"
+  val GeoRanges = "/root/repo/fixtures/geo/ip_ranges.csv"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -281,6 +282,37 @@ object SparkEntry {
         col("hits_page_pagePathLevel1"), col("hits_page_pagePathLevel2"),
         col("hits_page_pagePathLevel3"), col("hits_page_pagePathLevel4"),
         col("hits_type"))
+    }),
+
+    // P11: user-agent enrichment (regex classifier, no UDF) — device
+    // breakdown over the raw fixture.
+    "q18_ga_enrich_device" -> ((s, _) => {
+      import graft.enrich.UserAgent
+      import org.apache.spark.sql.types.{StructType, StructField, StringType}
+      val rawSchema = StructType(Seq(
+        StructField("recordId", StringType), StructField("data", StringType)))
+      val raw = s.read.schema(rawSchema).json(GaRaw)
+      UserAgent.withDeviceColumns(Ingest.fromFirehose(raw), col("user_agent"))
+        .groupBy(col("device_is_bot"), col("device_client_name"),
+          col("device_client_version"), col("device_os_name"),
+          col("device_os_version"), col("device_device_type"))
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // P12/J2: GeoIP range-dimension enrichment via bucketed broadcast
+    // equi-join — country/city breakdown.
+    "q19_ga_enrich_geo" -> ((s, _) => {
+      import graft.enrich.{GeoIp, UserAgent}
+      import org.apache.spark.sql.types.{StructType, StructField, StringType}
+      val rawSchema = StructType(Seq(
+        StructField("recordId", StringType), StructField("data", StringType)))
+      val raw = s.read.schema(rawSchema).json(GaRaw)
+      val withBot = UserAgent.withDeviceColumns(
+        Ingest.fromFirehose(raw), col("user_agent"))
+      GeoIp.withGeoColumns(withBot, GeoIp.loadRanges(s, GeoRanges),
+        col("ip"), col("device_is_bot"))
+        .groupBy(col("geo_country"), col("geo_city"), col("geo_city_id"))
+        .agg(count(lit(1)).as("n_hits"))
     })
   )
 
@@ -352,6 +384,35 @@ object SparkEntry {
   /** URL path per Python urlparse; null URL → ''. */
   private def dPath(c: String) =
     s"CASE WHEN $c IS NULL THEN '' ELSE regexp_extract($c, '^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/?#]*)?([^?#]*)', 2) END"
+
+  /** Raw-envelope decode CTEs: raw → e(message_id, ip0, ua, body). */
+  private val dRawCtes =
+    s"""raw AS (
+       |  SELECT decode(from_base64(data)) AS env
+       |  FROM read_json('$GaRaw', format='newline_delimited',
+       |                 columns={recordId:'VARCHAR', data:'VARCHAR'})),
+       |e AS (
+       |  SELECT json_extract_string(env,'$$.message_id') AS message_id,
+       |         json_extract_string(env,'$$.ip') AS ip0,
+       |         json_extract_string(env,'$$.user_agent') AS ua,
+       |         json_extract_string(env,'$$.body') AS body
+       |  FROM raw)""".stripMargin
+
+  /** The ingest IP anonymization (P9) over column `ip0`. */
+  private val dAnonIp =
+    """CASE WHEN strpos(ip0,'.') >= 2
+      |       THEN array_to_string(list_slice(string_split(ip0,'.'),1,3),'.') || '.0'
+      |     WHEN strpos(ip0,':') >= 2
+      |       THEN array_to_string(list_slice(string_split(ip0,':'),1,3),':') || ':0000:0000:0000:0000:0000'
+      |     ELSE '0.0.0.0' END""".stripMargin
+
+  private val dVerRe = "([0-9]+(?:\\.[0-9]+){0,2})"
+
+  /** Dotted-quad v4 → BIGINT over column `c`; null for non-v4. */
+  private def dIpInt(c: String) =
+    s"""CASE WHEN regexp_matches($c,'^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$$')
+       |  THEN string_split($c,'.')[1]::BIGINT*16777216 + string_split($c,'.')[2]::BIGINT*65536
+       |     + string_split($c,'.')[3]::BIGINT*256 + string_split($c,'.')[4]::BIGINT END""".stripMargin
 
   /** Sessionization CTE stack over the enriched fixture: h (typed scan) →
     * f (gap flag) → r (running session number) → s (timing filter). Extra
@@ -597,6 +658,77 @@ object SparkEntry {
         |  CASE WHEN len(parts) >= 3 THEN '/' || parts[3] ELSE '' END AS hits_page_pagePathLevel3,
         |  CASE WHEN len(parts) >= 4 THEN '/' || parts[4] ELSE '' END AS hits_page_pagePathLevel4,
         |  'PAGE' AS hits_type
-        |FROM lv""".stripMargin
+        |FROM lv""".stripMargin,
+
+    "q18_ga_enrich_device" ->
+      s"""WITH $dRawCtes,
+        |b AS (SELECT *, regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|archiver|mediapartners)') AS bot FROM e),
+        |c AS (SELECT *,
+        |  CASE WHEN contains(ua,'Edg/') OR contains(ua,'Edge/') THEN 'Edge'
+        |       WHEN contains(ua,'OPR/') THEN 'Opera'
+        |       WHEN contains(ua,'Chrome/') AND contains(ua,'Mobile') THEN 'Chrome Mobile'
+        |       WHEN contains(ua,'Chrome/') THEN 'Chrome'
+        |       WHEN contains(ua,'Firefox/') THEN 'Firefox'
+        |       WHEN (contains(ua,'iPhone') OR contains(ua,'iPad')) AND contains(ua,'Safari') AND contains(ua,'Version/') THEN 'Mobile Safari'
+        |       WHEN contains(ua,'Safari') AND contains(ua,'Version/') THEN 'Safari'
+        |       WHEN contains(ua,'MSIE') OR contains(ua,'Trident/') THEN 'IE'
+        |       ELSE 'Other' END AS cname,
+        |  CASE WHEN contains(ua,'iPhone') OR contains(ua,'iPad') OR contains(ua,'iPod') THEN 'iOS'
+        |       WHEN contains(ua,'Android') THEN 'Android'
+        |       WHEN contains(ua,'Windows NT') THEN 'Windows'
+        |       WHEN contains(ua,'Mac OS X') THEN 'Mac OS X'
+        |       WHEN contains(ua,'Linux') THEN 'Linux'
+        |       ELSE 'Other' END AS oname,
+        |  CASE WHEN contains(ua,'iPad') OR (contains(ua,'Android') AND NOT contains(ua,'Mobile')) THEN 'tablet'
+        |       WHEN contains(ua,'iPhone') OR contains(ua,'iPod') OR (contains(ua,'Android') AND contains(ua,'Mobile')) OR contains(ua,'Mobi') THEN 'mobile'
+        |       WHEN contains(ua,'Windows') OR contains(ua,'Macintosh') OR contains(ua,'X11') OR contains(ua,'Linux') THEN 'desktop'
+        |       ELSE '(not set)' END AS dtype
+        | FROM b),
+        |d AS (SELECT *,
+        |  CASE cname WHEN 'Edge' THEN regexp_extract(ua,'Edge?/$dVerRe',1)
+        |             WHEN 'Opera' THEN regexp_extract(ua,'OPR/$dVerRe',1)
+        |             WHEN 'Chrome Mobile' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
+        |             WHEN 'Chrome' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
+        |             WHEN 'Firefox' THEN regexp_extract(ua,'Firefox/$dVerRe',1)
+        |             WHEN 'Mobile Safari' THEN regexp_extract(ua,'Version/$dVerRe',1)
+        |             WHEN 'Safari' THEN regexp_extract(ua,'Version/$dVerRe',1)
+        |             WHEN 'IE' THEN regexp_extract(ua,'(?:MSIE |rv:)$dVerRe',1)
+        |             ELSE '' END AS cver,
+        |  CASE oname WHEN 'iOS' THEN replace(regexp_extract(ua,'OS ([0-9_]+)',1),'_','.')
+        |             WHEN 'Android' THEN regexp_extract(ua,'Android $dVerRe',1)
+        |             WHEN 'Windows' THEN
+        |               CASE regexp_extract(ua,'Windows NT ([0-9.]+)',1)
+        |                 WHEN '10.0' THEN '10' WHEN '6.3' THEN '8.1' WHEN '6.2' THEN '8'
+        |                 WHEN '6.1' THEN '7' WHEN '6.0' THEN 'Vista' WHEN '5.1' THEN 'XP'
+        |                 ELSE regexp_extract(ua,'Windows NT ([0-9.]+)',1) END
+        |             WHEN 'Mac OS X' THEN replace(regexp_extract(ua,'Mac OS X ([0-9_.]+)',1),'_','.')
+        |             ELSE '' END AS over
+        | FROM c)
+        |SELECT bot AS device_is_bot,
+        |  CASE WHEN bot THEN NULL ELSE cname END AS device_client_name,
+        |  CASE WHEN bot THEN NULL ELSE cver END AS device_client_version,
+        |  CASE WHEN bot THEN NULL ELSE oname END AS device_os_name,
+        |  CASE WHEN bot THEN NULL ELSE over END AS device_os_version,
+        |  CASE WHEN bot THEN NULL ELSE dtype END AS device_device_type,
+        |  COUNT(*) AS n_hits
+        |FROM d GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    "q19_ga_enrich_geo" ->
+      s"""WITH $dRawCtes,
+        |b AS (SELECT *, regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|archiver|mediapartners)') AS bot,
+        |             $dAnonIp AS ip
+        |      FROM e),
+        |i AS (SELECT *, ${dIpInt("ip")} AS ipn FROM b),
+        |r0 AS (SELECT * FROM read_csv('$GeoRanges', header=true, all_varchar=true)),
+        |r AS (SELECT *, ${dIpInt("start_ip")} AS start_int, ${dIpInt("end_ip")} AS end_int FROM r0),
+        |j AS (
+        |  SELECT i.bot, r.country, r.city, r.city_id
+        |  FROM i LEFT JOIN r ON i.ipn >= r.start_int AND i.ipn <= r.end_int)
+        |SELECT
+        |  CASE WHEN bot THEN NULL WHEN country IS NULL THEN '(not set)' ELSE country END AS geo_country,
+        |  CASE WHEN bot THEN NULL WHEN country IS NULL THEN '(not set)' ELSE city END AS geo_city,
+        |  CASE WHEN bot THEN NULL WHEN country IS NULL THEN '(not set)' ELSE city_id END AS geo_city_id,
+        |  COUNT(*) AS n_hits
+        |FROM j GROUP BY 1, 2, 3""".stripMargin
   )
 }

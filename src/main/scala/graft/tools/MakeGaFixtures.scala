@@ -337,6 +337,29 @@ object MakeGaFixtures {
     Files.writeString(rawDir.resolve("records.jsonl"), raw.mkString("", "\n", "\n"))
     Files.writeString(enrichedDir.resolve("part-00000.jsonl"),
       enriched.mkString("", "\n", "\n"))
-    println(s"wrote ${raw.size} raw records and ${enriched.size} enriched hits under $outRoot")
+
+    // GeoIP range dimension (fixtures/geo/ip_ranges.csv): one /24 per
+    // visitor's anonymized IP, carrying that visitor's geo block — so
+    // GeoIp enrichment over the raw fixture reproduces the enriched
+    // fixture's geo columns (IPv6 visitors excluded: v4-only dimension).
+    val geoDir = Paths.get(s"${Paths.get(outRoot).getParent}/geo")
+    Files.createDirectories(geoDir)
+    val header = "start_ip,end_ip,continent,continent_code,country,country_iso," +
+      "region,city,city_id,postal_code,latitude,longitude,timezone"
+    val geoRows = visitors
+      .filter(v => v.geo.nonEmpty && v.ip.matches("""\d+\.\d+\.\d+\.\d+"""))
+      .map { v =>
+        val m = v.geo.toMap
+        val prefix = v.ip.split('.').take(3).mkString(".")
+        Seq(s"$prefix.0", s"$prefix.255",
+          m("geo_continent"), m("geo_continent_code"), m("geo_country"),
+          m("geo_country_iso"), m("geo_region"), m("geo_city"),
+          m("geo_city_id"), m("geo_postal_code"), m("geo_latitude"),
+          m("geo_longitude"), m("geo_timezone")).mkString(",")
+      }.distinct.sorted
+    Files.writeString(geoDir.resolve("ip_ranges.csv"),
+      (header +: geoRows).mkString("", "\n", "\n"))
+    println(s"wrote ${raw.size} raw records, ${enriched.size} enriched hits, " +
+      s"${geoRows.size} geo ranges under ${Paths.get(outRoot).getParent}")
   }
 }
