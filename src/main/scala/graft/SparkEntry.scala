@@ -313,6 +313,72 @@ object SparkEntry {
         col("ip"), col("device_is_bot"))
         .groupBy(col("geo_country"), col("geo_city"), col("geo_city_id"))
         .agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // ---- LLM-pipeline operators over documents/embeddings testdata ----
+
+    // Near-dedup via MinHash + banded LSH (shuffle by band hash, exact
+    // jaccard verification of candidates; oracle = exact ground truth).
+    "q20_dedup_minhash" -> ((s, dir) => {
+      import graft.llm.MinHashLsh
+      MinHashLsh.verifiedPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), 0.8)
+    }),
+
+    // Exact all-true-pairs jaccard via shared-shingle inverted index —
+    // no crossJoin; the join key IS the shingle.
+    "q21_dedup_jaccard" -> ((s, dir) => {
+      import graft.llm.MinHashLsh
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(MinHashLsh.shingles(col("text"))).as("t"))
+      val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = tok.toDF("doc_a", "t").join(tok.toDF("doc_b", "t"), "t")
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sz.toDF("doc_a", "n_a"), "doc_a")
+        .join(sz.toDF("doc_b", "n_b"), "doc_b")
+        .withColumn("jaccard", round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4))
+        .where(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
+    }),
+
+    // MinHash signature chain, numerically mirrored in DuckDB (shingle
+    // hash -> permutations -> band key).
+    "q22_minhash_sigs" -> ((s, dir) => {
+      import graft.llm.MinHashLsh
+      MinHashLsh.signatures(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"),
+          MinHashLsh.bandKey(0).as("band0"))
+    }),
+
+    // SimHash 60-bit fingerprints (frequency-weighted token features).
+    "q23_simhash" -> ((s, dir) => {
+      import graft.llm.SimHash
+      SimHash.fingerprints(Tables.documents(s, dir), col("doc_id"), col("text"))
+    }),
+
+    // Text analysis: token counts, quality signals, stopword language ID,
+    // normalized fingerprint.
+    "q24_text_stats" -> ((s, dir) => {
+      import graft.llm.TextOps
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).cast("long").as("n_tokens"),
+        TextOps.nSubtokens(col("text")).cast("long").as("n_subtokens"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).cast("long").as("quality"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // Exact dedup: hash-groupBy on the normalized fingerprint.
+    "q25_dedup_exact" -> ((s, dir) => {
+      import graft.llm.TextOps
+      TextOps.exactDuplicateGroups(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
     })
   )
 
@@ -413,6 +479,33 @@ object SparkEntry {
     s"""CASE WHEN regexp_matches($c,'^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$$')
        |  THEN string_split($c,'.')[1]::BIGINT*16777216 + string_split($c,'.')[2]::BIGINT*65536
        |     + string_split($c,'.')[3]::BIGINT*256 + string_split($c,'.')[4]::BIGINT END""".stripMargin
+
+  // ---- LLM-pipeline DuckDB fragments ----
+  /** Word-bigram shingle CTEs over `documents`: w (tokens) → sh (exploded
+    * distinct shingles). */
+  private val dShingleCtes =
+    """w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |    THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]))
+      |    ELSE []::VARCHAR[] END) AS t
+      |  FROM w)""".stripMargin
+
+  /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
+  private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
+
+  private val dJaccardTail =
+    """sz AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (
+      |  SELECT doc_a, doc_b, i, sa.n AS n_a, sb.n AS n_b,
+      |         round(i*1.0/(sa.n+sb.n-i), 4) AS jaccard
+      |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private val dNormText =
+    """trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9\s]','','g'),'\s+',' ','g'))"""
 
   /** Sessionization CTE stack over the enriched fixture: h (typed scan) →
     * f (gap flag) → r (running session number) → s (timing filter). Extra
@@ -729,6 +822,85 @@ object SparkEntry {
         |  CASE WHEN bot THEN NULL WHEN country IS NULL THEN '(not set)' ELSE city END AS geo_city,
         |  CASE WHEN bot THEN NULL WHEN country IS NULL THEN '(not set)' ELSE city_id END AS geo_city_id,
         |  COUNT(*) AS n_hits
-        |FROM j GROUP BY 1, 2, 3""".stripMargin
+        |FROM j GROUP BY 1, 2, 3""".stripMargin,
+
+    // LSH output is exact-verified, and with 16 bands x 4 rows recall at
+    // jaccard >= 0.8 is deterministic-complete on this data — so the exact
+    // ground truth IS the oracle.
+    "q20_dedup_minhash" ->
+      s"""WITH $dShingleCtes,
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
+        |$dJaccardTail
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    "q21_dedup_jaccard" ->
+      s"""WITH $dShingleCtes,
+        |hh AS (SELECT doc_id, t AS h FROM sh),
+        |$dJaccardTail
+        |SELECT doc_a, doc_b, i AS n_shared, n_a, n_b, jaccard
+        |FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    "q22_minhash_sigs" -> {
+      import graft.llm.MinHashLsh.{P, aCoef, bCoef}
+      val mins = (0 until 4).map(i =>
+        s"min((${aCoef(i)} * h + ${bCoef(i)}) % $P) AS mh$i").mkString(",\n  ")
+      s"""WITH $dShingleCtes,
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % $P AS h FROM sh),
+        |m AS (SELECT doc_id,
+        |  $mins
+        |  FROM hh GROUP BY 1)
+        |SELECT doc_id, mh0, mh1, mh2, mh3,
+        |  md5(mh0::VARCHAR||'_'||mh1::VARCHAR||'_'||mh2::VARCHAR||'_'||mh3::VARCHAR) AS band0
+        |FROM m""".stripMargin
+    },
+
+    "q23_simhash" -> {
+      import graft.llm.SimHash.Bits
+      val sums = (0 until Bits).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+      val combine = (0 until Bits).map(j =>
+        s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+        |tk AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        |hh AS (SELECT doc_id, ${dMd5Long("t")} AS h FROM tk),
+        |b AS (SELECT doc_id,
+        |  $sums
+        |  FROM hh GROUP BY 1)
+        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b""".stripMargin
+    },
+
+    "q24_text_stats" -> {
+      import graft.llm.TextOps.{Stopwords, LangOrder}
+      def inList(l: String) = Stopwords(l).map(w => s"'$w'").mkString(", ")
+      val scores = LangOrder.map(l =>
+        s"len(list_filter(toks, x -> x IN (${inList(l)}))) AS s_$l").mkString(",\n  ")
+      val best = "greatest(" + LangOrder.map("s_" + _).mkString(", ") + ")"
+      val langCase = (s"CASE WHEN $best = 0 THEN 'unknown'" +:
+        LangOrder.map(l => s"WHEN s_$l = $best THEN '$l'")).mkString("\n    ") +
+        " ELSE 'unknown' END"
+      s"""WITH d AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+        |t AS (SELECT *, len(toks) AS nt,
+        |  round(len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text), 4) AS pr,
+        |  $scores
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subtokens,
+        |  pr AS punct_ratio,
+        |  round(s_en*1.0/nt, 4) AS stopword_ratio,
+        |  $langCase AS lang_pred,
+        |  CAST((CASE WHEN nt >= 20 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN pr <= 0.1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN round(s_en*1.0/nt, 4) BETWEEN 0.05 AND 0.6 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN len(regexp_replace(text,'\\s','','g'))*1.0/nt BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS quality,
+        |  md5($dNormText) AS fingerprint
+        |FROM t""".stripMargin
+    },
+
+    "q25_dedup_exact" ->
+      s"""SELECT md5($dNormText) AS fingerprint, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization counts, punctuation/stopword quality signals, a stopword
+  * n-gram language-ID heuristic, and a normalized-text fingerprint for
+  * exact deduplication. All pure expressions (codegen'd, no UDFs), all
+  * deterministic for DuckDB mirroring.
+  */
+object TextOps {
+
+  val SubtokenRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "los", "que", "y", "en", "un", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "du", "dans", "pour"))
+  /** Fixed priority for argmax ties. */
+  val LangOrder: Seq[String] = Seq("en", "de", "es", "fr")
+
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  private def stopHits(toks: Column, lang: String): Column =
+    size(filter(toks, t =>
+      Stopwords(lang).map(s => t === s).reduce(_ || _)))
+
+  /** Stopword-vote language ID; ties go to LangOrder; zero votes →
+    * 'unknown'. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangOrder.map(l => l -> stopHits(toks, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, "unknown")) { case (acc, (l, s)) =>
+      acc.when(s === best, l)
+    }.otherwise("unknown")
+  }
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def nSubtokens(text: Column): Column =
+    size(regexp_extract_all(text, lit(SubtokenRe), lit(0)))
+
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      length(text), 4)
+
+  def stopwordRatio(text: Column): Column =
+    round(stopHits(tokens(text), "en").cast("double") / nTokens(text), 4)
+
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") / nTokens(text)
+
+  /** 0–4 integer quality score: length, punctuation, stopword density,
+    * mean token length. */
+  def qualityScore(text: Column): Column = {
+    val checks = Seq(
+      nTokens(text) >= 20,
+      punctRatio(text) <= 0.1,
+      stopwordRatio(text).between(0.05, 0.6),
+      avgTokenLen(text).between(3.0, 12.0))
+    checks.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+  }
+
+  /** Exact-dedup fingerprint: md5 of lowercased text with punctuation
+    * stripped and whitespace collapsed. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+  /** Exact-duplicate groups: one row per fingerprint with group size and
+    * canonical (minimum) doc id. Hash-groupBy — the exact-dedup primitive. */
+  def exactDuplicateGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), fingerprint(text).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+}

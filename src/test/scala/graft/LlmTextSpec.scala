@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{MinHashLsh, SimHash, TextOps}
+
+class LlmTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep dark forest where nobody ever goes at night"
+
+  test("minhash-LSH finds an edited near-duplicate, not unrelated text") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "sleepy")), // one-word edit: high jaccard
+      (3L, "completely different content about spark query engines and " +
+        "columnar execution with vectorized operators everywhere all day long")
+    ).toDF("doc_id", "text")
+    val pairs = MinHashLsh.verifiedPairs(docs, col("doc_id"), col("text"), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("identical texts give identical signatures and jaccard 1.0") {
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val sigs = MinHashLsh.signatures(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").drop("doc_id").collect()
+    assert(sigs(0) == sigs(1))
+    val p = MinHashLsh.verifiedPairs(docs, col("doc_id"), col("text"), 0.99)
+      .select("jaccard").as[Double].collect().toSeq
+    assert(p == Seq(1.0))
+  }
+
+  test("simhash hamming distance: small edit close, unrelated text far") {
+    val docs = Seq(
+      (1L, base), (2L, base.replace("lazy", "sleepy")),
+      (3L, "totally unrelated words about database optimizers and join " +
+        "reordering strategies in distributed systems running on clusters")
+    ).toDF("doc_id", "text")
+    val fp = SimHash.fingerprints(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0), fp(1)) < ham(fp(0), fp(2)))
+    assert(ham(fp(0), fp(1)) <= 10)
+  }
+
+  test("simhash pigeonhole near-pairs finds only close fingerprints") {
+    val docs = Seq(
+      (1L, base), (2L, base), // identical: hamming 0
+      (3L, "x y z " * 20)
+    ).toDF("doc_id", "text")
+    val fps = SimHash.fingerprints(docs, col("doc_id"), col("text"))
+    val pairs = SimHash.nearPairs(fps, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("language ID votes stopwords; unknown when none hit") {
+    val out = Seq(
+      "the cat is on the mat and it is warm",
+      "der hund ist nicht mit der katze",
+      "el perro y la casa en un lugar",
+      "qwfp zxcv mnbv lkjh")
+      .toDF("text").select(TextOps.langId(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "es", "unknown"))
+  }
+
+  test("exact dedup groups normalize case, punctuation, whitespace") {
+    val docs = Seq(
+      (10L, "Hello,   World! This is FINE."),
+      (11L, "hello world this is fine"),
+      (12L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val g = TextOps.exactDuplicateGroups(docs, col("doc_id"), col("text"))
+      .orderBy("canonical_doc_id")
+      .select("n_docs", "canonical_doc_id").as[(Long, Long)].collect().toSeq
+    assert(g == Seq((2L, 10L), (1L, 12L)))
+  }
+}
