@@ -379,6 +379,20 @@ object SparkEntry {
       import graft.llm.TextOps
       TextOps.exactDuplicateGroups(Tables.documents(s, dir),
         col("doc_id"), col("text"))
+    }),
+
+    // ANN baseline: exact cosine top-10 for a broadcast query set — one
+    // pass over the vectors, no shuffle of the big side.
+    "q26_ann_brute" -> ((s, dir) => {
+      import graft.llm.Similarity
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
+    }),
+
+    // ANN scale path: random-hyperplane LSH buckets (equi-join on
+    // (table, bucket)) + exact rerank of candidates.
+    "q27_ann_lsh" -> ((s, dir) => {
+      import graft.llm.Similarity
+      Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 5)
     })
   )
 
@@ -506,6 +520,14 @@ object SparkEntry {
 
   private val dNormText =
     """trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9\s]','','g'),'\s+',' ','g'))"""
+
+  /** Exact cosine, double precision, left-to-right — mirrors
+    * Similarity.cosineD's accumulation order. */
+  private def dCosine(a: String, b: String) =
+    s"""round(
+       |    list_sum(list_transform(generate_series(1, ${graft.llm.Similarity.Dims}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |    / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
+       |       * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
 
   /** Sessionization CTE stack over the enriched fixture: h (typed scan) →
     * f (gap flag) → r (running session number) → s (timing filter). Extra
@@ -901,6 +923,46 @@ object SparkEntry {
     "q25_dedup_exact" ->
       s"""SELECT md5($dNormText) AS fingerprint, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS canonical_doc_id
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q26_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
+        |FROM r WHERE rk <= 10""".stripMargin,
+
+    "q27_ann_lsh" -> {
+      import graft.llm.Similarity
+      def planeList(t: Int, j: Int): String =
+        Similarity.plane(t, j).mkString("[", ", ", "]")
+      def sig(t: Int): String = (0 until Similarity.NumBits).map { j =>
+        s"(CASE WHEN list_sum(list_transform(generate_series(1,${Similarity.Dims}), " +
+          s"i -> embedding[i]::DOUBLE * (${planeList(t, j)})[i])) > 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      val sigCols = (0 until Similarity.NumTables)
+        .map(t => s"${sig(t)} AS sig$t").mkString(",\n  ")
+      val unions = (0 until Similarity.NumTables)
+        .map(t => s"SELECT vec_id, $t AS t, sig$t AS sig FROM v").mkString("\n  UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |  $sigCols
+        |  FROM embeddings),
+        |sv AS (
+        |  $unions),
+        |qs AS (SELECT vec_id AS query_id, t, sig FROM sv WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+        |  FROM qs JOIN sv c USING (t, sig) WHERE query_id <> c.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |sc AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
+        |  FROM cand JOIN e qq ON qq.vec_id = query_id JOIN e cc ON cc.vec_id = neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM sc)
+        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
+        |FROM r WHERE rk <= 5""".stripMargin
+    }
   )
 }

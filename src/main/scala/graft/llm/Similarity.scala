@@ -1,0 +1,109 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the small-query-set
+  *    baseline. The query side is broadcast; every (query, vector) pair is
+  *    scored in one pass over the table (no shuffle of the big side). This
+  *    is the correct plan when |queries| is small; it is NOT the scale
+  *    path for all-pairs workloads.
+  *  - [[lshTopK]]: random-hyperplane LSH (Charikar '02 SimHash for
+  *    cosine): `Tables` hash tables x `Bits` hyperplane sign bits →
+  *    bucket key; candidates come from an equi-join on (table, bucket) —
+  *    shuffle by bucket hash, never a crossJoin — then exact rerank of
+  *    the candidate set. At 1000x data this is the path: bucket join +
+  *    small rerank.
+  *
+  * Everything is deterministic (hyperplanes derived from md5, not RNG),
+  * and all arithmetic is double-precision in fixed left-to-right order,
+  * so a DuckDB oracle reproduces scores bit-for-bit.
+  */
+object Similarity {
+
+  val NumTables = 4
+  val NumBits = 6
+  val Dims = 64
+
+  /** Exact cosine in double precision, left-to-right accumulation. */
+  def cosineD(a: Column, b: Column): Column = {
+    def sq(c: Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(sq(a)) * sqrt(sq(b)))
+  }
+
+  def bruteForceTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  // ----------------------------------------------------------------- LSH
+  private def md5Long(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Deterministic hyperplane weight for (table, bit, dim) in [-1, 1]. */
+  def planeWeight(t: Int, j: Int, d: Int): Double =
+    ((md5Long(s"${t}_${j}_$d") % 2001L) - 1000L) / 1000.0
+
+  def plane(t: Int, j: Int): Seq[Double] =
+    (0 until Dims).map(d => planeWeight(t, j, d))
+
+  private def planeDot(emb: Column, t: Int, j: Int): Column =
+    aggregate(
+      zip_with(emb, typedLit(plane(t, j)), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Bucket signature for one hash table: `Bits` sign bits as a string. */
+  def signature(emb: Column, t: Int): Column =
+    concat((0 until NumBits).map(j =>
+      when(planeDot(emb, t, j) > 0, "1").otherwise("0")): _*)
+
+  /** (vec_id, embedding, t, sig) — one row per hash table. */
+  def bucketed(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until NumTables).map(t =>
+        signature(col("embedding"), t)): _*)).as(Seq("t", "sig")))
+
+  /** LSH candidates (same bucket in any table) + exact cosine rerank. */
+  def lshTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val b = bucketed(vecs)
+    val qb = b.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("t"), col("sig"))
+    val cand = qb.join(b.select(col("vec_id").as("neighbor_id"), col("t"), col("sig")),
+      Seq("t", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+      .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

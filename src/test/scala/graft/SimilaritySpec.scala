@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs = Tables.embeddings(spark, sf)
+
+  test("brute-force top-k: k rows per query, ranked by cosine desc") {
+    val out = Similarity.bruteForceTopK(vecs, col("vec_id") < 3, 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length == 15)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cos = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse, "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("identical vector is its own nearest neighbor with cosine 1") {
+    val dup = vecs.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = vecs.unionByName(dup)
+    val top = Similarity.bruteForceTopK(withDup, col("vec_id") === 0, 1).collect()
+    assert(top.head.getLong(1) == 100000L)
+    assert(top.head.getDouble(3) == 1.0)
+  }
+
+  test("LSH buckets a duplicate into the same bucket in every table") {
+    val dup = vecs.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"), col("embedding"), col("label"))
+    val b = Similarity.bucketed(vecs.unionByName(dup))
+      .filter(col("vec_id").isin(0L, 100000L))
+      .groupBy("t", "sig").count()
+    assert(b.collect().forall(_.getLong(2) == 2))
+  }
+
+  test("LSH candidates are a subset of the full space and rerank is exact") {
+    val lsh = Similarity.lshTopK(vecs, col("vec_id") < 5, 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(vecs, col("vec_id") < 5, Int.MaxValue)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    // every LSH-scored pair carries the exact brute-force cosine
+    lsh.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
+  }
+}
