@@ -393,6 +393,15 @@ object SparkEntry {
     "q27_ann_lsh" -> ((s, dir) => {
       import graft.llm.Similarity
       Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 5)
+    }),
+
+    // Built-in session_window gap aggregation (the streaming route's
+    // batch semantics — splits strictly beyond the gap, end = last+gap).
+    "q28_session_window" -> ((s, dir) => {
+      import graft.streaming.StreamingSessionize
+      val ev = Tables.events(s, dir)
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+      StreamingSessionize.sessionWindowAgg(ev)
     })
   )
 
@@ -963,6 +972,21 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM sc)
         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
         |FROM r WHERE rk <= 5""".stripMargin
-    }
+    },
+
+    "q28_session_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, ms,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g)
+        |SELECT user_id, MIN(ms) AS session_start_ms,
+        |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, seq""".stripMargin
   )
 }

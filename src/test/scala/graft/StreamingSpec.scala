@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingSessionize
+import graft.streaming.StreamingSessionize.Ev
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Gap = StreamingSessionize.GapMs
+  private def ev(u: Long, ms: Long) = Ev(u, new Timestamp(ms))
+
+  test("batch session_window matches gap semantics") {
+    // Note: session_window splits only when the inter-event gap is
+    // STRICTLY GREATER than the gap (touching windows merge), unlike the
+    // reference's `>= 30min` flag — documented divergence of this route.
+    val base = 1700000000000L
+    val df = Seq(
+      ev(1, base), ev(1, base + 1000), ev(1, base + 2 * Gap),
+      ev(2, base)).toDF()
+    val out = StreamingSessionize.sessionWindowAgg(df)
+      .orderBy("user_id", "session_start_ms").collect()
+    assert(out.length == 3)
+    // session end = last event + gap (session_window semantics)
+    assert(out(0).getLong(1) == base && out(0).getLong(2) == base + 1000 + Gap)
+    assert(out(0).getLong(3) == 2)
+    assert(out(1).getLong(1) == base + 2 * Gap)
+  }
+
+  test("streaming session_window emits finalized sessions after watermark") {
+    val base = 1700000000000L
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingSessionize.sessionWindowAgg(
+      input.toDF(), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("sw_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, base), ev(1, base + 60000))
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark past end+gap
+      input.addData(ev(99, base + 10 * Gap))
+      q.processAllAvailable()
+      input.addData(ev(99, base + 20 * Gap))
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").orderBy("user_id").collect()
+      assert(rows.exists(r => r.getLong(0) == 1 &&
+        r.getLong(1) == base && r.getLong(3) == 2),
+        s"got: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
+    val base = 1700000000000L
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingSessionize.withCustomState(input.toDS())
+      .writeStream.format("memory").queryName("st_out").outputMode("append").start()
+    try {
+      // two sessions for user 1 in one batch: second starts after the gap
+      input.addData(ev(1, base), ev(1, base + 1000), ev(1, base + Gap + 2000))
+      q.processAllAvailable()
+      // the first session closes inline (gap exceeded within the batch)
+      val afterBatch1 = spark.table("st_out").collect()
+      assert(afterBatch1.exists(r => r.getLong(0) == 1 &&
+        r.getLong(1) == base && r.getLong(2) == base + 1000 && r.getLong(3) == 2))
+      // advance watermark so the open session times out
+      input.addData(ev(99, base + 10 * Gap))
+      q.processAllAvailable()
+      input.addData(ev(99, base + 20 * Gap))
+      q.processAllAvailable()
+      val rows = spark.table("st_out").collect()
+      assert(rows.exists(r => r.getLong(0) == 1 &&
+        r.getLong(1) == base + Gap + 2000 && r.getLong(3) == 1),
+        s"got: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+}
