@@ -27,6 +27,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup (no benchmark data touched): without it the
+    // alphabetically-first query absorbs several seconds of JIT +
+    // first-job scheduling cost and distorts per-query numbers.
+    spark.range(1000000).selectExpr("sum(id) AS s")
+      .write.format("noop").mode("overwrite").save()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

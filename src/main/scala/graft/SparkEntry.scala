@@ -253,7 +253,7 @@ object SparkEntry {
       val hits = Ingest.readEnrichedHits(s, GaEnriched)
       val out = GaPipeline.run(hits,
         GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
-        idAlgo = "md5")
+        idAlgo = "md5", persistExport = false)
       out.sessions.select(
         col("fullVisitorId"), col("visitId"),
         col("visitNumber").cast("long").as("visitNumber"),
@@ -271,7 +271,7 @@ object SparkEntry {
       val hits = Ingest.readEnrichedHits(s, GaEnriched)
       val out = GaPipeline.run(hits,
         GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
-        idAlgo = "md5")
+        idAlgo = "md5", persistExport = false)
       out.pageviews.select(
         col("fullVisitorId"), col("visitId"), col("requestId"),
         col("visitStartTime"),
@@ -325,23 +325,14 @@ object SparkEntry {
         col("doc_id"), col("text"), 0.8)
     }),
 
-    // Exact all-true-pairs jaccard via shared-shingle inverted index —
-    // no crossJoin; the join key IS the shingle.
+    // Exact all-true-pairs jaccard via prefix-filtered inverted index
+    // (AllPairs/PPJoin) — the index holds only each doc's rarest-shingle
+    // prefix, so hot shingles never explode the join; exact verification
+    // against full sets keeps the result identical to the naive join.
     "q21_dedup_jaccard" -> ((s, dir) => {
       import graft.llm.MinHashLsh
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(MinHashLsh.shingles(col("text"))).as("t"))
-      val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = tok.toDF("doc_a", "t").join(tok.toDF("doc_b", "t"), "t")
-        .where(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
-      inter
-        .join(sz.toDF("doc_a", "n_a"), "doc_a")
-        .join(sz.toDF("doc_b", "n_b"), "doc_b")
-        .withColumn("jaccard", round(col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")), 4))
-        .where(col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
+      MinHashLsh.jaccardJoin(Tables.documents(s, dir),
+        col("doc_id"), col("text"), 4, 5)
     }),
 
     // MinHash signature chain, numerically mirrored in DuckDB (shingle

@@ -350,12 +350,15 @@ object GaPipeline {
     * The export table is persisted once (the reference re-executes the
     * whole plan for each of its 7 write actions). */
   def run(hits: DataFrame, history: DataFrame, jobDate: String,
-          idAlgo: String = "sha1"): Outputs = {
+          idAlgo: String = "sha1", persistExport: Boolean = true): Outputs = {
     val sess = withDerivedColumns(sessionized(hits, idAlgo))
     val exploded = Ecommerce.explodeProducts(sess)
       .withColumn("product_revenue",
         GaFunctions.productRevenue(col("prqt"), col("prpr"), col("action_type")))
-    val export = exportTable(exploded).persist()
+    val exportPlain = exportTable(exploded)
+    // Persist when several outputs are consumed (DailyJob writes 7);
+    // single-output callers skip the materialization cost.
+    val export = if (persistExport) exportPlain.persist() else exportPlain
     val todaySessions = newSessions(exportSessions(export), jobDate)
     val unioned = history.unionByName(todaySessions)
     val multichannel = withTouchpoints(

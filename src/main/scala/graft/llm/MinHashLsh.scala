@@ -44,20 +44,25 @@ object MinHashLsh {
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
 
-  /** (doc_id, exploded shingle hash) — the map side of the signature agg. */
-  def docShingleHashes(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), explode(shingles(text)).as("shingle"))
-      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+  /** (doc_id, distinct shingle-hash set). Materialized behind ONE
+    * map-side-combinable shuffle so the md5 shingle hashing runs exactly
+    * once per (doc, shingle) — as a pure projection, CollapseProject
+    * would re-inline the hashing into every one of the 64 downstream
+    * permutation expressions (measured 10x slower). */
+  def hashSets(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(shingles(text)).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
 
-  /** One row per doc with mh0..mh{NumPerms-1} minhash columns.
-    * Single shuffle by doc_id; 64 min-aggregates in one pass. */
+  /** One row per doc with mh0..mh{NumPerms-1} minhash columns — 64
+    * array_min projections over the materialized hash set (a 64-field
+    * min-aggregate buffer disables whole-stage codegen instead). */
   def signatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val aggs = (0 until NumPerms).map { i =>
-      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % P).as(s"mh$i")
+    val mins = (0 until NumPerms).map { i =>
+      array_min(transform(col("hs"),
+        x => (lit(aCoef(i)) * x + lit(bCoef(i))) % P)).as(s"mh$i")
     }
-    docShingleHashes(docs, id, text)
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    hashSets(docs, id, text).select(col("doc_id") +: mins: _*)
   }
 
   def bandKey(b: Int): Column =
@@ -82,8 +87,7 @@ object MinHashLsh {
     * shingle-hash sets; keeps pairs with jaccard >= threshold. */
   def verifiedPairs(docs: DataFrame, id: Column, text: Column,
                     threshold: Double): DataFrame = {
-    val sets = docShingleHashes(docs, id, text)
-      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    val sets = hashSets(docs, id, text)
     val cands = candidatePairs(signatures(docs, id, text))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
@@ -94,5 +98,64 @@ object MinHashLsh {
           (size(col("ha")) + size(col("hb")) - col("n_shared")), 4))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact all-pairs Jaccard similarity join with the PPJoin filter stack
+    * (Bayardo et al. '07 AllPairs + Xiao et al. '08 positional filter):
+    *
+    *  - PREFIX: order every document's shingles by ascending global
+    *    document frequency; a pair with jaccard >= p/q must share one of
+    *    each side's first |d| - ceil(p|d|/q) + 1 shingles — the inverted
+    *    index holds only those globally-RAREST shingles, removing the
+    *    hot-shingle quadratic blowup of a naive shared-shingle join.
+    *  - LENGTH: |a| >= (p/q)|b| and vice versa.
+    *  - POSITIONAL: a match at prefix positions (i, j) bounds the overlap
+    *    by min(|a|-i, |b|-j) + 1, which must reach
+    *    alpha = ceil(p(|a|+|b|)/(p+q)).
+    *
+    * The threshold is a RATIONAL p/q and every filter bound is computed in
+    * integer arithmetic — a float ceil() can overestimate by 1 at exact
+    * boundaries (e.g. jaccard exactly 0.8) and silently drop a true pair.
+    * Candidates are verified against the full sets, so the output equals
+    * the naive join's exactly. */
+  def jaccardJoin(docs: DataFrame, id: Column, text: Column,
+                  thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (p, q) = (thresholdNum, thresholdDen)
+    val threshold = p.toDouble / q
+    val tok = docs.select(id.as("doc_id"), explode(shingles(text)).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    // prefix length = n - ceil(p*n/q) + 1; Column./ is DOUBLE division, so
+    // integer-exact ceil is (x + q - 1) div q via try_divide-free floor
+    // (operands are far below 2^53, so the floor is exact).
+    def intDiv(x: Column, d: Int): Column = floor(x / d).cast("long")
+    val prefixLen = col("n") - intDiv(col("n") * p + (q - 1), q) + 1
+    val prefix = tok.join(dfreq, "t").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= prefixLen)
+      .select("doc_id", "t", "rn", "n")
+    val l = prefix.toDF("doc_a", "t", "rn_a", "n_a")
+    val r = prefix.toDF("doc_b", "t", "rn_b", "n_b")
+    // alpha = ceil(p*(n_a+n_b)/(p+q)), integer-exact
+    val alpha = floor(((col("n_a") + col("n_b")) * p + (p + q - 1)) / (p + q)).cast("long")
+    val cand = l.join(r, Seq("t"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_b") * q >= col("n_a") * p && col("n_a") * q >= col("n_b") * p &&
+        least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1 >= alpha)
+      .select("doc_a", "doc_b").distinct()
+    val sets = hashSets(docs, id, text)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("n_a", size(col("ha")).cast("long"))
+      .withColumn("n_b", size(col("hb")).cast("long"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
   }
 }
