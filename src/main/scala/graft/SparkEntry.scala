@@ -32,6 +32,7 @@ object SparkEntry {
   val GaEnriched = "/root/repo/fixtures/ga/enriched/year=2019/month=09/day=23"
   val GaEnrichedFile = s"$GaEnriched/part-00000.jsonl"
   val GeoRanges = "/root/repo/fixtures/geo/ip_ranges.csv"
+  val GaConcat = "/root/repo/fixtures/ga/raw/concatenated.json"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -384,6 +385,31 @@ object SparkEntry {
     "q27_ann_lsh" -> ((s, dir) => {
       import graft.llm.Similarity
       Similarity.lshTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 5)
+    }),
+
+    // S6: concatenated-JSON framing repair — split glued `}{` records and
+    // parse each.
+    "q29_ga_framing" -> ((s, _) => {
+      val records = Ingest.repairConcatenatedJson(s, GaConcat)
+      records.select(
+        get_json_object(col("record"), "$.message_id").as("message_id"),
+        get_json_object(col("record"), "$.body_t").as("body_t"))
+    }),
+
+    // S8: Firehose processor response — JSONL re-encode with per-record
+    // Ok/ProcessingFailed status (garbage record -> failed, data null).
+    "q30_ga_firehose_response" -> ((s, _) => {
+      import org.apache.spark.sql.types.{StructType, StructField, StringType}
+      val rawSchema = StructType(Seq(
+        StructField("recordId", StringType), StructField("data", StringType)))
+      val raw = s.read.schema(rawSchema).json(GaRaw)
+      val env = raw.withColumn("_env", Ingest.decodeEnvelope(col("data")))
+      Ingest.toFirehoseResponse(env,
+        col("recordId"),
+        to_json(col("_env")),
+        col("_env.message_id").isNull)
+        .select(col("recordId"), col("result"),
+          col("data").isNotNull.as("has_data"))
     }),
 
     // Built-in session_window gap aggregation (the streaming route's
@@ -964,6 +990,20 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
         |FROM r WHERE rk <= 5""".stripMargin
     },
+
+    "q29_ga_framing" ->
+      s"""SELECT json_extract_string(r, '$$.message_id') AS message_id,
+        |       json_extract_string(r, '$$.body_t') AS body_t
+        |FROM (
+        |  SELECT unnest(string_split(
+        |    replace(content, '}{', '}' || chr(10) || '{'), chr(10))) AS r
+        |  FROM read_text('$GaConcat'))
+        |WHERE length(trim(r)) > 0""".stripMargin,
+
+    "q30_ga_firehose_response" ->
+      s"""SELECT recordId, 'Ok' AS result, TRUE AS has_data
+        |FROM read_json('$GaRaw', format='newline_delimited',
+        |               columns={recordId:'VARCHAR', data:'VARCHAR'})""".stripMargin,
 
     "q28_session_window" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),

@@ -22,10 +22,17 @@ object Ingest {
 
   /** S7 — Firehose record decode: base64 `data` → parsed envelope struct
     * (transformation/main.py:11-25). Invalid b64/JSON yields null fields
-    * (the reference returns an empty tuple, i.e. drops the record;
-    * callers can `.filter($"message_id".isNotNull)` for that behavior). */
-  def decodeEnvelope(data: Column, schema: StructType = GaSchemas.envelopeSchema): Column =
-    from_json(unbase64(data).cast("string"), schema)
+    * (the reference catches per record and drops it; callers can
+    * `.filter($"message_id".isNotNull)` for that behavior). Spark's
+    * unbase64 THROWS on malformed input, so the shape is validated first
+    * — the `when` evaluates unbase64 only on valid rows. */
+  def decodeEnvelope(data: Column, schema: StructType = GaSchemas.envelopeSchema): Column = {
+    val validB64 =
+      data.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+    from_json(
+      when(data.isNotNull && validB64, unbase64(data).cast("string")),
+      schema)
+  }
 
   /** P9 — IP anonymization (transformation/main.py:27-45):
     *  - IPv4 (a '.' at position >= 2, mirroring Python `find('.') > 0`):
@@ -107,4 +114,29 @@ object Ingest {
     * Integral division in Long to avoid double rounding. */
   def receivedAtTs(receivedAtMs: Column): Column =
     timestamp_seconds((receivedAtMs.cast("long") / 1000L).cast("long"))
+
+  /** S6 — record-framing repair: Firehose writes batches as concatenated
+    * JSON objects (`}{` with no newline); split them back into one record
+    * per row (enrichment/adapters/s3_trigger.py:16-50 does the same naive
+    * `}{` replace — a `}{` inside a string value would mis-split in both;
+    * GA payloads never contain one). Line-based text scan, so a multi-GB
+    * object still streams; each physical line may carry many records. */
+  def repairConcatenatedJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(explode(split(
+        regexp_replace(col("value"), "\\}\\s*\\{", "}\n{"), "\n")).as("record"))
+      .filter(length(trim(col("record"))) > 0)
+
+  /** S8 — Firehose processor response: each record serialized back to
+    * JSONL (one b64 payload per record, trailing newline) with the
+    * per-record Ok / ProcessingFailed status the reference emits
+    * (transformation/main.py:67-97). `failed` marks rows whose decode
+    * produced nothing. */
+  def toFirehoseResponse(df: DataFrame, recordId: Column, payload: Column,
+                         failed: Column): DataFrame =
+    df.select(
+      recordId.as("recordId"),
+      when(failed, "ProcessingFailed").otherwise("Ok").as("result"),
+      when(failed, lit(null).cast("string"))
+        .otherwise(base64(concat(payload, lit("\n")).cast("binary"))).as("data"))
 }

@@ -337,6 +337,10 @@ object MakeGaFixtures {
     Files.writeString(rawDir.resolve("records.jsonl"), raw.mkString("", "\n", "\n"))
     Files.writeString(enrichedDir.resolve("part-00000.jsonl"),
       enriched.mkString("", "\n", "\n"))
+    // Firehose framing artifact: the first 30 records glued with no
+    // newlines (the `}{` shape S6 repairs).
+    Files.writeString(rawDir.resolve("concatenated.json"),
+      enriched.take(30).mkString(""))
 
     // GeoIP range dimension (fixtures/geo/ip_ranges.csv): one /24 per
     // visitor's anonymized IP, carrying that visitor's geo block — so

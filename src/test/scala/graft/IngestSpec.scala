@@ -59,6 +59,32 @@ class IngestSpec extends SparkTestBase {
     a.zip(b).foreach { case (ra, rb) => assert(ra == rb, s"row mismatch: $ra vs $rb") }
   }
 
+  test("S6: concatenated-JSON repair splits glued records losslessly") {
+    val repaired = Ingest.repairConcatenatedJson(
+      spark, "fixtures/ga/raw/concatenated.json")
+    assert(repaired.count() == 30)
+    val ids = repaired
+      .select(get_json_object(col("record"), "$.message_id").as("m"))
+      .filter(col("m").isNotNull)
+    assert(ids.count() == 30)
+  }
+
+  test("S8: Firehose response marks undecodable records ProcessingFailed") {
+    import spark.implicits._
+    val raw = Seq(("r1", java.util.Base64.getEncoder.encodeToString(
+      """{"message_id":"m1","ip":"1.2.3.4"}""".getBytes)),
+      ("r2", "!!!notbase64json!!!")).toDF("recordId", "data")
+    val env = raw.withColumn("_env", Ingest.decodeEnvelope(col("data")))
+    val out = Ingest.toFirehoseResponse(env, col("recordId"),
+      to_json(col("_env")), col("_env.message_id").isNull)
+      .orderBy("recordId").collect()
+    assert(out(0).getString(1) == "Ok" && !out(0).isNullAt(2))
+    assert(out(1).getString(1) == "ProcessingFailed" && out(1).isNullAt(2))
+    // the Ok payload round-trips: b64 decode ends with the record + newline
+    val decoded = new String(java.util.Base64.getDecoder.decode(out(0).getString(2)))
+    assert(decoded.endsWith("\n") && decoded.contains("\"message_id\":\"m1\""))
+  }
+
   test("enriched scan pads ragged records to the full 267-column schema") {
     val df = Ingest.readEnrichedHits(
       spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
