@@ -419,6 +419,23 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       StreamingSessionize.sessionWindowAgg(ev)
+    }),
+
+    // Embedding-cosine near-dup pairs (LSH buckets + exact threshold).
+    "q31_dedup_embedding" -> ((s, dir) => {
+      import graft.llm.Similarity
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.4)
+    }),
+
+    // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
+    // complete with 4 segments, so the brute-force xor popcount over all
+    // pairs is a valid oracle for the bucketed join.
+    "q32_dedup_simhash" -> ((s, dir) => {
+      import graft.llm.SimHash
+      SimHash.nearPairs(
+        SimHash.fingerprints(Tables.documents(s, dir), col("doc_id"), col("text")),
+        maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     })
   )
 
@@ -554,6 +571,43 @@ object SparkEntry {
        |    list_sum(list_transform(generate_series(1, ${graft.llm.Similarity.Dims}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
        |    / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
        |       * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
+
+  /** Hyperplane-LSH bucket CTEs over `embeddings`: v (per-table sig
+    * columns, generated hyperplane literals) → sv (one row per table). */
+  private def dLshCtes: String = {
+    import graft.llm.Similarity
+    def planeList(t: Int, j: Int): String =
+      Similarity.plane(t, j).mkString("[", ", ", "]")
+    def sig(t: Int): String = (0 until Similarity.NumBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1,${Similarity.Dims}), " +
+        s"i -> embedding[i]::DOUBLE * (${planeList(t, j)})[i])) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val sigCols = (0 until Similarity.NumTables)
+      .map(t => s"${sig(t)} AS sig$t").mkString(",\n  ")
+    val unions = (0 until Similarity.NumTables)
+      .map(t => s"SELECT vec_id, $t AS t, sig$t AS sig FROM v").mkString("\n  UNION ALL ")
+    s"""v AS (SELECT vec_id, embedding,
+       |  $sigCols
+       |  FROM embeddings),
+       |sv AS (
+       |  $unions)""".stripMargin
+  }
+
+  /** SimHash fingerprint CTEs over `documents` → fp(doc_id, simhash). */
+  private def dSimhashCtes: String = {
+    import graft.llm.SimHash.Bits
+    val sums = (0 until Bits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+    val combine = (0 until Bits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    s"""w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+       |tk AS (SELECT doc_id, unnest(ws) AS t FROM w),
+       |hh AS (SELECT doc_id, ${dMd5Long("t")} AS h FROM tk),
+       |b AS (SELECT doc_id,
+       |  $sums
+       |  FROM hh GROUP BY 1),
+       |fp AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b)""".stripMargin
+  }
 
   /** Sessionization CTE stack over the enriched fixture: h (typed scan) →
     * f (gap flag) → r (running session number) → s (timing filter). Extra
@@ -902,20 +956,9 @@ object SparkEntry {
         |FROM m""".stripMargin
     },
 
-    "q23_simhash" -> {
-      import graft.llm.SimHash.Bits
-      val sums = (0 until Bits).map(j =>
-        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
-      val combine = (0 until Bits).map(j =>
-        s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
-      s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
-        |tk AS (SELECT doc_id, unnest(ws) AS t FROM w),
-        |hh AS (SELECT doc_id, ${dMd5Long("t")} AS h FROM tk),
-        |b AS (SELECT doc_id,
-        |  $sums
-        |  FROM hh GROUP BY 1)
-        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b""".stripMargin
-    },
+    "q23_simhash" ->
+      s"""WITH $dSimhashCtes
+        |SELECT doc_id, simhash FROM fp""".stripMargin,
 
     "q24_text_stats" -> {
       import graft.llm.TextOps.{Stopwords, LangOrder}
@@ -962,22 +1005,7 @@ object SparkEntry {
         |FROM r WHERE rk <= 10""".stripMargin,
 
     "q27_ann_lsh" -> {
-      import graft.llm.Similarity
-      def planeList(t: Int, j: Int): String =
-        Similarity.plane(t, j).mkString("[", ", ", "]")
-      def sig(t: Int): String = (0 until Similarity.NumBits).map { j =>
-        s"(CASE WHEN list_sum(list_transform(generate_series(1,${Similarity.Dims}), " +
-          s"i -> embedding[i]::DOUBLE * (${planeList(t, j)})[i])) > 0 THEN '1' ELSE '0' END)"
-      }.mkString(" || ")
-      val sigCols = (0 until Similarity.NumTables)
-        .map(t => s"${sig(t)} AS sig$t").mkString(",\n  ")
-      val unions = (0 until Similarity.NumTables)
-        .map(t => s"SELECT vec_id, $t AS t, sig$t AS sig FROM v").mkString("\n  UNION ALL ")
-      s"""WITH v AS (SELECT vec_id, embedding,
-        |  $sigCols
-        |  FROM embeddings),
-        |sv AS (
-        |  $unions),
+      s"""WITH $dLshCtes,
         |qs AS (SELECT vec_id AS query_id, t, sig FROM sv WHERE vec_id < 10),
         |cand AS (
         |  SELECT DISTINCT query_id, c.vec_id AS neighbor_id
@@ -1004,6 +1032,24 @@ object SparkEntry {
       s"""SELECT recordId, 'Ok' AS result, TRUE AS has_data
         |FROM read_json('$GaRaw', format='newline_delimited',
         |               columns={recordId:'VARCHAR', data:'VARCHAR'})""".stripMargin,
+
+    "q31_dedup_embedding" ->
+      s"""WITH $dLshCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sv a JOIN sv b USING (t, sig) WHERE a.vec_id < b.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |sc AS (
+        |  SELECT vec_a, vec_b, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
+        |  FROM cand JOIN e qq ON qq.vec_id = vec_a JOIN e cc ON cc.vec_id = vec_b)
+        |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.4""".stripMargin,
+
+    "q32_dedup_simhash" ->
+      s"""WITH $dSimhashCtes
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
 
     "q28_session_window" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),

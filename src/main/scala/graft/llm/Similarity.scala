@@ -86,6 +86,24 @@ object Similarity {
       posexplode(array((0 until NumTables).map(t =>
         signature(col("embedding"), t)): _*)).as(Seq("t", "sig")))
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates
+    * (a < b, any shared bucket), exact-cosine scored, thresholded. The
+    * dedup variant of [[lshTopK]] — same bucket join, pair output. */
+  def cosineDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val b = bucketed(vecs)
+    val cand = b.select(col("vec_id").as("vec_a"), col("t"), col("sig"))
+      .join(b.select(col("vec_id").as("vec_b"), col("t"), col("sig")), Seq("t", "sig"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cosine", round(cosineD(col("ea"), col("eb")), 6))
+      .where(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** LSH candidates (same bucket in any table) + exact cosine rerank. */
   def lshTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val b = bucketed(vecs)
