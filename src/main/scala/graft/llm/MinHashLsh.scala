@@ -31,12 +31,22 @@ object MinHashLsh {
   def aCoef(i: Int): Long = { val v = (2654435761L * (i + 1)) % P; if (v == 0L) 1L else v }
   def bCoef(i: Int): Long = (40503L * (i + 1) + 17L) % P
 
-  /** Distinct word-bigram shingles of a single-space-tokenized text. */
+  /** Distinct word-bigram shingles of a whitespace-tokenized text.
+    *
+    * Built by zipping the token array with its own 1-shift — the lambda
+    * only touches its struct element. The tempting alternative,
+    * `transform(sequence(1, n-1), i => element_at(ws, i) ...)`, captures
+    * `ws` INSIDE the lambda, and a captured expression re-evaluates per
+    * element: the regex split ran ~100x per document (measured 40x slower
+    * end-to-end). */
   def shingles(text: Column): Column = {
     val ws = split(text, "\\s+")
+    val pairs = arrays_zip(
+      slice(ws, lit(1), size(ws) - 1).as("a"),
+      slice(ws, lit(2), size(ws) - 1).as("b"))
     when(size(ws) >= 2,
-      array_distinct(transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+      array_distinct(transform(pairs,
+        p => concat(p.getField("a"), lit(" "), p.getField("b")))))
       .otherwise(array().cast("array<string>"))
   }
 
