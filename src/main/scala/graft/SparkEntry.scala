@@ -427,6 +427,24 @@ object SparkEntry {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.4)
     }),
 
+    // Rabin-Karp rolling-hash document fingerprint (left-fold over chars).
+    "q33_rolling_hash" -> ((s, dir) => {
+      import graft.llm.TextOps
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.rollingHash(col("text")).as("rhash"))
+    }),
+
+    // Salted two-phase aggregation: totals per event_type match a direct
+    // groupBy while one hot key spreads over 8 reducers.
+    "q34_salted_agg" -> ((s, dir) => {
+      import graft.operators.Skew
+      Skew.saltedAggregate(Tables.events(s, dir),
+        col("event_type"), col("event_id"), 8,
+        Map("total_value" -> col("value").cast(dec)))
+        .select(col("key").as("event_type"), col("n_rows"),
+          round(col("total_value"), 2).cast("double").as("total_value"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -1043,6 +1061,20 @@ object SparkEntry {
         |  SELECT vec_a, vec_b, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
         |  FROM cand JOIN e qq ON qq.vec_id = vec_a JOIN e cc ON cc.vec_id = vec_b)
         |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.4""".stripMargin,
+
+    "q33_rolling_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 0
+        |    THEN list_reduce(
+        |           list_transform(regexp_extract_all(text, '.'), c -> ascii(c)::BIGINT),
+        |           (a, c) -> (a * 31 + c) % 2147483647)
+        |    ELSE 0 END AS rhash
+        |FROM documents""".stripMargin,
+
+    "q34_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q32_dedup_simhash" ->
       s"""WITH $dSimhashCtes

@@ -76,4 +76,14 @@ object TextOps {
     docs.select(id.as("doc_id"), fingerprint(text).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+
+  /** Rabin–Karp polynomial rolling hash of the whole text:
+    * h = ((c1*B + c2)*B + c3)... mod P, folded left-to-right over the
+    * characters (the char array is the aggregate's target, so it is
+    * evaluated once). Empty/null text → 0. */
+  def rollingHash(text: Column, b: Long = 31L, p: Long = 2147483647L): Column =
+    when(length(text) > 0,
+      aggregate(regexp_extract_all(text, lit("."), lit(0)), lit(0L),
+        (acc, c) => (acc * b + ascii(c)) % p))
+      .otherwise(0L)
 }
