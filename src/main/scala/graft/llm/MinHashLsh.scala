@@ -67,13 +67,16 @@ object MinHashLsh {
   /** One row per doc with mh0..mh{NumPerms-1} minhash columns — 64
     * array_min projections over the materialized hash set (a 64-field
     * min-aggregate buffer disables whole-stage codegen instead). */
-  def signatures(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def signaturesFromSets(sets: DataFrame): DataFrame = {
     val mins = (0 until NumPerms).map { i =>
       array_min(transform(col("hs"),
         x => (lit(aCoef(i)) * x + lit(bCoef(i))) % P)).as(s"mh$i")
     }
-    hashSets(docs, id, text).select(col("doc_id") +: mins: _*)
+    sets.select(col("doc_id") +: mins: _*)
   }
+
+  def signatures(docs: DataFrame, id: Column, text: Column): DataFrame =
+    signaturesFromSets(hashSets(docs, id, text))
 
   def bandKey(b: Int): Column =
     md5(concat_ws("_", (0 until RowsPerBand).map(j => col(s"mh${b * RowsPerBand + j}")): _*))
@@ -94,11 +97,21 @@ object MinHashLsh {
   }
 
   /** Exact-Jaccard verification of candidate pairs against the true
-    * shingle-hash sets; keeps pairs with jaccard >= threshold. */
+    * shingle-hash sets; keeps pairs with jaccard >= threshold.
+    *
+    * The hash-set table feeds three plan branches (signatures + both
+    * verify sides). `cacheSets` persists it so the shingle stage runs
+    * once; the default recomputes because the cache acts as a barrier
+    * that serializes three otherwise-parallel stages — measured slower in
+    * wall-clock whenever cores are idle. Turn it on for CPU-saturated
+    * clusters where total work matters more than critical path. */
   def verifiedPairs(docs: DataFrame, id: Column, text: Column,
-                    threshold: Double): DataFrame = {
-    val sets = hashSets(docs, id, text)
-    val cands = candidatePairs(signatures(docs, id, text))
+                    threshold: Double, cacheSets: Boolean = false): DataFrame = {
+    val sets0 = hashSets(docs, id, text)
+    val sets = if (cacheSets)
+      sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sets0
+    val cands = candidatePairs(signaturesFromSets(sets))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
