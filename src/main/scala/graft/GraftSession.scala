@@ -27,6 +27,7 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -86,6 +86,16 @@ object MinHashLsh {
     sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bandKey): _*)).as(Seq("band", "key")))
 
+  /** Same output computed by the native Catalyst expression
+    * [[graft.expressions.MinHashBandKeysExpr]]: one pass over each hash
+    * set instead of 64 array walks, and the key array is the posexplode
+    * TARGET, so it is evaluated exactly once per row. Requires
+    * `graft.GraftExtensions` on the session (GraftSession/Verify/Bench
+    * all register it). */
+  def bandedKeysNative(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+      posexplode(expr("minhash_band_keys(hs)")).as(Seq("band", "key")))
+
   /** Candidate pairs (doc_a < doc_b) sharing at least one band bucket —
     * bucketed equi-join on (band, key). */
   def candidatePairs(sigs: DataFrame): DataFrame = {
@@ -106,12 +116,19 @@ object MinHashLsh {
     * wall-clock whenever cores are idle. Turn it on for CPU-saturated
     * clusters where total work matters more than critical path. */
   def verifiedPairs(docs: DataFrame, id: Column, text: Column,
-                    threshold: Double, cacheSets: Boolean = false): DataFrame = {
+                    threshold: Double, cacheSets: Boolean = false,
+                    nativeBands: Boolean = true): DataFrame = {
     val sets0 = hashSets(docs, id, text)
     val sets = if (cacheSets)
       sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sets0
-    val cands = candidatePairs(signaturesFromSets(sets))
+    val banded =
+      if (nativeBands) bandedKeysNative(sets)
+      else bandedKeys(signaturesFromSets(sets))
+    val l = banded.toDF("doc_a", "band", "key")
+    val r = banded.toDF("doc_b", "band", "key")
+    val cands = l.join(r, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")

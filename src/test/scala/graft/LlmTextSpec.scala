@@ -55,6 +55,16 @@ class LlmTextSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native minhash_band_keys expression matches the HOF band keys exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(100)
+    val sets = MinHashLsh.hashSets(docs, col("doc_id"), col("text"))
+    val hof = MinHashLsh.bandedKeys(MinHashLsh.signaturesFromSets(sets))
+      .orderBy("doc_id", "band").collect().toSeq
+    val native = MinHashLsh.bandedKeysNative(sets)
+      .orderBy("doc_id", "band").collect().toSeq
+    assert(native == hof)
+  }
+
   test("language ID votes stopwords; unknown when none hit") {
     val out = Seq(
       "the cat is on the mat and it is warm",
