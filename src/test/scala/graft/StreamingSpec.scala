@@ -52,6 +52,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StreamingJob drains the fixture (AvailableNow) and a re-run is checkpoint-idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("sjout").toString + "/sessions"
+    val ckpt = java.nio.file.Files.createTempDirectory("sjckpt").toString
+    val q = graft.jobs.StreamingJob.start(
+      spark, "fixtures/ga/enriched", out, ckpt, watermark = "1 second")
+    q.awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0, "expected finalized sessions in the sink")
+    // re-run with the same checkpoint: no new input -> no double append
+    // (the defect DailyJob reproduces faithfully is fixed here)
+    val q2 = graft.jobs.StreamingJob.start(
+      spark, "fixtures/ga/enriched", out, ckpt, watermark = "1 second")
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
     val base = 1700000000000L
     val input = MemoryStream[Ev](spark)
