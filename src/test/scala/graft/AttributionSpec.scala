@@ -95,6 +95,14 @@ class AttributionSpec extends SparkTestBase {
     assert(out(3).toSeq == Seq("/x", "/y", "", "", "/x//y/"))
   }
 
+  test("reference's own test vectors (sessionization/tests.py, transformation/main.py unittests)") {
+    // parse_page_path("http://www.example.com/hello-world/") == ["/hello-world","","",""]
+    val lv = Seq(("http://www.example.com/hello-world/", 1)).toDF("dl", "is_new")
+      .select(Attribution.pagePathLevels(col("dl")): _*).collect().head
+    assert(lv.toSeq == Seq("/hello-world", "", "", ""))
+    // anonymize_ip vectors live in IngestSpec (255.255.255.255 -> .0; ffff x8)
+  }
+
   test("is_true_direct (F8)") {
     val out = Seq("(direct)", "google").toDF("s")
       .select(Attribution.isTrueDirect(col("s")).as("d")).collect()
