@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Cross-validate graft's GA sessions table against the REFERENCE's own
+PySpark pipeline, executed as-is from /root/reference on the same enriched
+fixture.
+
+Usage: compare_reference.py <graft q16 parquet dir>
+
+Caveats handled here:
+- ANSI off + UTC to emulate the reference's Spark 2.4 runtime semantics.
+- Rows with null body_dl are excluded on BOTH sides: the reference's
+  attribution UDFs crash on them (urlparse(None) TypeError) — graft
+  defines them as '(direct)' instead (documented divergence).
+- visitId is excluded (sha1 vs the md5 the DuckDB oracle needs); the
+  session identity is still checked via (fullVisitorId, visitNumber,
+  visitStartTime).
+"""
+import sys
+import glob
+import importlib.util
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def load_reference():
+    spec = importlib.util.spec_from_file_location(
+        "refmain", "/root/reference/functions/sessionization/main.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+COLS = ["fullVisitorId", "visitNumber", "visitStartTime", "date",
+        "trafficSource_source", "trafficSource_medium",
+        "trafficSource_campaign", "totals_transactionRevenue", "landingPage",
+        "touchpoints", "first_touchpoint", "last_touchpoint"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[COLS].copy()
+    df["visitNumber"] = df["visitNumber"].astype("int64")
+    df["visitStartTime"] = df["visitStartTime"].astype("int64")
+    df["date"] = df["date"].astype("int64")
+    df["touchpoints"] = df["touchpoints"].map(
+        lambda v: tuple(v) if v is not None else None)
+    df["totals_transactionRevenue"] = df["totals_transactionRevenue"].map(
+        lambda v: None if v is None or v == "" else v)
+    return df.sort_values(["fullVisitorId", "visitNumber"]).reset_index(drop=True)
+
+
+def main():
+    graft_dir = sys.argv[1]
+    m = load_reference()
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.ansi.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # The reference pads rows with Row(**kwargs) + positional toDF against a
+    # set-ordered schema — name/position alignment there is accidental.
+    # Patch validate_fields to pad BY NAME in schema order (the intent).
+    from pyspark.sql import Row
+    names = [f.name for f in m.static_schema.fields]
+    m.validate_fields = lambda row, required_fields=None: Row(
+        *[row.asDict().get(n) for n in names])
+
+    df = (spark.read.json("fixtures/ga/enriched/year=2019/month=09/day=23")
+          .where(F.col("body_dl").isNotNull()))
+    history = spark.createDataFrame([], m.session_schema)
+    sessions = m.pipeline(spark, df, history, "2019-09-23")[0]
+    ref = sessions.where(F.to_date(F.col("timestamp")) == "2019-09-23").toPandas()
+
+    mine = pd.concat([pd.read_parquet(f)
+                      for f in glob.glob(f"{graft_dir}/*.parquet")])
+    mine = mine[mine.fullVisitorId != "cid-v13"]  # null-dl visitor
+
+    a, b = norm(ref), norm(mine)
+    if len(a) != len(b):
+        print(f"FAIL row count: reference={len(a)} graft={len(b)}")
+        sys.exit(1)
+    diffs = 0
+    for i in range(len(a)):
+        for c in COLS:
+            va, vb = a.loc[i, c], b.loc[i, c]
+            if (va is None) != (vb is None) or (va is not None and va != vb):
+                print(f"DIFF row {i} ({a.loc[i,'fullVisitorId']}) col {c}: "
+                      f"reference={va!r} graft={vb!r}")
+                diffs += 1
+    if diffs:
+        print(f"FAIL: {diffs} cell diffs over {len(a)} sessions")
+        sys.exit(1)
+    print(f"PASS: graft sessions == reference pipeline output "
+          f"({len(a)} sessions x {len(COLS)} columns)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
