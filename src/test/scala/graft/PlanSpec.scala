@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Ingest
+import graft.jobs.GaPipeline
+
+/** Plan-quality regression guards: the properties that make these
+  * operators survive a 1000x scale-up, asserted on the optimized plans so
+  * a refactor can't silently lose them. */
+class PlanSpec extends SparkTestBase {
+
+  test("q02: predicate and projection reach the parquet scan") {
+    val df = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("l_shipdate"),
+      s"filter not pushed:\n$scan")
+    // only the 5 selected columns are read
+    assert(!scan.contains("l_comment"), "column pruning lost")
+  }
+
+  test("GA sessions pipeline: exactly two hash exchanges (cid, visitor)") {
+    val hits = Ingest.readEnrichedHits(
+      spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
+    val out = GaPipeline.run(hits,
+      GaPipeline.loadHistory(spark, "/nonexistent/_x"), "2019-09-23",
+      persistExport = false)
+    val plan = out.sessions.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"sessions pipeline grew to $exchanges hash exchanges:\n$plan")
+  }
+
+  test("hit-stage windows share one sort order (no per-window re-sorts by other keys)") {
+    val hits = Ingest.readEnrichedHits(
+      spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
+    val plan = GaPipeline.sessionized(hits).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"hit stage must cost one shuffle, got $exchanges")
+  }
+
+  test("no cartesian products anywhere in the query inventory") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name contains a cartesian product")
+    }
+  }
+}
