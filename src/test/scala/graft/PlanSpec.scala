@@ -9,6 +9,15 @@ import graft.jobs.GaPipeline
   * a refactor can't silently lose them. */
 class PlanSpec extends SparkTestBase {
 
+  /** These asserts describe the cold plan. An earlier suite may have left
+    * DataFrames persisted on the shared session, and the CacheManager
+    * substitutes InMemoryRelation into any logically-equal subtree, which
+    * changes exchange counts. */
+  private def uncached[A](body: => A): A = {
+    spark.catalog.clearCache()
+    body
+  }
+
   test("q02: predicate and projection reach the parquet scan") {
     val df = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString
@@ -19,23 +28,27 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("GA sessions pipeline: exactly two hash exchanges (cid, visitor)") {
-    val hits = Ingest.readEnrichedHits(
-      spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
-    val out = GaPipeline.run(hits,
-      GaPipeline.loadHistory(spark, "/nonexistent/_x"), "2019-09-23",
-      persistExport = false)
-    val plan = out.sessions.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 2,
-      s"sessions pipeline grew to $exchanges hash exchanges:\n$plan")
+    uncached {
+      val hits = Ingest.readEnrichedHits(
+        spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
+      val out = GaPipeline.run(hits,
+        GaPipeline.loadHistory(spark, "/nonexistent/_x"), "2019-09-23",
+        persistExport = false)
+      val plan = out.sessions.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2,
+        s"sessions pipeline grew to $exchanges hash exchanges:\n$plan")
+    }
   }
 
   test("hit-stage windows share one sort order (no per-window re-sorts by other keys)") {
-    val hits = Ingest.readEnrichedHits(
-      spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
-    val plan = GaPipeline.sessionized(hits).queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1, s"hit stage must cost one shuffle, got $exchanges")
+    uncached {
+      val hits = Ingest.readEnrichedHits(
+        spark, "fixtures/ga/enriched/year=2019/month=09/day=23")
+      val plan = GaPipeline.sessionized(hits).queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"hit stage must cost one shuffle, got $exchanges")
+    }
   }
 
   test("no cartesian products anywhere in the query inventory") {
