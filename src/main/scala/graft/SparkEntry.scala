@@ -445,6 +445,14 @@ object SparkEntry {
           round(col("total_value"), 2).cast("double").as("total_value"))
     }),
 
+    // ANN inverted-file path: IVF-Flat coarse quantization — deterministic
+    // centroid sample, expression-only cell assignment (no shuffle),
+    // nProbe-cell candidate join + exact rerank.
+    "q35_ann_ivf" -> ((s, dir) => {
+      import graft.llm.Similarity
+      Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 5)
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -1035,6 +1043,33 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM sc)
         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
         |FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    "q35_ann_ivf" -> {
+      import graft.llm.Similarity.{Dims, IvfCells, IvfProbe}
+      s"""WITH c0 AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfCells),
+        |cent AS (
+        |  SELECT embedding AS ce,
+        |    ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+        |  FROM c0),
+        |sc AS (
+        |  SELECT e.vec_id, e.embedding, cid,
+        |    list_sum(list_transform(generate_series(1, $Dims), i -> e.embedding[i]::DOUBLE * ce[i]::DOUBLE))
+        |      / sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))) AS score
+        |  FROM embeddings e CROSS JOIN cent),
+        |rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk FROM sc),
+        |asn AS (SELECT vec_id, embedding, cid AS cell FROM rs WHERE rk = 1),
+        |qp AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell
+        |       FROM rs WHERE rk <= $IvfProbe AND vec_id < 10),
+        |cand AS (
+        |  SELECT query_id, qe, a.vec_id AS neighbor_id, a.embedding AS ne
+        |  FROM qp JOIN asn a USING (cell) WHERE query_id <> a.vec_id),
+        |r AS (SELECT query_id, neighbor_id, ${dCosine("qe", "ne")} AS cosine FROM cand),
+        |rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine
+        |FROM rk2 WHERE rnk <= 5""".stripMargin
     },
 
     "q29_ga_framing" ->

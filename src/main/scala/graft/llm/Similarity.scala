@@ -104,6 +104,82 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  // ----------------------------------------------------------------- IVF
+  /** IVF-Flat coarse quantization (the faiss/SPANN-style inverted-file
+    * layout): `IvfCells` centroids partition the vectors into cells; a
+    * query probes only its `IvfProbe` closest cells.
+    *
+    * Centroids are the nCells vectors with the smallest md5(vec_id) — a
+    * deterministic reservoir-style sample (no RNG, no k-means iterations),
+    * so the DuckDB oracle can rebuild the identical index. Collecting them
+    * is the standard IVF train step: O(nCells x dims) bytes to the driver
+    * (a dimension table, not data), then the assignment runs as one
+    * codegen'd expression pass over N vectors — NO shuffle and no N x K
+    * join. At 100 TB the same shape holds: train on a sample, broadcast
+    * the centroid literals, one map-side pass to assign cells. */
+  val IvfCells = 16
+  val IvfProbe = 4
+
+  /** The nCells deterministic centroid embeddings, in cid order. */
+  def centroidSeq(vecs: DataFrame, nCells: Int): Seq[Seq[Double]] =
+    vecs.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .collect()
+      .toSeq
+      .map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+
+  /** Cell-ranking score vs one centroid: dot(e, c) / ||c||. Same argmax
+    * as full cosine (||e|| is constant per row) at a third of the flops;
+    * left-to-right accumulation so DuckDB reproduces it bitwise. */
+  private def centroidScore(emb: Column, c: Seq[Double]): Column = {
+    val dot = aggregate(
+      zip_with(emb, typedLit(c), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, x) => acc + x)
+    dot / lit(math.sqrt(c.map(x => x * x).sum))
+  }
+
+  /** (vec_id, embedding, cell) — each vector assigned to its single
+    * best-scoring cell (ties -> lowest cid, via array_position's
+    * first-match). */
+  def assignCells(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val scoreArr = array(cents.map(centroidScore(col("embedding"), _)): _*)
+    vecs.select(col("vec_id"), col("embedding"),
+      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int").as("cell"))
+  }
+
+  /** IVF-Flat top-k: assign cells -> probe the query's nProbe closest
+    * cells -> exact cosine rerank of just those cells' vectors. The only
+    * join is a broadcast equi-join on `cell` (the query side is a small
+    * batch by contract, as in [[bruteForceTopK]]); each vector lives in
+    * exactly one cell, so candidate pairs need no distinct. With
+    * nProbe = nCells the probe covers every cell and the result equals
+    * [[bruteForceTopK]] exactly (asserted in SimilaritySpec). */
+  def ivfTopK(vecs: DataFrame, queryPred: Column, k: Int,
+              nCells: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame = {
+    val cents = centroidSeq(vecs, nCells)
+    val assigned = assignCells(vecs, cents)
+    // nProbe closest cells per query: sort (-score, cid) structs ascending
+    // = score desc, cid-asc tie-break — the oracle's ROW_NUMBER order.
+    val probeStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-centroidScore(col("embedding"), c)).as("ns"),
+        lit(i).cast("int").as("cid"))
+    }: _*)
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(transform(slice(array_sort(probeStructs), 1, nProbe),
+          p => p.getField("cid"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineD(col("qe"), col("embedding")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH candidates (same bucket in any table) + exact cosine rerank. */
   def lshTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val b = bucketed(vecs)

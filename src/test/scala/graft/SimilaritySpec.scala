@@ -37,6 +37,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(b.collect().forall(_.getLong(2) == 2))
   }
 
+  test("IVF partitions vectors into exactly one cell each") {
+    val cents = Similarity.centroidSeq(vecs, Similarity.IvfCells)
+    assert(cents.length == Similarity.IvfCells)
+    val assigned = Similarity.assignCells(vecs, cents)
+    assert(assigned.count() == vecs.count(), "one row (one cell) per vector")
+    assert(assigned.filter(col("cell") < 0 ||
+      col("cell") >= Similarity.IvfCells).count() == 0)
+  }
+
+  test("IVF with full probe (nProbe = nCells) equals exhaustive brute force") {
+    val full = Similarity.ivfTopK(vecs, col("vec_id") < 5, 5,
+      nCells = Similarity.IvfCells, nProbe = Similarity.IvfCells)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val brute = Similarity.bruteForceTopK(vecs, col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(full == brute,
+      "probing every cell must reduce IVF to exact search")
+  }
+
+  test("IVF candidates carry exact cosines (rerank is not approximated)") {
+    val ivf = Similarity.ivfTopK(vecs, col("vec_id") < 5, 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.bruteForceTopK(vecs, col("vec_id") < 5, Int.MaxValue)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    ivf.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
+  }
+
   test("LSH candidates are a subset of the full space and rerank is exact") {
     val lsh = Similarity.lshTopK(vecs, col("vec_id") < 5, 5)
       .select("query_id", "neighbor_id", "cosine")
