@@ -240,19 +240,31 @@ object GaPipeline {
   /** A3/A5/W9 — multi-channel touchpoints over history ∪ today
     * (calculate_touchpoints, main.py:995-1010). Deterministic ordering
     * (timestamp, visitId) replaces the reference's global orderBy +
-    * unordered collect_list. One shuffle by fullVisitorId. */
-  def withTouchpoints(sessions: DataFrame): DataFrame = {
+    * unordered collect_list. One shuffle by fullVisitorId.
+    *
+    * The path is capped at the visitor's first `maxTouchpoints` sessions
+    * (GA360-style): only rows with row_number <= cap feed the
+    * collect_list (collect_list skips the nulls `when` produces for the
+    * rest), so the aggregation buffer is BOUNDED per key — a visitor with
+    * 10^7 sessions costs cap entries of state, not 10^7. The row_number
+    * rides the same (fullVisitorId) partitioning: no extra exchange. */
+  def withTouchpoints(sessions: DataFrame,
+                      maxTouchpoints: Int = 1000): DataFrame = {
     val w = Window.partitionBy(col("fullVisitorId"))
       .orderBy(col("timestamp"), col("visitId"))
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     sessions
-      .withColumn("touchpoints", collect_list(col("trafficSource_source")).over(wAll))
+      .withColumn("_tp_rn", row_number().over(w))
+      .withColumn("touchpoints",
+        collect_list(when(col("_tp_rn") <= maxTouchpoints,
+          col("trafficSource_source"))).over(wAll))
       .withColumn("touchpoints_wo_direct",
         filter(col("touchpoints"), x => x =!= "(direct)"))
       .withColumn("first_touchpoint", first(col("trafficSource_source")).over(w))
       .withColumn("last_touchpoint",
         coalesce(try_element_at(reverse(col("touchpoints_wo_direct")), lit(1)),
           lit("(direct)")))
+      .drop("_tp_rn")
   }
 
   /** P3 — the five hit-type projections (main.py:1012-1151). */
