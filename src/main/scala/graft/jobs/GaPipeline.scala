@@ -57,20 +57,24 @@ object GaPipeline {
       when(col("body_t") === "event" && col("body_pa") === "purchase",
         col("body_tr").cast(dec))).over(ws)
 
+    // Two withColumns batches (not a withColumn chain: every withColumn
+    // re-analyzes the whole ~280-col plan — measured ~1 s of driver time
+    // per pipeline build); batch 2 references batch 1's columns.
     flagged
       // W4/W5: deterministic min/max replaces the reference's order-dependent
       // first_value / unordered last_value (main.py:442-445).
-      .withColumn("first_value", min(recv).over(ws))
-      .withColumn("last_value", max(recv).over(ws))
-      .withColumn("visit_id",
-        if (idAlgo == "md5") md5(idInput) else sha1(idInput))
-      .withColumn("event_sequence", row_number().over(wSeq))
       // A2/W8: string-typed on session-start rows, '' elsewhere (faithful,
       // incl. NULL on start rows of purchase-free sessions).
-      .withColumn("total_revenue_per_session",
-        when(col("is_new_session") === 1,
-          sessionRevenue.cast("double").cast("string"))
-          .otherwise(lit("")))
+      .withColumns(Map(
+        "first_value" -> min(recv).over(ws),
+        "last_value" -> max(recv).over(ws),
+        "event_sequence" -> row_number().over(wSeq),
+        "total_revenue_per_session" ->
+          when(col("is_new_session") === 1,
+            sessionRevenue.cast("double").cast("string"))
+            .otherwise(lit(""))))
+      .withColumn("visit_id",
+        if (idAlgo == "md5") md5(idInput) else sha1(idInput))
   }
 
   /** Attribution + page-path + action-type columns (reference
@@ -81,23 +85,26 @@ object GaPipeline {
     val dr = col("body_dr")
     val med = Attribution.medium(isNew, dl, dr)
     val levels = Attribution.pagePathLevels(dl)
-    df.withColumn("traffic_source_source", Attribution.source(isNew, dl, dr))
-      .withColumn("traffic_source_campaign", Attribution.campaign(isNew, dl))
-      .withColumn("traffic_source_medium", med)
-      .withColumn("traffic_source_keyword",
-        Attribution.keyword(isNew, dl, dr, med))
-      .withColumn("traffic_source_ad_content", Attribution.adContent(isNew, dl, dr))
+    // One withColumns batch + one dependent follow-up (is_true_direct
+    // reads the source COLUMN); a 16-deep withColumn chain costs 16 full
+    // re-analyses of the ~280-col plan.
+    df.withColumns(Map(
+      "traffic_source_source" -> Attribution.source(isNew, dl, dr),
+      "traffic_source_campaign" -> Attribution.campaign(isNew, dl),
+      "traffic_source_medium" -> med,
+      "traffic_source_keyword" -> Attribution.keyword(isNew, dl, dr, med),
+      "traffic_source_ad_content" -> Attribution.adContent(isNew, dl, dr),
+      "page_path_level_one" -> levels(0),
+      "page_path_level_two" -> levels(1),
+      "page_path_level_three" -> levels(2),
+      "page_path_level_four" -> levels(3),
+      "landing_page" -> Attribution.landingPage(isNew, dl),
+      "page_path" -> Attribution.pagePath(dl),
+      "hostname" -> Attribution.hostname(dl),
+      "action_type" -> GaFunctions.actionType(col("body_pa")),
+      "hits_type" -> GaFunctions.hitsType(col("body_t"))))
       .withColumn("traffic_source_is_true_direct",
         Attribution.isTrueDirect(col("traffic_source_source")))
-      .withColumn("page_path_level_one", levels(0))
-      .withColumn("page_path_level_two", levels(1))
-      .withColumn("page_path_level_three", levels(2))
-      .withColumn("page_path_level_four", levels(3))
-      .withColumn("landing_page", Attribution.landingPage(isNew, dl))
-      .withColumn("page_path", Attribution.pagePath(dl))
-      .withColumn("hostname", Attribution.hostname(dl))
-      .withColumn("action_type", GaFunctions.actionType(col("body_pa")))
-      .withColumn("hits_type", GaFunctions.hitsType(col("body_t")))
   }
 
   /** P1 — the 80-column BigQuery-export-style projection

@@ -40,8 +40,10 @@ object Ecommerce {
     val present = filter(slots,
       p => GaSchemas.productAttrs.map(a => p.getField("pr" + a).isNotNull).reduce(_ || _))
     val exploded = df.withColumn("_product", explode_outer(present))
-    outCols.foldLeft(exploded) { (d, c) =>
-      d.withColumn(c, col(s"_product.$c"))
-    }.drop("_product")
+    // one withColumns batch — a per-column withColumn fold re-analyzes the
+    // ~280-col plan 8 times over
+    exploded.withColumns(
+      outCols.map(c => c -> col(s"_product.$c")).toMap
+    ).drop("_product")
   }
 }

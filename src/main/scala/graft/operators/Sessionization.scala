@@ -43,8 +43,13 @@ object Sessionization {
     val w = Window.partitionBy(key).orderBy(tsMs +: tieBreakers: _*)
     val prev = lag(tsMs, 1).over(w)
     val isNew = when(prev.isNull || (tsMs - prev) >= gapMs, 1).otherwise(0)
-    df.withColumn("prev_ts_ms", prev)
-      .withColumn("is_new_session", isNew)
+    // Two analysis passes instead of three (each withColumn re-analyzes
+    // the full plan — costly on the 280-col GA table). session_seq must
+    // reference the is_new_session COLUMN: inlining the expression would
+    // nest lag().over() inside sum().over(), which Spark rejects.
+    df.withColumns(Map(
+      "prev_ts_ms" -> prev,
+      "is_new_session" -> isNew))
       .withColumn(
         "session_seq",
         sum(col("is_new_session"))

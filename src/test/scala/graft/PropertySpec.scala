@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ingest.Ingest
+import graft.llm.TextOps
+import graft.operators.Sessionization
+
+/** Property-style tests: seeded random inputs checked against independent
+  * in-memory reference implementations (differential testing), plus
+  * algebraic invariants. One Spark job per suite, many random cases per
+  * job — the generation is deterministic (fixed seed) so failures
+  * reproduce. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val gap = Sessionization.DefaultGapMs
+
+  test("sessionization matches an independent in-memory implementation " +
+    "on random event streams (boundary gaps, ties included)") {
+    val rnd = new scala.util.Random(42)
+    // 50 users x ~40 events; gaps cluster around the 30-min boundary and
+    // include exact == gapMs and 0 (same-millisecond ties).
+    val events = (1 to 50).flatMap { u =>
+      var ts = 1000000000000L + rnd.nextInt(1000000)
+      (1 to (10 + rnd.nextInt(60))).map { i =>
+        val choice = rnd.nextInt(6)
+        val delta = choice match {
+          case 0 => 0L                              // tie
+          case 1 => gap                             // exactly the boundary
+          case 2 => gap - 1                         // just inside
+          case 3 => gap + 1                         // just outside
+          case 4 => rnd.nextInt(gap.toInt).toLong   // inside
+          case _ => gap + rnd.nextInt(gap.toInt)    // outside
+        }
+        ts += delta
+        (s"u$u", ts, s"e${u}_$i")
+      }
+    }
+    // independent reference: per user, sort by (ts, id); new session when
+    // first event or gap >= gapMs; running counter.
+    val expected = events.groupBy(_._1).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      var seq = 0L
+      var prev = Option.empty[Long]
+      sorted.map { case (u, ts, id) =>
+        val isNew = prev.forall(p => ts - p >= gap)
+        if (isNew) seq += 1
+        prev = Some(ts)
+        (id, if (isNew) 1 else 0, seq)
+      }
+    }.toSeq.sortBy(_._1)
+
+    val df = events.toDF("user_id", "ts_ms", "event_id")
+    val got = Sessionization.withSessionFlags(
+      df, col("user_id"), col("ts_ms"), tieBreakers = Seq(col("event_id")))
+      .select(col("event_id"), col("is_new_session"),
+        col("session_seq").cast("long"))
+      .as[(String, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("session ids are equal iff (user, session) is equal, and stable " +
+    "across recomputation") {
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 20).flatMap { u =>
+      var ts = 1500000000000L
+      (1 to 30).map { i =>
+        ts += (if (rnd.nextBoolean()) rnd.nextInt(gap.toInt).toLong
+               else gap + rnd.nextInt(1000))
+        (s"u$u", ts, s"e${u}_$i")
+      }
+    }
+    val df = events.toDF("user_id", "ts_ms", "event_id")
+    def run() = Sessionization.sessionize(
+      df, col("user_id"), col("ts_ms"), tieBreakers = Seq(col("event_id")))
+      .select(col("event_id"), col("user_id"),
+        col("session_seq").cast("long"), col("session_id"))
+      .as[(String, String, Long, String)].collect().toSeq.sortBy(_._1)
+    val a = run()
+    // injective both ways: same (user, seq) <=> same session_id
+    val byKey = a.groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._4).distinct)
+    assert(byKey.values.forall(_.size == 1), "one id per (user, session)")
+    val byId = a.groupBy(_._4).view.mapValues(_.map(r => (r._2, r._3)).distinct)
+    assert(byId.values.forall(_.size == 1), "one (user, session) per id")
+    assert(a == run(), "stable across recomputation")
+  }
+
+  test("IP anonymization: idempotent, shape-preserving, total (ScalaCheck)") {
+    val octet = Gen.choose(0, 255)
+    val v4 = for {
+      a <- octet; b <- octet; c <- octet; d <- octet
+    } yield s"$a.$b.$c.$d"
+    val v6Group = Gen.listOfN(4, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+    val v6 = Gen.listOfN(8, v6Group).map(_.mkString(":"))
+    val garbage = Gen.oneOf(Gen.alphaNumStr, Gen.const(""), Gen.const("not-an-ip"))
+    val anyIp = Gen.oneOf(v4, v6, garbage)
+
+    // evaluate anonymizeIp for a batch of generated strings in one job,
+    // then a second round over the first round's outputs (idempotence)
+    val samples = Gen.listOfN(300, anyIp)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(1L)).get
+    val out = samples.toDF("ip")
+      .select(col("ip"), Ingest.anonymizeIp(col("ip")).as("anon"))
+      .as[(String, String)].collect().toMap
+    val round2 = out.values.toSeq.distinct.toDF("ip")
+      .select(col("ip"), Ingest.anonymizeIp(col("ip")).as("anon"))
+      .as[(String, String)].collect().toMap
+    val prop = Prop.forAll(Gen.oneOf(samples)) { ip =>
+      val anon = out(ip)
+      val v4Shape = ip.count(_ == '.') == 3 && ip.indexOf('.') >= 1
+      (!v4Shape || anon.endsWith(".0")) &&
+        (v4Shape || !ip.contains(':') || anon.endsWith(":0000:0000:0000:0000:0000")) &&
+        round2(anon) == anon
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rolling hash satisfies the Rabin-Karp composition law " +
+    "h(a ++ b) = (h(a) * B^|b| + h(b)) mod P") {
+    val (b, p) = (31L, 2147483647L)
+    def powMod(base: Long, e: Long): Long = {
+      var (r, bb, ee) = (1L, base % p, e)
+      while (ee > 0) {
+        if ((ee & 1) == 1) r = r * bb % p
+        bb = bb * bb % p; ee >>= 1
+      }
+      r
+    }
+    val rnd = new scala.util.Random(9)
+    val pieces = (1 to 40).map { _ =>
+      val len = 1 + rnd.nextInt(30)
+      (1 to len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    }
+    val pairs = pieces.grouped(2).collect { case Seq(a, bb) => (a, bb) }.toSeq
+    val rows = pairs.zipWithIndex.map { case ((a, bb), i) => (i, a, bb, a + bb) }
+    val got = rows.toDF("i", "a", "b", "ab")
+      .select(col("i"),
+        TextOps.rollingHash(col("a")).as("ha"),
+        TextOps.rollingHash(col("b")).as("hb"),
+        TextOps.rollingHash(col("ab")).as("hab"),
+        length(col("b")).cast("long").as("lb"))
+      .as[(Int, Long, Long, Long, Long)].collect()
+    got.foreach { case (_, ha, hb, hab, lb) =>
+      assert(hab == (ha * powMod(b, lb) + hb) % p,
+        s"composition law violated: ha=$ha hb=$hb hab=$hab |b|=$lb")
+    }
+  }
+}
