@@ -60,9 +60,15 @@ object MinHashLsh {
     * would re-inline the hashing into every one of the 64 downstream
     * permutation expressions (measured 10x slower). */
   def hashSets(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), explode(shingles(text)).as("s"))
-      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    hashSetsFromTokens(
+      docs.select(id.as("doc_id"), explode(shingles(text)).as("s")))
+
+  /** Same, over an already-exploded (doc_id, shingle) table. */
+  def hashSetsFromTokens(tok: DataFrame): DataFrame = {
+    val Seq(idCol, sCol) = tok.columns.toSeq.map(col)
+    tok.select(idCol.as("doc_id"), shingleHash(sCol).as("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+  }
 
   /** One row per doc with mh0..mh{NumPerms-1} minhash columns — 64
     * array_min projections over the materialized hash set (a 64-field
@@ -109,14 +115,17 @@ object MinHashLsh {
   /** Exact-Jaccard verification of candidate pairs against the true
     * shingle-hash sets; keeps pairs with jaccard >= threshold.
     *
-    * The hash-set table feeds three plan branches (signatures + both
-    * verify sides). `cacheSets` persists it so the shingle stage runs
-    * once; the default recomputes because the cache acts as a barrier
-    * that serializes three otherwise-parallel stages — measured slower in
-    * wall-clock whenever cores are idle. Turn it on for CPU-saturated
-    * clusters where total work matters more than critical path. */
+    * The hash-set table feeds three plan branches (band keys + both
+    * verify sides). `cacheSets` persists it so the shingle+md5 stage runs
+    * once instead of three times — at 32 cores this wins 2.5x wall-clock
+    * (1.4 s vs 3.6 s warm at sf0.1; tools/ProfDedup). The earlier
+    * default-off measurement that found caching slower was taken at 4
+    * cores, where the cache barrier serialized stages that had idle CPUs
+    * to run on; with realistic parallelism total work dominates. Pass
+    * false only for tiny core counts; callers that loop over many inputs
+    * should clearCache() between runs. */
   def verifiedPairs(docs: DataFrame, id: Column, text: Column,
-                    threshold: Double, cacheSets: Boolean = false,
+                    threshold: Double, cacheSets: Boolean = true,
                     nativeBands: Boolean = true): DataFrame = {
     val sets0 = hashSets(docs, id, text)
     val sets = if (cacheSets)
@@ -159,11 +168,22 @@ object MinHashLsh {
     * Candidates are verified against the full sets, so the output equals
     * the naive join's exactly. */
   def jaccardJoin(docs: DataFrame, id: Column, text: Column,
-                  thresholdNum: Int, thresholdDen: Int): DataFrame = {
+                  thresholdNum: Int, thresholdDen: Int,
+                  cacheTokens: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (p, q) = (thresholdNum, thresholdDen)
     val threshold = p.toDouble / q
-    val tok = docs.select(id.as("doc_id"), explode(shingles(text)).as("t"))
+    val tok0 = docs.select(id.as("doc_id"), explode(shingles(text)).as("t"))
+    // tok feeds four branches (document frequencies, sizes, the prefix
+    // index, verification sets), but persisting it LOSES wall-clock
+    // (measured ~2.5x slower at sf0.1/32 cores, tools/ProfDedup): the
+    // cached table is wide (raw shingle strings), materialization is a
+    // barrier, and the recomputed branches are narrow scan+explode chains
+    // that parallelize freely. Contrast verifiedPairs' cacheSets, which
+    // caches the AGGREGATED hash sets (small) and wins 2.5x.
+    val tok = if (cacheTokens)
+      tok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tok0
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
@@ -185,7 +205,9 @@ object MinHashLsh {
         col("n_b") * q >= col("n_a") * p && col("n_a") * q >= col("n_b") * p &&
         least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1 >= alpha)
       .select("doc_a", "doc_b").distinct()
-    val sets = hashSets(docs, id, text)
+    // verification sets from the same (persisted) token table — not a
+    // fourth shingle explode
+    val sets = hashSetsFromTokens(tok)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
