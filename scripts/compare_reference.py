@@ -3,7 +3,11 @@
 PySpark pipeline, executed as-is from /root/reference on the same enriched
 fixture.
 
-Usage: compare_reference.py <graft q16 parquet dir>
+Usage: compare_reference.py <graft q16 parquet dir> [<graft q17 parquet dir>]
+
+With the optional second argument, also diffs the PAGEVIEWS hit table
+(hit numbering, hour/minute, page path + levels + hostname) against the
+reference pipeline's second output, keyed by requestId.
 
 Caveats handled here:
 - ANSI off + UTC to emulate the reference's Spark 2.4 runtime semantics.
@@ -71,7 +75,8 @@ def main():
     df = (spark.read.json("fixtures/ga/enriched/year=2019/month=09/day=23")
           .where(F.col("body_dl").isNotNull()))
     history = spark.createDataFrame([], m.session_schema)
-    sessions = m.pipeline(spark, df, history, "2019-09-23")[0]
+    outputs = m.pipeline(spark, df, history, "2019-09-23")
+    sessions = outputs[0]
     ref = sessions.where(F.to_date(F.col("timestamp")) == "2019-09-23").toPandas()
 
     mine = pd.concat([pd.read_parquet(f)
@@ -95,7 +100,54 @@ def main():
         sys.exit(1)
     print(f"PASS: graft sessions == reference pipeline output "
           f"({len(a)} sessions x {len(COLS)} columns)")
+
+    if len(sys.argv) > 2:
+        compare_pageviews(spark, outputs[1], sys.argv[2])
     spark.stop()
+
+
+PV_COLS = ["fullVisitorId", "requestId", "visitStartTime", "hits_hitNumber",
+           "hits_hour", "hits_minute", "hits_page_pagePath",
+           "hits_page_hostname", "hits_page_pagePathLevel1",
+           "hits_page_pagePathLevel2", "hits_page_pagePathLevel3",
+           "hits_page_pagePathLevel4", "hits_type"]
+
+
+def compare_pageviews(spark, ref_pv_df, graft_dir):
+    # the reference input was pre-filtered to body_dl NOT NULL (its UDFs
+    # crash otherwise); drop the same hits from graft's side by requestId
+    null_dl_ids = set(
+        r.message_id for r in
+        spark.read.json("fixtures/ga/enriched/year=2019/month=09/day=23")
+        .where(F.col("body_dl").isNull()).select("message_id").collect())
+    ref = ref_pv_df.toPandas()
+    mine = pd.concat([pd.read_parquet(f)
+                      for f in glob.glob(f"{graft_dir}/*.parquet")])
+    mine = mine[~mine.requestId.isin(null_dl_ids)]
+
+    def norm_pv(df):
+        df = df[PV_COLS].copy()
+        for c in ["visitStartTime", "hits_hitNumber", "hits_hour", "hits_minute"]:
+            df[c] = df[c].astype("int64")
+        return df.sort_values("requestId").reset_index(drop=True)
+
+    a, b = norm_pv(ref), norm_pv(mine)
+    if len(a) != len(b):
+        print(f"FAIL pageviews row count: reference={len(a)} graft={len(b)}")
+        sys.exit(1)
+    diffs = 0
+    for i in range(len(a)):
+        for c in PV_COLS:
+            va, vb = a.loc[i, c], b.loc[i, c]
+            if (va is None) != (vb is None) or (va is not None and va != vb):
+                print(f"DIFF pv row {i} ({a.loc[i,'requestId']}) col {c}: "
+                      f"reference={va!r} graft={vb!r}")
+                diffs += 1
+    if diffs:
+        print(f"FAIL: {diffs} cell diffs over {len(a)} pageview hits")
+        sys.exit(1)
+    print(f"PASS: graft pageviews == reference pipeline output "
+          f"({len(a)} hits x {len(PV_COLS)} columns)")
 
 
 if __name__ == "__main__":
