@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.MinHashBandKeysExpr
+import graft.expressions.{CosineSimExpr, MinHashBandKeysExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions as
   * SQL functions. Activated via
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),
       (children: Seq[Expression]) => MinHashBandKeysExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_d"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_d"),
+      (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))))
   }
 }

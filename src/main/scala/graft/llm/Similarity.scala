@@ -32,8 +32,17 @@ object Similarity {
   val NumBits = 6
   val Dims = 64
 
-  /** Exact cosine in double precision, left-to-right accumulation. */
-  def cosineD(a: Column, b: Column): Column = {
+  /** Exact cosine in double precision, left-to-right accumulation —
+    * the native [[graft.expressions.CosineSimExpr]] (codegen'd one-pass;
+    * requires GraftExtensions on the session, which GraftSession /
+    * Verify / Bench all register). Bit-identical to [[cosineHof]]. */
+  def cosineD(a: Column, b: Column): Column = call_function("cosine_d", a, b)
+
+  /** The same cosine as higher-order functions — CodegenFallback
+    * (interpreted lambdas), kept as the independent formulation the spec
+    * asserts bit-equality against, and as the fallback for sessions
+    * without GraftExtensions. */
+  def cosineHof(a: Column, b: Column): Column = {
     def sq(c: Column) =
       aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

@@ -68,6 +68,22 @@ class SimilaritySpec extends SparkTestBase {
     ivf.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
   }
 
+  test("native cosine_d expression is bit-identical to the HOF formulation") {
+    val pairs = vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+        .filter(col("v2") < 20))
+      .filter(col("vec_id") < 40)
+    val out = pairs.select(
+      Similarity.cosineD(col("embedding"), col("e2")).as("native"),
+      Similarity.cosineHof(col("embedding"), col("e2")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(h), s"native=$n hof=$h")
+    }
+  }
+
   test("LSH candidates are a subset of the full space and rerank is exact") {
     val lsh = Similarity.lshTopK(vecs, col("vec_id") < 5, 5)
       .select("query_id", "neighbor_id", "cosine")
