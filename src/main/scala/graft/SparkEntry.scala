@@ -460,6 +460,25 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 5)
     }),
 
+    // Multimodal feature extraction, oracle-checked end-to-end: synthetic
+    // media generation -> partition-batched stub decode (mapPartitions,
+    // narrow) -> per-window features. The stub's byte math is
+    // deterministic, so DuckDB mirrors generation + decode exactly. The
+    // float32 feature f = s/4080 is checked by INVERTING the scale:
+    // round(f * 4080) recovers the integer window sum s bit-exactly
+    // (float error ~1e-4 absolute vs a 0.5 rounding margin), so the
+    // oracle is pure integer arithmetic — no cross-engine float32
+    // promotion hazards (a x1000 quantization was 192/8000 flaky).
+    "q36_multimodal_features" -> ((s, _) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.syntheticMedia(s, 500)
+      Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("kind"),
+          posexplode(col("features")).as(Seq("j", "f")))
+        .select(col("media_id"), col("kind"), col("j").cast("long").as("j"),
+          round(col("f") * 4080).cast("long").as("window_sum"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -1117,6 +1136,26 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Mirrors Multimodal.syntheticMedia + decodeStub: payload byte i of
+    // media m is (m*31 + i*7) % 251; feature j sums the 16-byte window
+    // starting at j*16 (the float32 1/4080 scaling is inverted on the
+    // Spark side, so the oracle stays integer-exact).
+    "q36_multimodal_features" ->
+      """WITH jj AS (
+        |  SELECT m.media_id, j.j
+        |  FROM generate_series(0, 499) m(media_id), generate_series(0, 15) j(j)),
+        |s AS (
+        |  SELECT media_id, j,
+        |    list_sum(list_transform(
+        |      generate_series(media_id*31 + (j*16)*7, media_id*31 + (j*16+15)*7, 7),
+        |      x -> x % 251)) AS sb
+        |  FROM jj)
+        |SELECT media_id,
+        |  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(j AS BIGINT) AS j,
+        |  CAST(sb AS BIGINT) AS window_sum
+        |FROM s""".stripMargin,
 
     "q32_dedup_simhash" ->
       s"""WITH $dSimhashCtes
