@@ -70,6 +70,41 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for decode → scale → re-encode (codec libs
+    * absent): maps the payload to a `w*h`-byte "image" by averaging
+    * contiguous byte windows (area interpolation on the opaque bytes).
+    * Deterministic integer math, so tests can assert exact values;
+    * swapping in a real scaler changes one function. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = w * h
+    val window = math.max(1, payload.length / target)
+    Array.tabulate(target) { j =>
+      val from = j * window
+      val until = math.min(payload.length, from + window)
+      if (from >= payload.length) 0.toByte
+      else {
+        var s = 0
+        var i = from
+        while (i < until) { s += payload(i) & 0xff; i += 1 }
+        (s / (until - from)).toByte
+      }
+    }
+  }
+
+  /** Per-partition batched resize of image/video payloads (narrow, like
+    * [[extractFeatures]]); audio rows pass through untouched. Metadata is
+    * rewritten to the new dimensions. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind == "audio") r
+        else r.copy(payload = resizeStub(r.payload, w, h),
+          meta = r.meta.copy(width = w, height = h))
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: fixed-size byte windows stand in
     * for decoded frames; non-video rows pass through with one frame. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64): Dataset[FrameRow] = {

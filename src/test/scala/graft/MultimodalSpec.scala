@@ -35,6 +35,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("resize produces w*h bytes for image/video, passes audio through") {
+    val out = Multimodal.resize(media, 8, 8).collect()
+    out.foreach { r =>
+      if (r.kind == "audio") {
+        assert(r.payload.length == 256 && r.meta.sampleRate == 16000)
+      } else {
+        assert(r.payload.length == 64)
+        assert(r.meta.width == 8 && r.meta.height == 8)
+      }
+    }
+    // deterministic: first resized byte of media 0 is the mean of the
+    // first 4 payload bytes ((0*31 + i*7) % 251 for i=0..3 -> 0,7,14,21)
+    val m0 = out.find(r => r.media_id == 0 && r.kind == "image").get
+    assert((m0.payload(0) & 0xff) == (0 + 7 + 14 + 21) / 4)
+  }
+
+  test("resize is a narrow transformation (no shuffle)") {
+    val plan = Multimodal.resize(media, 8, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("frame sampling explodes video payloads only") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64)
     val byKind = frames.toDF()
