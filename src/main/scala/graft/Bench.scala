@@ -35,6 +35,9 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query isolation: queries that persist internal tables (e.g.
+      // q20's minhash sets) must not leak cached state into later timings
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

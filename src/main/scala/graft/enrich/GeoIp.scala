@@ -87,15 +87,17 @@ object GeoIp {
       when(isBot, lit(null).cast("string"))
         .when(hit, col("_" + src.stripPrefix("geo_")))
         .otherwise("(not set)")
-    val withStrings = stringCols.foldLeft(joined)((d, c) =>
-      d.withColumn(c, geoVal(c)))
-    val withConsts = constNotSetCols.foldLeft(withStrings)((d, c) =>
-      d.withColumn(c, when(isBot, lit(null).cast("string")).otherwise("(not set)")))
-    withConsts
-      .withColumn("geo_latitude", when(isBot || !hit, lit(null).cast("double"))
-        .otherwise(col("_latitude")))
-      .withColumn("geo_longitude", when(isBot || !hit, lit(null).cast("double"))
-        .otherwise(col("_longitude")))
+    // one withColumns batch (15 chained withColumns over the wide hit
+    // table cost 15 full re-analyses)
+    joined.withColumns(
+      stringCols.map(c => c -> geoVal(c)).toMap ++
+        constNotSetCols.map(c => c ->
+          when(isBot, lit(null).cast("string")).otherwise("(not set)")).toMap ++
+        Map(
+          "geo_latitude" -> when(isBot || !hit, lit(null).cast("double"))
+            .otherwise(col("_latitude")),
+          "geo_longitude" -> when(isBot || !hit, lit(null).cast("double"))
+            .otherwise(col("_longitude"))))
       .drop("_bkt", "_ipn", "_fbkt", "start_int", "end_int")
       .drop(Seq("continent", "continent_code", "country", "country_iso", "region",
         "city", "city_id", "postal_code", "latitude", "longitude", "timezone")

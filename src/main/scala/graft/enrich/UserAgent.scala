@@ -105,21 +105,24 @@ object UserAgent {
         nullif(regexp_extract(ua, "; ([^;)]+) Build", 1), lit("")))
       .otherwise(lit(null).cast("string"))
 
-  /** Adds the 12 `device_*` columns. Bot rows carry only the flag. */
+  /** Adds the 12 `device_*` columns. Bot rows carry only the flag. One
+    * withColumns batch — a 12-deep withColumn chain re-analyzes the
+    * ~270-col ingest plan 12 times. */
   def withDeviceColumns(df: DataFrame, ua: Column): DataFrame = {
     val bot = isBot(ua)
     def nonBot(c: Column): Column = when(!bot, c) // null on bot rows
-    df.withColumn("device_is_bot", bot)
-      .withColumn("device_is_mobile", nonBot(deviceType(ua) === "mobile"))
-      .withColumn("device_client_name", nonBot(clientName(ua)))
-      .withColumn("device_client_version", nonBot(clientVersion(ua)))
-      .withColumn("device_os_name", nonBot(osName(ua)))
-      .withColumn("device_os_version", nonBot(osVersion(ua)))
-      .withColumn("device_device_type", nonBot(deviceType(ua)))
-      .withColumn("device_device_name", nonBot(deviceName(ua)))
-      .withColumn("device_device_brand", nonBot(deviceBrand(ua)))
-      .withColumn("device_device_model", nonBot(deviceModel(ua)))
-      .withColumn("device_device_input", nonBot(lit("(not set)")))
-      .withColumn("device_device_info", nonBot(lit("(not set)")))
+    df.withColumns(Map(
+      "device_is_bot" -> bot,
+      "device_is_mobile" -> nonBot(deviceType(ua) === "mobile"),
+      "device_client_name" -> nonBot(clientName(ua)),
+      "device_client_version" -> nonBot(clientVersion(ua)),
+      "device_os_name" -> nonBot(osName(ua)),
+      "device_os_version" -> nonBot(osVersion(ua)),
+      "device_device_type" -> nonBot(deviceType(ua)),
+      "device_device_name" -> nonBot(deviceName(ua)),
+      "device_device_brand" -> nonBot(deviceBrand(ua)),
+      "device_device_model" -> nonBot(deviceModel(ua)),
+      "device_device_input" -> nonBot(lit("(not set)")),
+      "device_device_info" -> nonBot(lit("(not set)"))))
   }
 }
