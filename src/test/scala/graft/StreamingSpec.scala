@@ -68,6 +68,40 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("StreamingIngestJob streams raw records to the enriched zone, " +
+    "date-partitioned, checkpoint-idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("siout").toString + "/enriched"
+    val ckpt = java.nio.file.Files.createTempDirectory("sickpt").toString
+    // the fixture dir also holds concatenated.json (the S6 framing
+    // fixture) and file streams need a directory — stage a raw zone
+    // holding only the Firehose records file
+    val rawZone = java.nio.file.Files.createTempDirectory("siraw")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("fixtures/ga/raw/records.jsonl"),
+      rawZone.resolve("records.jsonl"))
+    val q = graft.jobs.StreamingIngestJob.start(
+      spark, rawZone.toString, SparkEntry.GeoRanges, out, ckpt)
+    q.awaitTermination()
+    val enriched = spark.read.parquet(out)
+    val nRaw = spark.read.schema(graft.jobs.StreamingIngestJob.rawSchema)
+      .json("fixtures/ga/raw/records.jsonl").count()
+    assert(enriched.count() == nRaw, "every raw record lands enriched")
+    // the streamed expressions are the batch ingest: decode+anonymize+parse
+    assert(enriched.filter(col("body_cid").isNotNull).count() > 0)
+    assert(enriched.filter(col("ip").endsWith(".0") ||
+      col("ip").endsWith(":0000")).count() == nRaw, "all IPs anonymized")
+    assert(enriched.filter(col("device_client_name").isNotNull).count() > 0)
+    assert(enriched.filter(col("geo_country").isNotNull).count() > 0)
+    // date-partitioned layout (the reference's year=/month=/day= zone)
+    assert(enriched.inputFiles.forall(f =>
+      f.contains("year=") && f.contains("month=") && f.contains("day=")))
+    // re-run with the same checkpoint: no new input -> no double append
+    val q2 = graft.jobs.StreamingIngestJob.start(
+      spark, rawZone.toString, SparkEntry.GeoRanges, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == nRaw)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
     val base = 1700000000000L
     val input = MemoryStream[Ev](spark)
