@@ -185,14 +185,16 @@ object MinHashLsh {
       tok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else tok0
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
     // prefix length = n - ceil(p*n/q) + 1; Column./ is DOUBLE division, so
     // integer-exact ceil is (x + q - 1) div q via try_divide-free floor
     // (operands are far below 2^53, so the floor is exact).
     def intDiv(x: Column, d: Int): Column = floor(x / d).cast("long")
     val prefixLen = col("n") - intDiv(col("n") * p + (q - 1), q) + 1
-    val prefix = tok.join(dfreq, "t").join(sizes, "doc_id")
+    // document size n rides the SAME doc_id window partitioning as the
+    // prefix rank — a separate groupBy+join would re-shuffle tok twice
+    val prefix = tok.join(dfreq, "t")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixLen)
       .select("doc_id", "t", "rn", "n")
