@@ -51,6 +51,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q21 jaccard join stays within its shuffle budget") {
+    uncached {
+      val plan = SparkEntry.queries("q21_dedup_jaccard")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // dfreq agg, tok x dfreq (by t), prefix window (by doc_id),
+      // candidate self-join (by t), pair distinct, verification sets —
+      // a regression reintroducing the sizes groupBy+join pushes this up
+      assert(exchanges <= 6, s"q21 grew to $exchanges hash exchanges")
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
