@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimExpr, MinHashBandKeysExpr}
+import graft.expressions.{CosineSimExpr, MinHashBandKeysExpr, WordBigramsExpr}
 
 /** Session extensions: registers graft's native Catalyst expressions as
   * SQL functions. Activated via
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_d"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_d"),
       (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
+      (children: Seq[Expression]) => WordBigramsExpr(children.head)))
   }
 }

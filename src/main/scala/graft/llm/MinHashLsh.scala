@@ -31,7 +31,18 @@ object MinHashLsh {
   def aCoef(i: Int): Long = { val v = (2654435761L * (i + 1)) % P; if (v == 0L) 1L else v }
   def bCoef(i: Int): Long = (40503L * (i + 1) + 17L) % P
 
-  /** Distinct word-bigram shingles of a whitespace-tokenized text.
+  /** Distinct word-bigram shingles of a whitespace-tokenized text — the
+    * native one-pass [[graft.expressions.WordBigramsExpr]] (codegen'd;
+    * requires GraftExtensions, which GraftSession/Verify/Bench register).
+    * Bit-identical to [[shinglesHof]] incl. the null-text → empty-array
+    * contract (the coalesce — the expression itself is null-for-null). */
+  def shingles(text: Column): Column =
+    coalesce(call_function("word_bigrams", text),
+      array().cast("array<string>"))
+
+  /** The same shingles as higher-order functions — kept as the
+    * independent formulation the spec asserts bit-equality against, and
+    * for sessions without GraftExtensions.
     *
     * Built by zipping the token array with its own 1-shift — the lambda
     * only touches its struct element. The tempting alternative,
@@ -39,7 +50,7 @@ object MinHashLsh {
     * `ws` INSIDE the lambda, and a captured expression re-evaluates per
     * element: the regex split ran ~100x per document (measured 40x slower
     * end-to-end). */
-  def shingles(text: Column): Column = {
+  def shinglesHof(text: Column): Column = {
     val ws = split(text, "\\s+")
     val pairs = arrays_zip(
       slice(ws, lit(1), size(ws) - 1).as("a"),

@@ -65,6 +65,26 @@ class LlmTextSpec extends SparkTestBase {
     assert(native == hof)
   }
 
+  test("native word_bigrams expression matches the HOF shingles exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), col("text"))
+      // edge shapes the corpus may lack: empty, 1 token, leading/trailing
+      // whitespace (empty tokens), repeated bigrams, null text
+      .unionByName(Seq(
+        (900001L, ""), (900002L, "one"), (900003L, "  a b  "),
+        (900004L, "x y x y x"), (900005L, null)
+      ).toDF("doc_id", "text"))
+    val out = docs.select(
+      MinHashLsh.shingles(col("text")).as("native"),
+      MinHashLsh.shinglesHof(col("text")).as("hof"),
+      col("doc_id"))
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"doc ${r.getLong(2)}: native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+  }
+
   test("language ID votes stopwords; unknown when none hit") {
     val out = Seq(
       "the cat is on the mat and it is warm",
