@@ -46,8 +46,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df["visitNumber"] = df["visitNumber"].astype("int64")
     df["visitStartTime"] = df["visitStartTime"].astype("int64")
     df["date"] = df["date"].astype("int64")
+    # graft serializes the path as a '|'-joined string (the driver's oracle
+    # compare can't hash array cells); the reference yields a list — map
+    # both to the same string form.
     df["touchpoints"] = df["touchpoints"].map(
-        lambda v: tuple(v) if v is not None else None)
+        lambda v: None if v is None else (v if isinstance(v, str) else "|".join(v)))
     df["totals_transactionRevenue"] = df["totals_transactionRevenue"].map(
         lambda v: None if v is None or v == "" else v)
     return df.sort_values(["fullVisitorId", "visitNumber"]).reset_index(drop=True)

@@ -24,6 +24,13 @@ object SparkEntry {
   /** Wider decimal for long-cents sums (up to ~6e14 at sf0.1, more at
     * scale) converted back to money at the end of an aggregation. */
   private val dec28 = DecimalType(28, 6)
+  /** Per-row cents type for the fixed-point money sums: scale-0 precision-18
+    * keeps Spark's compact-long Decimal representation (near-long codegen
+    * speed), while `sum` widens the buffer to decimal(28,0) — so the
+    * aggregate is exact at any row count, unlike a raw long sum, which
+    * wraps silently near ~8e9 rows of ~1.1e9-cent products (round-2
+    * advice). */
+  private val cents = DecimalType(18, 0)
 
   /** Cap on per-user touchpoint paths (bounded per-key aggregation state). */
   val MaxTouchpoints = 100
@@ -77,11 +84,11 @@ object SparkEntry {
     // S1 scan + A-agg: TPC-H Q1-style pricing summary (group-by aggregate,
     // partial aggregation map-side). Exact FIXED-POINT money math: the
     // money columns are 2-decimal by construction, so each row reduces to
-    // LONG cents (codegen'd integer ops) and the per-row DECIMAL
-    // cast/multiply/sum — measured ~2s of this query at sf0.1 — happens
-    // only on the 6 aggregated outputs. Bit-identical to the oracle's
-    // DECIMAL formulation: sums fit long (<= ~6e14 << 2^63) and the final
-    // /100, /10000 are exact decimal divisions.
+    // LONG cents (codegen'd integer ops); the per-row DECIMAL multiply the
+    // naive formulation pays — measured ~2s of this query at sf0.1 — is
+    // avoided. The cents products are summed as scale-0 decimals (`cents`
+    // above) so no row count can overflow the aggregate; the final /100,
+    // /10000 are exact decimal divisions, bit-identical to the oracle.
     "q01_pricing_agg" -> ((s, dir) => {
       val pc = round(col("l_extendedprice") * 100).cast("long") // price cents
       val dc = round(col("l_discount") * 100).cast("long")      // discount %
@@ -90,9 +97,10 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(round(col("l_quantity")).cast("long")).cast("double").as("sum_qty"),
-          round(sum(pc).cast(dec28) / 100, 2).cast("double").as("sum_base_price"),
-          round(sum(pc * (lit(100L) - dc)).cast(dec28) / 10000, 2).cast("double")
-            .as("sum_disc_price"),
+          round(sum(pc.cast(cents)).cast(dec28) / 100, 2).cast("double")
+            .as("sum_base_price"),
+          round(sum((pc * (lit(100L) - dc)).cast(cents)).cast(dec28) / 10000, 2)
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -123,8 +131,8 @@ object SparkEntry {
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(pc * (lit(100L) - dc)).cast(dec28) / 10000, 2).cast("double")
-            .as("revenue"),
+          round(sum((pc * (lit(100L) - dc)).cast(cents)).cast(dec28) / 10000, 2)
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -281,7 +289,11 @@ object SparkEntry {
         col("visitStartTime"), col("date").cast("long").as("date"),
         col("trafficSource_source"), col("trafficSource_medium"),
         col("trafficSource_campaign"), col("totals_transactionRevenue"),
-        col("landingPage"), col("touchpoints"), col("touchpoints_wo_direct"),
+        col("landingPage"),
+        // The driver's oracle compare hashes pandas values; array cells are
+        // unhashable there, so serialize the touchpoint paths to strings.
+        array_join(col("touchpoints"), "|").as("touchpoints"),
+        array_join(col("touchpoints_wo_direct"), "|").as("touchpoints_wo_direct"),
         col("first_touchpoint"), col("last_touchpoint"))
     }),
 
@@ -887,8 +899,9 @@ object SparkEntry {
         |  FROM p GROUP BY 1)
         |SELECT p.fullVisitorId, visitId, visitNumber, visitStartTime, "date",
         |  trafficSource_source, trafficSource_medium, trafficSource_campaign,
-        |  totals_transactionRevenue, landingPage, touchpoints,
-        |  list_filter(touchpoints, x -> x <> '(direct)') AS touchpoints_wo_direct,
+        |  totals_transactionRevenue, landingPage,
+        |  array_to_string(touchpoints, '|') AS touchpoints,
+        |  COALESCE(array_to_string(list_filter(touchpoints, x -> x <> '(direct)'), '|'), '') AS touchpoints_wo_direct,
         |  first_touchpoint,
         |  COALESCE(list_filter(touchpoints, x -> x <> '(direct)')[-1], '(direct)') AS last_touchpoint
         |FROM p JOIN tp ON p.fullVisitorId = tp.fullVisitorId""".stripMargin,

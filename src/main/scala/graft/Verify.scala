@@ -25,6 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries may persist intermediates (e.g. q20's hash sets); drop them
+      // so later queries neither inherit memory pressure nor have
+      // CacheManager substitute InMemoryRelation into equal subtrees.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -42,19 +42,30 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_d"
+  // null on unequal-length inputs (below), not only on null inputs
+  override def nullable: Boolean = true
 
   private lazy val leftIsFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.compute(a.asInstanceOf[ArrayData], leftIsFloat,
-      b.asInstanceOf[ArrayData], rightIsFloat)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else CosineSim.compute(x, leftIsFloat, y, rightIsFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.CosineSim.compute($a, $leftIsFloat, $b, $rightIsFloat);")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expressions.CosineSim.compute($a, $leftIsFloat, $b, $rightIsFloat);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
@@ -79,20 +90,9 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    // norms run over the FULL arrays (as the HOF sq() does). Unequal
-    // lengths are DEFINED here (dot over the common prefix) where the
-    // HOF formulation nulls out; all engine embeddings are fixed-dim so
-    // the two never diverge in practice
-    var j = n
-    while (j < a.numElements()) {
-      val x = if (aFloat) a.getFloat(j).toDouble else a.getDouble(j)
-      na += x * x; j += 1
-    }
-    j = n
-    while (j < b.numElements()) {
-      val y = if (bFloat) b.getFloat(j).toDouble else b.getDouble(j)
-      nb += y * y; j += 1
-    }
+    // Unequal lengths never reach here: the expression returns null for
+    // them (matching the HOF formulation, where zip_with pads with null
+    // and the aggregate sum nulls out).
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }

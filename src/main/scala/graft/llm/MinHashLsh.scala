@@ -74,10 +74,15 @@ object MinHashLsh {
     hashSetsFromTokens(
       docs.select(id.as("doc_id"), explode(shingles(text)).as("s")))
 
-  /** Same, over an already-exploded (doc_id, shingle) table. */
+  /** Same, over an already-exploded (doc_id, shingle) table. The id
+    * column must be literally named `doc_id`; the single remaining column
+    * is the shingle — resolved by name, so column order can't silently
+    * swap semantics. */
   def hashSetsFromTokens(tok: DataFrame): DataFrame = {
-    val Seq(idCol, sCol) = tok.columns.toSeq.map(col)
-    tok.select(idCol.as("doc_id"), shingleHash(sCol).as("h"))
+    require(tok.columns.length == 2 && tok.columns.contains("doc_id"),
+      s"expected exactly (doc_id, <shingle>) columns, got ${tok.columns.mkString(", ")}")
+    val sName = tok.columns.filter(_ != "doc_id").head
+    tok.select(col("doc_id"), shingleHash(col(sName)).as("h"))
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
   }
 
