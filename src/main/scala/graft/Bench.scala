@@ -28,10 +28,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup (no benchmark data touched): without it the
-    // alphabetically-first query absorbs several seconds of JIT +
-    // first-job scheduling cost and distorts per-query numbers.
-    spark.range(1000000).selectExpr("sum(id) AS s")
+    // JVM/codegen warmup (no benchmark data touched — a throwaway
+    // synthetic parquet under /tmp): without it the alphabetically-first
+    // queries absorb seconds of JIT + first-use machinery cost (parquet
+    // reader, hash-agg/join/window codegen, AQE) and distort per-query
+    // numbers — q01 measured ~2.5 s of warmup on top of ~0.5 s of work.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    spark.range(200000).selectExpr("id", "id % 97 AS k", "rand(7) AS v")
+      .write.mode("overwrite").parquet(warmDir)
+    val warm = spark.read.parquet(warmDir)
+    warm.filter("v > 0.1").groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      .join(warm.select("k").distinct(), "k")
+      .selectExpr("k", "s", "row_number() OVER (ORDER BY s) AS rn")
       .write.format("noop").mode("overwrite").save()
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

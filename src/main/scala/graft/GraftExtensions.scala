@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.expressions.{CosineSimExpr, MinHashBandKeysExpr, WordBigramsExpr}
+import graft.expressions._
 
 /** Session extensions: registers graft's native Catalyst expressions as
   * SQL functions. Activated via
@@ -12,6 +14,14 @@ import graft.expressions.{CosineSimExpr, MinHashBandKeysExpr, WordBigramsExpr}
   * Bench all set it).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
@@ -25,5 +35,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_bigrams"),
       new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
       (children: Seq[Expression]) => WordBigramsExpr(children.head)))
+    // rolling_hash(text[, b, p]) — base/modulus as literals
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(
+        children.head,
+        if (children.length > 1) longLit(children(1), "rolling_hash base") else 31L,
+        if (children.length > 2) longLit(children(2), "rolling_hash modulus") else 2147483647L)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+      (children: Seq[Expression]) => SimHash60Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSetExpr].getName, "shingle_hash_set"),
+      (children: Seq[Expression]) => ShingleHashSetExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_sigs"),
+      new ExpressionInfo(classOf[LshSigsExpr].getName, "lsh_sigs"),
+      (children: Seq[Expression]) => LshSigsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
+      (children: Seq[Expression]) => SortedIntersectSizeExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
+      (children: Seq[Expression]) => TextStatsExpr(children.head)))
+    // top_cells(embedding, centroids_literal, n_probe_literal) — the
+    // centroid matrix is runtime data, passed as a foldable literal and
+    // unpacked here into the expression's constructor
+    ext.injectFunction((
+      FunctionIdentifier("top_cells"),
+      new ExpressionInfo(classOf[TopCellsExpr].getName, "top_cells"),
+      (children: Seq[Expression]) => {
+        val cents = children(1) match {
+          case Literal(arr: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+            (0 until arr.numElements()).map(i => arr.getArray(i).toDoubleArray()).toArray
+          case other => throw new IllegalArgumentException(
+            s"top_cells centroids must be an array<array<double>> literal, got $other")
+        }
+        TopCellsExpr(children(0), cents, longLit(children(2), "top_cells nProbe").toInt)
+      }))
   }
 }

@@ -65,12 +65,28 @@ object MinHashLsh {
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
 
-  /** (doc_id, distinct shingle-hash set). Materialized behind ONE
-    * map-side-combinable shuffle so the md5 shingle hashing runs exactly
-    * once per (doc, shingle) — as a pure projection, CollapseProject
-    * would re-inline the hashing into every one of the 64 downstream
-    * permutation expressions (measured 10x slower). */
+  /** (doc_id, distinct shingle-hash set) — a PURE PROJECTION via the
+    * native one-pass [[graft.expressions.ShingleHashSetExpr]]: a
+    * document's hash set depends only on its own text, so the round-2
+    * explode → md5 → groupBy(doc).collect_set shuffle ([[hashSetsAgg]],
+    * kept for the spec's set-equality assertion) was pure data movement.
+    * Consumers (band keys, array_min signatures, array_intersect verify)
+    * are order-insensitive, so the first-occurrence order here vs
+    * collect_set's arbitrary order is immaterial.
+    *
+    * The round-2 CollapseProject hazard (hashing re-inlined into 64
+    * downstream permutation expressions) does not apply: the set is ONE
+    * expression, and whole-stage codegen's subexpression elimination
+    * evaluates duplicated copies once per row.
+    *
+    * Documents with < 2 tokens (empty set) are filtered — same row set
+    * as the exploded path, which dropped them at the explode. */
   def hashSets(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), call_function("shingle_hash_set", text).as("hs"))
+      .where(size(col("hs")) > 0)
+
+  /** Round-2 aggregate formulation of [[hashSets]]. */
+  def hashSetsAgg(docs: DataFrame, id: Column, text: Column): DataFrame =
     hashSetsFromTokens(
       docs.select(id.as("doc_id"), explode(shingles(text)).as("s")))
 
@@ -157,7 +173,10 @@ object MinHashLsh {
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .withColumn("n_shared", size(array_intersect(col("ha"), col("hb"))))
+      // hs is sorted ascending (ShingleHashSetExpr invariant) — merge-
+      // count, no per-pair array_intersect allocation
+      .withColumn("n_shared",
+        call_function("sorted_intersect_size", col("ha"), col("hb")))
       .withColumn("jaccard", round(
         col("n_shared").cast("double") /
           (size(col("ha")) + size(col("hb")) - col("n_shared")), 4))
@@ -185,52 +204,59 @@ object MinHashLsh {
     * the naive join's exactly. */
   def jaccardJoin(docs: DataFrame, id: Column, text: Column,
                   thresholdNum: Int, thresholdDen: Int,
-                  cacheTokens: Boolean = false): DataFrame = {
+                  cacheSets: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (p, q) = (thresholdNum, thresholdDen)
     val threshold = p.toDouble / q
-    val tok0 = docs.select(id.as("doc_id"), explode(shingles(text)).as("t"))
-    // tok feeds four branches (document frequencies, sizes, the prefix
-    // index, verification sets), but persisting it LOSES wall-clock
-    // (measured ~2.5x slower at sf0.1/32 cores, tools/ProfDedup): the
-    // cached table is wide (raw shingle strings), materialization is a
-    // barrier, and the recomputed branches are narrow scan+explode chains
-    // that parallelize freely. Contrast verifiedPairs' cacheSets, which
-    // caches the AGGREGATED hash sets (small) and wins 2.5x.
-    val tok = if (cacheTokens)
-      tok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tok0
-    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    // Map-side hash sets; every downstream table derives from this one.
+    // Persisted by default: it feeds three branches (the token index and
+    // both verification sides), it is small (one long per distinct
+    // shingle), and recomputing it costs an md5 per (doc, shingle) per
+    // branch. Callers that loop over inputs should clearCache().
+    val sets0 = hashSets(docs, id, text)
+    val sets = if (cacheSets)
+      sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sets0
+    // The index/filter stages run on the 8-byte shingle HASH, not the
+    // shingle string (round-2 shape): document frequencies, the prefix
+    // rank order (df, h), and the candidate equi-join all shuffle longs
+    // instead of raw bigrams — the prefix-filter completeness argument
+    // needs only a consistent global token order, and (df, h) is one.
+    // Verification jaccard has always been over the mod-P hash sets, so
+    // sizing the filters by |hash set| makes the bounds exact w.r.t. the
+    // verified metric.
+    val tok = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     // prefix length = n - ceil(p*n/q) + 1; Column./ is DOUBLE division, so
     // integer-exact ceil is (x + q - 1) div q via try_divide-free floor
     // (operands are far below 2^53, so the floor is exact).
     def intDiv(x: Column, d: Int): Column = floor(x / d).cast("long")
     val prefixLen = col("n") - intDiv(col("n") * p + (q - 1), q) + 1
-    // document size n rides the SAME doc_id window partitioning as the
-    // prefix rank — a separate groupBy+join would re-shuffle tok twice
-    val prefix = tok.join(dfreq, "t")
+    // document frequency as a WINDOW over h — same shuffle key as the
+    // round-2 groupBy(h)+join-back, minus the join: the df table round-
+    // trip is gone (and at scale dfreq has one row per distinct shingle,
+    // so it never broadcasts anyway). Document size n then rides the SAME
+    // doc_id window partitioning as the prefix rank.
+    val prefix = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixLen)
-      .select("doc_id", "t", "rn", "n")
-    val l = prefix.toDF("doc_a", "t", "rn_a", "n_a")
-    val r = prefix.toDF("doc_b", "t", "rn_b", "n_b")
+      .select("doc_id", "h", "rn", "n")
+    val l = prefix.toDF("doc_a", "h", "rn_a", "n_a")
+    val r = prefix.toDF("doc_b", "h", "rn_b", "n_b")
     // alpha = ceil(p*(n_a+n_b)/(p+q)), integer-exact
     val alpha = floor(((col("n_a") + col("n_b")) * p + (p + q - 1)) / (p + q)).cast("long")
-    val cand = l.join(r, Seq("t"))
+    val cand = l.join(r, Seq("h"))
       .where(col("doc_a") < col("doc_b") &&
         col("n_b") * q >= col("n_a") * p && col("n_a") * q >= col("n_b") * p &&
         least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1 >= alpha)
       .select("doc_a", "doc_b").distinct()
-    // verification sets from the same (persisted) token table — not a
-    // fourth shingle explode
-    val sets = hashSetsFromTokens(tok)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .withColumn("n_shared",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        call_function("sorted_intersect_size", col("ha"), col("hb")).cast("long"))
       .withColumn("n_a", size(col("ha")).cast("long"))
       .withColumn("n_b", size(col("hb")).cast("long"))
       .withColumn("jaccard", round(col("n_shared").cast("double") /

@@ -25,8 +25,21 @@ object SimHash {
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
-  /** (doc_id, simhash) — one shuffle by doc_id, 60 conditional sums. */
-  def fingerprints(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  /** (doc_id, simhash) — a PURE PROJECTION: the fingerprint depends only
+    * on the document's own tokens, so it is computed per row by the
+    * native one-pass [[graft.expressions.SimHash60Expr]] (codegen'd;
+    * requires GraftExtensions, which GraftSession/Verify/Bench
+    * register). The round-2 shape ([[fingerprintsAgg]]) exploded every
+    * token and shuffled a 60-column vote buffer per document — kept as
+    * the independent formulation the spec asserts bit-equality
+    * against. Null-text documents are dropped, as explode did there. */
+  def fingerprints(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), call_function("simhash60", text).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** Round-2 aggregate formulation: explode tokens → md5 → groupBy(doc)
+    * with 60 `sum(when(bit, 1, -1))` votes. */
+  def fingerprintsAgg(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
       explode(split(text, "\\s+")).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("h"))

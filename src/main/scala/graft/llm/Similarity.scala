@@ -84,16 +84,21 @@ object Similarity {
       zip_with(emb, typedLit(plane(t, j)), (x, p) => x.cast("double") * p),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Bucket signature for one hash table: `Bits` sign bits as a string. */
-  def signature(emb: Column, t: Int): Column =
+  /** Bucket signature for one hash table, as higher-order functions —
+    * the independent formulation SimilaritySpec asserts bit-equality
+    * against ([[bucketed]] uses the native expression instead: the HOF
+    * runs NumTables × NumBits interpreted lambdas per row). */
+  def signatureHof(emb: Column, t: Int): Column =
     concat((0 until NumBits).map(j =>
       when(planeDot(emb, t, j) > 0, "1").otherwise("0")): _*)
 
-  /** (vec_id, embedding, t, sig) — one row per hash table. */
+  /** (vec_id, embedding, t, sig) — one row per hash table. All
+    * NumTables signatures come from ONE native pass over the embedding
+    * ([[graft.expressions.LshSigsExpr]], codegen'd; requires
+    * GraftExtensions, which GraftSession/Verify/Bench register). */
   def bucketed(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until NumTables).map(t =>
-        signature(col("embedding"), t)): _*)).as(Seq("t", "sig")))
+      posexplode(call_function("lsh_sigs", col("embedding"))).as(Seq("t", "sig")))
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates
     * (a < b, any shared bucket), exact-cosine scored, thresholded. The
@@ -148,10 +153,25 @@ object Similarity {
     dot / lit(math.sqrt(c.map(x => x * x).sum))
   }
 
+  /** The nProbe best cells for an embedding, best first — ONE native
+    * pass over the centroid matrix
+    * ([[graft.expressions.TopCellsExpr]]; the matrix rides along as an
+    * array literal the function builder unpacks). Ordering is
+    * (score desc, cid asc) via java.lang.Double.compare — Catalyst's
+    * double ordering, identical to the HOF array_sort-of-structs path. */
+  def topCells(emb: Column, cents: Seq[Seq[Double]], nProbe: Int): Column =
+    call_function("top_cells", emb, typedLit(cents), lit(nProbe))
+
   /** (vec_id, embedding, cell) — each vector assigned to its single
-    * best-scoring cell (ties -> lowest cid, via array_position's
-    * first-match). */
-  def assignCells(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    * best-scoring cell (ties -> lowest cid). */
+  def assignCells(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      element_at(topCells(col("embedding"), cents, 1), 1).as("cell"))
+
+  /** Round-2 HOF formulation of [[assignCells]] (nCells interpreted
+    * aggregate(zip_with) lambdas per row + a duplicated score array) —
+    * kept for SimilaritySpec's equivalence assertion. */
+  def assignCellsHof(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     val scoreArr = array(cents.map(centroidScore(col("embedding"), _)): _*)
     vecs.select(col("vec_id"), col("embedding"),
       (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int").as("cell"))
@@ -168,16 +188,12 @@ object Similarity {
               nCells: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame = {
     val cents = centroidSeq(vecs, nCells)
     val assigned = assignCells(vecs, cents)
-    // nProbe closest cells per query: sort (-score, cid) structs ascending
-    // = score desc, cid-asc tie-break — the oracle's ROW_NUMBER order.
-    val probeStructs = array(cents.zipWithIndex.map { case (c, i) =>
-      struct((-centroidScore(col("embedding"), c)).as("ns"),
-        lit(i).cast("int").as("cid"))
-    }: _*)
+    // nProbe closest cells per query — same native ranking as the
+    // assignment (score desc, cid-asc tie-break: the oracle's ROW_NUMBER
+    // order).
     val q = vecs.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(transform(slice(array_sort(probeStructs), 1, nProbe),
-          p => p.getField("cid"))).as("cell"))
+        explode(topCells(col("embedding"), cents, nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     assigned.join(broadcast(q), Seq("cell"))

@@ -6,8 +6,18 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization counts, punctuation/stopword quality signals, a stopword
   * n-gram language-ID heuristic, and a normalized-text fingerprint for
-  * exact deduplication. All pure expressions (codegen'd, no UDFs), all
-  * deterministic for DuckDB mirroring.
+  * exact deduplication.
+  *
+  * The integer ingredients (token/subtoken/punct counts, stopword votes,
+  * normalized text) all come from ONE native code-point pass per
+  * document ([[graft.expressions.TextStatsExpr]], codegen'd; requires
+  * GraftExtensions, which GraftSession/Verify/Bench register). The
+  * round-2 formulations ran five regex passes per document — kept below
+  * (`*Regex`) as the independent formulations the spec asserts
+  * bit-equality against. Ratios/votes stay Column arithmetic, so the
+  * rounding and null semantics are exactly the round-2 ones; whole-stage
+  * codegen's subexpression elimination evaluates the struct once per row
+  * even when eight output columns read it.
   */
 object TextOps {
 
@@ -21,37 +31,43 @@ object TextOps {
   /** Fixed priority for argmax ties. */
   val LangOrder: Seq[String] = Seq("en", "de", "es", "fr")
 
+  /** The one-pass native stats struct (see [[graft.expressions.TextStats]]). */
+  def stats(text: Column): Column = call_function("text_stats", text)
+
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  private def stopHits(toks: Column, lang: String): Column =
-    size(filter(toks, t =>
-      Stopwords(lang).map(s => t === s).reduce(_ || _)))
+  def nTokens(text: Column): Column = stats(text).getField("n_tokens")
+
+  def nSubtokens(text: Column): Column = stats(text).getField("n_subtokens")
+
+  def punctRatio(text: Column): Column = {
+    val st = stats(text)
+    // nullif: empty text → null ratio, not an ANSI divide-by-zero error
+    // (empty documents are routine at scale)
+    round(st.getField("n_punct").cast("double") /
+      nullif(st.getField("n_chars"), lit(0)), 4)
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val st = stats(text)
+    round(st.getField("s_en").cast("double") / st.getField("n_tokens"), 4)
+  }
+
+  def avgTokenLen(text: Column): Column = {
+    val st = stats(text)
+    st.getField("n_nonws").cast("double") / st.getField("n_tokens")
+  }
 
   /** Stopword-vote language ID; ties go to LangOrder; zero votes →
     * 'unknown'. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = LangOrder.map(l => l -> stopHits(toks, l))
+    val st = stats(text)
+    val scores = LangOrder.map(l => l -> st.getField(s"s_$l"))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best === 0, "unknown")) { case (acc, (l, s)) =>
       acc.when(s === best, l)
     }.otherwise("unknown")
   }
-
-  def nTokens(text: Column): Column = size(tokens(text))
-
-  def nSubtokens(text: Column): Column =
-    size(regexp_extract_all(text, lit(SubtokenRe), lit(0)))
-
-  def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-      length(text), 4)
-
-  def stopwordRatio(text: Column): Column =
-    round(stopHits(tokens(text), "en").cast("double") / nTokens(text), 4)
-
-  def avgTokenLen(text: Column): Column =
-    length(regexp_replace(text, "\\s", "")).cast("double") / nTokens(text)
 
   /** 0–4 integer quality score: length, punctuation, stopword density,
     * mean token length. */
@@ -66,9 +82,7 @@ object TextOps {
 
   /** Exact-dedup fingerprint: md5 of lowercased text with punctuation
     * stripped and whitespace collapsed. */
-  def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+  def fingerprint(text: Column): Column = md5(stats(text).getField("norm"))
 
   /** Exact-duplicate groups: one row per fingerprint with group size and
     * canonical (minimum) doc id. Hash-groupBy — the exact-dedup primitive. */
@@ -78,10 +92,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
 
   /** Rabin–Karp polynomial rolling hash of the whole text:
-    * h = ((c1*B + c2)*B + c3)... mod P, folded left-to-right over the
-    * characters (the char array is the aggregate's target, so it is
-    * evaluated once). Empty/null text → 0. */
+    * h = ((c1*B + c2)*B + c3)... mod P over the code points, one native
+    * pass ([[graft.expressions.RollingHashExpr]]). Empty/null text → 0. */
   def rollingHash(text: Column, b: Long = 31L, p: Long = 2147483647L): Column =
+    coalesce(call_function("rolling_hash", text, lit(b), lit(p)), lit(0L))
+
+  // ------------------------------------------------------------------
+  // Round-2 regex formulations — independent references for the specs'
+  // bit-equality assertions (and for sessions without GraftExtensions).
+  // ------------------------------------------------------------------
+
+  private def stopHits(toks: Column, lang: String): Column =
+    size(filter(toks, t =>
+      Stopwords(lang).map(s => t === s).reduce(_ || _)))
+
+  def nTokensRegex(text: Column): Column = size(tokens(text))
+
+  def nSubtokensRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit(SubtokenRe), lit(0)))
+
+  def punctRatioRegex(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      nullif(length(text), lit(0)), 4)
+
+  def stopwordRatioRegex(text: Column): Column =
+    round(stopHits(tokens(text), "en").cast("double") / nTokensRegex(text), 4)
+
+  def avgTokenLenRegex(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") / nTokensRegex(text)
+
+  def langIdRegex(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangOrder.map(l => l -> stopHits(toks, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, "unknown")) { case (acc, (l, s)) =>
+      acc.when(s === best, l)
+    }.otherwise("unknown")
+  }
+
+  def fingerprintRegex(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+  def rollingHashHof(text: Column, b: Long = 31L, p: Long = 2147483647L): Column =
     when(length(text) > 0,
       aggregate(regexp_extract_all(text, lit("."), lit(0)), lit(0L),
         (acc, c) => (acc * b + ascii(c)) % p))

@@ -85,6 +85,85 @@ class LlmTextSpec extends SparkTestBase {
     }
   }
 
+  // Edge shapes the corpus may lack: empty, 1 token, leading/trailing
+  // whitespace (empty tokens), repeated bigrams/tokens, punctuation,
+  // newlines/CR, non-ASCII, null text.
+  private def edgeDocs = graft.sources.Tables.documents(spark, sf).limit(200)
+    .select(col("doc_id"), col("text"))
+    .unionByName(Seq(
+      (900001L, ""), (900002L, "one"), (900003L, "  a b  "),
+      (900004L, "x y x y x"), (900005L, null),
+      (900006L, "Hello, World!\nline two\r\nand\tmore"),
+      (900007L, "café über straße  sep")
+    ).toDF("doc_id", "text"))
+
+  test("native shingle_hash_set equals the exploded collect_set path as a set") {
+    val native = MinHashLsh.hashSets(edgeDocs, col("doc_id"), col("text"))
+      .select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      .orderBy("doc_id").collect().toSeq
+    val agg = MinHashLsh.hashSetsAgg(edgeDocs, col("doc_id"), col("text"))
+      .select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      .orderBy("doc_id").collect().toSeq
+    assert(native.nonEmpty && native == agg)
+  }
+
+  test("sorted_intersect_size merge-count equals size(array_intersect)") {
+    val sets = MinHashLsh.hashSets(edgeDocs, col("doc_id"), col("text"))
+    val pairs = sets.select(col("doc_id").as("a"), col("hs").as("ha"))
+      .crossJoin(sets.select(col("doc_id").as("b"), col("hs").as("hb"))
+        .filter(col("b") % 10 === 0))
+    val out = pairs.select(
+      call_function("sorted_intersect_size", col("ha"), col("hb")).as("native"),
+      size(array_intersect(col("ha"), col("hb"))).as("generic"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("shingle_hash_set output is sorted ascending (merge-count invariant)") {
+    val out = MinHashLsh.hashSets(edgeDocs, col("doc_id"), col("text"))
+      .select(col("hs"), array_sort(col("hs")).as("sorted")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("native simhash60 is bit-identical to the explode+vote aggregation") {
+    val native = SimHash.fingerprints(edgeDocs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().toSeq
+    val agg = SimHash.fingerprintsAgg(edgeDocs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(native.nonEmpty && native == agg)
+  }
+
+  test("native rolling_hash is bit-identical to the regex+fold formulation") {
+    val out = edgeDocs.select(
+      col("doc_id"),
+      TextOps.rollingHash(col("text")).as("native"),
+      TextOps.rollingHashHof(col("text")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: native=${r.getLong(1)} hof=${r.getLong(2)}")
+    }
+  }
+
+  test("native text_stats fields are bit-identical to the regex formulations") {
+    val out = edgeDocs.select(
+      col("doc_id"),
+      struct(
+        TextOps.nTokens(col("text")), TextOps.nSubtokens(col("text")),
+        TextOps.punctRatio(col("text")), TextOps.stopwordRatio(col("text")),
+        TextOps.avgTokenLen(col("text")), TextOps.langId(col("text")),
+        TextOps.fingerprint(col("text"))).as("native"),
+      struct(
+        TextOps.nTokensRegex(col("text")), TextOps.nSubtokensRegex(col("text")),
+        TextOps.punctRatioRegex(col("text")), TextOps.stopwordRatioRegex(col("text")),
+        TextOps.avgTokenLenRegex(col("text")), TextOps.langIdRegex(col("text")),
+        TextOps.fingerprintRegex(col("text"))).as("regex")).collect()
+    out.foreach { r =>
+      assert(r.getStruct(1) == r.getStruct(2),
+        s"doc ${r.getLong(0)}: native=${r.getStruct(1)} regex=${r.getStruct(2)}")
+    }
+  }
+
   test("language ID votes stopwords; unknown when none hit") {
     val out = Seq(
       "the cat is on the mat and it is warm",

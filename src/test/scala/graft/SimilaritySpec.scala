@@ -84,6 +84,53 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native lsh_sigs is bit-identical to the per-table HOF signatures") {
+    val hofSigs = array((0 until Similarity.NumTables).map(t =>
+      Similarity.signatureHof(col("embedding"), t)): _*)
+    val out = vecs.limit(200).select(
+      col("vec_id"),
+      call_function("lsh_sigs", col("embedding")).as("native"),
+      hofSigs.as("hof")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"vec ${r.getLong(0)}: native=${r.getSeq[String](1)} hof=${r.getSeq[String](2)}")
+    }
+  }
+
+  test("native top_cells assignment equals the HOF argmax formulation") {
+    val cents = Similarity.centroidSeq(vecs, Similarity.IvfCells)
+    val native = Similarity.assignCells(vecs, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSeq.sorted
+    val hof = Similarity.assignCellsHof(vecs, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSeq.sorted
+    assert(native.nonEmpty && native == hof)
+  }
+
+  test("native top_cells probe order equals the HOF sort-by-(-score,cid) order") {
+    val cents = Similarity.centroidSeq(vecs, Similarity.IvfCells)
+    def centroidScoreHof(emb: org.apache.spark.sql.Column, c: Seq[Double]) = {
+      val dot = aggregate(
+        zip_with(emb, typedLit(c), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      dot / lit(math.sqrt(c.map(x => x * x).sum))
+    }
+    val probeStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-centroidScoreHof(col("embedding"), c)).as("ns"),
+        lit(i).cast("int").as("cid"))
+    }: _*)
+    val out = vecs.limit(200).select(
+      col("vec_id"),
+      Similarity.topCells(col("embedding"), cents, Similarity.IvfProbe).as("native"),
+      transform(slice(array_sort(probeStructs), 1, Similarity.IvfProbe),
+        p => p.getField("cid")).as("hof")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: native=${r.getSeq[Int](1)} hof=${r.getSeq[Int](2)}")
+    }
+  }
+
   test("LSH candidates are a subset of the full space and rerank is exact") {
     val lsh = Similarity.lshTopK(vecs, col("vec_id") < 5, 5)
       .select("query_id", "neighbor_id", "cosine")
