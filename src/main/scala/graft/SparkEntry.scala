@@ -504,6 +504,27 @@ object SparkEntry {
           round(col("f") * 4080).cast("long").as("window_sum"))
     }),
 
+    // Near-dup clusters: connected components (min-label propagation,
+    // one shuffle per round) over the minhash-verified pairs — each
+    // clustered doc labeled with its component's minimum doc_id.
+    "q37_dedup_clusters" -> ((s, dir) => {
+      import graft.llm.{DedupClusters, MinHashLsh}
+      DedupClusters.components(
+        MinHashLsh.verifiedPairs(Tables.documents(s, dir),
+          col("doc_id"), col("text"), 0.8))
+        .select(col("doc_id"), col("cluster_id"))
+    }),
+
+    // Dedup survivors: the corpus minus every non-canonical member of a
+    // duplicate cluster (anti-join against the small clustered set).
+    "q38_dedup_survivors" -> ((s, dir) => {
+      import graft.llm.{DedupClusters, MinHashLsh}
+      val docs = Tables.documents(s, dir)
+      DedupClusters.survivors(docs, col("doc_id"),
+        MinHashLsh.verifiedPairs(docs, col("doc_id"), col("text"), 0.8))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -1182,6 +1203,36 @@ object SparkEntry {
         |  CAST(j AS BIGINT) AS j,
         |  CAST(sb AS BIGINT) AS window_sum
         |FROM s""".stripMargin,
+
+    // Components via transitive closure (WITH RECURSIVE; the UNION
+    // dedups, so the closure terminates) — valid ground truth because
+    // the pair set at sf-scale is tiny.
+    "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE $dShingleCtes,
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
+        |$dJaccardTail,
+        |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+
+    "q38_dedup_survivors" ->
+      s"""WITH RECURSIVE $dShingleCtes,
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
+        |$dJaccardTail,
+        |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin,
 
     "q32_dedup_simhash" ->
       s"""WITH $dSimhashCtes

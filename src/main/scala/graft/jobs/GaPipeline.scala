@@ -238,10 +238,11 @@ object GaPipeline {
     * (P5, main.py:981-988). */
   def newSessions(sessions: DataFrame, jobDate: String): DataFrame =
     sessions
-      .withColumn("touchpoints", lit(null).cast("array<string>"))
-      .withColumn("touchpoints_wo_direct", lit(null).cast("array<string>"))
-      .withColumn("first_touchpoint", lit(null).cast("string"))
-      .withColumn("last_touchpoint", lit(null).cast("string"))
+      .withColumns(Map(
+        "touchpoints" -> lit(null).cast("array<string>"),
+        "touchpoints_wo_direct" -> lit(null).cast("array<string>"),
+        "first_touchpoint" -> lit(null).cast("string"),
+        "last_touchpoint" -> lit(null).cast("string")))
       .filter(to_date(col("timestamp")) === lit(jobDate))
 
   /** A3/A5/W9 — multi-channel touchpoints over history ∪ today

@@ -56,10 +56,25 @@ class PlanSpec extends SparkTestBase {
       val plan = SparkEntry.queries("q21_dedup_jaccard")(spark, sf)
         .queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-      // dfreq agg, tok x dfreq (by t), prefix window (by doc_id),
-      // candidate self-join (by t), pair distinct, verification sets —
-      // a regression reintroducing the sizes groupBy+join pushes this up
+      // df window (by h), prefix window (by doc_id), candidate self-join
+      // (by h), pair distinct, verification joins — a regression
+      // reintroducing a dfreq groupBy+join round-trip or an exploded
+      // hash-set aggregation pushes this up
       assert(exchanges <= 6, s"q21 grew to $exchanges hash exchanges")
+    }
+  }
+
+  test("per-document sketches are pure projections (zero exchanges)") {
+    uncached {
+      // a document's fingerprint/hash-set/stats depend only on its own
+      // text: any Exchange in these plans is reintroduced data movement
+      Seq("q23_simhash", "q24_text_stats", "q33_rolling_hash",
+        "q22_minhash_sigs").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val exchanges = "Exchange".r.findAllIn(plan).length
+        assert(exchanges == 0, s"$name grew $exchanges exchanges:\n$plan")
+      }
     }
   }
 
