@@ -55,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_sigs"),
       new ExpressionInfo(classOf[LshSigsExpr].getName, "lsh_sigs"),
       (children: Seq[Expression]) => LshSigsExpr(children.head)))
+    // char_ngram_hash_set(text, n) — n as an integer literal
+    ext.injectFunction((
+      FunctionIdentifier("char_ngram_hash_set"),
+      new ExpressionInfo(classOf[CharNgramHashSetExpr].getName, "char_ngram_hash_set"),
+      (children: Seq[Expression]) => CharNgramHashSetExpr(
+        children.head, longLit(children(1), "char_ngram_hash_set n").toInt)))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),

@@ -525,6 +525,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // Char-5-gram near-dup join — the no-word-boundary granularity
+    // (CJK/code/OCR): same PPJoin prefix-filter machinery as q21 over a
+    // different native hash-set expression.
+    "q39_dedup_char_ngram" -> ((s, dir) => {
+      import graft.llm.MinHashLsh
+      MinHashLsh.jaccardJoinFromSets(
+        MinHashLsh.charNgramHashSets(Tables.documents(s, dir),
+          col("doc_id"), col("text"), 5),
+        4, 5)
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -1233,6 +1244,19 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin,
+
+    // Exact ground truth over raw char 5-grams (the engine hashes them;
+    // no collisions at sf scale, same contract as q21).
+    "q39_dedup_char_ngram" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(text) - 4, 0)),
+        |    i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |hh AS (SELECT doc_id, unnest(gs) AS h FROM g),
+        |$dJaccardTail
+        |SELECT doc_a, doc_b, i AS n_shared, n_a, n_b, jaccard
+        |FROM j WHERE jaccard >= 0.8""".stripMargin,
 
     "q32_dedup_simhash" ->
       s"""WITH $dSimhashCtes

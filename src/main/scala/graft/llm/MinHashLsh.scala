@@ -204,7 +204,26 @@ object MinHashLsh {
     * the naive join's exactly. */
   def jaccardJoin(docs: DataFrame, id: Column, text: Column,
                   thresholdNum: Int, thresholdDen: Int,
-                  cacheSets: Boolean = true): DataFrame = {
+                  cacheSets: Boolean = true): DataFrame =
+    jaccardJoinFromSets(hashSets(docs, id, text),
+      thresholdNum, thresholdDen, cacheSets)
+
+  /** Char-n-gram counterpart of [[hashSets]] — near-dup granularity for
+    * text without reliable word boundaries. Same sorted-distinct mod-P
+    * contract ([[graft.expressions.CharNgramHashSetExpr]]); texts
+    * shorter than n code points are filtered like shingle-less docs. */
+  def charNgramHashSets(docs: DataFrame, id: Column, text: Column,
+                        n: Int): DataFrame =
+    docs.select(id.as("doc_id"),
+      call_function("char_ngram_hash_set", text, lit(n)).as("hs"))
+      .where(size(col("hs")) > 0)
+
+  /** [[jaccardJoin]] over ANY precomputed (doc_id, hs) table — hs must
+    * be the sorted-distinct hash set of the document's tokens at the
+    * caller's chosen granularity (word bigrams, char n-grams, ...). */
+  def jaccardJoinFromSets(sets0: DataFrame,
+                          thresholdNum: Int, thresholdDen: Int,
+                          cacheSets: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (p, q) = (thresholdNum, thresholdDen)
     val threshold = p.toDouble / q
@@ -213,7 +232,6 @@ object MinHashLsh {
     // both verification sides), it is small (one long per distinct
     // shingle), and recomputing it costs an md5 per (doc, shingle) per
     // branch. Callers that loop over inputs should clearCache().
-    val sets0 = hashSets(docs, id, text)
     val sets = if (cacheSets)
       sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sets0

@@ -126,6 +126,31 @@ class LlmTextSpec extends SparkTestBase {
     out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("native char_ngram_hash_set equals the HOF substring formulation as a set") {
+    import graft.llm.MinHashLsh.P
+    val n = 5
+    // HOF reference: 1-based code-point substrings, hashed like
+    // shingleHash, distinct, sorted (guarded: Spark sequence(1,0) counts
+    // DOWN, unlike DuckDB generate_series)
+    val hofCol = when(length(col("text")) >= n,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), length(col("text")) - (n - 1)),
+        i => conv(org.apache.spark.sql.functions.substring(md5(col("text").substr(i, lit(n))), 1, 15), 16, 10).cast("long") % P))))
+      .otherwise(array().cast("array<long>"))
+    // null text: native is null-for-null, the when-otherwise yields [] —
+    // both are dropped by charNgramHashSets' size>0 filter, so compare
+    // them as empty
+    val out = edgeDocs.select(
+      col("doc_id"),
+      coalesce(call_function("char_ngram_hash_set", col("text"), lit(n)),
+        array().cast("array<long>")).as("native"),
+      hofCol.as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.get(0)}: native=${r.getSeq[Long](1)} hof=${r.getSeq[Long](2)}")
+    }
+  }
+
   test("native simhash60 is bit-identical to the explode+vote aggregation") {
     val native = SimHash.fingerprints(edgeDocs, col("doc_id"), col("text"))
       .orderBy("doc_id").collect().toSeq
