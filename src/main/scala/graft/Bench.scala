@@ -41,6 +41,8 @@ object Bench {
       .join(warm.select("k").distinct(), "k")
       .selectExpr("k", "s", "row_number() OVER (ORDER BY s) AS rn")
       .write.format("noop").mode("overwrite").save()
+    // the warmup dataset is throwaway — don't accumulate it in /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query isolation: queries that persist internal tables (e.g.

@@ -15,12 +15,24 @@ import graft.expressions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def longLit(e: Expression, what: String): Long = e match {
-    case Literal(v: Long, _) => v
-    case Literal(v: Int, _) => v.toLong
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+  /** Constant integer argument: any FOLDABLE expression qualifies (so
+    * SQL like `char_ngram_hash_set(text, 2+3)` works, not just bare
+    * literals). */
+  private def longLit(e: Expression, what: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a constant integer expression, got $e")
+    e.eval() match {
+      case v: Long => v
+      case v: Int => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be integral, got $other")
+    }
   }
+
+  private def arity(children: Seq[Expression], n: Int, min: Int, usage: String): Unit =
+    if (children.length > n || children.length < min)
+      throw new IllegalArgumentException(
+        s"wrong argument count ${children.length}: usage $usage")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -55,12 +67,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_sigs"),
       new ExpressionInfo(classOf[LshSigsExpr].getName, "lsh_sigs"),
       (children: Seq[Expression]) => LshSigsExpr(children.head)))
-    // char_ngram_hash_set(text, n) — n as an integer literal
+    // char_ngram_hash_set(text, n) — n as a constant integer
     ext.injectFunction((
       FunctionIdentifier("char_ngram_hash_set"),
       new ExpressionInfo(classOf[CharNgramHashSetExpr].getName, "char_ngram_hash_set"),
-      (children: Seq[Expression]) => CharNgramHashSetExpr(
-        children.head, longLit(children(1), "char_ngram_hash_set n").toInt)))
+      (children: Seq[Expression]) => {
+        arity(children, 2, 2, "char_ngram_hash_set(text, n)")
+        CharNgramHashSetExpr(
+          children.head, longLit(children(1), "char_ngram_hash_set n").toInt)
+      }))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
@@ -69,19 +84,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       (children: Seq[Expression]) => TextStatsExpr(children.head)))
-    // top_cells(embedding, centroids_literal, n_probe_literal) — the
-    // centroid matrix is runtime data, passed as a foldable literal and
-    // unpacked here into the expression's constructor
+    // top_cells(embedding, centroids, n_probe) — the centroid matrix is
+    // runtime data, passed as any foldable array<array<double>>
+    // expression (a typedLit literal or a SQL array(array(...))
+    // constructor) and unpacked here into the expression's constructor
     ext.injectFunction((
       FunctionIdentifier("top_cells"),
       new ExpressionInfo(classOf[TopCellsExpr].getName, "top_cells"),
       (children: Seq[Expression]) => {
-        val cents = children(1) match {
-          case Literal(arr: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
-            (0 until arr.numElements()).map(i => arr.getArray(i).toDoubleArray()).toArray
-          case other => throw new IllegalArgumentException(
-            s"top_cells centroids must be an array<array<double>> literal, got $other")
+        arity(children, 3, 3, "top_cells(embedding, centroids, nProbe)")
+        val isDoubleMatrix = children(1).dataType match {
+          case ArrayType(ArrayType(DoubleType, _), _) => true
+          case _ => false
         }
+        val cents =
+          if (children(1).foldable && isDoubleMatrix) {
+            val arr = children(1).eval().asInstanceOf[ArrayData]
+            (0 until arr.numElements()).map(i => arr.getArray(i).toDoubleArray()).toArray
+          } else throw new IllegalArgumentException(
+            s"top_cells centroids must be a constant array<array<double>>, got ${children(1)}")
         TopCellsExpr(children(0), cents, longLit(children(2), "top_cells nProbe").toInt)
       }))
   }

@@ -59,6 +59,14 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
+    // Fail LOUDLY on iteration exhaustion: returning the partial labels
+    // would silently split components (wrong cluster ids, duplicate
+    // survivors). Real dedup graphs converge in a handful of rounds; a
+    // graph that doesn't either needs a larger maxIter or the
+    // large-star/small-star doubling variant.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds — " +
+        "raise maxIter (component diameter exceeds it)")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

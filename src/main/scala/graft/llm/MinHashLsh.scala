@@ -93,13 +93,15 @@ object MinHashLsh {
   /** Same, over an already-exploded (doc_id, shingle) table. The id
     * column must be literally named `doc_id`; the single remaining column
     * is the shingle — resolved by name, so column order can't silently
-    * swap semantics. */
+    * swap semantics. Sorted ascending like [[hashSets]]: every `hs`
+    * producer in this module satisfies the sorted_intersect_size merge
+    * invariant, so any of them can feed [[jaccardJoinFromSets]]. */
   def hashSetsFromTokens(tok: DataFrame): DataFrame = {
     require(tok.columns.length == 2 && tok.columns.contains("doc_id"),
       s"expected exactly (doc_id, <shingle>) columns, got ${tok.columns.mkString(", ")}")
     val sName = tok.columns.filter(_ != "doc_id").head
     tok.select(col("doc_id"), shingleHash(col(sName)).as("h"))
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+      .groupBy(col("doc_id")).agg(array_sort(collect_set(col("h"))).as("hs"))
   }
 
   /** One row per doc with mh0..mh{NumPerms-1} minhash columns — 64

@@ -6,7 +6,13 @@ import graft.GraftSession
 import graft.llm.MinHashLsh
 import graft.sources.Tables
 
-/** Scratch profiler: per-stage cost of jaccardJoin at a given sf dir. */
+/** Scratch profiler: per-stage cost of jaccardJoin at a given sf dir.
+  *
+  * NOTE: the stage pipeline below is a SNAPSHOT of
+  * [[MinHashLsh.jaccardJoinFromSets]]'s internals (copied so each stage
+  * can be materialized separately) — if the production filter stack
+  * changes, re-sync this copy before trusting its per-stage numbers.
+  * The `full jaccardJoin` timing always runs the real implementation. */
 object ProfJaccard {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder(master = "local[32]",
