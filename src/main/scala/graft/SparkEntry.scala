@@ -536,6 +536,15 @@ object SparkEntry {
         4, 5)
     }),
 
+    // The composed training-corpus pipeline: quality filter -> exact
+    // dedup (min-id survivor per fingerprint) -> minhash near-dup
+    // clusters -> per-cluster survivor. End-to-end oracle.
+    "q40_corpus_pipeline" -> ((s, dir) => {
+      import graft.jobs.CorpusPipeline
+      CorpusPipeline.run(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -649,8 +658,8 @@ object SparkEntry {
   // ---- LLM-pipeline DuckDB fragments ----
   /** Word-bigram shingle CTEs over `documents`: w (tokens) → sh (exploded
     * distinct shingles). */
-  private val dShingleCtes =
-    """w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+  private def dShingleCtes(from: String = "documents") =
+    s"""w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM $from),
       |sh AS (
       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
       |    THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]))
@@ -1040,13 +1049,13 @@ object SparkEntry {
     // jaccard >= 0.8 is deterministic-complete on this data — so the exact
     // ground truth IS the oracle.
     "q20_dedup_minhash" ->
-      s"""WITH $dShingleCtes,
+      s"""WITH ${dShingleCtes()},
         |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
         |$dJaccardTail
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
 
     "q21_dedup_jaccard" ->
-      s"""WITH $dShingleCtes,
+      s"""WITH ${dShingleCtes()},
         |hh AS (SELECT doc_id, t AS h FROM sh),
         |$dJaccardTail
         |SELECT doc_a, doc_b, i AS n_shared, n_a, n_b, jaccard
@@ -1056,7 +1065,7 @@ object SparkEntry {
       import graft.llm.MinHashLsh.{P, aCoef, bCoef}
       val mins = (0 until 4).map(i =>
         s"min((${aCoef(i)} * h + ${bCoef(i)}) % $P) AS mh$i").mkString(",\n  ")
-      s"""WITH $dShingleCtes,
+      s"""WITH ${dShingleCtes()},
         |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % $P AS h FROM sh),
         |m AS (SELECT doc_id,
         |  $mins
@@ -1219,7 +1228,7 @@ object SparkEntry {
     // dedups, so the closure terminates) — valid ground truth because
     // the pair set at sf-scale is tiny.
     "q37_dedup_clusters" ->
-      s"""WITH RECURSIVE $dShingleCtes,
+      s"""WITH RECURSIVE ${dShingleCtes()},
         |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
         |$dJaccardTail,
         |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
@@ -1231,7 +1240,7 @@ object SparkEntry {
         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
 
     "q38_dedup_survivors" ->
-      s"""WITH RECURSIVE $dShingleCtes,
+      s"""WITH RECURSIVE ${dShingleCtes()},
         |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
         |$dJaccardTail,
         |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
@@ -1244,6 +1253,44 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin,
+
+    // The full pipeline mirrored stage-for-stage: quality >= 3 filter
+    // (the q24 quality arithmetic), ROW_NUMBER exact-dedup survivor per
+    // normalized fingerprint, then the q20 minhash-pair ground truth +
+    // q37 recursive closure over the EXACT-DEDUPED set, survivors out.
+    "q40_corpus_pipeline" -> {
+      import graft.llm.TextOps.Stopwords
+      val enList = Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE
+        |d0 AS (SELECT doc_id, text, n_chars, string_split_regex(text, '\\s+') AS toks FROM documents),
+        |tq AS (SELECT *, len(toks) AS nt,
+        |  round(len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text), 4) AS pr,
+        |  len(list_filter(toks, x -> x IN ($enList))) AS s_en
+        |  FROM d0),
+        |f AS (
+        |  SELECT doc_id, text, n_chars, md5($dNormText) AS fpr FROM tq
+        |  WHERE (CASE WHEN nt >= 20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN pr <= 0.1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN round(s_en*1.0/nt, 4) BETWEEN 0.05 AND 0.6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN len(regexp_replace(text,'\\s','','g'))*1.0/nt BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
+        |      >= 3),
+        |ex AS (SELECT doc_id, text, n_chars FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fpr ORDER BY doc_id) AS rn FROM f)
+        |  WHERE rn = 1),
+        |${dShingleCtes("ex")},
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
+        |$dJaccardTail,
+        |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT e.doc_id, CAST(e.n_chars AS BIGINT) AS n_chars
+        |FROM ex e
+        |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin
+    },
 
     // Exact ground truth over raw char 5-grams (the engine hashes them;
     // no collisions at sf scale, same contract as q21).

@@ -1,0 +1,42 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{DedupClusters, MinHashLsh, TextOps}
+
+/** End-to-end training-corpus preparation — the composed pipeline the
+  * individual LLM-data operators exist for:
+  *
+  *   1. QUALITY FILTER: drop documents scoring below `minQuality` on
+  *      [[TextOps.qualityScore]] (length / punctuation / stopword
+  *      density / token shape) — one native text_stats pass, no shuffle;
+  *   2. EXACT DEDUP: keep the lowest-id document per normalized-text
+  *      fingerprint (deterministic survivor choice) — one shuffle by
+  *      fingerprint;
+  *   3. NEAR DEDUP: minhash-LSH verified pairs over the survivors →
+  *      connected components → keep each cluster's minimum-id member
+  *      ([[DedupClusters.survivors]]).
+  *
+  * Stage order matters at scale: the cheap map-side quality filter runs
+  * FIRST so the shuffling stages see only surviving rows, and exact
+  * dedup runs before the (more expensive) near-dup candidate join.
+  * Output preserves the input schema — downstream training jobs consume
+  * it unchanged.
+  */
+object CorpusPipeline {
+
+  def run(docs: DataFrame, id: Column, text: Column,
+          minQuality: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val filtered = docs.where(TextOps.qualityScore(text) >= minQuality)
+    val exact = filtered
+      .withColumn("_fp", TextOps.fingerprint(text))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_fp")).orderBy(id)))
+      .where(col("_rn") === 1)
+      .drop("_fp", "_rn")
+    val pairs = MinHashLsh.verifiedPairs(exact, id, text, threshold)
+    DedupClusters.survivors(exact, id, pairs)
+  }
+}
