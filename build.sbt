@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: on this host G1's concurrent machinery spends
+  // ~95% of wall-clock in kernel time (futex storms) under the 32-thread
+  // batch workloads; ParallelGC measured 2.2x faster end-to-end on the
+  // GA-pipeline scale bench (27.8s vs 60-98s per 1M hits) and is the
+  // classic choice for throughput-bound batch analytics.
+  "-XX:+UseParallelGC",
 )
