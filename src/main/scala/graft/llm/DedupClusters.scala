@@ -37,8 +37,14 @@ object DedupClusters {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // Initialize with propagation round 1 already applied: label(v) =
+    // min(v, neighbors(v)) in the same aggregation that discovers the
+    // node set. Dedup components are near-cliques, so this init is
+    // usually already the fixpoint and the loop below runs once, only to
+    // confirm convergence.
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("doc_id"), col("label"))
       .localCheckpoint(true)
     var metric = labels.agg(sum(col("label").cast("decimal(28,0)"))).head.getDecimal(0)
     var iter = 0
