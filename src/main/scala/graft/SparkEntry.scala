@@ -536,6 +536,26 @@ object SparkEntry {
         4, 5)
     }),
 
+    // AS-OF join (union + running last-non-null over ONE key shuffle —
+    // Spark has no built-in): each non-purchase event gets the same
+    // user's latest purchase at-or-before its timestamp. Oracle = the
+    // genuine DuckDB ASOF LEFT JOIN operator.
+    "q41_asof_join" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("last_purchase_id"))
+        .withColumn("last_purchase_ts", unix_millis(col("ts")))
+      AsOfJoin.asofJoin(left, right, "user_id", "ts",
+        Seq("last_purchase_id", "last_purchase_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("last_purchase_id"), col("last_purchase_ts"))
+    }),
+
     // The composed training-corpus pipeline: quality filter -> exact
     // dedup (min-id survivor per fingerprint) -> minhash near-dup
     // clusters -> per-cluster survivor. End-to-end oracle.
@@ -1253,6 +1273,17 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin,
+
+    "q41_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, MAX(event_id) AS last_purchase_id,
+        |         epoch_ms(ts) AS last_purchase_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |       r.last_purchase_id, r.last_purchase_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     // The full pipeline mirrored stage-for-stage: quality >= 3 filter
     // (the q24 quality arithmetic), ROW_NUMBER exact-dedup survivor per

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left AS-OF join — attach to every left row the latest right row with
+  * `rightTs <= leftTs` for the same key (the time-series join Spark has
+  * no built-in operator for; DuckDB/kdb call it ASOF JOIN).
+  *
+  * Composed from built-ins, per the engine's custom-operator preference
+  * order (compose > custom plan): UNION both sides tagged with a side
+  * marker, hash-shuffle ONCE by key, sort within the partition by
+  * (ts, side) — right rows first at equal timestamps, so ties are
+  * INCLUSIVE — and carry the right payload forward with
+  * `last(_, ignoreNulls)` over the running window; keep the left rows.
+  * No range crossJoin, no per-key collect: one exchange at any scale,
+  * and AQE handles skewed keys like any other window.
+  *
+  * Determinism contract: right rows must be UNIQUE per (key, ts) —
+  * aggregate the right side first (e.g. `groupBy(key, ts).agg(max(...))`)
+  * or the carried payload at duplicate timestamps is order-dependent.
+  * Payload column names must not collide with left columns.
+  */
+object AsOfJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, ts: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(payload.forall(right.columns.contains),
+      s"right side is missing payload columns: ${payload.filterNot(right.columns.contains).mkString(", ")}")
+    require(!payload.exists(left.columns.contains),
+      s"payload names collide with left columns: ${payload.filter(left.columns.contains).mkString(", ")}")
+    val rightTypes = payload.map(p => p -> right.schema(p).dataType).toMap
+    val lNorm = left.select(
+      left.columns.map(col) ++
+        payload.map(p => lit(null).cast(rightTypes(p)).as(p)) :+
+        lit(1).as("_side"): _*)
+    val rNorm = right.select(
+      left.columns.map(c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col) :+
+        lit(0).as("_side"): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rNorm)
+      .select(
+        left.columns.map(col) ++
+          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)) :+
+          col("_side"): _*)
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
+}
