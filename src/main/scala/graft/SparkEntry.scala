@@ -536,6 +536,30 @@ object SparkEntry {
         4, 5)
     }),
 
+    // Exact per-group percentiles (bit-identical interpolation to
+    // DuckDB's quantile_cont, probed at every sf). Exactness buffers the
+    // group's values — fine for bounded-cardinality columns; at 100 TB
+    // on unbounded doubles use approx_percentile (same call shape) and
+    // accept rows-only checking.
+    "q42_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Deterministic md5-bucket train/val/test assignment — stable across
+    // runs/partitionings/tables (no rand()), leak-free by construction.
+    "q43_hash_split" -> ((s, dir) => {
+      import graft.llm.Splits
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Splits.md5Bucket(col("doc_id")).as("bucket"),
+        Splits.split(col("doc_id")).as("split"))
+    }),
+
     // AS-OF join (union + running last-non-null over ONE key shuffle —
     // Spark has no built-in): each non-purchase event gets the same
     // user's latest purchase at-or-before its timestamp. Oracle = the
@@ -1273,6 +1297,22 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q43_hash_split" -> {
+      val b = dMd5Long("doc_id::VARCHAR") + " % 100"
+      s"""SELECT doc_id, $b AS bucket,
+        |  CASE WHEN $b < 80 THEN 'train'
+        |       WHEN $b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin
+    },
 
     "q41_asof_join" ->
       """WITH l AS (

@@ -189,6 +189,22 @@ class LlmTextSpec extends SparkTestBase {
     }
   }
 
+  test("hash split is deterministic, id-consistent across tables, roughly weighted") {
+    import graft.llm.Splits
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = docs.select(col("doc_id"), Splits.split(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    // same ids through a DIFFERENT table shape -> identical assignment
+    val b = docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), Splits.split(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train=${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03)
+  }
+
   test("language ID votes stopwords; unknown when none hit") {
     val out = Seq(
       "the cat is on the mat and it is warm",
