@@ -257,12 +257,21 @@ object MinHashLsh {
     // trip is gone (and at scale dfreq has one row per distinct shingle,
     // so it never broadcasts anyway). Document size n then rides the SAME
     // doc_id window partitioning as the prefix rank.
-    val prefix = tok
+    val prefix0 = tok
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixLen)
       .select("doc_id", "h", "rn", "n")
+    // The candidate join reads the prefix index TWICE (l/r sides) and the
+    // self-join's attribute dedup defeats exchange reuse — without the
+    // persist, both window pipelines run twice (measured in the q39
+    // plan: two full Exchange+Window chains, zero ReusedExchange). The
+    // index is small by construction: ~(1-p/q)·|tok| rows of 4 fixed
+    // columns.
+    val prefix = if (cacheSets)
+      prefix0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else prefix0
     val l = prefix.toDF("doc_a", "h", "rn_a", "n_a")
     val r = prefix.toDF("doc_b", "h", "rn_b", "n_b")
     // alpha = ceil(p*(n_a+n_b)/(p+q)), integer-exact
