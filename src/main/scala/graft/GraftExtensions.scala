@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, longLit(children(1), "char_ngram_hash_set n").toInt)
       }))
     ext.injectFunction((
+      FunctionIdentifier("rep_stats"),
+      new ExpressionInfo(classOf[RepStatsExpr].getName, "rep_stats"),
+      (children: Seq[Expression]) => RepStatsExpr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => SortedIntersectSizeExpr(children(0), children(1))))

@@ -536,6 +536,20 @@ object SparkEntry {
         4, 5)
     }),
 
+    // Gopher-style repetition quality signals — characters covered by
+    // the most-covering word 2-/3-gram and by duplicated lines, per doc
+    // (cover maxima are scalars, so gram ties can't make the result
+    // ambiguous).
+    "q44_repetition" -> ((s, dir) => {
+      import graft.llm.TextOps
+      val st = TextOps.repStats(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        st.getField("top2_cover").cast("long").as("top2_cover"),
+        st.getField("top3_cover").cast("long").as("top3_cover"),
+        st.getField("dup_line_chars").cast("long").as("dup_line_chars"))
+    }),
+
     // Exact per-group percentiles (bit-identical interpolation to
     // DuckDB's quantile_cont, probed at every sf). Exactness buffers the
     // group's values — fine for bounded-cardinality columns; at 100 TB
@@ -1297,6 +1311,25 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin,
+
+    "q44_repetition" ->
+      """WITH w AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)), i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+        |c2 AS (SELECT doc_id, MAX(cnt * len(g)) AS cover
+        |       FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM w),
+        |c3 AS (SELECT doc_id, MAX(cnt * len(g)) AS cover
+        |       FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents),
+        |dl AS (SELECT doc_id, SUM(CASE WHEN cnt >= 2 THEN cnt * len(l) ELSE 0 END) AS dup
+        |       FROM (SELECT doc_id, l, COUNT(*) AS cnt FROM ln GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(c2.cover, 0) AS BIGINT) AS top2_cover,
+        |  CAST(COALESCE(c3.cover, 0) AS BIGINT) AS top3_cover,
+        |  CAST(COALESCE(dl.dup, 0) AS BIGINT) AS dup_line_chars
+        |FROM documents d
+        |LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |LEFT JOIN dl USING (doc_id)""".stripMargin,
 
     "q42_percentiles" ->
       """SELECT event_type,

@@ -91,6 +91,13 @@ object TextOps {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
 
+  /** Gopher/C4-style repetition signals in one native pass
+    * ([[graft.expressions.RepStatsExpr]]): struct(top2_cover,
+    * top3_cover, dup_line_chars) — characters covered by the
+    * most-covering word 2-/3-gram and by duplicated lines. Ratios are
+    * cover / length(text) at the call site. */
+  def repStats(text: Column): Column = call_function("rep_stats", text)
+
   /** Rabin–Karp polynomial rolling hash of the whole text:
     * h = ((c1*B + c2)*B + c3)... mod P over the code points, one native
     * pass ([[graft.expressions.RollingHashExpr]]). Empty/null text → 0. */

@@ -189,6 +189,50 @@ class LlmTextSpec extends SparkTestBase {
     }
   }
 
+  test("native rep_stats equals the explode+groupBy formulation") {
+    import graft.llm.TextOps
+    val docs = edgeDocs
+      .unionByName(Seq(
+        (900010L, "a b a b a b c"),            // "a b" x3 covers 9 chars
+        (900011L, "line one\nline one\nother") // duplicated line
+      ).toDF("doc_id", "text"))
+      .where(col("text").isNotNull)
+    // independent reference: explode n-grams / lines, count, aggregate
+    def cover(n: Int) = {
+      val ws = split(col("text"), "\\s+")
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+      docs.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(max(col("count") * length(col("g"))).cast("int").as(s"c$n"))
+    }
+    val dupLines = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("l"))
+      .groupBy("doc_id", "l").count()
+      .groupBy("doc_id")
+      .agg(sum(when(col("count") >= 2, col("count") * length(col("l")))
+        .otherwise(0)).cast("int").as("dl"))
+    val expect = docs.select(col("doc_id"))
+      .join(cover(2), Seq("doc_id"), "left")
+      .join(cover(3), Seq("doc_id"), "left")
+      .join(dupLines, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c2"), lit(0)).as("c2"),
+        coalesce(col("c3"), lit(0)).as("c3"), coalesce(col("dl"), lit(0)).as("dl"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val native = docs.select(col("doc_id"), TextOps.repStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.top2_cover"), col("st.top3_cover"),
+        col("st.dup_line_chars"))
+      .as[(Long, Int, Int, Int)].collect()
+    assert(native.nonEmpty)
+    native.foreach { case (id, a, b, c) =>
+      assert(expect(id) == ((a, b, c)), s"doc $id: native=($a,$b,$c) expect=${expect(id)}")
+    }
+  }
+
   test("hash split is deterministic, id-consistent across tables, roughly weighted") {
     import graft.llm.Splits
     val docs = graft.sources.Tables.documents(spark, sf)
