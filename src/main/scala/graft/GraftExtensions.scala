@@ -38,35 +38,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),
-      (children: Seq[Expression]) => MinHashBandKeysExpr(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "minhash_band_keys(<arg>)")
+        MinHashBandKeysExpr(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("cosine_d"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_d"),
-      (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity(children, 2, 2, "cosine_d(a, b)")
+        CosineSimExpr(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_bigrams"),
       new ExpressionInfo(classOf[WordBigramsExpr].getName, "word_bigrams"),
-      (children: Seq[Expression]) => WordBigramsExpr(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "word_bigrams(<arg>)")
+        WordBigramsExpr(children.head)
+      }))
     // rolling_hash(text[, b, p]) — base/modulus as literals
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHashExpr(
+      (children: Seq[Expression]) => {
+        arity(children, 3, 1, "rolling_hash(text[, b, p])")
+        RollingHashExpr(
         children.head,
         if (children.length > 1) longLit(children(1), "rolling_hash base") else 31L,
-        if (children.length > 2) longLit(children(2), "rolling_hash modulus") else 2147483647L)))
+        if (children.length > 2) longLit(children(2), "rolling_hash modulus") else 2147483647L)
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
-      (children: Seq[Expression]) => SimHash60Expr(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "simhash60(<arg>)")
+        SimHash60Expr(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("shingle_hash_set"),
       new ExpressionInfo(classOf[ShingleHashSetExpr].getName, "shingle_hash_set"),
-      (children: Seq[Expression]) => ShingleHashSetExpr(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "shingle_hash_set(<arg>)")
+        ShingleHashSetExpr(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("lsh_sigs"),
       new ExpressionInfo(classOf[LshSigsExpr].getName, "lsh_sigs"),
-      (children: Seq[Expression]) => LshSigsExpr(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "lsh_sigs(<arg>)")
+        LshSigsExpr(children.head)
+      }))
     // char_ngram_hash_set(text, n) — n as a constant integer
     ext.injectFunction((
       FunctionIdentifier("char_ngram_hash_set"),
@@ -79,15 +100,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("rep_stats"),
       new ExpressionInfo(classOf[RepStatsExpr].getName, "rep_stats"),
-      (children: Seq[Expression]) => RepStatsExpr(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "rep_stats(<arg>)")
+        RepStatsExpr(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
-      (children: Seq[Expression]) => SortedIntersectSizeExpr(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity(children, 2, 2, "sorted_intersect_size(a, b)")
+        SortedIntersectSizeExpr(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
-      (children: Seq[Expression]) => TextStatsExpr(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "text_stats(<arg>)")
+        TextStatsExpr(children.head)
+      }))
     // top_cells(embedding, centroids, n_probe) — the centroid matrix is
     // runtime data, passed as any foldable array<array<double>>
     // expression (a typedLit literal or a SQL array(array(...))
@@ -103,8 +133,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         val cents =
           if (children(1).foldable && isDoubleMatrix) {
-            val arr = children(1).eval().asInstanceOf[ArrayData]
-            (0 until arr.numElements()).map(i => arr.getArray(i).toDoubleArray()).toArray
+            children(1).eval() match {
+              case arr: ArrayData =>
+                (0 until arr.numElements()).map(i => arr.getArray(i).toDoubleArray()).toArray
+              case _ => throw new IllegalArgumentException(
+                "top_cells centroids must not be NULL")
+            }
           } else throw new IllegalArgumentException(
             s"top_cells centroids must be a constant array<array<double>>, got ${children(1)}")
         TopCellsExpr(children(0), cents, longLit(children(2), "top_cells nProbe").toInt)

@@ -543,11 +543,13 @@ object SparkEntry {
     "q44_repetition" -> ((s, dir) => {
       import graft.llm.TextOps
       val st = TextOps.repStats(col("text"))
+      // null text → 0 signals, matching the oracle's LEFT JOIN+COALESCE
+      // (a null-text doc has no grams and no lines on either side)
       Tables.documents(s, dir).select(
         col("doc_id"),
-        st.getField("top2_cover").cast("long").as("top2_cover"),
-        st.getField("top3_cover").cast("long").as("top3_cover"),
-        st.getField("dup_line_chars").cast("long").as("dup_line_chars"))
+        coalesce(st.getField("top2_cover"), lit(0)).cast("long").as("top2_cover"),
+        coalesce(st.getField("top3_cover"), lit(0)).cast("long").as("top3_cover"),
+        coalesce(st.getField("dup_line_chars"), lit(0)).cast("long").as("dup_line_chars"))
     }),
 
     // Exact per-group percentiles (bit-identical interpolation to

@@ -29,6 +29,10 @@ object CorpusPipeline {
 
   def run(docs: DataFrame, id: Column, text: Column,
           minQuality: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // the scratch columns below would silently swallow same-named input
+    // columns, violating the schema-preserving contract
+    require(!docs.columns.contains("_fp") && !docs.columns.contains("_rn"),
+      "input must not contain the reserved columns _fp / _rn")
     val filtered = docs.where(TextOps.qualityScore(text) >= minQuality)
     val exact = filtered
       .withColumn("_fp", TextOps.fingerprint(text))

@@ -31,25 +31,35 @@ object AsOfJoin {
       s"right side is missing payload columns: ${payload.filterNot(right.columns.contains).mkString(", ")}")
     require(!payload.exists(left.columns.contains),
       s"payload names collide with left columns: ${payload.filter(left.columns.contains).mkString(", ")}")
-    val rightTypes = payload.map(p => p -> right.schema(p).dataType).toMap
+    // The payload travels as ONE struct: `last(_, ignoreNulls)` then
+    // skips rows, not fields — a NULL payload VALUE in the latest right
+    // row is faithfully returned as null (a per-field last would fall
+    // through to a staler row, and could stitch fields from different
+    // right rows into one that never existed).
+    val payStruct = struct(payload.map(col): _*)
+    val payType = org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(
+        p, right.schema(p).dataType, nullable = true)))
     val lNorm = left.select(
-      left.columns.map(col) ++
-        payload.map(p => lit(null).cast(rightTypes(p)).as(p)) :+
+      left.columns.map(col) :+
+        lit(null).cast(payType).as("_pay") :+
         lit(1).as("_side"): _*)
-    val rNorm = right.select(
+    // right rows with a NULL timestamp match nothing (SQL `l.ts >= NULL`
+    // is never true); without the filter they'd sort nulls-first and
+    // match EVERY left row of the key
+    val rNorm = right.where(col(ts).isNotNull).select(
       left.columns.map(c =>
         if (c == key || c == ts) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col) :+
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payStruct.as("_pay") :+
         lit(0).as("_side"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lNorm.unionByName(rNorm)
-      .select(
-        left.columns.map(col) ++
-          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)) :+
-          col("_side"): _*)
+    val joined = lNorm.unionByName(rNorm)
+      .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .drop("_side")
+    joined.select(
+      left.columns.map(col) ++
+        payload.map(p => col("_pay").getField(p).as(p)): _*)
   }
 }

@@ -28,6 +28,26 @@ class AsOfJoinSpec extends SparkTestBase {
       5L -> None))       // no right rows for the key
   }
 
+  test("a NULL payload value in the latest right row is returned, not skipped") {
+    val left = Seq((1L, 10L, 300L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 100L, Some(7L)),
+      (10L, 200L, None) // the LATEST matching row — its null must win
+    ).toDF("user_id", "ts", "pid")
+    val out = AsOfJoin.asofJoin(left, right, "user_id", "ts", Seq("pid"))
+      .select("pid").as[Option[Long]].collect().toSeq
+    assert(out == Seq(None),
+      "per-field last(ignoreNulls) would leak the stale pid=7")
+  }
+
+  test("right rows with NULL timestamps match nothing") {
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, Option.empty[Long], 9L)).toDF("user_id", "ts", "pid")
+    val out = AsOfJoin.asofJoin(left, right, "user_id", "ts", Seq("pid"))
+      .select("pid").as[Option[Long]].collect().toSeq
+    assert(out == Seq(None), "l.ts >= NULL is never true")
+  }
+
   test("matches DuckDB-style semantics over testdata purchases") {
     val ev = graft.sources.Tables.events(spark, sf)
     val left = ev.filter(col("event_type") =!= "purchase")
