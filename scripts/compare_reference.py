@@ -46,11 +46,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df["visitNumber"] = df["visitNumber"].astype("int64")
     df["visitStartTime"] = df["visitStartTime"].astype("int64")
     df["date"] = df["date"].astype("int64")
-    # graft serializes the path as a '|'-joined string (the driver's oracle
-    # compare can't hash array cells); the reference yields a list — map
-    # both to the same string form.
+    # graft serializes the path as a string (the driver's oracle compare
+    # can't hash array cells); the reference yields a list — map both to
+    # the same string form. \x01 separator: a GA source value may itself
+    # contain '|', which would make distinct paths compare equal.
     df["touchpoints"] = df["touchpoints"].map(
-        lambda v: None if v is None else (v if isinstance(v, str) else "|".join(v)))
+        lambda v: None if v is None else (v if isinstance(v, str) else "\x01".join(v)))
     df["totals_transactionRevenue"] = df["totals_transactionRevenue"].map(
         lambda v: None if v is None or v == "" else v)
     return df.sort_values(["fullVisitorId", "visitNumber"]).reset_index(drop=True)

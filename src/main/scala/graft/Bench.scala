@@ -45,12 +45,16 @@ object Bench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // per-query isolation: queries that persist internal tables (e.g.
-      // q20's minhash sets) must not leak cached state into later timings
-      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        // per-query isolation: queries that persist internal tables must
+        // not leak cached state into later timings. Inside the try: an
+        // exception here must record a query failure, not kill the run
+        // (the r3 bench died at this line outside any handler).
+        try {
+          spark.catalog.clearCache()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors ::= name

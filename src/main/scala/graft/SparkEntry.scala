@@ -292,8 +292,13 @@ object SparkEntry {
         col("landingPage"),
         // The driver's oracle compare hashes pandas values; array cells are
         // unhashable there, so serialize the touchpoint paths to strings.
-        array_join(col("touchpoints"), "|").as("touchpoints"),
-        array_join(col("touchpoints_wo_direct"), "|").as("touchpoints_wo_direct"),
+        // \u0001 separator: GA source strings are arbitrary and may
+        // contain '|', which would make distinct paths serialize
+        // identically (round-3 advice); control chars can't survive a URL
+        // query-string parse, so \u0001 is collision-free here. Mirrored
+        // as chr(1) in the oracle SQL and \x01 in compare_reference.py.
+        array_join(col("touchpoints"), "\u0001").as("touchpoints"),
+        array_join(col("touchpoints_wo_direct"), "\u0001").as("touchpoints_wo_direct"),
         col("first_touchpoint"), col("last_touchpoint"))
     }),
 
@@ -1001,8 +1006,8 @@ object SparkEntry {
         |SELECT p.fullVisitorId, visitId, visitNumber, visitStartTime, "date",
         |  trafficSource_source, trafficSource_medium, trafficSource_campaign,
         |  totals_transactionRevenue, landingPage,
-        |  array_to_string(touchpoints, '|') AS touchpoints,
-        |  COALESCE(array_to_string(list_filter(touchpoints, x -> x <> '(direct)'), '|'), '') AS touchpoints_wo_direct,
+        |  array_to_string(touchpoints, chr(1)) AS touchpoints,
+        |  COALESCE(array_to_string(list_filter(touchpoints, x -> x <> '(direct)'), chr(1)), '') AS touchpoints_wo_direct,
         |  first_touchpoint,
         |  COALESCE(list_filter(touchpoints, x -> x <> '(direct)')[-1], '(direct)') AS last_touchpoint
         |FROM p JOIN tp ON p.fullVisitorId = tp.fullVisitorId""".stripMargin,

@@ -80,6 +80,11 @@ object TopCells {
               norms: Array[Double], nProbe: Int): ArrayData = {
     val nCells = cents.length
     val n = emb.numElements()
+    // A dimension-mismatched embedding gets NO cells (empty array → the
+    // vector drops out of the candidate explode) instead of a plausible-
+    // looking ranking over the common prefix — the mismatch case is
+    // defined explicitly, like LshSigs (round-3 advice).
+    if (nCells == 0 || n != cents(0).length) return new GenericArrayData(new Array[Any](0))
     val e = new Array[Double](n)
     var d = 0
     while (d < n) {
@@ -91,10 +96,9 @@ object TopCells {
     var i = 0
     while (i < nCells) {
       val c = cents(i)
-      val m = math.min(n, c.length)
       var dot = 0.0
       var j = 0
-      while (j < m) { dot += e(j) * c(j); j += 1 }
+      while (j < n) { dot += e(j) * c(j); j += 1 }
       ns(i) = -(dot / norms(i))
       idx(i) = i
       i += 1

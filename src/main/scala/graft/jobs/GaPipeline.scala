@@ -335,17 +335,19 @@ object GaPipeline {
 
   /** S2 — session-history parquet scan with empty-DF fallback
     * (load_session, main.py:317-327). */
-  def loadHistory(spark: SparkSession, path: String): DataFrame =
-    try {
-      val df = spark.read.schema(touchpointSessionSchema).parquet(path)
-      df.head(1) // force existence check
-      df
-    } catch {
-      case _: Throwable =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          touchpointSessionSchema)
-    }
+  def loadHistory(spark: SparkSession, path: String): DataFrame = {
+    // explicit existence probe, not try-read: a thrown-and-caught
+    // AnalysisException still gets stack-logged by Spark, and that noise
+    // lands in harness logs as spurious [error] lines
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.schema(touchpointSessionSchema).parquet(path)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        touchpointSessionSchema)
+  }
 
   /** The persisted session schema = P2's 43 columns + 4 touchpoint columns
     * (47 total; main.py:84-132). Derived from GaSchemas.sessionSchema but

@@ -82,10 +82,17 @@ object DedupClusters {
     * component computation, so the anti-join is against the (small)
     * duplicate set, not the corpus. */
   def survivors(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    // Join on a reserved scratch name, dropped before returning: a
+    // `withColumn("doc_id", id)` would silently overwrite any unrelated
+    // doc_id column when the caller's id is some OTHER expression,
+    // changing the output schema (round-3 advice).
+    require(!docs.columns.contains("_graft_id"),
+      "input must not contain the reserved column _graft_id")
     val drop = components(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
-    docs.withColumn("doc_id", id)
-      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("_graft_id"))
+    docs.withColumn("_graft_id", id)
+      .join(drop, Seq("_graft_id"), "left_anti")
+      .drop("_graft_id")
   }
 }

@@ -155,9 +155,16 @@ object MinHashLsh {
     * (1.4 s vs 3.6 s warm at sf0.1; tools/ProfDedup). The earlier
     * default-off measurement that found caching slower was taken at 4
     * cores, where the cache barrier serialized stages that had idle CPUs
-    * to run on; with realistic parallelism total work dominates. Pass
-    * false only for tiny core counts; callers that loop over many inputs
-    * should clearCache() between runs. */
+    * to run on; with realistic parallelism total work dominates.
+    *
+    * Lifecycle: with `cacheSets` the (small) result is EAGERLY
+    * materialized via `localCheckpoint` and the intermediate cache is
+    * unpersisted before returning — nothing lingers in the CacheManager
+    * across invocations (round-3 advice), and the checkpointed blocks
+    * are GC-managed. Downstream consumers that scan the pairs twice
+    * (e.g. [[DedupClusters.components]]'s edge union) re-read those
+    * blocks instead of recomputing the whole LSH DAG. Pass false for a
+    * fully lazy, composable plan. */
   def verifiedPairs(docs: DataFrame, id: Column, text: Column,
                     threshold: Double, cacheSets: Boolean = true,
                     nativeBands: Boolean = true): DataFrame = {
@@ -172,7 +179,7 @@ object MinHashLsh {
     val r = banded.toDF("doc_b", "band", "key")
     val cands = l.join(r, Seq("band", "key")).where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cands
+    val result = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       // hs is sorted ascending (ShingleHashSetExpr invariant) — merge-
@@ -184,6 +191,11 @@ object MinHashLsh {
           (size(col("ha")) + size(col("hb")) - col("n_shared")), 4))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    if (cacheSets) {
+      val out = result.localCheckpoint(eager = true)
+      sets.unpersist()
+      out
+    } else result
   }
 
   /** Exact all-pairs Jaccard similarity join with the PPJoin filter stack
@@ -233,7 +245,7 @@ object MinHashLsh {
     // Persisted by default: it feeds three branches (the token index and
     // both verification sides), it is small (one long per distinct
     // shingle), and recomputing it costs an md5 per (doc, shingle) per
-    // branch. Callers that loop over inputs should clearCache().
+    // branch. Unpersisted before returning (see the tail of this method).
     val sets = if (cacheSets)
       sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sets0
@@ -281,7 +293,7 @@ object MinHashLsh {
         col("n_b") * q >= col("n_a") * p && col("n_a") * q >= col("n_b") * p &&
         least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1 >= alpha)
       .select("doc_a", "doc_b").distinct()
-    cand
+    val result = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .withColumn("n_shared",
@@ -292,5 +304,14 @@ object MinHashLsh {
         (col("n_a") + col("n_b") - col("n_shared")), 4))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "jaccard")
+    // Same lifecycle as verifiedPairs: materialize the small result,
+    // then release BOTH cached intermediates — no persisted state
+    // outlives the call (round-3 advice).
+    if (cacheSets) {
+      val out = result.localCheckpoint(eager = true)
+      prefix.unpersist()
+      sets.unpersist()
+      out
+    } else result
   }
 }

@@ -31,6 +31,11 @@ object AsOfJoin {
       s"right side is missing payload columns: ${payload.filterNot(right.columns.contains).mkString(", ")}")
     require(!payload.exists(left.columns.contains),
       s"payload names collide with left columns: ${payload.filter(left.columns.contains).mkString(", ")}")
+    // The scratch columns below would silently clobber same-named input
+    // columns (withColumn/select replace by name) — wrong output, no error.
+    val scratch = Seq("_pay", "_side")
+    require(!scratch.exists(c => left.columns.contains(c) || right.columns.contains(c)),
+      s"input columns collide with asofJoin scratch names: ${scratch.filter(c => left.columns.contains(c) || right.columns.contains(c)).mkString(", ")}")
     // The payload travels as ONE struct: `last(_, ignoreNulls)` then
     // skips rows, not fields — a NULL payload VALUE in the latest right
     // row is faithfully returned as null (a per-field last would fall

@@ -53,7 +53,12 @@ class PlanSpec extends SparkTestBase {
 
   test("q21 jaccard join stays within its shuffle budget") {
     uncached {
-      val plan = SparkEntry.queries("q21_dedup_jaccard")(spark, sf)
+      // cacheSets=false: the default path eagerly checkpoints the result
+      // (its plan is an opaque RDD scan) — the lazy variant exposes the
+      // full logical shape this budget is about
+      val plan = graft.llm.MinHashLsh.jaccardJoin(
+        graft.sources.Tables.documents(spark, sf),
+        col("doc_id"), col("text"), 4, 5, cacheSets = false)
         .queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
       // df window (by h), prefix window (by doc_id), candidate self-join

@@ -131,6 +131,18 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("top_cells on a dimension-mismatched embedding yields no cells") {
+    val cents = Similarity.centroidSeq(vecs, Similarity.IvfCells)
+    // a malformed (truncated) vector must NOT get a plausible-looking
+    // prefix ranking — the mismatch case is defined as empty (round-3
+    // advice)
+    val out = vecs.limit(5)
+      .select(Similarity.topCells(
+        slice(col("embedding"), 1, 3), cents, Similarity.IvfProbe).as("cells"))
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getSeq[Int](0).isEmpty))
+  }
+
   test("LSH candidates are a subset of the full space and rerank is exact") {
     val lsh = Similarity.lshTopK(vecs, col("vec_id") < 5, 5)
       .select("query_id", "neighbor_id", "cosine")
