@@ -167,8 +167,19 @@ object MinHashLsh {
     * fully lazy, composable plan. */
   def verifiedPairs(docs: DataFrame, id: Column, text: Column,
                     threshold: Double, cacheSets: Boolean = true,
+                    nativeBands: Boolean = true): DataFrame =
+    pairsFromSets(hashSets(docs, id, text), threshold, cacheSets, nativeBands)
+
+  /** [[verifiedPairs]] over ANY precomputed (doc_id, hs) table — the
+    * shared entry point for composed pipelines (clusters, survivors,
+    * corpus prep) that need the SAME verified pair set more than once:
+    * compute `hashSets` once, feed this, and reuse the eagerly
+    * checkpointed result, instead of rebuilding the whole LSH DAG per
+    * consumer. Contract on `hs` matches [[jaccardJoinFromSets]]: the
+    * sorted-distinct mod-P hash set at the caller's granularity. */
+  def pairsFromSets(sets0: DataFrame, threshold: Double,
+                    cacheSets: Boolean = true,
                     nativeBands: Boolean = true): DataFrame = {
-    val sets0 = hashSets(docs, id, text)
     val sets = if (cacheSets)
       sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sets0
@@ -264,13 +275,17 @@ object MinHashLsh {
     // (operands are far below 2^53, so the floor is exact).
     def intDiv(x: Column, d: Int): Column = floor(x / d).cast("long")
     val prefixLen = col("n") - intDiv(col("n") * p + (q - 1), q) + 1
-    // document frequency as a WINDOW over h — same shuffle key as the
-    // round-2 groupBy(h)+join-back, minus the join: the df table round-
-    // trip is gone (and at scale dfreq has one row per distinct shingle,
-    // so it never broadcasts anyway). Document size n then rides the SAME
+    // Document frequency via a map-side-combinable groupBy(h) + join-back,
+    // NOT count().over(Window.partitionBy(h)): WindowExec has no partial
+    // aggregation, so a hot shingle (a stop-bigram present in 10^8 docs)
+    // would serialize every one of its rows into ONE task. AQE can
+    // skew-split a sort-merge join; it cannot split a window. The
+    // round-trip costs one extra exchange at small scale and removes the
+    // unbounded straggler at large scale. Document size n rides the SAME
     // doc_id window partitioning as the prefix rank.
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix0 = tok
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .join(dfreq, Seq("h"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixLen)

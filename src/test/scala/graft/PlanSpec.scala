@@ -56,16 +56,40 @@ class PlanSpec extends SparkTestBase {
       // cacheSets=false: the default path eagerly checkpoints the result
       // (its plan is an opaque RDD scan) — the lazy variant exposes the
       // full logical shape this budget is about
-      val plan = graft.llm.MinHashLsh.jaccardJoin(
+      val df = graft.llm.MinHashLsh.jaccardJoin(
         graft.sources.Tables.documents(spark, sf),
         col("doc_id"), col("text"), 4, 5, cacheSets = false)
-        .queryExecution.executedPlan.toString
+      val plan = df.queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-      // df window (by h), prefix window (by doc_id), candidate self-join
-      // (by h), pair distinct, verification joins — a regression
-      // reintroducing a dfreq groupBy+join round-trip or an exploded
-      // hash-set aggregation pushes this up
-      assert(exchanges <= 6, s"q21 grew to $exchanges hash exchanges")
+      // dfreq groupBy(h) + join-back, prefix window (by doc_id),
+      // candidate self-join (by h), pair distinct, verification joins —
+      // an exploded hash-set aggregation or a lost exchange reuse pushes
+      // this up
+      assert(exchanges <= 8, s"q21 grew to $exchanges hash exchanges")
+    }
+  }
+
+  test("jaccard join has no window partitioned by shingle hash (skew straggler)") {
+    uncached {
+      // WindowExec has no partial aggregation: a window keyed by the
+      // shingle hash h serializes every row of a hot shingle into one
+      // task. Document frequency must come from a map-side-combinable
+      // groupBy+join (AQE can skew-split a join, not a window). The only
+      // legal window partitioning in this plan is by doc_id (bounded by
+      // document size).
+      val df = graft.llm.MinHashLsh.jaccardJoin(
+        graft.sources.Tables.documents(spark, sf),
+        col("doc_id"), col("text"), 4, 5, cacheSets = false)
+      val badWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.exists {
+              case a: org.apache.spark.sql.catalyst.expressions.NamedExpression =>
+                a.name == "h"
+              case _ => false
+            } => w
+      }
+      assert(badWindows.isEmpty,
+        s"found ${badWindows.length} window(s) partitioned by shingle hash h")
     }
   }
 
