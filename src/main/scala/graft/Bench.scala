@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   *    consumes every row AND every column — unlike `count()`, which lets
   *    Catalyst prune the whole projection away and under-measures scan +
   *    project cost (round-1 verdict finding).
+  *  - LOAD ROBUSTNESS (round-4 verdict): each query runs
+  *    SPARK_GRAFT_BENCH_ITERS times (default 3) and the per-query number
+  *    reported in `queries` is the MEDIAN; `queries_min` carries the
+  *    per-query minimum so a contended machine shows up as median >> min
+  *    instead of as a phantom regression. Iteration is outermost (pass
+  *    over all queries, repeat) so JIT/cache warmth is comparable across
+  *    queries, and SparkEntry memos are cleared per pass so shared
+  *    intermediates (q20 -> q37/q38) are re-measured each pass.
+  *  - GA-pipeline throughput at synthetic scale (round-4 verdict): the
+  *    151-row GA fixture measures plan latency, not engine throughput, so
+  *    the bench also runs the full GA pipeline on
+  *    SPARK_GRAFT_GA_SCALE_HITS (default 2,000,000) generated hits and
+  *    reports `ga_scale` {hits, sec, hits_per_sec}. Set 0 to skip.
   *  - Failures are NOT swallowed: a failing query records `-1` in the
   *    per-query map, is listed in `errors`, and flips the exit code to 1,
   *    so a regression can never look like a speedup.
@@ -17,6 +30,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val gaScaleHits = sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_HITS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -43,30 +58,61 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // the warmup dataset is throwaway — don't accumulate it in /tmp
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
-    var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    var errors = Set.empty[String]
+    for (_ <- 1 to iters) {
+      SparkEntry.clearMemos()
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
         // per-query isolation: queries that persist internal tables must
         // not leak cached state into later timings. Inside the try: an
         // exception here must record a query failure, not kill the run
         // (the r3 bench died at this line outside any handler).
         try {
           spark.catalog.clearCache()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        }
-        catch { case e: Throwable =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times(name) = (System.nanoTime() - t0) / 1e9 :: times.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name
-          false
+          errors += name
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"method":"noop-sink full materialization (r1 used count(), which pruned projections)","sf":"$sfDir"}""")
+    // upper-middle median: conservative for even counts, exact for odd
+    def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val med = names.map { case (n, _) =>
+      n -> times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0) }
+    val mins = names.map { case (n, _) =>
+      n -> times.get(n).filter(_.nonEmpty).map(_.min).getOrElse(-1.0) }
+    def jmap(kvs: Seq[(String, Double)]) =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // GA throughput at synthetic scale (same plan as tools/BenchGaScale)
+    val gaScaleJson =
+      if (gaScaleHits <= 0) "null"
+      else try {
+        spark.catalog.clearCache()
+        val visitors = math.max(1L, gaScaleHits / 50)
+        val hits = graft.tools.BenchGaScale.syntheticHits(spark, gaScaleHits, visitors)
+        val history = graft.jobs.GaPipeline.loadHistory(spark, "/nonexistent/_scale_hist")
+        val t0 = System.nanoTime()
+        val out = graft.jobs.GaPipeline.run(hits, history, "2019-09-23")
+        Seq(out.sessions, out.pageviews, out.events, out.products,
+          out.transactions, out.items)
+          .foreach(_.write.format("noop").mode("overwrite").save())
+        val secs = (System.nanoTime() - t0) / 1e9
+        f"""{"hits":$gaScaleHits,"sec":$secs%.2f,"hits_per_sec":${(gaScaleHits / secs).toLong}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
+        errors += "ga_scale"
+        "null"
+      }
+
+    val errJson = errors.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"ga_scale":$gaScaleJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min)","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -63,6 +63,13 @@ object SparkEntry {
       graft.llm.MinHashLsh.verifiedPairs(
         Tables.documents(s, dir), col("doc_id"), col("text"), threshold))
 
+  /** Drop all memoized intermediates. Bench calls this at the top of each
+    * iteration pass so repeated passes re-measure the real LSH cost
+    * (within one pass q20 -> q37/q38 sharing still applies, exactly as a
+    * composed production run would); checkpointed blocks are released by
+    * the ContextCleaner once unreferenced. */
+  def clearMemos(): Unit = pairsMemo.clear()
+
   // ---------------------------------------------------------------- events
   /** Events with `ts_ms` epoch millis added (shared base for W1-W3 ops). */
   private def eventsWithMs(s: SparkSession, dir: String): DataFrame =
