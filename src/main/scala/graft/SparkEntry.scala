@@ -101,6 +101,16 @@ object SparkEntry {
       .filter(!col("body_t").isin("adtiming", "timing"))
   }
 
+  /** Full daily pipeline over the enriched fixture (md5 visit ids so
+    * DuckDB can mirror the hash); shared by q16/q17/q45-q48. */
+  private def gaOutputs(s: SparkSession): graft.jobs.GaPipeline.Outputs = {
+    import graft.jobs.GaPipeline
+    val hits = Ingest.readEnrichedHits(s, GaEnriched)
+    GaPipeline.run(hits,
+      GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
+      idAlgo = "md5", persistExport = false)
+  }
+
   // --------------------------------------------------------------- queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 scan + A-agg: TPC-H Q1-style pricing summary (group-by aggregate,
@@ -267,8 +277,8 @@ object SparkEntry {
           countDistinct(col("body_cid")).as("n_visitors"))
     }),
 
-    // F3-F5 attribution over sessionized fixture hits: sessions per
-    // (source, medium, campaign).
+    // F3-F5+F8 attribution over sessionized fixture hits: sessions per
+    // (source, medium, campaign, is_true_direct).
     "q14_ga_attribution" -> ((s, _) => {
       val starts = gaFlagged(s).filter(col("is_new_session") === 1)
       val isNew = col("is_new_session")
@@ -276,7 +286,9 @@ object SparkEntry {
         Attribution.source(isNew, col("body_dl"), col("body_dr")).as("traffic_source"),
         Attribution.medium(isNew, col("body_dl"), col("body_dr")).as("traffic_medium"),
         Attribution.campaign(isNew, col("body_dl")).as("traffic_campaign"))
-        .groupBy(col("traffic_source"), col("traffic_medium"), col("traffic_campaign"))
+        .withColumn("is_true_direct", Attribution.isTrueDirect(col("traffic_source")))
+        .groupBy(col("traffic_source"), col("traffic_medium"),
+          col("traffic_campaign"), col("is_true_direct"))
         .agg(count(lit(1)).as("n_sessions"))
     }),
 
@@ -300,12 +312,7 @@ object SparkEntry {
     // P1+P2+A2+A3/A5+U1+P5: the full daily pipeline's multichannel sessions
     // table (md5 visit ids so DuckDB can mirror the hash).
     "q16_ga_sessions" -> ((s, _) => {
-      import graft.jobs.GaPipeline
-      val hits = Ingest.readEnrichedHits(s, GaEnriched)
-      val out = GaPipeline.run(hits,
-        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
-        idAlgo = "md5", persistExport = false)
-      out.sessions.select(
+      gaOutputs(s).sessions.select(
         col("fullVisitorId"), col("visitId"),
         col("visitNumber").cast("long").as("visitNumber"),
         col("visitStartTime"), col("date").cast("long").as("date"),
@@ -327,12 +334,7 @@ object SparkEntry {
     // P3 hit-table projection: pageviews with per-user hit numbering,
     // hour/minute derivations and page-path levels.
     "q17_ga_pageviews" -> ((s, _) => {
-      import graft.jobs.GaPipeline
-      val hits = Ingest.readEnrichedHits(s, GaEnriched)
-      val out = GaPipeline.run(hits,
-        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
-        idAlgo = "md5", persistExport = false)
-      out.pageviews.select(
+      gaOutputs(s).pageviews.select(
         col("fullVisitorId"), col("visitId"), col("requestId"),
         col("visitStartTime"),
         col("hits_hitNumber").cast("long").as("hits_hitNumber"),
@@ -373,6 +375,63 @@ object SparkEntry {
         col("ip"), col("device_is_bot"))
         .groupBy(col("geo_country"), col("geo_city"), col("geo_city_id"))
         .agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // P3 hit-table projections for the remaining four hit types — each
+    // runs the same full pipeline and selects its table, so a column slip
+    // in any projection breaks a hash-checked oracle (round-4 advice:
+    // these were spec-only).
+    // EVENT hits that carry no product slot (explode_outer's null row).
+    "q45_ga_hits_events" -> ((s, _) => {
+      gaOutputs(s).events.select(
+        col("fullVisitorId"), col("visitId"), col("requestId"),
+        col("visitStartTime"),
+        col("hits_hitNumber").cast("long").as("hits_hitNumber"),
+        col("hits_hour").cast("long").as("hits_hour"),
+        col("hits_minute").cast("long").as("hits_minute"),
+        col("hits_eventInfo_eventCategory"), col("hits_eventInfo_eventAction"),
+        col("hits_eventInfo_eventLabel"), col("hits_eventInfo_eventValue"),
+        col("hits_type"))
+    }),
+
+    // One row per (EVENT hit, populated product slot with a SKU).
+    "q46_ga_hits_products" -> ((s, _) => {
+      gaOutputs(s).products.select(
+        col("fullVisitorId"), col("visitId"), col("requestId"),
+        col("visitStartTime"),
+        col("hits_hitNumber").cast("long").as("hits_hitNumber"),
+        col("hits_product_productPrice"), col("hits_product_productQuantity"),
+        col("hits_product_productSKU"), col("hits_product_productBrand"),
+        col("hits_product_productVariant"),
+        col("hits_eCommerceAction_option"), col("hits_eCommerceAction_step"),
+        col("hits_eCommerceAction_action_type"),
+        col("hits_item_transactionId"), col("hits_product_productRevenue"),
+        col("hits_transaction_transactionRevenue"), col("hits_type"))
+    }),
+
+    // TRANSACTION hits with per-session revenue totals.
+    "q47_ga_hits_transactions" -> ((s, _) => {
+      gaOutputs(s).transactions.select(
+        col("fullVisitorId"), col("visitId"), col("requestId"),
+        col("visitStartTime"),
+        col("hits_hitNumber").cast("long").as("hits_hitNumber"),
+        col("hits_transation_transactionCoupon"),
+        col("hits_transaction_transactionId"),
+        col("hits_transaction_transactionRevenue"),
+        col("totals_transactionRevenue"),
+        col("hits_transaction_transactionShipping"),
+        col("hits_transaction_transactionTax"))
+    }),
+
+    // ITEM hits (legacy ecommerce item fields).
+    "q48_ga_hits_items" -> ((s, _) => {
+      gaOutputs(s).items.select(
+        col("fullVisitorId"), col("visitId"), col("requestId"),
+        col("visitStartTime"),
+        col("hits_hitNumber").cast("long").as("hits_hitNumber"),
+        col("hits_item_transactionId"), col("hits_item_productName"),
+        col("hits_item_itemRevenue"), col("hits_item_itemQuantity"),
+        col("hits_item_productSku"), col("hits_item_productCategory"))
     }),
 
     // ---- LLM-pipeline operators over documents/embeddings testdata ----
@@ -583,6 +642,20 @@ object SparkEntry {
         .agg(
           expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // The 100 TB percentile path: approx_percentile keeps a bounded
+    // KLL-style sketch per group (mergeable, map-side combinable) instead
+    // of buffering every value like q42's exact percentile — with 5 event
+    // types at 100 TB one exact group IS the table. Estimation, so no SQL
+    // oracle: the driver records the weaker rows-only check by design.
+    "q49_percentiles_approx" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(value, 0.95, 10000)").as("p95"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -823,6 +896,45 @@ object SparkEntry {
        |  SELECT *, SUM(is_new) OVER (PARTITION BY body_cid ORDER BY ms, message_id ROWS UNBOUNDED PRECEDING) AS seq
        |  FROM f),
        |s AS (SELECT * FROM r WHERE body_t NOT IN ('adtiming','timing'))""".stripMargin
+
+  // ---- hit-table oracle fragments (q45-q48) ----
+  /** TRUE when product slot `i` has any attribute set (the Ecommerce
+    * explode's presence test — a slot with only `br` counts). */
+  private def dSlotPresent(i: Int) =
+    graft.schema.GaSchemas.productAttrs.map(a => s"body_pr$i$a IS NOT NULL")
+      .mkString("(", " OR ", ")")
+
+  /** read_json column decls for all 20x8 product attributes. */
+  private val dProductColDecls =
+    (0 until graft.schema.GaSchemas.ProductSlots)
+      .flatMap(i => graft.schema.GaSchemas.productAttrs
+        .map(a => s"body_pr$i$a:'VARCHAR'"))
+      .mkString(", ")
+
+  /** Populated-slot count; explode_outer row multiplicity = max(1, this). */
+  private val dNSlots = (0 until graft.schema.GaSchemas.ProductSlots)
+    .map(i => s"(CASE WHEN ${dSlotPresent(i)} THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  /** Per-hit derivations shared by the hit tables: session min/max,
+    * per-user event sequence, per-session purchase revenue. Mirrors the
+    * `wv`/`evseq`/`rev` fragments of q16/q17 in one CTE. */
+  private val dHitV =
+    """v AS (
+      |  SELECT *, MIN(ms) OVER wv AS first_value, MAX(ms) OVER wv AS last_value,
+      |    ROW_NUMBER() OVER (PARTITION BY body_cid ORDER BY ms, message_id) AS evseq,
+      |    SUM(CASE WHEN body_t = 'event' AND body_pa = 'purchase'
+      |        THEN CAST(body_tr AS DECIMAL(18,6)) END) OVER wv AS rev
+      |  FROM s WINDOW wv AS (PARTITION BY body_cid, seq))""".stripMargin
+
+  /** Identity/sequence head columns of every hit-table projection. */
+  private val dHitHead =
+    """body_cid AS fullVisitorId,
+      |  md5(body_cid || first_value::VARCHAR || last_value::VARCHAR) AS visitId,
+      |  message_id AS requestId,
+      |  first_value AS visitStartTime,
+      |  CAST(evseq AS BIGINT) AS hits_hitNumber""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -965,8 +1077,10 @@ object SparkEntry {
         |         $dMediumCase AS traffic_medium,
         |         $dCampaignCase AS traffic_campaign
         |  FROM u2)
-        |SELECT traffic_source, traffic_medium, traffic_campaign, COUNT(*) AS n_sessions
-        |FROM a GROUP BY 1, 2, 3""".stripMargin,
+        |SELECT traffic_source, traffic_medium, traffic_campaign,
+        |  CASE WHEN traffic_source = '(direct)' THEN 'True' END AS is_true_direct,
+        |  COUNT(*) AS n_sessions
+        |FROM a GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q15_ga_products" -> {
       // Generated UNPIVOT: one UNION ALL branch per product slot 0..19.
@@ -1053,6 +1167,106 @@ object SparkEntry {
         |  CASE WHEN len(parts) >= 4 THEN '/' || parts[4] ELSE '' END AS hits_page_pagePathLevel4,
         |  'PAGE' AS hits_type
         |FROM lv""".stripMargin,
+
+    // EVENT rows whose exploded product SKU is null: the no-slot row
+    // explode_outer emits, plus any populated slot missing its id.
+    "q45_ga_hits_events" -> {
+      val noSlots = (0 until graft.schema.GaSchemas.ProductSlots)
+        .map(dSlotPresent).mkString("NOT (", " OR ", ")")
+      val idNullBranches = (0 until graft.schema.GaSchemas.ProductSlots)
+        .map(i => s"SELECT * FROM v WHERE body_t = 'event' AND ${dSlotPresent(i)} AND body_pr${i}id IS NULL")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${dGaSessionCtes(
+           ", body_pa:'VARCHAR', body_tr:'VARCHAR', body_ec:'VARCHAR', " +
+           s"body_ea:'VARCHAR', body_el:'VARCHAR', body_ev:'VARCHAR', $dProductColDecls")},
+        |$dHitV,
+        |ve AS (
+        |  SELECT * FROM v WHERE body_t = 'event' AND $noSlots
+        |  UNION ALL $idNullBranches)
+        |SELECT $dHitHead,
+        |  CAST(EXTRACT(hour FROM make_timestamp((ms // 1000) * 1000000)) AS BIGINT) AS hits_hour,
+        |  CAST(EXTRACT(minute FROM make_timestamp((ms // 1000) * 1000000)) AS BIGINT) AS hits_minute,
+        |  COALESCE(body_ec, '') AS hits_eventInfo_eventCategory,
+        |  COALESCE(body_ea, '') AS hits_eventInfo_eventAction,
+        |  COALESCE(body_el, '') AS hits_eventInfo_eventLabel,
+        |  COALESCE(body_ev, '') AS hits_eventInfo_eventValue,
+        |  'EVENT' AS hits_type
+        |FROM ve""".stripMargin
+    },
+
+    // One row per (EVENT hit, populated slot) with a non-empty SKU —
+    // the UNION ALL mirrors the explode over the 20 slots.
+    "q46_ga_hits_products" -> {
+      val branches = (0 until graft.schema.GaSchemas.ProductSlots)
+        .map(i => s"SELECT *, body_pr${i}id AS prid, body_pr${i}br AS prbr, " +
+          s"body_pr${i}pr AS prpr, body_pr${i}qt AS prqt, body_pr${i}va AS prva " +
+          s"FROM v WHERE body_t = 'event' AND ${dSlotPresent(i)}")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${dGaSessionCtes(
+           ", body_pa:'VARCHAR', body_tr:'VARCHAR', body_col:'VARCHAR', " +
+           s"body_cos:'VARCHAR', body_ti:'VARCHAR', $dProductColDecls")},
+        |$dHitV,
+        |pp AS (
+        |  $branches)
+        |SELECT $dHitHead,
+        |  prpr AS hits_product_productPrice,
+        |  prqt AS hits_product_productQuantity,
+        |  prid AS hits_product_productSKU,
+        |  prbr AS hits_product_productBrand,
+        |  prva AS hits_product_productVariant,
+        |  COALESCE(body_col, '') AS hits_eCommerceAction_option,
+        |  COALESCE(body_cos, '') AS hits_eCommerceAction_step,
+        |  CASE body_pa WHEN 'click' THEN '1' WHEN 'detail' THEN '2'
+        |    WHEN 'add' THEN '3' WHEN 'checkout' THEN '5' WHEN 'purchase' THEN '6'
+        |    WHEN 'refund' THEN '7' WHEN 'checkout_option' THEN '8'
+        |    ELSE '0' END AS hits_eCommerceAction_action_type,
+        |  COALESCE(body_ti, '') AS hits_item_transactionId,
+        |  CASE WHEN body_pa = 'purchase'
+        |    THEN TRY_CAST(prqt AS DOUBLE) * TRY_CAST(prpr AS DOUBLE)
+        |  END AS hits_product_productRevenue,
+        |  COALESCE(body_tr, '') AS hits_transaction_transactionRevenue,
+        |  'EVENT' AS hits_type
+        |FROM pp WHERE prid IS NOT NULL AND prid <> ''""".stripMargin
+    },
+
+    // TRANSACTION hits; the unnest mirrors explode_outer multiplicity
+    // for hits that (unusually) also carry product slots.
+    "q47_ga_hits_transactions" ->
+      s"""WITH ${dGaSessionCtes(
+           ", body_pa:'VARCHAR', body_tr:'VARCHAR', body_tcc:'VARCHAR', " +
+           s"body_ti:'VARCHAR', body_ts:'VARCHAR', body_tt:'VARCHAR', $dProductColDecls")},
+        |$dHitV,
+        |t AS (
+        |  SELECT *, unnest(generate_series(1, greatest(1, $dNSlots))) AS _dup
+        |  FROM v WHERE body_t = 'transaction')
+        |SELECT $dHitHead,
+        |  COALESCE(body_tcc, '') AS hits_transation_transactionCoupon,
+        |  COALESCE(body_ti, '') AS hits_transaction_transactionId,
+        |  COALESCE(body_tr, '') AS hits_transaction_transactionRevenue,
+        |  CASE WHEN is_new = 1 THEN CAST(CAST(rev AS DOUBLE) AS VARCHAR)
+        |       ELSE '' END AS totals_transactionRevenue,
+        |  COALESCE(body_ts, '') AS hits_transaction_transactionShipping,
+        |  COALESCE(body_tt, '') AS hits_transaction_transactionTax
+        |FROM t""".stripMargin,
+
+    // ITEM hits (legacy ecommerce), same multiplicity mirror.
+    "q48_ga_hits_items" ->
+      s"""WITH ${dGaSessionCtes(
+           ", body_pa:'VARCHAR', body_tr:'VARCHAR', body_ti:'VARCHAR', " +
+           "body_in:'VARCHAR', body_ip:'VARCHAR', body_iq:'VARCHAR', " +
+           s"body_ic:'VARCHAR', body_iv:'VARCHAR', $dProductColDecls")},
+        |$dHitV,
+        |t AS (
+        |  SELECT *, unnest(generate_series(1, greatest(1, $dNSlots))) AS _dup
+        |  FROM v WHERE body_t = 'item')
+        |SELECT $dHitHead,
+        |  COALESCE(body_ti, '') AS hits_item_transactionId,
+        |  COALESCE(body_in, '') AS hits_item_productName,
+        |  COALESCE(body_ip, '') AS hits_item_itemRevenue,
+        |  COALESCE(body_iq, '') AS hits_item_itemQuantity,
+        |  COALESCE(body_ic, '') AS hits_item_productSku,
+        |  COALESCE(body_iv, '') AS hits_item_productCategory
+        |FROM t""".stripMargin,
 
     "q18_ga_enrich_device" ->
       s"""WITH $dRawCtes,

@@ -33,7 +33,12 @@ object DailyJob {
           coalesceOutput: Boolean = true): GaPipeline.Outputs = {
     val hits = Ingest.readEnrichedHits(spark, paths.enrichedDay)
     val history = GaPipeline.loadHistory(spark, paths.historyPath)
-    val out = GaPipeline.run(hits, history, paths.jobDate, idAlgo)
+    // Incremental touchpoints: every row dayOnly keeps belongs to a
+    // visitor seen today, so the persisted output is identical to the
+    // full-history recompute while the touchpoint stage scans only
+    // today's visitors' history (see GaPipeline.run's contract).
+    val out = GaPipeline.run(hits, history, paths.jobDate, idAlgo,
+      incrementalTouchpoints = true)
 
     def dayOnly(df: DataFrame): DataFrame = {
       val filtered = df.filter(to_date(col("timestamp")) === lit(paths.jobDate))

@@ -368,11 +368,26 @@ object GaPipeline {
       sessions: DataFrame, pageviews: DataFrame, events: DataFrame,
       products: DataFrame, transactions: DataFrame, items: DataFrame)
 
+  private val tpCols = Seq("touchpoints", "touchpoints_wo_direct",
+    "first_touchpoint", "last_touchpoint")
+
   /** Full pipeline: enriched hits + history → the six export tables.
     * The export table is persisted once (the reference re-executes the
-    * whole plan for each of its 7 write actions). */
+    * whole plan for each of its 7 write actions).
+    *
+    * `incrementalTouchpoints` bounds the touchpoint stage to the history
+    * of visitors seen TODAY (semi-join on today's ids) instead of
+    * re-windowing every visitor's sessions ever recorded — the faithful
+    * full recompute's daily cost grows without bound with history. Only
+    * today's visitors' paths can change, and every row DailyJob persists
+    * (its `dayOnly` filter) belongs to a today-visitor, so the persisted
+    * output is identical in both modes; rows of visitors NOT seen today
+    * pass through with their stored paths (which a full recompute would
+    * rewrite as-of-today — a difference only for consumers of the
+    * transient all-history frame, hence the faithful default). */
   def run(hits: DataFrame, history: DataFrame, jobDate: String,
-          idAlgo: String = "sha1", persistExport: Boolean = true): Outputs = {
+          idAlgo: String = "sha1", persistExport: Boolean = true,
+          incrementalTouchpoints: Boolean = false): Outputs = {
     val sess = withDerivedColumns(sessionized(hits, idAlgo))
     val exploded = Ecommerce.explodeProducts(sess)
       .withColumn("product_revenue",
@@ -382,10 +397,15 @@ object GaPipeline {
     // single-output callers skip the materialization cost.
     val export = if (persistExport) exportPlain.persist() else exportPlain
     val todaySessions = newSessions(exportSessions(export), jobDate)
-    val unioned = history.unionByName(todaySessions)
-    val multichannel = withTouchpoints(
-      unioned.drop("touchpoints", "touchpoints_wo_direct",
-        "first_touchpoint", "last_touchpoint"))
+    val multichannel = if (incrementalTouchpoints) {
+      // Join strategy is AQE's call: today's id set is broadcast-sized
+      // for most tenants but can reach 10^8 ids at 100 TB/day.
+      val todayIds = todaySessions.select(col("fullVisitorId")).distinct()
+      val touched = history.join(todayIds, Seq("fullVisitorId"), "left_semi")
+      val untouched = history.join(todayIds, Seq("fullVisitorId"), "left_anti")
+      untouched.unionByName(
+        withTouchpoints(touched.unionByName(todaySessions).drop(tpCols: _*)))
+    } else withTouchpoints(history.unionByName(todaySessions).drop(tpCols: _*))
     Outputs(
       sessions = multichannel,
       pageviews = hitsPageviews(export),

@@ -73,6 +73,40 @@ class GaPipelineSpec extends SparkTestBase {
     assert(v01 == Seq(1, 2, 3, 5, 6, 7))
   }
 
+  test("incremental touchpoints: persisted rows identical to full recompute; untouched history passes through") {
+    val jobDate = "2019-09-23"
+    val empty = GaPipeline.loadHistory(spark, "/nonexistent/history")
+    val base = GaPipeline.run(hits, empty, jobDate).sessions
+      .filter(to_date(col("timestamp")) === lit(jobDate))
+    // Yesterday's history: today's sessions shifted back one day; half the
+    // visitors renamed so they are NOT seen today (the untouched path).
+    val hist = base
+      .withColumn("timestamp", col("timestamp") - expr("INTERVAL 1 DAY"))
+      .withColumn("date", lit(20190922))
+      .withColumn("fullVisitorId",
+        when(crc32(col("fullVisitorId")) % 2 === 0,
+          concat(lit("zz-"), col("fullVisitorId")))
+          .otherwise(col("fullVisitorId")))
+      .localCheckpoint(true) // three consumers in incremental mode
+    val cols = hist.columns.map(col).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols: _*)
+        .orderBy("fullVisitorId", "visitId", "timestamp").collect().toSeq
+    val full = GaPipeline.run(hits, hist, jobDate).sessions
+    val inc = GaPipeline.run(hits, hist, jobDate,
+      incrementalTouchpoints = true).sessions
+    // The rows DailyJob persists (today's) are identical in both modes.
+    val today = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(to_date(col("timestamp")) === lit(jobDate))
+    assert(rows(today(inc)) == rows(today(full)))
+    // Untouched visitors' history rows pass through bit-identical.
+    assert(rows(inc.filter(col("fullVisitorId").startsWith("zz-"))) ==
+      rows(hist.filter(col("fullVisitorId").startsWith("zz-"))))
+    // Touched visitors' today paths really absorbed their history.
+    assert(today(inc).filter(!col("fullVisitorId").startsWith("zz-") &&
+      size(col("touchpoints")) >= 2).count() > 0)
+  }
+
   test("DailyJob writes history + six daily tables; day filter drops off-date sessions") {
     val tmp = Files.createTempDirectory("gajob").toString
     val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")

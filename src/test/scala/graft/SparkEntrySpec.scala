@@ -9,8 +9,13 @@ class SparkEntrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // approx_percentile is estimation — hash-matching an oracle is wrong by
+  // design; the driver records its rows-only check instead.
+  private val rowsOnly = Set("q49_percentiles_approx")
+
   test("every query has an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
