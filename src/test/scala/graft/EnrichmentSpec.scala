@@ -29,6 +29,78 @@ class EnrichmentSpec extends SparkTestBase {
     mine.zip(want).foreach { case (a, b) => assert(a == b, s"\n got $a\nwant $b") }
   }
 
+  test("UA long tail: webview/in-app/TV/console families classify like uap-core") {
+    import spark.implicits._
+    // (ua, client_name, os_name, device_type, brand-or-null)
+    val table = Seq(
+      ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+        "Samsung Internet", "Android", "mobile", "Samsung"),
+      ("Mozilla/5.0 (Linux; Android 10; K; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.6045.66 Mobile Safari/537.36",
+        "Chrome Mobile WebView", "Android", "mobile", null),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/20G81 [FBAN/FBIOS;FBAV/430.0.0.32.107;FBBV/0]",
+        "Facebook", "iOS", "mobile", "Apple"),
+      ("Mozilla/5.0 (Linux; Android 13; SM-G991B Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/114.0.0.0 Mobile Safari/537.36 Instagram 309.1.0.41.113",
+        "Instagram", "Android", "mobile", "Samsung"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/114.0.5735.99 Mobile/15E148 Safari/604.1",
+        "Chrome Mobile iOS", "iOS", "mobile", "Apple"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_3 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/112.1 Mobile/15E148 Safari/605.1.15",
+        "Firefox iOS", "iOS", "mobile", "Apple"),
+      ("Mozilla/5.0 (Linux; Android 10; HD1913) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36 EdgA/115.0.1901.188",
+        "Edge Mobile", "Android", "mobile", null),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_3 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) GSA/252.0.506590184 Mobile/15E148 Safari/604.1",
+        "GSA", "iOS", "mobile", "Apple"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 15_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
+        "Mobile Safari UI/WKWebView", "iOS", "mobile", "Apple"),
+      ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348; U; en) Presto/2.5.25 Version/10.54)",
+        "Opera Mini", "Other", "mobile", null),
+      ("Mozilla/5.0 (Linux; U; Android 13; en-US; 2201117TY) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
+        "UC Browser", "Android", "mobile", null),
+      ("Mozilla/5.0 (Mobile; Nokia_8110_4G; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5",
+        "Firefox Mobile", "KaiOS", "mobile", "Nokia"),
+      ("Mozilla/5.0 (Windows Phone 10.0; Android 4.2.1; Microsoft; Lumia 950) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/46.0.2486.0 Mobile Safari/537.36 Edge/13.10586",
+        "Edge", "Windows Phone", "mobile", null),
+      ("Mozilla/5.0 (SMART-TV; Linux; Tizen 6.0) AppleWebKit/537.36 (KHTML, like Gecko) 76.0.3809.146/6.0 TV Safari/537.36",
+        "Other", "Tizen", "tv", "Samsung"),
+      ("Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/79.0.3945.79 Safari/537.36 WebAppManager",
+        "Chrome", "webOS", "tv", null),
+      ("Mozilla/5.0 (Linux; Android 7.1.2; AFTMM Build/NS6265; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/70.0.3538.110 Mobile Safari/537.36",
+        "Chrome Mobile WebView", "Android", "tv", "Amazon"),
+      ("Mozilla/5.0 (X11; Linux aarch64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0.4324.109 Safari/537.36 CrKey/1.54.250320",
+        "Chrome", "Linux", "tv", "Google"),
+      ("Mozilla/5.0 (PlayStation; PlayStation 5/2.26) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.0 Safari/605.1.15",
+        "Safari", "PlayStation", "console", "Sony"),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; Xbox; Xbox One) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/48.0.2564.82 Safari/537.36 Edge/20.02",
+        "Edge", "Windows", "console", "Microsoft"),
+      ("Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.13343",
+        "Other", "Nintendo", "console", "Nintendo"),
+      ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.230 Mobile Safari/537.36",
+        "Chrome Mobile", "Android", "mobile", "Google"),
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/118.0.0.0 Safari/537.36",
+        "HeadlessChrome", "Linux", "desktop", null),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/106.0.0.0 YaBrowser/22.11.5.715 Yowser/2.5 Safari/537.36",
+        "Yandex Browser", "Windows", "desktop", null),
+      ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/103.0.5060.114 Safari/537.36",
+        "Chrome", "Chrome OS", "desktop", null),
+      ("Mozilla/5.0 (Linux; Android 9; KFMAWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/94.2.10 like Chrome/94.0.4606.71 Safari/537.36",
+        "Amazon Silk", "Android", "tablet", "Amazon"))
+    val out = UserAgent.withDeviceColumns(
+      table.map(_._1).toDF("user_agent"), col("user_agent"))
+      .select("user_agent", "device_client_name", "device_os_name",
+        "device_device_type", "device_device_brand")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    table.foreach { case (ua, name, os, tpe, brand) =>
+      assert(out(ua) == ((name, os, tpe, brand)),
+        s"\nUA: $ua\n got ${out(ua)}\nwant ${(name, os, tpe, brand)}")
+    }
+    // tv/console are never mobile
+    val m = UserAgent.withDeviceColumns(
+      table.map(_._1).toDF("user_agent"), col("user_agent"))
+      .filter(col("device_device_type").isin("tv", "console") &&
+        col("device_is_mobile")).count()
+    assert(m == 0)
+  }
+
   test("bot rows carry only the bot flag") {
     val bots = UserAgent.withDeviceColumns(ingested, col("user_agent"))
       .filter(col("device_is_bot"))
