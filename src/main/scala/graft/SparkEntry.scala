@@ -63,12 +63,21 @@ object SparkEntry {
       graft.llm.MinHashLsh.verifiedPairs(
         Tables.documents(s, dir), col("doc_id"), col("text"), threshold))
 
+  /** Session-scoped memo of the GA pipeline's six output FRAMES (plans,
+    * not data): six queries (q16/q17/q45-q48) select from the same run,
+    * and each Dataset transformation on the ~280-col pipeline costs a
+    * full driver-side analysis pass — the dominant cost of these
+    * fixture-sized queries. Plans are immutable, so reuse cannot change
+    * any result. */
+  private val gaOutputsMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.jobs.GaPipeline.Outputs]()
+
   /** Drop all memoized intermediates. Bench calls this at the top of each
     * iteration pass so repeated passes re-measure the real LSH cost
     * (within one pass q20 -> q37/q38 sharing still applies, exactly as a
     * composed production run would); checkpointed blocks are released by
     * the ContextCleaner once unreferenced. */
-  def clearMemos(): Unit = pairsMemo.clear()
+  def clearMemos(): Unit = { pairsMemo.clear(); gaOutputsMemo.clear() }
 
   // ---------------------------------------------------------------- events
   /** Events with `ts_ms` epoch millis added (shared base for W1-W3 ops). */
@@ -103,13 +112,14 @@ object SparkEntry {
 
   /** Full daily pipeline over the enriched fixture (md5 visit ids so
     * DuckDB can mirror the hash); shared by q16/q17/q45-q48. */
-  private def gaOutputs(s: SparkSession): graft.jobs.GaPipeline.Outputs = {
-    import graft.jobs.GaPipeline
-    val hits = Ingest.readEnrichedHits(s, GaEnriched)
-    GaPipeline.run(hits,
-      GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
-      idAlgo = "md5", persistExport = false)
-  }
+  private def gaOutputs(s: SparkSession): graft.jobs.GaPipeline.Outputs =
+    gaOutputsMemo.computeIfAbsent(s, { s =>
+      import graft.jobs.GaPipeline
+      val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      GaPipeline.run(hits,
+        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
+        idAlgo = "md5", persistExport = false)
+    })
 
   // --------------------------------------------------------------- queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
