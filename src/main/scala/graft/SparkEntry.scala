@@ -669,6 +669,21 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Train/eval n-gram decontamination (GPT-3 appendix-C recipe) over
+    // the deterministic q43 split: train docs sharing ≥1 distinct word
+    // 8-gram with any test doc. One equi-join on the gram hash; the eval
+    // side is benchmark-sized, so AQE broadcasts it at scale.
+    "q50_decontamination" -> ((s, dir) => {
+      import graft.llm.{Decontamination, Splits}
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(Splits.split(col("doc_id")) === "train")
+      val eval = docs.filter(Splits.split(col("doc_id")) === "test")
+      Decontamination.contaminationPairs(train, col("doc_id"), col("text"),
+        eval, col("doc_id"), col("text"), n = 8)
+        .select(col("doc_id"), col("eval_id"),
+          col("n_shared").cast("long").as("n_shared"))
+    }),
+
     // Deterministic md5-bucket train/val/test assignment — stable across
     // runs/partitionings/tables (no rand()), leak-free by construction.
     "q43_hash_split" -> ((s, dir) => {
@@ -1583,6 +1598,29 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q50_decontamination" -> {
+      val b = dMd5Long("doc_id::VARCHAR") + " % 100"
+      s"""WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN $b < 80 THEN 'train'
+        |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        |  FROM sp),
+        |g AS (
+        |  SELECT doc_id, split, unnest(CASE WHEN len(ws) >= 8
+        |    THEN list_distinct(list_transform(generate_series(1, len(ws)-7),
+        |      i -> ('0x'||substr(md5(array_to_string(list_slice(ws, i, i+7), ' ')),1,15))::BIGINT))
+        |    ELSE []::BIGINT[] END) AS h
+        |  FROM w)
+        |SELECT t.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+        |FROM g t JOIN g e ON t.h = e.h
+        |WHERE t.split = 'train' AND e.split = 'test'
+        |GROUP BY 1, 2""".stripMargin
+    },
 
     "q43_hash_split" -> {
       val b = dMd5Long("doc_id::VARCHAR") + " % 100"

@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination — the n-gram overlap check every
+  * training-corpus pipeline runs before shipping data: a candidate
+  * training document that shares ≥ `minShared` distinct word n-grams
+  * with any document of a held-out/benchmark corpus is flagged as
+  * contaminated (the GPT-3 appendix-C recipe: 13-gram collision ⇒
+  * overlap; smaller n for shorter documents).
+  *
+  * Scale shape (the property that must survive 100 TB of train text):
+  *  - each side reduces to DISTINCT 60-bit n-gram hashes per doc
+  *    (map-side, one pass, no shuffle);
+  *  - the only exchange is the equi-join on the gram hash. The eval
+  *    side is a benchmark corpus — thousands of docs, not billions —
+  *    so AQE broadcasts it and the train side never shuffles at all;
+  *  - natural-language n-grams at n ≥ 8 are near-unique (a hot gram is
+  *    precisely the contamination signal), so there is no skewed key by
+  *    construction; for adversarial inputs cap per-gram df like the
+  *    PPJoin prefix filter ([[MinHashLsh.jaccardJoinFromSets]]).
+  *
+  * The 60-bit md5-prefix hash mirrors [[Splits.md5Bucket]] /
+  * `shingle_hash_set`, so the DuckDB oracle reproduces the exact pair
+  * set (collision probability at 60 bits is negligible and identical on
+  * both sides).
+  */
+object Decontamination {
+
+  /** (doc_id, grams): distinct 60-bit hashes of the doc's word n-grams.
+    * Tokens split on whitespace, empties dropped; texts shorter than n
+    * tokens yield an empty set. `_ws` is materialized as a column first
+    * so the lambda reads an attribute, not a re-evaluated expression. */
+  def ngramHashSet(docs: DataFrame, id: Column, text: Column,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ws = col("_ws")
+    docs
+      .select(id.as("doc_id"),
+        filter(split(text, "\\s+"), w => w =!= "").as("_ws"))
+      .select(col("doc_id"),
+        when(size(ws) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(ws) - (n - 1)),
+            i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(n)))), 1, 15),
+              16, 10).cast("long"))))
+          .otherwise(array().cast("array<long>")).as("grams"))
+  }
+
+  /** One row per contaminated (train doc, eval doc) pair with the count
+    * of distinct shared n-grams. Output: (doc_id, eval_id, n_shared). */
+  def contaminationPairs(train: DataFrame, trainId: Column, trainText: Column,
+                         evalSet: DataFrame, evalId: Column, evalText: Column,
+                         n: Int = 8, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val t = ngramHashSet(train, trainId, trainText, n)
+      .select(col("doc_id"), explode(col("grams")).as("h"))
+    val e = ngramHashSet(evalSet, evalId, evalText, n)
+      .select(col("doc_id").as("eval_id"), explode(col("grams")).as("h"))
+    // gram sets are distinct per doc, so count(*) == distinct shared grams
+    t.join(e, "h")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The train corpus with contaminated documents removed (anti-join
+    * against the flagged set — the small side by construction). */
+  def decontaminated(train: DataFrame, trainId: Column, trainText: Column,
+                     evalSet: DataFrame, evalId: Column, evalText: Column,
+                     n: Int = 8, minShared: Int = 1): DataFrame = {
+    require(!train.columns.contains("_graft_id"),
+      "input must not contain the reserved column _graft_id")
+    val bad = contaminationPairs(train, trainId, trainText,
+      evalSet, evalId, evalText, n, minShared)
+      .select(col("doc_id").as("_graft_id")).distinct()
+    train.withColumn("_graft_id", trainId)
+      .join(bad, Seq("_graft_id"), "left_anti")
+      .drop("_graft_id")
+  }
+}

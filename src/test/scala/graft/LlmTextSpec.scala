@@ -270,4 +270,42 @@ class LlmTextSpec extends SparkTestBase {
       .select("n_docs", "canonical_doc_id").as[(Long, Long)].collect().toSeq
     assert(g == Seq((2L, 10L), (1L, 12L)))
   }
+
+  test("decontamination flags train docs sharing an n-gram run with eval") {
+    import graft.llm.Decontamination
+    // 8 shared consecutive tokens = exactly one shared 8-gram
+    val sharedRun = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val train = Seq(
+      (1L, s"unrelated prefix words here $sharedRun and a different tail"),
+      (2L, "nothing in common with any benchmark document at all " +
+        "whatsoever in any way shape or form tonight"),
+      (3L, "short text")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"benchmark question about $sharedRun with its own suffix")
+    ).toDF("doc_id", "text")
+    val pairs = Decontamination.contaminationPairs(
+      train, col("doc_id"), col("text"), eval, col("doc_id"), col("text"),
+      n = 8).select("doc_id", "eval_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L, 1L)))
+    // removal keeps schema, drops only the contaminated doc
+    val clean = Decontamination.decontaminated(
+      train, col("doc_id"), col("text"), eval, col("doc_id"), col("text"),
+      n = 8)
+    assert(clean.columns.toSeq == train.columns.toSeq)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    // 9 shared tokens = two overlapping shared 8-grams
+    val nine = sharedRun + " india"
+    val p9 = Decontamination.contaminationPairs(
+      Seq((7L, s"x $nine y")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      Seq((8L, s"q $nine r")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      n = 8).select("n_shared").as[Long].collect().toSeq
+    assert(p9 == Seq(2L))
+    // minShared raises the bar
+    val strict = Decontamination.contaminationPairs(
+      train, col("doc_id"), col("text"), eval, col("doc_id"), col("text"),
+      n = 8, minShared = 2).count()
+    assert(strict == 0)
+  }
 }
