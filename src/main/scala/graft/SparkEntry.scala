@@ -684,6 +684,19 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // Deterministic stratified downsampling: per-stratum keep rates via a
+    // salted md5 per-mille bucket (views capped at 10%, the rest at 50%)
+    // — a map-side predicate, no RNG, no shuffle; re-runs and AQE
+    // re-plans keep the identical sample.
+    "q51_stratified_sample" -> ((s, dir) => {
+      import graft.llm.Splits
+      Tables.events(s, dir)
+        .filter(Splits.hashSample(col("event_id"),
+          when(col("event_type") === "view", 100).otherwise(500),
+          salt = "s1"))
+        .select(col("event_id"), col("event_type"))
+    }),
+
     // Deterministic md5-bucket train/val/test assignment — stable across
     // runs/partitionings/tables (no rand()), leak-free by construction.
     "q43_hash_split" -> ((s, dir) => {
@@ -1598,6 +1611,11 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q51_stratified_sample" ->
+      s"""SELECT event_id, event_type FROM events
+        |WHERE ${dMd5Long("event_id::VARCHAR||'s1'")} % 1000 <
+        |  CASE WHEN event_type = 'view' THEN 100 ELSE 500 END""".stripMargin,
 
     "q50_decontamination" -> {
       val b = dMd5Long("doc_id::VARCHAR") + " % 100"

@@ -33,4 +33,20 @@ object Splits {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Deterministic Bernoulli sample predicate: keep a row iff its salted
+    * id's per-mille md5 bucket falls below `perMille` (0..1000). The
+    * corpus-downsampling primitive (e.g. cap an over-represented stratum
+    * at 10% by passing a per-row `perMille` expression), with the same
+    * guarantees as [[split]]: no RNG — stable across runs, partitionings
+    * and AQE re-plans (unlike `sample()`/`rand()`, whose per-partition
+    * seeds reshuffle), consistent across tables keyed by the same id, and
+    * exactly mirrorable by the DuckDB oracle. Distinct `salt` values give
+    * independent samples; the same salt gives nested ones (a 100‰ sample
+    * is a subset of the 500‰ sample). Map-side predicate: no shuffle. */
+  def hashSample(id: Column, perMille: Column, salt: String = ""): Column = {
+    val b = conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long") % 1000
+    b < perMille
+  }
 }

@@ -249,6 +249,27 @@ class LlmTextSpec extends SparkTestBase {
     assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03)
   }
 
+  test("hash sample: deterministic, nested within a larger rate, salt-independent") {
+    import graft.llm.Splits
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def ids(perMille: Int, salt: String) = docs
+      .filter(Splits.hashSample(col("doc_id"), lit(perMille), salt))
+      .select("doc_id").as[Long].collect().toSet
+    val s100 = ids(100, "a")
+    // deterministic across re-evaluation and repartitioning
+    assert(ids(100, "a") == s100)
+    assert(docs.repartition(7)
+      .filter(Splits.hashSample(col("doc_id"), lit(100), "a"))
+      .select("doc_id").as[Long].collect().toSet == s100)
+    // same salt nests; rate is roughly honored
+    val s500 = ids(500, "a")
+    assert(s100.subsetOf(s500))
+    val n = docs.count().toDouble
+    assert(s100.size / n > 0.05 && s100.size / n < 0.15)
+    // a different salt draws an (almost surely) different sample
+    assert(ids(100, "b") != s100)
+  }
+
   test("language ID votes stopwords; unknown when none hit") {
     val out = Seq(
       "the cat is on the mat and it is warm",
