@@ -107,6 +107,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q51 stratified sample is a map-side predicate (zero exchanges)") {
+    uncached {
+      val plan = SparkEntry.queries("q51_stratified_sample")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).isEmpty,
+        s"sampling must not move data:\n$plan")
+    }
+  }
+
+  test("q50 decontamination joins on the gram hash, not on text") {
+    uncached {
+      val plan = SparkEntry.queries("q50_decontamination")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // hash join (broadcast or shuffled — AQE's call at runtime), never
+      // a nested loop over documents
+      assert(plan.contains("HashJoin"), s"expected a hash join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
