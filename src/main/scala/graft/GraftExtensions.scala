@@ -88,6 +88,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, 1, 1, "lsh_sigs(<arg>)")
         LshSigsExpr(children.head)
       }))
+    // word_ngram_hash_set(text, n) — n as a constant integer
+    ext.injectFunction((
+      FunctionIdentifier("word_ngram_hash_set"),
+      new ExpressionInfo(classOf[WordNgramHashSetExpr].getName, "word_ngram_hash_set"),
+      (children: Seq[Expression]) => {
+        arity(children, 2, 2, "word_ngram_hash_set(text, n)")
+        WordNgramHashSetExpr(
+          children.head, longLit(children(1), "word_ngram_hash_set n").toInt)
+      }))
     // char_ngram_hash_set(text, n) — n as a constant integer
     ext.injectFunction((
       FunctionIdentifier("char_ngram_hash_set"),

@@ -684,6 +684,16 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // PII scrub over the corpus: emails/IPv4s/phone-shaped runs replaced
+    // with sentinel tokens — per-row regexp projection, no shuffle;
+    // patterns restricted to Java-regex/RE2-common constructs so the
+    // oracle reproduces the output byte-for-byte.
+    "q52_redact_pii" -> ((s, dir) => {
+      import graft.llm.TextOps
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.redactPii(col("text")).as("clean_text"))
+    }),
+
     // Deterministic stratified downsampling: per-stratum keep rates via a
     // salted md5 per-mille bucket (views capped at 10%, the rest at 50%)
     // — a map-side predicate, no RNG, no shuffle; re-runs and AQE
@@ -1611,6 +1621,16 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q52_redact_pii" -> {
+      import graft.llm.TextOps.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+      s"""SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$PiiEmailRe', '<EMAIL>', 'g'),
+        |    '$PiiIpRe', '<IP>', 'g'),
+        |    '$PiiPhoneRe', '<PHONE>', 'g') AS clean_text
+        |FROM documents""".stripMargin
+    },
 
     "q51_stratified_sample" ->
       s"""SELECT event_id, event_type FROM events

@@ -28,23 +28,36 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  /** (doc_id, grams): distinct 60-bit hashes of the doc's word n-grams.
+  /** (doc_id, grams): distinct 60-bit hashes of the doc's word n-grams,
+    * one native pass per document ([[graft.expressions.WordNgramHashSetExpr]]).
     * Tokens split on whitespace, empties dropped; texts shorter than n
-    * tokens yield an empty set. `_ws` is materialized as a column first
-    * so the lambda reads an attribute, not a re-evaluated expression. */
+    * tokens yield an empty set. */
   def ngramHashSet(docs: DataFrame, id: Column, text: Column,
                    n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    docs.select(id.as("doc_id"),
+      call_function("word_ngram_hash_set", text, lit(n)).as("grams"))
+  }
+
+  /** HOF cross-check formulation of [[ngramHashSet]] (and the
+    * no-extensions fallback): same tokenizer, same md5-prefix hash,
+    * asserted set-equal in LlmTextSpec. `_ws` is materialized as a
+    * column first so the lambda reads an attribute, not a re-evaluated
+    * expression. */
+  def ngramHashSetHof(docs: DataFrame, id: Column, text: Column,
+                      n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     val ws = col("_ws")
     docs
       .select(id.as("doc_id"),
         filter(split(text, "\\s+"), w => w =!= "").as("_ws"))
       .select(col("doc_id"),
-        when(size(ws) >= n,
-          array_distinct(transform(
-            sequence(lit(1), size(ws) - (n - 1)),
-            i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(n)))), 1, 15),
-              16, 10).cast("long"))))
+        when(ws.isNull, lit(null).cast("array<long>")) // null text → null, like the native expr
+          .when(size(ws) >= n,
+            array_distinct(transform(
+              sequence(lit(1), size(ws) - (n - 1)),
+              i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(n)))), 1, 15),
+                16, 10).cast("long"))))
           .otherwise(array().cast("array<long>")).as("grams"))
   }
 

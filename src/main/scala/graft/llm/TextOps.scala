@@ -104,6 +104,29 @@ object TextOps {
   def rollingHash(text: Column, b: Long = 31L, p: Long = 2147483647L): Column =
     coalesce(call_function("rolling_hash", text, lit(b), lit(p)), lit(0L))
 
+  // ------------------------------------------------------ PII redaction
+  /** The pre-training scrub pass: emails, IPv4s and phone-shaped number
+    * runs replaced with sentinel tokens. Patterns use only constructs
+    * with identical semantics in Java regex and RE2 (no lookaround, no
+    * backreferences), so the DuckDB oracle reproduces the exact output;
+    * per-row projection — no shuffle, codegen'd regexp_replace.
+    * Order matters: emails first (their local part can contain digits),
+    * then IPs (dotted quads would otherwise part-match as phones), then
+    * phones. A heuristic, as all regex PII scrubbing is: a 9+-digit id
+    * also redacts as <PHONE> — the conservative direction for a corpus
+    * scrub. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PiiPhoneRe =
+    "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiIpRe, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
   // ------------------------------------------------------------------
   // Round-2 regex formulations — independent references for the specs'
   // bit-equality assertions (and for sessions without GraftExtensions).

@@ -270,6 +270,22 @@ class LlmTextSpec extends SparkTestBase {
     assert(ids(100, "b") != s100)
   }
 
+  test("PII redaction replaces emails, IPs and phones with sentinels") {
+    val out = Seq(
+      "contact me at jane.doe+spam@example.co.uk for details",
+      "server at 192.168.001.1 responded",
+      "call +1 (415) 555-0199 or 030-1234-5678 today",
+      "no pii here at all",
+      "mixed: bob@host.org from 10.0.0.1 dialed 555 123 4567")
+      .toDF("text").select(TextOps.redactPii(col("text"))).as[String]
+      .collect().toSeq
+    assert(out(0) == "contact me at <EMAIL> for details")
+    assert(out(1) == "server at <IP> responded")
+    assert(out(2) == "call <PHONE> or <PHONE> today")
+    assert(out(3) == "no pii here at all")
+    assert(out(4) == "mixed: <EMAIL> from <IP> dialed <PHONE>")
+  }
+
   test("language ID votes stopwords; unknown when none hit") {
     val out = Seq(
       "the cat is on the mat and it is warm",
@@ -328,5 +344,24 @@ class LlmTextSpec extends SparkTestBase {
       train, col("doc_id"), col("text"), eval, col("doc_id"), col("text"),
       n = 8, minShared = 2).count()
     assert(strict == 0)
+  }
+
+  test("native word_ngram_hash_set is set-identical to the HOF formulation") {
+    import graft.llm.Decontamination
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .unionByName(Seq((90001L, " leading  and   trailing whitespace runs here ok "),
+        (90002L, "short"), (90003L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    for (n <- Seq(2, 8)) {
+      val native = Decontamination.ngramHashSet(docs, col("doc_id"), col("text"), n)
+        .select(col("doc_id"), col("grams"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val hof = Decontamination.ngramHashSetHof(docs, col("doc_id"), col("text"), n)
+        .select(col("doc_id"), array_sort(col("grams")).as("grams"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native.keySet == hof.keySet)
+      native.foreach { case (id, g) =>
+        assert(g == hof(id), s"n=$n doc=$id native=$g hof=${hof(id)}") }
+    }
   }
 }
