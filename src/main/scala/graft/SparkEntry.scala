@@ -684,6 +684,16 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // C4-style boilerplate scrub: drop every line occurring in >= 2
+    // distinct documents, reassemble in order. The duplicated-line set
+    // is small by construction, so the anti-join broadcasts; reassembly
+    // is one doc-id shuffle with bounded per-doc state.
+    "q53_line_dedup" -> ((s, dir) => {
+      import graft.llm.LineDedup
+      LineDedup.removeDuplicatedLines(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+    }),
+
     // PII scrub over the corpus: emails/IPv4s/phone-shaped runs replaced
     // with sentinel tokens — per-row regexp projection, no shuffle;
     // patterns restricted to Java-regex/RE2-common constructs so the
@@ -1621,6 +1631,21 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q53_line_dedup" ->
+      s"""WITH d0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents),
+        |ln AS (
+        |  SELECT doc_id, i, ${dMd5Long("ls[i]")} AS h, ls[i] AS line
+        |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM d0)),
+        |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY 1),
+        |kept AS (SELECT doc_id, i, line FROM ln JOIN df USING (h) WHERE df < 2),
+        |rb AS (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY i), chr(10)) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT d0.doc_id,
+        |  CASE WHEN d0.text IS NULL THEN NULL
+        |       ELSE COALESCE(rb.clean_text, '') END AS clean_text
+        |FROM d0 LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     "q52_redact_pii" -> {
       import graft.llm.TextOps.{PiiEmailRe, PiiIpRe, PiiPhoneRe}

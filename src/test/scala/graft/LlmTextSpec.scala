@@ -346,6 +346,25 @@ class LlmTextSpec extends SparkTestBase {
     assert(strict == 0)
   }
 
+  test("line dedup drops corpus-wide boilerplate, keeps order, handles edge docs") {
+    import graft.llm.LineDedup
+    val boiler = "accept our cookies to continue"
+    val docs = Seq(
+      (1L, s"unique first line\n$boiler\nunique last line"),
+      (2L, s"$boiler\nanother original thought"),
+      (3L, boiler),                       // all-boilerplate -> ''
+      (4L, "standalone document"),        // untouched
+      (5L, null.asInstanceOf[String]))    // null passes through
+      .toDF("doc_id", "text")
+    val out = LineDedup.removeDuplicatedLines(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique first line\nunique last line")
+    assert(out(2L) == "another original thought")
+    assert(out(3L) == "")
+    assert(out(4L) == "standalone document")
+    assert(out(5L) == null)
+  }
+
   test("native word_ngram_hash_set is set-identical to the HOF formulation") {
     import graft.llm.Decontamination
     val docs = graft.sources.Tables.documents(spark, sf)
