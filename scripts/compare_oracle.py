@@ -82,6 +82,21 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
+    # rows-only queries (no oracleSql — estimation ops like q49): the
+    # driver records a weaker rows>0 check; mirror it here so a broken
+    # query can't hide behind its missing oracle entry.
+    for d in sorted(glob.glob(f"{outdir}/q*")):
+        name = d.rsplit("/", 1)[-1]
+        if name in oracle:
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+        if n > 0:
+            print(f"PASS {name} ({n} rows, rows-only: no oracle)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows-only check found no rows")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -1330,8 +1330,12 @@ object SparkEntry {
       s"""WITH $dRawCtes,
         |b AS (SELECT *, regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|archiver|mediapartners)') AS bot FROM e),
         |c AS (SELECT *,
-        |  CASE WHEN contains(ua,'Edg/') OR contains(ua,'Edge/') THEN 'Edge'
+        |  CASE WHEN contains(ua,'; wv)') AND contains(ua,'Chrome/') THEN 'Chrome Mobile WebView'
+        |       WHEN contains(ua,'SamsungBrowser/') THEN 'Samsung Internet'
         |       WHEN contains(ua,'OPR/') THEN 'Opera'
+        |       WHEN contains(ua,'EdgA/') THEN 'Edge Mobile'
+        |       WHEN contains(ua,'Edg/') OR contains(ua,'Edge/') THEN 'Edge'
+        |       WHEN contains(ua,'CriOS/') THEN 'Chrome Mobile iOS'
         |       WHEN contains(ua,'Chrome/') AND contains(ua,'Mobile') THEN 'Chrome Mobile'
         |       WHEN contains(ua,'Chrome/') THEN 'Chrome'
         |       WHEN contains(ua,'Firefox/') THEN 'Firefox'
@@ -1339,20 +1343,28 @@ object SparkEntry {
         |       WHEN contains(ua,'Safari') AND contains(ua,'Version/') THEN 'Safari'
         |       WHEN contains(ua,'MSIE') OR contains(ua,'Trident/') THEN 'IE'
         |       ELSE 'Other' END AS cname,
-        |  CASE WHEN contains(ua,'iPhone') OR contains(ua,'iPad') OR contains(ua,'iPod') THEN 'iOS'
+        |  CASE WHEN contains(ua,'Tizen') THEN 'Tizen'
+        |       WHEN contains(ua,'PlayStation') THEN 'PlayStation'
+        |       WHEN contains(ua,'iPhone') OR contains(ua,'iPad') OR contains(ua,'iPod') THEN 'iOS'
         |       WHEN contains(ua,'Android') THEN 'Android'
         |       WHEN contains(ua,'Windows NT') THEN 'Windows'
         |       WHEN contains(ua,'Mac OS X') THEN 'Mac OS X'
         |       WHEN contains(ua,'Linux') THEN 'Linux'
         |       ELSE 'Other' END AS oname,
-        |  CASE WHEN contains(ua,'iPad') OR (contains(ua,'Android') AND NOT contains(ua,'Mobile')) THEN 'tablet'
+        |  CASE WHEN contains(ua,'PlayStation') OR contains(ua,'Xbox') OR contains(ua,'Nintendo') THEN 'console'
+        |       WHEN contains(ua,'SMART-TV') OR (contains(ua,'Tizen') AND NOT contains(ua,'Mobi')) THEN 'tv'
+        |       WHEN contains(ua,'iPad') OR (contains(ua,'Android') AND NOT contains(ua,'Mobile')) THEN 'tablet'
         |       WHEN contains(ua,'iPhone') OR contains(ua,'iPod') OR (contains(ua,'Android') AND contains(ua,'Mobile')) OR contains(ua,'Mobi') THEN 'mobile'
         |       WHEN contains(ua,'Windows') OR contains(ua,'Macintosh') OR contains(ua,'X11') OR contains(ua,'Linux') THEN 'desktop'
         |       ELSE '(not set)' END AS dtype
         | FROM b),
         |d AS (SELECT *,
-        |  CASE cname WHEN 'Edge' THEN regexp_extract(ua,'Edge?/$dVerRe',1)
+        |  CASE cname WHEN 'Chrome Mobile WebView' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
+        |             WHEN 'Samsung Internet' THEN regexp_extract(ua,'SamsungBrowser/$dVerRe',1)
+        |             WHEN 'Edge Mobile' THEN regexp_extract(ua,'EdgA/$dVerRe',1)
+        |             WHEN 'Edge' THEN regexp_extract(ua,'Edge?/$dVerRe',1)
         |             WHEN 'Opera' THEN regexp_extract(ua,'OPR/$dVerRe',1)
+        |             WHEN 'Chrome Mobile iOS' THEN regexp_extract(ua,'CriOS/$dVerRe',1)
         |             WHEN 'Chrome Mobile' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
         |             WHEN 'Chrome' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
         |             WHEN 'Firefox' THEN regexp_extract(ua,'Firefox/$dVerRe',1)
@@ -1360,7 +1372,9 @@ object SparkEntry {
         |             WHEN 'Safari' THEN regexp_extract(ua,'Version/$dVerRe',1)
         |             WHEN 'IE' THEN regexp_extract(ua,'(?:MSIE |rv:)$dVerRe',1)
         |             ELSE '' END AS cver,
-        |  CASE oname WHEN 'iOS' THEN replace(regexp_extract(ua,'OS ([0-9_]+)',1),'_','.')
+        |  CASE oname WHEN 'Tizen' THEN regexp_extract(ua,'Tizen ?$dVerRe',1)
+        |             WHEN 'PlayStation' THEN regexp_extract(ua,'PlayStation (?:\\d+|Vita)[/ ]$dVerRe',1)
+        |             WHEN 'iOS' THEN replace(regexp_extract(ua,'OS ([0-9_]+)',1),'_','.')
         |             WHEN 'Android' THEN regexp_extract(ua,'Android $dVerRe',1)
         |             WHEN 'Windows' THEN
         |               CASE regexp_extract(ua,'Windows NT ([0-9.]+)',1)

@@ -140,7 +140,8 @@ object UserAgent {
       .when(name === "Tizen", regexp_extract(ua, s"Tizen ?$VerRe", 1))
       .when(name === "webOS", regexp_extract(ua, s"webOS[/ ]$VerRe", 1))
       .when(name === "PlayStation",
-        regexp_extract(ua, s"PlayStation (?:\\d+|Vita) $VerRe", 1))
+        // both public forms: 'PlayStation 4 8.03' and 'PlayStation 5/2.26'
+        regexp_extract(ua, s"PlayStation (?:\\d+|Vita)[/ ]$VerRe", 1))
       .when(name === "Roku", regexp_extract(ua, s"Roku/DVP-$VerRe", 1))
       .when(name === "iOS",
         regexp_replace(regexp_extract(ua, "OS ([0-9_]+)", 1), "_", "."))

@@ -400,7 +400,13 @@ object GaPipeline {
     val multichannel = if (incrementalTouchpoints) {
       // Join strategy is AQE's call: today's id set is broadcast-sized
       // for most tenants but can reach 10^8 ids at 100 TB/day.
+      // localCheckpoint pins the (small) id set so the semi and anti
+      // branches don't each recompute the distinct; the two history
+      // SCANS are deliberate — they are shuffle-free columnar reads,
+      // and the alternative (persisting all-time history) costs more
+      // than it saves once history outgrows the day.
       val todayIds = todaySessions.select(col("fullVisitorId")).distinct()
+        .localCheckpoint(true)
       val touched = history.join(todayIds, Seq("fullVisitorId"), "left_semi")
       val untouched = history.join(todayIds, Seq("fullVisitorId"), "left_anti")
       untouched.unionByName(

@@ -56,8 +56,7 @@ object Decontamination {
           .when(size(ws) >= n,
             array_distinct(transform(
               sequence(lit(1), size(ws) - (n - 1)),
-              i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(n)))), 1, 15),
-                16, 10).cast("long"))))
+              i => Splits.md5Long(concat_ws(" ", slice(ws, i, lit(n)))))))
           .otherwise(array().cast("array<long>")).as("grams"))
   }
 

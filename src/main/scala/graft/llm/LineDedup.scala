@@ -26,8 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  private def lineHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def lineHash(c: Column): Column = Splits.md5Long(c)
 
   /** (doc_id, clean_text): `text` with lines occurring in ≥ `minDocs`
     * distinct documents removed. */

@@ -19,9 +19,17 @@ object Splits {
 
   val Buckets = 100
 
+  /** The engine's ONE hash-to-long: value of the first 15 md5 hex digits
+    * (top 60 bits of the digest). Every deterministic-hash operator
+    * (splits, sampling, line dedup, the decontamination HOF) derives
+    * from this so all of them stay bit-identical to the DuckDB oracle's
+    * `('0x'||substr(md5(x),1,15))::BIGINT` mirror. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Bucket in [0, buckets) from the id's md5. */
   def md5Bucket(id: Column, buckets: Int = Buckets): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % buckets
+    md5Long(id.cast("string")) % buckets
 
   /** 'train' / 'val' / 'test' assignment with integer percentage
     * weights (train + val <= 100; the remainder is test). */
@@ -44,9 +52,6 @@ object Splits {
     * exactly mirrorable by the DuckDB oracle. Distinct `salt` values give
     * independent samples; the same salt gives nested ones (a 100‰ sample
     * is a subset of the 500‰ sample). Map-side predicate: no shuffle. */
-  def hashSample(id: Column, perMille: Column, salt: String = ""): Column = {
-    val b = conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
-      16, 10).cast("long") % 1000
-    b < perMille
-  }
+  def hashSample(id: Column, perMille: Column, salt: String = ""): Column =
+    md5Bucket(concat(id.cast("string"), lit(salt)), 1000) < perMille
 }

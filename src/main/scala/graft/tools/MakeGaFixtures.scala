@@ -87,6 +87,69 @@ object MakeGaFixtures {
   private val uaBot =
     "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"
 
+  // ---- UA long tail (v57-v62): device maps mirror enrich/UserAgent's
+  // classifier output exactly (EnrichmentSpec asserts the round trip,
+  // q18's oracle gates the classification).
+  private val uaSamsung =
+    "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36"
+  private val deviceSamsung: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Samsung Internet", "device_client_version" -> "23.0",
+    "device_os_name" -> "Android", "device_os_version" -> "13",
+    "device_device_type" -> "mobile", "device_device_name" -> "SM-S918B",
+    "device_device_brand" -> "Samsung", "device_device_model" -> "SM-S918B",
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaWebview =
+    "Mozilla/5.0 (Linux; Android 10; K; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.6045.66 Mobile Safari/537.36"
+  private val deviceWebview: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Chrome Mobile WebView", "device_client_version" -> "119.0.6045",
+    "device_os_name" -> "Android", "device_os_version" -> "10",
+    "device_device_type" -> "mobile", "device_device_name" -> "Generic Smartphone",
+    "device_device_brand" -> null, "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaEdgeAndroid =
+    "Mozilla/5.0 (Linux; Android 10; HD1913) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36 EdgA/115.0.1901.188"
+  private val deviceEdgeAndroid: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Edge Mobile", "device_client_version" -> "115.0.1901",
+    "device_os_name" -> "Android", "device_os_version" -> "10",
+    "device_device_type" -> "mobile", "device_device_name" -> "HD1913",
+    "device_device_brand" -> null, "device_device_model" -> "HD1913",
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaCrios =
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/114.0.5735.99 Mobile/15E148 Safari/604.1"
+  private val deviceCrios: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Chrome Mobile iOS", "device_client_version" -> "114.0.5735",
+    "device_os_name" -> "iOS", "device_os_version" -> "16.5",
+    "device_device_type" -> "mobile", "device_device_name" -> "iPhone",
+    "device_device_brand" -> "Apple", "device_device_model" -> "iPhone",
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaTizenTv =
+    "Mozilla/5.0 (SMART-TV; Linux; Tizen 6.0) AppleWebKit/537.36 (KHTML, like Gecko) 76.0.3809.146/6.0 TV Safari/537.36"
+  private val deviceTizenTv: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> false,
+    "device_client_name" -> "Other", "device_client_version" -> "",
+    "device_os_name" -> "Tizen", "device_os_version" -> "6.0",
+    "device_device_type" -> "tv", "device_device_name" -> "Other",
+    "device_device_brand" -> "Samsung", "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaPs5 =
+    "Mozilla/5.0 (PlayStation; PlayStation 5/2.26) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.0 Safari/605.1.15"
+  private val devicePs5: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> false,
+    "device_client_name" -> "Safari", "device_client_version" -> "13.0",
+    "device_os_name" -> "PlayStation", "device_os_version" -> "2.26",
+    "device_device_type" -> "console", "device_device_name" -> "PlayStation",
+    "device_device_brand" -> "Sony", "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
   // ------------------------------------------------------------- builders
   private val shop = "https://shop.example"
 
@@ -224,7 +287,23 @@ object MakeGaFixtures {
           "pa" -> "refund", "ti" -> "T1002", "tr" -> "10.5",
           "pr0id" -> "SKU-9", "pr0pr" -> "10.5", "pr0qt" -> "1")),
         m(32) -> ev("cid-v20", s"$shop/c", "funnel", "remove", Seq(
-          "pa" -> "remove", "pr0id" -> "SKU-9")))))
+          "pa" -> "remove", "pr0id" -> "SKU-9")))),
+      // v57-v62: UA long tail — in-app/webview browsers, a smart TV and a
+      // console — one pageview session each, so the enrichment oracle
+      // (q18) gates the classifier's long-tail families, not just the
+      // three mainstream UAs.
+      Visitor("cid-v57", "84.113.30.2", uaSamsung, deviceSamsung, geoVienna, Seq(
+        m(33) -> pv("cid-v57", s"$shop/longtail/samsung"))),
+      Visitor("cid-v58", "84.113.31.3", uaWebview, deviceWebview, geoBerlin, Seq(
+        m(34) -> pv("cid-v58", s"$shop/longtail/webview"))),
+      Visitor("cid-v59", "84.113.32.4", uaEdgeAndroid, deviceEdgeAndroid, geoVienna, Seq(
+        m(35) -> pv("cid-v59", s"$shop/longtail/edga"))),
+      Visitor("cid-v60", "84.113.33.5", uaCrios, deviceCrios, geoBerlin, Seq(
+        m(36) -> pv("cid-v60", s"$shop/longtail/crios"))),
+      Visitor("cid-v61", "84.113.34.6", uaTizenTv, deviceTizenTv, geoVienna, Seq(
+        m(37) -> pv("cid-v61", s"$shop/longtail/tv"))),
+      Visitor("cid-v62", "84.113.35.7", uaPs5, devicePs5, geoBerlin, Seq(
+        m(38) -> pv("cid-v62", s"$shop/longtail/console"))))
 
     // Bulk visitors b21..b56: 3-hit single sessions rotating over four
     // acquisition shapes; every 5th buys one product.

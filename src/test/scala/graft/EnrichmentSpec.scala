@@ -99,6 +99,13 @@ class EnrichmentSpec extends SparkTestBase {
       .filter(col("device_device_type").isin("tv", "console") &&
         col("device_is_mobile")).count()
     assert(m == 0)
+    // console OS versions: space (PS4) and slash (PS5) forms both parse
+    val vers = UserAgent.withDeviceColumns(Seq(
+      "Mozilla/5.0 (PlayStation 4 8.03) AppleWebKit/605.1.15 (KHTML, like Gecko)",
+      "Mozilla/5.0 (PlayStation; PlayStation 5/2.26) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.0 Safari/605.1.15")
+      .toDF("user_agent"), col("user_agent"))
+      .select("device_os_version").as[String].collect().toSeq
+    assert(vers == Seq("8.03", "2.26"))
   }
 
   test("bot rows carry only the bot flag") {
