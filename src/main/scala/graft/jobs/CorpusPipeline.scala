@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{DedupClusters, MinHashLsh, TextOps}
+import graft.llm.{DedupClusters, LineDedup, MinHashLsh, TextOps}
 
 /** End-to-end training-corpus preparation — the composed pipeline the
   * individual LLM-data operators exist for:
@@ -42,5 +42,29 @@ object CorpusPipeline {
       .drop("_fp", "_rn")
     val pairs = MinHashLsh.verifiedPairs(exact, id, text, threshold)
     DedupClusters.survivors(exact, id, pairs)
+  }
+
+  /** Text-MUTATING scrub pre-pass: corpus-wide duplicated-line removal
+    * ([[LineDedup]]) then PII redaction ([[TextOps.redactPii]]), with
+    * `textCol` replaced in place — every other column and the column
+    * order survive. Run BEFORE [[run]] so the dedup fingerprints and
+    * shingles see the scrubbed text (boilerplate lines otherwise make
+    * unrelated documents near-duplicates); follow [[run]] with
+    * [[graft.llm.Decontamination.decontaminated]] against the eval
+    * corpus for the full training-data recipe. `id` must be unique.
+    * Stage semantics are oracle-gated individually (q52/q53); the
+    * composition is spec-gated (CorpusPipelineSpec). */
+  def scrub(docs: DataFrame, id: Column, textCol: String,
+            minDocs: Int = 2): DataFrame = {
+    require(docs.columns.contains(textCol),
+      s"no column named $textCol in ${docs.columns.mkString(", ")}")
+    require(!docs.columns.contains("_graft_id"),
+      "input must not contain the reserved column _graft_id")
+    val cleaned = LineDedup.removeDuplicatedLines(docs, id, col(textCol), minDocs)
+      .withColumnRenamed("doc_id", "_graft_id")
+    docs.withColumn("_graft_id", id)
+      .join(cleaned, "_graft_id")
+      .withColumn(textCol, TextOps.redactPii(col("clean_text")))
+      .drop("_graft_id", "clean_text")
   }
 }
