@@ -57,17 +57,14 @@ object CharNgramHashSet {
     val cps = s.codePoints().toArray
     if (cps.length < n) return new GenericArrayData(new Array[Any](0))
     val md = MessageDigest.getInstance("MD5")
-    val hashes = new java.util.TreeSet[java.lang.Long]()
+    // primitive sort + in-place dedup — a boxed TreeSet costs a node
+    // allocation per gram and dominated this projection's profile
+    val hashes = new Array[Long](cps.length - n + 1)
     var i = 0
     while (i <= cps.length - n) {
-      val gram = new String(cps, i, n)
-      hashes.add(SimHash60.md5Top60(md, gram) % MinHashLsh.P)
+      hashes(i) = SimHash60.md5Top60(md, new String(cps, i, n)) % MinHashLsh.P
       i += 1
     }
-    val out = new Array[Any](hashes.size)
-    val it = hashes.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(out)
+    SortedDistinct.toArrayData(hashes, hashes.length)
   }
 }

@@ -73,15 +73,13 @@ object ShingleHashSet {
       i += 1
     }
     val md = MessageDigest.getInstance("MD5")
-    val hashes = new java.util.TreeSet[java.lang.Long]()
+    val hashes = new Array[Long](bigrams.size)
     val it = bigrams.iterator()
-    while (it.hasNext) {
-      hashes.add(SimHash60.md5Top60(md, it.next()) % MinHashLsh.P)
-    }
-    val out = new Array[Any](hashes.size)
-    val hit = hashes.iterator()
     var j = 0
-    while (hit.hasNext) { out(j) = hit.next().longValue(); j += 1 }
-    new GenericArrayData(out)
+    while (it.hasNext) {
+      hashes(j) = SimHash60.md5Top60(md, it.next()) % MinHashLsh.P
+      j += 1
+    }
+    SortedDistinct.toArrayData(hashes, j)
   }
 }

@@ -71,7 +71,7 @@ object WordNgramHashSet {
     }
     if (nTok < n) return new GenericArrayData(new Array[Any](0))
     val md = MessageDigest.getInstance("MD5")
-    val hashes = new java.util.TreeSet[java.lang.Long]()
+    val hashes = new Array[Long](nTok - n + 1)
     val sb = new java.lang.StringBuilder(64)
     i = 0
     while (i <= nTok - n) {
@@ -82,13 +82,9 @@ object WordNgramHashSet {
         sb.append(toks(i + j))
         j += 1
       }
-      hashes.add(SimHash60.md5Top60(md, sb.toString))
+      hashes(i) = SimHash60.md5Top60(md, sb.toString)
       i += 1
     }
-    val out = new Array[Any](hashes.size)
-    val it = hashes.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(out)
+    SortedDistinct.toArrayData(hashes, hashes.length)
   }
 }
