@@ -1651,8 +1651,10 @@ object SparkEntry {
         |ln AS (
         |  SELECT doc_id, i, ${dMd5Long("ls[i]")} AS h, ls[i] AS line
         |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM d0)),
-        |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY 1),
-        |kept AS (SELECT doc_id, i, line FROM ln JOIN df USING (h) WHERE df < 2),
+        |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ln
+        |       WHERE trim(line) <> '' GROUP BY 1),
+        |kept AS (SELECT doc_id, i, line FROM ln LEFT JOIN df USING (h)
+        |         WHERE df IS NULL OR df < 2),
         |rb AS (
         |  SELECT doc_id, array_to_string(list(line ORDER BY i), chr(10)) AS clean_text
         |  FROM kept GROUP BY 1)

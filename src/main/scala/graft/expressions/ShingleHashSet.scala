@@ -63,9 +63,9 @@ object ShingleHashSet {
   def compute(text: UTF8String): ArrayData = {
     val toks = Ws.split(text.toString, -1)
     if (toks.length < 2) return new GenericArrayData(new Array[Any](0))
-    // distinct bigrams first (dedup on the string, as word_bigrams does),
-    // then distinct hashes (collect_set deduped post-hash), sorted
-    // ascending via TreeSet — the sorted_intersect_size invariant
+    // distinct bigrams first (dedup on the string, as word_bigrams does,
+    // saving an md5 per repeated gram), then hash into a primitive array
+    // sorted+deduped by SortedDistinct — the sorted_intersect_size invariant
     val bigrams = new java.util.LinkedHashSet[String](toks.length * 2)
     var i = 0
     while (i < toks.length - 1) {

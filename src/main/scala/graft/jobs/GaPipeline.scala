@@ -399,14 +399,14 @@ object GaPipeline {
     val todaySessions = newSessions(exportSessions(export), jobDate)
     val multichannel = if (incrementalTouchpoints) {
       // Join strategy is AQE's call: today's id set is broadcast-sized
-      // for most tenants but can reach 10^8 ids at 100 TB/day.
-      // localCheckpoint pins the (small) id set so the semi and anti
-      // branches don't each recompute the distinct; the two history
-      // SCANS are deliberate — they are shuffle-free columnar reads,
-      // and the alternative (persisting all-time history) costs more
-      // than it saves once history outgrows the day.
+      // for most tenants but can reach 10^8 ids at 100 TB/day. The semi
+      // and anti branches each recompute the distinct — a cheap map over
+      // the persisted export — and each scan history once: shuffle-free
+      // columnar reads, deliberately NOT pinned (an eager checkpoint
+      // would run a job at plan-construction time and truncate lineage;
+      // persisting all-time history costs more than it saves once
+      // history outgrows the day).
       val todayIds = todaySessions.select(col("fullVisitorId")).distinct()
-        .localCheckpoint(true)
       val touched = history.join(todayIds, Seq("fullVisitorId"), "left_semi")
       val untouched = history.join(todayIds, Seq("fullVisitorId"), "left_anti")
       untouched.unionByName(

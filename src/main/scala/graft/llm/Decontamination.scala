@@ -29,14 +29,18 @@ import org.apache.spark.sql.functions._
 object Decontamination {
 
   /** (doc_id, grams): distinct 60-bit hashes of the doc's word n-grams,
-    * one native pass per document ([[graft.expressions.WordNgramHashSetExpr]]).
+    * one native pass per document ([[graft.expressions.WordNgramHashSetExpr]])
+    * when GraftExtensions is active, else the set-identical HOF
+    * formulation — public callers work in any session (round-5 review).
     * Tokens split on whitespace, empties dropped; texts shorter than n
     * tokens yield an empty set. */
   def ngramHashSet(docs: DataFrame, id: Column, text: Column,
                    n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    docs.select(id.as("doc_id"),
-      call_function("word_ngram_hash_set", text, lit(n)).as("grams"))
+    if (docs.sparkSession.catalog.functionExists("word_ngram_hash_set"))
+      docs.select(id.as("doc_id"),
+        call_function("word_ngram_hash_set", text, lit(n)).as("grams"))
+    else ngramHashSetHof(docs, id, text, n)
   }
 
   /** HOF cross-check formulation of [[ngramHashSet]] (and the

@@ -37,8 +37,13 @@ object LineDedup {
     val lines = base
       .select(col("doc_id"), posexplode(split(col("_text"), "\n")).as(Seq("pos", "line")))
       .withColumn("h", lineHash(col("line")))
-    // distinct (h, doc) first — partial-aggregatable — then count per h
-    val dup = lines.select(col("h"), col("doc_id")).distinct()
+    // distinct (h, doc) first — partial-aggregatable — then count per h.
+    // Blank/whitespace-only lines are STRUCTURE, not boilerplate: without
+    // the trim filter, any two documents with a paragraph break would
+    // put the empty line in the duplicated set and strip every paragraph
+    // boundary in the corpus (round-5 review).
+    val dup = lines.where(trim(col("line")) =!= "")
+      .select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs)
       .select(col("h"))

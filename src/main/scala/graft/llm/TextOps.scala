@@ -112,13 +112,18 @@ object TextOps {
     * per-row projection — no shuffle, codegen'd regexp_replace.
     * Order matters: emails first (their local part can contain digits),
     * then IPs (dotted quads would otherwise part-match as phones), then
-    * phones. A heuristic, as all regex PII scrubbing is: a 9+-digit id
-    * also redacts as <PHONE> — the conservative direction for a corpus
-    * scrub. */
+    * phones. A heuristic, as all regex PII scrubbing is: a 9-15-digit
+    * grouped id also redacts as <PHONE> — the conservative direction for
+    * a corpus scrub — while the boundary anchors keep the match
+    * all-or-nothing: a 16+-digit run (e.g. a card number) is left intact
+    * rather than partially consumed with a digit fragment dangling after
+    * the sentinel (round-5 review). `(?:\\+|\\b)` instead of a plain \\b
+    * because '+' is a non-word char — a leading boundary would never
+    * match after a space. */
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   val PiiPhoneRe =
-    "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}"
+    "(?:\\+|\\b)[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}\\b"
 
   def redactPii(text: Column): Column =
     regexp_replace(

@@ -276,7 +276,9 @@ class LlmTextSpec extends SparkTestBase {
       "server at 192.168.001.1 responded",
       "call +1 (415) 555-0199 or 030-1234-5678 today",
       "no pii here at all",
-      "mixed: bob@host.org from 10.0.0.1 dialed 555 123 4567")
+      "mixed: bob@host.org from 10.0.0.1 dialed 555 123 4567",
+      "card 4111111111111111 on file",
+      "year 2024 revenue")
       .toDF("text").select(TextOps.redactPii(col("text"))).as[String]
       .collect().toSeq
     assert(out(0) == "contact me at <EMAIL> for details")
@@ -284,6 +286,10 @@ class LlmTextSpec extends SparkTestBase {
     assert(out(2) == "call <PHONE> or <PHONE> today")
     assert(out(3) == "no pii here at all")
     assert(out(4) == "mixed: <EMAIL> from <IP> dialed <PHONE>")
+    // boundary anchors: a 16-digit run can't be a phone — left INTACT,
+    // never partially consumed with a fragment after the sentinel
+    assert(out(5) == "card 4111111111111111 on file")
+    assert(out(6) == "year 2024 revenue")
   }
 
   test("language ID votes stopwords; unknown when none hit") {
@@ -354,7 +360,9 @@ class LlmTextSpec extends SparkTestBase {
       (2L, s"$boiler\nanother original thought"),
       (3L, boiler),                       // all-boilerplate -> ''
       (4L, "standalone document"),        // untouched
-      (5L, null.asInstanceOf[String]))    // null passes through
+      (5L, null.asInstanceOf[String]),    // null passes through
+      (6L, "para one\n\npara two"),       // blank lines are structure,
+      (7L, "intro\n\noutro"))             // not corpus-wide boilerplate
       .toDF("doc_id", "text")
     val out = LineDedup.removeDuplicatedLines(docs, col("doc_id"), col("text"))
       .as[(Long, String)].collect().toMap
@@ -363,6 +371,9 @@ class LlmTextSpec extends SparkTestBase {
     assert(out(3L) == "")
     assert(out(4L) == "standalone document")
     assert(out(5L) == null)
+    // the empty line occurs in two docs but must NOT be removed
+    assert(out(6L) == "para one\n\npara two")
+    assert(out(7L) == "intro\n\noutro")
   }
 
   test("native word_ngram_hash_set is set-identical to the HOF formulation") {
