@@ -35,6 +35,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming corpus scrub: quality + PII + exact dedup compose over a stream") {
+    import graft.llm.TextOps
+    // PII redaction and the quality filter are per-row projections, so
+    // they stream as-is; composed with fingerprint dedup this is the
+    // streaming face of CorpusPipeline (line dedup needs corpus-wide
+    // frequencies and stays batch-only by design).
+    val base = 1700000000000L
+    val goodA = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep dark forest where nobody ever goes at night"
+    val goodB = "completely different content about spark query engines and " +
+      "columnar execution with vectorized operators for the modern data stack"
+    val input = MemoryStream[StreamDoc](spark)
+    val scrubbed = input.toDF()
+      .where(TextOps.qualityScore(col("text")) >= 3)
+      .withColumn("text", TextOps.redactPii(col("text")))
+    val q = StreamingDedup.exactDedup(scrubbed)
+      .select(col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1, s"$goodA call 030-1234-5678", new Timestamp(base)),
+        StreamDoc(2, "short junk", new Timestamp(base + 1000)))
+      q.processAllAvailable()
+      input.addData(
+        StreamDoc(3, goodA.toUpperCase + " CALL 030-1234-5678", new Timestamp(base + 2000)),
+        StreamDoc(4, goodB, new Timestamp(base + 3000)))
+      q.processAllAvailable()
+      val rows = spark.table("scrub_out")
+        .as[(Long, String)].collect().toMap
+      // 2 fails quality; 3 is a normalized dup of the scrubbed 1
+      assert(rows.keySet == Set(1L, 4L))
+      assert(rows(1L).contains("<PHONE>") && !rows(1L).contains("030"))
+    } finally q.stop()
+  }
+
   test("windowed dedup suppresses duplicates inside the watermark horizon") {
     val base = 1700000000000L
     val input = MemoryStream[StreamDoc](spark)
