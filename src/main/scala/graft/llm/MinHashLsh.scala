@@ -268,7 +268,12 @@ object MinHashLsh {
     // Verification jaccard has always been over the mod-P hash sets, so
     // sizing the filters by |hash set| makes the bounds exact w.r.t. the
     // verified metric.
-    val tok = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    // `n` = |hash set| is free on the sets table (size before explode) —
+    // carrying it here removes the unordered count() window the previous
+    // shape paid over the full token table (one fewer WindowExec pass;
+    // the rank sort below remains the only per-doc window).
+    val tok = sets.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     // prefix length = n - ceil(p*n/q) + 1; Column./ is DOUBLE division, so
     // integer-exact ceil is (x + q - 1) div q via try_divide-free floor
@@ -281,12 +286,11 @@ object MinHashLsh {
     // would serialize every one of its rows into ONE task. AQE can
     // skew-split a sort-merge join; it cannot split a window. The
     // round-trip costs one extra exchange at small scale and removes the
-    // unbounded straggler at large scale. Document size n rides the SAME
-    // doc_id window partitioning as the prefix rank.
-    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // unbounded straggler at large scale.
+    val dfreq = tok.select("doc_id", "h")
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix0 = tok
       .join(dfreq, Seq("h"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixLen)
       .select("doc_id", "h", "rn", "n")
