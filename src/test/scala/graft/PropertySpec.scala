@@ -149,4 +149,54 @@ class PropertySpec extends SparkTestBase {
         s"composition law violated: ha=$ha hb=$hb hab=$hab |b|=$lb")
     }
   }
+
+  test("PII redaction is idempotent on random digit/email/text soup") {
+    import graft.llm.TextOps
+    val rnd = new scala.util.Random(11)
+    val atoms = Seq("call", "030-1234-5678", "a@b.co", "10.0.0.1", "+43 1 555 0100",
+      "2024", "41111111111111112222", "x", "word", ".", "-", "(01)", "@")
+    val rows = (1 to 200).map { i =>
+      (i, (1 to (1 + rnd.nextInt(12))).map(_ => atoms(rnd.nextInt(atoms.length)))
+        .mkString(" "))
+    }
+    val got = rows.toDF("i", "text")
+      .select(col("i"), TextOps.redactPii(col("text")).as("once"))
+      .withColumn("twice", TextOps.redactPii(col("once")))
+      .as[(Int, String, String)].collect()
+    got.foreach { case (i, once, twice) =>
+      assert(once == twice, s"not idempotent on row $i: $once -> $twice")
+    }
+  }
+
+  test("line dedup is idempotent: a second pass removes nothing") {
+    import graft.llm.LineDedup
+    val rnd = new scala.util.Random(12)
+    val lines = (1 to 15).map(j => s"line body $j")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (0 to rnd.nextInt(6)).map { _ =>
+        if (rnd.nextInt(4) == 0) "" else lines(rnd.nextInt(lines.length))
+      }.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = LineDedup.removeDuplicatedLines(docs, col("doc_id"), col("text"))
+      .withColumnRenamed("clean_text", "text")
+    val twice = LineDedup.removeDuplicatedLines(once, col("doc_id"), col("text"))
+    val a = once.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val bb = twice.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a == bb)
+  }
+
+  test("hash sampling nests: rate p1 <= p2 implies sample(p1) is a subset") {
+    import graft.llm.Splits
+    val ids = (1L to 2000L).toDF("id")
+    val rates = Seq(50, 200, 500, 900)
+    val kept = rates.map { r =>
+      r -> ids.filter(Splits.hashSample(col("id"), lit(r), "nest"))
+        .as[Long].collect().toSet
+    }
+    kept.sliding(2).foreach { case Seq((r1, s1), (r2, s2)) =>
+      assert(s1.subsetOf(s2), s"sample($r1) ⊄ sample($r2)")
+      // and the rate is roughly honored (±50% slack at these sizes)
+      assert(s1.size > r1 && s1.size < r1 * 3, s"rate $r1: got ${s1.size}/2000")
+    }
+  }
 }
