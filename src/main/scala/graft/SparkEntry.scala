@@ -684,6 +684,14 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // Corpus vocabulary/document-frequency table (the IDF primitive):
+    // per-term tf + df over lowercased whitespace tokens, df >= 3.
+    "q54_vocab_stats" -> ((s, dir) => {
+      import graft.llm.TextOps
+      TextOps.vocabStats(Tables.documents(s, dir),
+        col("doc_id"), col("text"), minDf = 3)
+    }),
+
     // C4-style boilerplate scrub: drop every line occurring in >= 2
     // distinct documents, reassemble in order. The duplicated-line set
     // is small by construction, so the anti-join broadcasts; reassembly
@@ -1645,6 +1653,14 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q54_vocab_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3""".stripMargin,
 
     "q53_line_dedup" ->
       s"""WITH d0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents),

@@ -104,6 +104,25 @@ object TextOps {
   def rollingHash(text: Column, b: Long = 31L, p: Long = 2147483647L): Column =
     coalesce(call_function("rolling_hash", text, lit(b), lit(p)), lit(0L))
 
+  /** Corpus vocabulary statistics — the document-frequency primitive
+    * behind IDF weighting, stopword discovery and contamination-prone
+    * hot-term analysis: one row per lowercased whitespace token with its
+    * total occurrence count (tf) and distinct-document count (df), df
+    * filtered at `minDf`. Both aggregates are map-side combinable (the
+    * df arm distincts (term, doc) before counting); the only exchange is
+    * the hash shuffle by term, and Zipf's law makes hot terms exactly
+    * the ones a top-k consumer wants — AQE handles the skew, nothing
+    * serializes into a window. */
+  def vocabStats(docs: DataFrame, id: Column, text: Column,
+                 minDf: Int = 1): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val tok = docs.select(id.as("doc_id"),
+      explode(filter(split(lower(text), "\\s+"), w => w =!= "")).as("term"))
+    tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+  }
+
   // ------------------------------------------------------ PII redaction
   /** The pre-training scrub pass: emails, IPv4s and phone-shaped number
     * runs replaced with sentinel tokens. Patterns use only constructs

@@ -270,6 +270,19 @@ class LlmTextSpec extends SparkTestBase {
     assert(ids(100, "b") != s100)
   }
 
+  test("vocab stats count tf and df with case folding and df floor") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "Spark spark SPARK engine"),
+      (2L, "spark engine engine"),
+      (3L, "unrelated words only"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabStats(docs, col("doc_id"), col("text"), minDf = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map("spark" -> (4L, 2L), "engine" -> (3L, 2L)))
+  }
+
   test("PII redaction replaces emails, IPs and phones with sentinels") {
     val out = Seq(
       "contact me at jane.doe+spam@example.co.uk for details",
