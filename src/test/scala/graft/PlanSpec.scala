@@ -127,6 +127,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q53 line dedup reassembles without a window (sort_array agg)") {
+    uncached {
+      val plan = SparkEntry.queries("q53_line_dedup")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"reassembly must use the bounded sort_array aggregation:\n$plan")
+    }
+  }
+
+  test("q54 vocab stats aggregate with map-side partials") {
+    uncached {
+      val plan = SparkEntry.queries("q54_vocab_stats")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count") || plan.contains("partial"),
+        s"term counts must combine map-side:\n$plan")
+      assert(!plan.contains("Window"), plan)
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
