@@ -684,6 +684,15 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // BM25 lexical relevance over the corpus — the ranking baseline next
+    // to the ANN vector search; tokens filter to the query terms before
+    // any exchange.
+    "q55_bm25" -> ((s, dir) => {
+      import graft.llm.Bm25
+      Bm25.score(Tables.documents(s, dir), col("doc_id"), col("text"),
+        Seq("hash", "merge", "vector"))
+    }),
+
     // Corpus vocabulary/document-frequency table (the IDF primitive):
     // per-term tf + df over lowercased whitespace tokens, df >= 3.
     "q54_vocab_stats" -> ((s, dir) => {
@@ -1653,6 +1662,36 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    // BM25 mirror: identical expression tree (same association order) so
+    // the doubles match bit-for-bit before the round; the per-doc sum is
+    // the alphabetical-term fold (+0.0 for absent terms is exact), the
+    // corpus scalars reduce from exact integer sums, and the k1/b
+    // literals are Scala shortest-repr doubles that parse back equal.
+    "q55_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val terms = Seq("hash", "merge", "vector") // alphabetical = fold order
+      val inList = terms.map("'" + _ + "'").mkString(", ")
+      val branches = terms.map(t =>
+        s"COALESCE(MAX(CASE WHEN term = '$t' THEN s END), 0)").mkString(" + ")
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dlt AS (SELECT doc_id, CAST(COALESCE(len(toks), 0) AS BIGINT) AS dl, toks FROM w),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dlt),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM dlt),
+        |qt AS (SELECT * FROM tok WHERE term IN ($inList)),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}) /
+        |      (tf + $k1 * (${1 - b} + $b * dl / avgdl)) AS s
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st)
+        |SELECT doc_id, round($branches, 4) AS score
+        |FROM sc GROUP BY doc_id""".stripMargin
+    },
 
     "q54_vocab_stats" ->
       """WITH w AS (

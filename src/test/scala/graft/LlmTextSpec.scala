@@ -283,6 +283,23 @@ class LlmTextSpec extends SparkTestBase {
     assert(out == Map("spark" -> (4L, 2L), "engine" -> (3L, 2L)))
   }
 
+  test("bm25: tf monotone, rarer terms weigh more, non-matching docs absent") {
+    import graft.llm.Bm25
+    val docs = Seq(
+      (1L, "hash join hash probe build side"),  // tf(hash)=2
+      (2L, "hash join sort probe build side"),  // tf(hash)=1, same length
+      (3L, "vector scan only here today now"),  // rare term
+      (4L, "nothing relevant in this doc"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Bm25.score(docs, col("doc_id"), col("text"), Seq("hash", "vector"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) > out(2L))         // higher tf, same dl -> higher score
+    assert(out(3L) > out(2L))         // df(vector)=1 < df(hash)=2 -> rarer wins
+    assert(out.values.forall(_ > 0))
+  }
+
   test("PII redaction replaces emails, IPs and phones with sentinels") {
     val out = Seq(
       "contact me at jane.doe+spam@example.co.uk for details",
