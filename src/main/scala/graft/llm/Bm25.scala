@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  def score(docs: DataFrame, id: Column, text: Column, query: Seq[String],
+  def score(docs: DataFrame, id: Column, text: Column, query0: Seq[String],
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // tokens are lowercased, so match terms the same way; a term with
+    // whitespace could never equal a \s+-split token — reject it loudly
+    val query = query0.map(_.toLowerCase)
     require(query.nonEmpty, "bm25 needs at least one query term")
     require(query.distinct == query, "query terms must be distinct")
+    require(query.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"query terms must be non-empty single tokens: ${query0.mkString(", ")}")
     val withLen = docs.select(id.as("doc_id"),
-      filter(split(lower(text), "\\s+"), w => w =!= "").as("_toks"))
+      TextOps.lowerTokens(text).as("_toks"))
       .select(col("doc_id"),
         coalesce(size(col("_toks")), lit(0)).cast("long").as("dl"),
         col("_toks"))
@@ -38,8 +43,10 @@ object Bm25 {
       .where(col("term").isin(query: _*))
     val tf = tok.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfTbl = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf's groups ARE the distinct (doc, term) pairs — deriving df from
+    // them (instead of a separate distinct over tok) saves a third full
+    // corpus tokenization pass (round-5 review)
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfTbl, "term").crossJoin(stats)
       .withColumn("s",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *

@@ -36,6 +36,12 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** Lowercased whitespace tokens, empties dropped — the shared
+    * tokenization of the vocabulary/BM25 operators (their DuckDB mirrors
+    * track this one definition). */
+  def lowerTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
   def nTokens(text: Column): Column = stats(text).getField("n_tokens")
 
   def nSubtokens(text: Column): Column = stats(text).getField("n_subtokens")
@@ -117,7 +123,7 @@ object TextOps {
                  minDf: Int = 1): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     val tok = docs.select(id.as("doc_id"),
-      explode(filter(split(lower(text), "\\s+"), w => w =!= "")).as("term"))
+      explode(lowerTokens(text)).as("term"))
     tok.groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf)

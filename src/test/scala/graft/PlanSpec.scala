@@ -140,7 +140,7 @@ class PlanSpec extends SparkTestBase {
     uncached {
       val plan = SparkEntry.queries("q54_vocab_stats")(spark, sf)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("partial_count") || plan.contains("partial"),
+      assert(plan.contains("partial_count"),
         s"term counts must combine map-side:\n$plan")
       assert(!plan.contains("Window"), plan)
     }
