@@ -1,7 +1,6 @@
 package graft.jobs
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{DedupClusters, LineDedup, MinHashLsh, TextOps}
@@ -31,15 +30,19 @@ object CorpusPipeline {
           minQuality: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the scratch columns below would silently swallow same-named input
     // columns, violating the schema-preserving contract
-    require(!docs.columns.contains("_fp") && !docs.columns.contains("_rn"),
-      "input must not contain the reserved columns _fp / _rn")
+    require(!docs.columns.contains("_fp") && !docs.columns.contains("_min_id"),
+      "input must not contain the reserved columns _fp / _min_id")
     val filtered = docs.where(TextOps.qualityScore(text) >= minQuality)
-    val exact = filtered
-      .withColumn("_fp", TextOps.fingerprint(text))
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy(col("_fp")).orderBy(id)))
-      .where(col("_rn") === 1)
-      .drop("_fp", "_rn")
+    // Survivor per fingerprint via map-combinable min + join-back, NOT
+    // row_number over a fingerprint window: a mass-duplicated document
+    // (10^8 copies of an empty or boilerplate page) is one window
+    // partition = ONE task, the same straggler shape as the PPJoin df
+    // window (round-4 verdict) — while AQE can skew-split the join.
+    val withFp = filtered.withColumn("_fp", TextOps.fingerprint(text))
+    val minIds = withFp.groupBy(col("_fp")).agg(min(id).as("_min_id"))
+    val exact = withFp.join(minIds, "_fp")
+      .where(id === col("_min_id"))
+      .drop("_fp", "_min_id")
     val pairs = MinHashLsh.verifiedPairs(exact, id, text, threshold)
     DedupClusters.survivors(exact, id, pairs)
   }

@@ -127,6 +127,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q40 corpus pipeline has no window keyed by the exact-dedup fingerprint") {
+    uncached {
+      // a mass-duplicated document would serialize its fingerprint's
+      // window partition into one task; the survivor choice must stay
+      // on the map-combinable groupBy(min) + join shape
+      val plan = SparkEntry.queries("q40_corpus_pipeline")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      val fpWindows = plan.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && l.contains("_fp")).toSeq
+      assert(fpWindows.isEmpty, s"fingerprint-keyed window(s):\n${fpWindows.mkString("\n")}")
+    }
+  }
+
   test("q53 line dedup reassembles without a window (sort_array agg)") {
     uncached {
       val plan = SparkEntry.queries("q53_line_dedup")(spark, sf)
