@@ -88,6 +88,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, 1, 1, "lsh_sigs(<arg>)")
         LshSigsExpr(children.head)
       }))
+    // winnow_fingerprints(text, k, w) — k/w as constant integers
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        arity(children, 3, 3, "winnow_fingerprints(text, k, w)")
+        WinnowExpr(children.head,
+          longLit(children(1), "winnow_fingerprints k").toInt,
+          longLit(children(2), "winnow_fingerprints w").toInt)
+      }))
     // word_ngram_hash_set(text, n) — n as a constant integer
     ext.injectFunction((
       FunctionIdentifier("word_ngram_hash_set"),

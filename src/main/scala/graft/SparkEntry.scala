@@ -684,6 +684,16 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // Winnowing shared-span pairs (MOSS fingerprinting): docs sharing
+    // >= 2 selected fingerprints — candidates for verbatim runs of
+    // >= w+k-1 = 23 code points; over-common fingerprints excluded
+    // before the self-join so no key fans out quadratically.
+    "q56_winnow_spans" -> ((s, dir) => {
+      import graft.llm.Winnowing
+      Winnowing.sharedSpanPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+    }),
+
     // BM25 lexical relevance over the corpus — the ranking baseline next
     // to the ANN vector search; tokens filter to the query terms before
     // any exchange.
@@ -1662,6 +1672,36 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Winnowing mirror: k-gram Rabin-Karp hashes via list_reduce folds,
+    // per-window minima via list_min over slices (O(n·w) — fine at sf;
+    // the engine's native pass is O(n)), then the same df-capped
+    // fingerprint self-join.
+    "q56_winnow_spans" -> {
+      import graft.expressions.Winnow.{B, P}
+      val (k, w, minShared, maxDf) = (16, 8, 2, 50)
+      s"""WITH cp AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '.'), c -> ascii(c)::BIGINT) AS cs
+        |  FROM documents),
+        |gh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(cs) - $k + 1),
+        |      i -> list_reduce(list_slice(cs, i, i + $k - 1),
+        |             (a, c) -> (a * $B + c) % $P)) AS hs
+        |  FROM cp WHERE len(cs) >= $k + $w - 1),
+        |mins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(hs) - $w + 1),
+        |      j -> list_min(list_slice(hs, j, j + $w - 1)))) AS fps
+        |  FROM gh),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
+        |rare AS (SELECT fp FROM fp GROUP BY 1 HAVING COUNT(*) <= $maxDf)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
+    },
 
     // BM25 mirror: identical expression tree (same association order) so
     // the doubles match bit-for-bit before the round; the per-doc sum is

@@ -283,6 +283,43 @@ class LlmTextSpec extends SparkTestBase {
     assert(out == Map("spark" -> (4L, 2L), "engine" -> (3L, 2L)))
   }
 
+  test("winnowing: a shared >= w+k-1 char run is always detected, unrelated docs are not") {
+    import graft.llm.Winnowing
+    val shared = "the exact same twenty-three plus character span appears here"
+    val docs = Seq(
+      (1L, s"prefix text one $shared and a suffix"),
+      (2L, s"completely different beginning $shared another ending"),
+      (3L, "no overlap with anything else in this corpus at all tonight"),
+      (4L, "tiny"), // shorter than k+w-1 -> no fingerprints
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val pairs = Winnowing.sharedSpanPairs(docs, col("doc_id"), col("text"),
+      minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val fps = Winnowing.fingerprints(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), coalesce(size(col("fps")), lit(-1)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(fps(4L) == 0 && fps(1L) > 0 && fps(5L) == -1) // null text -> null
+    // guarantee check over random pairs: every planted 23-char shared run
+    // yields at least one shared fingerprint (w+k-1 = 23 with defaults)
+    val rnd = new scala.util.Random(21)
+    def randText(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val planted = (1 to 50).flatMap { i =>
+      val run = randText(23)
+      Seq((i.toLong * 2, s"${randText(40)}$run${randText(40)}"),
+        (i.toLong * 2 + 1, s"${randText(40)}$run${randText(40)}"))
+    }.toDF("doc_id", "text")
+    val found = Winnowing.sharedSpanPairs(planted, col("doc_id"), col("text"),
+      minShared = 1, maxDf = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (1 to 50).foreach { i =>
+      assert(found.contains((i.toLong * 2, i.toLong * 2 + 1)),
+        s"planted pair $i not detected")
+    }
+  }
+
   test("bm25: tf monotone, rarer terms weigh more, non-matching docs absent") {
     import graft.llm.Bm25
     val docs = Seq(
