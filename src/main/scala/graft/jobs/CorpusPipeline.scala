@@ -30,19 +30,21 @@ object CorpusPipeline {
           minQuality: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the scratch columns below would silently swallow same-named input
     // columns, violating the schema-preserving contract
-    require(!docs.columns.contains("_fp") && !docs.columns.contains("_min_id"),
-      "input must not contain the reserved columns _fp / _min_id")
+    require(!docs.columns.contains("_fp") && !docs.columns.contains("_row"),
+      "input must not contain the reserved columns _fp / _row")
     val filtered = docs.where(TextOps.qualityScore(text) >= minQuality)
-    // Survivor per fingerprint via map-combinable min + join-back, NOT
-    // row_number over a fingerprint window: a mass-duplicated document
-    // (10^8 copies of an empty or boilerplate page) is one window
-    // partition = ONE task, the same straggler shape as the PPJoin df
-    // window (round-4 verdict) — while AQE can skew-split the join.
-    val withFp = filtered.withColumn("_fp", TextOps.fingerprint(text))
-    val minIds = withFp.groupBy(col("_fp")).agg(min(id).as("_min_id"))
-    val exact = withFp.join(minIds, "_fp")
-      .where(id === col("_min_id"))
-      .drop("_fp", "_min_id")
+    // Survivor per fingerprint via a single map-combinable min_by over
+    // the whole row, NOT row_number over a fingerprint window: a
+    // mass-duplicated document (10^8 copies of an empty or boilerplate
+    // page) is one window partition = ONE task, the same straggler
+    // shape as the PPJoin df window (round-4 verdict). min_by's partial
+    // aggregation collapses the hot fingerprint map-side, in one
+    // shuffle with no join-back.
+    val cols = filtered.columns
+    val exact = filtered.withColumn("_fp", TextOps.fingerprint(text))
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), id).as("_row"))
+      .select(cols.map(c => col(s"_row.$c")): _*)
     val pairs = MinHashLsh.verifiedPairs(exact, id, text, threshold)
     DedupClusters.survivors(exact, id, pairs)
   }
