@@ -82,14 +82,20 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
-    # rows-only queries (no oracleSql — estimation ops like q49): the
-    # driver records a weaker rows>0 check; mirror it here so a broken
-    # query can't hide behind its missing oracle entry.
-    for d in sorted(glob.glob(f"{outdir}/q*")):
-        name = d.rsplit("/", 1)[-1]
+    # rows-only queries (no oracleSql): the driver records a weaker
+    # rows>0 check; mirror it here so a broken query can't hide behind
+    # its missing oracle entry. Driven by the Verify-emitted manifest of
+    # ALL registered queries, NOT by globbing output dirs — a query that
+    # crashed before writing any output must FAIL, not vanish. (Glob is
+    # the fallback for pre-manifest output dirs only.)
+    try:
+        expected = json.load(open(f"{outdir}/queries.json"))
+    except FileNotFoundError:
+        expected = [d.rsplit("/", 1)[-1] for d in sorted(glob.glob(f"{outdir}/q*"))]
+    for name in sorted(expected):
         if name in oracle:
             continue
-        files = glob.glob(f"{d}/*.parquet")
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         if n > 0:
             print(f"PASS {name} ({n} rows, rows-only: no oracle)")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -644,8 +644,8 @@ object SparkEntry {
     // Exact per-group percentiles (bit-identical interpolation to
     // DuckDB's quantile_cont, probed at every sf). Exactness buffers the
     // group's values — fine for bounded-cardinality columns; at 100 TB
-    // on unbounded doubles use approx_percentile (same call shape) and
-    // accept rows-only checking.
+    // on unbounded doubles use approx_percentile: q49 is that scale path,
+    // and it is oracle-verified via rank-error bounds (not rows-only).
     "q42_percentiles" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -656,17 +656,34 @@ object SparkEntry {
     }),
 
     // The 100 TB percentile path: approx_percentile keeps a bounded
-    // KLL-style sketch per group (mergeable, map-side combinable) instead
+    // GK-style sketch per group (mergeable, map-side combinable) instead
     // of buffering every value like q42's exact percentile — with 5 event
-    // types at 100 TB one exact group IS the table. Estimation, so no SQL
-    // oracle: the driver records the weaker rows-only check by design.
+    // types at 100 TB one exact group IS the table. The sketch value is
+    // estimation, so it can't hash-match an oracle directly; instead the
+    // query emits the sketch's *rank-error guarantee* as booleans: with
+    // accuracy=10000 the returned value's rank error is <= n/10000, far
+    // inside the ±0.005 rank windows bracketed here by exact percentiles
+    // (the exact brackets are the test harness, not the scale path — at
+    // 100 TB you run the approx aggregation alone). The oracle expects
+    // every bound to hold, so a broken sketch hash-FAILS rather than
+    // recording the old rows-only non-check.
     "q49_percentiles_approx" -> ((s, dir) => {
+      def inBounds(a: Column, lo: Column, hi: Column): Column =
+        (a.isNull && lo.isNull) || (a >= lo && a <= hi)
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          expr("approx_percentile(value, 0.5, 10000)").as("p50"),
-          expr("approx_percentile(value, 0.95, 10000)").as("p95"),
+          expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(value, 0.95, 10000)").as("ap95"),
+          expr("percentile(value, 0.495)").as("p50_lo"),
+          expr("percentile(value, 0.505)").as("p50_hi"),
+          expr("percentile(value, 0.945)").as("p95_lo"),
+          expr("percentile(value, 0.955)").as("p95_hi"),
           count(lit(1)).as("n_rows"))
+        .select(col("event_type"),
+          inBounds(col("ap50"), col("p50_lo"), col("p50_hi")).as("p50_in_bounds"),
+          inBounds(col("ap95"), col("p95_lo"), col("p95_hi")).as("p95_in_bounds"),
+          col("n_rows"))
     }),
 
     // Train/eval n-gram decontamination (GPT-3 appendix-C recipe) over
@@ -1673,6 +1690,19 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
 
+    // q49's gate is one-sided by construction: DuckDB cannot reproduce
+    // Spark's sketch values, so the oracle states the rank-error
+    // CONTRACT (every approx value inside its exact ±0.005-rank window
+    // ⇒ all-true booleans). The Spark side computes the windows from
+    // exact percentiles; any sketch regression flips a boolean and
+    // hash-fails this row.
+    "q49_percentiles_approx" ->
+      """SELECT event_type,
+        |  TRUE AS p50_in_bounds,
+        |  TRUE AS p95_in_bounds,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
     // Winnowing mirror: k-gram Rabin-Karp hashes via list_reduce folds,
     // per-window minima via list_min over slices (O(n·w) — fine at sf;
     // the engine's native pass is O(n)), then the same df-capped
@@ -1682,7 +1712,7 @@ object SparkEntry {
       val (k, w, minShared, maxDf) = (16, 8, 2, 50)
       s"""WITH cp AS (
         |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(text, '.'), c -> ascii(c)::BIGINT) AS cs
+        |    list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)::BIGINT) AS cs
         |  FROM documents),
         |gh AS (
         |  SELECT doc_id,
@@ -1710,9 +1740,12 @@ object SparkEntry {
     // literals are Scala shortest-repr doubles that parse back equal.
     "q55_bm25" -> {
       val (k1, b) = (1.2, 0.75)
-      val terms = Seq("hash", "merge", "vector") // alphabetical = fold order
+      val terms = Seq("hash", "merge", "vector")
       val inList = terms.map("'" + _ + "'").mkString(", ")
-      val branches = terms.map(t =>
+      // Bm25.score folds per-doc term scores in term-sorted (UTF8 binary)
+      // order via sort_array; the mirror's fold MUST use terms.sorted too
+      // or a non-alphabetical query would drift by a last-ulp double.
+      val branches = terms.sorted.map(t =>
         s"COALESCE(MAX(CASE WHEN term = '$t' THEN s END), 0)").mkString(" + ")
       s"""WITH w AS (
         |  SELECT doc_id,

@@ -45,6 +45,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full query inventory, so the compare drives from what SHOULD exist
+    // rather than from output dirs that happen to exist — a query that
+    // crashed before writing anything fails its row instead of vanishing.
+    val manifest = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()
   }
 }

@@ -63,12 +63,21 @@ object CorpusPipeline {
             minDocs: Int = 2): DataFrame = {
     require(docs.columns.contains(textCol),
       s"no column named $textCol in ${docs.columns.mkString(", ")}")
-    require(!docs.columns.contains("_graft_id"),
-      "input must not contain the reserved column _graft_id")
+    // _graft_id is the join key and clean_text the joined-in payload; an
+    // input column of either name would make the join/col ambiguous
+    require(!docs.columns.contains("_graft_id") &&
+        !docs.columns.contains("clean_text"),
+      "input must not contain the reserved columns _graft_id / clean_text")
     val cleaned = LineDedup.removeDuplicatedLines(docs, id, col(textCol), minDocs)
       .withColumnRenamed("doc_id", "_graft_id")
-    docs.withColumn("_graft_id", id)
-      .join(cleaned, "_graft_id")
+    // a null id never matches an equi-join key, so the inner join below
+    // would silently DROP that document — fail loudly instead. The check
+    // rides the existing map pass (raise_error), no extra job.
+    val keyed = docs.withColumn("_graft_id",
+      when(id.isNull, raise_error(lit(
+        "scrub: null id — the _graft_id equi-join would silently drop this row")))
+        .otherwise(id))
+    keyed.join(cleaned, "_graft_id")
       .withColumn(textCol, TextOps.redactPii(col("clean_text")))
       .drop("_graft_id", "clean_text")
   }

@@ -9,9 +9,9 @@ class SparkEntrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // approx_percentile is estimation — hash-matching an oracle is wrong by
-  // design; the driver records its rows-only check instead.
-  private val rowsOnly = Set("q49_percentiles_approx")
+  // Every query is oracle-gated (q49 included since round 6: its output
+  // is rank-error booleans, hash-checkable against an all-true oracle).
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle or is explicitly rows-only") {
     val missing =
