@@ -20,11 +20,16 @@ import org.apache.spark.sql.SparkSession
   *  - GA-pipeline throughput at synthetic scale (round-4 verdict): the
   *    151-row GA fixture measures plan latency, not engine throughput, so
   *    the bench also runs the full GA pipeline on
-  *    SPARK_GRAFT_GA_SCALE_HITS (default 2,000,000) generated hits and
-  *    reports `ga_scale` {hits, sec, hits_per_sec}. Set 0 to skip.
+  *    SPARK_GRAFT_GA_SCALE_HITS (default 2,000,000) generated hits,
+  *    SPARK_GRAFT_GA_SCALE_ITERS times (default 3), and reports
+  *    `ga_scale` {hits, sec (median), sec_min, hits_per_sec,
+  *    hits_per_sec_max}. Set hits to 0 to skip.
   *  - Failures are NOT swallowed: a failing query records `-1` in the
   *    per-query map, is listed in `errors`, and flips the exit code to 1,
   *    so a regression can never look like a speedup.
+  *  - The JSON line is printed to stdout AND written to
+  *    SPARK_GRAFT_BENCH_OUT (default ./bench_out.json), so a truncated
+  *    log tail can't lose a query's recorded time (round-5 verdict).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -89,21 +94,30 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    // GA throughput at synthetic scale (same plan as tools/BenchGaScale)
+    // GA throughput at synthetic scale (same plan as tools/BenchGaScale).
+    // Median-of-N like the queries (round-5 verdict: a single contended
+    // pass recorded 52k hits/s vs 94-126k on identical code) — the
+    // median is the headline, the max pass shows the contention spread.
+    val gaScaleIters =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_ITERS", "3").toInt)
     val gaScaleJson =
       if (gaScaleHits <= 0) "null"
       else try {
-        spark.catalog.clearCache()
         val visitors = math.max(1L, gaScaleHits / 50)
-        val hits = graft.tools.BenchGaScale.syntheticHits(spark, gaScaleHits, visitors)
-        val history = graft.jobs.GaPipeline.loadHistory(spark, "/nonexistent/_scale_hist")
-        val t0 = System.nanoTime()
-        val out = graft.jobs.GaPipeline.run(hits, history, "2019-09-23")
-        Seq(out.sessions, out.pageviews, out.events, out.products,
-          out.transactions, out.items)
-          .foreach(_.write.format("noop").mode("overwrite").save())
-        val secs = (System.nanoTime() - t0) / 1e9
-        f"""{"hits":$gaScaleHits,"sec":$secs%.2f,"hits_per_sec":${(gaScaleHits / secs).toLong}}"""
+        val secsPerPass = (1 to gaScaleIters).map { _ =>
+          spark.catalog.clearCache()
+          val hits = graft.tools.BenchGaScale.syntheticHits(spark, gaScaleHits, visitors)
+          val history = graft.jobs.GaPipeline.loadHistory(spark, "/nonexistent/_scale_hist")
+          val t0 = System.nanoTime()
+          val out = graft.jobs.GaPipeline.run(hits, history, "2019-09-23")
+          Seq(out.sessions, out.pageviews, out.events, out.products,
+            out.transactions, out.items)
+            .foreach(_.write.format("noop").mode("overwrite").save())
+          (System.nanoTime() - t0) / 1e9
+        }.toList
+        val medSec = median(secsPerPass)
+        val bestSec = secsPerPass.min
+        f"""{"hits":$gaScaleHits,"iterations":$gaScaleIters,"sec":$medSec%.2f,"sec_min":$bestSec%.2f,"hits_per_sec":${(gaScaleHits / medSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
         errors += "ga_scale"
@@ -112,7 +126,16 @@ object Bench {
 
     val errJson = errors.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"ga_scale":$gaScaleJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min)","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"ga_scale":$gaScaleJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min)","sf":"$sfDir"}"""
+    println(line)
+    // Also land the line in a file: BENCH_r05's stdout tail truncated
+    // mid-value and silently cost q01 its recorded time — a round's
+    // headline number must never depend on regex-ing a clipped log.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
