@@ -43,6 +43,8 @@ object SparkEntry {
   val GaEnrichedFile = s"$GaEnriched/part-00000.jsonl"
   val GeoRanges = "/root/repo/fixtures/geo/ip_ranges.csv"
   val GaConcat = "/root/repo/fixtures/ga/raw/concatenated.json"
+  val MediaFixtures = "/root/repo/fixtures/media"
+  val MediaExpected = "/root/repo/fixtures/media/expected.csv"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -594,6 +596,18 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("j", "f")))
         .select(col("media_id"), col("kind"), col("j").cast("long").as("j"),
           round(col("f") * 4080).cast("long").as("window_sum"))
+    }),
+
+    // REAL media decode, end-to-end: binaryFile scan of checked-in BMP +
+    // WAV fixtures -> native JVM decoders (row padding, bottom-up rows,
+    // BGR, RIFF chunk walk, LE PCM16) -> exact per-file aggregates. The
+    // oracle reads aggregates an INDEPENDENT generator
+    // (scripts/make_media_fixtures.py) computed from the pixel/sample
+    // formulas that produced the fixture bytes — so a decode bug in any
+    // of those container details hash-fails here.
+    "q57_multimodal_decode" -> ((s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodeSummary(s, MediaFixtures).toDF()
     }),
 
     // Near-dup clusters: connected components (min-label propagation,
@@ -1702,6 +1716,17 @@ object SparkEntry {
         |  TRUE AS p95_in_bounds,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Aggregates computed by the independent fixture generator
+    // (scripts/make_media_fixtures.py) from the same integer formulas
+    // that produced the BMP/WAV bytes — the Scala decoders never see
+    // that code, so a match proves the real container parse.
+    "q57_multimodal_decode" ->
+      s"""SELECT name, kind,
+        |  width::BIGINT AS width, height::BIGINT AS height,
+        |  sample_rate::BIGINT AS sample_rate, n_units::BIGINT AS n_units,
+        |  value_sum::BIGINT AS value_sum, first_unit::BIGINT AS first_unit
+        |FROM read_csv('$MediaExpected', header=true)""".stripMargin,
 
     // Winnowing mirror: k-gram Rabin-Karp hashes via list_reduce folds,
     // per-window minima via list_min over slices (O(n·w) — fine at sf;

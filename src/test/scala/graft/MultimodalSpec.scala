@@ -68,6 +68,90 @@ class MultimodalSpec extends SparkTestBase {
     assert(byKind("image")._2 == byKind("image")._1)     // pass-through
   }
 
+  // --- real decoders (BMP 24-bit / WAV PCM16) against known bytes ---
+
+  test("decodeBmp: bottom-up rows, BGR order, 4-byte row padding") {
+    // 2x2, 24-bit, row stride 8 (2 padding bytes); storage is bottom-up,
+    // so the FIRST stored row is the BOTTOM image row.
+    val header = Array[Byte]('B', 'M') ++
+      le32(54 + 16) ++ le32(0) ++ le32(54) ++ // file size, reserved, offset
+      le32(40) ++ le32(2) ++ le32(2) ++       // header size, w, h
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val bottomRow = Array[Byte](30, 20, 10, 60, 50, 40, 0, 0) // BGR BGR pad
+    val topRow = Array[Byte](90, 80, 70, 120, 110, 100, 0, 0)
+    val img = Multimodal.decodeBmp(header ++ bottomRow ++ topRow).get
+    assert(img.width == 2 && img.height == 2)
+    // row-major from top-left: (r,g,b) = (70,80,90) first
+    assert(img.rgb.toSeq == Seq(
+      (70 << 16) | (80 << 8) | 90, (100 << 16) | (110 << 8) | 120,
+      (10 << 16) | (20 << 8) | 30, (40 << 16) | (50 << 8) | 60))
+    assert(Multimodal.decodeBmp("notabmp".getBytes).isEmpty)
+  }
+
+  test("decodeWavPcm: chunk walk, little-endian int16, stereo interleave") {
+    val samples = Seq[Short](-1, 2, -300, 400)
+    val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val fmt = le16(1) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++
+      le16(4) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(4 + 8 + 16 + 8 + data.length) ++
+      "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val au = Multimodal.decodeWavPcm(wav).get
+    assert(au.sampleRate == 44100 && au.channels == 2)
+    assert(au.samples.toSeq == samples)
+    assert(Multimodal.decodeWavPcm("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
+  test("checked-in fixtures decode to the generator's exact aggregates") {
+    val rows = Multimodal.decodeSummary(spark, "/root/repo/fixtures/media")
+      .collect().map(r => r.name -> r).toMap
+    assert(rows.size == 4 && !rows.values.exists(_.kind == "undecodable"))
+    val grad = rows("img_gradient.bmp")
+    assert(grad.width == 7 && grad.height == 5 && grad.value_sum == 5285 &&
+      grad.first_unit == 330499)
+    val tone = rows("img_twotone.bmp")
+    assert(tone.first_unit == ((200 << 16) | (40 << 8) | 90)) // TOP-left
+    val ramp = rows("audio_ramp.wav")
+    assert(ramp.sample_rate == 8000 && ramp.n_units == 1000 &&
+      ramp.value_sum == -3748 && ramp.first_unit == -1024)
+    val st = rows("audio_stereo.wav")
+    assert(st.n_units == 1000 && st.value_sum == -4472)
+  }
+
+  test("real BMP resize: area average, re-encoded payload round-trips") {
+    val px = Array.tabulate(16) { i => // 4x4 gradient, r = 16*i
+      ((i * 16) << 16) | (7 << 8) | 9
+    }
+    val payload = Multimodal.encodeBmp(Multimodal.DecodedImage(4, 4, px))
+    val back = Multimodal.decodeBmp(payload).get
+    assert(back.rgb.toSeq == px.toSeq) // encode/decode round-trip
+    val half = Multimodal.resizeBmp(back, 2, 2)
+    // each 2x2 box's r-mean: ((0+16)+(64+80))/4 etc.
+    val exp = Seq((0, 1, 4, 5), (2, 3, 6, 7), (8, 9, 12, 13), (10, 11, 14, 15))
+      .map { case (a, b, c, d) => (a + b + c + d) * 16 / 4 }
+    assert(half.rgb.toSeq.map(p => (p >> 16) & 0xff) == exp)
+    assert(half.rgb.forall(p => ((p >> 8) & 0xff) == 7 && (p & 0xff) == 9))
+    // and the Dataset-level resize takes the real path for BMP payloads
+    val ds = spark.createDataset(Seq(Multimodal.MediaRow(99L, "image", payload,
+      Multimodal.MediaMeta(4, 4, 0, 0L, "bmp"))))
+    val out = Multimodal.resize(ds, 2, 2).collect().head
+    assert(Multimodal.decodeBmp(out.payload).get.rgb.toSeq == half.rgb.toSeq)
+  }
+
+  test("feature extraction routes real formats through the real decoder") {
+    val px = Array.fill(4)((255 << 16) | (255 << 8) | 255) // 2x2 white
+    val bmp = Multimodal.encodeBmp(Multimodal.DecodedImage(2, 2, px))
+    val f = Multimodal.decodeFeatures(bmp, 1)
+    assert(f.toSeq == Seq(1f)) // white = max grayscale, not a byte-sum hash
+  }
+
+  private def le16(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
   test("kind-partitioned write prunes other modalities on scan") {
     val tmp = Files.createTempDirectory("media").toString
     Multimodal.writePartitioned(media, tmp)
