@@ -547,6 +547,19 @@ object SparkEntry {
       StreamingSessionize.sessionWindowAgg(ev)
     }),
 
+    // Streaming dedup's keep-first-within-horizon contract in batch form
+    // (q28 pattern): per user in event-time order, drop events within 15
+    // minutes of the last KEPT event, keep + restart past it — the
+    // dropDuplicatesWithinWatermark state-eviction semantics that
+    // StreamingSpec can only spec-check. One key shuffle, one-timestamp
+    // state per key; the oracle mirrors the chain with a recursive CTE.
+    "q58_stream_dedup_horizon" -> ((s, dir) => {
+      import graft.streaming.StreamingDedup
+      StreamingDedup.keepFirstWithinHorizon(
+        eventsWithMs(s, dir).select(col("event_id"), col("user_id"), col("ts_ms")),
+        "user_id", "ts_ms", horizonMs = 900000L, tieBreaker = "event_id")
+    }),
+
     // Embedding-cosine near-dup pairs (LSH buckets + exact threshold).
     "q31_dedup_embedding" -> ((s, dir) => {
       import graft.llm.Similarity
@@ -1945,6 +1958,32 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, seq""".stripMargin
+        |FROM s GROUP BY user_id, seq""".stripMargin,
+
+    // Chained keep-first-within-horizon via recursive CTE: iteration N's
+    // working table holds each key's Nth kept event; the recursive arm
+    // finds the earliest event strictly beyond kept_ts + horizon (min ts,
+    // then min event_id for ties — the same (ts, event_id) order the
+    // engine's secondary sort uses). No window functions in the
+    // recursive arm (join + GROUP BY only) for recursive-CTE portability.
+    "q58_stream_dedup_horizon" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |k AS (
+        |  SELECT e.user_id, e.ts_ms, MIN(e.event_id) AS event_id
+        |  FROM ev e
+        |  JOIN (SELECT user_id, MIN(ts_ms) AS m FROM ev GROUP BY 1) f
+        |    ON e.user_id = f.user_id AND e.ts_ms = f.m
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT e2.user_id, e2.ts_ms, MIN(e2.event_id) AS event_id
+        |  FROM ev e2
+        |  JOIN (SELECT k.user_id, MIN(e.ts_ms) AS m
+        |        FROM k JOIN ev e
+        |          ON e.user_id = k.user_id AND e.ts_ms > k.ts_ms + 900000
+        |        GROUP BY 1) n
+        |    ON e2.user_id = n.user_id AND e2.ts_ms = n.m
+        |  GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts_ms FROM k""".stripMargin
   )
 }

@@ -41,9 +41,50 @@ object StreamingDedup {
     withFingerprint(docs).dropDuplicates("fingerprint")
 
   /** First occurrence within the watermark horizon; duplicate state is
-    * dropped once event time moves past `horizon`. */
+    * dropped once event time moves past `horizon`. Its dedup CONTRACT
+    * (not its incidental extra drops — see [[keepFirstWithinHorizon]])
+    * is oracle-gated in batch form by q58. */
   def windowedDedup(docs: DataFrame, horizon: String): DataFrame =
     withFingerprint(docs)
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Batch reference of [[windowedDedup]]'s keep-first-within-horizon
+    * CONTRACT: per key in event-time order, a record is dropped iff it
+    * falls within `horizonMs` of the last KEPT record, and a record past
+    * that horizon is kept and restarts the chain (the streaming op's
+    * state-eviction semantics; the streaming implementation is allowed
+    * to additionally drop duplicates BEYOND the horizon while state
+    * lingers pre-eviction, so batch-kept ⊇ stream-kept, equal when
+    * duplicates cluster inside the horizon — the case the operator
+    * exists for).
+    *
+    * Chained restart ("kept iff ts > last_kept + horizon") is not
+    * expressible with fixed-frame window functions, so this is the
+    * honest distributed shape: ONE hash exchange on the key, in-
+    * partition secondary sort, then a single streaming pass holding one
+    * timestamp of state per key — no per-group buffering, hot keys cost
+    * O(1) memory. */
+  def keepFirstWithinHorizon(events: DataFrame, keyCol: String, tsCol: String,
+                             horizonMs: Long, tieBreaker: String): DataFrame = {
+    val sorted = events.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(tieBreaker))
+    val schema = sorted.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var lastKept = Long.MinValue
+      rows.filter { r =>
+        val k = r.get(keyIdx)
+        val t = r.getLong(tsIdx)
+        if (!started || k != curKey) {
+          started = true; curKey = k; lastKept = t; true
+        } else if (t > lastKept + horizonMs) {
+          lastKept = t; true
+        } else false
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -87,6 +87,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("keepFirstWithinHorizon: chained restart, ties, per-key independence") {
+    // key 7, horizon 10: 0 kept; 8 dropped (within 10 of 0); 14 kept
+    // (chain RESTARTED at 14, not measured from 8); 21 dropped (within
+    // 10 of 14); 25 kept. Tie at ts=0 keeps the lower event_id only.
+    val df = Seq(
+      (1L, 7L, 0L), (2L, 7L, 0L), (3L, 7L, 8L), (4L, 7L, 14L),
+      (5L, 7L, 21L), (6L, 7L, 25L),
+      (7L, 9L, 9L) // other key: independent chain
+    ).toDF("event_id", "user_id", "ts_ms")
+    val kept = StreamingDedup
+      .keepFirstWithinHorizon(df, "user_id", "ts_ms", 10L, "event_id")
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L, 7L))
+    // exactly one exchange: the key repartition (sort is in-partition)
+    val plan = StreamingDedup
+      .keepFirstWithinHorizon(df, "user_id", "ts_ms", 10L, "event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
+  }
+
   test("batch/stream parity: exactDedup on a static frame = groupBy dedup") {
     val docs = Seq(
       StreamDoc(1, "A b C", new Timestamp(0)), StreamDoc(2, "a B c", new Timestamp(1)),
