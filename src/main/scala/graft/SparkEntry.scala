@@ -1399,23 +1399,41 @@ object SparkEntry {
 
     "q18_ga_enrich_device" ->
       s"""WITH $dRawCtes,
-        |b AS (SELECT *, regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|archiver|mediapartners)') AS bot FROM e),
+        |b AS (SELECT *, regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|archiver|mediapartners|facebookexternalhit)') AS bot FROM e),
         |c AS (SELECT *,
-        |  CASE WHEN contains(ua,'; wv)') AND contains(ua,'Chrome/') THEN 'Chrome Mobile WebView'
+        |  CASE WHEN contains(ua,'curl/') THEN 'curl'
+        |       WHEN contains(ua,'python-requests/') THEN 'Python Requests'
+        |       WHEN contains(ua,'Wget/') THEN 'Wget'
+        |       WHEN contains(ua,'Go-http-client/') THEN 'Go-http-client'
+        |       WHEN contains(ua,'okhttp/') THEN 'okhttp'
+        |       WHEN contains(ua,'Apache-HttpClient/') THEN 'Apache-HttpClient'
+        |       WHEN contains(ua,'NintendoBrowser/') THEN 'NintendoBrowser'
+        |       WHEN contains(ua,'BB10') THEN 'BlackBerry WebKit'
+        |       WHEN contains(ua,'; wv)') AND contains(ua,'Chrome/') THEN 'Chrome Mobile WebView'
         |       WHEN contains(ua,'SamsungBrowser/') THEN 'Samsung Internet'
+        |       WHEN contains(ua,'UCBrowser/') THEN 'UC Browser'
+        |       WHEN contains(ua,'YaBrowser/') THEN 'Yandex Browser'
+        |       WHEN contains(ua,'Silk/') THEN 'Amazon Silk'
+        |       WHEN contains(ua,'Opera Mini/') THEN 'Opera Mini'
         |       WHEN contains(ua,'OPR/') THEN 'Opera'
         |       WHEN contains(ua,'EdgA/') THEN 'Edge Mobile'
         |       WHEN contains(ua,'Edg/') OR contains(ua,'Edge/') THEN 'Edge'
         |       WHEN contains(ua,'CriOS/') THEN 'Chrome Mobile iOS'
+        |       WHEN contains(ua,'FxiOS/') THEN 'Firefox iOS'
         |       WHEN contains(ua,'Chrome/') AND contains(ua,'Mobile') THEN 'Chrome Mobile'
         |       WHEN contains(ua,'Chrome/') THEN 'Chrome'
+        |       WHEN contains(ua,'Firefox/') AND (contains(ua,'Android') OR contains(ua,'Mobile') OR contains(ua,'Tablet')) THEN 'Firefox Mobile'
         |       WHEN contains(ua,'Firefox/') THEN 'Firefox'
         |       WHEN (contains(ua,'iPhone') OR contains(ua,'iPad')) AND contains(ua,'Safari') AND contains(ua,'Version/') THEN 'Mobile Safari'
         |       WHEN contains(ua,'Safari') AND contains(ua,'Version/') THEN 'Safari'
         |       WHEN contains(ua,'MSIE') OR contains(ua,'Trident/') THEN 'IE'
         |       ELSE 'Other' END AS cname,
-        |  CASE WHEN contains(ua,'Tizen') THEN 'Tizen'
+        |  CASE WHEN contains(ua,'KAIOS/') THEN 'KaiOS'
+        |       WHEN contains(ua,'SymbOS') THEN 'Symbian OS'
+        |       WHEN contains(ua,'BB10') THEN 'BlackBerry OS'
+        |       WHEN contains(ua,'Tizen') THEN 'Tizen'
         |       WHEN contains(ua,'PlayStation') THEN 'PlayStation'
+        |       WHEN contains(ua,'Nintendo') THEN 'Nintendo'
         |       WHEN contains(ua,'iPhone') OR contains(ua,'iPad') OR contains(ua,'iPod') THEN 'iOS'
         |       WHEN contains(ua,'Android') THEN 'Android'
         |       WHEN contains(ua,'Windows NT') THEN 'Windows'
@@ -1430,20 +1448,36 @@ object SparkEntry {
         |       ELSE '(not set)' END AS dtype
         | FROM b),
         |d AS (SELECT *,
-        |  CASE cname WHEN 'Chrome Mobile WebView' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
+        |  CASE cname WHEN 'curl' THEN regexp_extract(ua,'curl/$dVerRe',1)
+        |             WHEN 'Python Requests' THEN regexp_extract(ua,'python-requests/$dVerRe',1)
+        |             WHEN 'Wget' THEN regexp_extract(ua,'Wget/$dVerRe',1)
+        |             WHEN 'Go-http-client' THEN regexp_extract(ua,'Go-http-client/$dVerRe',1)
+        |             WHEN 'okhttp' THEN regexp_extract(ua,'okhttp/$dVerRe',1)
+        |             WHEN 'Apache-HttpClient' THEN regexp_extract(ua,'Apache-HttpClient/$dVerRe',1)
+        |             WHEN 'NintendoBrowser' THEN regexp_extract(ua,'NintendoBrowser/$dVerRe',1)
+        |             WHEN 'BlackBerry WebKit' THEN regexp_extract(ua,'Version/$dVerRe',1)
+        |             WHEN 'Chrome Mobile WebView' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
         |             WHEN 'Samsung Internet' THEN regexp_extract(ua,'SamsungBrowser/$dVerRe',1)
+        |             WHEN 'UC Browser' THEN regexp_extract(ua,'UCBrowser/$dVerRe',1)
+        |             WHEN 'Yandex Browser' THEN regexp_extract(ua,'YaBrowser/$dVerRe',1)
+        |             WHEN 'Amazon Silk' THEN regexp_extract(ua,'Silk/$dVerRe',1)
+        |             WHEN 'Opera Mini' THEN regexp_extract(ua,'Opera Mini/$dVerRe',1)
         |             WHEN 'Edge Mobile' THEN regexp_extract(ua,'EdgA/$dVerRe',1)
         |             WHEN 'Edge' THEN regexp_extract(ua,'Edge?/$dVerRe',1)
         |             WHEN 'Opera' THEN regexp_extract(ua,'OPR/$dVerRe',1)
         |             WHEN 'Chrome Mobile iOS' THEN regexp_extract(ua,'CriOS/$dVerRe',1)
+        |             WHEN 'Firefox iOS' THEN regexp_extract(ua,'FxiOS/$dVerRe',1)
         |             WHEN 'Chrome Mobile' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
         |             WHEN 'Chrome' THEN regexp_extract(ua,'Chrome/$dVerRe',1)
+        |             WHEN 'Firefox Mobile' THEN regexp_extract(ua,'Firefox/$dVerRe',1)
         |             WHEN 'Firefox' THEN regexp_extract(ua,'Firefox/$dVerRe',1)
         |             WHEN 'Mobile Safari' THEN regexp_extract(ua,'Version/$dVerRe',1)
         |             WHEN 'Safari' THEN regexp_extract(ua,'Version/$dVerRe',1)
         |             WHEN 'IE' THEN regexp_extract(ua,'(?:MSIE |rv:)$dVerRe',1)
         |             ELSE '' END AS cver,
-        |  CASE oname WHEN 'Tizen' THEN regexp_extract(ua,'Tizen ?$dVerRe',1)
+        |  CASE oname WHEN 'KaiOS' THEN regexp_extract(ua,'KAIOS/$dVerRe',1)
+        |             WHEN 'BlackBerry OS' THEN regexp_extract(ua,'Version/$dVerRe',1)
+        |             WHEN 'Tizen' THEN regexp_extract(ua,'Tizen ?$dVerRe',1)
         |             WHEN 'PlayStation' THEN regexp_extract(ua,'PlayStation (?:\\d+|Vita)[/ ]$dVerRe',1)
         |             WHEN 'iOS' THEN replace(regexp_extract(ua,'OS ([0-9_]+)',1),'_','.')
         |             WHEN 'Android' THEN regexp_extract(ua,'Android $dVerRe',1)
@@ -1466,7 +1500,7 @@ object SparkEntry {
 
     "q19_ga_enrich_geo" ->
       s"""WITH $dRawCtes,
-        |b AS (SELECT *, regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|archiver|mediapartners)') AS bot,
+        |b AS (SELECT *, regexp_matches(ua, '(?i)(bot|crawler|spider|slurp|archiver|mediapartners|facebookexternalhit)') AS bot,
         |             $dAnonIp AS ip
         |      FROM e),
         |i AS (SELECT *, ${dIpInt("ip")} AS ipn FROM b),

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * families this covers the high-traffic long tail: Android/iOS webviews,
   * in-app browsers (Facebook, Instagram, GSA, ...), Samsung Internet / UC /
   * QQ / Yandex / Opera Mini, smart TVs (Tizen, webOS, Fire TV, Roku,
-  * Chromecast) and consoles (PlayStation, Xbox, Nintendo). Anything
+  * Chromecast), consoles (PlayStation, Xbox, Nintendo incl. the
+  * NintendoBrowser family), feature phones (KaiOS/Firefox, Symbian/Opera
+  * Mini, BlackBerry 10) and the HTTP tool/SDK tail (curl, python-requests,
+  * urllib, Wget, Go-http-client, okhttp, Apache-HttpClient). Anything
   * unrecognized degrades to 'Other'/'(not set)', the same fallbacks the
   * reference produces.
   *
@@ -32,7 +35,8 @@ object UserAgent {
   private val VerRe = "([0-9]+(?:\\.[0-9]+){0,2})"
 
   def isBot(ua: Column): Column =
-    coalesce(ua.rlike("(?i)(bot|crawler|spider|slurp|archiver|mediapartners)"),
+    coalesce(ua.rlike(
+      "(?i)(bot|crawler|spider|slurp|archiver|mediapartners|facebookexternalhit)"),
       lit(false))
 
   /** One browser family: (matches?, uap-core family name, version expr).
@@ -61,6 +65,17 @@ object UserAgent {
     // ---- automation / shells ----
     (tok("HeadlessChrome/") _, "HeadlessChrome", ver("HeadlessChrome/") _),
     (tok("Electron/") _, "Electron", ver("Electron/") _),
+    // ---- HTTP tools / SDK clients (uap-core tool family names) ----
+    (tok("curl/") _, "curl", ver("curl/") _),
+    (tok("python-requests/") _, "Python Requests", ver("python-requests/") _),
+    (tok("Python-urllib/") _, "Python-urllib", ver("Python-urllib/") _),
+    (tok("Wget/") _, "Wget", ver("Wget/") _),
+    (tok("Go-http-client/") _, "Go-http-client", ver("Go-http-client/") _),
+    (tok("okhttp/") _, "okhttp", ver("okhttp/") _),
+    (tok("Apache-HttpClient/") _, "Apache-HttpClient", ver("Apache-HttpClient/") _),
+    // ---- console / feature-phone browsers ----
+    (tok("NintendoBrowser/") _, "NintendoBrowser", ver("NintendoBrowser/") _),
+    (tok("BB10") _, "BlackBerry WebKit", ver("Version/") _),
     // ---- alternative browsers that embed Chrome tokens ----
     (tok("SamsungBrowser/") _, "Samsung Internet", ver("SamsungBrowser/") _),
     (tok("MiuiBrowser/") _, "MiuiBrowser", ver("MiuiBrowser/") _),
@@ -115,6 +130,8 @@ object UserAgent {
   private def osName(ua: Column): Column =
     when(ua.contains("Windows Phone"), "Windows Phone")
       .when(ua.contains("KAIOS/"), "KaiOS")
+      .when(ua.contains("SymbOS") || ua.contains("Symbian"), "Symbian OS")
+      .when(ua.contains("BB10") || ua.contains("BlackBerry"), "BlackBerry OS")
       .when(ua.contains("CrOS"), "Chrome OS")
       .when(ua.contains("Tizen"), "Tizen")
       .when(ua.contains("Web0S") || ua.contains("webOS"), "webOS")
@@ -136,6 +153,7 @@ object UserAgent {
     when(name === "Windows Phone",
       regexp_extract(ua, s"Windows Phone (?:OS )?$VerRe", 1))
       .when(name === "KaiOS", regexp_extract(ua, s"KAIOS/$VerRe", 1))
+      .when(name === "BlackBerry OS", regexp_extract(ua, s"Version/$VerRe", 1))
       .when(name === "Chrome OS", regexp_extract(ua, s"CrOS [^ )]+ $VerRe", 1))
       .when(name === "Tizen", regexp_extract(ua, s"Tizen ?$VerRe", 1))
       .when(name === "webOS", regexp_extract(ua, s"webOS[/ ]$VerRe", 1))
@@ -224,6 +242,7 @@ object UserAgent {
       .when(ua.contains("Kindle") || ua.rlike("KF[A-Z]{2}") ||
         ua.rlike("AFT[A-Z]") || ua.contains("Silk/"), "Amazon")
       .when(ua.contains("Roku"), "Roku")
+      .when(ua.contains("BB10") || ua.contains("BlackBerry"), "BlackBerry")
       .otherwise(lit(null).cast("string"))
 
   private def deviceModel(ua: Column): Column =

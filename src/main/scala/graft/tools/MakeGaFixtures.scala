@@ -150,6 +150,117 @@ object MakeGaFixtures {
     "device_device_brand" -> "Sony", "device_device_model" -> null,
     "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
 
+  // ---- UA long tail, round 6 (v63-v78): HTTP tools/SDKs, feature
+  // phones, console browsers, more in-market alt browsers. A helper for
+  // the tool shape (no OS / device tokens at all).
+  private def deviceTool(name: String, version: String): Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> false,
+    "device_client_name" -> name, "device_client_version" -> version,
+    "device_os_name" -> "Other", "device_os_version" -> "",
+    "device_device_type" -> "(not set)", "device_device_name" -> "Other",
+    "device_device_brand" -> null, "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaCurl = "curl/8.4.0"
+  private val uaRequests = "python-requests/2.31.0"
+  private val uaWget = "Wget/1.21.3 (linux-gnu)"
+  private val uaGoHttp = "Go-http-client/2.0"
+  private val uaOkhttp = "okhttp/4.12.0"
+  private val uaHttpClient = "Apache-HttpClient/4.5.14 (Java/17.0.8)"
+
+  private val uaKaios =
+    "Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-15-130718-i;rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5"
+  private val deviceKaios: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Firefox Mobile", "device_client_version" -> "48.0",
+    "device_os_name" -> "KaiOS", "device_os_version" -> "2.5",
+    "device_device_type" -> "mobile", "device_device_name" -> "Other",
+    "device_device_brand" -> null, "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaSwitch =
+    "Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.20393"
+  private val deviceSwitch: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> false,
+    "device_client_name" -> "NintendoBrowser", "device_client_version" -> "5.1.0",
+    "device_os_name" -> "Nintendo", "device_os_version" -> "",
+    "device_device_type" -> "console", "device_device_name" -> "Nintendo Switch",
+    "device_device_brand" -> "Nintendo", "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaXbox =
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; Xbox; Xbox One) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/48.0.2564.82 Safari/537.36 Edge/20.02"
+  private val deviceXbox: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> false,
+    "device_client_name" -> "Edge", "device_client_version" -> "20.02",
+    "device_os_name" -> "Windows", "device_os_version" -> "10",
+    "device_device_type" -> "console", "device_device_name" -> "Xbox",
+    "device_device_brand" -> "Microsoft", "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaBb10 =
+    "Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+ (KHTML, like Gecko) Version/10.3.3.2205 Mobile Safari/537.35+"
+  private val deviceBb10: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "BlackBerry WebKit", "device_client_version" -> "10.3.3",
+    "device_os_name" -> "BlackBerry OS", "device_os_version" -> "10.3.3",
+    "device_device_type" -> "mobile", "device_device_name" -> "Other",
+    "device_device_brand" -> "BlackBerry", "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaOperaMini =
+    "Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348; U; en) Presto/2.5.25 Version/10.54"
+  private val deviceOperaMini: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Opera Mini", "device_client_version" -> "9.80",
+    "device_os_name" -> "Symbian OS", "device_os_version" -> "",
+    "device_device_type" -> "mobile", "device_device_name" -> "Other",
+    "device_device_brand" -> null, "device_device_model" -> null,
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaFbBot =
+    "facebookexternalhit/1.1 (+http://www.facebook.com/externalhit_uatext.php)"
+
+  private val uaUc =
+    "Mozilla/5.0 (Linux; U; Android 12; en-US; V2154 Build/SP1A.210812.003) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 UCBrowser/13.4.0.1306 Mobile Safari/537.36"
+  private val deviceUc: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "UC Browser", "device_client_version" -> "13.4.0",
+    "device_os_name" -> "Android", "device_os_version" -> "12",
+    "device_device_type" -> "mobile", "device_device_name" -> "V2154",
+    "device_device_brand" -> null, "device_device_model" -> "V2154",
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaSilk =
+    "Mozilla/5.0 (Linux; Android 9; KFMAWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.2.1 like Chrome/112.0.5615.213 Safari/537.36"
+  private val deviceSilk: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> false,
+    "device_client_name" -> "Amazon Silk", "device_client_version" -> "112.2.1",
+    "device_os_name" -> "Android", "device_os_version" -> "9",
+    "device_device_type" -> "tablet", "device_device_name" -> "KFMAWI",
+    "device_device_brand" -> "Amazon", "device_device_model" -> "KFMAWI",
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaFxios =
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/116.2 Mobile/15E148 Safari/605.1.15"
+  private val deviceFxios: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Firefox iOS", "device_client_version" -> "116.2",
+    "device_os_name" -> "iOS", "device_os_version" -> "16.6",
+    "device_device_type" -> "mobile", "device_device_name" -> "iPhone",
+    "device_device_brand" -> "Apple", "device_device_model" -> "iPhone",
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
+  private val uaYandex =
+    "Mozilla/5.0 (Linux; Android 11; Redmi Note 8 Pro) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 YaBrowser/23.3.4.461 Mobile Safari/537.36"
+  private val deviceYandex: Seq[(String, Any)] = Seq(
+    "device_is_bot" -> false, "device_is_mobile" -> true,
+    "device_client_name" -> "Yandex Browser", "device_client_version" -> "23.3.4",
+    "device_os_name" -> "Android", "device_os_version" -> "11",
+    "device_device_type" -> "mobile", "device_device_name" -> "Redmi Note 8 Pro",
+    "device_device_brand" -> "XiaoMi", "device_device_model" -> "Redmi Note 8 Pro",
+    "device_device_input" -> "(not set)", "device_device_info" -> "(not set)")
+
   // ------------------------------------------------------------- builders
   private val shop = "https://shop.example"
 
@@ -303,7 +414,46 @@ object MakeGaFixtures {
       Visitor("cid-v61", "84.113.34.6", uaTizenTv, deviceTizenTv, geoVienna, Seq(
         m(37) -> pv("cid-v61", s"$shop/longtail/tv"))),
       Visitor("cid-v62", "84.113.35.7", uaPs5, devicePs5, geoBerlin, Seq(
-        m(38) -> pv("cid-v62", s"$shop/longtail/console"))))
+        m(38) -> pv("cid-v62", s"$shop/longtail/console"))),
+      // v63-v78: round-6 long tail — HTTP tools/SDKs (the measurement-
+      // protocol-from-a-script shape), feature phones, console browsers,
+      // more alt browsers, and a second bot grammar (facebookexternalhit,
+      // a Spider device family with no 'bot' token).
+      Visitor("cid-v63", "84.113.40.1", uaCurl, deviceTool("curl", "8.4.0"),
+        geoVienna, Seq(m(39) -> pv("cid-v63", s"$shop/longtail/curl"))),
+      Visitor("cid-v64", "84.113.41.2", uaRequests,
+        deviceTool("Python Requests", "2.31.0"), geoBerlin,
+        Seq(m(40) -> pv("cid-v64", s"$shop/longtail/requests"))),
+      Visitor("cid-v65", "84.113.42.3", uaWget, deviceTool("Wget", "1.21.3"),
+        geoVienna, Seq(m(41) -> pv("cid-v65", s"$shop/longtail/wget"))),
+      Visitor("cid-v66", "84.113.43.4", uaGoHttp,
+        deviceTool("Go-http-client", "2.0"), geoBerlin,
+        Seq(m(42) -> pv("cid-v66", s"$shop/longtail/go"))),
+      Visitor("cid-v67", "84.113.44.5", uaOkhttp, deviceTool("okhttp", "4.12.0"),
+        geoVienna, Seq(m(43) -> pv("cid-v67", s"$shop/longtail/okhttp"))),
+      Visitor("cid-v68", "84.113.45.6", uaHttpClient,
+        deviceTool("Apache-HttpClient", "4.5.14"), geoBerlin,
+        Seq(m(44) -> pv("cid-v68", s"$shop/longtail/httpclient"))),
+      Visitor("cid-v69", "84.113.46.1", uaKaios, deviceKaios, geoVienna, Seq(
+        m(45) -> pv("cid-v69", s"$shop/longtail/kaios"))),
+      Visitor("cid-v70", "84.113.47.2", uaSwitch, deviceSwitch, geoBerlin, Seq(
+        m(46) -> pv("cid-v70", s"$shop/longtail/switch"))),
+      Visitor("cid-v71", "84.113.48.3", uaXbox, deviceXbox, geoVienna, Seq(
+        m(47) -> pv("cid-v71", s"$shop/longtail/xbox"))),
+      Visitor("cid-v72", "84.113.49.4", uaBb10, deviceBb10, geoBerlin, Seq(
+        m(48) -> pv("cid-v72", s"$shop/longtail/bb10"))),
+      Visitor("cid-v73", "84.113.50.5", uaOperaMini, deviceOperaMini, geoVienna,
+        Seq(m(49) -> pv("cid-v73", s"$shop/longtail/operamini"))),
+      Visitor("cid-v74", "66.220.149.32", uaFbBot, deviceBot, Nil, Seq(
+        m(50) -> pv("cid-v74", s"$shop/longtail/fbshare"))),
+      Visitor("cid-v75", "84.113.51.1", uaUc, deviceUc, geoBerlin, Seq(
+        m(51) -> pv("cid-v75", s"$shop/longtail/uc"))),
+      Visitor("cid-v76", "84.113.52.2", uaSilk, deviceSilk, geoVienna, Seq(
+        m(52) -> pv("cid-v76", s"$shop/longtail/silk"))),
+      Visitor("cid-v77", "84.113.53.3", uaFxios, deviceFxios, geoBerlin, Seq(
+        m(53) -> pv("cid-v77", s"$shop/longtail/fxios"))),
+      Visitor("cid-v78", "84.113.54.4", uaYandex, deviceYandex, geoVienna, Seq(
+        m(54) -> pv("cid-v78", s"$shop/longtail/yandex"))))
 
     // Bulk visitors b21..b56: 3-hit single sessions rotating over four
     // acquisition shapes; every 5th buys one product.

@@ -52,7 +52,7 @@ class EnrichmentSpec extends SparkTestBase {
       ("Mozilla/5.0 (iPhone; CPU iPhone OS 15_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
         "Mobile Safari UI/WKWebView", "iOS", "mobile", "Apple"),
       ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348; U; en) Presto/2.5.25 Version/10.54)",
-        "Opera Mini", "Other", "mobile", null),
+        "Opera Mini", "Symbian OS", "mobile", null),
       ("Mozilla/5.0 (Linux; U; Android 13; en-US; 2201117TY) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
         "UC Browser", "Android", "mobile", null),
       ("Mozilla/5.0 (Mobile; Nokia_8110_4G; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5",
@@ -72,7 +72,18 @@ class EnrichmentSpec extends SparkTestBase {
       ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; Xbox; Xbox One) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/48.0.2564.82 Safari/537.36 Edge/20.02",
         "Edge", "Windows", "console", "Microsoft"),
       ("Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/606.4 (KHTML, like Gecko) NF/6.0.1.15.4 NintendoBrowser/5.1.0.13343",
-        "Other", "Nintendo", "console", "Nintendo"),
+        "NintendoBrowser", "Nintendo", "console", "Nintendo"),
+      // round-6 long tail: HTTP tools/SDKs, BB10, a second bot grammar
+      ("curl/8.4.0", "curl", "Other", "(not set)", null),
+      ("python-requests/2.31.0", "Python Requests", "Other", "(not set)", null),
+      ("Python-urllib/3.9", "Python-urllib", "Other", "(not set)", null),
+      ("Wget/1.21.3 (linux-gnu)", "Wget", "Other", "(not set)", null),
+      ("Go-http-client/2.0", "Go-http-client", "Other", "(not set)", null),
+      ("okhttp/4.12.0", "okhttp", "Other", "(not set)", null),
+      ("Apache-HttpClient/4.5.14 (Java/17.0.8)",
+        "Apache-HttpClient", "Other", "(not set)", null),
+      ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+ (KHTML, like Gecko) Version/10.3.3.2205 Mobile Safari/537.35+",
+        "BlackBerry WebKit", "BlackBerry OS", "mobile", "BlackBerry"),
       ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.230 Mobile Safari/537.36",
         "Chrome Mobile", "Android", "mobile", "Google"),
       ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/118.0.0.0 Safari/537.36",
@@ -111,7 +122,7 @@ class EnrichmentSpec extends SparkTestBase {
   test("bot rows carry only the bot flag") {
     val bots = UserAgent.withDeviceColumns(ingested, col("user_agent"))
       .filter(col("device_is_bot"))
-    assert(bots.count() == 2) // v16's two hits
+    assert(bots.count() == 3) // v16's two hits + v74 (facebookexternalhit)
     assert(bots.filter(col("device_client_name").isNotNull).count() == 0)
   }
 
