@@ -343,6 +343,42 @@ object SparkEntry {
         col("first_touchpoint"), col("last_touchpoint"))
     }),
 
+    // A3/W9 incremental mode, oracle-gated end-to-end: day-22 run builds
+    // real history (v17's cross-midnight night session), a ghost history
+    // row (visitor absent today, SENTINEL touchpoints) gates the
+    // anti-join pass-through — a wrong full recompute would overwrite
+    // the sentinels and hash-fail — while v17 gates the semi-join
+    // recompute: its day-23 touchpoint path must contain BOTH days'
+    // sources. This is the O(today) scale mode of
+    // jobs/GaPipeline.scala:400 (the faithful default full recompute is
+    // exercised by q16).
+    "q59_ga_touchpoints_incremental" -> ((s, _) => {
+      import graft.jobs.GaPipeline
+      val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      val day1 = GaPipeline.run(hits,
+        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-22",
+        idAlgo = "md5", persistExport = false).sessions
+      val ghost = day1
+        .withColumn("fullVisitorId", lit("ghost-visitor"))
+        .withColumn("touchpoints", array(lit("stored-v1")))
+        .withColumn("touchpoints_wo_direct", array(lit("stored-v1")))
+        .withColumn("first_touchpoint", lit("stored-v1"))
+        .withColumn("last_touchpoint", lit("stored-v1"))
+      val out = GaPipeline.run(hits, day1.unionByName(ghost), "2019-09-23",
+        idAlgo = "md5", persistExport = false,
+        incrementalTouchpoints = true).sessions
+      out.select(
+        col("fullVisitorId"), col("visitId"),
+        col("visitNumber").cast("long").as("visitNumber"),
+        col("visitStartTime"), col("date").cast("long").as("date"),
+        col("trafficSource_source"), col("trafficSource_medium"),
+        col("trafficSource_campaign"), col("totals_transactionRevenue"),
+        col("landingPage"),
+        array_join(col("touchpoints"), "\u0001").as("touchpoints"),
+        array_join(col("touchpoints_wo_direct"), "\u0001").as("touchpoints_wo_direct"),
+        col("first_touchpoint"), col("last_touchpoint"))
+    }),
+
     // P3 hit-table projection: pageviews with per-user hit numbering,
     // hour/minute derivations and page-path levels.
     "q17_ga_pageviews" -> ((s, _) => {
@@ -1269,6 +1305,54 @@ object SparkEntry {
         |  first_touchpoint,
         |  COALESCE(list_filter(touchpoints, x -> x <> '(direct)')[-1], '(direct)') AS last_touchpoint
         |FROM p JOIN tp ON p.fullVisitorId = tp.fullVisitorId""".stripMargin,
+
+    // Incremental-touchpoints mirror: the q16 pipeline WITHOUT the
+    // job-date filter (touched visitors' paths accumulate across days —
+    // v17's morning session must carry the night session's source), plus
+    // the ghost history row passed through VERBATIM with its sentinel
+    // touchpoints (the anti-join contract; a recompute would overwrite
+    // them and hash-fail).
+    "q59_ga_touchpoints_incremental" ->
+      s"""WITH ${dGaSessionCtes(", body_pa:'VARCHAR', body_tr:'VARCHAR'")},
+        |v AS (
+        |  SELECT *, MIN(ms) OVER wv AS first_value, MAX(ms) OVER wv AS last_value,
+        |    SUM(CASE WHEN body_t = 'event' AND body_pa = 'purchase'
+        |        THEN CAST(body_tr AS DECIMAL(18,6)) END) OVER wv AS rev
+        |  FROM s WINDOW wv AS (PARTITION BY body_cid, seq)),
+        |st AS (SELECT * FROM v WHERE is_new = 1),
+        |${dUrlCtes("st")},
+        |p AS (
+        |  SELECT body_cid AS fullVisitorId,
+        |    md5(body_cid || first_value::VARCHAR || last_value::VARCHAR) AS visitId,
+        |    CAST(seq AS BIGINT) AS visitNumber,
+        |    first_value AS visitStartTime,
+        |    CAST(strftime(make_timestamp((ms // 1000) * 1000000), '%Y%m%d') AS BIGINT) AS "date",
+        |    ms,
+        |    $dSourceCase AS trafficSource_source,
+        |    $dMediumCase AS trafficSource_medium,
+        |    $dCampaignCase AS trafficSource_campaign,
+        |    CAST(CAST(rev AS DOUBLE) AS VARCHAR) AS totals_transactionRevenue,
+        |    ${dPath("body_dl")} AS landingPage
+        |  FROM u2),
+        |tp AS (
+        |  SELECT fullVisitorId,
+        |    list(trafficSource_source ORDER BY ms, visitId) AS touchpoints,
+        |    first(trafficSource_source ORDER BY ms, visitId) AS first_touchpoint
+        |  FROM p GROUP BY 1)
+        |SELECT p.fullVisitorId, visitId, visitNumber, visitStartTime, "date",
+        |  trafficSource_source, trafficSource_medium, trafficSource_campaign,
+        |  totals_transactionRevenue, landingPage,
+        |  array_to_string(touchpoints, chr(1)) AS touchpoints,
+        |  COALESCE(array_to_string(list_filter(touchpoints, x -> x <> '(direct)'), chr(1)), '') AS touchpoints_wo_direct,
+        |  first_touchpoint,
+        |  COALESCE(list_filter(touchpoints, x -> x <> '(direct)')[-1], '(direct)') AS last_touchpoint
+        |FROM p JOIN tp ON p.fullVisitorId = tp.fullVisitorId
+        |UNION ALL
+        |SELECT 'ghost-visitor', visitId, visitNumber, visitStartTime, "date",
+        |  trafficSource_source, trafficSource_medium, trafficSource_campaign,
+        |  totals_transactionRevenue, landingPage,
+        |  'stored-v1', 'stored-v1', 'stored-v1', 'stored-v1'
+        |FROM p WHERE "date" = 20190922""".stripMargin,
 
     "q17_ga_pageviews" ->
       s"""WITH ${dGaSessionCtes("")},
