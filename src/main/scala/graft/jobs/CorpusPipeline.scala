@@ -58,7 +58,14 @@ object CorpusPipeline {
     * [[graft.llm.Decontamination.decontaminated]] against the eval
     * corpus for the full training-data recipe. `id` must be unique.
     * Stage semantics are oracle-gated individually (q52/q53); the
-    * composition is spec-gated (CorpusPipelineSpec). */
+    * composition is spec-gated (CorpusPipelineSpec).
+    *
+    * Composition note: line dedup sees the ORIGINAL text, so lines whose
+    * only difference is the PII that redaction later canonicalizes
+    * ("call 104-555-0001" vs "call 105-555-9944" → both "call [PHONE]")
+    * survive one scrub; a second scrub would then drop them as
+    * cross-document duplicates. One pass is the contract; re-running
+    * scrub only ever REMOVES whole lines (PropertySpec pins both). */
   def scrub(docs: DataFrame, id: Column, textCol: String,
             minDocs: Int = 2): DataFrame = {
     require(docs.columns.contains(textCol),

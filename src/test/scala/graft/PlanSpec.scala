@@ -159,6 +159,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("ANN top-k plans: broadcast query side, no sort-merge or cartesian") {
+    // The scale contract of the ANN paths: the query batch is small by
+    // construction, so every join in the IVF plan must be a broadcast
+    // hash join on the cell key, and neither path may degrade to a
+    // SortMergeJoin (quadratic-ish shuffle of the full corpus) or a
+    // CartesianProduct. An AQE change or refactor that loses this fails
+    // here, not in a 100 TB bench.
+    for (q <- Seq("q35_ann_ivf", "q27_ann_lsh")) uncached {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$q degraded to SMJ:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast join:\n$plan")
+    }
+    // and the IVF probe join broadcasts the QUERY side specifically
+    uncached {
+      val ivf = SparkEntry.queries("q35_ann_ivf")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(ivf.contains("BroadcastExchange"), s"query side not broadcast:\n$ivf")
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -185,6 +185,98 @@ class PropertySpec extends SparkTestBase {
     assert(a == bb)
   }
 
+  test("BM25 scores are invariant under corpus permutation") {
+    import graft.llm.Bm25
+    // BM25 depends on corpus STATISTICS (N, avgdl, df), never on row
+    // order — at scale row order is partitioning noise, so any order
+    // sensitivity (e.g. a non-commutative float fold) is a bug.
+    val rnd = new scala.util.Random(7)
+    val words = Seq("hash", "merge", "vector", "tree", "scan", "sort")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until 5 + rnd.nextInt(40))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    def run(rows: Seq[(Long, String)]): Map[Long, Double] =
+      Bm25.score(rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        Seq("vector", "hash", "tree"))
+        .as[(Long, Double)].collect().toMap
+    val base = run(docs)
+    val shuffled = run(rnd.shuffle(docs))
+    assert(base == shuffled) // bit-equal, not approximately
+  }
+
+  test("winnowing guarantee: a planted shared span >= w+k-1 chars is " +
+    "always detected, at random k and w") {
+    import graft.llm.Winnowing
+    // The MOSS guarantee: winnowing selects at least one fingerprint
+    // from every window of w consecutive k-grams, so two documents
+    // sharing a verbatim run of >= w+k-1 code points share >= 1
+    // selected fingerprint. Differentially test it for random (k, w)
+    // and random host texts around a planted span.
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 8) {
+      val k = 4 + rnd.nextInt(12) // 4..15
+      val w = 2 + rnd.nextInt(8)  // 2..9
+      val span = (0 until (w + k - 1) + rnd.nextInt(20))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      def host(): String = {
+        val pre = (0 until rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        val post = (0 until rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        pre + span + post
+      }
+      val docs = Seq((1L, host()), (2L, host())).toDF("doc_id", "text")
+      val shared = Winnowing.fingerprints(docs, col("doc_id"), col("text"), k, w)
+        .select(explode(col("fps")).as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("n"))
+        .where(col("n") === 2).count()
+      assert(shared >= 1,
+        s"planted ${span.length}-char span missed at k=$k w=$w")
+    }
+  }
+
+  test("scrub composition: idempotent when redaction adds no collisions; " +
+    "shrink-only in general") {
+    import graft.jobs.CorpusPipeline
+    val rnd = new scala.util.Random(23)
+    // (a) GENERAL soup, including distinct-PII lines that redaction
+    // canonicalizes into IDENTICAL lines ("call [PHONE]") — so full
+    // idempotence is impossible by construction (the second line-dedup
+    // sees new cross-doc duplicates). The lawful invariant is monotone
+    // shrinking: a second scrub only removes whole lines, never edits
+    // or adds.
+    val boiler = Seq("subscribe to our newsletter", "all rights reserved",
+      "contact us at help@example.com")
+    def soup(tag: Long => String) = (0 until 40).map { i =>
+      val lines = (0 until 2 + rnd.nextInt(6)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => boiler(rnd.nextInt(boiler.size))
+          case 1 => s"${tag(i)}call ${100 + rnd.nextInt(900)}-555-${1000 + rnd.nextInt(9000)}"
+          case 2 => s"${tag(i)}user${rnd.nextInt(50)}@mail${rnd.nextInt(9)}.org wrote:"
+          case _ => (0 until 5).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        }
+      }
+      (i.toLong, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusPipeline.scrub(df, col("doc_id"), "text")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val once = run(soup(_ => ""))
+    val twice = run(once.toDF("doc_id", "text"))
+    once.zip(twice).foreach { case ((id1, t1), (id2, t2)) =>
+      assert(id1 == id2)
+      val l1 = t1.split("\n", -1).toSeq
+      // a doc whose every line was dropped reassembles to "" (one empty
+      // line artifact) — still "nothing added", so exempt it
+      assert(t2.split("\n", -1).filter(_.nonEmpty).forall(l1.contains),
+        s"second scrub INVENTED content for doc $id1")
+    }
+    // (b) doc-unique prefixes keep redacted lines distinct across docs
+    // (no new collisions) — there the composition IS idempotent.
+    val once2 = run(soup(i => s"doc$i "))
+    val twice2 = run(once2.toDF("doc_id", "text"))
+    assert(once2 == twice2)
+  }
+
   test("hash sampling nests: rate p1 <= p2 implies sample(p1) is a subset") {
     import graft.llm.Splits
     val ids = (1L to 2000L).toDF("id")
