@@ -45,6 +45,14 @@ object SparkEntry {
   val GaConcat = "/root/repo/fixtures/ga/raw/concatenated.json"
   val MediaFixtures = "/root/repo/fixtures/media"
   val MediaExpected = "/root/repo/fixtures/media/expected.csv"
+  val MultilineDocs = "/root/repo/fixtures/docs/multiline.jsonl"
+
+  /** Checked-in multi-line/non-ASCII documents (newlines, CJK, Cyrillic,
+    * astral emoji, blank lines, trailing newlines) — the text shapes the
+    * driver-generated sf documents don't carry. */
+  private def multilineDocs(s: SparkSession): DataFrame =
+    s.read.schema("doc_id LONG, text STRING")
+      .option("mode", "FAILFAST").json(MultilineDocs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -801,6 +809,25 @@ object SparkEntry {
         Tables.documents(s, dir), col("doc_id"), col("text"))
     }),
 
+    // Line dedup over the checked-in multi-line/non-ASCII fixture — the
+    // sf documents are newline-free, so q53 alone never exercises real
+    // split/reassembly (round-5 advice): interior line drops, blank
+    // lines, within-doc repeats (kept: df counts DOCUMENTS), trailing
+    // newlines, CJK/emoji round-trip.
+    "q61_line_dedup_multiline" -> ((s, _) => {
+      import graft.llm.LineDedup
+      LineDedup.removeDuplicatedLines(
+        multilineDocs(s), col("doc_id"), col("text"))
+    }),
+
+    // Winnowing over the same fixture: shared spans that CROSS newlines
+    // and carry astral code points — the engine's codePoints pass vs the
+    // oracle's dotall-regexp char walk.
+    "q60_winnow_multiline" -> ((s, _) => {
+      import graft.llm.Winnowing
+      Winnowing.sharedSpanPairs(multilineDocs(s), col("doc_id"), col("text"))
+    }),
+
     // PII scrub over the corpus: emails/IPv4s/phone-shaped runs replaced
     // with sentinel tokens — per-row regexp projection, no shuffle;
     // patterns restricted to Java-regex/RE2-common constructs so the
@@ -986,6 +1013,63 @@ object SparkEntry {
 
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
+
+  /** The checked-in multi-line/non-ASCII documents fixture as a CTE. */
+  private val dMultilineCte =
+    s"""ml AS (
+      |  SELECT doc_id, text
+      |  FROM read_json('$MultilineDocs', format='newline_delimited',
+      |    columns={doc_id: 'BIGINT', text: 'VARCHAR'}))""".stripMargin
+
+  /** Winnowing shared-span mirror over `from` (doc_id, text): Rabin-Karp
+    * k-gram hashes over CODE POINTS (dotall '.', so newlines and astral
+    * chars count like the engine's codePoints pass), window minima,
+    * df-capped self-join. */
+  private def dWinnowSpanSql(from: String): String = {
+    import graft.expressions.Winnow.{B, P}
+    val (k, w, minShared, maxDf) = (16, 8, 2, 50)
+    s"""WITH cp AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)::BIGINT) AS cs
+      |  FROM $from),
+      |gh AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(cs) - $k + 1),
+      |      i -> list_reduce(list_slice(cs, i, i + $k - 1),
+      |             (a, c) -> (a * $B + c) % $P)) AS hs
+      |  FROM cp WHERE len(cs) >= $k + $w - 1),
+      |mins AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(hs) - $w + 1),
+      |      j -> list_min(list_slice(hs, j, j + $w - 1)))) AS fps
+      |  FROM gh),
+      |fp AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
+      |rare AS (SELECT fp FROM fp GROUP BY 1 HAVING COUNT(*) <= $maxDf)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
+  }
+
+  /** C4-style line-dedup mirror over `from` (doc_id, text): split on \n,
+    * drop lines in >= 2 distinct docs (blank lines exempt), reassemble
+    * in order. */
+  private def dLineDedupSql(from: String): String =
+    s"""WITH d0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM $from),
+      |ln AS (
+      |  SELECT doc_id, i, ${dMd5Long("ls[i]")} AS h, ls[i] AS line
+      |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM d0)),
+      |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ln
+      |       WHERE trim(line) <> '' GROUP BY 1),
+      |kept AS (SELECT doc_id, i, line FROM ln LEFT JOIN df USING (h)
+      |         WHERE df IS NULL OR df < 2),
+      |rb AS (
+      |  SELECT doc_id, array_to_string(list(line ORDER BY i), chr(10)) AS clean_text
+      |  FROM kept GROUP BY 1)
+      |SELECT d0.doc_id,
+      |  CASE WHEN d0.text IS NULL THEN NULL
+      |       ELSE COALESCE(rb.clean_text, '') END AS clean_text
+      |FROM d0 LEFT JOIN rb USING (doc_id)""".stripMargin
 
   private val dJaccardTail =
     """sz AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
@@ -1863,31 +1947,16 @@ object SparkEntry {
     // per-window minima via list_min over slices (O(n·w) — fine at sf;
     // the engine's native pass is O(n)), then the same df-capped
     // fingerprint self-join.
-    "q56_winnow_spans" -> {
-      import graft.expressions.Winnow.{B, P}
-      val (k, w, minShared, maxDf) = (16, 8, 2, 50)
-      s"""WITH cp AS (
-        |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)::BIGINT) AS cs
-        |  FROM documents),
-        |gh AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, len(cs) - $k + 1),
-        |      i -> list_reduce(list_slice(cs, i, i + $k - 1),
-        |             (a, c) -> (a * $B + c) % $P)) AS hs
-        |  FROM cp WHERE len(cs) >= $k + $w - 1),
-        |mins AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(hs) - $w + 1),
-        |      j -> list_min(list_slice(hs, j, j + $w - 1)))) AS fps
-        |  FROM gh),
-        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
-        |rare AS (SELECT fp FROM fp GROUP BY 1 HAVING COUNT(*) <= $maxDf)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-        |FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
-        |WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
-    },
+    "q56_winnow_spans" -> dWinnowSpanSql("documents"),
+
+    // Same mirror over the checked-in multi-line/non-ASCII fixture: the
+    // sf documents carry no newlines and little non-ASCII, so q56 alone
+    // never exercises the dotall '.' nor astral code points (round-5
+    // advice). The fixture plants shared spans crossing \n with CJK,
+    // Cyrillic, combining accents and astral emoji.
+    "q60_winnow_multiline" ->
+      s"""WITH $dMultilineCte,
+        |${dWinnowSpanSql("ml").stripPrefix("WITH ")}""".stripMargin,
 
     // BM25 mirror: identical expression tree (same association order) so
     // the doubles match bit-for-bit before the round; the per-doc sum is
@@ -1930,22 +1999,15 @@ object SparkEntry {
         |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3""".stripMargin,
 
-    "q53_line_dedup" ->
-      s"""WITH d0 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents),
-        |ln AS (
-        |  SELECT doc_id, i, ${dMd5Long("ls[i]")} AS h, ls[i] AS line
-        |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM d0)),
-        |df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ln
-        |       WHERE trim(line) <> '' GROUP BY 1),
-        |kept AS (SELECT doc_id, i, line FROM ln LEFT JOIN df USING (h)
-        |         WHERE df IS NULL OR df < 2),
-        |rb AS (
-        |  SELECT doc_id, array_to_string(list(line ORDER BY i), chr(10)) AS clean_text
-        |  FROM kept GROUP BY 1)
-        |SELECT d0.doc_id,
-        |  CASE WHEN d0.text IS NULL THEN NULL
-        |       ELSE COALESCE(rb.clean_text, '') END AS clean_text
-        |FROM d0 LEFT JOIN rb USING (doc_id)""".stripMargin,
+    "q53_line_dedup" -> dLineDedupSql("documents"),
+
+    // Line dedup over the multi-line fixture: real split/df/reassembly
+    // (interior drops, within-doc repeats kept, blank-line and
+    // trailing-newline round trips) — paths the newline-free sf
+    // documents never reach.
+    "q61_line_dedup_multiline" ->
+      s"""WITH $dMultilineCte,
+        |${dLineDedupSql("ml").stripPrefix("WITH ")}""".stripMargin,
 
     "q52_redact_pii" -> {
       import graft.llm.TextOps.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
