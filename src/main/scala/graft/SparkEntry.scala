@@ -757,6 +757,33 @@ object SparkEntry {
           col("n_rows"))
     }),
 
+    // The 100 TB distinct-count path: approx_count_distinct keeps a
+    // bounded HLL++ sketch per group (mergeable, map-side combinable)
+    // instead of count_distinct's expand+shuffle of every distinct
+    // value. Same verification shape as q49: the exact counts are
+    // hash-checked outright, and the sketch is gated by deterministic
+    // bounds booleans (HLL++ is deterministic on fixed data; rsd=0.02,
+    // bound = 5*rsd relative or ±5 absolute, whichever is looser —
+    // exercised in both the sparse regime, ~150 users, and past the
+    // dense transition, thousands of event ids).
+    "q62_distinct_approx" -> ((s, dir) => {
+      def inBounds(approx: Column, exact: Column): Column =
+        abs(approx - exact) <= greatest(lit(5.0), exact * 0.1)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("au"),
+          countDistinct(col("event_id")).as("n_event_ids"),
+          approx_count_distinct(col("event_id"), 0.02).as("ae"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("n_users"),
+          inBounds(col("au"), col("n_users")).as("users_in_bounds"),
+          col("n_event_ids"),
+          inBounds(col("ae"), col("n_event_ids")).as("event_ids_in_bounds"),
+          col("n_rows"))
+    }),
+
     // Train/eval n-gram decontamination (GPT-3 appendix-C recipe) over
     // the deterministic q43 split: train docs sharing ≥1 distinct word
     // 8-gram with any test doc. One equi-join on the gram hash; the eval
@@ -1929,6 +1956,18 @@ object SparkEntry {
       """SELECT event_type,
         |  TRUE AS p50_in_bounds,
         |  TRUE AS p95_in_bounds,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // q62's one-sided gate, like q49: the exact distinct counts are
+    // hash-compared directly; the oracle states the HLL bound contract
+    // as all-true booleans (DuckDB can't reproduce Spark's sketch).
+    "q62_distinct_approx" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  TRUE AS users_in_bounds,
+        |  COUNT(DISTINCT event_id) AS n_event_ids,
+        |  TRUE AS event_ids_in_bounds,
         |  COUNT(*) AS n_rows
         |FROM events GROUP BY 1""".stripMargin,
 
