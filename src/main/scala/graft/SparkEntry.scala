@@ -372,7 +372,13 @@ object SparkEntry {
         .withColumn("touchpoints_wo_direct", array(lit("stored-v1")))
         .withColumn("first_touchpoint", lit("stored-v1"))
         .withColumn("last_touchpoint", lit("stored-v1"))
-      val out = GaPipeline.run(hits, day1.unionByName(ghost), "2019-09-23",
+      // Persist the tiny history frame: the incremental mode's semi and
+      // anti branches each scan history once — fine when history is a
+      // parquet table (the production shape), but HERE history is a
+      // whole pipeline DAG that would otherwise run twice (measured
+      // ~2x this query's bench time).
+      val history = day1.unionByName(ghost).persist()
+      val out = GaPipeline.run(hits, history, "2019-09-23",
         idAlgo = "md5", persistExport = false,
         incrementalTouchpoints = true).sessions
       out.select(
@@ -824,6 +830,48 @@ object SparkEntry {
       import graft.llm.TextOps
       TextOps.vocabStats(Tables.documents(s, dir),
         col("doc_id"), col("text"), minDf = 3)
+    }),
+
+    // Heavy hitters: Spark's freqItems sketch (Karp/Shenker/Papadimitriou
+    // one-pass counters, mergeable, memory = 1/support) vs the exact
+    // token counts. The sketch's guarantee — every item with frequency
+    // > support*N is in the returned superset — is the gate: the exact
+    // heavy-hitter table is hash-checked outright, and `captured` must
+    // be all-true. At 100 TB the sketch pass replaces the full groupBy
+    // when only the >1% head matters.
+    "q63_heavy_hitters" -> ((s, dir) => {
+      import graft.llm.TextOps
+      val support = 0.01
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.lowerTokens(col("text"))).as("term"))
+      val sketch = toks.stat.freqItems(Array("term"), support)
+        .select(explode(col("term_freqItems")).as("term"),
+          lit(true).as("in_sketch"))
+      val total = toks.agg(count(lit(1)).as("n_total")) // 1 row, broadcasts
+      toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") > col("n_total") * support)
+        .join(broadcast(sketch), Seq("term"), "left")
+        .select(col("term"), col("cnt"),
+          coalesce(col("in_sketch"), lit(false)).as("captured"))
+    }),
+
+    // Corpus governance rollup over the stored lang/source dimensions:
+    // docs, volume, exact-duplicate rate (distinct fingerprints) and
+    // mean quality per (source, lang) — the report a curation pass reads
+    // before choosing per-source sampling rates. One shuffle,
+    // map-combinable except the exact distinct (its approx twin is the
+    // q62 pattern).
+    "q64_corpus_report" -> ((s, dir) => {
+      import graft.llm.TextOps
+      Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(TextOps.fingerprint(col("text"))).as("n_unique"),
+          round(sum(TextOps.qualityScore(col("text")).cast("long"))
+            .cast("double") / count(lit(1)), 4).as("avg_quality"))
     }),
 
     // C4-style boilerplate scrub: drop every line occurring in >= 2
@@ -2037,6 +2085,43 @@ object SparkEntry {
         |  FROM documents)
         |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3""".stripMargin,
+
+    // q63: exact heavy hitters hash-checked; `captured` states the
+    // freqItems superset guarantee (one-sided, like q49/q62 — DuckDB
+    // can't reproduce the sketch, only the contract).
+    "q63_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM w),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
+        |SELECT term, cnt, TRUE AS captured
+        |FROM c, tot WHERE cnt > n_total * 0.01""".stripMargin,
+
+    // q64: the q24 per-doc quality formula aggregated per (source, lang).
+    "q64_corpus_report" -> {
+      import graft.llm.TextOps.Stopwords
+      val inList = Stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT source, lang, text, n_chars,
+        |    string_split_regex(text, '\\s+') AS toks FROM documents),
+        |t AS (SELECT *, len(toks) AS nt,
+        |  round(len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text), 4) AS pr,
+        |  len(list_filter(toks, x -> x IN ($inList))) AS s_en
+        |  FROM d),
+        |q AS (SELECT source, lang, n_chars,
+        |  (CASE WHEN nt >= 20 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN pr <= 0.1 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN round(s_en*1.0/nt, 4) BETWEEN 0.05 AND 0.6 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN len(regexp_replace(text,'\\s','','g'))*1.0/nt BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
+        |   AS qsc,
+        |  md5($dNormText) AS fp
+        |  FROM t)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT fp) AS n_unique,
+        |  round(SUM(qsc)*1.0/COUNT(*), 4) AS avg_quality
+        |FROM q GROUP BY 1, 2""".stripMargin
+    },
 
     "q53_line_dedup" -> dLineDedupSql("documents"),
 
