@@ -856,6 +856,17 @@ object SparkEntry {
           coalesce(col("in_sketch"), lit(false)).as("captured"))
     }),
 
+    // Sequence packing: whole documents greedily packed into 512-token
+    // training sequences, sharded by md5 bucket (packing is sequential
+    // within an order, so scale comes from sharding). One shard shuffle
+    // + secondary sort + a two-longs-of-state pass — the q58 chained
+    // restart shape; oracle mirrors the chain with a recursive CTE.
+    "q65_sequence_packing" -> ((s, dir) => {
+      import graft.llm.{Packing, TextOps}
+      Packing.packGreedy(Tables.documents(s, dir), col("doc_id"),
+        TextOps.nTokens(col("text")), budget = 512L, shards = 8)
+    }),
+
     // Corpus governance rollup over the stored lang/source dimensions:
     // docs, volume, exact-duplicate rate (distinct fingerprints) and
     // mean quality per (source, lang) — the report a curation pass reads
@@ -2097,6 +2108,25 @@ object SparkEntry {
         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
         |SELECT term, cnt, TRUE AS captured
         |FROM c, tot WHERE cnt > n_total * 0.01""".stripMargin,
+
+    // q65: the greedy packing chain per shard, one recursive step per
+    // document position (same pattern as q58's horizon chain).
+    "q65_sequence_packing" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT shard, doc_id, nt,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+        |  FROM (SELECT ${dMd5Long("doc_id::VARCHAR")} % 8 AS shard, doc_id,
+        |          CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0) AS BIGINT) AS nt
+        |        FROM documents)),
+        |st AS (
+        |  SELECT shard, doc_id, nt, pos, CAST(1 AS BIGINT) AS seq_no, nt AS fill
+        |  FROM d WHERE pos = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.nt, d.pos,
+        |    CASE WHEN st.fill + d.nt > 512 THEN st.seq_no + 1 ELSE st.seq_no END,
+        |    CASE WHEN st.fill + d.nt > 512 THEN d.nt ELSE st.fill + d.nt END
+        |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
+        |SELECT shard, doc_id, nt AS n_tokens, seq_no FROM st""".stripMargin,
 
     // q64: the q24 per-doc quality formula aggregated per (source, lang).
     "q64_corpus_report" -> {

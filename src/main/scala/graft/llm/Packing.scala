@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing — the step that turns a deduplicated corpus into
+  * fixed-token-budget training sequences (each sequence concatenates
+  * whole documents up to `budget` tokens; leftover space is padding, so
+  * tighter packing = fewer wasted FLOPs).
+  *
+  * Sharded greedy first-fit-in-order:
+  *  - documents are sharded by [[Splits.md5Bucket]] of their id —
+  *    deterministic, partition-count-independent, and the unit of
+  *    parallelism (packing is inherently sequential WITHIN a run of
+  *    documents, so at 100 TB you scale by sharding, not by threading
+  *    one global order);
+  *  - within a shard, documents are visited in id order and appended to
+  *    the current sequence until the next one would overflow `budget`,
+  *    which starts a new sequence (a single over-budget document gets a
+  *    sequence of its own — the caller decides whether to truncate it).
+  *
+  * The chained reset ("new sequence iff fill + n > budget") is the same
+  * shape as streaming dedup's horizon restart: not expressible with
+  * fixed-frame window functions, so it runs as ONE hash exchange on the
+  * shard, an in-partition secondary sort, and a single pass holding two
+  * longs of state — no per-shard buffering, 10^9-document shards stream
+  * through.
+  *
+  * Oracle-gated (q65) against a DuckDB recursive-CTE mirror of the same
+  * chain.
+  */
+object Packing {
+
+  /** Output: (shard, doc_id, n_tokens, seq_no) — one row per document,
+    * `seq_no` numbering sequences from 1 within each shard. */
+  def packGreedy(docs: DataFrame, id: org.apache.spark.sql.Column,
+                 nTokens: org.apache.spark.sql.Column,
+                 budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val base = docs.select(
+      Splits.md5Bucket(id.cast("string"), shards).as("shard"),
+      id.as("doc_id"),
+      coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+    val sorted = base.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField("seq_no", LongType, nullable = false))
+    sorted.mapPartitions { rows =>
+      var curShard = 0L
+      var started = false
+      var fill = 0L
+      var seq = 0L
+      rows.map { r =>
+        val shard = r.getLong(0)
+        val nt = r.getLong(2)
+        if (!started || shard != curShard) {
+          started = true; curShard = shard; seq = 1L; fill = nt
+        } else if (fill + nt > budget) {
+          seq += 1; fill = nt
+        } else fill += nt
+        Row(r.get(0), r.get(1), r.get(2), seq)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

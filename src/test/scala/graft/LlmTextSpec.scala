@@ -461,4 +461,33 @@ class LlmTextSpec extends SparkTestBase {
         assert(g == hof(id), s"n=$n doc=$id native=$g hof=${hof(id)}") }
     }
   }
+
+  test("sequence packing: greedy fill, oversize isolation, exactly-once, " +
+    "one exchange") {
+    import graft.llm.Packing
+    // one shard so the chain is fully deterministic by id order:
+    // 4+4 fit in 10; +4 overflows -> seq 2; 12 oversize -> own seq 3;
+    // next 4 -> seq 4 (fill was 12 > budget, must reset)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 12L), (5L, 4L))
+      .toDF("doc_id", "nt")
+    val out = Packing.packGreedy(docs, col("doc_id"), col("nt"),
+      budget = 10L, shards = 1)
+      .select("doc_id", "seq_no").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+
+    // invariants on real data: every doc exactly once; every sequence's
+    // total fits the budget unless it is a single oversize document
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val packed = Packing.packGreedy(docs2, col("doc_id"),
+      graft.llm.TextOps.nTokens(col("text")), budget = 512L, shards = 8)
+    assert(packed.count() == docs2.count())
+    assert(packed.select("doc_id").distinct().count() == docs2.count())
+    val bad = packed.groupBy("shard", "seq_no")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("n"))
+      .where(col("total") > 512 && col("n") > 1)
+    assert(bad.count() == 0, "multi-doc sequence over budget")
+    // scale shape: exactly one exchange (the shard repartition)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
+  }
 }
