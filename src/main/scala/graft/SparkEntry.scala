@@ -597,6 +597,28 @@ object SparkEntry {
       StreamingSessionize.sessionWindowAgg(ev)
     }),
 
+    // Skew-salted replicated join: the small side copied once per salt
+    // bucket, the hot large side spread over the buckets — result must
+    // equal the plain inner join, which IS the oracle (hash-checked).
+    "q66_salted_join" -> ((s, dir) => {
+      import graft.operators.Skew
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("type_users"))
+      Skew.saltedJoin(ev, dim, "event_type", col("event_id"), 16)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("type_users"))
+    }),
+
+    // Tumbling event-time windows (the fixed-interval family next to
+    // q28's gap sessions): batch semantics of the streaming plan,
+    // order-independent stats so the hash can't drift with partitioning.
+    "q67_tumbling_window" -> ((s, dir) => {
+      import graft.streaming.StreamingWindows
+      StreamingWindows.tumblingStats(Tables.events(s, dir), "1 hour")
+    }),
+
     // Streaming dedup's keep-first-within-horizon contract in batch form
     // (q28 pattern): per user in event-time order, drop events within 15
     // minutes of the last KEPT event, keep + restart past it — the
@@ -2293,6 +2315,21 @@ object SparkEntry {
         |SELECT user_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, seq""".stripMargin,
+
+    // The salted join's oracle is the PLAIN join — equality proves the
+    // salt/replicate/drop dance is semantics-free.
+    "q66_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS type_users
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.user_id, d.type_users
+        |FROM events e JOIN dim d USING (event_type)""".stripMargin,
+
+    "q67_tumbling_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+        |  event_type, COUNT(*) AS n_events,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Chained keep-first-within-horizon via recursive CTE: iteration N's
     // working table holds each key's Nth kept event; the recursive arm

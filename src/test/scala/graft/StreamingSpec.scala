@@ -160,6 +160,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("tumbling windows: append mode emits each window once, after the " +
+    "watermark passes its end; batch plan agrees") {
+    import graft.streaming.StreamingWindows
+    val base = 1700000000000L
+    val hour = 3600 * 1000L
+    val rows = Seq(
+      (new Timestamp(base), "click", 2.0),
+      (new Timestamp(base + 60000), "click", 5.0),
+      (new Timestamp(base + hour), "click", 7.0), // next window
+      (new Timestamp(base + hour + 1000), "view", 1.0))
+    val wInput = MemoryStream[(Timestamp, String, Double)](spark)
+    val stream = wInput.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingWindows.tumblingStats(stream, "1 hour",
+      watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("tw_out")
+      .outputMode("append").start()
+    try {
+      wInput.addData(rows.take(2))
+      q.processAllAvailable()
+      // watermark still inside window 1: nothing finalized yet
+      assert(spark.table("tw_out").count() == 0)
+      wInput.addData(rows.drop(2))
+      q.processAllAvailable()
+      // watermark passed window 1's end: exactly its rows emitted, once
+      val emitted = spark.table("tw_out")
+        .select("event_type", "n_events", "min_value", "max_value")
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(emitted == Set(("click", 2L, 2.0, 5.0)))
+      // and the batch plan over the same rows agrees on that window
+      val batch = StreamingWindows.tumblingStats(
+        rows.toDF("ts", "event_type", "value"), "1 hour")
+        .select("event_type", "n_events", "min_value", "max_value")
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(batch.contains(("click", 2L, 2.0, 5.0)))
+    } finally q.stop()
+  }
+
   test("StreamingJob drains the fixture (AvailableNow) and a re-run is checkpoint-idempotent") {
     val out = java.nio.file.Files.createTempDirectory("sjout").toString + "/sessions"
     val ckpt = java.nio.file.Files.createTempDirectory("sjckpt").toString
