@@ -619,6 +619,14 @@ object SparkEntry {
       StreamingWindows.tumblingStats(Tables.events(s, dir), "1 hour")
     }),
 
+    // Sliding windows (2h size / 1h slide — each event in exactly two
+    // windows): the overlap is generated by Spark's window() expansion;
+    // the oracle reproduces it as two shifted hour buckets.
+    "q68_sliding_window" -> ((s, dir) => {
+      import graft.streaming.StreamingWindows
+      StreamingWindows.slidingStats(Tables.events(s, dir), "2 hours", "1 hour")
+    }),
+
     // Streaming dedup's keep-first-within-horizon contract in batch form
     // (q28 pattern): per user in event-time order, drop events within 15
     // minutes of the last KEPT event, keep + restart past it — the
@@ -2330,6 +2338,20 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // A 2h/1h sliding window containing ts starts at floor_hour(ts) and
+    // floor_hour(ts) - 1h — two shifted tumbling buckets unioned.
+    "q68_sliding_window" ->
+      """WITH b AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS h,
+        |    event_type, value FROM events),
+        |w AS (
+        |  SELECT h AS ws, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT h - 3600000 AS ws, event_type, value FROM b)
+        |SELECT ws AS window_start_ms, event_type, COUNT(*) AS n_events,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // Chained keep-first-within-horizon via recursive CTE: iteration N's
     // working table holds each key's Nth kept event; the recursive arm

@@ -23,10 +23,19 @@ object StreamingWindows {
     * hour-granularity buckets align at the epoch in both engines);
     * streaming emit-once is spec-gated. */
   def tumblingStats(events: DataFrame, duration: String = "1 hour",
-                    watermark: Option[String] = None): DataFrame = {
+                    watermark: Option[String] = None): DataFrame =
+    slidingStats(events, duration, duration, watermark)
+
+  /** Sliding (overlapping) variant: each event lands in
+    * duration/slide windows, every window start aligned to a multiple
+    * of `slide` since the epoch — the same alignment the DuckDB mirror
+    * reproduces by unioning shifted `time_bucket`s (q68). `slide ==
+    * duration` degenerates to tumbling (q67). */
+  def slidingStats(events: DataFrame, duration: String, slide: String,
+                   watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
     src
-      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("value")).as("min_value"),
