@@ -137,6 +137,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, 1, 1, "text_stats(<arg>)")
         TextStatsExpr(children.head)
       }))
+    // collect_top_k(expr, k, reverse) — Spark's own bounded-heap top-k
+    // aggregate (public in catalyst, used by the pandas layer, but not
+    // SQL-registered upstream). Exposed here because it is the SCALE
+    // shape of grouped top-k: O(k) state, map-side combinable — where a
+    // row_number window sorts each whole group in one task.
+    // reverse=false keeps the k largest (descending result).
+    ext.injectFunction((
+      FunctionIdentifier("collect_top_k"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK].getName,
+        "collect_top_k"),
+      (children: Seq[Expression]) => {
+        arity(children, 3, 3, "collect_top_k(expr, k, reverse)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          children(0), children(1), children(2))
+      }))
     // top_cells(embedding, centroids, n_probe) — the centroid matrix is
     // runtime data, passed as any foldable array<array<double>>
     // expression (a typedLit literal or a SQL array(array(...))

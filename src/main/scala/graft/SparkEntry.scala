@@ -597,6 +597,20 @@ object SparkEntry {
       StreamingSessionize.sessionWindowAgg(ev)
     }),
 
+    // Grouped top-k as a bounded-heap AGGREGATE (q06's scale twin): the
+    // window form sorts each whole group in one task; this keeps O(k)
+    // state per group with map-side combine, so a hot key can't
+    // straggle. Ordering = (price, orderkey) lexicographic descending.
+    "q69_topk_agg" -> ((s, dir) => {
+      import graft.operators.TopK
+      TopK.topKPerKey(Tables.orders(s, dir), Seq(col("o_custkey")),
+        struct(col("o_totalprice"), col("o_orderkey")), k = 3)
+        .select(col("o_custkey"),
+          col("_row.o_orderkey").as("o_orderkey"),
+          col("_row.o_totalprice").as("o_totalprice"),
+          col("rank"))
+    }),
+
     // Skew-salted replicated join: the small side copied once per salt
     // bucket, the hot large side spread over the buckets — result must
     // equal the plain inner join, which IS the oracle (hash-checked).
@@ -2323,6 +2337,16 @@ object SparkEntry {
         |SELECT user_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, seq""".stripMargin,
+
+    // q69's oracle is the WINDOW formulation — equality proves the
+    // bounded-heap aggregate keeps exactly the rows the sort would.
+    "q69_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     // The salted join's oracle is the PLAIN join — equality proves the
     // salt/replicate/drop dance is semantics-free.
