@@ -597,6 +597,23 @@ object SparkEntry {
       StreamingSessionize.sessionWindowAgg(ev)
     }),
 
+    // Semi-structured payload extraction: the events table's JSON props
+    // parsed with a DECLARED schema (from_json → codegen'd JsonToStructs;
+    // schema-on-read without an ingest pass), then aggregated. The GA
+    // side exercises heavyweight JSON ingest (S1/S7); this is the
+    // generic per-row form every event lake needs.
+    "q70_json_props" -> ((s, dir) => {
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
+
     // Grouped top-k as a bounded-heap AGGREGATE (q06's scale twin): the
     // window form sorts each whole group in one task; this keeps O(k)
     // state per group with map-side combine, so a hot key can't
@@ -2337,6 +2354,15 @@ object SparkEntry {
         |SELECT user_id, MIN(ms) AS session_start_ms,
         |  MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, seq""".stripMargin,
+
+    "q70_json_props" ->
+      """SELECT event_type,
+        |  COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
 
     // q69's oracle is the WINDOW formulation — equality proves the
     // bounded-heap aggregate keeps exactly the rows the sort would.
