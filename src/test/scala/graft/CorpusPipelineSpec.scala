@@ -35,6 +35,23 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.count() > 0 && out.count() <= docs.count())
   }
 
+  test("scrub fails loudly on a null id instead of silently dropping the row") {
+    val docs = Seq((java.lang.Long.valueOf(1L), "some text"),
+      (null.asInstanceOf[java.lang.Long], "orphan text"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      CorpusPipeline.scrub(docs, col("doc_id"), "text").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null id")), e.toString)
+    // reserved clean_text guard
+    val bad = Seq((1L, "t", "x")).toDF("doc_id", "text", "clean_text")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.scrub(bad, col("doc_id"), "text")
+    }
+  }
+
   test("scrub -> run -> decontaminate: the full corpus recipe composes") {
     import graft.llm.Decontamination
     val boiler = "subscribe to our newsletter today"
