@@ -89,6 +89,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeBmp("notabmp".getBytes).isEmpty)
   }
 
+  test("decodeBmp: top-down storage (negative height) reads in file order") {
+    val h2neg = Array[Byte](-2, -1, -1, -1) // height = -2, little-endian
+    val header = Array[Byte]('B', 'M') ++
+      le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ h2neg ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val firstRow = Array[Byte](30, 20, 10, 60, 50, 40, 0, 0) // = TOP row here
+    val secondRow = Array[Byte](90, 80, 70, 120, 110, 100, 0, 0)
+    val img = Multimodal.decodeBmp(header ++ firstRow ++ secondRow).get
+    assert(img.height == 2)
+    assert(img.rgb.head == ((10 << 16) | (20 << 8) | 30)) // stored order kept
+    assert(img.rgb.last == ((100 << 16) | (110 << 8) | 120))
+  }
+
+  test("decodeWavPcm: odd-size junk chunk is word-aligned past correctly") {
+    val samples = Seq[Short](5, -5)
+    val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val junk = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // 3 + pad
+    val wav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      junk ++
+      "fmt ".getBytes ++ le32(16) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val au = Multimodal.decodeWavPcm(wav).get
+    assert(au.sampleRate == 8000 && au.samples.toSeq == samples)
+  }
+
   test("decodeWavPcm: chunk walk, little-endian int16, stereo interleave") {
     val samples = Seq[Short](-1, 2, -300, 400)
     val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))

@@ -185,6 +185,41 @@ class PropertySpec extends SparkTestBase {
     assert(a == bb)
   }
 
+  test("keep-first-within-horizon matches an in-memory fold on random " +
+    "streams (boundary deltas, ties, chained restarts)") {
+    import graft.streaming.StreamingDedup
+    val rnd = new scala.util.Random(17)
+    val horizon = 100L
+    val events = (1 to 40).flatMap { k =>
+      var ts = 1000L + rnd.nextInt(50)
+      (1 to 5 + rnd.nextInt(40)).map { i =>
+        ts += (rnd.nextInt(5) match {
+          case 0 => 0L            // tie
+          case 1 => horizon       // exactly at the boundary (dropped: not >)
+          case 2 => horizon + 1   // just past (kept)
+          case 3 => rnd.nextInt(horizon.toInt).toLong
+          case _ => horizon + rnd.nextInt(200)
+        })
+        (k.toLong * 10000 + i, k.toLong, ts)
+      }
+    }
+    // reference fold: per key in (ts, id) order, keep iff ts > lastKept + h
+    val expected = events.groupBy(_._2).flatMap { case (_, evs) =>
+      var lastKept = Long.MinValue
+      var first = true
+      evs.sortBy(e => (e._3, e._1)).flatMap { case (id, _, ts) =>
+        if (first || ts > lastKept + horizon) {
+          first = false; lastKept = ts; Some(id)
+        } else None
+      }
+    }.toSet
+    val got = StreamingDedup.keepFirstWithinHorizon(
+      events.toDF("event_id", "user_id", "ts_ms"),
+      "user_id", "ts_ms", horizon, "event_id")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
   test("BM25 scores are invariant under corpus permutation") {
     import graft.llm.Bm25
     // BM25 depends on corpus STATISTICS (N, avgdl, df), never on row
