@@ -928,6 +928,34 @@ object SparkEntry {
         TextOps.nTokens(col("text")), budget = 512L, shards = 8)
     }),
 
+    // Count-Min frequency sketch — the point-lookup counter completing
+    // the sketch family (GK percentiles q49, HLL distinct q62, MG heavy
+    // hitters q63): built distributed (mergeable counter grid, eps=0.001
+    // width), then probed for the heavy terms only. The probe set is
+    // DRIVER-side but pigeonhole-BOUNDED (≤ 1/support = 100 terms can
+    // exceed 1% of N), like the documented IVF centroid step — no UDF,
+    // no unbounded collect. Gates: CMS never underestimates
+    // (deterministic), and with seed fixed the overestimate stays inside
+    // 5x the eps*N width (deterministic on fixed data).
+    "q71_cms_counts" -> ((s, dir) => {
+      import graft.llm.TextOps
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.lowerTokens(col("text"))).as("term"))
+      val cms = toks.stat.countMinSketch(col("term"),
+        eps = 0.001, confidence = 0.999, seed = 42)
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val heavy = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") > col("n_total") * 0.01)
+        .select("term", "cnt", "n_total").collect()
+      import s.implicits._
+      heavy.toSeq.map { r =>
+        val (term, cnt, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val est = cms.estimateCount(term)
+        (term, cnt, est >= cnt, est <= cnt + 0.005 * n)
+      }.toDF("term", "cnt", "never_under", "within_width")
+    }),
+
     // Corpus governance rollup over the stored lang/source dimensions:
     // docs, volume, exact-duplicate rate (distinct fingerprints) and
     // mean quality per (source, lang) — the report a curation pass reads
@@ -2188,6 +2216,18 @@ object SparkEntry {
         |    CASE WHEN st.fill + d.nt > 512 THEN d.nt ELSE st.fill + d.nt END
         |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
         |SELECT shard, doc_id, nt AS n_tokens, seq_no FROM st""".stripMargin,
+
+    // q71: exact heavy-term counts hash-checked; the CMS contract
+    // (never-underestimate + bounded overestimate at fixed seed) stated
+    // as all-true booleans, one-sided like q49/q62/q63.
+    "q71_cms_counts" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM w),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
+        |SELECT term, cnt, TRUE AS never_under, TRUE AS within_width
+        |FROM c, tot WHERE cnt > n_total * 0.01""".stripMargin,
 
     // q64: the q24 per-doc quality formula aggregated per (source, lang).
     "q64_corpus_report" -> {
