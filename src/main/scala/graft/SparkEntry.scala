@@ -378,6 +378,11 @@ object SparkEntry {
       // whole pipeline DAG that would otherwise run twice (measured
       // ~2x this query's bench time).
       val history = day1.unionByName(ghost).persist()
+      // persistExport=false on purpose: both runs then build IDENTICAL
+      // unpersisted export subtrees over the same hits, which exchange
+      // reuse dedups; a persist would make run 2's subtree distinct.
+      // Residual cost is stage-scheduling latency over two pipeline
+      // DAGs on a 173-row fixture — harness, not engine, cost.
       val out = GaPipeline.run(hits, history, "2019-09-23",
         idAlgo = "md5", persistExport = false,
         incrementalTouchpoints = true).sessions
