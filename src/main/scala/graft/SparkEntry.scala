@@ -838,17 +838,25 @@ object SparkEntry {
     // bound = 5*rsd relative or ±5 absolute, whichever is looser —
     // exercised in both the sparse regime, ~150 users, and past the
     // dense transition, thousands of event ids).
+    // The exact distincts run as two-level aggregates (dedup shuffle
+    // with map-side partials, then count) joined back on the 5-row key —
+    // NOT as one multi-distinct agg, whose Expand triples the shuffled
+    // volume and sorts it (measured 4x slower at sf0.1, and the gap
+    // widens with scale). The approx sketches ride one plain agg.
     "q62_distinct_approx" -> ((s, dir) => {
       def inBounds(approx: Column, exact: Column): Column =
         abs(approx - exact) <= greatest(lit(5.0), exact * 0.1)
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
+      val ev = Tables.events(s, dir)
+      def exactDistinct(c: String, as: String) =
+        ev.select(col("event_type"), col(c)).distinct()
+          .groupBy(col("event_type")).agg(count(lit(1)).as(as))
+      ev.groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), 0.02).as("au"),
-          countDistinct(col("event_id")).as("n_event_ids"),
           approx_count_distinct(col("event_id"), 0.02).as("ae"),
           count(lit(1)).as("n_rows"))
+        .join(exactDistinct("user_id", "n_users"), "event_type")
+        .join(exactDistinct("event_id", "n_event_ids"), "event_type")
         .select(col("event_type"), col("n_users"),
           inBounds(col("au"), col("n_users")).as("users_in_bounds"),
           col("n_event_ids"),
