@@ -561,6 +561,22 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
     }),
 
+    // Int8 embedding quantization (the vector pipeline's compressor —
+    // candidate stages read 4x-smaller vectors): per-row math only, no
+    // shuffle; checksums hash-check every quantized component via the
+    // order-independent sum/min/max/nnz.
+    "q72_quantize_int8" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val q = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("sum_q"),
+        array_min(q).as("min_q"),
+        array_max(q).as("max_q"),
+        size(filter(q, x => x =!= 0L)).cast("long").as("nnz"))
+    }),
+
     // ANN scale path: random-hyperplane LSH buckets (equi-join on
     // (table, bucket)) + exact rerank of candidates.
     "q27_ann_lsh" -> ((s, dir) => {
@@ -1939,6 +1955,25 @@ object SparkEntry {
       s"""SELECT md5($dNormText) AS fingerprint, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS canonical_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q72: same per-component math (float widened to double, scale =
+    // max|x|, round-half-away) — the checksums cover every component.
+    "q72_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) * 127 / CAST(scale AS DOUBLE)) AS BIGINT)) END AS ql
+        |  FROM e)
+        |SELECT vec_id, n_dims,
+        |  CAST(list_sum(ql) AS BIGINT) AS sum_q,
+        |  list_min(ql) AS min_q, list_max(ql) AS max_q,
+        |  CAST(len(list_filter(ql, x -> x <> 0)) AS BIGINT) AS nnz
+        |FROM q""".stripMargin,
 
     "q26_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
