@@ -154,4 +154,29 @@ class SimilaritySpec extends SparkTestBase {
     // every LSH-scored pair carries the exact brute-force cosine
     lsh.foreach { case (q, n, c) => assert(brute((q, n)) == c) }
   }
+
+  test("int8 quantization: exact values, zero-vector guard, error bound") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),                 // all-zero: guard path
+      (3L, Array(-2.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(127L, -64L, 32L, 0L)) // round(63.5)=64 away from 0
+    assert(out(2L) == Seq(0L, 0L))
+    assert(out(3L) == Seq(-127L, 64L))
+    // symmetric-quantization error bound: |x - q*scale/127| <= scale/254
+    out.foreach { case (id, q) =>
+      val emb = Map(1L -> Seq(1.0f, -0.5f, 0.25f, 0.0f), 2L -> Seq(0.0f, 0.0f),
+        3L -> Seq(-2.0f, 1.0f))(id)
+      val scale = emb.map(x => math.abs(x.toDouble)).max
+      emb.zip(q).foreach { case (x, qi) =>
+        val recon = if (scale == 0) 0.0 else qi * scale / 127
+        assert(math.abs(x - recon) <= scale / 254 + 1e-9, s"vec $id comp $x")
+      }
+      assert(q.forall(v => v >= -127 && v <= 127))
+    }
+  }
 }
