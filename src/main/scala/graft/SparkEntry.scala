@@ -946,6 +946,20 @@ object SparkEntry {
           coalesce(col("in_sketch"), lit(false)).as("captured"))
     }),
 
+    // Multi-dimensional OLAP aggregate: ROLLUP over (source, lang) —
+    // per-pair, per-source and grand-total rows in ONE pass (Expand of
+    // 3 grouping sets, each map-side combinable; at scale this beats 3
+    // separate scans). Grouping flags disambiguate rollup NULLs from
+    // data NULLs.
+    "q73_rollup_report" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          grouping(col("source")).cast("long").as("g_source"),
+          grouping(col("lang")).cast("long").as("g_lang"))
+    }),
+
     // Sequence packing: whole documents greedily packed into 512-token
     // training sequences, sharded by md5 bucket (packing is sequential
     // within an order, so scale comes from sharding). One shard shuffle
@@ -2245,6 +2259,13 @@ object SparkEntry {
         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
         |SELECT term, cnt, TRUE AS captured
         |FROM c, tot WHERE cnt > n_total * 0.01""".stripMargin,
+
+    "q73_rollup_report" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
     // q65: the greedy packing chain per shard, one recursive step per
     // document position (same pattern as q58's horizon chain).
