@@ -2284,7 +2284,8 @@ object SparkEntry {
         |    CASE WHEN st.fill + d.nt > 512 THEN st.seq_no + 1 ELSE st.seq_no END,
         |    CASE WHEN st.fill + d.nt > 512 THEN d.nt ELSE st.fill + d.nt END
         |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
-        |SELECT shard, doc_id, nt AS n_tokens, seq_no FROM st""".stripMargin,
+        |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
+        |FROM st""".stripMargin,
 
     // q71: exact heavy-term counts hash-checked; the CMS contract
     // (never-underestimate + bounded overestimate at fixed seed) stated

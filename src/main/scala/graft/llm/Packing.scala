@@ -32,8 +32,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Packing {
 
-  /** Output: (shard, doc_id, n_tokens, seq_no) — one row per document,
-    * `seq_no` numbering sequences from 1 within each shard. */
+  /** Output: (shard, doc_id, n_tokens, seq_no, offset) — one row per
+    * document; `seq_no` numbers sequences from 1 within each shard and
+    * `offset` is the document's first token position inside its
+    * sequence (what the downstream assembly writes attention masks
+    * from). */
   def packGreedy(docs: DataFrame, id: org.apache.spark.sql.Column,
                  nTokens: org.apache.spark.sql.Column,
                  budget: Long, shards: Int): DataFrame = {
@@ -45,8 +48,9 @@ object Packing {
       coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
     val sorted = base.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
-    val outSchema = StructType(sorted.schema.fields :+
-      StructField("seq_no", LongType, nullable = false))
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("seq_no", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false)))
     sorted.mapPartitions { rows =>
       var curShard = 0L
       var started = false
@@ -60,7 +64,7 @@ object Packing {
         } else if (fill + nt > budget) {
           seq += 1; fill = nt
         } else fill += nt
-        Row(r.get(0), r.get(1), r.get(2), seq)
+        Row(r.get(0), r.get(1), r.get(2), seq, fill - nt)
       }
     }(Encoders.row(outSchema))
   }

@@ -472,8 +472,10 @@ class LlmTextSpec extends SparkTestBase {
       .toDF("doc_id", "nt")
     val out = Packing.packGreedy(docs, col("doc_id"), col("nt"),
       budget = 10L, shards = 1)
-      .select("doc_id", "seq_no").as[(Long, Long)].collect().toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+      .select("doc_id", "seq_no", "offset")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(1L -> (1L, 0L), 2L -> (1L, 4L), 3L -> (2L, 0L),
+      4L -> (3L, 0L), 5L -> (4L, 0L)))
 
     // invariants on real data: every doc exactly once; every sequence's
     // total fits the budget unless it is a single oversize document

@@ -159,6 +159,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q62 exact distincts avoid the multi-distinct Expand") {
+    // Two count_distincts in one agg plan as Expand (3x shuffled rows +
+    // sort) — q62 deliberately splits them into two-level aggregates
+    // joined back on the 5-row key. Lock the shape.
+    uncached {
+      val plan = SparkEntry.queries("q62_distinct_approx")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"), s"multi-distinct Expand returned:\n$plan")
+    }
+  }
+
   test("ANN top-k plans: broadcast query side, no sort-merge or cartesian") {
     // The scale contract of the ANN paths: the query batch is small by
     // construction, so every join in the IVF plan must be a broadcast

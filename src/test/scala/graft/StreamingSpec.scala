@@ -107,6 +107,37 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
   }
 
+  test("windowed dedup: stream-kept is a subset of the batch contract's kept set") {
+    // The documented relation (StreamingDedup.keepFirstWithinHorizon):
+    // streaming may drop MORE than the batch contract (state lingers
+    // pre-eviction) but never keeps a row the contract drops. Feed the
+    // same docs through both and assert ⊆.
+    val base = 1700000000000L
+    val mins = 60000L
+    val docs = Seq(
+      StreamDoc(1, "dup text", new Timestamp(base)),
+      StreamDoc(2, "dup text", new Timestamp(base + 5 * mins)),   // within 10m
+      StreamDoc(3, "dup text", new Timestamp(base + 30 * mins)),  // far past
+      StreamDoc(4, "other", new Timestamp(base + 31 * mins)))
+    val input = MemoryStream[StreamDoc](spark)
+    val q = StreamingDedup.windowedDedup(input.toDF(), "10 minutes")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("wd_sub").outputMode("append").start()
+    try {
+      docs.foreach { d => input.addData(d); q.processAllAvailable() }
+      val streamKept = spark.table("wd_sub").as[Long].collect().toSet
+      val batchKept = StreamingDedup.keepFirstWithinHorizon(
+        StreamingDedup.withFingerprint(docs.toDF())
+          .withColumn("ts_ms", unix_millis(col("ts"))),
+        "fingerprint", "ts_ms", 10 * mins, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamKept.subsetOf(batchKept),
+        s"stream kept $streamKept, contract allows only $batchKept")
+      assert(streamKept.contains(1L) && streamKept.contains(4L)) // firsts always kept
+      assert(!streamKept.contains(2L)) // within-horizon duplicate must drop
+    } finally q.stop()
+  }
+
   test("batch/stream parity: exactDedup on a static frame = groupBy dedup") {
     val docs = Seq(
       StreamDoc(1, "A b C", new Timestamp(0)), StreamDoc(2, "a B c", new Timestamp(1)),
