@@ -946,6 +946,24 @@ object SparkEntry {
           coalesce(col("in_sketch"), lit(false)).as("captured"))
     }),
 
+    // Wide-format pivot report: per source, one count column per
+    // language. Pivot values are DECLARED (not discovered) — at scale
+    // value discovery is an extra full pass and makes the output schema
+    // data-dependent; declared values keep it one aggregation and let
+    // the oracle mirror with conditional sums. Off-list langs are
+    // counted in `other` so the pivot is total.
+    "q74_pivot_langs" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      Tables.documents(s, dir)
+        .withColumn("l",
+          when(col("lang").isin(langs.map(lit): _*), col("lang"))
+            .otherwise("other"))
+        .groupBy(col("source"))
+        .pivot("l", langs :+ "other")
+        .agg(count(lit(1)))
+        .na.fill(0L, langs :+ "other")
+    }),
+
     // Multi-dimensional OLAP aggregate: ROLLUP over (source, lang) —
     // per-pair, per-source and grand-total rows in ONE pass (Expand of
     // 3 grouping sets, each map-side combinable; at scale this beats 3
@@ -2259,6 +2277,17 @@ object SparkEntry {
         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
         |SELECT term, cnt, TRUE AS captured
         |FROM c, tot WHERE cnt > n_total * 0.01""".stripMargin,
+
+    "q74_pivot_langs" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cols = (langs.map(l =>
+        s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l") :+
+        s"CAST(SUM(CASE WHEN lang NOT IN (${langs.map("'" + _ + "'").mkString(", ")}) " +
+          "OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS other").mkString(",\n  ")
+      s"""SELECT source,
+        |  $cols
+        |FROM documents GROUP BY 1""".stripMargin
+    },
 
     "q73_rollup_report" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
