@@ -922,6 +922,16 @@ object SparkEntry {
         col("doc_id"), col("text"), minDf = 3)
     }),
 
+    // Mean unigram surprisal per document (self-trained LM, no external
+    // model): the perplexity-proxy quality filter — low = boilerplate,
+    // high = garbage. Term-sorted fold keeps doubles bit-stable (q55
+    // trick).
+    "q75_unigram_surprisal" -> ((s, dir) => {
+      import graft.llm.TextOps
+      TextOps.unigramSurprisal(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+    }),
+
     // Heavy hitters: Spark's freqItems sketch (Karp/Shenker/Papadimitriou
     // one-pass counters, mergeable, memory = 1/support) vs the exact
     // token counts. The sketch's guarantee — every item with frequency
@@ -2257,6 +2267,30 @@ object SparkEntry {
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
     },
+
+    // q75: identical expression tree to TextOps.unigramSurprisal — the
+    // per-doc fold runs over list(c ORDER BY term), matching the
+    // engine's sort_array fold ((0+c1)+c2… ≡ (c1+c2)… exactly in IEEE
+    // since 0.0+x = x for finite x).
+    "q75_unigram_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dlt AS (SELECT doc_id, CAST(COALESCE(len(toks), 0) AS BIGINT) AS dl, toks FROM w),
+        |tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM dlt),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
+        |gc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+        |co AS (
+        |  SELECT doc_id, dl, term,
+        |    CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / n) AS c
+        |  FROM tf JOIN gc USING (term) CROSS JOIN tot),
+        |sm AS (
+        |  SELECT doc_id, dl, list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS s
+        |  FROM co GROUP BY 1, 2)
+        |SELECT d.doc_id, d.dl, round(-sm.s / d.dl, 4) AS surprisal
+        |FROM dlt d LEFT JOIN sm USING (doc_id, dl)""".stripMargin,
 
     "q54_vocab_stats" ->
       """WITH w AS (

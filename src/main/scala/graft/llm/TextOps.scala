@@ -129,6 +129,40 @@ object TextOps {
       .where(col("df") >= minDf)
   }
 
+  /** Mean unigram surprisal per document, in nats — the CCNet-style
+    * "perplexity filter" with the corpus's OWN unigram model (no
+    * external LM): score = -(Σ_t tf_t · ln(cnt_t / N)) / dl. Extremes
+    * flag both boilerplate (low — every token common) and garbage (high
+    * — tokens the corpus has never seen elsewhere). Shape: one
+    * tokenize+tf pass (map-combinable), the global counts join back on
+    * the term key, and the per-document sum folds in TERM-SORTED order
+    * (the q55 bit-stability trick — a plain float SUM would drift with
+    * partitioning). Docs with no tokens yield null. Oracle: q75. */
+  def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val withLen = docs.select(id.as("doc_id"), lowerTokens(text).as("_toks"))
+      .select(col("doc_id"),
+        coalesce(size(col("_toks")), lit(0)).cast("long").as("dl"),
+        col("_toks"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val global = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = global.agg(sum(col("cnt")).as("n")) // 1 row, broadcasts
+    val contrib = tf.join(global, "term").crossJoin(broadcast(total))
+      .withColumn("c",
+        col("tf").cast("double") * log(col("cnt").cast("double") / col("n")))
+    val summed = contrib.groupBy(col("doc_id"), col("dl"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("s"))
+    withLen.select(col("doc_id"), col("dl"))
+      .join(summed, Seq("doc_id", "dl"), "left")
+      .select(col("doc_id"), col("dl"),
+        round(-col("s") / col("dl"), 4).as("surprisal"))
+  }
+
   // ------------------------------------------------------ PII redaction
   /** The pre-training scrub pass: emails, IPv4s and phone-shaped number
     * runs replaced with sentinel tokens. Patterns use only constructs

@@ -462,6 +462,23 @@ class LlmTextSpec extends SparkTestBase {
     }
   }
 
+  test("unigram surprisal: common text scores low, rare text high, " +
+    "empty/null docs null") {
+    import graft.llm.TextOps
+    val docs = (Seq(
+      (1L, "the common words repeat the common words"),
+      (2L, "xqzv bnrkt owpfh jjyqe zzztt"), // corpus-unique garbage
+      (3L, ""), (4L, null.asInstanceOf[String])) ++
+      (5L to 30L).map(i => (i, "the common words appear here too")))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+    assert(out(1L).get < out(2L).get, s"common ${out(1L)} !< rare ${out(2L)}")
+    assert(out.values.flatten.forall(_ > 0)) // -ln(p) of p<1 is positive
+  }
+
   test("sequence packing: greedy fill, oversize isolation, exactly-once, " +
     "one exchange") {
     import graft.llm.Packing
