@@ -159,6 +159,40 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed tables sort-merge join with zero SHUFFLE exchanges") {
+    import graft.sources.Bucketing
+    def scrub(): Unit = {
+      spark.sql("DROP TABLE IF EXISTS bkt_fact")
+      spark.sql("DROP TABLE IF EXISTS bkt_dim")
+      // a previously failed run can orphan the managed locations
+      for (t <- Seq("bkt_fact", "bkt_dim"))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"spark-warehouse/$t"))
+    }
+    uncached {
+      scrub()
+      try {
+        val ev = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
+          .select(col("l_orderkey"), col("l_quantity"))
+        val dim = ev.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("order_qty"))
+        Bucketing.writeBucketed(ev, "bkt_fact", "l_orderkey", 4)
+        Bucketing.writeBucketed(dim, "bkt_dim", "l_orderkey", 4)
+        // merge hint: the co-location claim is about the SHUFFLE join
+        // path (a broadcast join would trivially avoid the shuffle and
+        // prove nothing about the bucket layout)
+        val joined = spark.table("bkt_fact").hint("merge")
+          .join(spark.table("bkt_dim").hint("merge"), "l_orderkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+        assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+          s"bucketed join still shuffles:\n$plan")
+        // layout changed, semantics didn't
+        assert(joined.count() == ev.join(dim, "l_orderkey").count())
+      } finally scrub()
+    }
+  }
+
   test("q62 exact distincts avoid the multi-distinct Expand") {
     // Two count_distincts in one agg plan as Expand (3x shuffled rows +
     // sort) — q62 deliberately splits them into two-level aggregates
