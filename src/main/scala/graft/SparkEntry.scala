@@ -649,6 +649,16 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // Time-interval self-join (the two-sided complement of q41's as-of
+    // join): all same-user event pairs within 2 minutes, via the
+    // bucketed equi-join (3-bucket probe, no raw range predicate — a
+    // hot key is bounded by its rate, not its volume).
+    "q76_interval_join" -> ((s, dir) => {
+      import graft.operators.IntervalJoin
+      IntervalJoin.selfJoinWithin(eventsWithMs(s, dir),
+        col("user_id"), col("event_id"), col("ts_ms"), windowMs = 120000L)
+    }),
+
     // Skew-salted replicated join: the small side copied once per salt
     // bucket, the hot large side spread over the buckets — result must
     // equal the plain inner join, which IS the oracle (hash-checked).
@@ -2546,6 +2556,16 @@ object SparkEntry {
         |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
         |      FROM orders)
         |WHERE rn <= 3""".stripMargin,
+
+    // q76: the oracle is the NAIVE range join — equality proves the
+    // bucketed 3-probe rewrite loses and duplicates nothing.
+    "q76_interval_join" ->
+      """WITH e AS (SELECT user_id AS key, event_id, epoch_ms(ts) AS ms FROM events)
+        |SELECT a.key, a.event_id AS a_id, b.event_id AS b_id,
+        |  a.ms AS ts_a, b.ms AS ts_b, b.ms - a.ms AS gap_ms
+        |FROM e a JOIN e b
+        |  ON a.key = b.key AND a.event_id < b.event_id
+        |  AND abs(a.ms - b.ms) <= 120000""".stripMargin,
 
     // The salted join's oracle is the PLAIN join — equality proves the
     // salt/replicate/drop dance is semantics-free.

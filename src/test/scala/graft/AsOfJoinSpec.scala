@@ -70,4 +70,36 @@ class AsOfJoinSpec extends SparkTestBase {
       assert(mine(eid) == expect, s"event $eid of user $u")
     }
   }
+
+  test("interval self-join: bucket-straddling pairs, boundary inclusivity, " +
+    "exactly-once, no cross-key pairs") {
+    import graft.operators.IntervalJoin
+    val W = 100L
+    // ids 1/2: same bucket; 2/3: straddle a bucket boundary (ts 150 vs
+    // 210, buckets 1 vs 2) and are within W; 3/4: exactly W apart
+    // (inclusive); 4/5: W+1 apart (excluded); 6: other key, same ts as 1
+    val df = Seq(
+      (1L, 7L, 110L), (2L, 7L, 150L), (3L, 7L, 210L),
+      (4L, 7L, 310L), (5L, 7L, 411L),
+      (6L, 9L, 110L)
+    ).toDF("event_id", "user_id", "ts_ms")
+    val pairs = IntervalJoin.selfJoinWithin(df,
+      col("user_id"), col("event_id"), col("ts_ms"), W)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(pairs.size == pairs.toSet.size, "duplicate pair emitted")
+    // note (1,3): ts 110 vs 210 = exactly W apart AND bucket-straddling
+    assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    // differential check vs the naive quadratic formulation, random data
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, 1000L + rnd.nextInt(2000)))
+    val got = IntervalJoin.selfJoinWithin(rows.toDF("event_id", "user_id", "ts_ms"),
+      col("user_id"), col("event_id"), col("ts_ms"), W)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= W
+    } yield (a._1, b._1)).toSet
+    assert(got == naive)
+  }
 }
