@@ -191,6 +191,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream inner join within a time bound matches the batch " +
+    "interval semantics") {
+    import org.apache.spark.sql.functions.expr
+    // Both sides watermarked + a time-range condition: state for a row
+    // is evicted once the other side's watermark passes its join window
+    // — the streaming twin of operators/IntervalJoin (q76).
+    val base = 1700000000000L
+    val mins = 60000L
+    val lIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val rIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val l = lIn.toDF().toDF("user_id", "a_id", "ts_a")
+      .withWatermark("ts_a", "1 minute")
+    val r = rIn.toDF().toDF("user_id_r", "b_id", "ts_b")
+      .withWatermark("ts_b", "1 minute")
+    val q = l.join(r, expr(
+      """user_id = user_id_r AND
+        |ts_b BETWEEN ts_a - INTERVAL 2 MINUTES AND ts_a + INTERVAL 2 MINUTES""".stripMargin))
+      .select("a_id", "b_id")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      lIn.addData((7L, 1L, new Timestamp(base)),
+        (7L, 2L, new Timestamp(base + 10 * mins)))
+      rIn.addData((7L, 11L, new Timestamp(base + mins)),        // within 2m of a1
+        (7L, 12L, new Timestamp(base + 5 * mins)),              // within nothing
+        (7L, 13L, new Timestamp(base + 9 * mins)),              // within 2m of a2
+        (9L, 14L, new Timestamp(base + mins)))                  // other key
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 11L), (2L, 13L)))
+    } finally q.stop()
+  }
+
   test("tumbling windows: append mode emits each window once, after the " +
     "watermark passes its end; batch plan agrees") {
     import graft.streaming.StreamingWindows
