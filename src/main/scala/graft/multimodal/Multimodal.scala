@@ -77,9 +77,13 @@ object Multimodal {
     if (width <= 0 || heightRaw == 0) return None
     val bottomUp = heightRaw > 0
     val height = math.abs(heightRaw)
-    val rowStride = (width * 3 + 3) / 4 * 4
-    if (dataOffset < 0 || dataOffset.toLong + rowStride.toLong * height > b.length)
+    // stride in LONG: a crafted ~700M-pixel width would overflow the int
+    // stride negative and sneak past the bounds check below
+    val rowStride64 = (width.toLong * 3 + 3) / 4 * 4
+    if (dataOffset < 0 || rowStride64 > Int.MaxValue ||
+      dataOffset.toLong + rowStride64 * height > b.length)
       return None
+    val rowStride = rowStride64.toInt
     val rgb = new Array[Int](width * height)
     var y = 0
     while (y < height) {
@@ -113,7 +117,9 @@ object Multimodal {
     while (o + 8 <= b.length) {
       val id = tag(o)
       val size = i32(b, o + 4)
-      if (size < 0 || o + 8 + size > b.length) return None
+      // LONG arithmetic: a near-Int.MaxValue size would overflow the
+      // int sum negative and pass the bound
+      if (size < 0 || o.toLong + 8 + size > b.length) return None
       if (id == "fmt " && size >= 16) {
         pcm16 = u16(b, o + 8) == 1 && u16(b, o + 8 + 14) == 16
         channels = u16(b, o + 8 + 2)

@@ -104,6 +104,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(img.rgb.last == ((100 << 16) | (110 << 8) | 120))
   }
 
+  test("malformed headers decode to None, never throw") {
+    // BMP with a width whose int row stride would overflow negative
+    val evil = Array[Byte]('B', 'M') ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(0x30000000) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      new Array[Byte](16)
+    assert(Multimodal.decodeBmp(evil).isEmpty)
+    // WAV with a chunk size near Int.MaxValue (int bound check would
+    // overflow and pass)
+    val evilWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "data".getBytes ++ le32(Int.MaxValue - 4) ++ new Array[Byte](8)
+    assert(Multimodal.decodeWavPcm(evilWav).isEmpty)
+  }
+
   test("decodeWavPcm: odd-size junk chunk is word-aligned past correctly") {
     val samples = Seq[Short](5, -5)
     val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
