@@ -193,9 +193,10 @@ object Multimodal {
 
   /** Per-partition batched feature extraction — narrow (no shuffle).
     * Routes through [[decodeFeatures]]: BMP/WAV payloads take the real
-    * decode path, anything else the stub (q36's synthetic payloads can't
-    * start with a BMP/RIFF magic — see MakeGaFixtures-style formulas —
-    * so its oracle keeps mirroring the stub exactly). */
+    * decode path, anything else the stub. q36's oracle keeps mirroring
+    * the stub exactly: [[syntheticMedia]]'s byte formula
+    * ((id*31 + i*7) % 251) can never produce the 'BM' or 'RIFF' magic
+    * in positions 0-1/0-3, so synthetic payloads always fall through. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
