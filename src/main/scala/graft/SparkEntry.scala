@@ -1170,6 +1170,22 @@ object SparkEntry {
         TextOps.nTokens(col("text")), budget = 512L, shards = 8)
     }),
 
+    // Incremental corpus admission: split documents deterministically
+    // into an existing corpus (md5 bucket < 70) and a new batch, then
+    // admit the batch — within-batch exact survivor, corpus-fingerprint
+    // anti-join, cross-set LSH near-dup drop (corpus copy canonical),
+    // within-batch near-dup survivor. Per-batch cost is O(batch) plus
+    // corpus-keyed probes — the production daily-ingest dedup shape.
+    "q78_incremental_dedup" -> ((s, dir) => {
+      import graft.llm.{IncrementalDedup, Splits}
+      val docs = Tables.documents(s, dir)
+      val bucket = Splits.md5Bucket(col("doc_id"))
+      IncrementalDedup.admit(
+        docs.filter(bucket < 70), docs.filter(bucket >= 70),
+        col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -2561,6 +2577,44 @@ object SparkEntry {
         |  FROM pst JOIN pd ON pd.shard = pst.shard AND pd.pos = pst.pos + 1)
         |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
         |FROM pst""".stripMargin
+    },
+
+    // q78: the incremental-admission chain replayed with brute-force
+    // exact Jaccard over the corpus ∪ batch-survivors union — cross
+    // pairs drop batch docs, within-batch pairs feed the recursive
+    // closure. NOT EXISTS (not NOT IN) for the fingerprint anti-join so
+    // null fingerprints match Spark's null-never-equal anti-join.
+    "q78_incremental_dedup" -> {
+      val bucket = s"${dMd5Long("doc_id::VARCHAR")} % 100"
+      s"""WITH RECURSIVE
+        |c AS (SELECT doc_id, text FROM documents WHERE $bucket < 70),
+        |b AS (SELECT doc_id, text, n_chars FROM documents WHERE $bucket >= 70),
+        |bx AS (SELECT doc_id, text, n_chars, fpr FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fpr ORDER BY doc_id) AS rn
+        |  FROM (SELECT *, md5($dNormText) AS fpr FROM b)) WHERE rn = 1),
+        |cf AS (SELECT DISTINCT md5($dNormText) AS fpr FROM c),
+        |bn AS (SELECT doc_id, text, n_chars FROM bx
+        |  WHERE NOT EXISTS (SELECT 1 FROM cf WHERE cf.fpr = bx.fpr)),
+        |u AS (SELECT doc_id, text FROM c UNION ALL SELECT doc_id, text FROM bn),
+        |${dShingleCtes("u")},
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
+        |$dJaccardTail,
+        |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        |sym AS (SELECT doc_a AS x, doc_b AS y FROM prs
+        |        UNION ALL SELECT doc_b, doc_a FROM prs),
+        |rem AS (SELECT * FROM bn WHERE NOT EXISTS (
+        |  SELECT 1 FROM sym JOIN c ON c.doc_id = sym.y WHERE sym.x = bn.doc_id)),
+        |bp AS (SELECT doc_a, doc_b FROM prs
+        |  WHERE doc_a IN (SELECT doc_id FROM rem)
+        |    AND doc_b IN (SELECT doc_id FROM rem)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM bp UNION SELECT doc_b, doc_a FROM bp),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM rem
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin
     },
 
     // Exact ground truth over raw char 5-grams (the engine hashes them;
