@@ -720,6 +720,36 @@ object SparkEntry {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.4)
     }),
 
+    // SemDeDup-style semantic dedup: the q31 embedding-cosine pairs
+    // resolved into connected components, one survivor per cluster —
+    // dedup by MEANING (shared embedding neighborhood), catching
+    // paraphrases that no lexical shingle overlap would. Same
+    // LSH-bucket → verify → components stack as the text pipeline, so
+    // the scale argument is q31's + q37's.
+    "q79_semantic_dedup" -> ((s, dir) => {
+      import graft.llm.{DedupClusters, Similarity}
+      val vecs = Tables.embeddings(s, dir)
+      val pairs = Similarity.cosineDupPairs(vecs, 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      DedupClusters.survivors(vecs, col("vec_id"), pairs)
+        .select(col("vec_id"))
+    }),
+
+    // Domain-mixture downsampling: reshape the corpus toward declared
+    // per-language weights (4 en : 2 de : 2 fr : 1 es : 1 zh). The
+    // bottleneck stratum (min n/w) keeps everything; every other
+    // stratum downsamples to floor-per-mille toward it via the same
+    // deterministic md5 predicate as q51 — one dimension-table groupBy,
+    // a broadcast rate join, and a map-side filter.
+    "q80_mixture_sample" -> ((s, dir) => {
+      import graft.llm.Mixture
+      Mixture.sampleToMixture(Tables.documents(s, dir), col("doc_id"),
+        col("lang"),
+        weights = Map("en" -> 4, "de" -> 2, "fr" -> 2, "es" -> 1, "zh" -> 1),
+        salt = "mix")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Rabin-Karp rolling-hash document fingerprint (left-fold over chars).
     "q33_rolling_hash" -> ((s, dir) => {
       import graft.llm.TextOps
@@ -2181,6 +2211,44 @@ object SparkEntry {
         |  SELECT vec_a, vec_b, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
         |  FROM cand JOIN e qq ON qq.vec_id = vec_a JOIN e cc ON cc.vec_id = vec_b)
         |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.4""".stripMargin,
+
+    // q79: q31's LSH-mirrored pair CTEs + the q37 recursive closure,
+    // survivors out (cluster minimum kept, unpaired vectors untouched).
+    "q79_semantic_dedup" ->
+      s"""WITH RECURSIVE $dLshCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sv a JOIN sv b USING (t, sig) WHERE a.vec_id < b.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |sc AS (
+        |  SELECT vec_a, vec_b, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
+        |  FROM cand JOIN e qq ON qq.vec_id = vec_a JOIN e cc ON cc.vec_id = vec_b),
+        |prs AS (SELECT vec_a, vec_b FROM sc WHERE cosine >= 0.4),
+        |edges AS (SELECT vec_a AS a, vec_b AS b FROM prs
+        |          UNION SELECT vec_b, vec_a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a),
+        |comp AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)""".stripMargin,
+
+    // q80: same double-division-then-floor rate arithmetic as the
+    // engine (IEEE-identical on identical integer inputs), bottleneck
+    // tie broken on the stratum value, q51's md5 sampling predicate.
+    "q80_mixture_sample" ->
+      s"""WITH w(lang, wt) AS (VALUES
+        |  ('en', 4), ('de', 2), ('fr', 2), ('es', 1), ('zh', 1)),
+        |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+        |cw AS (SELECT n.lang, n_s, wt FROM n JOIN w USING (lang)),
+        |b AS (SELECT n_s AS nb, wt AS wb FROM cw
+        |      ORDER BY n_s * 1.0 / wt, lang LIMIT 1),
+        |r AS (SELECT lang,
+        |        CAST(floor(1000.0 * wt * nb / (wb * n_s)) AS BIGINT) AS pm
+        |      FROM cw, b)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE ${dMd5Long("doc_id::VARCHAR||'mix'")} % 1000 < pm""".stripMargin,
 
     "q33_rolling_hash" ->
       """SELECT doc_id,

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Mixture
+
+class MixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 400 web / 100 books / 50 code rows with distinct ids
+  private def corpus = (
+    (1 to 400).map(i => (i.toLong, "web")) ++
+      (401 to 500).map(i => (i.toLong, "books")) ++
+      (501 to 550).map(i => (i.toLong, "code"))
+    ).toDF("id", "domain")
+
+  test("bottleneck stratum survives whole; others downsample toward the ratio") {
+    // weights 2:1:1 -> ratios n/w: web 200, books 100, code 50 -> code
+    // is the bottleneck: all 50 kept; books floor(1000*1*50/(1*100))=500
+    // per mille; web floor(1000*2*50/(1*400))=250 per mille
+    val out = Mixture.sampleToMixture(corpus, col("id"), col("domain"),
+      Map("web" -> 2, "books" -> 1, "code" -> 1))
+    val n = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(n("code") == 50L)
+    // md5 buckets are uniform-ish, not exact: allow a wide band around
+    // the expected 250/400*? -> web E=100, books E=50
+    assert(n("web") > 60 && n("web") < 140, s"web kept ${n("web")}")
+    assert(n("books") > 30 && n("books") < 70, s"books kept ${n("books")}")
+  }
+
+  test("strata without a declared weight are dropped") {
+    val out = Mixture.sampleToMixture(corpus, col("id"), col("domain"),
+      Map("web" -> 1, "books" -> 1))
+    assert(!out.select("domain").as[String].collect().contains("code"))
+  }
+
+  test("selection is deterministic and partitioning-independent") {
+    val w = Map("web" -> 2, "books" -> 1, "code" -> 1)
+    val a = Mixture.sampleToMixture(corpus, col("id"), col("domain"), w)
+      .select("id").as[Long].collect().toSet
+    val b = Mixture.sampleToMixture(corpus.repartition(13), col("id"), col("domain"), w)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("schema is preserved and reserved columns rejected") {
+    val out = Mixture.sampleToMixture(corpus, col("id"), col("domain"),
+      Map("web" -> 1, "books" -> 1, "code" -> 1))
+    assert(out.columns.toSeq == Seq("id", "domain"))
+    val bad = corpus.withColumn("_mix_pm", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Mixture.sampleToMixture(bad, col("id"), col("domain"), Map("web" -> 1))
+    }
+    assert(e.getMessage.contains("_mix_pm"))
+  }
+}
