@@ -98,6 +98,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           longLit(children(1), "winnow_fingerprints k").toInt,
           longLit(children(2), "winnow_fingerprints w").toInt)
       }))
+    // gram_hashes(text, k) — k as a constant integer
+    ext.injectFunction((
+      FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashesExpr].getName, "gram_hashes"),
+      (children: Seq[Expression]) => {
+        arity(children, 2, 2, "gram_hashes(text, k)")
+        GramHashesExpr(children.head, longLit(children(1), "gram_hashes k").toInt)
+      }))
     // word_ngram_hash_set(text, n) — n as a constant integer
     ext.injectFunction((
       FunctionIdentifier("word_ngram_hash_set"),

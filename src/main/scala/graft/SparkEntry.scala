@@ -1216,6 +1216,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // Exact duplicated-substring stats (Lee et al. ExactSubstr via the
+    // k-gram identity): every code point inside a >=20-cp run that
+    // occurs twice anywhere in the corpus is marked; overlapping
+    // windows merge into maximal spans. Where q56's winnowing SAMPLES
+    // fingerprints to detect sharing, this marks every covered
+    // position — the input to span-level cutting.
+    "q81_substring_dedup" -> ((s, dir) => {
+      import graft.llm.SubstringDedup
+      SubstringDedup.stats(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 20)
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -2211,6 +2223,42 @@ object SparkEntry {
         |  SELECT vec_a, vec_b, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
         |  FROM cand JOIN e qq ON qq.vec_id = vec_a JOIN e cc ON cc.vec_id = vec_b)
         |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.4""".stripMargin,
+
+    // q81: the gram_hashes fold mirrored per position (1-based here,
+    // 0-based in the engine — only position DIFFERENCES reach the
+    // output), duplicated grams by total occurrence count, lag-window
+    // interval merge, zero-filled left join.
+    "q81_substring_dedup" -> {
+      import graft.expressions.Winnow.{B, P}
+      val k = 20
+      s"""WITH cp AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)::BIGINT) AS cs
+        |  FROM documents),
+        |gh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(cs) - $k + 1),
+        |      i -> list_reduce(list_slice(cs, i, i + $k - 1),
+        |             (a, c) -> (a * $B + c) % $P)) AS hs
+        |  FROM cp WHERE len(cs) >= $k),
+        |occ AS (SELECT doc_id, i AS pos, hs[i] AS h FROM (
+        |  SELECT doc_id, hs, unnest(generate_series(1, len(hs))) AS i FROM gh)),
+        |dup AS (SELECT h FROM occ GROUP BY 1 HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM occ JOIN dup USING (h)),
+        |sp AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > COALESCE(
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k,
+        |    -1::BIGINT) THEN 1 ELSE 0 END AS brk FROM m),
+        |sp2 AS (SELECT doc_id, pos,
+        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM sp),
+        |spn AS (SELECT doc_id, span, MIN(pos) AS s, MAX(pos) + $k AS e
+        |  FROM sp2 GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(e - s) AS BIGINT) AS n_dup_chars FROM spn GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
+        |  COALESCE(n_dup_chars, 0) AS n_dup_chars
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+    },
 
     // q79: q31's LSH-mirrored pair CTEs + the q37 recursive closure,
     // survivors out (cluster minimum kept, unpaired vectors untouched).
