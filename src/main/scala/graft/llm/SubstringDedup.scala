@@ -50,9 +50,14 @@ object SubstringDedup {
     * offsets, end exclusive; overlapping and adjacent duplicated
     * windows merge. */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column,
-                      k: Int): DataFrame = {
-    val occ = gramOccurrences(docs, id, text, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                      k: Int, cacheOcc: Boolean = true): DataFrame = {
+    val occ0 = gramOccurrences(docs, id, text, k)
+    // occurrences feed two branches (the dup-gram count and the mark
+    // join); persist-and-checkpoint like the LSH stack, or pass false
+    // for a fully lazy, plan-inspectable composition
+    val occ = if (cacheOcc)
+      occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else occ0
     val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2).select("h")
     val marked = occ.join(dup, "h").select("doc_id", "pos")
@@ -71,9 +76,11 @@ object SubstringDedup {
       .agg(min(col("pos")).cast("long").as("start"),
         (max(col("pos")) + k).cast("long").as("end"))
       .select("doc_id", "start", "end")
-    val out = spans.localCheckpoint(eager = true)
-    occ.unpersist()
-    out
+    if (cacheOcc) {
+      val out = spans.localCheckpoint(eager = true)
+      occ.unpersist()
+      out
+    } else spans
   }
 
   /** Per-document duplication stats over ALL documents (span-free docs

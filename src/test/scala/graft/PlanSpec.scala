@@ -227,6 +227,61 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q80 mixture: rate table broadcasts; the corpus is never sort-merge joined") {
+    uncached {
+      // the per-stratum rate table is #strata rows — if it ever reaches
+      // the corpus through a SortMergeJoin, the map-side-sampling claim
+      // is gone and the corpus pays a full shuffle for a dimension join
+      val plan = SparkEntry.queries("q80_mixture_sample")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
+    }
+  }
+
+  test("q81 substring spans: no window keyed by the gram hash, map-side dup counts") {
+    uncached {
+      // a boilerplate gram present in 10^8 positions must be counted by
+      // a partial-aggregating groupBy, and the only window partitioning
+      // is by doc_id (bounded by document length)
+      val df = graft.llm.SubstringDedup.gramOccurrences(
+        graft.sources.Tables.documents(spark, sf), col("doc_id"), col("text"), 20)
+      val dupPlan = df.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+        .queryExecution.executedPlan.toString
+      assert(dupPlan.contains("partial_count"),
+        s"dup-gram counts must combine map-side:\n$dupPlan")
+      // cacheOcc=false: the eager-checkpointed default hides the plan
+      val spans = graft.llm.SubstringDedup.duplicatedSpans(
+        graft.sources.Tables.documents(spark, sf), col("doc_id"), col("text"),
+        20, cacheOcc = false)
+      val badWindows = spans.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.exists {
+              case a: org.apache.spark.sql.catalyst.expressions.NamedExpression =>
+                a.name == "h"
+              case _ => false
+            } => w
+      }
+      assert(badWindows.isEmpty,
+        s"found ${badWindows.length} window(s) partitioned by gram hash h")
+    }
+  }
+
+  test("q78 cross-set pairs: hash joins only, no cartesian, no window") {
+    uncached {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val cross = graft.llm.IncrementalDedup.crossPairs(
+        graft.llm.MinHashLsh.hashSets(docs.limit(100), col("doc_id"), col("text")),
+        graft.llm.MinHashLsh.hashSets(docs.limit(40), col("doc_id"), col("text")),
+        0.8, cacheSets = false)
+      val plan = cross.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"cross pairs must stay an equi-join on (band, key):\n$plan")
+      assert(!plan.contains("Window"), s"no window belongs here:\n$plan")
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
