@@ -1216,6 +1216,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // Data-quality expectation suite over the event lake: six scan
+    // constraints folded into one aggregation pass + one uniqueness
+    // aggregate, report out. The 0..100 range check FAILS by design —
+    // the report must carry red rows, not vacuous greens.
+    "q82_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations, Expectations._
+      Expectations.check(Tables.events(s, dir), Seq(
+        NotNull("event_id"), NotNull("user_id"),
+        Unique("event_id"),
+        InRange("value", 0.0, 500.0),
+        InRange("value", 0.0, 100.0),
+        InSet("event_type", Seq("click", "view", "signup", "error", "purchase")),
+        MinRows(1000L)))
+    }),
+
     // Exact duplicated-substring stats (Lee et al. ExactSubstr via the
     // k-gram identity): every code point inside a >=20-cp run that
     // occurs twice anywhere in the corpus is marked; overlapping
@@ -2223,6 +2238,27 @@ object SparkEntry {
         |  SELECT vec_a, vec_b, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
         |  FROM cand JOIN e qq ON qq.vec_id = vec_a JOIN e cc ON cc.vec_id = vec_b)
         |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.4""".stripMargin,
+
+    // q82: the same conditional sums + duplicated-key count, report
+    // rows as a UNION ALL of literal-named projections.
+    "q82_expectations" ->
+      """WITH agg AS (SELECT
+        |  CAST(COUNT(*) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn_eid,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn_uid,
+        |  CAST(SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 500.0 THEN 1 ELSE 0 END) AS DOUBLE) AS r500,
+        |  CAST(SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 100.0 THEN 1 ELSE 0 END) AS DOUBLE) AS r100,
+        |  CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','view','signup','error','purchase') THEN 1 ELSE 0 END) AS DOUBLE) AS iset
+        |  FROM events),
+        |dup AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM (
+        |  SELECT event_id FROM events GROUP BY 1 HAVING COUNT(*) > 1))
+        |SELECT 'not_null' AS rule, 'event_id' AS col, nn_eid AS observed, nn_eid = 0 AS passed FROM agg
+        |UNION ALL SELECT 'not_null', 'user_id', nn_uid, nn_uid = 0 FROM agg
+        |UNION ALL SELECT 'in_range(0.0,500.0)', 'value', r500, r500 = 0 FROM agg
+        |UNION ALL SELECT 'in_range(0.0,100.0)', 'value', r100, r100 = 0 FROM agg
+        |UNION ALL SELECT 'in_set', 'event_type', iset, iset = 0 FROM agg
+        |UNION ALL SELECT 'min_rows', '', total, total >= 1000 FROM agg
+        |UNION ALL SELECT 'unique', 'event_id', d, d = 0 FROM dup""".stripMargin,
 
     // q81: the gram_hashes fold mirrored per position (1-based here,
     // 0-based in the engine — only position DIFFERENCES reach the
