@@ -1216,6 +1216,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // Snapshot reconciliation: yesterday's corpus (buckets 0-89) vs
+    // today's (5-99, with every 7th bucket's text revised) — one
+    // digest-narrow full-outer join classifies every key. Exercises
+    // all four statuses.
+    "q83_snapshot_diff" -> ((s, dir) => {
+      import graft.operators.SnapshotDiff
+      import graft.llm.Splits
+      val docs = Tables.documents(s, dir)
+      val bucket = Splits.md5Bucket(col("doc_id"))
+      val old = docs.filter(bucket < 90)
+      val neu = docs.filter(bucket >= 5)
+        .withColumn("text",
+          when(bucket % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      SnapshotDiff.diff(old, neu, col("doc_id"), col("text"))
+    }),
+
     // Data-quality expectation suite over the event lake: six scan
     // constraints folded into one aggregation pass + one uniqueness
     // aggregate, report out. The 0..100 range check FAILS by design —
@@ -2238,6 +2255,23 @@ object SparkEntry {
         |  SELECT vec_a, vec_b, ${dCosine("qq.embedding", "cc.embedding")} AS cosine
         |  FROM cand JOIN e qq ON qq.vec_id = vec_a JOIN e cc ON cc.vec_id = vec_b)
         |SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= 0.4""".stripMargin,
+
+    // q83: the same split/perturbation, digests via md5, null-safe
+    // digest compare (IS NOT DISTINCT FROM = Spark's <=>).
+    "q83_snapshot_diff" -> {
+      val bucket = s"${dMd5Long("doc_id::VARCHAR")} % 100"
+      s"""WITH b AS (SELECT doc_id, text, $bucket AS bk FROM documents),
+        |o AS (SELECT doc_id, md5(text) AS d FROM b WHERE bk < 90),
+        |n AS (SELECT doc_id,
+        |  md5(CASE WHEN bk % 7 = 0 THEN text || ' v2' ELSE text END) AS d
+        |  FROM b WHERE bk >= 5)
+        |SELECT doc_id AS key,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.d IS NOT DISTINCT FROM n.d THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin
+    },
 
     // q82: the same conditional sums + duplicated-key count, report
     // rows as a UNION ALL of literal-named projections.
