@@ -106,6 +106,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, 2, 2, "gram_hashes(text, k)")
         GramHashesExpr(children.head, longLit(children(1), "gram_hashes k").toInt)
       }))
+    // cut_spans(text, starts, ends)
+    ext.injectFunction((
+      FunctionIdentifier("cut_spans"),
+      new ExpressionInfo(classOf[CutSpansExpr].getName, "cut_spans"),
+      (children: Seq[Expression]) => {
+        arity(children, 3, 3, "cut_spans(text, starts, ends)")
+        CutSpansExpr(children(0), children(1), children(2))
+      }))
     // word_ngram_hash_set(text, n) — n as a constant integer
     ext.injectFunction((
       FunctionIdentifier("word_ngram_hash_set"),

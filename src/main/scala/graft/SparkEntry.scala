@@ -1260,6 +1260,16 @@ object SparkEntry {
         col("doc_id"), col("text"), k = 20)
     }),
 
+    // The q81 spans APPLIED: duplicated runs cut out of the text, doc
+    // by doc, via the native code-point cut — the corpus Lee et al.
+    // actually train on. Cleaned text is hash-compared directly
+    // against the oracle's substr reconstruction.
+    "q84_substring_clean" -> ((s, dir) => {
+      import graft.llm.SubstringDedup
+      SubstringDedup.cleaned(Tables.documents(s, dir), col("doc_id"), "text", k = 20)
+        .select(col("doc_id"), col("text").as("clean_text"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -1420,6 +1430,38 @@ object SparkEntry {
       |surv AS (
       |  SELECT e.doc_id, e.text, e.n_chars FROM ex e
       |  WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id))""".stripMargin
+  }
+
+  /** Exact-substring-dedup span CTE chain (code-point folds mirroring
+    * `gram_hashes`, 1-based positions, duplicated grams by occurrence
+    * count, lag-window interval merge), ending in `spn`
+    * (doc_id, span, s, e) — e one past the last covered code point.
+    * Shared by the q81 stats mirror and the q84 cut mirror. */
+  private lazy val dSubstrSpanCtes: String = {
+    import graft.expressions.Winnow.{B, P}
+    val k = 20
+    s"""cp AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)::BIGINT) AS cs
+      |  FROM documents),
+      |gh AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(cs) - $k + 1),
+      |      i -> list_reduce(list_slice(cs, i, i + $k - 1),
+      |             (a, c) -> (a * $B + c) % $P)) AS hs
+      |  FROM cp WHERE len(cs) >= $k),
+      |occ AS (SELECT doc_id, i AS pos, hs[i] AS h FROM (
+      |  SELECT doc_id, hs, unnest(generate_series(1, len(hs))) AS i FROM gh)),
+      |dup AS (SELECT h FROM occ GROUP BY 1 HAVING COUNT(*) >= 2),
+      |m AS (SELECT doc_id, pos FROM occ JOIN dup USING (h)),
+      |sp AS (SELECT doc_id, pos,
+      |  CASE WHEN pos > COALESCE(
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k,
+      |    -1::BIGINT) THEN 1 ELSE 0 END AS brk FROM m),
+      |sp2 AS (SELECT doc_id, pos,
+      |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM sp),
+      |spn AS (SELECT doc_id, span, MIN(pos) AS s, MAX(pos) + $k AS e
+      |  FROM sp2 GROUP BY 1, 2)""".stripMargin
   }
 
   /** The checked-in multi-line/non-ASCII documents fixture as a CTE. */
@@ -2298,37 +2340,35 @@ object SparkEntry {
     // 0-based in the engine — only position DIFFERENCES reach the
     // output), duplicated grams by total occurrence count, lag-window
     // interval merge, zero-filled left join.
-    "q81_substring_dedup" -> {
-      import graft.expressions.Winnow.{B, P}
-      val k = 20
-      s"""WITH cp AS (
-        |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)::BIGINT) AS cs
-        |  FROM documents),
-        |gh AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, len(cs) - $k + 1),
-        |      i -> list_reduce(list_slice(cs, i, i + $k - 1),
-        |             (a, c) -> (a * $B + c) % $P)) AS hs
-        |  FROM cp WHERE len(cs) >= $k),
-        |occ AS (SELECT doc_id, i AS pos, hs[i] AS h FROM (
-        |  SELECT doc_id, hs, unnest(generate_series(1, len(hs))) AS i FROM gh)),
-        |dup AS (SELECT h FROM occ GROUP BY 1 HAVING COUNT(*) >= 2),
-        |m AS (SELECT doc_id, pos FROM occ JOIN dup USING (h)),
-        |sp AS (SELECT doc_id, pos,
-        |  CASE WHEN pos > COALESCE(
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k,
-        |    -1::BIGINT) THEN 1 ELSE 0 END AS brk FROM m),
-        |sp2 AS (SELECT doc_id, pos,
-        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM sp),
-        |spn AS (SELECT doc_id, span, MIN(pos) AS s, MAX(pos) + $k AS e
-        |  FROM sp2 GROUP BY 1, 2),
+    "q81_substring_dedup" ->
+      s"""WITH $dSubstrSpanCtes,
         |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
         |  CAST(SUM(e - s) AS BIGINT) AS n_dup_chars FROM spn GROUP BY 1)
         |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans,
         |  COALESCE(n_dup_chars, 0) AS n_dup_chars
-        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
-    },
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    // q84: the kept SEGMENTS around each doc's merged spans (head gap,
+    // inter-span gaps via lag, tail gap), concatenated in order —
+    // substr is code-point based like the engine's cut. Span-free and
+    // sub-k docs pass through byte-identical via the COALESCE.
+    "q84_substring_clean" ->
+      s"""WITH $dSubstrSpanCtes,
+        |segs AS (
+        |  SELECT doc_id,
+        |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS gs,
+        |    s AS ge
+        |  FROM spn
+        |  UNION ALL
+        |  SELECT spn.doc_id, MAX(spn.e),
+        |    MAX(len(regexp_extract_all(d.text, '(?s).'))) + 1
+        |  FROM spn JOIN documents d USING (doc_id) GROUP BY spn.doc_id),
+        |cut AS (
+        |  SELECT segs.doc_id,
+        |    string_agg(substr(d.text, gs::INT, (ge - gs)::INT), '' ORDER BY gs) AS ct
+        |  FROM segs JOIN documents d USING (doc_id) GROUP BY segs.doc_id)
+        |SELECT d.doc_id, COALESCE(cut.ct, d.text) AS clean_text
+        |FROM documents d LEFT JOIN cut USING (doc_id)""".stripMargin,
 
     // q79: q31's LSH-mirrored pair CTEs + the q37 recursive closure,
     // survivors out (cluster minimum kept, unpaired vectors untouched).

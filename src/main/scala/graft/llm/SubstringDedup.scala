@@ -83,6 +83,30 @@ object SubstringDedup {
     } else spans
   }
 
+  /** The corpus with duplicated spans CUT OUT of the text column — the
+    * application step (what Lee et al. train on). Docs without spans
+    * pass through byte-identical; span offsets and the cut are both
+    * code-point based ([[graft.expressions.CutSpansExpr]]). One
+    * spans-side groupBy (bounded by doc length) + one key join. */
+  def cleaned(docs: DataFrame, id: Column, textCol: String, k: Int): DataFrame = {
+    require(docs.columns.contains(textCol),
+      s"no column named $textCol in ${docs.columns.mkString(", ")}")
+    require(!docs.columns.contains("_graft_id"),
+      "input must not contain the reserved column _graft_id")
+    val spanArrays = duplicatedSpans(docs, id, col(textCol), k)
+      .groupBy(col("doc_id").as("_graft_id"))
+      .agg(sort_array(collect_list(struct(col("start"), col("end")))).as("_sp"))
+      .select(col("_graft_id"),
+        transform(col("_sp"), s => s.getField("start")).as("_starts"),
+        transform(col("_sp"), s => s.getField("end")).as("_ends"))
+    docs.withColumn("_graft_id", id)
+      .join(spanArrays, Seq("_graft_id"), "left")
+      .withColumn(textCol, when(col("_starts").isNull, col(textCol))
+        .otherwise(call_function("cut_spans", col(textCol),
+          col("_starts"), col("_ends"))))
+      .drop("_graft_id", "_starts", "_ends")
+  }
+
   /** Per-document duplication stats over ALL documents (span-free docs
     * report zeros): (doc_id, n_spans, n_dup_chars). `n_dup_chars` is
     * the count of code points inside some duplicated run of length

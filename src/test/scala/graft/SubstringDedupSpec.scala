@@ -53,6 +53,35 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(byDoc(3L) == (0L, 0L))
   }
 
+  test("cut_spans removes exactly the given code-point ranges") {
+    def cut(text: String, spans: (Long, Long)*): String =
+      Seq(Tuple1(text)).toDF("t").select(call_function("cut_spans", col("t"),
+        typedlit(spans.map(_._1)), typedlit(spans.map(_._2)))).as[String].head
+    assert(cut("hello world", (0L, 6L)) == "world")
+    assert(cut("hello world", (5L, 6L)) == "helloworld")
+    assert(cut("hello", (0L, 5L)) == "")
+    assert(cut("hello") == "hello")
+    assert(cut("hello", (2L, 99L)) == "he") // clamped
+    // astral chars count once: cut the 2 emoji, keep the ascii
+    assert(cut("ab😀😁cd", (2L, 4L)) == "abcd")
+  }
+
+  test("cleaned cuts the planted run and passes untouched docs through") {
+    val shared = filler(20, 30)
+    val a = filler(21, 15)
+    val b = filler(22, 12)
+    val docs = Seq(
+      (1L, a + shared + b),
+      (2L, filler(23, 7) + shared),
+      (3L, filler(24, 60))
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.cleaned(docs, col("doc_id"), "text", 20)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == a + b)
+    assert(out(2L) == filler(23, 7))
+    assert(out(3L) == filler(24, 60))
+  }
+
   test("adjacent duplicated regions merge into one maximal span") {
     val a = filler(13, 25)
     val b = filler(14, 25)
