@@ -326,4 +326,67 @@ class PropertySpec extends SparkTestBase {
       assert(s1.size > r1 && s1.size < r1 * 3, s"rate $r1: got ${s1.size}/2000")
     }
   }
+
+  test("substring dedup covers a planted shared run at random k, length, offset") {
+    import graft.llm.SubstringDedup
+    val rnd = new scala.util.Random(7)
+    def filler(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 8).foreach { trial =>
+      val k = 8 + rnd.nextInt(20)            // 8..27
+      val run = filler(k + rnd.nextInt(40))  // k .. k+39
+      val off1 = 5 + rnd.nextInt(50)
+      val off2 = 3 + rnd.nextInt(70)
+      val docs = Seq(
+        (1L, filler(off1) + run + filler(10 + rnd.nextInt(40))),
+        (2L, filler(off2) + run + filler(10 + rnd.nextInt(40)))
+      ).toDF("doc_id", "text")
+      val spans = SubstringDedup.duplicatedSpans(docs, col("doc_id"), col("text"), k)
+        .as[(Long, Long, Long)].collect()
+      // every code point of the planted run lies inside some span of
+      // its host (spans may extend further if filler collides — the
+      // guarantee is coverage, never a miss)
+      for ((doc, off) <- Seq((1L, off1.toLong), (2L, off2.toLong))) {
+        val host = spans.filter(_._1 == doc)
+        val covered = (off until off + run.length).forall(p =>
+          host.exists(s => s._2 <= p && p < s._3))
+        assert(covered, s"trial $trial (k=$k): run not covered in doc $doc")
+      }
+    }
+  }
+
+  test("mixture sampling is invariant under uniform weight scaling") {
+    import graft.llm.Mixture
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 900L).map(i =>
+      (i, s"s${rnd.nextInt(4)}")).toDF("id", "st")
+    val w1 = Map("s0" -> 1, "s1" -> 2, "s2" -> 3, "s3" -> 5)
+    val w3 = w1.map { case (k, v) => k -> v * 3 }
+    val a = Mixture.sampleToMixture(docs, col("id"), col("st"), w1)
+      .select("id").as[Long].collect().toSet
+    val b = Mixture.sampleToMixture(docs, col("id"), col("st"), w3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "scaling every weight by 3 changed the kept set")
+  }
+
+  test("snapshot diff reverses cleanly: added and removed swap, the rest hold") {
+    import graft.operators.SnapshotDiff
+    val rnd = new scala.util.Random(13)
+    val old = (1L to 300L).filter(_ => rnd.nextBoolean())
+      .map(i => (i, s"v${rnd.nextInt(3)}")).toDF("id", "body")
+    val neu = (1L to 300L).filter(_ => rnd.nextBoolean())
+      .map(i => (i, s"v${rnd.nextInt(3)}")).toDF("id", "body")
+    val fwd = SnapshotDiff.diff(old, neu, col("id"), col("body"))
+      .as[(Long, String)].collect().toMap
+    val rev = SnapshotDiff.diff(neu, old, col("id"), col("body"))
+      .as[(Long, String)].collect().toMap
+    assert(fwd.keySet == rev.keySet)
+    fwd.foreach { case (k, st) =>
+      val want = st match {
+        case "added" => "removed"
+        case "removed" => "added"
+        case other => other
+      }
+      assert(rev(k) == want, s"key $k: $st fwd vs ${rev(k)} rev")
+    }
+  }
 }
