@@ -776,6 +776,17 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 5)
     }),
 
+    // PQ/ADC top-k (the faiss IVF-PQ scoring stage): corpus encoded to
+    // 8 sub-codes (pure projection), ADC scan touches codes only,
+    // top-40 shortlist fetches full vectors for the exact rerank. The
+    // codebook is the md5-reservoir sample, so the oracle rebuilds the
+    // exact codes and the exact ADC sums (m-ordered folds).
+    "q85_ann_pq" -> ((s, dir) => {
+      import graft.llm.Similarity
+      Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 5,
+        shortlist = 40)
+    }),
+
     // Multimodal feature extraction, oracle-checked end-to-end: synthetic
     // media generation -> partition-batched stub decode (mapPartitions,
     // narrow) -> per-window features. The stub's byte math is
@@ -2268,6 +2279,54 @@ object SparkEntry {
         |  SELECT query_id, qe, a.vec_id AS neighbor_id, a.embedding AS ne
         |  FROM qp JOIN asn a USING (cell) WHERE query_id <> a.vec_id),
         |r AS (SELECT query_id, neighbor_id, ${dCosine("qe", "ne")} AS cosine FROM cand),
+        |rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine
+        |FROM rk2 WHERE rnk <= 5""".stripMargin
+    },
+
+    // q85: codebook from the same md5 reservoir, per-(vec, m) nearest
+    // sub-centroid by (dist, cid), ADC as the m-ordered list_sum of
+    // per-subspace dists, shortlist by (adc, neighbor_id), exact-cosine
+    // rerank — every fold left-to-right like the engine's.
+    "q85_ann_pq" -> {
+      import graft.llm.Similarity.{PqKs, PqM, PqSub}
+      s"""WITH c0 AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqKs),
+        |cs AS (
+        |  SELECT embedding AS ce,
+        |    ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+        |  FROM c0),
+        |cent AS (
+        |  SELECT m, cid, list_slice(ce, m*$PqSub+1, m*$PqSub+$PqSub) AS sub
+        |  FROM cs CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+        |enc0 AS (
+        |  SELECT e.vec_id, c.m, c.cid,
+        |    list_sum(list_transform(generate_series(1, $PqSub),
+        |      i -> (e.embedding[c.m*$PqSub+i]::DOUBLE - c.sub[i]::DOUBLE)
+        |         * (e.embedding[c.m*$PqSub+i]::DOUBLE - c.sub[i]::DOUBLE))) AS d
+        |  FROM embeddings e CROSS JOIN cent c),
+        |enc AS (SELECT vec_id, m, cid FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rk
+        |  FROM enc0) WHERE rk = 1),
+        |qp AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |       WHERE vec_id < 10),
+        |pm AS (
+        |  SELECT q.query_id, enc.vec_id AS neighbor_id, enc.m,
+        |    list_sum(list_transform(generate_series(1, $PqSub),
+        |      i -> (q.qe[enc.m*$PqSub+i]::DOUBLE - c.sub[i]::DOUBLE)
+        |         * (q.qe[enc.m*$PqSub+i]::DOUBLE - c.sub[i]::DOUBLE))) AS dm
+        |  FROM qp q CROSS JOIN enc
+        |  JOIN cent c ON c.m = enc.m AND c.cid = enc.cid
+        |  WHERE q.query_id <> enc.vec_id),
+        |adc AS (SELECT query_id, neighbor_id, list_sum(list(dm ORDER BY m)) AS a
+        |  FROM pm GROUP BY 1, 2),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY a, neighbor_id) AS ar
+        |  FROM adc) WHERE ar <= 40),
+        |r AS (SELECT query_id, neighbor_id, ${dCosine("q.embedding", "n.embedding")} AS cosine
+        |  FROM sl JOIN embeddings q ON q.vec_id = query_id
+        |  JOIN embeddings n ON n.vec_id = neighbor_id),
         |rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine
         |FROM rk2 WHERE rnk <= 5""".stripMargin

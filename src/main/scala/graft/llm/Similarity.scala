@@ -205,6 +205,97 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  // ------------------------------------------------------------------ PQ
+  /** Product quantization (Jégou et al. '11, the faiss PQ/ADC layout):
+    * the embedding space splits into [[PqM]] subspaces of [[PqSub]]
+    * dims; each subspace gets a [[PqKs]]-entry codebook; a vector is
+    * stored as PqM small codes (here 8 x 4 bits of information vs 64
+    * float32s — the compression that lets a 100 TB vector corpus scan
+    * from memory). Codebooks are the deterministic md5-reservoir sample
+    * (no k-means RNG, same trick as the IVF coarse quantizer), so the
+    * DuckDB oracle rebuilds them exactly. */
+  val PqM = 8
+  val PqSub: Int = Dims / PqM
+  val PqKs = 16
+
+  /** codebook(m)(c) = subspace-m subvector of deterministic sample c. */
+  def pqCodebook(vecs: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val sample = centroidSeq(vecs, PqKs)
+    (0 until PqM).map(m => sample.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+  }
+
+  /** Squared L2 between subspace m of `emb` and a centroid literal —
+    * double, left-to-right, so the oracle's fold is bit-identical. */
+  private def subDist(emb: Column, m: Int, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(slice(emb, m * PqSub + 1, PqSub), typedLit(cent), (x, p) => {
+        val d = x.cast("double") - p
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, code): nearest centroid id per subspace (ties → lowest
+    * cid, via struct-ordered array_min). Pure projection — encoding a
+    * 10^12-vector corpus is one map-side pass, no shuffle. */
+  def pqEncode(vecs: DataFrame, book: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val codes = (0 until PqM).map { m =>
+      val cands = array((0 until PqKs).map(c =>
+        struct(subDist(col("embedding"), m, book(m)(c)).as("d"),
+          lit(c).as("cid"))): _*)
+      array_min(cands).getField("cid")
+    }
+    vecs.select(col("vec_id"), array(codes: _*).as("code"))
+  }
+
+  /** ADC distance from a query's EXACT subvectors to a neighbor's code:
+    * sum over subspaces of dist²(q_m, codebook[m][code_m]), subspace
+    * order fixed so the float accumulation mirrors the oracle's
+    * m-ordered list_sum. */
+  private def adcDist(qe: Column, code: Column,
+                      book: Seq[Seq[Seq[Double]]]): Column =
+    (0 until PqM).map { m =>
+      val cent = element_at(typedLit(book(m)), element_at(code, m + 1) + 1)
+      aggregate(
+        zip_with(slice(qe, m * PqSub + 1, PqSub), cent, (x, p) => {
+          val d = x.cast("double") - p
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+
+  /** PQ/ADC top-k: the ADC stage scans (vec_id, code) — 8 small ints
+    * per vector, never the embeddings — against a broadcast query
+    * batch; only the per-query `shortlist` best ADC candidates fetch
+    * their full vectors (one equi-join back by id) for the exact-cosine
+    * rerank. With `shortlist` >= corpus size the result equals
+    * [[bruteForceTopK]] exactly (asserted in SimilaritySpec) — the
+    * recall knob is explicit, not hidden. */
+  def pqTopK(vecs: DataFrame, queryPred: Column, k: Int,
+             shortlist: Int = 20): DataFrame = {
+    val book = pqCodebook(vecs)
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val short = pqEncode(vecs, book)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcDist(col("qe"), col("code"), book))
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= shortlist)
+      .select("query_id", "qe", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), "neighbor_id")
+      .withColumn("cosine", round(cosineD(col("qe"), col("ne")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage/
     * shuffle compressor of a vector pipeline (4x smaller than float32;
     * at 100 TB the ANN candidate stages read quantized vectors and only

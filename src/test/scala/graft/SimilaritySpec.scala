@@ -56,6 +56,44 @@ class SimilaritySpec extends SparkTestBase {
       "probing every cell must reduce IVF to exact search")
   }
 
+  test("PQ with a corpus-sized shortlist equals exhaustive brute force") {
+    val n = vecs.count().toInt
+    val pq = Similarity.pqTopK(vecs, col("vec_id") < 5, 5, shortlist = n)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val brute = Similarity.bruteForceTopK(vecs, col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(pq == brute,
+      "a shortlist covering the corpus must reduce PQ/ADC to exact search")
+  }
+
+  test("PQ codes: one code per subspace, in range, sample vectors at distance 0") {
+    val book = Similarity.pqCodebook(vecs)
+    assert(book.length == Similarity.PqM &&
+      book.forall(_.length == Similarity.PqKs) &&
+      book.forall(_.forall(_.length == Similarity.PqSub)))
+    val codes = Similarity.pqEncode(vecs, book)
+    assert(codes.count() == vecs.count())
+    val bad = codes.filter(size(col("code")) =!= Similarity.PqM ||
+      exists(col("code"), c => c < 0 || c >= Similarity.PqKs)).count()
+    assert(bad == 0)
+    // each codebook-sample vector's own subvector is at distance 0, so
+    // its code points at a centroid with an IDENTICAL subvector
+    val sampleIds = vecs.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(Similarity.PqKs).select("vec_id").as[Long].collect().toSet
+    val sampleCodes = codes.filter(col("vec_id").isin(sampleIds.toSeq: _*))
+      .select("vec_id", "code").as[(Long, Seq[Int])].collect()
+    val full = vecs.filter(col("vec_id").isin(sampleIds.toSeq: _*))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    sampleCodes.foreach { case (id, code) =>
+      code.zipWithIndex.foreach { case (cid, m) =>
+        val own = full(id).slice(m * Similarity.PqSub, (m + 1) * Similarity.PqSub)
+          .map(_.toDouble).toSeq
+        assert(book(m)(cid) == own,
+          s"sample $id subspace $m: code $cid is not a zero-distance centroid")
+      }
+    }
+  }
+
   test("IVF candidates carry exact cosines (rerank is not approximated)") {
     val ivf = Similarity.ivfTopK(vecs, col("vec_id") < 5, 5)
       .select("query_id", "neighbor_id", "cosine")
