@@ -71,6 +71,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming admission: later batches dedup against earlier admissions, " +
+    "and redelivery admits nothing (idempotent by construction)") {
+    import graft.streaming.StreamingAdmission
+    val base = 1700000000000L
+    val goodA = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep dark forest where nobody ever goes at night"
+    val goodB = "completely different content about spark query engines and " +
+      "columnar execution with vectorized operators for the modern data stack"
+    val goodC = "yet another unrelated passage that discusses cooking recipes " +
+      "for bread pasta and soup with many fresh ingredients from the market"
+    val dir = java.nio.file.Files.createTempDirectory("adm_corpus").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("adm_ckpt").toString
+    val input = MemoryStream[StreamDoc](spark)
+    val q = StreamingAdmission.run(
+      input.toDF().select("doc_id", "text"), dir, ckpt, threshold = 0.5)
+    try {
+      input.addData(
+        StreamDoc(1, goodA, new Timestamp(base)),
+        StreamDoc(2, goodA.replace("lazy", "sleepy"), new Timestamp(base + 1)),
+        StreamDoc(3, goodB, new Timestamp(base + 2)))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 3L), s"batch 1 admitted $after1")
+      input.addData(
+        StreamDoc(4, goodA, new Timestamp(base + 3)),                      // corpus-exact
+        StreamDoc(5, goodB.replace("modern", "future"), new Timestamp(base + 4)), // near-dup of 3
+        StreamDoc(6, goodC, new Timestamp(base + 5)))                      // fresh
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 3L, 6L), s"batch 2 admitted $after2")
+      // redelivery: the same documents offered again admit nothing —
+      // each is now corpus-exact or a near-dup of an admitted row
+      input.addData(
+        StreamDoc(6, goodC, new Timestamp(base + 6)),
+        StreamDoc(7, goodC.replace("soup", "stew"), new Timestamp(base + 7)))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      assert(after3 == Set(1L, 3L, 6L), s"redelivery changed the corpus: $after3")
+    } finally q.stop()
+  }
+
   test("windowed dedup suppresses duplicates inside the watermark horizon") {
     val base = 1700000000000L
     val input = MemoryStream[StreamDoc](spark)
