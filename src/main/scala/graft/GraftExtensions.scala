@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.length > 2) longLit(children(2), "rolling_hash modulus") else 2147483647L)
       }))
     ext.injectFunction((
+      FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[HtmlTextExpr].getName, "html_text"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "html_text(<arg>)")
+        HtmlTextExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
       (children: Seq[Expression]) => {

@@ -1281,6 +1281,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("clean_text"))
     }),
 
+    // HTML -> text boilerplate extraction (the C4/CCNet web-corpus
+    // front-end): six deterministic page templates around each doc's
+    // text (script/style with hostile content, comments hiding markup,
+    // entities, uppercase tags, > inside a quoted attribute, a decoy
+    // closer), stripped by the native one-call html_text expression.
+    // The oracle rebuilds the same pages and runs the semantics-
+    // defining regex chain — extracted text hash-compared byte-for-byte.
+    "q86_html_extract" -> ((s, dir) => {
+      import graft.llm.Html
+      Tables.documents(s, dir).select(col("doc_id"),
+        Html.htmlText(Html.syntheticPage(col("doc_id"), col("text"))).as("text"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -2428,6 +2441,35 @@ object SparkEntry {
         |  FROM segs JOIN documents d USING (doc_id) GROUP BY segs.doc_id)
         |SELECT d.doc_id, COALESCE(cut.ct, d.text) AS clean_text
         |FROM documents d LEFT JOIN cut USING (doc_id)""".stripMargin,
+
+    // q86: the same six page templates rebuilt in SQL, then the
+    // semantics-DEFINING chain verbatim — every regex construct is in
+    // the Java∩RE2 common subset ((?is), non-greedy, \b, negated
+    // classes), so Spark's native pass and DuckDB must agree byte-for-
+    // byte. Plain (non-interpolated) literal: backslashes reach DuckDB
+    // untouched.
+    "q86_html_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '<html><head><title>T</title><style type="text/css">p { color: red; }</style></head><body><p>' || text || '</p></body></html>'
+        |      WHEN 1 THEN '<body><script type="text/javascript">if (1 < 2 && x > 0) { f("hi"); }</script><div class="main">' || text || '</div></body>'
+        |      WHEN 2 THEN '<p>before<!-- <p>hidden</p> secret --> ' || text || '<!-- tail --></p>'
+        |      WHEN 3 THEN '<p>a &amp;lt; b &lt;i&gt;it&lt;/i&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y ' || text || '</p>'
+        |      WHEN 4 THEN '<DIV CLASS="X"><H1>' || text || '</H1><BR><hr/></DIV>'
+        |      ELSE '<a title="a>b" href="u">' || text || '</a><SCRIPT>var s = "x</scriptx>";</SCRIPT>done'
+        |    END AS h
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS h FROM pg),
+        |p2 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\b[^>]*>.*?</script[ \t\n\r]*>', '', 'g') AS h FROM p1),
+        |p3 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\b[^>]*>.*?</style[ \t\n\r]*>', '', 'g') AS h FROM p2),
+        |p4 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM p3),
+        |p5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS h FROM p4)
+        |SELECT doc_id, trim(regexp_replace(h, '[ \t\n\r\f]+', ' ', 'g')) AS text
+        |FROM p5""".stripMargin,
 
     // q79: q31's LSH-mirrored pair CTEs + the q37 recursive closure,
     // survivors out (cluster minimum kept, unpaired vectors untouched).
