@@ -1294,6 +1294,25 @@ object SparkEntry {
         Html.htmlText(Html.syntheticPage(col("doc_id"), col("text"))).as("text"))
     }),
 
+    // URL hygiene (canonicalize -> registrable domain -> blocklist):
+    // eight deterministic URL shapes per doc (mixed-case scheme/host,
+    // default/odd ports, tracking params, fragments, trailing slash,
+    // co.uk-style suffix, IPv4 host, two blocked domains); tracking
+    // params out, default ports out, domain via the embedded
+    // public-suffix subset, blocked domains anti-joined away
+    // (broadcast). Everything per-row; the only join broadcasts.
+    "q87_url_normalize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.llm.UrlOps
+      val shaped = Tables.documents(s, dir).select(
+        col("doc_id"), UrlOps.syntheticUrl(col("doc_id")).as("url"))
+      val withKeys = shaped.select(col("doc_id"),
+        UrlOps.normalizeUrl(col("url")).as("url_norm"),
+        UrlOps.registrableDomain(UrlOps.host(col("url"))).as("domain"))
+      UrlOps.filterBlocked(withKeys, col("domain"),
+        Seq("spam.example", "ads.co.uk").toDF("domain"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -2470,6 +2489,62 @@ object SparkEntry {
         |    '&nbsp;', ' '), '&amp;', '&') AS h FROM p4)
         |SELECT doc_id, trim(regexp_replace(h, '[ \t\n\r\f]+', ' ', 'g')) AS text
         |FROM p5""".stripMargin,
+
+    // q87: the same eight URL shapes rebuilt in SQL, then the same
+    // dissection regexes (Java∩RE2 subset), the same list_filter of
+    // tracking params (order preserved), the same suffix-list domain
+    // CASE (list generated from UrlOps.twoLevelSuffixes — one source),
+    // and the blocklist as NOT IN.
+    "q87_url_normalize" -> {
+      val sfx = graft.llm.UrlOps.twoLevelSuffixes.map(x => s"'$x'").mkString(", ")
+      s"""WITH uu AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'https://WWW.Example.COM:443/path/page?utm_source=x&id=' || doc_id::VARCHAR || '#frag'
+        |      WHEN 1 THEN 'http://Blog.example.co.uk:80/a/b/?gclid=123&q=term' || doc_id::VARCHAR
+        |      WHEN 2 THEN 'https://spam.example/buy' || doc_id::VARCHAR || '?fbclid=abc'
+        |      WHEN 3 THEN 'http://192.168.10.' || (doc_id % 256)::VARCHAR || '/index.html'
+        |      WHEN 4 THEN 'https://sub.ads.co.uk/x?a=' || doc_id::VARCHAR || '&b=2#sec'
+        |      WHEN 5 THEN 'HTTPS://News.Site.ORG/Article/' || doc_id::VARCHAR || '/'
+        |      WHEN 6 THEN 'http://example.com.au/?utm_campaign=c&utm_term=' || doc_id::VARCHAR
+        |      ELSE 'https://a.b.example.com:8443/deep/path?z=' || doc_id::VARCHAR || '&gclid=g'
+        |    END AS url
+        |  FROM documents),
+        |d1 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+        |  FROM uu),
+        |d2 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth FROM d1),
+        |d3 AS (
+        |  SELECT *,
+        |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(auth, ':([0-9]+)${"$"}', 1) AS prt,
+        |    regexp_extract(substr(rest, len(auth) + 1), '^([^?]*)', 1) AS pth,
+        |    regexp_extract(substr(rest, len(auth) + 1), '\\?(.*)${"$"}', 1) AS qry
+        |  FROM d2),
+        |d4 AS (
+        |  SELECT *,
+        |    array_to_string(list_filter(string_split(qry, '&'),
+        |      p -> NOT (starts_with(p, 'utm_') OR
+        |        list_contains(['gclid','dclid','fbclid','msclkid'], string_split(p, '=')[1]))), '&') AS cq,
+        |    regexp_replace(pth, '/${"$"}', '') AS cp,
+        |    string_split(host, '.') AS ls
+        |  FROM d3),
+        |d5 AS (
+        |  SELECT doc_id,
+        |    sch || '://' || host ||
+        |      CASE WHEN prt <> '' AND NOT ((sch = 'http' AND prt = '80') OR (sch = 'https' AND prt = '443'))
+        |        THEN ':' || prt ELSE '' END ||
+        |      cp || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS url_norm,
+        |    CASE WHEN regexp_matches(host, '^[0-9.]+${"$"}') OR len(ls) <= 2 THEN host
+        |         WHEN ls[-2] || '.' || ls[-1] IN ($sfx)
+        |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        |         ELSE ls[-2] || '.' || ls[-1] END AS domain
+        |  FROM d4)
+        |SELECT doc_id, url_norm, domain FROM d5
+        |WHERE domain NOT IN ('spam.example', 'ads.co.uk')""".stripMargin
+    },
 
     // q79: q31's LSH-mirrored pair CTEs + the q37 recursive closure,
     // survivors out (cluster minimum kept, unpaired vectors untouched).
