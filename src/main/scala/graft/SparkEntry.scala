@@ -1313,6 +1313,31 @@ object SparkEntry {
         Seq("spam.example", "ads.co.uk").toDF("domain"))
     }),
 
+    // The composed web front-end (crawl page -> training corpus):
+    // synthetic page + URL per doc, html_text extraction, blocklist
+    // anti-join on registrable domain, >=30-token quality gate on the
+    // EXTRACTED text, exact-dedup survivor on its md5. Chains q86's
+    // and q87's operators the way a real C4-style ingest would; every
+    // stage stays a projection or map-side filter until the one
+    // fingerprint groupBy.
+    "q88_web_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.llm.{Html, TextOps, UrlOps}
+      val pages = Tables.documents(s, dir).select(col("doc_id"),
+        Html.syntheticPage(col("doc_id"), col("text")).as("html"),
+        UrlOps.syntheticUrl(col("doc_id")).as("url"))
+      val extracted = pages.select(col("doc_id"),
+        Html.htmlText(col("html")).as("text"),
+        UrlOps.registrableDomain(UrlOps.host(col("url"))).as("domain"))
+      val allowed = UrlOps.filterBlocked(extracted, col("domain"),
+        Seq("spam.example", "ads.co.uk").toDF("domain"))
+      val quality = allowed.filter(TextOps.nTokens(col("text")) >= 30)
+        .withColumn("fp", md5(col("text")))
+      val survivors = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      quality.join(survivors, Seq("fp", "doc_id"))
+        .select("doc_id", "domain", "text")
+    }),
+
     // SimHash near-dup pairs via pigeonhole segment join; hamming <= 3 is
     // complete with 4 segments, so the brute-force xor popcount over all
     // pairs is a valid oracle for the bucketed join.
@@ -2546,6 +2571,66 @@ object SparkEntry {
         |WHERE domain NOT IN ('spam.example', 'ads.co.uk')""".stripMargin
     },
 
+    // q88: q86's extraction chain + q87's domain dissection joined on
+    // doc_id, the blocklist/quality WHERE, and the q25-style
+    // min-per-fingerprint survivor join.
+    "q88_web_pipeline" -> {
+      val sfx = graft.llm.UrlOps.twoLevelSuffixes.map(x => s"'$x'").mkString(", ")
+      s"""WITH pg AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '<html><head><title>T</title><style type="text/css">p { color: red; }</style></head><body><p>' || text || '</p></body></html>'
+        |      WHEN 1 THEN '<body><script type="text/javascript">if (1 < 2 && x > 0) { f("hi"); }</script><div class="main">' || text || '</div></body>'
+        |      WHEN 2 THEN '<p>before<!-- <p>hidden</p> secret --> ' || text || '<!-- tail --></p>'
+        |      WHEN 3 THEN '<p>a &amp;lt; b &lt;i&gt;it&lt;/i&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y ' || text || '</p>'
+        |      WHEN 4 THEN '<DIV CLASS="X"><H1>' || text || '</H1><BR><hr/></DIV>'
+        |      ELSE '<a title="a>b" href="u">' || text || '</a><SCRIPT>var s = "x</scriptx>";</SCRIPT>done'
+        |    END AS h
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', '', 'g') AS h FROM pg),
+        |p2 AS (SELECT doc_id, regexp_replace(h, '(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\r]*>', '', 'g') AS h FROM p1),
+        |p3 AS (SELECT doc_id, regexp_replace(h, '(?is)<style\\b[^>]*>.*?</style[ \\t\\n\\r]*>', '', 'g') AS h FROM p2),
+        |p4 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h FROM p3),
+        |p5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(h,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS h FROM p4),
+        |ext AS (SELECT doc_id, trim(regexp_replace(h, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text FROM p5),
+        |uu AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'https://WWW.Example.COM:443/path/page?utm_source=x&id=' || doc_id::VARCHAR || '#frag'
+        |      WHEN 1 THEN 'http://Blog.example.co.uk:80/a/b/?gclid=123&q=term' || doc_id::VARCHAR
+        |      WHEN 2 THEN 'https://spam.example/buy' || doc_id::VARCHAR || '?fbclid=abc'
+        |      WHEN 3 THEN 'http://192.168.10.' || (doc_id % 256)::VARCHAR || '/index.html'
+        |      WHEN 4 THEN 'https://sub.ads.co.uk/x?a=' || doc_id::VARCHAR || '&b=2#sec'
+        |      WHEN 5 THEN 'HTTPS://News.Site.ORG/Article/' || doc_id::VARCHAR || '/'
+        |      WHEN 6 THEN 'http://example.com.au/?utm_campaign=c&utm_term=' || doc_id::VARCHAR
+        |      ELSE 'https://a.b.example.com:8443/deep/path?z=' || doc_id::VARCHAR || '&gclid=g'
+        |    END AS url
+        |  FROM documents),
+        |du AS (
+        |  SELECT doc_id, lower(regexp_extract(regexp_extract(
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1),
+        |    '^([^/?]*)', 1), '^([^:]*)', 1)) AS host
+        |  FROM uu),
+        |dd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(host, '^[0-9.]+${"$"}') OR len(ls) <= 2 THEN host
+        |         WHEN ls[-2] || '.' || ls[-1] IN ($sfx)
+        |           THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        |         ELSE ls[-2] || '.' || ls[-1] END AS domain
+        |  FROM (SELECT doc_id, host, string_split(host, '.') AS ls FROM du)),
+        |j AS (
+        |  SELECT e.doc_id, dd.domain, e.text
+        |  FROM ext e JOIN dd USING (doc_id)
+        |  WHERE dd.domain NOT IN ('spam.example', 'ads.co.uk')
+        |    AND len(list_filter(string_split(e.text, ' '), x -> x <> '')) >= 30),
+        |sv AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM j GROUP BY 1)
+        |SELECT j.doc_id, j.domain, j.text
+        |FROM j JOIN sv ON md5(j.text) = sv.fp AND j.doc_id = sv.doc_id""".stripMargin
+    },
+
     // q79: q31's LSH-mirrored pair CTEs + the q37 recursive closure,
     // survivors out (cluster minimum kept, unpaired vectors untouched).
     "q79_semantic_dedup" ->
@@ -2584,11 +2669,13 @@ object SparkEntry {
         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
         |WHERE ${dMd5Long("doc_id::VARCHAR||'mix'")} % 1000 < pm""".stripMargin,
 
+    // Dotall '.' so the mirror walks newline code points the same way
+    // RollingHash's codePoints() pass does (RE2 '.' skips \n otherwise).
     "q33_rolling_hash" ->
       """SELECT doc_id,
         |  CASE WHEN length(text) > 0
         |    THEN list_reduce(
-        |           list_transform(regexp_extract_all(text, '.'), c -> ascii(c)::BIGINT),
+        |           list_transform(regexp_extract_all(text, '(?s).'), c -> ascii(c)::BIGINT),
         |           (a, c) -> (a * 31 + c) % 2147483647)
         |    ELSE 0 END AS rhash
         |FROM documents""".stripMargin,
