@@ -985,6 +985,57 @@ object SparkEntry {
         col("doc_id"), col("text"), minDf = 3)
     }),
 
+    // TF-IDF top-3 keywords per document (the topic-balancing signal):
+    // one map-combinable (doc, term) count, df derived from the tf frame
+    // (no second corpus pass), 1-row n_docs broadcast, bounded-heap
+    // top-k. Smoothed idf mirrored expression-for-expression in DuckDB,
+    // score rounded to 6 on both sides.
+    "q89_tfidf_topk" -> ((s, dir) => {
+      import graft.llm.TfIdf
+      TfIdf.topTerms(Tables.documents(s, dir), col("doc_id"), col("text"),
+        k = 3)
+    }),
+
+    // Deterministic weighted reservoir (A-ES, log-key form): 20 docs per
+    // language, sampling probability proportional to token count + 1 —
+    // no RNG, pure md5 function of the doc id, so the oracle reproduces
+    // the exact sample. Key projection is map-side; per-lang top-k is
+    // the bounded-heap aggregate.
+    "q90_weighted_sample" -> ((s, dir) => {
+      import graft.llm.{Splits, TextOps}
+      Splits.weightedSample(
+        Tables.documents(s, dir)
+          .withColumn("w",
+            size(TextOps.lowerTokens(col("text"))).cast("long") + 1L),
+        Seq(col("lang")), col("doc_id"), col("w"), k = 20)
+        .select(col("lang"), col("id").as("doc_id"),
+          col("weight").cast("long").as("weight"), col("rank"))
+    }),
+
+    // Context-window chunking: 40-token chunks at stride 30 (10-token
+    // overlap), redundant tail chunks dropped. Pure generator projection
+    // — zero shuffles; fan-out bounded by ceil(n/stride) per doc.
+    "q92_doc_chunks" -> ((s, dir) => {
+      import graft.llm.Chunking
+      Chunking.chunk(Tables.documents(s, dir), col("doc_id"), col("text"),
+        chunkTokens = 40, stride = 30)
+    }),
+
+    // CUBE report over (lang, source) with GROUPING flags — all four
+    // aggregation levels (detail, per-lang, per-source, grand total) in
+    // ONE pass: Expand x4 then a single map-combinable aggregation, one
+    // shuffle total vs four separate groupBys reading the corpus four
+    // times.
+    "q94_cube_report" -> ((s, dir) => {
+      import graft.llm.TextOps
+      Tables.documents(s, dir)
+        .withColumn("nt", size(TextOps.lowerTokens(col("text"))).cast("long"))
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+    }),
+
     // Mean unigram surprisal per document (self-trained LM, no external
     // model): the perplexity-proxy quality filter — low = boilerplate,
     // high = garbage. Term-sorted fold keeps doubles bit-stable (q55
@@ -2844,6 +2895,83 @@ object SparkEntry {
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
     },
+
+    // q89: identical expression tree to TfIdf.topTerms (tf * (ln((N+1)/
+    // (df+1)) + 1), rounded to 6 on both sides); top-3 via the window
+    // formulation, ORDER BY (score, term, tf) DESC mirroring the
+    // engine's lexicographic struct heap.
+    "q89_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf,
+        |    round(CAST(tf AS DOUBLE) *
+        |      (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0),
+        |      6) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN nd),
+        |rk AS (
+        |  SELECT doc_id, term, tf, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term DESC, tf DESC) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, tf, score, rank FROM rk WHERE rank <= 3""".stripMargin,
+
+    // q90: the A-ES log-key recomputed verbatim — u from the salted
+    // md5-long (+0.5, /2^60), key = ln(u)/w, top-20 per lang by
+    // (key, doc_id, w) DESC exactly as the engine's struct heap orders.
+    "q90_weighted_sample" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+        |      AS BIGINT) + 1 AS wt
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, wt,
+        |    ln((${dMd5Long("doc_id::VARCHAR||'wrs'")}::DOUBLE + 0.5) /
+        |       1152921504606846976.0) / CAST(wt AS DOUBLE) AS key
+        |  FROM w),
+        |rk AS (
+        |  SELECT lang, doc_id, wt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY key DESC, doc_id DESC, wt DESC) AS BIGINT) AS rank
+        |  FROM k)
+        |SELECT lang, doc_id, wt AS weight, rank FROM rk WHERE rank <= 20""".stripMargin,
+
+    // q92: same starts (range(0, n, stride) with the redundant-tail
+    // filter), same inclusive-slice arithmetic; DuckDB list_slice is
+    // [s+1, s+40] inclusive = Spark slice(start, length=40).
+    "q92_doc_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM w
+        |      WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 30)) AS s FROM d)
+        |SELECT doc_id, CAST(s // 30 AS BIGINT) AS chunk_id,
+        |  LEAST(40, n - s) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, s + 1, s + 40), ' ') AS chunk_text
+        |FROM st WHERE s = 0 OR s - 30 + 40 < n""".stripMargin,
+
+    // q94: GROUP BY CUBE with GROUPING flags; token counts via the q24
+    // whitespace-token definition.
+    "q94_cube_report" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |      AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM d GROUP BY CUBE (lang, source)""".stripMargin,
 
     // q75: identical expression tree to TextOps.unigramSurprisal — the
     // per-doc fold runs over list(c ORDER BY term), matching the

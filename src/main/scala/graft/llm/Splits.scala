@@ -42,6 +42,44 @@ object Splits {
       .otherwise("test")
   }
 
+  /** Deterministic weighted reservoir sampling (Efraimidis–Spirakis
+    * A-ES), the "pick k representative docs per stratum, long docs more
+    * likely" primitive. Each row draws a pseudo-uniform u from its
+    * salted id's md5 (top 60 digest bits, +0.5 so u is never 0), and
+    * ranks on ln(u)/w — the monotone-equivalent log form of the A-ES
+    * key u^(1/w), numerically tamer and mirrorable (ln, not pow).
+    * Largest key wins, so P(row in sample) ∝ its weight, exactly as a
+    * weighted reservoir would draw — but with NO RNG: the sample is a
+    * pure function of (id, salt), stable across runs, partitionings and
+    * AQE re-plans, and reproducible by the DuckDB oracle.
+    *
+    * Scale shape: the key is a map-side projection; the per-stratum
+    * top-k is the bounded-heap aggregate ([[graft.operators.TopK]]) —
+    * O(k) state per group, partials combine map-side, a hot stratum
+    * costs each task only its local k. One shuffle on the stratum key.
+    *
+    * `weight` must be strictly positive; ties (same key — only possible
+    * from identical (id, salt), i.e. never within a table with unique
+    * ids) break on the id's binary order. Returns one row per (stratum,
+    * rank 1..k): stratum column(s), `id`, `weight`, `rank`. */
+  def weightedSample(df: org.apache.spark.sql.DataFrame,
+                     strata: Seq[Column], id: Column, weight: Column,
+                     k: Int, salt: String = "wrs")
+                    : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val twoTo60 = 1152921504606846976.0 // 2^60, exact as a double
+    val keyed = df.select(
+      (strata :+ id.as("_id") :+ weight.cast("double").as("_w")): _*)
+      .withColumn("_u",
+        (md5Long(concat(col("_id").cast("string"), lit(salt)))
+          .cast("double") + 0.5) / twoTo60)
+      .withColumn("_key", log(col("_u")) / col("_w"))
+    graft.operators.TopK.topKPerKey(keyed, strata,
+        struct(col("_key"), col("_id"), col("_w")), k)
+      .select((strata ++ Seq(col("_row._id").as("id"),
+        col("_row._w").as("weight"), col("rank"))): _*)
+  }
+
   /** Deterministic Bernoulli sample predicate: keep a row iff its salted
     * id's per-mille md5 bucket falls below `perMille` (0..1000). The
     * corpus-downsampling primitive (e.g. cap an over-represented stratum

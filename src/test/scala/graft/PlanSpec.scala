@@ -282,6 +282,39 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q89/q90: grouped top-k stays a bounded-heap aggregate, not a window") {
+    uncached {
+      for (q <- Seq("q89_tfidf_topk", "q90_weighted_sample")) {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"),
+          s"$q regressed to a window sort (hot doc/stratum = straggler):\n$plan")
+        assert(plan.contains("collect_top_k"),
+          s"$q lost the bounded-heap top-k aggregate:\n$plan")
+      }
+    }
+  }
+
+  test("q92 chunking: pure generator projection, zero exchanges") {
+    uncached {
+      val plan = SparkEntry.queries("q92_doc_chunks")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"chunking must not shuffle (per-row generator):\n$plan")
+    }
+  }
+
+  test("q94 cube: one Expand, one shuffle (not four separate passes)") {
+    uncached {
+      val plan = SparkEntry.queries("q94_cube_report")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"cube lost its Expand:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"cube must cost one shuffle, got $exchanges:\n$plan")
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
