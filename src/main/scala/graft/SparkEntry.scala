@@ -1036,6 +1036,54 @@ object SparkEntry {
           grouping(col("source")).cast("long").as("g_source"))
     }),
 
+    // Bigram-LM cross-entropy (the transition-level quality filter above
+    // q75's unigram surprisal): add-0.5 smoothing, V from the corpus
+    // vocab, one corpus explode feeding both per-doc and global counts;
+    // bigram-sorted fold keeps the doubles bit-stable.
+    "q91_bigram_lm" -> ((s, dir) => {
+      import graft.llm.BigramLm
+      BigramLm.score(Tables.documents(s, dir), col("doc_id"), col("text"))
+    }),
+
+    // Bloom-filter decontamination pre-filter: test-split fingerprints
+    // -> k=3 md5 probes into m=2^16 bits, broadcast as a sorted
+    // position set; every train doc gets a map-side bloom_hit. Gated on
+    // the one-sided guarantee (bloom_hit OR NOT exact_hit, all true)
+    // AND the bit-exact filter content (bloom_hit itself hash-checks).
+    "q93_bloom_prune" -> ((s, dir) => {
+      import graft.llm.{BloomPrune, Splits}
+      val m = 1 << 16; val k = 3
+      val docs = Tables.documents(s, dir).withColumn("fp", md5(col("text")))
+      val train = docs.filter(Splits.split(col("doc_id")) === "train")
+      val evalSet = docs.filter(Splits.split(col("doc_id")) === "test")
+      val bits = BloomPrune.buildBits(evalSet, col("fp"), m, k)
+      val exact = evalSet.select(col("fp")).distinct()
+        .withColumn("exact_hit", lit(true))
+      BloomPrune.mightContain(train, col("fp"), bits, m, k)
+        .join(broadcast(exact), Seq("fp"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("exact_hit"), lit(false)).as("exact_hit"),
+          (col("bloom_hit") ||
+            !coalesce(col("exact_hit"), lit(false))).as("no_false_negative"))
+    }),
+
+    // Z-order layout key: Morton-interleave (custkey, order epoch-day)
+    // low 10 bits each, then per-z-range stats — the footer min/max a
+    // data-skipping write would give every file. Pure integer codegen
+    // projection + one aggregation.
+    "q95_zorder_layout" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      Tables.orders(s, dir)
+        .select((col("o_custkey") % 1024).as("x"),
+          (datediff(col("o_orderdate"), to_date(lit("1992-01-01"))) % 1024)
+            .cast("long").as("y"))
+        .withColumn("z", ZOrder.zValue(col("x"), col("y"), bits = 10))
+        .groupBy((col("z") / 65536).cast("long").as("z_range"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    }),
+
     // Mean unigram surprisal per document (self-trained LM, no external
     // model): the perplexity-proxy quality filter — low = boilerplate,
     // high = garbage. Term-sorted fold keeps doubles bit-stable (q55
@@ -2894,6 +2942,85 @@ object SparkEntry {
         |  FROM tf JOIN dft USING (term) CROSS JOIN st)
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+
+    // q91: identical expression tree to BigramLm.score — per-doc fold
+    // over list(c ORDER BY bg), same add-0.5 smoothing arithmetic, V
+    // from the unigram vocab.
+    "q91_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bgt AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM w),
+        |tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bgt GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS t FROM w)),
+        |co AS (
+        |  SELECT doc_id, bg, tf,
+        |    CAST(tf AS DOUBLE) * ln((CAST(c2 AS DOUBLE) + 0.5) /
+        |      (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS c
+        |  FROM tf JOIN c2 USING (bg)
+        |  JOIN c1 ON split_part(bg, ' ', 1) = w1 CROSS JOIN v),
+        |sm AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(c ORDER BY bg), (a, b) -> a + b) AS s
+        |  FROM co GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sm.n_bigrams, 0) AS n_bigrams,
+        |  round(-sm.s / sm.n_bigrams, 4) AS xent
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN sm USING (doc_id)""".stripMargin,
+
+    // q93: the filter recomputed verbatim (k=3 md5 probes mod 2^16 over
+    // the test split's fingerprints); bloom_hit = all probes present,
+    // and the one-sided no-false-negative contract must be all-true.
+    "q93_bloom_prune" -> {
+      val b = dMd5Long("doc_id::VARCHAR") + " % 100"
+      def probe(e: String) = dMd5Long(s"$e||'#'||i::VARCHAR") + " % 65536"
+      s"""WITH sp AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    CASE WHEN $b < 80 THEN 'train'
+        |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |tr AS (SELECT doc_id, fp FROM sp WHERE split = 'train'),
+        |ev AS (SELECT DISTINCT fp FROM sp WHERE split = 'test'),
+        |bits AS (
+        |  SELECT DISTINCT ${probe("fp")} AS p
+        |  FROM ev, generate_series(0, 2) g(i)),
+        |tp AS (
+        |  SELECT doc_id, fp, ${probe("fp")} AS p
+        |  FROM tr, generate_series(0, 2) g(i)),
+        |bh AS (
+        |  SELECT doc_id, fp,
+        |    COUNT(*) FILTER (WHERE p IN (SELECT p FROM bits)) = 3 AS bloom_hit
+        |  FROM tp GROUP BY 1, 2)
+        |SELECT doc_id, bloom_hit,
+        |  fp IN (SELECT fp FROM ev) AS exact_hit,
+        |  (bloom_hit OR fp NOT IN (SELECT fp FROM ev)) AS no_false_negative
+        |FROM bh""".stripMargin
+    },
+
+    // q95: the Morton interleave unrolled to the same 10 shift/mask/or
+    // pairs, then the per-z-range min/max stats.
+    "q95_zorder_layout" -> {
+      val z = (0 until 10).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH d AS (
+        |  SELECT CAST(o_custkey % 1024 AS BIGINT) AS x,
+        |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 1024 AS BIGINT) AS y
+        |  FROM orders),
+        |zz AS (SELECT x, y, ($z) AS z FROM d)
+        |SELECT CAST(z // 65536 AS BIGINT) AS z_range,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  MIN(y) AS min_y, MAX(y) AS max_y
+        |FROM zz GROUP BY 1""".stripMargin
     },
 
     // q89: identical expression tree to TfIdf.topTerms (tf * (ln((N+1)/

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Self-trained bigram language model scoring — the perplexity-style
+  * quality filter one notch above [[TextOps.unigramSurprisal]]: a
+  * document whose word TRANSITIONS are improbable under the corpus's
+  * own bigram statistics is gibberish or shuffled boilerplate even when
+  * its unigram mix looks fine (and conversely, templated text scores
+  * conspicuously low). No external model: train and score in one job,
+  * like the CCNet/Gopher-style filters do at corpus scale.
+  *
+  * Model: add-k smoothing, P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+  * with k = 0.5 and V = the corpus unigram vocabulary size. Score =
+  * mean negative ln P over the document's bigram instances (natural-log
+  * cross-entropy per bigram).
+  *
+  * Scale shape: ONE corpus explode produces both the per-doc bigram
+  * counts and (reduced again by bigram) the global bigram table; the
+  * first-word totals c(w1 ·) are derived from that vocabulary-sized
+  * table, NOT by re-reading the corpus. All aggregations are
+  * map-combinable counts; the vocab size is a 1-row broadcast. The only
+  * corpus-sized shuffle is the per-doc reduce. Doubles are bit-stable:
+  * per-doc contributions fold in bigram-sorted order (the q55/q75
+  * trick), so the DuckDB oracle reproduces the sum exactly.
+  */
+object BigramLm {
+
+  val AddK = 0.5
+
+  /** Bigram instances (with multiplicity, in order) of the lowercased
+    * whitespace tokens: ["a b", "b c", ...]; empty below 2 tokens. */
+  def bigrams(text: Column): Column = {
+    val toks = TextOps.lowerTokens(text)
+    zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** `(doc_id, n_bigrams, xent)`: per-document add-k bigram
+    * cross-entropy; `xent` is null for docs with fewer than 2 tokens.
+    *
+    * `cache = true` (default, the MinHashLsh lifecycle): the per-doc tf
+    * table feeds THREE branches (global bigram counts, first-word
+    * totals, and the per-doc fold) — without a persist each branch
+    * re-explodes the corpus. The result is eagerly localCheckpointed
+    * and the cache unpersisted before returning, so nothing lingers in
+    * the CacheManager. `cache = false` exposes the lazy plan (specs). */
+  def score(docs: DataFrame, id: Column, text: Column,
+            cache: Boolean = true): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("_text"))
+    val inst = base.select(col("doc_id"),
+      explode(bigrams(col("_text"))).as("bg"))
+    // per-doc multiplicities (corpus-sized shuffle #1, map-combinable)
+    val tf0 = inst.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (cache)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
+    // global bigram counts: reduce the per-doc table again — vocab²-bounded,
+    // no second pass over the corpus
+    val c2 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
+    // first-word totals from the bigram table (vocab-sized)
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    // unigram vocabulary size: map-combinable distinct, 1 row, broadcasts
+    val v = base.select(explode(TextOps.lowerTokens(col("_text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val contrib = tf
+      .join(c2, "bg")
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("c", col("tf").cast("double") *
+        log((col("c2").cast("double") + AddK) /
+          (col("c1").cast("double") + (col("v").cast("double") * AddK))))
+    val summed = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("bg"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+    val result = base.select(col("doc_id")).join(summed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 4).as("xent"))
+    if (cache) {
+      val out = result.localCheckpoint(true)
+      tf.unpersist()
+      out
+    } else result
+  }
+}

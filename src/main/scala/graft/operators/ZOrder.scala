@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving — the multi-dimensional layout key
+  * behind data-skipping writes: sorting by `zValue(x, y)` clusters rows
+  * so that BOTH dimensions are locally narrow in every file, and a scan
+  * filtered on either column can prune by footer min/max stats instead
+  * of reading everything. A plain `ORDER BY x` gives perfect pruning on
+  * x and none on y; the z-curve gives ~sqrt pruning on each — the right
+  * trade for a corpus queried by more than one column (date AND
+  * domain, language AND source).
+  *
+  * The interleave is unrolled at plan-build time into `bits` pairs of
+  * shift/mask/or terms — pure integer arithmetic, whole-stage codegen,
+  * no UDF — and is mirrored literally by the DuckDB oracle (q95).
+  * [[layoutBy]] is the write-side operator: range-partition by zvalue
+  * (Spark samples the range bounds), sort within partitions, ready for
+  * a parquet write where every file covers one z-range.
+  */
+object ZOrder {
+
+  /** Morton code of the low `bits` bits of two non-negative longs:
+    * result bit 2i is x's bit i, bit 2i+1 is y's bit i. */
+  def zValue(x: Column, y: Column, bits: Int = 10): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write-side layout: cluster `df` on the z-curve over (x, y). The
+    * range exchange is one shuffle; the in-partition sort keeps every
+    * output file's (x, y) min/max tight. */
+  def layoutBy(df: DataFrame, x: Column, y: Column, bits: Int = 10,
+               numPartitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("_z", zValue(x, y, bits))
+    val parted =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("_z"))
+      else keyed.repartitionByRange(col("_z"))
+    parted.sortWithinPartitions(col("_z")).drop("_z")
+  }
+}

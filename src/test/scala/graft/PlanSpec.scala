@@ -315,6 +315,36 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q91 bigram LM: no window; default path persists tf and checkpoints") {
+    uncached {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      // lazy variant exposes the logical shape: no window anywhere
+      val lazyPlan = graft.llm.BigramLm.score(docs, col("doc_id"),
+        col("text"), cache = false).queryExecution.executedPlan.toString
+      assert(!lazyPlan.contains("Window"), s"no window belongs here:\n$lazyPlan")
+      // default path: tf persisted across its three consumers, result
+      // checkpointed, cache released (MinHashLsh lifecycle)
+      val out = graft.llm.BigramLm.score(docs, col("doc_id"), col("text"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+        s"default path must return the checkpointed result:\n$plan")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "tf cache must be unpersisted before returning")
+    }
+  }
+
+  test("q93 bloom filter broadcasts; the corpus side is never shuffled for it") {
+    uncached {
+      val plan = SparkEntry.queries("q93_bloom_prune")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"bloom bits must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"no sort-merge join belongs in the bloom path:\n$plan")
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
