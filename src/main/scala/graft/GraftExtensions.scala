@@ -140,6 +140,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, longLit(children(1), "char_ngram_hash_set n").toInt)
       }))
     ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "char_entropy"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "char_entropy(<arg>)")
+        CharEntropyExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("rep_stats"),
       new ExpressionInfo(classOf[RepStatsExpr].getName, "rep_stats"),
       (children: Seq[Expression]) => {

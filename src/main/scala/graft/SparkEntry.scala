@@ -1084,6 +1084,83 @@ object SparkEntry {
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
     }),
 
+    // Edit-distance-verified near-dup pairs: char-5-gram PPJoin
+    // candidates at jaccard >= 1/2, then exact levenshtein on the
+    // candidate pairs only (never all-pairs), kept at relative distance
+    // <= 0.25. Code-point distance; the DuckDB mirror's levenshtein is
+    // byte-based, identical on this ASCII corpus — the unicode
+    // divergence is covered by spec, not oracle (q60 precedent).
+    "q96_edit_distance_pairs" -> ((s, dir) => {
+      import graft.llm.MinHashLsh
+      val docs = Tables.documents(s, dir)
+      val cand = MinHashLsh.jaccardJoinFromSets(
+        MinHashLsh.charNgramHashSets(docs, col("doc_id"), col("text"), 5),
+        1, 2).select(col("doc_a"), col("doc_b"))
+      val t = docs.select(col("doc_id"), col("text"))
+      cand
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+          "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+          "doc_b")
+        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("rel", round(col("lev").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b")))
+            .cast("double"), 4))
+        .where(col("rel") <= 0.25)
+        .select(col("doc_a"), col("doc_b"), col("lev"), col("rel"))
+    }),
+
+    // Code-point Shannon entropy (native one-pass expression): the
+    // gibberish/binary-noise band filter under the token-level q24
+    // stats. Ascending-code-point fold keeps the double bit-stable.
+    "q97_char_entropy" -> ((s, dir) => {
+      val ce = call_function("char_entropy", col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ce.as("_ce"))
+        .select(col("doc_id"), col("_ce.n_cp").as("n_cp"),
+          round(col("_ce.entropy"), 4).as("entropy"))
+    }),
+
+    // Weekly cohort retention matrix over events: first-event week x
+    // week offset x distinct users. Two map-combinable user aggs + one
+    // dimension-sized groupBy.
+    "q98_cohort_retention" -> ((s, dir) => {
+      import graft.operators.Cohorts
+      // week emitted as a STRING: the suite's outputs avoid DATE columns
+      // (parquet DATE loads as python date objects driver-side and
+      // dodges the datetime normalization in the compare)
+      Cohorts.weeklyRetention(Tables.events(s, dir), col("user_id"),
+          col("ts"))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd")
+          .as("cohort_week"), col("week_offset"), col("n_users"))
+    }),
+
+    // Ordered funnel signup -> view -> purchase: per stage a map-side
+    // type filter + co-partitioned join + conditional MIN (O(1) state;
+    // no per-user arrays, bot-safe). Strictly-after semantics.
+    "q99_funnel" -> ((s, dir) => {
+      import graft.operators.Cohorts
+      Cohorts.funnel(Tables.events(s, dir), col("user_id"), col("ts"),
+        col("event_type"), Seq("signup", "view", "purchase"))
+    }),
+
+    // Fixed-iteration PageRank over the supplier -> customer shipment
+    // graph (lineitem x orders): 5 damped power iterations, self-loops
+    // for dangling nodes, per-node source-sorted folds so the doubles
+    // are bit-stable (see operators/PageRank.scala for the scale notes).
+    "q100_pagerank" -> ((s, dir) => {
+      import graft.operators.PageRank
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+      PageRank.ranks(edges, col("src"), col("dst"), iters = 5)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+    }),
+
     // Mean unigram surprisal per document (self-trained LM, no external
     // model): the perplexity-proxy quality filter — low = boilerplate,
     // high = garbage. Term-sorted fold keeps doubles bit-stable (q55
@@ -2942,6 +3019,119 @@ object SparkEntry {
         |  FROM tf JOIN dft USING (term) CROSS JOIN st)
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+
+    // q96: q39's raw-gram ground-truth CTEs with the jaccard >= 1/2
+    // candidate gate applied in EXACT integer arithmetic (i*2 >= union,
+    // not the rounded jaccard — a 0.49996 must not round its way in),
+    // then byte-based levenshtein (== code-point on this ASCII corpus).
+    "q96_edit_distance_pairs" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(text) - 4, 0)),
+        |    i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |hh AS (SELECT doc_id, unnest(gs) AS h FROM g),
+        |$dJaccardTail,
+        |c AS (SELECT doc_a, doc_b FROM j WHERE i * 2 >= (n_a + n_b - i)),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+        |    round(CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+        |      CAST(greatest(len(da.text), len(db.text)) AS DOUBLE), 4) AS rel
+        |  FROM c JOIN documents da ON da.doc_id = c.doc_a
+        |         JOIN documents db ON db.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, lev, rel FROM p WHERE rel <= 0.25""".stripMargin,
+
+    // q97: the ascending-code-point entropy fold recomputed with
+    // list_reduce(list(... ORDER BY cp)) — 0.0-seeded engine fold and
+    // first-element-seeded list_reduce agree exactly (0.0 + x = x);
+    // the +0.0 collapses -0.0 for single-symbol texts on both sides.
+    "q97_char_entropy" ->
+      """WITH cps AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(regexp_extract_all(text, '(?s).'),
+        |      c -> ascii(c)::BIGINT)) AS cp
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, cp, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM cps GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |s AS (
+        |  SELECT cnt.doc_id, MAX(nn.n) AS n_cp,
+        |    list_reduce(
+        |      list((CAST(c AS DOUBLE) / nn.n) * ln(CAST(c AS DOUBLE) / nn.n)
+        |        ORDER BY cp),
+        |      (a, b) -> a + b) AS s
+        |  FROM cnt JOIN nn USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.n_cp, 0) AS n_cp,
+        |  round(COALESCE((-(s.s)) + 0.0, 0.0), 4) AS entropy
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // q98: Monday-start ISO weeks in both engines; integer day
+    // arithmetic for the offset.
+    "q98_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |f AS (SELECT user_id, MIN(w) AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, w AS active_week FROM e)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // q99: the same stage chain as Cohorts.funnel — conditional MIN
+    // strictly after the previous stage's first completion.
+    "q99_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t, epoch_ms(ts) AS ms FROM events),
+        |s1 AS (SELECT user_id, MIN(ms) AS t1_ms FROM e
+        |       WHERE t = 'signup' GROUP BY 1),
+        |s2 AS (SELECT user_id, MIN(ms) AS t2_ms FROM e JOIN s1 USING (user_id)
+        |       WHERE t = 'view' AND ms > t1_ms GROUP BY 1),
+        |s3 AS (SELECT user_id, MIN(ms) AS t3_ms FROM e JOIN s2 USING (user_id)
+        |       WHERE t = 'purchase' AND ms > t2_ms GROUP BY 1)
+        |SELECT s1.user_id, t1_ms, t2_ms, t3_ms,
+        |  CAST(CASE WHEN t1_ms IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN t2_ms IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN t3_ms IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // q100: the 5 iterations UNROLLED as chained CTEs (no recursive
+    // aggregate restrictions), each the engine's expression tree with
+    // the same source-sorted fold; the teleport literal is the
+    // Scala-computed 1.0 - 0.85 double so both engines parse the
+    // identical value.
+    "q100_pagerank" -> {
+      val d = 0.85
+      val iters = 5
+      val tele = (1.0 - d).toString
+      val step = (k: Int) =>
+        s"""pr$k AS (
+           |  SELECT nd.node,
+           |    ($tele / CAST(n1.n AS DOUBLE)) +
+           |      $d * COALESCE(s$k.s, CAST(0.0 AS DOUBLE)) AS r
+           |  FROM nd CROSS JOIN n1
+           |  LEFT JOIN (
+           |    SELECT g.dst AS node,
+           |      list_reduce(list((p.r / CAST(g.outdeg AS DOUBLE)) ORDER BY g.src),
+           |        (a, b) -> a + b) AS s
+           |    FROM g JOIN pr${k - 1} p ON p.node = g.src GROUP BY g.dst
+           |  ) s$k ON s$k.node = nd.node)""".stripMargin
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey AS src,
+        |    o_custkey + 1000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nd AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        |dang AS (SELECT node AS src, node AS dst FROM nd
+        |         WHERE node NOT IN (SELECT src FROM e0)),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM dang),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd),
+        |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |g AS (SELECT e.src, e.dst, dg.outdeg FROM e JOIN dg USING (src)),
+        |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(n1.n AS DOUBLE) AS r
+        |        FROM nd CROSS JOIN n1),
+        |${(1 to iters).map(step).mkString(",\n")}
+        |SELECT node, round(r, 8) AS rank FROM pr$iters""".stripMargin
     },
 
     // q91: identical expression tree to BigramLm.score — per-doc fold

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank — the canonical iterative-join-aggregate
+  * workload, next to [[graft.llm.DedupClusters]]'s min-label
+  * propagation: rank flows along out-edges, damped, for a declared
+  * number of power iterations.
+  *
+  * Dangling nodes get a SELF-LOOP at build time (the standard
+  * engineering normalization: every node then has outdeg >= 1 and no
+  * global dangling-mass reduction — a full-graph sum whose float fold
+  * order no distributed engine can pin — is needed). With that, every
+  * per-iteration value is a per-NODE fold, and each fold runs in
+  * ascending source-node order (the q55/q75 sorted-struct trick), so
+  * the doubles are bit-identical across partitionings AND to the
+  * DuckDB oracle's unrolled-CTE mirror (q100).
+  *
+  * Scale shape per iteration: one equi-join (ranks × edges, both
+  * hash-partitioned on the join key) and one groupBy(dst) — the
+  * textbook Pregel step as two exchanges; the node list and N are
+  * reused. Plans are truncated with localCheckpoint every iteration
+  * (DedupClusters precedent) so iteration k doesn't re-run 1..k-1 and
+  * the optimizer never sees an unbounded DAG. In-degree bounds the
+  * per-node fold state; there is no global collect anywhere.
+  */
+object PageRank {
+
+  /** `(node, rank)` after `iters` damped iterations over the DISTINCT
+    * directed edges in `edges` (columns `src`, `dst`; self-loops added
+    * for dangling nodes; nodes = src ∪ dst). */
+  def ranks(edges0: DataFrame, src: Column, dst: Column,
+            iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e0 = edges0.select(src.cast("long").as("src"),
+      dst.cast("long").as("dst")).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    // self-loop for every node with no out-edge
+    val dangling = nodes.join(e0.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node").as("src"), col("node").as("dst"))
+    val edges = e0.union(dangling)
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+    // out-degree as a map-combinable groupBy + co-partitioned join (a
+    // window by src would ship a hub node's whole edge list to one
+    // task). Materialize so iterations reuse it.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val g = edges.join(deg, "src").localCheckpoint(true)
+    val n = col("n").cast("double")
+    var ranks = nodes.crossJoin(broadcast(g.select(col("n")).limit(1)))
+      .select(col("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = g.join(ranks, g("src") === ranks("node"))
+        .select(g("src"), g("dst"), g("n"),
+          (col("rank") / col("outdeg").cast("double")).as("contrib"))
+      val summed = contribs.groupBy(col("dst"))
+        .agg(first(col("n")).as("n"),
+          aggregate(sort_array(collect_list(struct(col("src"), col("contrib")))),
+            lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
+      ranks = ranks.select(col("node"))
+        .join(summed.select(col("dst").as("node"), col("n"), col("s")),
+          Seq("node"), "left")
+        .crossJoin(broadcast(g.select(col("n").as("_n")).limit(1)))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("_n").cast("double") +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}
