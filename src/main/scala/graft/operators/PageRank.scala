@@ -45,9 +45,15 @@ object PageRank {
       .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
     // out-degree as a map-combinable groupBy + co-partitioned join (a
     // window by src would ship a hub node's whole edge list to one
-    // task). Materialize so iterations reuse it.
+    // task). PERSIST the edge table rather than checkpointing it: an
+    // InMemoryRelation keeps its hashpartitioning(src), so the
+    // per-iteration join probes the cached, already-partitioned edges
+    // instead of re-shuffling the big side every round (a checkpoint's
+    // ExistingRDD reports unknown partitioning and costs 1 edge shuffle
+    // PER ITERATION). Unpersisted after the last iteration.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val g = edges.join(deg, "src").localCheckpoint(true)
+    val g = edges.join(deg, "src").repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = col("n").cast("double")
     var ranks = nodes.crossJoin(broadcast(g.select(col("n")).limit(1)))
       .select(col("node"), (lit(1.0) / n).as("rank"))
@@ -69,6 +75,7 @@ object PageRank {
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
     }
+    g.unpersist()
     ranks
   }
 }

@@ -389,4 +389,109 @@ class PropertySpec extends SparkTestBase {
       assert(rev(k) == want, s"key $k: $st fwd vs ${rev(k)} rev")
     }
   }
+
+  test("char entropy is bounded by ln(distinct code points) and invariant " +
+    "under permutation of the text") {
+    val rnd = new scala.util.Random(77)
+    // alphabet as WHOLE code points (a toCharArray would emit the
+    // emoji's lone surrogates, which mangle differently under UTF-8)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f", "g", "h",
+      "日", "本", "語", "😀", " ", "\n")
+    val texts = (1 to 40).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(60)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val perms = texts.map { case (i, t) =>
+      // shuffle CODE POINTS, not chars — a char shuffle would tear the
+      // emoji's surrogate pair and change the code-point multiset
+      val cps = t.codePoints().toArray.toList
+      val shuffled = rnd.shuffle(cps)
+        .foldLeft(new java.lang.StringBuilder())((sb, cp) =>
+          sb.appendCodePoint(cp)).toString
+      (i, t, shuffled)
+    }
+    val df = perms.toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("char_entropy", col("a")).as("ea"),
+        call_function("char_entropy", col("b")).as("eb"))
+      .select(col("id"), col("ea.entropy").as("ha"), col("ea.n_cp"),
+        col("eb.entropy").as("hb"))
+      .as[(Long, Double, Long, Double)].collect()
+    df.foreach { case (id, ha, n, hb) =>
+      assert(ha == hb, s"$id: entropy must be permutation-invariant")
+      assert(ha >= 0.0 && ha <= math.log(n.toDouble) + 1e-12,
+        s"$id: H=$ha out of [0, ln($n)]")
+    }
+  }
+
+  test("funnel stage times are strictly increasing wherever present") {
+    val out = graft.operators.Cohorts.funnel(
+      graft.sources.Tables.events(spark, sf), col("user_id"), col("ts"),
+      col("event_type"), Seq("signup", "view", "purchase"))
+      .select("t1_ms", "t2_ms", "t3_ms")
+      .as[(Option[Long], Option[Long], Option[Long])].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (t1, t2, t3) =>
+      for (a <- t1; b <- t2) assert(a < b)
+      for (b <- t2; c <- t3) assert(b < c)
+      assert(!(t2.isDefined && t1.isEmpty), "t2 without t1")
+      assert(!(t3.isDefined && t2.isEmpty), "t3 without t2")
+    }
+  }
+
+  test("tf-idf rank-1 equals the brute-force argmax on random documents") {
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 30L).map { i =>
+      (i, (1 to (3 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val top = graft.llm.TfIdf.topTerms(df, col("doc_id"), col("text"), k = 1)
+      .select("doc_id", "term", "score")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    // driver-side reference
+    val toks = docs.map { case (i, t) => i -> t.split("\\s+").toSeq }
+    val n = docs.size
+    val dfm = toks.flatMap(_._2.distinct.map(_ -> 1))
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    toks.foreach { case (i, ws) =>
+      val scores = ws.groupBy(identity).view.mapValues(_.size).toMap.map {
+        case (w, tf) =>
+          w -> tf * (math.log((n + 1.0) / (dfm(w) + 1.0)) + 1.0)
+      }
+      val best = scores.toSeq.sortBy { case (w, sc) => (-sc, w) }
+      // engine tie-break is term DESC on equal scores
+      val bestScore = best.head._2
+      val winners = scores.filter(_._2 == bestScore).keys.toSeq.sorted.reverse
+      assert(top(i) == winners.head,
+        s"doc $i: engine ${top(i)} vs reference ${winners.head}")
+    }
+  }
+
+  test("chunking reconstructs the token stream: stride-aligned prefixes " +
+    "of each chunk concatenate back to the document") {
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 25L).map { i =>
+      (i, (1 to rnd.nextInt(120)).map(j => s"t$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunks = graft.llm.Chunking.chunk(df, col("doc_id"), col("text"),
+        chunkTokens = 16, stride = 11)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docs.foreach { case (i, text) =>
+      val want = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (want.isEmpty) assert(!chunks.contains(i))
+      else {
+        val got = chunks(i)
+        // non-final chunks contribute their first `stride` tokens; the
+        // final chunk contributes all of its tokens
+        val rebuilt = got.init.flatMap(_.split(" ").take(11)) ++
+          got.last.split(" ")
+        assert(rebuilt == want, s"doc $i rebuild mismatch")
+      }
+    }
+  }
 }
