@@ -1102,6 +1102,14 @@ object SparkEntry {
           "doc_a")
         .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
           "doc_b")
+        // exact pre-filter before the O(len^2) distance: lev >= |la-lb|,
+        // so a pair whose length gap alone exceeds the (rounded) 0.25
+        // threshold can never survive; 0.25005 keeps the round-4
+        // boundary conservative. Changes cost, never results.
+        .where(abs(length(col("text_a")) - length(col("text_b")))
+          .cast("double") <
+          lit(0.25005) * greatest(length(col("text_a")),
+            length(col("text_b"))).cast("double"))
         .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
         .withColumn("rel", round(col("lev").cast("double") /
           greatest(length(col("text_a")), length(col("text_b")))
@@ -1159,6 +1167,26 @@ object SparkEntry {
           (col("o_custkey") + 1000000L).as("dst"))
       PageRank.ranks(edges, col("src"), col("dst"), iters = 5)
         .select(col("node"), round(col("rank"), 8).as("rank"))
+    }),
+
+    // Set-containment join (asymmetric Jaccard >= 4/5): directed
+    // "a is mostly inside b" pairs — the excerpt/quotation case the
+    // symmetric q21 misses. Asymmetric prefix filter: only a's rarest
+    // grams probe; b indexes all grams; integer bounds; exact verify.
+    "q101_containment_join" -> ((s, dir) => {
+      import graft.llm.MinHashLsh
+      MinHashLsh.containmentJoinFromSets(
+        MinHashLsh.hashSets(Tables.documents(s, dir), col("doc_id"),
+          col("text")), 4, 5)
+    }),
+
+    // Positional inverted index (flat posting rows, term-partitioned):
+    // tf + 1-based sorted positions per (term, doc), df-bounded
+    // [3, 400]. One narrow posexplode + one bounded (term, doc) reduce.
+    "q102_inverted_index" -> ((s, dir) => {
+      import graft.llm.InvertedIndex
+      InvertedIndex.postings(Tables.documents(s, dir), col("doc_id"),
+        col("text"), minDf = 3, maxDf = 400)
     }),
 
     // Mean unigram surprisal per document (self-trained LM, no external
@@ -3020,6 +3048,45 @@ object SparkEntry {
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
     },
+
+    // q101: directed brute-force ground truth over raw word bigrams
+    // (engine hashes them; no collisions at sf scale, the q21 contract);
+    // the threshold gate in exact integer arithmetic.
+    "q101_containment_join" ->
+      s"""WITH ${dShingleCtes()},
+        |hh AS (SELECT doc_id, t AS h FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b, i, sa.n AS n_a, sb.n AS n_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |             JOIN sz sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, i AS n_shared, n_a, n_b,
+        |  round(i * 1.0 / n_a, 4) AS containment
+        |FROM j WHERE i * 5 >= n_a * 4""".stripMargin,
+
+    // q102: positions from generate_subscripts over the same filtered
+    // token list (1-based in both engines), list(pos ORDER BY pos)
+    // matching the engine's sort_array.
+    "q102_inverted_index" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM w),
+        |pd AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    list(CAST(pos AS BIGINT) ORDER BY pos) AS positions
+        |  FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term FROM pd GROUP BY term
+        |        HAVING COUNT(*) BETWEEN 3 AND 400)
+        |SELECT term, doc_id, tf, positions FROM pd JOIN dft USING (term)""".stripMargin,
 
     // q96: q39's raw-gram ground-truth CTEs with the jaccard >= 1/2
     // candidate gate applied in EXACT integer arithmetic (i*2 >= union,

@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Positional inverted index construction — the search-side artifact a
+  * corpus pipeline exports next to the training shards (BM25 retrieval,
+  * phrase queries, decontamination tooling all read one).
+  *
+  * The index IS a flat `(term, doc_id, tf, positions)` table: in a
+  * distributed setting a "posting list" is exactly the term-partitioned
+  * row group, so materializing nested per-term arrays would only move
+  * the same bytes into one task's row. Rows come out term-partitioned
+  * (the natural bucketing/write layout) and positions are 1-based
+  * ascending within each document.
+  *
+  * Scale shape: one posexplode (narrow), one (term, doc) aggregation —
+  * map-combinable, state bounded by a single document's length — and a
+  * term-level document-frequency aggregation over the already-reduced
+  * per-doc table (vocab-sized, never the corpus). `maxDf` drops
+  * stop-terms whose posting lists nobody scans sequentially anyway;
+  * `minDf` drops hapax noise. Both bounds applied AFTER the per-doc
+  * reduce, so no skewed term ever concentrates raw token rows.
+  */
+object InvertedIndex {
+
+  /** `(term, doc_id, tf, positions: array<long> 1-based sorted)` for
+    * terms with document frequency in [minDf, maxDf]. */
+  def postings(docs: DataFrame, id: Column, text: Column,
+               minDf: Int = 2, maxDf: Int = 1000000): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df bounds: $minDf/$maxDf")
+    val tok = docs
+      .select(id.as("doc_id"),
+        posexplode(TextOps.lowerTokens(text)).as(Seq("_pos", "term")))
+    val perDoc = tok
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list((col("_pos") + 1).cast("long")))
+          .as("positions"))
+    val dft = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    perDoc.join(dft.select("term"), "term")
+      .select("term", "doc_id", "tf", "positions")
+  }
+}

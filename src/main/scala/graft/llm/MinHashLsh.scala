@@ -333,4 +333,76 @@ object MinHashLsh {
       out
     } else result
   }
+
+  /** Set-CONTAINMENT join (asymmetric Jaccard): directed pairs (a, b),
+    * a ≠ b, with |A∩B| / |A| ≥ p/q — "document a is mostly inside
+    * document b". The symmetric [[jaccardJoinFromSets]] misses exactly
+    * this case (a short excerpt inside a long page has tiny Jaccard but
+    * containment ≈ 1), and excerpt/quotation dedup is a real corpus
+    * cleanup pass.
+    *
+    * Candidate filter (asymmetric prefix): order all grams by global
+    * rarity (df, h). If C(A,B) ≥ p/q then B must share at least one of
+    * A's first |A| − ⌈p·|A|/q⌉ + 1 rarest grams — so only A's PREFIX
+    * probes the index, while the b side indexes ALL its grams. Fan-out
+    * per probe gram equals that gram's document frequency, and prefix
+    * grams are by construction A's RAREST — the hot stop-gram never
+    * enters the probe side. Extra integer filters: |B| ≥ ⌈p·|A|/q⌉
+    * (shared ≤ |B|) and the positional bound n_a − rn_a + 1 ≥ m.
+    * Candidates verify exactly with `sorted_intersect_size`; all bounds
+    * are integer arithmetic (no float ceil at the threshold boundary).
+    *
+    * Output: `(doc_a, doc_b, n_shared, n_a, n_b, containment)` where
+    * containment = round(shared / n_a, 4). */
+  def containmentJoinFromSets(sets0: DataFrame,
+                              thresholdNum: Int, thresholdDen: Int,
+                              cacheSets: Boolean = true): DataFrame = {
+    val (p, q) = (thresholdNum, thresholdDen)
+    require(p > 0 && q > 0 && p <= q, s"threshold must be in (0,1]: $p/$q")
+    val sets = if (cacheSets)
+      sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sets0
+    val tok = sets.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val dfreq = tok.select("doc_id", "h")
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // m = ceil(p*n/q) in exact integer arithmetic
+    def ceilM(n: Column): Column = floor((n * p + (q - 1)) / q).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val probe0 = tok
+      .join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("n") - ceilM(col("n")) + 1)
+      .select(col("doc_id").as("doc_a"), col("h"),
+        col("rn").as("rn_a"), col("n").as("n_a"))
+    val probe = if (cacheSets)
+      probe0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else probe0
+    val index = tok.select(col("doc_id").as("doc_b"), col("h"),
+      col("n").as("n_b"))
+    // the positional bound n_a − rn_a + 1 ≥ m is already the prefix cut
+    // above; the only extra candidate filter is |B| ≥ m
+    val cand = probe.join(index, Seq("h"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        col("n_b") >= ceilM(col("n_a")))
+      .select("doc_a", "doc_b").distinct()
+    val result = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("n_shared",
+        call_function("sorted_intersect_size", col("ha"), col("hb")).cast("long"))
+      .withColumn("n_a", size(col("ha")).cast("long"))
+      .withColumn("n_b", size(col("hb")).cast("long"))
+      .where(col("n_shared") * q >= col("n_a") * p)
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_a").cast("double"), 4))
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "containment")
+    if (cacheSets) {
+      val out = result.localCheckpoint(eager = true)
+      probe.unpersist()
+      sets.unpersist()
+      out
+    } else result
+  }
 }
