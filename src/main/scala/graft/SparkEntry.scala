@@ -45,6 +45,8 @@ object SparkEntry {
   val GaConcat = "/root/repo/fixtures/ga/raw/concatenated.json"
   val MediaFixtures = "/root/repo/fixtures/media"
   val MediaExpected = "/root/repo/fixtures/media/expected.csv"
+  val MediaPhashExpected = "/root/repo/fixtures/media/expected_phash.csv"
+  val MediaAudiohashExpected = "/root/repo/fixtures/media/expected_audiohash.csv"
   val MultilineDocs = "/root/repo/fixtures/docs/multiline.jsonl"
 
   /** Checked-in multi-line/non-ASCII documents (newlines, CJK, Cyrillic,
@@ -1187,6 +1189,43 @@ object SparkEntry {
       import graft.llm.InvertedIndex
       InvertedIndex.postings(Tables.documents(s, dir), col("doc_id"),
         col("text"), minDf = 3, maxDf = 400)
+    }),
+
+    // Exact phrase search via positional postings: tokens filtered to
+    // the phrase terms BEFORE any exchange (BM25 trick), per-slot
+    // postings joined on doc, alignment as a HOF over bounded arrays.
+    "q103_phrase_search" -> ((s, dir) => {
+      import graft.llm.InvertedIndex
+      InvertedIndex.phraseSearch(Tables.documents(s, dir), col("doc_id"),
+        col("text"), Seq("table", "hash"))
+    }),
+
+    // SCD2 validity intervals from the events change stream (per-user
+    // event_type runs): one exchange + one sort serves both the
+    // change-lag and the interval-lead; timestamps kept at MICROsecond
+    // grain so the (ts, event_id) order is identical in both engines.
+    "q104_scd2_intervals" -> ((s, dir) => {
+      import graft.operators.Scd2
+      Scd2.intervals(Tables.events(s, dir), col("user_id"),
+          col("event_type"), col("ts"), col("event_id"))
+        .select(col("key").as("user_id"), col("value").as("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"))
+    }),
+
+    // Burst detection: hourly counts per event type vs the trailing
+    // 6-hour baseline (mean + 2*sigma from exact integer window sums —
+    // no fold-order caveat at all). Event table never windowed; the
+    // windows run over the series x hour dimension table.
+    "q105_burst_detect" -> ((s, dir) => {
+      import graft.operators.Bursts
+      // warm-up buckets (no full baseline) carry null z/is_burst by the
+      // operator contract (spec-covered); the gate query drops them —
+      // nullable BOOLEAN round-trips as NaN through the oracle's
+      // dataframe layer and can't be value-compared
+      Bursts.detect(Tables.events(s, dir), col("event_type"),
+          date_trunc("hour", col("ts")), lookback = 6, k = 2.0)
+        .where(col("is_burst").isNotNull)
     }),
 
     // Mean unigram surprisal per document (self-trained LM, no external
@@ -3048,6 +3087,73 @@ object SparkEntry {
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
     },
+
+    // q103: per-slot position lists + the same HOF alignment filter.
+    "q103_phrase_search" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM w),
+        |p0 AS (SELECT doc_id, list(CAST(pos AS BIGINT) ORDER BY pos) AS ps
+        |       FROM tok WHERE term = 'table' GROUP BY 1),
+        |p1 AS (SELECT doc_id, list(CAST(pos AS BIGINT) ORDER BY pos) AS ps
+        |       FROM tok WHERE term = 'hash' GROUP BY 1),
+        |m AS (
+        |  SELECT p0.doc_id,
+        |    CAST(len(list_filter(p0.ps, p -> list_contains(p1.ps, p + 1)))
+        |      AS BIGINT) AS n_matches
+        |  FROM p0 JOIN p1 USING (doc_id))
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0""".stripMargin,
+
+    // q104: LAG/LEAD over (ms_us, event_id) exactly as the engine's
+    // single sort order; IS DISTINCT FROM mirrors the null-safe <=>.
+    "q104_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT *, LAG(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, event_type, us, event_id FROM l
+        |  WHERE event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type AS event_type,
+        |  us AS valid_from_us,
+        |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to_us
+        |FROM runs""".stripMargin,
+
+    // q105: identical one-pass variance identity over exact integer
+    // window sums; HUGEINT sums cast to double match long-to-double.
+    "q105_burst_detect" ->
+      """WITH c AS (
+        |  SELECT event_type AS series,
+        |    time_bucket(INTERVAL '1 hour', ts) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT series, b, n,
+        |    COUNT(n) OVER win AS cnt,
+        |    SUM(n) OVER win AS s,
+        |    SUM(n * n) OVER win AS sq
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY series ORDER BY b
+        |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT series, epoch_ms(b) AS bucket_start_ms, n,
+        |  round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 6) /
+        |    greatest(sqrt(greatest(CAST(sq AS DOUBLE) / 6 -
+        |      (CAST(s AS DOUBLE) / 6) * (CAST(s AS DOUBLE) / 6),
+        |      CAST(0.0 AS DOUBLE))), 1e-9), 4) AS z,
+        |  CAST(n AS DOUBLE) > CAST(s AS DOUBLE) / 6 +
+        |    2.0 * sqrt(greatest(CAST(sq AS DOUBLE) / 6 -
+        |      (CAST(s AS DOUBLE) / 6) * (CAST(s AS DOUBLE) / 6),
+        |      CAST(0.0 AS DOUBLE))) AS is_burst
+        |FROM w WHERE cnt >= 6""".stripMargin,
 
     // q101: directed brute-force ground truth over raw word bigrams
     // (engine hashes them; no collisions at sf scale, the q21 contract);

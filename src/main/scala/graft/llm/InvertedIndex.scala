@@ -43,4 +43,36 @@ object InvertedIndex {
     perDoc.join(dft.select("term"), "term")
       .select("term", "doc_id", "tf", "positions")
   }
+
+  /** Exact phrase search via positional postings: documents containing
+    * `phrase` as CONSECUTIVE tokens, with the match count. Tokens are
+    * filtered to the phrase terms BEFORE any aggregation (the BM25
+    * trick — the first exchange carries only phrase-term rows, not the
+    * corpus), then one postings frame per phrase slot joins on doc_id
+    * and the alignment check runs as a HOF over the bounded position
+    * arrays: a start position p matches iff slot i's postings contain
+    * p + i for every i. No index scan, no window, no unbounded state. */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least 2 terms")
+    require(phrase.map(_.toLowerCase) == phrase, "phrase must be lowercase")
+    val tok = docs
+      .select(id.as("doc_id"),
+        posexplode(TextOps.lowerTokens(text)).as(Seq("_pos", "term")))
+      .where(col("term").isin(phrase.distinct.map(x => x: Any): _*))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      tok.where(col("term") === t)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list((col("_pos") + 1).cast("long")))
+          .as(s"p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val matches = phrase.indices.tail
+      .foldLeft(col("p0"))((acc, i) =>
+        filter(acc, p => array_contains(col(s"p$i"), p + i)))
+    joined
+      .withColumn("n_matches", size(matches).cast("long"))
+      .where(col("n_matches") > 0)
+      .select(col("doc_id"), col("n_matches"))
+  }
 }

@@ -345,6 +345,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q104 scd2: one exchange, one sort serves both windows") {
+    uncached {
+      val plan = SparkEntry.queries("q104_scd2_intervals")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"scd2 must cost one shuffle, got $exchanges:\n$plan")
+      val sorts = "Sort \\[".r.findAllIn(plan).length
+      assert(sorts <= 2, s"lag+lead should share the (key, ts, tie) sort:\n$plan")
+    }
+  }
+
   test("no cartesian products anywhere in the query inventory") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
