@@ -1228,6 +1228,42 @@ object SparkEntry {
         .where(col("is_burst").isNotNull)
     }),
 
+    // Image perceptual hashes (aHash) over the REAL BMP decode path:
+    // exact integer contract (cross-multiplied block averages), gated
+    // against hashes the fixture generator computed from its drawing
+    // formulas — the decoders never see that code.
+    "q106_image_phash" -> ((s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageHashes(s, MediaFixtures)
+    }),
+
+    // Image near-dup pairs by perceptual-hash hamming (<= 7): pigeonhole
+    // segment equi-join (8 segments x 8 bits — complete at this
+    // threshold), exact xor-popcount verify. Finds the retouched
+    // near-duplicate, ignores the inverted and unrelated images.
+    "q107_image_neardup" -> ((s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.nearDupHashPairs(
+        Multimodal.imageHashes(s, MediaFixtures), maxHamming = 7)
+    }),
+
+    // Audio energy hashes over the REAL WAV PCM decode path — the
+    // audio-side aHash (64 window-energy bits, cross-multiplied), gated
+    // against generator-computed expected hashes.
+    "q108_audio_hash" -> ((s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioHashes(s, MediaFixtures)
+    }),
+
+    // Audio near-dup pairs: same pigeonhole hamming join as q107 over
+    // the energy hashes — finds the silence-edited near-duplicate,
+    // rejects the different signals (hamming >= 32).
+    "q109_audio_neardup" -> ((s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.nearDupHashPairs(
+        Multimodal.audioHashes(s, MediaFixtures), maxHamming = 7)
+    }),
+
     // Mean unigram surprisal per document (self-trained LM, no external
     // model): the perplexity-proxy quality filter — low = boilerplate,
     // high = garbage. Term-sorted fold keeps doubles bit-stable (q55
@@ -3087,6 +3123,37 @@ object SparkEntry {
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
     },
+
+    // q106/q107: expected hashes computed by the fixture GENERATOR from
+    // its drawing formulas (independent of the JVM decode+hash path);
+    // the pair mirror is the brute-force hamming join over that CSV.
+    "q106_image_phash" ->
+      s"""SELECT name, ahash::BIGINT AS ahash
+        |FROM read_csv('$MediaPhashExpected', header=true)""".stripMargin,
+
+    "q107_image_neardup" ->
+      s"""WITH h AS (
+        |  SELECT name, ahash::BIGINT AS ahash
+        |  FROM read_csv('$MediaPhashExpected', header=true))
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.name < b.name
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 7""".stripMargin,
+
+    // q108/q109: generator-side expected hashes; pair mirror = brute
+    // hamming join over the CSV (same shape as q107's).
+    "q108_audio_hash" ->
+      s"""SELECT name, ahash::BIGINT AS ahash
+        |FROM read_csv('$MediaAudiohashExpected', header=true)""".stripMargin,
+
+    "q109_audio_neardup" ->
+      s"""WITH h AS (
+        |  SELECT name, ahash::BIGINT AS ahash
+        |  FROM read_csv('$MediaAudiohashExpected', header=true))
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.name < b.name
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 7""".stripMargin,
 
     // q103: per-slot position lists + the same HOF alignment filter.
     "q103_phrase_search" ->

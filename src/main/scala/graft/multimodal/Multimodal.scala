@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
@@ -354,6 +354,144 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** 64-bit average perceptual hash (aHash) of a decoded image — the
+    * image-side near-dup fingerprint (re-encodes, slight recompression
+    * and small retouches keep most bits; unrelated images differ in
+    * ~half). EXACT integer contract so the fixture generator can
+    * compute expected hashes from its drawing formulas alone:
+    * luma = r+g+b per pixel; 8×8 blocks with floor ranges
+    * [⌊i·h/8⌋, ⌊(i+1)·h/8⌋); bit k (k = by·8+bx, MSB first) set iff
+    * blockSum · totalPixels > totalSum · blockCount — cross-multiplied,
+    * no fractional averages anywhere (safe in Long up to ~30-megapixel
+    * frames). Degenerate dimensions (<8) leave empty blocks as 0 bits,
+    * deterministically on both sides. */
+  def aHash(img: DecodedImage): Long = {
+    val w = img.width; val h = img.height
+    val n = w.toLong * h
+    var total = 0L
+    val luma = new Array[Long](img.rgb.length)
+    var i = 0
+    while (i < img.rgb.length) {
+      val p = img.rgb(i)
+      val l = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      luma(i) = l; total += l; i += 1
+    }
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        var bs = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { bs += luma(y * w + x); x += 1 }
+          y += 1
+        }
+        val bc = (y1 - y0).toLong * (x1 - x0)
+        if (bs * n > total * bc) hash |= 1L << (63 - (by * 8 + bx))
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** 64-bit energy hash of decoded PCM audio — the audio-side analogue
+    * of [[aHash]]: the interleaved sample stream splits into 64 floor
+    * ranges, bit k (MSB first) set iff that window's absolute-amplitude
+    * sum is strictly above the per-sample mean, cross-multiplied
+    * (windowSum · nSamples > totalAbsSum · windowCount) so the fixture
+    * generator reproduces the exact bits from its sample formulas.
+    * Robust to small edits (a few samples moved keeps most window
+    * energies on the same side of the mean); a different signal flips
+    * ~half the bits. */
+  def audioEnergyHash(au: DecodedAudio): Long = {
+    val n = au.samples.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += math.abs(au.samples(i).toInt); i += 1 }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      val lo = k * n / 64; val hi = (k + 1) * n / 64
+      var ws = 0L
+      var j = lo
+      while (j < hi) { ws += math.abs(au.samples(j).toInt); j += 1 }
+      val wc = (hi - lo).toLong
+      if (ws * n > total * wc) hash |= 1L << (63 - k)
+      k += 1
+    }
+    hash
+  }
+
+  /** `(name, ahash)` for every decodable WAV under `dir`. */
+  def audioHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        decodeWavPcm(bytes).map(au =>
+          (path.substring(path.lastIndexOf('/') + 1), audioEnergyHash(au)))
+      }
+      .toDF("name", "ahash")
+  }
+
+  /** `(name, ahash)` for every decodable BMP under `dir` (binaryFile
+    * source — file-granular splits, no shuffle, the media-lake scan). */
+  def imageHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        decodeBmp(bytes).map(img =>
+          (path.substring(path.lastIndexOf('/') + 1), aHash(img)))
+      }
+      .toDF("name", "ahash")
+  }
+
+  /** Near-duplicate pairs by 64-bit fingerprint hamming distance
+    * (image aHash, audio energy hash — any (name, ahash) frame),
+    * via the pigeonhole segment join (SimHash precedent): the 64 bits
+    * split into maxHamming+1 contiguous segments — any pair within the
+    * threshold agrees on at least one whole segment, so candidates come
+    * from an EQUI-join on (segment index, segment value), never an
+    * all-pairs scan; exact xor-popcount verifies. Complete for
+    * hamming <= maxHamming. */
+  def nearDupHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, s"bad threshold: $maxHamming")
+    val nSeg = maxHamming + 1
+    val segs = (0 until nSeg).map { i =>
+      val lo = i * 64 / nSeg; val hi = (i + 1) * 64 / nSeg
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(i).as("seg"),
+        shiftrightunsigned(col("ahash"), lo).bitwiseAND(mask).as("v"))
+    }
+    val exploded = hashes
+      .select(col("name"), col("ahash"), explode(array(segs: _*)).as("s"))
+      .select(col("name"), col("ahash"), col("s.seg").as("seg"),
+        col("s.v").as("v"))
+    val l = exploded.toDF("name_a", "ahash_a", "seg", "v")
+    val r = exploded.toDF("name_b", "ahash_b", "seg", "v")
+    l.join(r, Seq("seg", "v"))
+      .where(col("name_a") < col("name_b"))
+      .select("name_a", "name_b", "ahash_a", "ahash_b").distinct()
+      .withColumn("hamming",
+        call_function("bit_count",
+          col("ahash_a").bitwiseXOR(col("ahash_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("name_a", "name_b", "hamming")
   }
 
   /** Frame sampling for video payloads: fixed-size byte windows stand in

@@ -149,7 +149,7 @@ class MultimodalSpec extends SparkTestBase {
   test("checked-in fixtures decode to the generator's exact aggregates") {
     val rows = Multimodal.decodeSummary(spark, "/root/repo/fixtures/media")
       .collect().map(r => r.name -> r).toMap
-    assert(rows.size == 4 && !rows.values.exists(_.kind == "undecodable"))
+    assert(rows.size == 10 && !rows.values.exists(_.kind == "undecodable"))
     val grad = rows("img_gradient.bmp")
     assert(grad.width == 7 && grad.height == 5 && grad.value_sum == 5285 &&
       grad.first_unit == 330499)
@@ -201,5 +201,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(imgs.count() == 10)
     val scan = imgs.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") || imgs.inputFiles.forall(_.contains("kind=image")))
+  }
+
+  test("aHash: hand-computed bit patterns") {
+    // 8x8, left half dark / right half bright: 1x1 blocks, bits set on
+    // the right half of each row -> 0x0F repeated per row byte
+    val lr = Array.tabulate(64) { i =>
+      if (i % 8 < 4) 0x000000 else 0xffffff
+    }
+    assert(Multimodal.aHash(Multimodal.DecodedImage(8, 8, lr)) ==
+      0x0f0f0f0f0f0f0f0fL)
+    // uniform image: no block is STRICTLY above the mean -> all zero
+    val flat = Array.fill(64)(0x123456)
+    assert(Multimodal.aHash(Multimodal.DecodedImage(8, 8, flat)) == 0L)
+    // top half bright -> first 4 row bytes set
+    val tb = Array.tabulate(64)(i => if (i < 32) 0xffffff else 0x000000)
+    assert(Multimodal.aHash(Multimodal.DecodedImage(8, 8, tb)) ==
+      0xffffffff00000000L)
+  }
+
+  test("aHash survives the encode/resize path and flags the near-dup pair") {
+    val out = Multimodal.nearDupHashPairs(
+      Multimodal.imageHashes(spark, "/root/repo/fixtures/media"),
+      maxHamming = 7)
+    val pairs = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs == Set(("img_g16.bmp", "img_g16_tweak.bmp", 2L)),
+      s"got $pairs")
+  }
+
+  test("audio energy hash flags the silence-edited near-duplicate only") {
+    val out = Multimodal.nearDupHashPairs(
+      Multimodal.audioHashes(spark, "/root/repo/fixtures/media"),
+      maxHamming = 7)
+    val pairs = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs == Set(("audio_ramp.wav", "audio_ramp_tweak.wav", 7L)),
+      s"got $pairs")
+  }
+
+  test("audio energy hash: uniform signal hashes to zero") {
+    val au = Multimodal.DecodedAudio(8000, 1, Array.fill(640)(100.toShort))
+    assert(Multimodal.audioEnergyHash(au) == 0L)
+    // first half loud, second silent: top 32 bits set
+    val half = Multimodal.DecodedAudio(8000, 1,
+      Array.tabulate(640)(i => if (i < 320) 1000.toShort else 0.toShort))
+    assert(Multimodal.audioEnergyHash(half) == 0xffffffff00000000L)
   }
 }
