@@ -1264,6 +1264,54 @@ object SparkEntry {
         Multimodal.audioHashes(s, MediaFixtures), maxHamming = 7)
     }),
 
+    // Video near-dup by shared sampled-frame fingerprints: rolling-hash
+    // each 64-byte frame (unsigned bytes), df-cap hot fingerprints,
+    // positional equi-join — finds the re-uploaded byte-identical
+    // copies (synthetic ids 753k apart share all frames), never
+    // all-pairs. Oracle recomputes hashes from the byte formula.
+    "q110_video_neardup" -> ((s, _) => {
+      import graft.multimodal.Multimodal
+      Multimodal.sharedFrameVideoPairs(
+        Multimodal.frameHashes(Multimodal.syntheticMedia(s, 1600)),
+        minShared = 2)
+    }),
+
+    // Rolling 7-day distinct active users (WAU): each distinct
+    // (user, day) fact explodes to its <=7 window-end days — rolling
+    // COUNT DISTINCT is not a window function (distinct state doesn't
+    // merge across frames); both aggregations map-combinable. Week
+    // emitted as a string (q98 DATE-dtype lesson).
+    "q111_rolling_wau" -> ((s, dir) => {
+      import graft.operators.Cohorts
+      Cohorts.rollingActiveUsers(Tables.events(s, dir), col("user_id"),
+          col("ts"), windowDays = 7)
+        .select(date_format(col("window_end"), "yyyy-MM-dd")
+          .as("window_end"), col("active_users"))
+    }),
+
+    // Cross-modality media dedup clusters: the image + audio near-dup
+    // pairs (q107/q109) feed the SAME connected-components operator the
+    // text corpus uses (q37) — names keyed by md5Long (components'
+    // convergence metric needs numeric labels), translated back after.
+    "q112_media_dedup_clusters" -> ((s, _) => {
+      import graft.llm.{DedupClusters, Splits}
+      import graft.multimodal.Multimodal
+      val pairs = Multimodal.nearDupHashPairs(
+          Multimodal.imageHashes(s, MediaFixtures), 7)
+        .unionByName(Multimodal.nearDupHashPairs(
+          Multimodal.audioHashes(s, MediaFixtures), 7))
+        .select(col("name_a"), col("name_b"))
+      val keyed = pairs.select(
+        Splits.md5Long(col("name_a")).as("doc_a"),
+        Splits.md5Long(col("name_b")).as("doc_b"))
+      val names = pairs.select(col("name_a").as("name"))
+        .union(pairs.select(col("name_b"))).distinct()
+        .withColumn("_id", Splits.md5Long(col("name")))
+      DedupClusters.components(keyed)
+        .join(names, col("doc_id") === col("_id"))
+        .select(col("name"), col("cluster_id"))
+    }),
+
     // Mean unigram surprisal per document (self-trained LM, no external
     // model): the perplexity-proxy quality filter — low = boilerplate,
     // high = garbage. Term-sorted fold keeps doubles bit-stable (q55
@@ -3154,6 +3202,80 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.name < b.name
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 7""".stripMargin,
+
+    // q110: frame hashes recomputed from the synthetic byte formula
+    // (byte i of media m = (m*31 + i*7) % 251; the engine hashes the
+    // ACTUAL payload bytes — a decode/order mistake breaks the match).
+    // list_reduce's first-element seed equals the engine's 0-seeded
+    // fold because (0*31 + b0) % p = b0.
+    "q110_video_neardup" ->
+      """WITH vid AS (
+        |  SELECT unnest(range(0, 1600)) AS m),
+        |v2 AS (SELECT m FROM vid WHERE m % 3 = 2),
+        |fr AS (SELECT m, f FROM v2, (SELECT unnest(range(0, 4)) AS f) ff),
+        |fh AS (
+        |  SELECT m, f,
+        |    list_reduce(
+        |      list_transform(generate_series(64*f, 64*f + 63),
+        |        i -> (m*31 + i*7) % 251),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS fhash
+        |  FROM fr),
+        |dfc AS (SELECT fhash, COUNT(DISTINCT m) AS c FROM fh GROUP BY 1),
+        |k AS (SELECT fh.m, fh.f, fh.fhash
+        |      FROM fh JOIN dfc USING (fhash) WHERE c <= 50),
+        |p AS (
+        |  SELECT a.m AS media_a, b.m AS media_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM k a JOIN k b ON a.fhash = b.fhash AND a.f = b.f AND a.m < b.m
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b, n_shared FROM p WHERE n_shared >= 2""".stripMargin,
+
+    // q111: the same explode-to-window-ends rewrite of rolling distinct.
+    "q111_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+        |x AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(least(d + 6, max_d) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS w
+        |  FROM ud, mx)
+        |SELECT strftime(w, '%Y-%m-%d') AS window_end,
+        |  CAST(COUNT(*) AS BIGINT) AS active_users
+        |FROM x GROUP BY 1""".stripMargin,
+
+    // q112: both hash CSVs' brute hamming pairs + the q37 recursive
+    // closure over md5Long(name) keys, names rejoined at the end.
+    "q112_media_dedup_clusters" -> {
+      def pairCte(csv: String, alias: String) =
+        s"""$alias AS (
+           |  SELECT a.name AS name_a, b.name AS name_b
+           |  FROM (SELECT name, ahash::BIGINT AS ahash
+           |        FROM read_csv('$csv', header=true)) a
+           |  JOIN (SELECT name, ahash::BIGINT AS ahash
+           |        FROM read_csv('$csv', header=true)) b
+           |    ON a.name < b.name
+           |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 7)""".stripMargin
+      s"""WITH RECURSIVE
+        |${pairCte(MediaPhashExpected, "ip")},
+        |${pairCte(MediaAudiohashExpected, "ap")},
+        |prs AS (SELECT * FROM ip UNION ALL SELECT * FROM ap),
+        |kp AS (SELECT ${dMd5Long("name_a")} AS a, ${dMd5Long("name_b")} AS b
+        |       FROM prs),
+        |edges AS (SELECT a, b FROM kp UNION SELECT b, a FROM kp),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        |nm AS (
+        |  SELECT DISTINCT name, ${dMd5Long("name")} AS id
+        |  FROM (SELECT name_a AS name FROM prs
+        |        UNION SELECT name_b FROM prs))
+        |SELECT nm.name, comp.cluster_id
+        |FROM comp JOIN nm ON comp.src = nm.id""".stripMargin
+    },
 
     // q103: per-slot position lists + the same HOF alignment filter.
     "q103_phrase_search" ->

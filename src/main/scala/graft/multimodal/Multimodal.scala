@@ -494,6 +494,53 @@ object Multimodal {
       .select("name_a", "name_b", "hamming")
   }
 
+  /** `(media_id, frame_idx, fhash)` for video rows: each sampled frame
+    * (fixed-size byte window, [[sampleFrames]]) fingerprinted with the
+    * engine's rolling-hash formula over UNSIGNED byte values
+    * (h = fold(h·31 + (b & 0xff)) mod 2^31−1). Narrow projection — no
+    * shuffle; the fingerprint is a pure function of the payload bytes,
+    * so the q110 oracle reproduces it from the synthetic byte formula. */
+  def frameHashes(media: Dataset[MediaRow], frameBytes: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    sampleFrames(media.filter(col("kind") === "video").as[MediaRow],
+        frameBytes)
+      .map { fr =>
+        var h = 0L
+        var i = 0
+        while (i < fr.frame.length) {
+          h = (h * 31 + (fr.frame(i) & 0xff)) % 2147483647L
+          i += 1
+        }
+        (fr.media_id, fr.frame_idx, h)
+      }
+      .toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** Video pairs sharing at least `minShared` sampled-frame
+    * fingerprints — the container-level video near-dup check (re-muxed
+    * or re-uploaded copies keep frame bytes; different content shares
+    * nothing). Equi-join on the frame hash, never all-pairs; frames
+    * seen in more than `maxDf` videos (intros, black frames) are
+    * dropped BEFORE the join so no hot fingerprint fans out
+    * quadratically (the winnowing df-cap precedent). */
+  def sharedFrameVideoPairs(frames: DataFrame, minShared: Int,
+                            maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, s"bad bounds: $minShared/$maxDf")
+    val dfreq = frames.groupBy(col("fhash"))
+      .agg(countDistinct(col("media_id")).as("_df"))
+      .where(col("_df") <= maxDf)
+    val kept = frames.join(dfreq.select("fhash"), "fhash")
+      .select(col("media_id"), col("frame_idx"), col("fhash")).distinct()
+    val l = kept.toDF("media_a", "fi_a", "fhash")
+    val r = kept.toDF("media_b", "fi_b", "fhash")
+    l.join(r, Seq("fhash"))
+      .where(col("media_a") < col("media_b") && col("fi_a") === col("fi_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Frame sampling for video payloads: fixed-size byte windows stand in
     * for decoded frames; non-video rows pass through with one frame. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64): Dataset[FrameRow] = {

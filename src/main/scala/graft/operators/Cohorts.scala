@@ -36,6 +36,34 @@ object Cohorts {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Rolling distinct active users (the WAU/MAU family): for every
+    * calendar day in the events' span, the count of distinct users
+    * active in the trailing `windowDays` window ending that day.
+    *
+    * Rolling COUNT DISTINCT can't come from a window function (distinct
+    * state isn't mergeable across frames), so each (user, active day)
+    * fact is exploded to the `windowDays` window-end days it
+    * contributes to, then de-duplicated and counted — fan-out is
+    * exactly `windowDays` per distinct user-day (bounded, map-side),
+    * and both aggregations are map-combinable. Days with no active
+    * users in the window simply produce no row. */
+  def rollingActiveUsers(events: DataFrame, user: Column, ts: Column,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val userDays = events
+      .select(user.as("user_id"), to_date(ts).as("d"))
+      .distinct()
+    val span = events.agg(max(to_date(ts)).as("max_d")) // 1 row, broadcasts
+    userDays.crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d"),
+          least(date_add(col("d"), windowDays - 1), col("max_d"))))
+          .as("window_end"))
+      .distinct()
+      .groupBy(col("window_end"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Ordered funnel: for each user, the first time each stage's
     * event-type fires STRICTLY AFTER the previous stage's first
     * completion (the classic "signup → view → purchase in order"

@@ -106,4 +106,46 @@ class TemporalOpsSpec extends SparkTestBase {
     val want = math.rint((20.0 - mean) / sd * 1e4) / 1e4
     assert(out == ((20L, Some(want))), s"got $out want $want")
   }
+
+  test("rolling WAU: hand-built window counts") {
+    // u1 active day 1 and day 9; u2 active day 1; window 3 days
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-01 11:00:00")), // same user-day: no double count
+      (2L, ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Cohorts.rollingActiveUsers(ev,
+        col("user_id"), col("ts"), windowDays = 3)
+      .select(date_format(col("window_end"), "yyyy-MM-dd"),
+        col("active_users"))
+      .as[(String, Long)].collect().toMap
+    // max day is Jan 9: windows clamp there
+    assert(out == Map(
+      "2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 2L,
+      "2024-01-09" -> 1L))
+  }
+
+  test("video shared-frame pairs: identical copies pair, others don't") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+    def vid(id: Long, seed: Int) = MediaRow(id, "video",
+      Array.tabulate(256)(i => ((seed * 31 + i * 7) % 251).toByte),
+      MediaMeta(32, 32, 0, 4000L, "fakemp4"))
+    val media = Seq(vid(1, 42), vid(2, 42), vid(3, 99),
+      MediaRow(4, "image", Array.tabulate(256)(_.toByte),
+        MediaMeta(64, 64, 0, 0L, "fakepng")))
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val out = Multimodal.sharedFrameVideoPairs(
+        Multimodal.frameHashes(ds), minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 4L)), s"got $out")
+  }
+
+  test("frame hashing is a narrow projection (no shuffle)") {
+    import graft.multimodal.Multimodal
+    val plan = Multimodal.frameHashes(Multimodal.syntheticMedia(spark, 30))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
