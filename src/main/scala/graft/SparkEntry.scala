@@ -1125,10 +1125,14 @@ object SparkEntry {
     // stats. Ascending-code-point fold keeps the double bit-stable.
     "q97_char_entropy" -> ((s, dir) => {
       val ce = call_function("char_entropy", col("text"))
+      // coalesce: a null text null-propagates through the expression,
+      // but the mirror's LEFT JOIN + COALESCE path emits (0, 0.0) for
+      // that doc — match it (the q91 null convention)
       Tables.documents(s, dir)
         .select(col("doc_id"), ce.as("_ce"))
-        .select(col("doc_id"), col("_ce.n_cp").as("n_cp"),
-          round(col("_ce.entropy"), 4).as("entropy"))
+        .select(col("doc_id"),
+          coalesce(col("_ce.n_cp"), lit(0L)).as("n_cp"),
+          round(coalesce(col("_ce.entropy"), lit(0.0)), 4).as("entropy"))
     }),
 
     // Weekly cohort retention matrix over events: first-event week x
@@ -3306,11 +3310,13 @@ object SparkEntry {
         |  FROM events),
         |l AS (
         |  SELECT *, LAG(event_type) OVER
-        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |    LAG(1) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS hp
         |  FROM e),
         |runs AS (
         |  SELECT user_id, event_type, us, event_id FROM l
-        |  WHERE event_type IS DISTINCT FROM prev)
+        |  WHERE hp IS NULL OR event_type IS DISTINCT FROM prev)
         |SELECT user_id, event_type AS event_type,
         |  us AS valid_from_us,
         |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
@@ -3383,10 +3389,12 @@ object SparkEntry {
         |        HAVING COUNT(*) BETWEEN 3 AND 400)
         |SELECT term, doc_id, tf, positions FROM pd JOIN dft USING (term)""".stripMargin,
 
-    // q96: q39's raw-gram ground-truth CTEs with the jaccard >= 1/2
-    // candidate gate applied in EXACT integer arithmetic (i*2 >= union,
-    // not the rounded jaccard — a 0.49996 must not round its way in),
-    // then byte-based levenshtein (== code-point on this ASCII corpus).
+    // q96: q39's raw-gram ground-truth CTEs with the candidate gate on
+    // the ROUNDED jaccard >= 0.5 — exactly the engine's
+    // jaccardJoinFromSets filter (round(j,4) >= threshold), the same
+    // mirroring q21/q39 use; an exact integer gate here would disagree
+    // with the engine at the 0.49995 rounding boundary. Then byte-based
+    // levenshtein (== code-point on this ASCII corpus).
     "q96_edit_distance_pairs" ->
       s"""WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -3395,7 +3403,7 @@ object SparkEntry {
         |  FROM documents),
         |hh AS (SELECT doc_id, unnest(gs) AS h FROM g),
         |$dJaccardTail,
-        |c AS (SELECT doc_a, doc_b FROM j WHERE i * 2 >= (n_a + n_b - i)),
+        |c AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
         |p AS (
         |  SELECT c.doc_a, c.doc_b,
         |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,

@@ -45,9 +45,15 @@ object BloomPrune {
     * `df`. Guarantee: a key that was fed to [[buildBits]] always tests
     * true; a miss is definitive. */
   def mightContain(df: DataFrame, key: Column, bits: DataFrame,
-                   m: Int, k: Int): DataFrame =
+                   m: Int, k: Int): DataFrame = {
+    // reserved-column guard (DedupClusters.survivors precedent): an
+    // input `bits` would make the array_contains reference ambiguous
+    // after the crossJoin, and an input `bloom_hit` would be clobbered
+    require(!df.columns.contains("bits") && !df.columns.contains("bloom_hit"),
+      "input must not contain the reserved columns bits / bloom_hit")
     df.crossJoin(broadcast(bits))
       .withColumn("bloom_hit",
         forall(positions(key, m, k), p => array_contains(col("bits"), p)))
       .drop("bits")
+  }
 }

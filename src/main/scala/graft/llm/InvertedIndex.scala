@@ -25,23 +25,37 @@ import org.apache.spark.sql.functions._
 object InvertedIndex {
 
   /** `(term, doc_id, tf, positions: array<long> 1-based sorted)` for
-    * terms with document frequency in [minDf, maxDf]. */
+    * terms with document frequency in [minDf, maxDf].
+    *
+    * `cache = true` (default): the per-doc posting frame feeds both
+    * the df filter and the final join — persisted across the two
+    * consumers, result eagerly checkpointed, cache released (the
+    * BigramLm lifecycle); `cache = false` exposes the lazy plan. */
   def postings(docs: DataFrame, id: Column, text: Column,
-               minDf: Int = 2, maxDf: Int = 1000000): DataFrame = {
+               minDf: Int = 2, maxDf: Int = 1000000,
+               cache: Boolean = true): DataFrame = {
     require(minDf >= 1 && maxDf >= minDf, s"bad df bounds: $minDf/$maxDf")
     val tok = docs
       .select(id.as("doc_id"),
         posexplode(TextOps.lowerTokens(text)).as(Seq("_pos", "term")))
-    val perDoc = tok
+    val perDoc0 = tok
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list((col("_pos") + 1).cast("long")))
           .as("positions"))
+    val perDoc = if (cache)
+      perDoc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else perDoc0
     val dft = perDoc.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf && col("df") <= maxDf)
-    perDoc.join(dft.select("term"), "term")
+    val result = perDoc.join(dft.select("term"), "term")
       .select("term", "doc_id", "tf", "positions")
+    if (cache) {
+      val out = result.localCheckpoint(true)
+      perDoc.unpersist()
+      out
+    } else result
   }
 
   /** Exact phrase search via positional postings: documents containing

@@ -70,6 +70,16 @@ object Splits {
     val twoTo60 = 1152921504606846976.0 // 2^60, exact as a double
     val keyed = df.select(
       (strata :+ id.as("_id") :+ weight.cast("double").as("_w")): _*)
+      // the positivity contract is enforced per ROW, not just
+      // documented: a w <= 0 would silently invert the sample
+      // (ln(u)/w flips sign and outranks every valid row). assert_true
+      // feeds the kept column via coalesce so the optimizer can't
+      // prune the check away.
+      .withColumn("_w", coalesce(
+        assert_true(col("_w") > 0.0,
+          lit("weightedSample: weight must be strictly positive"))
+          .cast("double"),
+        col("_w")))
       .withColumn("_u",
         (md5Long(concat(col("_id").cast("string"), lit(salt)))
           .cast("double") + 0.5) / twoTo60)

@@ -30,13 +30,23 @@ object TfIdf {
   /** Top-`k` terms per document by tf-idf: `(doc_id, term, tf, score,
     * rank)`. Ties (identical tf and df ⇒ bit-identical score) break on
     * the term's UTF8 binary order, descending — deterministic, so the
-    * kept set is stable across partitionings. */
-  def topTerms(docs: DataFrame, id: Column, text: Column, k: Int = 3): DataFrame = {
+    * kept set is stable across partitionings.
+    *
+    * `cache = true` (default, the BigramLm/MinHashLsh lifecycle): the
+    * tf frame feeds BOTH the df aggregation and the scoring join —
+    * without a persist each branch re-explodes the corpus. The result
+    * is eagerly localCheckpointed and the cache released before
+    * returning; `cache = false` exposes the lazy plan (specs). */
+  def topTerms(docs: DataFrame, id: Column, text: Column, k: Int = 3,
+               cache: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val tf = docs
+    val tf0 = docs
       .select(id.as("doc_id"), explode(TextOps.lowerTokens(text)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val tf = if (cache)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs")) // 1 row, broadcasts
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
@@ -44,9 +54,14 @@ object TfIdf {
         col("tf").cast("double") *
           (log((col("n_docs").cast("double") + 1.0) /
             (col("df").cast("double") + 1.0)) + 1.0), 6))
-    TopK.topKPerKey(scored, Seq(col("doc_id")),
+    val result = TopK.topKPerKey(scored, Seq(col("doc_id")),
         struct(col("score"), col("term"), col("tf")), k)
       .select(col("doc_id"), col("_row.term").as("term"),
         col("_row.tf").as("tf"), col("_row.score").as("score"), col("rank"))
+    if (cache) {
+      val out = result.localCheckpoint(true)
+      tf.unpersist()
+      out
+    } else result
   }
 }

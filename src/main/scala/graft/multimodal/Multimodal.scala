@@ -412,6 +412,13 @@ object Multimodal {
     * ~half the bits. */
   def audioEnergyHash(au: DecodedAudio): Long = {
     val n = au.samples.length
+    // cross-multiplication bound: total*wc <= (32768·n)·(n/64) = 512n²
+    // must stay under 2^63 → n <= ~1.3e8 samples (a 2h+ 16 kHz mono
+    // file). Fail loudly rather than wrap into silently wrong bits;
+    // aHash documents its ~30-megapixel analogue of this bound.
+    require(n <= 130000000,
+      s"audioEnergyHash: $n samples exceeds the exact-arithmetic bound " +
+        "(~1.3e8); chunk the audio or pool first")
     var total = 0L
     var i = 0
     while (i < n) { total += math.abs(au.samples(i).toInt); i += 1 }

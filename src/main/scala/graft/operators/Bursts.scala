@@ -7,7 +7,15 @@ import org.apache.spark.sql.functions._
 /** Burst detection over event-time series — the anomaly flag of an
   * ingest monitor: bucket events into fixed windows per series, then
   * compare each bucket against the trailing baseline (mean + k·σ over
-  * the preceding `lookback` buckets).
+  * the preceding `lookback` OBSERVED buckets).
+  *
+  * "Observed" is deliberate: buckets with zero events produce no row,
+  * so the baseline frame skips over silent gaps rather than counting
+  * them as zeros — a series resuming after an outage is judged against
+  * its last active period, not against the outage. If zeros-as-data
+  * semantics are wanted (resumption SHOULD alarm after silence), join
+  * the counts onto a generated series×bucket spine first and feed the
+  * zero-filled frame to the same windows; the arithmetic is unchanged.
   *
   * Determinism: the window sums run over INTEGER counts (exact, order
   * independent); mean/variance derive from those integer sums with a

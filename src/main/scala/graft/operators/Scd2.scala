@@ -28,17 +28,22 @@ object Scd2 {
                 ts: Column, tie: Column): DataFrame = {
     val base = changes.select(key.as("key"), value.as("value"),
       ts.as("ts"), tie.as("tie"))
+    // ONE window spec serves both the change-lag and the interval-lead
+    // (identical partition + order ⇒ Spark plans a single sort)
     val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tie"))
     val flagged = base
       .withColumn("_prev", lag(col("value"), 1).over(w))
-      // a run starts where the value differs from the previous row
-      // (or at the first row: lag null + value non-null; a null VALUE
-      // equal to a null previous is "no change" via null-safe equality)
-      .where(!(col("value") <=> col("_prev")))
-    val w2 = Window.partitionBy(col("key")).orderBy(col("ts"), col("tie"))
+      // `_first` distinguishes "no previous row" from "previous value
+      // was null" — with only the null-safe value compare, a key whose
+      // FIRST value is null would have its leading run silently dropped
+      // (null <=> null is true)
+      .withColumn("_first", lag(lit(1), 1).over(w).isNull)
+      // a run starts at the key's first row, or where the value differs
+      // from the previous row (null-safe: null -> null is "no change")
+      .where(col("_first") || !(col("value") <=> col("_prev")))
     flagged
       .withColumn("valid_from", col("ts"))
-      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select("key", "value", "valid_from", "valid_to")
   }
 }

@@ -36,6 +36,8 @@ object ZOrder {
     * output file's (x, y) min/max tight. */
   def layoutBy(df: DataFrame, x: Column, y: Column, bits: Int = 10,
                numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("_z"),
+      "input must not contain the reserved column _z")
     val keyed = df.withColumn("_z", zValue(x, y, bits))
     val parted =
       if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("_z"))

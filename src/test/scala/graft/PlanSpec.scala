@@ -284,14 +284,28 @@ class PlanSpec extends SparkTestBase {
 
   test("q89/q90: grouped top-k stays a bounded-heap aggregate, not a window") {
     uncached {
-      for (q <- Seq("q89_tfidf_topk", "q90_weighted_sample")) {
-        val plan = SparkEntry.queries(q)(spark, sf)
-          .queryExecution.executedPlan.toString
-        assert(!plan.contains("Window"),
-          s"$q regressed to a window sort (hot doc/stratum = straggler):\n$plan")
-        assert(plan.contains("collect_top_k"),
-          s"$q lost the bounded-heap top-k aggregate:\n$plan")
-      }
+      val docs = graft.sources.Tables.documents(spark, sf)
+      // tf-idf: lazy variant exposes the shape; default path persists
+      // tf across its two consumers and checkpoints (BigramLm lifecycle)
+      val lazyPlan = graft.llm.TfIdf.topTerms(docs, col("doc_id"),
+        col("text"), k = 3, cache = false)
+        .queryExecution.executedPlan.toString
+      assert(!lazyPlan.contains("Window"),
+        s"q89 regressed to a window sort (hot doc = straggler):\n$lazyPlan")
+      assert(lazyPlan.contains("collect_top_k"),
+        s"q89 lost the bounded-heap top-k aggregate:\n$lazyPlan")
+      val defPlan = SparkEntry.queries("q89_tfidf_topk")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(defPlan.contains("ExistingRDD"),
+        s"q89 default path must return the checkpointed result:\n$defPlan")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "q89's tf cache must be unpersisted before returning")
+      val wPlan = SparkEntry.queries("q90_weighted_sample")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!wPlan.contains("Window"),
+        s"q90 regressed to a window sort (hot stratum = straggler):\n$wPlan")
+      assert(wPlan.contains("collect_top_k"),
+        s"q90 lost the bounded-heap top-k aggregate:\n$wPlan")
     }
   }
 

@@ -69,6 +69,21 @@ class TemporalOpsSpec extends SparkTestBase {
       "tie 1 (b) must precede tie 2 (a)")
   }
 
+  test("scd2: a key whose FIRST value is null keeps its leading run") {
+    val ch = Seq(
+      (1L, Option.empty[String], ts("2024-01-01 10:00:00"), 1L),
+      (1L, Some("a"), ts("2024-01-01 12:00:00"), 2L)
+    ).toDF("user_id", "v", "ts", "event_id")
+    val out = Scd2.intervals(ch, col("user_id"), col("v"), col("ts"),
+        col("event_id"))
+      .select("value", "valid_from", "valid_to")
+      .as[(Option[String], Timestamp, Option[Timestamp])].collect().toSet
+    assert(out == Set(
+      (None, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00"))),
+      (Some("a"), ts("2024-01-01 12:00:00"), None)),
+      s"the null-valued [10:00, 12:00) interval must not vanish: $out")
+  }
+
   test("burst detection: constant series never bursts; a spike does") {
     val base = (0 until 12).flatMap { h =>
       (1 to 10).map(i => ("s", ts(f"2024-01-01 $h%02d:00:00")))
