@@ -1316,6 +1316,18 @@ object SparkEntry {
         .select(col("name"), col("cluster_id"))
     }),
 
+    // Vocabulary drift between two deterministic corpus halves
+    // (smoothed log-odds movers): the monitoring op for "what changed
+    // between yesterday's corpus and today's". One ln per term — no
+    // fold-order caveat at all; vocab-sized full-outer join.
+    "q113_vocab_drift" -> ((s, dir) => {
+      import graft.llm.{Drift, Splits}
+      val docs = Tables.documents(s, dir)
+      val half = Splits.md5Bucket(col("doc_id"), 100) < 50
+      Drift.logOddsDrift(docs.filter(half), docs.filter(!half),
+        col("text"), minCount = 20)
+    }),
+
     // Mean unigram surprisal per document (self-trained LM, no external
     // model): the perplexity-proxy quality filter — low = boilerplate,
     // high = garbage. Term-sorted fold keeps doubles bit-stable (q55
@@ -3279,6 +3291,35 @@ object SparkEntry {
         |        UNION SELECT name_b FROM prs))
         |SELECT nm.name, comp.cluster_id
         |FROM comp JOIN nm ON comp.src = nm.id""".stripMargin
+    },
+
+    // q113: same md5 half-split, same single-ln expression tree.
+    "q113_vocab_drift" -> {
+      val b = dMd5Long("doc_id::VARCHAR") + " % 100"
+      s"""WITH sp AS (SELECT doc_id, text, $b < 50 AS ha FROM documents),
+        |ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM sp WHERE ha),
+        |tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM sp WHERE NOT ha),
+        |ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM ta GROUP BY 1),
+        |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM tb GROUP BY 1),
+        |na AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a FROM ca),
+        |nb AS (SELECT CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM cb),
+        |j AS (
+        |  SELECT term,
+        |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb USING (term))
+        |SELECT term, cnt_a, cnt_b,
+        |  round(ln(
+        |    ((CAST(cnt_a AS DOUBLE) + 0.5) * (CAST(n_b AS DOUBLE) + 1.0)) /
+        |    ((CAST(cnt_b AS DOUBLE) + 0.5) * (CAST(n_a AS DOUBLE) + 1.0))),
+        |    6) AS lor
+        |FROM j CROSS JOIN na CROSS JOIN nb
+        |WHERE cnt_a + cnt_b >= 20""".stripMargin
     },
 
     // q103: per-slot position lists + the same HOF alignment filter.

@@ -119,4 +119,36 @@ class TfIdfSamplingSpec extends SparkTestBase {
     assert(covered.head._1 == 0 && covered.last._2 == 103 &&
       covered.sliding(2).forall { case Seq((_, e), (s2, _)) => s2 <= e })
   }
+
+  // ------------------------------------------------------ vocab drift
+
+  test("log-odds drift: hand-computed movers and the noise floor") {
+    import graft.llm.Drift
+    val a = Seq((1L, "x x x y"), (2L, "x y")).toDF("doc_id", "text")
+    val b = Seq((3L, "y y y x"), (4L, "y z")).toDF("doc_id", "text")
+    // counts: A: x4 y2 (Na 6); B: x1 y4 z1 (Nb 6)
+    val out = Drift.logOddsDrift(a, b, col("text"), minCount = 3)
+      .select("term", "cnt_a", "cnt_b", "lor")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def lor(ca: Long, cb: Long) = {
+      val v = math.log(((ca + 0.5) * 7.0) / ((cb + 0.5) * 7.0))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet == Set("x", "y"), "z (count 1) is under the floor")
+    assert(out("x") == ((4L, 1L, lor(4, 1))))
+    assert(out("y") == ((2L, 4L, lor(2, 4))))
+    assert(out("x")._3 > 0 && out("y")._3 < 0)
+  }
+
+  test("log-odds drift is antisymmetric under slice swap") {
+    import graft.llm.Drift
+    val a = Seq((1L, "p q r p")).toDF("doc_id", "text")
+    val b = Seq((2L, "q r s q")).toDF("doc_id", "text")
+    val fwd = Drift.logOddsDrift(a, b, col("text"), 1)
+      .select("term", "lor").as[(String, Double)].collect().toMap
+    val rev = Drift.logOddsDrift(b, a, col("text"), 1)
+      .select("term", "lor").as[(String, Double)].collect().toMap
+    fwd.foreach { case (t, v) => assert(math.abs(v + rev(t)) < 1e-9) }
+  }
 }
