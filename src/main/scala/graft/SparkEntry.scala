@@ -1135,6 +1135,19 @@ object SparkEntry {
           round(coalesce(col("_ce.entropy"), lit(0.0)), 4).as("entropy"))
     }),
 
+    // Same entropy over the checked-in multi-line/non-ASCII fixture:
+    // the sf documents carry no newlines and no astral code points, so
+    // q97 alone never exercises the dotall walk or surrogate-pair
+    // counting (the q60/q61 fixture-coverage pattern).
+    "q114_entropy_multiline" -> ((s, _) => {
+      val ce = call_function("char_entropy", col("text"))
+      multilineDocs(s)
+        .select(col("doc_id"), ce.as("_ce"))
+        .select(col("doc_id"),
+          coalesce(col("_ce.n_cp"), lit(0L)).as("n_cp"),
+          round(coalesce(col("_ce.entropy"), lit(0.0)), 4).as("entropy"))
+    }),
+
     // Weekly cohort retention matrix over events: first-event week x
     // week offset x distinct users. Two map-combinable user aggs + one
     // dimension-sized groupBy.
@@ -1881,6 +1894,28 @@ object SparkEntry {
       |  SELECT doc_id, text
       |  FROM read_json('$MultilineDocs', format='newline_delimited',
       |    columns={doc_id: 'BIGINT', text: 'VARCHAR'}))""".stripMargin
+
+  /** Code-point Shannon-entropy mirror over `from` (doc_id, text) —
+    * matches CharEntropy's ascending-code-point fold exactly (q97). */
+  private def dEntropySql(from: String): String =
+    s"""WITH cps AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(regexp_extract_all(text, '(?s).'),
+      |      c -> ascii(c)::BIGINT)) AS cp
+      |  FROM $from),
+      |cnt AS (SELECT doc_id, cp, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM cps GROUP BY 1, 2),
+      |nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |s AS (
+      |  SELECT cnt.doc_id, MAX(nn.n) AS n_cp,
+      |    list_reduce(
+      |      list((CAST(c AS DOUBLE) / nn.n) * ln(CAST(c AS DOUBLE) / nn.n)
+      |        ORDER BY cp),
+      |      (a, b) -> a + b) AS s
+      |  FROM cnt JOIN nn USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(s.n_cp, 0) AS n_cp,
+      |  round(COALESCE((-(s.s)) + 0.0, 0.0), 4) AS entropy
+      |FROM $from d LEFT JOIN s USING (doc_id)""".stripMargin
 
   /** Winnowing shared-span mirror over `from` (doc_id, text): Rabin-Karp
     * k-gram hashes over CODE POINTS (dotall '.', so newlines and astral
@@ -3458,25 +3493,14 @@ object SparkEntry {
     // list_reduce(list(... ORDER BY cp)) — 0.0-seeded engine fold and
     // first-element-seeded list_reduce agree exactly (0.0 + x = x);
     // the +0.0 collapses -0.0 for single-symbol texts on both sides.
-    "q97_char_entropy" ->
-      """WITH cps AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(regexp_extract_all(text, '(?s).'),
-        |      c -> ascii(c)::BIGINT)) AS cp
-        |  FROM documents),
-        |cnt AS (SELECT doc_id, cp, CAST(COUNT(*) AS BIGINT) AS c
-        |        FROM cps GROUP BY 1, 2),
-        |nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
-        |s AS (
-        |  SELECT cnt.doc_id, MAX(nn.n) AS n_cp,
-        |    list_reduce(
-        |      list((CAST(c AS DOUBLE) / nn.n) * ln(CAST(c AS DOUBLE) / nn.n)
-        |        ORDER BY cp),
-        |      (a, b) -> a + b) AS s
-        |  FROM cnt JOIN nn USING (doc_id) GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(s.n_cp, 0) AS n_cp,
-        |  round(COALESCE((-(s.s)) + 0.0, 0.0), 4) AS entropy
-        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    "q97_char_entropy" -> dEntropySql("documents"),
+
+    // q114: same mirror over the multi-line/non-ASCII fixture — the
+    // dotall '(?s).' walk and astral code-point counting the sf corpus
+    // never exercises (q60/q61 pattern).
+    "q114_entropy_multiline" ->
+      s"""WITH $dMultilineCte,
+        |${dEntropySql("ml").stripPrefix("WITH ")}""".stripMargin,
 
     // q98: Monday-start ISO weeks in both engines; integer day
     // arithmetic for the offset.
