@@ -412,6 +412,24 @@ object SparkEntry {
         col("first_touchpoint"), col("last_touchpoint"))
     }),
 
+    // Page-transition counts over the pageview export (the "top next
+    // page" analysis): lag over each visit's hit order — the window is
+    // bounded by a session's pageview count — then a map-combinable
+    // pair count. Composes the memoized GA pipeline output.
+    "q115_ga_transitions" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fullVisitorId"), col("visitId"))
+        .orderBy(col("hits_hitNumber").cast("long"))
+      gaOutputs(s).pageviews
+        .select(col("fullVisitorId"), col("visitId"),
+          col("hits_hitNumber"),
+          col("hits_page_pagePath").as("to_path"))
+        .withColumn("from_path", lag(col("to_path"), 1).over(w))
+        .where(col("from_path").isNotNull)
+        .groupBy(col("from_path"), col("to_path"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
+
     // P3 hit-table projection: pageviews with per-user hit numbering,
     // hour/minute derivations and page-path levels.
     "q17_ga_pageviews" -> ((s, _) => {
@@ -2333,6 +2351,23 @@ object SparkEntry {
         |  totals_transactionRevenue, landingPage,
         |  'stored-v1', 'stored-v1', 'stored-v1', 'stored-v1'
         |FROM p WHERE "date" = 20190922""".stripMargin,
+
+    // q115: q17's session/evseq CTEs + LAG over each (cid, seq) visit
+    // in evseq order (the engine's per-visit hitNumber order).
+    "q115_ga_transitions" ->
+      s"""WITH ${dGaSessionCtes("")},
+        |v AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY body_cid ORDER BY ms, message_id) AS evseq
+        |  FROM s),
+        |pv AS (SELECT * FROM v WHERE body_t = 'pageview'),
+        |t AS (
+        |  SELECT body_cid, seq, ${dPath("body_dl")} AS to_path,
+        |    LAG(${dPath("body_dl")}) OVER
+        |      (PARTITION BY body_cid, seq ORDER BY evseq) AS from_path
+        |  FROM pv)
+        |SELECT from_path, to_path, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE from_path IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q17_ga_pageviews" ->
       s"""WITH ${dGaSessionCtes("")},
