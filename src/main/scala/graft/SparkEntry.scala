@@ -1220,10 +1220,17 @@ object SparkEntry {
     // Positional inverted index (flat posting rows, term-partitioned):
     // tf + 1-based sorted positions per (term, doc), df-bounded
     // [3, 400]. One narrow posexplode + one bounded (term, doc) reduce.
+    // The gate serializes the positions array to a comma-joined string
+    // (q16 touchpoints precedent) so the driver's pandas compare can
+    // sort/hash the cell; InvertedIndex.postings itself keeps the
+    // array<long> shape (q103 phrase search consumes it).
     "q102_inverted_index" -> ((s, dir) => {
       import graft.llm.InvertedIndex
       InvertedIndex.postings(Tables.documents(s, dir), col("doc_id"),
         col("text"), minDf = 3, maxDf = 400)
+        .select(col("term"), col("doc_id"), col("tf"),
+          array_join(transform(col("positions"), _.cast("string")), ",")
+            .as("positions"))
     }),
 
     // Exact phrase search via positional postings: tokens filtered to
@@ -3481,8 +3488,9 @@ object SparkEntry {
         |FROM j WHERE i * 5 >= n_a * 4""".stripMargin,
 
     // q102: positions from generate_subscripts over the same filtered
-    // token list (1-based in both engines), list(pos ORDER BY pos)
-    // matching the engine's sort_array.
+    // token list (1-based in both engines), string_agg(pos ORDER BY
+    // pos) mirroring the gate's comma-joined sort_array serialization
+    // (the driver's pandas compare can't sort/hash array cells).
     "q102_inverted_index" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -3494,7 +3502,7 @@ object SparkEntry {
         |  FROM w),
         |pd AS (
         |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
-        |    list(CAST(pos AS BIGINT) ORDER BY pos) AS positions
+        |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
         |  FROM tok GROUP BY 1, 2),
         |dft AS (SELECT term FROM pd GROUP BY term
         |        HAVING COUNT(*) BETWEEN 3 AND 400)
@@ -4058,7 +4066,7 @@ object SparkEntry {
 
     "q70_json_props" ->
       """SELECT event_type,
-        |  COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+        |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM (SELECT event_type,
         |        CAST(json_extract(props, '$.k') AS BIGINT) AS k

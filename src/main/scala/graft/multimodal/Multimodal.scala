@@ -136,7 +136,11 @@ object Multimodal {
       }
       o += 8 + size + (size & 1) // chunks are word-aligned
     }
-    if (pcm16 && rate > 0 && channels > 0 && samples != null)
+    // samples.nonEmpty: a well-formed data chunk of size 0 would
+    // otherwise decode to an empty array and crash every consumer that
+    // reads samples(0) (decodeSummary's first_unit, energy hashing) —
+    // treat zero-sample audio as undecodable like any other bad payload.
+    if (pcm16 && rate > 0 && channels > 0 && samples != null && samples.nonEmpty)
       Some(DecodedAudio(rate, channels, samples))
     else None
   }

@@ -131,6 +131,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(au.sampleRate == 8000 && au.samples.toSeq == samples)
   }
 
+  test("decodeWavPcm: zero-size data chunk is undecodable, not an empty array") {
+    // A structurally valid PCM-16 WAV whose data chunk has size 0 must
+    // decode to None: an empty samples array would crash every consumer
+    // that reads samples(0) (decodeSummary's first_unit, energy hash).
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(4 + 8 + 16 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ fmt ++
+      "data".getBytes ++ le32(0)
+    assert(Multimodal.decodeWavPcm(wav).isEmpty)
+  }
+
   test("decodeWavPcm: chunk walk, little-endian int16, stereo interleave") {
     val samples = Seq[Short](-1, 2, -300, 400)
     val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
