@@ -38,7 +38,13 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType.typeName match {
       case "long" => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _      => raw // already a timestamp (future-proofing)
+      // Naive parquet timestamp (timestamp[us] with no timezone) reads
+      // as TIMESTAMP_NTZ, which unix_millis & friends reject. The
+      // session timezone is pinned to UTC everywhere (GraftSession /
+      // Verify / Bench), so the LTZ cast maps wall time to the same
+      // instant DuckDB's naive read produces — value-identical oracles.
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TIMESTAMP (ltz)
     }
   }
 }
