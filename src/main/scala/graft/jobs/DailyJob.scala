@@ -30,7 +30,8 @@ object DailyJob {
   }
 
   def run(spark: SparkSession, paths: Paths, idAlgo: String = "sha1",
-          coalesceOutput: Boolean = true): GaPipeline.Outputs = {
+          coalesceOutput: Boolean = true,
+          catalogDb: Option[String] = Some("ga")): GaPipeline.Outputs = {
     val hits = Ingest.readEnrichedHits(spark, paths.enrichedDay)
     val history = GaPipeline.loadHistory(spark, paths.historyPath)
     // Incremental touchpoints: every row dayOnly keeps belongs to a
@@ -54,6 +55,9 @@ object DailyJob {
     ).foreach { case (tpe, df) =>
       dayOnly(df).write.mode("overwrite").parquet(paths.daily(tpe))
     }
+    // Catalog re-sync after the writes — the reference's nightly crawler
+    // (S5 serve stage); None skips it for path-only consumers.
+    catalogDb.foreach(db => GaCatalog.register(spark, paths.outRoot, db))
     out
   }
 

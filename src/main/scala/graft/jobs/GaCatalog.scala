@@ -1,0 +1,48 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog registration for the GA outputs — the Spark-native analog of
+  * the reference's Glue crawler stage (`cloudformation/collector-ga.yaml:605-635`:
+  * a 4am-cron crawler walks `aggregated/ga/daily/` so Athena can query
+  * `type=sessions|pageviews|events|products|transactions|items`; the
+  * partitioned landing layout is declared at `collector-ga.yaml:199`).
+  *
+  * Without this step the engine writes raw parquet paths and every
+  * downstream SQL user hand-glues directory strings. With it, the daily
+  * tree becomes ONE external partitioned table (`<db>.daily`, partition
+  * columns `type/year/month/day` inferred from the `k=v` layout) plus the
+  * unpartitioned session-history table (`<db>.sessions_history`), both
+  * addressable by name from any SQL client of the same metastore.
+  *
+  * Mechanics: `CREATE TABLE ... USING parquet LOCATION` (external —
+  * dropping the entry never touches data) followed by `ALTER TABLE ...
+  * RECOVER PARTITIONS`, which lists the tree and registers every
+  * partition in the metastore — exactly the crawler's contract, so
+  * re-running after each daily write is the crawler's nightly re-crawl.
+  * Scale note: with catalog-tracked partitions (Spark's default
+  * `manageFilesourcePartitions`), a query's partition predicates are
+  * answered FROM THE METASTORE — the driver never lists the full 100 TB
+  * tree, and the scan's `PartitionFilters`/`PartitionCount` show the
+  * pruning (asserted in GaPipelineSpec). On a cluster the same calls go
+  * against the shared Hive/Glue metastore; locally they hit the
+  * session's in-memory catalog, which implements the same partition API.
+  */
+object GaCatalog {
+
+  /** Register (or re-sync, crawler-style) the GA tables for `outRoot`.
+    * Idempotent: drops and re-creates the external entries, so a moved
+    * `outRoot` or an evolved schema re-infers cleanly; data is never
+    * touched. Safe to call after every [[DailyJob]] run. */
+  def register(spark: SparkSession, outRoot: String, db: String = "ga"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def registerExternal(table: String, location: String, partitioned: Boolean): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+      spark.sql(s"CREATE TABLE $db.$table USING parquet LOCATION '$location'")
+      if (partitioned) spark.sql(s"ALTER TABLE $db.$table RECOVER PARTITIONS")
+    }
+    registerExternal("daily", s"$outRoot/daily", partitioned = true)
+    registerExternal("sessions_history", s"$outRoot/history/sessions",
+      partitioned = false)
+  }
+}

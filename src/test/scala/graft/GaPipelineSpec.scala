@@ -125,4 +125,30 @@ class GaPipelineSpec extends SparkTestBase {
     DailyJob.run(spark, paths)
     assert(spark.read.parquet(paths.historyPath).count() == 3 * nSessions)
   }
+
+  test("catalog registration: outputs readable BY TABLE NAME, daily scan " +
+    "prunes on the type/year/month/day partitions") {
+    val tmp = Files.createTempDirectory("gacat").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths) // registers ga.daily + ga.sessions_history
+    val daily = spark.table("ga.daily")
+    // partition columns came from the k=v directory layout, not the files
+    assert(Seq("type", "year", "month", "day").forall(daily.columns.contains))
+    val sessions = daily.filter(col("type") === "sessions")
+    assert(sessions.count() ==
+      spark.read.parquet(paths.daily("sessions")).count())
+    assert(spark.table("ga.sessions_history").count() ==
+      spark.read.parquet(paths.historyPath).count())
+    // Pruning is answered from the catalog's partition metadata: the
+    // scan carries a non-trivial PartitionFilter on `type` and reads
+    // exactly 1 of the 6 registered type partitions.
+    val plan = sessions.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*type".r.findFirstIn(plan).isDefined,
+      s"no partition filter on type:\n$plan")
+    val scanned = sessions.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("type=sessions")),
+      s"scan touched non-pruned partitions: ${scanned.mkString(", ")}")
+  }
 }
