@@ -161,6 +161,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedIntersectSizeExpr(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "bpe_encode(<text>)")
+        BpeEncodeExpr(children.head)
+      }))
+    // bounded_levenshtein(a, b, maxd) — maxd is a per-row expression
+    // (Spark's levenshtein threshold overload only takes a constant)
+    ext.injectFunction((
+      FunctionIdentifier("bounded_levenshtein"),
+      new ExpressionInfo(classOf[BoundedLevenshteinExpr].getName, "bounded_levenshtein"),
+      (children: Seq[Expression]) => {
+        arity(children, 3, 3, "bounded_levenshtein(a, b, maxd)")
+        BoundedLevenshteinExpr(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       (children: Seq[Expression]) => {

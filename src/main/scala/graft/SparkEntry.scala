@@ -48,6 +48,7 @@ object SparkEntry {
   val MediaPhashExpected = "/root/repo/fixtures/media/expected_phash.csv"
   val MediaAudiohashExpected = "/root/repo/fixtures/media/expected_audiohash.csv"
   val MultilineDocs = "/root/repo/fixtures/docs/multiline.jsonl"
+  val BpeMerges = "/root/repo/src/main/resources/graft/bpe_merges.tsv"
 
   /** Checked-in multi-line/non-ASCII documents (newlines, CJK, Cyrillic,
     * astral emoji, blank lines, trailing newlines) — the text shapes the
@@ -1130,7 +1131,17 @@ object SparkEntry {
           .cast("double") <
           lit(0.25005) * greatest(length(col("text_a")),
             length(col("text_b"))).cast("double"))
-        .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        // Banded verify, not the O(L²) builtin: any pair that can pass
+        // the rel<=0.25 filter has lev/L < 0.25005 (round-half-up at 4
+        // decimals), i.e. lev <= floor(0.25005*L); +1 margin keeps the
+        // double floor clear of the rational boundary. Above the bound
+        // the expression returns maxd+1, whose rel is > 0.25 by
+        // construction — identical output, O(maxd·L) + early exit.
+        .withColumn("maxd",
+          (floor(lit(0.25005) * greatest(length(col("text_a")),
+            length(col("text_b"))).cast("double")) + lit(1)).cast("int"))
+        .withColumn("lev", call_function("bounded_levenshtein",
+          col("text_a"), col("text_b"), col("maxd")).cast("long"))
         .withColumn("rel", round(col("lev").cast("double") /
           greatest(length(col("text_a")), length(col("text_b")))
             .cast("double"), 4))
@@ -1443,6 +1454,36 @@ object SparkEntry {
         TextOps.nTokens(col("text")), budget = 512L, shards = 8)
     }),
 
+    // Deterministic char-level BPE tokens under the checked-in merge
+    // table (src/main/resources/graft/bpe_merges.tsv; graft.llm.Bpe pins
+    // the merge loop — leftmost occurrence of the min-rank pair, one per
+    // step). Native codegen expression, zero shuffle. The gate hashes
+    // the FULL token stream (space-joined: BPE symbols never contain
+    // whitespace, words were split on \s+) plus the count the packing /
+    // chunking budgets consume; the oracle REPLAYS the identical loop as
+    // a DuckDB recursive CTE over the same TSV — the engine's Scala
+    // encoder never touches the oracle path.
+    "q116_bpe_tokens" -> ((s, dir) => {
+      val toks = call_function("bpe_encode", col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("_t"))
+        .select(col("doc_id"),
+          coalesce(size(col("_t")), lit(0)).cast("long").as("n_tokens"),
+          coalesce(array_join(col("_t"), " "), lit("")).as("tokens_str"))
+    }),
+
+    // Packing by REAL tokenizer counts (the reason q116 exists): the
+    // identical sharded greedy chain as q65, budgeted by BPE tokens
+    // instead of whitespace words — what a training pipeline actually
+    // packs by. Same one-exchange scale shape; the token count rides the
+    // scan projection.
+    "q117_bpe_packing" -> ((s, dir) => {
+      import graft.llm.Packing
+      Packing.packGreedy(Tables.documents(s, dir), col("doc_id"),
+        size(call_function("bpe_encode", col("text"))),
+        budget = 256L, shards = 8)
+    }),
+
     // Count-Min frequency sketch — the point-lookup counter completing
     // the sketch family (GK percentiles q49, HLL distinct q62, MG heavy
     // hitters q63): built distributed (mergeable counter grid, eps=0.001
@@ -1474,9 +1515,12 @@ object SparkEntry {
     // Corpus governance rollup over the stored lang/source dimensions:
     // docs, volume, exact-duplicate rate (distinct fingerprints) and
     // mean quality per (source, lang) — the report a curation pass reads
-    // before choosing per-source sampling rates. One shuffle,
-    // map-combinable except the exact distinct (its approx twin is the
-    // q62 pattern).
+    // before choosing per-source sampling rates. One shuffle; the exact
+    // distinct is the only non-map-combinable term, so its 100x-scale
+    // replacement — a mergeable HLL++ sketch of the same fingerprints —
+    // rides the same aggregate and is gated by the q62-style bounds
+    // boolean (swap n_unique for the sketch when the report's consumers
+    // tolerate ±2%; the gate proves the sketch tracks the exact count).
     "q64_corpus_report" -> ((s, dir) => {
       import graft.llm.TextOps
       Tables.documents(s, dir)
@@ -1485,8 +1529,14 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"),
           countDistinct(TextOps.fingerprint(col("text"))).as("n_unique"),
+          approx_count_distinct(TextOps.fingerprint(col("text")), 0.02)
+            .as("_approx_unique"),
           round(sum(TextOps.qualityScore(col("text")).cast("long"))
             .cast("double") / count(lit(1)), 4).as("avg_quality"))
+        .withColumn("unique_in_bounds",
+          abs(col("_approx_unique") - col("n_unique")) <=
+            greatest(lit(5.0), col("n_unique") * 0.1))
+        .drop("_approx_unique")
     }),
 
     // C4-style boilerplate scrub: drop every line occurring in >= 2
@@ -1842,6 +1892,47 @@ object SparkEntry {
 
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
+
+  /** DuckDB mirror of [[graft.llm.Bpe]]'s encode loop as WITH-RECURSIVE
+    * CTE text (caller supplies the leading `WITH RECURSIVE`): replays
+    * "merge the leftmost occurrence of the min-rank adjacent pair, one
+    * occurrence per step" over the SAME checked-in merges TSV the native
+    * expression loads. Pair rank and position are packed into one BIGINT
+    * (rank*100000 + i) so list_min finds (min rank, leftmost i) at once;
+    * absent pairs rank 100000, so enc >= 100000*100000 means fixpoint.
+    * Yields `bpe(doc_id, toks)` — one row per doc, tokens in order. */
+  private def dBpeCte(docsFrom: String): String =
+    s"""mm AS (SELECT map(list(l || chr(1) || r), list(rank)) AS m
+      |  FROM read_csv('$BpeMerges', delim='\t', header=true, quote='',
+      |    columns={'rank':'BIGINT','l':'VARCHAR','r':'VARCHAR'})),
+      |bwords AS (
+      |  SELECT doc_id, wi, regexp_extract_all(word, '.') AS syms
+      |  FROM (SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word,
+      |      generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) AS wi
+      |    FROM $docsFrom)),
+      |brec AS (
+      |  SELECT doc_id, wi, syms, 0 AS it FROM bwords
+      |  UNION ALL
+      |  SELECT doc_id, wi,
+      |    list_slice(syms, 1, CAST(enc % 100000 AS INT) - 1) ||
+      |      [syms[CAST(enc % 100000 AS INT)] || syms[CAST(enc % 100000 AS INT) + 1]] ||
+      |      list_slice(syms, CAST(enc % 100000 AS INT) + 2, len(syms)) AS syms,
+      |    it + 1
+      |  FROM (
+      |    SELECT doc_id, wi, syms, it,
+      |      list_min(list_transform(range(1, len(syms)),
+      |        i -> coalesce(map_extract(m, syms[i] || chr(1) || syms[i+1])[1],
+      |               100000::BIGINT) * 100000::BIGINT + i)) AS enc
+      |    FROM brec, mm) t
+      |  WHERE enc IS NOT NULL AND enc < 100000::BIGINT * 100000::BIGINT),
+      |bfin AS (
+      |  SELECT doc_id, wi, syms,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, wi ORDER BY it DESC) AS rn
+      |  FROM brec),
+      |bpe AS (
+      |  SELECT doc_id, flatten(list(syms ORDER BY wi)) AS toks
+      |  FROM bfin WHERE rn = 1 GROUP BY doc_id)""".stripMargin
 
   /** The composed corpus pipeline's CTE chain (quality filter →
     * exact-dedup survivor → near-dup connected components → cluster
@@ -3850,6 +3941,36 @@ object SparkEntry {
         |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
         |FROM st""".stripMargin,
 
+    // q116: the oracle re-runs the merge loop itself (recursive CTE over
+    // the same checked-in TSV) — full token-stream hash equality, not a
+    // count check. LEFT JOIN totalizes docs whose text has no words.
+    "q116_bpe_tokens" ->
+      s"""WITH RECURSIVE ${dBpeCte("documents")}
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(array_to_string(b.toks, ' '), '') AS tokens_str
+        |FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // q117: q65's packing chain, fed by the q116 token counts.
+    "q117_bpe_packing" ->
+      s"""WITH RECURSIVE ${dBpeCte("documents")},
+        |d AS (
+        |  SELECT shard, doc_id, nt,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+        |  FROM (SELECT ${dMd5Long("dd.doc_id::VARCHAR")} % 8 AS shard, dd.doc_id,
+        |          CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS nt
+        |        FROM documents dd LEFT JOIN bpe b ON dd.doc_id = b.doc_id)),
+        |st AS (
+        |  SELECT shard, doc_id, nt, pos, CAST(1 AS BIGINT) AS seq_no, nt AS fill
+        |  FROM d WHERE pos = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.nt, d.pos,
+        |    CASE WHEN st.fill + d.nt > 256 THEN st.seq_no + 1 ELSE st.seq_no END,
+        |    CASE WHEN st.fill + d.nt > 256 THEN d.nt ELSE st.fill + d.nt END
+        |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
+        |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
+        |FROM st""".stripMargin,
+
     // q71: exact heavy-term counts hash-checked; the CMS contract
     // (never-underestimate + bounded overestimate at fixed seed) stated
     // as all-true booleans, one-sided like q49/q62/q63.
@@ -3883,6 +4004,7 @@ object SparkEntry {
         |SELECT source, lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(DISTINCT fp) AS n_unique,
+        |  TRUE AS unique_in_bounds,
         |  round(SUM(qsc)*1.0/COUNT(*), 4) AS avg_quality
         |FROM q GROUP BY 1, 2""".stripMargin
     },

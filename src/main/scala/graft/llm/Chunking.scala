@@ -27,11 +27,25 @@ object Chunking {
   /** One row per chunk: `(doc_id, chunk_id, n_chunk_tokens,
     * chunk_text)`. Documents with zero tokens produce no rows. */
   def chunk(docs: DataFrame, id: Column, text: Column,
-            chunkTokens: Int = 40, stride: Int = 30): DataFrame = {
+            chunkTokens: Int = 40, stride: Int = 30): DataFrame =
+    chunkTokenized(docs, id, TextOps.lowerTokens(text), chunkTokens, stride)
+
+  /** Chunk by REAL tokenizer units: same windows/stride over the
+    * checked-in-vocab BPE stream ([[Bpe]]), so chunk budgets line up
+    * with what a model actually consumes. `chunk_text` renders the
+    * token stream space-joined (BPE symbols contain no whitespace). */
+  def chunkBpe(docs: DataFrame, id: Column, text: Column,
+               chunkTokens: Int = 40, stride: Int = 30): DataFrame =
+    chunkTokenized(docs, id, call_function("bpe_encode", text),
+      chunkTokens, stride)
+
+  /** Generic core over any pre-tokenized array<string> column. */
+  def chunkTokenized(docs: DataFrame, id: Column, tokens: Column,
+                     chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens: $chunkTokens/$stride")
     val toked = docs
-      .select(id.as("doc_id"), TextOps.lowerTokens(text).as("_toks"))
+      .select(id.as("doc_id"), tokens.as("_toks"))
       .withColumn("_n", coalesce(size(col("_toks")), lit(0)).cast("long"))
       .where(col("_n") > 0)
     val starts = filter(

@@ -33,6 +33,23 @@ object PageRank {
   def ranks(edges0: DataFrame, src: Column, dst: Column,
             iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val (g, nodes) = buildGraph(edges0, src, dst)
+    val n = col("n").cast("double")
+    var ranks = nodes.crossJoin(broadcast(g.select(col("n")).limit(1)))
+      .select(col("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      ranks = step(g, ranks, damping).localCheckpoint(true)
+    g.unpersist()
+    ranks
+  }
+
+  /** Edge table (persisted WITH hashpartitioning(src) — see comment
+    * inside) + node list. Exposed package-private so PlanSpec can
+    * assert the per-iteration plan really reuses the cached
+    * partitioning; callers must unpersist the first element. */
+  private[graft] def buildGraph(edges0: DataFrame, src: Column,
+      dst: Column): (DataFrame, DataFrame) = {
     val e0 = edges0.select(src.cast("long").as("src"),
       dst.cast("long").as("dst")).distinct()
     val nodes = e0.select(col("src").as("node"))
@@ -54,28 +71,26 @@ object PageRank {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val g = edges.join(deg, "src").repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = col("n").cast("double")
-    var ranks = nodes.crossJoin(broadcast(g.select(col("n")).limit(1)))
-      .select(col("node"), (lit(1.0) / n).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contribs = g.join(ranks, g("src") === ranks("node"))
-        .select(g("src"), g("dst"), g("n"),
-          (col("rank") / col("outdeg").cast("double")).as("contrib"))
-      val summed = contribs.groupBy(col("dst"))
-        .agg(first(col("n")).as("n"),
-          aggregate(sort_array(collect_list(struct(col("src"), col("contrib")))),
-            lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
-      ranks = ranks.select(col("node"))
-        .join(summed.select(col("dst").as("node"), col("n"), col("s")),
-          Seq("node"), "left")
-        .crossJoin(broadcast(g.select(col("n").as("_n")).limit(1)))
-        .select(col("node"),
-          (lit(1.0 - damping) / col("_n").cast("double") +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
-    }
-    g.unpersist()
-    ranks
+    (g, nodes)
+  }
+
+  /** One un-checkpointed power iteration: rank/outdeg along edges,
+    * per-dst source-sorted fold, damping. The loop body PlanSpec pins. */
+  private[graft] def step(g: DataFrame, ranks: DataFrame,
+      damping: Double): DataFrame = {
+    val contribs = g.join(ranks, g("src") === ranks("node"))
+      .select(g("src"), g("dst"), g("n"),
+        (col("rank") / col("outdeg").cast("double")).as("contrib"))
+    val summed = contribs.groupBy(col("dst"))
+      .agg(first(col("n")).as("n"),
+        aggregate(sort_array(collect_list(struct(col("src"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
+    ranks.select(col("node"))
+      .join(summed.select(col("dst").as("node"), col("n"), col("s")),
+        Seq("node"), "left")
+      .crossJoin(broadcast(g.select(col("n").as("_n")).limit(1)))
+      .select(col("node"),
+        (lit(1.0 - damping) / col("_n").cast("double") +
+          lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
   }
 }

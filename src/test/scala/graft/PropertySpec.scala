@@ -494,4 +494,64 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("bounded_levenshtein equals the unbounded builtin under the bound " +
+    "and clamps to maxd+1 above it, on random unicode pairs") {
+    val rnd = new scala.util.Random(1096)
+    val alphabet = Vector("a", "b", "c", "d", "日", "本", "😀", " ")
+    def word(n: Int): String = (1 to n)
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = (1 to 120).map { i =>
+      val base = word(1 + rnd.nextInt(40))
+      val other = rnd.nextInt(3) match {
+        case 0 => // small mutation of base: distance lands near 0
+          val cps = base.codePoints().toArray.toBuffer
+          (1 to rnd.nextInt(4)).foreach { _ =>
+            if (cps.nonEmpty) cps(rnd.nextInt(cps.length)) = 'z'.toInt
+          }
+          cps.foldLeft(new java.lang.StringBuilder())(
+            (sb, cp) => sb.appendCodePoint(cp)).toString
+        case 1 => word(1 + rnd.nextInt(40)) // unrelated
+        case _ => base // identical: distance 0
+      }
+      (i.toLong, base, other, rnd.nextInt(12))
+    }
+    val got = pairs.toDF("id", "a", "b", "maxd")
+      .select(col("id"),
+        call_function("bounded_levenshtein", col("a"), col("b"),
+          col("maxd")).as("bl"),
+        levenshtein(col("a"), col("b")).as("lev"), col("maxd"))
+      .as[(Long, Int, Int, Int)].collect()
+    assert(got.length == 120)
+    got.foreach { case (id, bl, lev, maxd) =>
+      if (lev <= maxd) assert(bl == lev,
+        s"pair $id: bounded=$bl != builtin=$lev under maxd=$maxd")
+      else assert(bl == maxd + 1,
+        s"pair $id: bounded=$bl must clamp to ${maxd + 1} (lev=$lev)")
+    }
+    // surrogate pairs count once (code-point semantics, like the builtin)
+    val emoji = pairs.take(1).map(_ => (1L, "😀😀😀", "😀😀", 5))
+      .toDF("id", "a", "b", "maxd")
+      .select(call_function("bounded_levenshtein", col("a"), col("b"),
+        col("maxd"))).as[Int].head()
+    assert(emoji == 1)
+  }
+
+  test("bounded_levenshtein early-exit and edge contracts (direct)") {
+    import graft.expressions.BoundedLevenshtein.computeCp
+    def cp(s: String): Array[Int] = s.codePoints().toArray
+    // negative maxd behaves as 0: only equality passes
+    assert(computeCp(cp("abc"), cp("abc"), 0) == 0)
+    assert(computeCp(cp("abc"), cp("abd"), 0) == 1) // clamp = maxd+1
+    // length-gap shortcut: no DP rows touched, immediate maxd+1
+    assert(computeCp(cp("a" * 1000), cp("a"), 10) == 11)
+    // band exit: totally disjoint long strings reject at the clamp
+    assert(computeCp(cp("a" * 500), cp("b" * 500), 7) == 8)
+    // empty sides
+    assert(computeCp(cp(""), cp("xy"), 5) == 2)
+    assert(computeCp(cp("xy"), cp(""), 1) == 2) // gap 2 > maxd 1 → clamp
+    // exact at the boundary: distance == maxd is returned, not clamped
+    assert(computeCp(cp("kitten"), cp("sitting"), 3) == 3)
+    assert(computeCp(cp("kitten"), cp("sitting"), 2) == 3) // clamp
+  }
 }
