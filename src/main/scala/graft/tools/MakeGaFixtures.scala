@@ -453,7 +453,17 @@ object MakeGaFixtures {
       Visitor("cid-v77", "84.113.53.3", uaFxios, deviceFxios, geoBerlin, Seq(
         m(53) -> pv("cid-v77", s"$shop/longtail/fxios"))),
       Visitor("cid-v78", "84.113.54.4", uaYandex, deviceYandex, geoVienna, Seq(
-        m(54) -> pv("cid-v78", s"$shop/longtail/yandex"))))
+        m(54) -> pv("cid-v78", s"$shop/longtail/yandex"))),
+      // v79: hostile body content — multi-line page title (with the
+      // duplicate-dt LAST_WIN overwrite), CJK/emoji category, CRLF+tab
+      // event label (the q60/q61 fixture-coverage pattern applied to the
+      // GA side: S7 URL-decode, P10 flatten, JSON escaping and the
+      // oracle's own JSON read must all round-trip identical bytes).
+      Visitor("cid-v79", "84.113.55.5", uaIphone, deviceMobile, geoVienna, Seq(
+        m(55) -> pv("cid-v79", s"$shop/longtail/ml", extra = Seq(
+          "dt" -> "Zeile 1\nZeile 2 — 日本語 😀 \"quoted\"")),
+        m(56) -> ev("cid-v79", s"$shop/longtail/ml", "コンテンツ", "tap\ntwice",
+          Seq("el" -> "emoji 😀 label\r\nwith CRLF\tand tab")))))
 
     // Bulk visitors b21..b56: 3-hit single sessions rotating over four
     // acquisition shapes; every 5th buys one product.

@@ -55,7 +55,7 @@ class IngestSpec extends SparkTestBase {
 
     val a = ingested.select(cols: _*).orderBy("message_id").collect()
     val b = enriched.select(cols: _*).orderBy("message_id").collect()
-    assert(a.length == 173 && a.length == b.length)
+    assert(a.length == 175 && a.length == b.length)
     a.zip(b).foreach { case (ra, rb) => assert(ra == rb, s"row mismatch: $ra vs $rb") }
   }
 
@@ -91,6 +91,6 @@ class IngestSpec extends SparkTestBase {
     assert(df.schema.size == 267)
     // a column no fixture row carries is still present and all-null
     assert(df.filter(col("body_pr19cc").isNotNull).count() == 0)
-    assert(df.count() == 173)
+    assert(df.count() == 175)
   }
 }
