@@ -35,6 +35,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("freshness monitor: listener tracks rows/staleness on a manual " +
+    "clock; table probe reports max ts (the S10 alarm analog)") {
+    import graft.streaming.{FreshnessListener, FreshnessMonitor}
+    val base = 1700000000000L
+    @volatile var nowMs = base
+    val listener = new FreshnessListener(() => nowMs).attach(spark)
+    val input = MemoryStream[StreamDoc](spark)
+    val q = input.toDF().writeStream.format("memory")
+      .queryName("fresh_out").outputMode("append").start()
+    try {
+      // listener events ride an async bus — poll until they landed
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime + 10000000000L
+        while (!listener.report(0).exists(f =>
+          f.name == "fresh_out" && f.totalRows == n) &&
+          System.nanoTime < deadline) Thread.sleep(50)
+      }
+      input.addData(StreamDoc(1, "a", new Timestamp(base)),
+        StreamDoc(2, "b", new Timestamp(base + 1000)))
+      q.processAllAvailable()
+      awaitRows(2)
+      nowMs += 60000 // 1 min later, inside the hour window
+      val fresh = listener.report(staleAfterMs = 3600000)
+        .filter(_.name == "fresh_out")
+      assert(fresh.nonEmpty && !fresh.head.stale)
+      assert(fresh.head.totalRows == 2)
+      assert(fresh.head.msSinceData == 60000)
+      // idle empty batches keep progress flowing but do NOT refresh the
+      // data clock: an hour with no rows = the reference's
+      // LessThanThreshold alarm (TreatMissingData breaching)
+      nowMs += 3600000
+      val stale = listener.report(staleAfterMs = 3600000)
+        .filter(_.name == "fresh_out")
+      assert(stale.head.stale && stale.head.totalRows == 2)
+      // a new batch with data un-stales it
+      input.addData(StreamDoc(3, "c", new Timestamp(base + 2000)))
+      q.processAllAvailable()
+      awaitRows(3)
+      val back = listener.report(staleAfterMs = 3600000)
+        .filter(_.name == "fresh_out")
+      assert(!back.head.stale && back.head.totalRows == 3)
+    } finally {
+      q.stop()
+      listener.detach(spark)
+    }
+    // batch half: landed-data freshness from one column-pruned aggregate
+    val (maxMs, n) = FreshnessMonitor.ofTable(
+      graft.sources.Tables.events(spark, sf), "ts")
+    assert(n > 0 && maxMs.isDefined && maxMs.get > 0)
+  }
+
   test("streaming corpus scrub: quality + PII + exact dedup compose over a stream") {
     import graft.llm.TextOps
     // PII redaction and the quality filter are per-row projections, so
