@@ -431,6 +431,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_transitions"))
     }),
 
+    // Landed-data freshness probe (the batch half of the S10 monitor,
+    // streaming/FreshnessMonitor): latest event time + volume per event
+    // type — ONE map-combinable aggregate over just (event_type, ts),
+    // column-pruned at the scan; the alarm predicate compares max_ts_ms
+    // against now() outside the engine. The per-type split is what an
+    // operator actually pages on (one silent source among many).
+    "q118_freshness_probe" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(max(unix_millis(col("ts"))).as("max_ts_ms"),
+          min(unix_millis(col("ts"))).as("min_ts_ms"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // P3 hit-table projection: pageviews with per-user hit numbering,
     // hour/minute derivations and page-path levels.
     "q17_ga_pageviews" -> ((s, _) => {
@@ -3940,6 +3954,13 @@ object SparkEntry {
         |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
         |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
         |FROM st""".stripMargin,
+
+    "q118_freshness_probe" ->
+      """SELECT event_type,
+        |  epoch_ms(MAX(ts)) AS max_ts_ms,
+        |  epoch_ms(MIN(ts)) AS min_ts_ms,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
 
     // q116: the oracle re-runs the merge loop itself (recursive CTE over
     // the same checked-in TSV) — full token-stream hash equality, not a

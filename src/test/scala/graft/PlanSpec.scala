@@ -433,6 +433,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bpe tokenize is a pure projection; bpe packing costs one shard shuffle") {
+    uncached {
+      val tok = SparkEntry.queries("q116_bpe_tokens")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!tok.contains("Exchange"),
+        s"tokenization must not shuffle:\n$tok")
+      val pack = SparkEntry.queries("q117_bpe_packing")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(pack).length
+      assert(exchanges == 1,
+        s"packing must cost exactly the shard exchange, got $exchanges:\n$pack")
+    }
+  }
+
+  test("q118 freshness probe: one aggregate, scan reads only (event_type, ts)") {
+    uncached {
+      val plan = SparkEntry.queries("q118_freshness_probe")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"probe must be one agg exchange:\n$plan")
+      assert(!plan.contains("props") && !plan.contains("user_id"),
+        s"probe scan must prune to (event_type, ts):\n$plan")
+    }
+  }
+
   test("q96 verify stage runs the banded expression on candidates only") {
     uncached {
       val plan = SparkEntry.queries("q96_edit_distance_pairs")(spark, sf)
