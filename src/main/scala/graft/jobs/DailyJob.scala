@@ -61,6 +61,52 @@ object DailyJob {
     out
   }
 
+  /** The scale form of the six daily overwrites: ONE partitioned write
+    * per type with DYNAMIC partition overwrite — partition columns come
+    * from the data (`to_date(timestamp)`), and Spark replaces exactly
+    * the (year, month, day) partitions present in this batch, leaving
+    * every other day untouched. The path-per-day `run` writer must
+    * hand-build the target directory and trusts the caller to pass the
+    * matching jobDate; this one cannot clobber a day it didn't compute,
+    * which is the property a 1000-executor backfill needs (re-running
+    * any subset of days is idempotent and order-free). Layout is
+    * identical to `run`'s (`daily/type=X/year=/month=/day=`), so
+    * [[GaCatalog]] and every reader are unchanged.
+    *
+    * Restores the session's partitionOverwriteMode afterwards (the
+    * STATIC default would wipe sibling days — the failure mode the spec
+    * pins). */
+  def writeDailyPartitioned(spark: SparkSession, out: GaPipeline.Outputs,
+      outRoot: String, days: Seq[String],
+      catalogDb: Option[String] = Some("ga")): Unit =
+    writeTablesPartitioned(spark, Seq(
+      "sessions" -> out.sessions, "pageviews" -> out.pageviews,
+      "events" -> out.events, "products" -> out.products,
+      "transactions" -> out.transactions, "items" -> out.items),
+      outRoot, days, catalogDb)
+
+  /** Generic core: any (type, table-with-`timestamp`) set. */
+  def writeTablesPartitioned(spark: SparkSession,
+      tables: Seq[(String, DataFrame)], outRoot: String, days: Seq[String],
+      catalogDb: Option[String] = Some("ga")): Unit = {
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      tables.foreach { case (tpe, df) =>
+        val d = to_date(col("timestamp"))
+        df.filter(d.isin(days: _*))
+          .withColumn("year", date_format(d, "yyyy"))
+          .withColumn("month", date_format(d, "MM"))
+          .withColumn("day", date_format(d, "dd"))
+          .write.mode("overwrite")
+          .partitionBy("year", "month", "day")
+          .parquet(s"$outRoot/daily/type=$tpe")
+      }
+      catalogDb.foreach(db => GaCatalog.register(spark, outRoot, db))
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: DailyJob <enrichedRoot> <outRoot> <jobDate YYYY-MM-DD>")
     val spark = GraftSession.local()

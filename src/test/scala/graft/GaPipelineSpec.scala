@@ -126,6 +126,44 @@ class GaPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(paths.historyPath).count() == 3 * nSessions)
   }
 
+  test("dynamic-partition daily write: re-running one day replaces only " +
+    "that day's partitions (backfill-safe, order-free)") {
+    import org.apache.spark.sql.functions.{expr, lit => flit}
+    val tmp = Files.createTempDirectory("gadyn").toString
+    // two-day synthetic table (the GA fixture's sessions all date to one
+    // Berlin day, so the boundary is built here): v=1 marks the batch
+    def batch(rows: Seq[(String, Int)], v: Int) = {
+      import spark.implicits._
+      rows.toDF("ts_s", "k")
+        .select(expr("cast(ts_s as timestamp)").as("timestamp"), col("k"),
+          flit(v).as("v"))
+    }
+    val both = batch(Seq(("2019-09-22 10:00:00", 1), ("2019-09-22 11:00:00", 2),
+      ("2019-09-23 09:00:00", 3)), v = 1)
+    DailyJob.writeTablesPartitioned(spark, Seq("sessions" -> both), tmp,
+      Seq("2019-09-22", "2019-09-23"), catalogDb = None)
+    val sessDir = s"$tmp/daily/type=sessions"
+    val first = spark.read.parquet(sessDir)
+    assert(first.filter(col("day") === 22).count() == 2)
+    assert(first.filter(col("day") === 23).count() == 1)
+    // re-run ONLY 09-23 with a CHANGED batch (v=2, two rows): 09-22 must
+    // survive byte-identical — under the STATIC default this same write
+    // wipes the sibling day's directory
+    val redo = batch(Seq(("2019-09-23 09:00:00", 3), ("2019-09-23 10:00:00", 4)),
+      v = 2)
+    DailyJob.writeTablesPartitioned(spark, Seq("sessions" -> redo), tmp,
+      Seq("2019-09-23"), catalogDb = None)
+    val second = spark.read.parquet(sessDir)
+    assert(second.filter(col("day") === 22 && col("v") === 1).count() == 2,
+      "sibling day clobbered — dynamic partition overwrite lost")
+    assert(second.filter(col("day") === 23).count() == 2)
+    assert(second.filter(col("day") === 23 && col("v") === 2).count() == 2,
+      "re-run day must be fully replaced, not appended")
+    // mode restored so later suites keep the session default
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+  }
+
   test("catalog registration: outputs readable BY TABLE NAME, daily scan " +
     "prunes on the type/year/month/day partitions") {
     val tmp = Files.createTempDirectory("gacat").toString
