@@ -167,6 +167,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, 1, 1, "bpe_encode(<text>)")
         BpeEncodeExpr(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_encode_ids"),
+      new ExpressionInfo(classOf[BpeEncodeIdsExpr].getName, "bpe_encode_ids"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "bpe_encode_ids(<text>)")
+        BpeEncodeIdsExpr(children.head)
+      }))
     // bounded_levenshtein(a, b, maxd) — maxd is a per-row expression
     // (Spark's levenshtein threshold overload only takes a constant)
     ext.injectFunction((

@@ -49,6 +49,7 @@ object SparkEntry {
   val MediaAudiohashExpected = "/root/repo/fixtures/media/expected_audiohash.csv"
   val MultilineDocs = "/root/repo/fixtures/docs/multiline.jsonl"
   val BpeMerges = "/root/repo/src/main/resources/graft/bpe_merges.tsv"
+  val BpeVocab = "/root/repo/src/main/resources/graft/bpe_vocab.tsv"
 
   /** Checked-in multi-line/non-ASCII documents (newlines, CJK, Cyrillic,
     * astral emoji, blank lines, trailing newlines) — the text shapes the
@@ -1484,6 +1485,21 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(size(col("_t")), lit(0)).cast("long").as("n_tokens"),
           coalesce(array_join(col("_t"), " "), lit("")).as("tokens_str"))
+    }),
+
+    // Token-ID streams under the checked-in vocab (id 0 = unk, then
+    // sorted base symbols, then merge outputs by rank): the artifact a
+    // sequence assembler stores and packs — models consume ids, not
+    // strings. Same zero-shuffle projection as q116; the oracle maps the
+    // recursive-CTE tokens through the same vocab TSV.
+    "q119_bpe_ids" -> ((s, dir) => {
+      val ids = call_function("bpe_encode_ids", col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ids.as("_i"))
+        .select(col("doc_id"),
+          coalesce(size(col("_i")), lit(0)).cast("long").as("n_tokens"),
+          coalesce(array_join(transform(col("_i"), _.cast("string")), ","),
+            lit("")).as("ids_str"))
     }),
 
     // Packing by REAL tokenizer counts (the reason q116 exists): the
@@ -3971,6 +3987,21 @@ object SparkEntry {
         |  CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS n_tokens,
         |  COALESCE(array_to_string(b.toks, ' '), '') AS tokens_str
         |FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // q119: the q116 token stream mapped through the same vocab TSV
+    // (map lookup, coalesce 0 = unk) — id-stream hash equality.
+    "q119_bpe_ids" ->
+      s"""WITH RECURSIVE ${dBpeCte("documents")},
+        |vm AS (SELECT map(list(token), list(id)) AS v
+        |  FROM read_csv('$BpeVocab', delim='\t', header=true, quote='',
+        |    columns={'id':'INTEGER','token':'VARCHAR'}))
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS n_tokens,
+        |  COALESCE(array_to_string(
+        |    list_transform(b.toks, t -> coalesce(map_extract(v, t)[1], 0)),
+        |    ','), '') AS ids_str
+        |FROM documents d
+        |LEFT JOIN bpe b ON d.doc_id = b.doc_id, vm""".stripMargin,
 
     // q117: q65's packing chain, fed by the q116 token counts.
     "q117_bpe_packing" ->

@@ -48,4 +48,33 @@ object BpeEncode {
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  def computeIds(text: UTF8String): ArrayData =
+    new GenericArrayData(graft.llm.Bpe.encodeIds(text.toString))
+}
+
+/** `bpe_encode_ids(text) → array<int>` — the id stream under the
+  * checked-in vocab (id 0 = unk for out-of-vocab code points): what a
+  * training manifest actually stores and a sequence assembler packs.
+  * Same zero-shuffle per-row shape as [[BpeEncodeExpr]]. */
+case class BpeEncodeIdsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeEncode.computeIds(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.BpeEncode.computeIds($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIdsExpr =
+    copy(child = newChild)
 }

@@ -34,6 +34,32 @@ object Bpe {
   /** Classpath location of the checked-in merges table. */
   val MergesResource = "/graft/bpe_merges.tsv"
 
+  /** Classpath location of the checked-in id vocabulary (id 0 = unk,
+    * then sorted base symbols, then merge outputs in rank order — see
+    * [[graft.tools.MakeBpeVocab.vocab]]). */
+  val VocabResource = "/graft/bpe_vocab.tsv"
+
+  val UnkToken = "<unk>"
+  val UnkId = 0
+
+  /** token string → stable integer id. */
+  lazy val vocabIds: Map[String, Int] = {
+    val in = getClass.getResourceAsStream(VocabResource)
+    require(in != null, s"missing resource $VocabResource — run graft.tools.MakeBpeVocab")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(ln => ln.nonEmpty && !ln.startsWith("id\t"))
+      .map { ln =>
+        val Array(id, tok) = ln.split("\t", -1)
+        tok -> id.toInt
+      }.toMap
+    finally src.close()
+  }
+
+  /** Encode to stable ids; tokens over out-of-vocab code points map to
+    * [[UnkId]] (merged tokens are always in-vocab by construction). */
+  def encodeIds(text: String): Array[Int] =
+    encode(text).map(vocabIds.getOrElse(_, UnkId))
+
   /** rank lookup keyed by (left, right); ascending rank = earlier merge. */
   lazy val ranks: Map[(String, String), Int] = {
     val in = getClass.getResourceAsStream(MergesResource)

@@ -72,8 +72,26 @@ object MakeBpeVocab {
     out.result()
   }
 
+  val DefaultVocabOut = "src/main/resources/graft/bpe_vocab.tsv"
+
+  /** Id space: 0 = `<unk>` (any token over code points unseen in
+    * training), 1..B = base symbols (distinct training code points,
+    * sorted), B+1.. = merge outputs in rank order. Every token the
+    * encoder can emit over in-vocab chars has an id by construction. */
+  def vocab(wordFreq: Map[String, Long],
+      merges: Seq[(String, String)]): Seq[(Int, String)] = {
+    val base = wordFreq.keysIterator
+      .flatMap(Bpe.codePointSymbols).toSet.toSeq.sorted
+    (Seq(0 -> Bpe.UnkToken) ++
+      base.zipWithIndex.map { case (s, i) => (i + 1) -> s } ++
+      merges.zipWithIndex.map { case ((l, r), i) =>
+        (base.size + 1 + i) -> (l + r)
+      }).map { case (i, s) => (i, s) }
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else DefaultOut
+    val vocabOut = if (args.length > 1) args(1) else DefaultVocabOut
     val spark = GraftSession.local()
     val texts = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")
@@ -88,7 +106,11 @@ object MakeBpeVocab {
     }.mkString("\n") + "\n"
     Files.createDirectories(Paths.get(out).getParent)
     Files.write(Paths.get(out), body.getBytes(StandardCharsets.UTF_8))
-    println(s"wrote ${merges.size} merges to $out")
+    val v = vocab(wordFreq, merges)
+    val vbody = "id\ttoken\n" +
+      v.map { case (i, s) => s"$i\t$s" }.mkString("\n") + "\n"
+    Files.write(Paths.get(vocabOut), vbody.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote ${merges.size} merges to $out, ${v.size} vocab entries to $vocabOut")
     spark.stop()
   }
 }

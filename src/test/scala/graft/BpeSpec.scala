@@ -73,6 +73,28 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("token ids: stable vocab mapping, unk=0 for out-of-vocab code points") {
+    val ids = Bpe.vocabIds
+    assert(ids(Bpe.UnkToken) == 0)
+    // every merge output is in-vocab by construction
+    Bpe.ranks.foreach { case ((l, r), _) =>
+      assert(ids.contains(l + r), s"merge output '$l$r' missing from vocab")
+    }
+    // ids are dense 0..V-1 and unique
+    assert(ids.values.toSeq.sorted == (0 until ids.size))
+    // in-vocab text round-trips with no unks; OOV chars map to 0
+    val inVocab = Bpe.encodeIds("the sort order window")
+    assert(inVocab.nonEmpty && !inVocab.contains(0))
+    val oov = Bpe.encodeIds("же") // cyrillic never seen in training
+    assert(oov.nonEmpty && oov.forall(_ == 0))
+    // expression equals the library mapping
+    val viaExpr = Seq((1L, "the sort же order"))
+      .toDF("doc_id", "text")
+      .select(call_function("bpe_encode_ids", col("text")))
+      .as[Seq[Int]].head()
+    assert(viaExpr == Bpe.encodeIds("the sort же order").toSeq)
+  }
+
   test("chunkBpe windows the BPE stream with the chunk/stride contract") {
     val docs = Seq((1L, "the sort order merge window table scan " * 8),
       (2L, "x"), (3L, "")).toDF("doc_id", "text")
