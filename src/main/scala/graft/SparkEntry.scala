@@ -1487,6 +1487,20 @@ object SparkEntry {
           coalesce(array_join(col("_t"), " "), lit("")).as("tokens_str"))
     }),
 
+    // Deterministic spherical k-means over the embedding table (the
+    // Lloyd refinement of q35's IVF coarse quantizer): md5-sample seed,
+    // cosine-argmax assignment via the native top_cells pass, per-
+    // (cell, dim) centroid means summed as DECIMAL(38,12) — exact and
+    // order-independent, so an unbounded cluster needs no sorted fold
+    // (the scalable form of the repo's bit-stable-double discipline).
+    // Gate rows: (cell, dim) centroid components + integer cluster
+    // stats; the oracle unrolls all 3 Lloyd rounds as chained CTEs
+    // (q100 precedent).
+    "q120_kmeans" -> ((s, dir) => {
+      import graft.llm.KMeans
+      KMeans.report(s, Tables.embeddings(s, dir))
+    }),
+
     // Token-ID streams under the checked-in vocab (id 0 = unk, then
     // sorted base symbols, then merge outputs by rank): the artifact a
     // sequence assembler stores and packs — models consume ids, not
@@ -1922,6 +1936,66 @@ object SparkEntry {
 
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
+
+  /** DuckDB mirror of [[graft.llm.KMeans]]: seed from the md5 sample,
+    * then `iters` unrolled Lloyd rounds (q100's chained-CTE precedent) —
+    * cosine-argmax assignment, DECIMAL(38,12)-exact per-(cell, dim)
+    * means, emptied cells carrying the previous centroid. */
+  private def dKMeansSql(k: Int, iters: Int, dims: Int): String = {
+    val dimsTab = s"(SELECT unnest(generate_series(1, $dims)) AS j)"
+    def iterCtes(i: Int): String = {
+      val p = s"c${i - 1}"
+      s"""s$i AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(generate_series(1, $dims),
+        |      j -> e.embedding[j]::DOUBLE * c.ce[j]))
+        |      / sqrt(list_sum(list_transform(c.ce, x -> x * x))) AS score
+        |  FROM embeddings e CROSS JOIN $p c),
+        |a$i AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+        |    FROM s$i) t WHERE rk = 1),
+        |m$i AS (
+        |  SELECT a.cell, d.j,
+        |    CAST(SUM(CAST(floor(e.embedding[d.j]::DOUBLE * 10000000.0) AS BIGINT)) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * 10000000.0) AS m
+        |  FROM a$i a JOIN embeddings e USING (vec_id)
+        |  CROSS JOIN $dimsTab d
+        |  GROUP BY a.cell, d.j),
+        |mc$i AS (SELECT cell, list(m ORDER BY j) AS ce FROM m$i GROUP BY cell),
+        |c$i AS (
+        |  SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+        |  FROM $p p LEFT JOIN mc$i n ON n.cell = p.cid)""".stripMargin
+    }
+    s"""WITH c0 AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
+      |    list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k) q),
+      |${(1 to iters).map(iterCtes).mkString(",\n")},
+      |sf AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, $dims),
+      |      j -> e.embedding[j]::DOUBLE * c.ce[j]))
+      |      / sqrt(list_sum(list_transform(c.ce, x -> x * x))) AS score
+      |  FROM embeddings e CROSS JOIN c$iters c),
+      |af AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+      |    FROM sf) t WHERE rk = 1),
+      |rep AS (
+      |  SELECT c.cid AS cell, d.j - 1 AS dim, c.ce[d.j] AS centroid
+      |  FROM c$iters c CROSS JOIN $dimsTab d),
+      |st AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |         CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+      |       FROM af GROUP BY 1)
+      |SELECT CAST(r.cell AS BIGINT) AS cell, CAST(r.dim AS BIGINT) AS dim,
+      |  r.centroid, COALESCE(s.n_vecs, 0) AS n_vecs,
+      |  COALESCE(s.sum_vec_id, 0) AS sum_vec_id
+      |FROM rep r LEFT JOIN st s USING (cell)""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.llm.Bpe]]'s encode loop as WITH-RECURSIVE
     * CTE text (caller supplies the leading `WITH RECURSIVE`): replays
@@ -3987,6 +4061,9 @@ object SparkEntry {
         |  CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS n_tokens,
         |  COALESCE(array_to_string(b.toks, ' '), '') AS tokens_str
         |FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
+
+    "q120_kmeans" -> dKMeansSql(graft.llm.KMeans.K, graft.llm.KMeans.Iters,
+      graft.llm.Similarity.Dims),
 
     // q119: the q116 token stream mapped through the same vocab TSV
     // (map lookup, coalesce 0 = unk) — id-stream hash equality.
