@@ -1501,6 +1501,26 @@ object SparkEntry {
       KMeans.report(s, Tables.embeddings(s, dir))
     }),
 
+    // Semantic-balanced downsampling (the SemDeDup/DoReMi-adjacent use
+    // the clusters exist for): cap every q120 cluster at 50 vectors via
+    // the q51 md5 per-mille predicate with a per-cluster rate —
+    // dimension-sized counts broadcast back, the keep decision is
+    // map-side, no RNG, re-runs identical. An over-cap topic shrinks,
+    // small topics pass whole — corpus semantic balance by construction.
+    "q121_cluster_sample" -> ((s, dir) => {
+      import graft.llm.{KMeans, Splits}
+      val cap = 50L
+      val asn = KMeans.assign(Tables.embeddings(s, dir))
+      val rates = asn.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("cell"),
+          least(lit(1000L),
+            floor(lit(1000.0) * cap / col("n")).cast("long")).as("pm"))
+      asn.join(broadcast(rates), "cell")
+        .filter(Splits.hashSample(col("vec_id"), col("pm"), salt = "km"))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    }),
+
     // Token-ID streams under the checked-in vocab (id 0 = unk, then
     // sorted base symbols, then merge outputs by rank): the artifact a
     // sequence assembler stores and packs — models consume ids, not
@@ -1941,8 +1961,14 @@ object SparkEntry {
     * then `iters` unrolled Lloyd rounds (q100's chained-CTE precedent) —
     * cosine-argmax assignment, DECIMAL(38,12)-exact per-(cell, dim)
     * means, emptied cells carrying the previous centroid. */
-  private def dKMeansSql(k: Int, iters: Int, dims: Int): String = {
-    val dimsTab = s"(SELECT unnest(generate_series(1, $dims)) AS j)"
+  private def dKMeansDimsTab(dims: Int) =
+    s"(SELECT unnest(generate_series(1, $dims)) AS j)"
+
+  /** CTE chain `c0, s1..c$iters, sf, af` — seed, the unrolled Lloyd
+    * rounds, and the final assignment `af(vec_id, cell)`; callers
+    * append their own report/consumer CTEs (q120 report, q121 caps). */
+  private def dKMeansCtes(k: Int, iters: Int, dims: Int): String = {
+    val dimsTab = dKMeansDimsTab(dims)
     def iterCtes(i: Int): String = {
       val p = s"c${i - 1}"
       s"""s$i AS (
@@ -1968,7 +1994,7 @@ object SparkEntry {
         |  SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
         |  FROM $p p LEFT JOIN mc$i n ON n.cell = p.cid)""".stripMargin
     }
-    s"""WITH c0 AS (
+    s"""c0 AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid,
       |    list_transform(embedding, x -> x::DOUBLE) AS ce
       |  FROM (SELECT vec_id, embedding FROM embeddings
@@ -1984,7 +2010,12 @@ object SparkEntry {
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT vec_id, cid,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
-      |    FROM sf) t WHERE rk = 1),
+      |    FROM sf) t WHERE rk = 1)""".stripMargin
+  }
+
+  private def dKMeansSql(k: Int, iters: Int, dims: Int): String = {
+    val dimsTab = dKMeansDimsTab(dims)
+    s"""WITH ${dKMeansCtes(k, iters, dims)},
       |rep AS (
       |  SELECT c.cid AS cell, d.j - 1 AS dim, c.ce[d.j] AS centroid
       |  FROM c$iters c CROSS JOIN $dimsTab d),
@@ -4064,6 +4095,19 @@ object SparkEntry {
 
     "q120_kmeans" -> dKMeansSql(graft.llm.KMeans.K, graft.llm.KMeans.Iters,
       graft.llm.Similarity.Dims),
+
+    // q121: the af assignment + per-cell counts → per-mille caps → the
+    // q51 sampling predicate, all mirrored.
+    "q121_cluster_sample" ->
+      s"""WITH ${dKMeansCtes(graft.llm.KMeans.K, graft.llm.KMeans.Iters,
+             graft.llm.Similarity.Dims)},
+        |cn AS (SELECT cell, COUNT(*) AS n FROM af GROUP BY 1),
+        |rt AS (SELECT cell,
+        |         LEAST(1000, CAST(floor(1000.0 * 50 / n) AS BIGINT)) AS pm
+        |       FROM cn)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+        |FROM af a JOIN rt USING (cell)
+        |WHERE ${dMd5Long("a.vec_id::VARCHAR||'km'")} % 1000 < rt.pm""".stripMargin,
 
     // q119: the q116 token stream mapped through the same vocab TSV
     // (map lookup, coalesce 0 = unk) — id-stream hash equality.
