@@ -31,7 +31,8 @@ object DailyJob {
 
   def run(spark: SparkSession, paths: Paths, idAlgo: String = "sha1",
           coalesceOutput: Boolean = true,
-          catalogDb: Option[String] = Some("ga")): GaPipeline.Outputs = {
+          catalogDb: Option[String] = Some("ga"),
+          idempotentHistory: Boolean = false): GaPipeline.Outputs = {
     val hits = Ingest.readEnrichedHits(spark, paths.enrichedDay)
     val history = GaPipeline.loadHistory(spark, paths.historyPath)
     // Incremental touchpoints: every row dayOnly keeps belongs to a
@@ -47,7 +48,23 @@ object DailyJob {
     }
 
     // History append first (S3), then the six daily overwrites (S4).
-    dayOnly(out.sessions).write.mode("append").parquet(paths.historyPath)
+    // The default faithfully reproduces the reference's re-run
+    // double-append defect (main.py:1320-1325, SURVEY §2.8);
+    // idempotentHistory is the fixed batch path: anti-join today's
+    // sessions against the persisted (visitor, visit) keys, so a re-run
+    // or crash-retry appends exactly the missing rows (the session-key
+    // anti-join IS the exactly-once mechanism, the same contract
+    // StreamingAdmission uses). Cost = one key-projected history scan —
+    // the key columns prune at the parquet reader.
+    val toAppend =
+      if (!idempotentHistory) dayOnly(out.sessions)
+      else {
+        val existingKeys = GaPipeline.loadHistory(spark, paths.historyPath)
+          .select(col("fullVisitorId"), col("visitId")).distinct()
+        dayOnly(out.sessions)
+          .join(existingKeys, Seq("fullVisitorId", "visitId"), "left_anti")
+      }
+    toAppend.write.mode("append").parquet(paths.historyPath)
     Seq(
       "sessions" -> out.sessions, "pageviews" -> out.pageviews,
       "events" -> out.events, "products" -> out.products,

@@ -57,11 +57,11 @@ object KMeans {
     * enough that k·dims·N sums stay far inside Long. */
   val FixedPointScale = 1e7
 
-  /** One Lloyd round: assign to `cents`, return the fixed-point-exact
-    * mean per cell (k·dims collect, bounded). */
-  private[llm] def step(vecs: DataFrame, cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
-    val dims = cents.head.length
-    val means = Similarity.assignCells(vecs, cents)
+  /** The un-collected (cell, dim, m) aggregate of one Lloyd round —
+    * exposed for PlanSpec's exchange-budget assertion. */
+  private[graft] def meansPlan(vecs: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame =
+    Similarity.assignCells(vecs, cents)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim"))
       .agg(
@@ -72,6 +72,12 @@ object KMeans {
         (sum(floor(col("v").cast("double") * lit(FixedPointScale))
           .cast("decimal(38,0)")).cast("double") /
           (count(lit(1)).cast("double") * lit(FixedPointScale))).as("m"))
+
+  /** One Lloyd round: assign to `cents`, return the fixed-point-exact
+    * mean per cell (k·dims collect, bounded). */
+  private[llm] def step(vecs: DataFrame, cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val dims = cents.head.length
+    val means = meansPlan(vecs, cents)
       .collect()
       .map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
       .groupBy(_._1)

@@ -126,6 +126,18 @@ class GaPipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(paths.historyPath).count() == 3 * nSessions)
   }
 
+  test("idempotent history: re-running a day appends nothing new") {
+    val tmp = Files.createTempDirectory("gaidem").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths, catalogDb = None, idempotentHistory = true)
+    val n = spark.read.parquet(paths.historyPath).count()
+    assert(n > 0)
+    // crash-retry / double-trigger: the session-key anti-join absorbs it
+    DailyJob.run(spark, paths, catalogDb = None, idempotentHistory = true)
+    assert(spark.read.parquet(paths.historyPath).count() == n,
+      "re-run must not double-append (the reference defect, fixed)")
+  }
+
   test("dynamic-partition daily write: re-running one day replaces only " +
     "that day's partitions (backfill-safe, order-free)") {
     import org.apache.spark.sql.functions.{expr, lit => flit}

@@ -458,6 +458,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("k-means iteration: broadcast-literal assignment (no join), one " +
+    "exchange for the (cell, dim) means") {
+    uncached {
+      val vecs = graft.sources.Tables.embeddings(spark, sf)
+      val cents = graft.llm.Similarity.centroidSeq(vecs, graft.llm.KMeans.K)
+      val plan = graft.llm.KMeans.meansPlan(vecs, cents)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"centroids must ride as literals, not a join:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"one map-combinable agg exchange expected, got $exchanges:\n$plan")
+    }
+  }
+
   test("q96 verify stage runs the banded expression on candidates only") {
     uncached {
       val plan = SparkEntry.queries("q96_edit_distance_pairs")(spark, sf)
