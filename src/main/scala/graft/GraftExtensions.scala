@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"wrong argument count ${children.length}: usage $usage")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension (custom LogicalPlan -> SparkPlan): the
+    // greedy-packing chain as a planner-visible node with declared
+    // distribution/ordering requirements (plans/GreedyPack.scala).
+    ext.injectPlannerStrategy(_ => graft.plans.GreedyPackStrategy)
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),

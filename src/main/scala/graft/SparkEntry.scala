@@ -1469,6 +1469,19 @@ object SparkEntry {
         TextOps.nTokens(col("text")), budget = 512L, shards = 8)
     }),
 
+    // The SAME packing chain through the custom planner-visible operator
+    // (plans/GreedyPack: custom LogicalPlan + Strategy + SparkPlan with
+    // DECLARED distribution/ordering requirements — EnsureRequirements
+    // places the exchange/sort only when the child lacks them, where
+    // q65's mapPartitions form always pays its blind repartition).
+    // Shares q65's oracle verbatim: the formulations must be
+    // value-identical.
+    "q122_packing_plan" -> ((s, dir) => {
+      import graft.llm.{Packing, TextOps}
+      Packing.packGreedyPlan(Tables.documents(s, dir), col("doc_id"),
+        TextOps.nTokens(col("text")), budget = 512L, shards = 8)
+    }),
+
     // Deterministic char-level BPE tokens under the checked-in merge
     // table (src/main/resources/graft/bpe_merges.tsv; graft.llm.Bpe pins
     // the merge loop — leftmost occurrence of the min-rank pair, one per
@@ -1961,6 +1974,28 @@ object SparkEntry {
     * then `iters` unrolled Lloyd rounds (q100's chained-CTE precedent) —
     * cosine-argmax assignment, DECIMAL(38,12)-exact per-(cell, dim)
     * means, emptied cells carrying the previous centroid. */
+  /** q65/q122 shared oracle: the greedy packing chain per shard, one
+    * recursive step per document position (q58's horizon-chain shape).
+    * Both engine formulations — repartition+mapPartitions and the
+    * custom planner-visible operator — must match it exactly. */
+  private lazy val dPackChainSql: String =
+    s"""WITH RECURSIVE d AS (
+      |  SELECT shard, doc_id, nt,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+      |  FROM (SELECT ${dMd5Long("doc_id::VARCHAR")} % 8 AS shard, doc_id,
+      |          CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0) AS BIGINT) AS nt
+      |        FROM documents)),
+      |st AS (
+      |  SELECT shard, doc_id, nt, pos, CAST(1 AS BIGINT) AS seq_no, nt AS fill
+      |  FROM d WHERE pos = 1
+      |  UNION ALL
+      |  SELECT d.shard, d.doc_id, d.nt, d.pos,
+      |    CASE WHEN st.fill + d.nt > 512 THEN st.seq_no + 1 ELSE st.seq_no END,
+      |    CASE WHEN st.fill + d.nt > 512 THEN d.nt ELSE st.fill + d.nt END
+      |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
+      |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
+      |FROM st""".stripMargin
+
   private def dKMeansDimsTab(dims: Int) =
     s"(SELECT unnest(generate_series(1, $dims)) AS j)"
 
@@ -4058,23 +4093,12 @@ object SparkEntry {
 
     // q65: the greedy packing chain per shard, one recursive step per
     // document position (same pattern as q58's horizon chain).
-    "q65_sequence_packing" ->
-      s"""WITH RECURSIVE d AS (
-        |  SELECT shard, doc_id, nt,
-        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
-        |  FROM (SELECT ${dMd5Long("doc_id::VARCHAR")} % 8 AS shard, doc_id,
-        |          CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0) AS BIGINT) AS nt
-        |        FROM documents)),
-        |st AS (
-        |  SELECT shard, doc_id, nt, pos, CAST(1 AS BIGINT) AS seq_no, nt AS fill
-        |  FROM d WHERE pos = 1
-        |  UNION ALL
-        |  SELECT d.shard, d.doc_id, d.nt, d.pos,
-        |    CASE WHEN st.fill + d.nt > 512 THEN st.seq_no + 1 ELSE st.seq_no END,
-        |    CASE WHEN st.fill + d.nt > 512 THEN d.nt ELSE st.fill + d.nt END
-        |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
-        |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
-        |FROM st""".stripMargin,
+    "q65_sequence_packing" -> dPackChainSql,
+
+    // q122: the same chain — semantics identical by design; only the
+    // engine-side formulation differs (custom planner-visible operator
+    // vs repartition+mapPartitions), so the oracle is shared verbatim.
+    "q122_packing_plan" -> dPackChainSql,
 
     "q118_freshness_probe" ->
       """SELECT event_type,

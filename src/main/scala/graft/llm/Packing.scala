@@ -37,15 +37,34 @@ object Packing {
     * `offset` is the document's first token position inside its
     * sequence (what the downstream assembly writes attention masks
     * from). */
+  /** The shared `(shard, doc_id, n_tokens)` projection both packing
+    * formulations consume. */
+  def packedBase(docs: DataFrame, id: org.apache.spark.sql.Column,
+                 nTokens: org.apache.spark.sql.Column, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    docs.select(
+      Splits.md5Bucket(id.cast("string"), shards).as("shard"),
+      id.as("doc_id"),
+      coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+  }
+
+  /** Same chain via the custom Catalyst operator
+    * ([[graft.plans.GreedyPackPlan]]): the distribution/ordering are
+    * DECLARED to the planner instead of hand-rolled, so a child already
+    * partitioned by shard pays no exchange (PlanSpec asserts; result
+    * bit-equal to [[packGreedy]], q122 oracle-gates it). */
+  def packGreedyPlan(docs: DataFrame, id: org.apache.spark.sql.Column,
+                     nTokens: org.apache.spark.sql.Column,
+                     budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    graft.plans.GreedyPack(packedBase(docs, id, nTokens, shards), budget)
+  }
+
   def packGreedy(docs: DataFrame, id: org.apache.spark.sql.Column,
                  nTokens: org.apache.spark.sql.Column,
                  budget: Long, shards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    require(shards > 0, s"shards must be positive: $shards")
-    val base = docs.select(
-      Splits.md5Bucket(id.cast("string"), shards).as("shard"),
-      id.as("doc_id"),
-      coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+    val base = packedBase(docs, id, nTokens, shards)
     val sorted = base.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
     val outSchema = StructType(sorted.schema.fields ++ Seq(

@@ -509,4 +509,20 @@ class LlmTextSpec extends SparkTestBase {
     val plan = packed.queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
   }
+
+  test("custom GreedyPack operator is value-identical to the " +
+    "mapPartitions formulation (toy chain + full fixture)") {
+    import graft.llm.Packing
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "doc_id", "n_tokens", "seq_no", "offset")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 12L), (5L, 4L))
+      .toDF("doc_id", "nt")
+    assert(rows(Packing.packGreedyPlan(docs, col("doc_id"), col("nt"), 10L, 1))
+      == rows(Packing.packGreedy(docs, col("doc_id"), col("nt"), 10L, 1)))
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val nt = graft.llm.TextOps.nTokens(col("text"))
+    assert(rows(Packing.packGreedyPlan(docs2, col("doc_id"), nt, 512L, 8))
+      == rows(Packing.packGreedy(docs2, col("doc_id"), nt, 512L, 8)))
+  }
 }

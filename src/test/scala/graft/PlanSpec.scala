@@ -473,6 +473,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("custom GreedyPack operator: planner inserts exchange+sort for a " +
+    "cold child, reuses an existing shard partitioning") {
+    uncached {
+      import graft.llm.{Packing, TextOps}
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val base = Packing.packedBase(docs, col("doc_id"),
+        TextOps.nTokens(col("text")), shards = 8)
+      // cold child: EnsureRequirements must add exactly one exchange
+      // and one sort to satisfy the DECLARED requirements
+      val cold = graft.plans.GreedyPack(base, budget = 512L)
+        .queryExecution.executedPlan.toString
+      assert(cold.contains("GreedyPack"), s"custom op not planned:\n$cold")
+      assert("Exchange hashpartitioning".r.findAllIn(cold).length == 1, cold)
+      assert("Sort \\[".r.findAllIn(cold).length == 1, cold)
+      // pre-partitioned child: the declared distribution is already
+      // satisfied — no second exchange appears (the optimization the
+      // mapPartitions formulation cannot express)
+      val warm = graft.plans.GreedyPack(base.repartition(col("shard")),
+        budget = 512L).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(warm).length == 1,
+        s"partitioning not reused:\n$warm")
+    }
+  }
+
   test("q96 verify stage runs the banded expression on candidates only") {
     uncached {
       val plan = SparkEntry.queries("q96_edit_distance_pairs")(spark, sf)
