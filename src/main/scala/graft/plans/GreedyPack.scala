@@ -39,12 +39,20 @@ case class GreedyPackPlan(budget: Long, child: LogicalPlan,
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ packAttrs
   override def producedAttributes: AttributeSet = AttributeSet(packAttrs)
+  // The chain consumes (shard, doc_id, n_tokens) POSITIONALLY even when
+  // the parent projects none of them (e.g. a bare count()): without
+  // declared references, ColumnPruning inserts an empty Project under
+  // the node and the exec's ordinal reads explode.
+  override lazy val references: AttributeSet = AttributeSet(child.output)
   override protected def withNewChildInternal(newChild: LogicalPlan): GreedyPackPlan =
     copy(child = newChild)
 }
 
 case class GreedyPackExec(budget: Long, packAttrs: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
+
+  require(child.output.length >= 3,
+    s"GreedyPackExec needs (shard, doc_id, n_tokens), got ${child.output}")
 
   override def output: Seq[Attribute] = child.output ++ packAttrs
   override def producedAttributes: AttributeSet = AttributeSet(packAttrs)
