@@ -16,13 +16,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame) -> tuple:
+    """Returns (normalized_df, array_cols). The DRIVER's pandas compare
+    dies on array-typed cells (r6 q102: TypeError sorting np.ndarray), so
+    any column holding arrays is reported back for a HARD failure — we
+    still tuple-ize to keep the value diff readable, but a query whose
+    output contains array cells would err under the driver and must be
+    serialized (array_join, q16/q102 precedent) before it can pass."""
     df = df[sorted(df.columns)].copy()
+    array_cols = []
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
+            def is_arraylike(v):
+                return (isinstance(v, (list, tuple)) or
+                        (hasattr(v, "__len__") and hasattr(v, "tolist")
+                         and not isinstance(v, (str, bytes))))
+            if any(is_arraylike(v) for v in s.head(50)):
+                array_cols.append(c)
             df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
                           (hasattr(v, "__len__") and not isinstance(v, str) and not isinstance(v, bytes) and hasattr(v, "tolist"))
                           and not isinstance(v, str) else v)
@@ -30,7 +43,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    return df, array_cols
 
 
 def values_equal(a, b) -> bool:
@@ -55,8 +68,13 @@ def main():
                 print(f"FAIL {name}: no spark output")
                 n_fail += 1
                 continue
-            spark_df = normalize(pd.concat([pd.read_parquet(f) for f in files]))
-            duck_df = normalize(con.sql(sql).df())
+            spark_df, s_arr = normalize(pd.concat([pd.read_parquet(f) for f in files]))
+            duck_df, d_arr = normalize(con.sql(sql).df())
+            if s_arr or d_arr:
+                print(f"FAIL {name}: array-typed cells (driver-incompatible) "
+                      f"spark={s_arr} duck={d_arr} — serialize with array_join")
+                n_fail += 1
+                continue
             if list(spark_df.columns) != list(duck_df.columns):
                 print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
                 n_fail += 1
