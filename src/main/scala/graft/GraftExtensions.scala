@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // greedy-packing chain as a planner-visible node with declared
     // distribution/ordering requirements (plans/GreedyPack.scala).
     ext.injectPlannerStrategy(_ => graft.plans.GreedyPackStrategy)
+    // Optimizer extension: size(bpe_encode(x)) -> bpe_count(x) — the
+    // token-count budget without materializing the token array
+    // (plans/BpeCountRewrite.scala).
+    ext.injectOptimizerRule(_ => graft.plans.BpeCountRewrite)
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),
@@ -177,6 +181,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         arity(children, 1, 1, "bpe_encode_ids(<text>)")
         BpeEncodeIdsExpr(children.head)
+      }))
+    // bpe_count(text): direct SQL access to the count projection; null
+    // text -> NULL here (the ANSI shape) — size(bpe_encode(..)) callers
+    // get whichever contract their session's size() has, via the rewrite
+    ext.injectFunction((
+      FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "bpe_count(<text>)")
+        BpeCountExpr(children.head, legacySizeOfNull = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_decode_ids"),
+      new ExpressionInfo(classOf[BpeDecodeIdsExpr].getName, "bpe_decode_ids"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "bpe_decode_ids(<ids>)")
+        BpeDecodeIdsExpr(children.head)
       }))
     // bounded_levenshtein(a, b, maxd) — maxd is a per-row expression
     // (Spark's levenshtein threshold overload only takes a constant)

@@ -1534,6 +1534,101 @@ object SparkEntry {
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
     }),
 
+    // Leakage-safe split: the held-out boundary drawn by DEDUP CLUSTER,
+    // not by document — every member of a near-dup cluster hashes the
+    // same split key (its cluster label), so a train doc's near-copy can
+    // never land in val/test (the q43 per-doc split leaks exactly those
+    // pairs; decontamination q50 only catches the eval sets you KNOW
+    // about). Unclustered docs key by themselves. Scale shape: the
+    // cluster map is a fraction of the corpus (only docs WITH a near
+    // dup), one left join keyed on doc_id, then the same md5 bucket
+    // predicate as q43 — no RNG, stable under AQE and re-runs.
+    "q123_leakage_split" -> ((s, dir) => {
+      import graft.llm.{DedupClusters, Splits}
+      DedupClusters.components(docDupPairs(s, dir, 0.8))
+        .select(col("doc_id"), col("cluster_id"))
+        .join(Tables.documents(s, dir), Seq("doc_id"), "right")
+        .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("split_key"),
+          Splits.split(col("split_key")).as("split"))
+    }),
+
+    // Temperature-smoothed mixture (alpha = 0.5, the T=2 multilingual
+    // sampling knob): strata keep floor(1000·sqrt(n_b/n_s)) per mille —
+    // the smallest language passes whole, larger ones flatten toward
+    // it. sqrt (IEEE-correctly-rounded in both engines) rather than
+    // libm pow keeps the floor boundary bit-deterministic; the keep
+    // predicate is the same md5 per-mille hash as q51/q80.
+    "q124_temperature_mixture" -> ((s, dir) => {
+      import graft.llm.Mixture
+      Mixture.temperatureSample(Tables.documents(s, dir), col("doc_id"),
+        col("lang"), alpha = 0.5, salt = "temp")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Tokenizer provenance: distributed re-training on the vocab's own
+    // declared training corpus (the sf0.001 documents fixture — pinned,
+    // NOT the benchmark dir) must reproduce the checked-in merge table
+    // bit-for-bit. The corpus-sized work is one map-combinable word
+    // count; the merge loop runs over the bounded word-frequency TABLE
+    // (top-maxWords via TakeOrderedAndProject, collected like the IVF
+    // codebook — model-artifact-sized, not corpus-sized).
+    "q128_bpe_train" -> ((s, dir) => {
+      import graft.llm.Bpe
+      Bpe.trainFromCorpus(
+        Tables.documents(s, "/root/testdata/sf0.001"), col("text"),
+        numMerges = graft.tools.MakeBpeVocab.NumMerges)
+    }),
+
+    // Deterministic epoch ordering (the training-order shuffle):
+    // shard + dense within-shard position, all derived from the salted
+    // md5 of the id — reproducible on any cluster size and under AQE
+    // re-plans (orderBy(rand()) is neither), a new salt per epoch gives
+    // an independent permutation. One hash exchange + a within-shard
+    // sort; `shards` bounds the per-group window cost (task-sized
+    // groups at 100 TB means ~100k shards, the q65 packing knob).
+    "q126_epoch_order" -> ((s, dir) => {
+      import graft.llm.Shuffle
+      Shuffle.epochOrder(Tables.documents(s, dir), col("doc_id"),
+        shards = 16, salt = "ep1")
+        .select(col("id").as("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // Tokenizer OOV-rate governance report: per-language unk share
+    // under the checked-in vocab — the "is the tokenizer fit for this
+    // corpus slice" monitor (a rising OOV ppm on a new language or a
+    // schema change is the first sign token budgets have gone wrong).
+    // Per-row projections then one map-combinable groupBy; the rate is
+    // integer-exact ppm (floor over exact integer sums), no rounding
+    // caveat.
+    "q127_oov_rate" -> ((s, dir) => {
+      val ids = call_function("bpe_encode_ids", col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"), ids.as("_i"))
+        .select(col("lang"), size(col("_i")).cast("long").as("_n"),
+          size(filter(col("_i"), _ === 0)).cast("long").as("_u"))
+        .groupBy(col("lang"))
+        .agg(sum(col("_n")).as("n_tokens"), sum(col("_u")).as("n_unk"))
+        .select(col("lang"), col("n_tokens"), col("n_unk"),
+          floor(lit(1000000.0) * col("n_unk") /
+            greatest(col("n_tokens"), lit(1L))).cast("long").as("oov_ppm"))
+    }),
+
+    // Tokenizer round trip: decode(encode_ids(text)) — the manifest
+    // inspection path (models ship id streams; debugging one means
+    // turning it back into text). Pinned contract: concatenation of the
+    // ids' token strings = the text with whitespace runs removed and
+    // OOV code points as <unk>. Two chained per-row projections, zero
+    // shuffle; the oracle replays the merge loop and substitutes <unk>
+    // for tokens absent from the vocab TSV.
+    "q125_bpe_roundtrip" -> ((s, dir) => {
+      val ids = call_function("bpe_encode_ids", col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          coalesce(call_function("bpe_decode_ids", ids), lit(""))
+            .as("decoded"))
+    }),
+
     // Token-ID streams under the checked-in vocab (id 0 = unk, then
     // sorted base symbols, then merge outputs by rank): the artifact a
     // sequence assembler stores and packs — models consume ids, not
@@ -4145,6 +4240,94 @@ object SparkEntry {
         |  COALESCE(array_to_string(
         |    list_transform(b.toks, t -> coalesce(map_extract(v, t)[1], 0)),
         |    ','), '') AS ids_str
+        |FROM documents d
+        |LEFT JOIN bpe b ON d.doc_id = b.doc_id, vm""".stripMargin,
+
+    // q123: the q37 recursive closure supplies cluster labels; the
+    // split is q43's md5 bucket arithmetic over COALESCE(cluster, doc).
+    "q123_leakage_split" -> {
+      val b = dMd5Long("COALESCE(c.cluster_id, d.doc_id)::VARCHAR") + " % 100"
+      s"""WITH RECURSIVE ${dShingleCtes()},
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
+        |$dJaccardTail,
+        |prs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster_id, d.doc_id) AS split_key,
+        |  CASE WHEN $b < 80 THEN 'train'
+        |       WHEN $b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin
+    },
+
+    // q124: identical rate arithmetic — count dimension, ORDER BY
+    // (n, lang) LIMIT 1 bottleneck, floor(1000·sqrt(nb/ns)) — and the
+    // q51 salted md5 keep predicate.
+    "q124_temperature_mixture" ->
+      s"""WITH n AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+        |b AS (SELECT n_s AS nb FROM n ORDER BY n_s, lang LIMIT 1),
+        |r AS (SELECT lang,
+        |        LEAST(1000, CAST(floor(1000.0 * sqrt(nb * 1.0 / n_s)) AS BIGINT)) AS pm
+        |      FROM n, b)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE ${dMd5Long("doc_id::VARCHAR||'temp'")} % 1000 < pm""".stripMargin,
+
+    // q128: the artifact itself IS the expected value — re-training on
+    // the declared corpus must emit exactly the checked-in TSV.
+    "q128_bpe_train" ->
+      s"""SELECT CAST(rank AS BIGINT) AS rank, l, r
+        |FROM read_csv('$BpeMerges', delim='\t', header=true, quote='',
+        |  columns={'rank':'BIGINT','l':'VARCHAR','r':'VARCHAR'})""".stripMargin,
+
+    // q126: identical hash/shard/order arithmetic — the permutation is
+    // pure md5, so DuckDB replays it with a plain window.
+    "q126_epoch_order" -> {
+      val h = dMd5Long("doc_id::VARCHAR||'ep1'")
+      s"""WITH h AS (SELECT doc_id, $h AS hh FROM documents)
+        |SELECT doc_id, CAST(hh % 16 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM h""".stripMargin
+    },
+
+    // q127: the q119 vocab-mapping replay; unk = mapped id 0 (absent
+    // tokens coalesce to 0 exactly like the engine's getOrElse).
+    "q127_oov_rate" ->
+      s"""WITH RECURSIVE ${dBpeCte("documents")},
+        |vm AS (SELECT map(list(token), list(id)) AS v
+        |  FROM read_csv('$BpeVocab', delim='\t', header=true, quote='',
+        |    columns={'id':'INTEGER','token':'VARCHAR'})),
+        |per AS (
+        |  SELECT d.lang,
+        |    COALESCE(len(b.toks), 0) AS n,
+        |    COALESCE(len(list_filter(b.toks,
+        |      t -> coalesce(map_extract(v, t)[1], 0) = 0)), 0) AS u
+        |  FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id, vm)
+        |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(u) AS BIGINT) AS n_unk,
+        |  CAST(floor(1000000.0 * SUM(u) / greatest(SUM(n), 1)) AS BIGINT)
+        |    AS oov_ppm
+        |FROM per GROUP BY 1""".stripMargin,
+
+    // q125: the q116 merge-loop replay, tokens kept as STRINGS and
+    // concatenated — in-vocab tokens render as themselves, tokens
+    // absent from the vocab TSV as <unk> (the id-0 round trip).
+    "q125_bpe_roundtrip" ->
+      s"""WITH RECURSIVE ${dBpeCte("documents")},
+        |vm AS (SELECT map(list(token), list(id)) AS v
+        |  FROM read_csv('$BpeVocab', delim='\t', header=true, quote='',
+        |    columns={'id':'INTEGER','token':'VARCHAR'}))
+        |SELECT d.doc_id,
+        |  COALESCE(array_to_string(
+        |    list_transform(b.toks,
+        |      t -> CASE WHEN map_extract(v, t)[1] IS NULL THEN '<unk>' ELSE t END),
+        |    ''), '') AS decoded
         |FROM documents d
         |LEFT JOIN bpe b ON d.doc_id = b.doc_id, vm""".stripMargin,
 

@@ -60,6 +60,28 @@ object Bpe {
   def encodeIds(text: String): Array[Int] =
     encode(text).map(vocabIds.getOrElse(_, UnkId))
 
+  /** id → token string, the inverse of [[vocabIds]] (bijective by
+    * construction: MakeBpeVocab emits dense unique ids). */
+  lazy val idTokens: Map[Int, String] = vocabIds.map(_.swap)
+
+  /** Decode an id stream back to text: the in-order concatenation of
+    * the ids' token strings. Char-level BPE is a lossless partition of
+    * each WORD, but pre-tokenization drops the whitespace between words
+    * — so the round-trip contract (pinned by BpeSpec and the q123 gate)
+    * is `decodeIds(encodeIds(text)) == text with whitespace runs removed
+    * and OOV code points replaced by <unk>`. Ids outside the vocab (a
+    * corrupted manifest) decode to [[UnkToken]] rather than throwing:
+    * a decoder that dies on one bad id loses the whole shard. */
+  def decodeIds(ids: Array[Int]): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < ids.length) {
+      sb.append(idTokens.getOrElse(ids(i), UnkToken))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** rank lookup keyed by (left, right); ascending rank = earlier merge. */
   lazy val ranks: Map[(String, String), Int] = {
     val in = getClass.getResourceAsStream(MergesResource)
@@ -115,4 +137,49 @@ object Bpe {
     splitWords(text).flatMap(encodeWord(_, ranks))
 
   def encode(text: String): Array[String] = encode(text, ranks)
+
+  /** Distributed vocab training — the corpus-scale path behind
+    * [[graft.tools.MakeBpeVocab]] (whose `collect()` of every text is
+    * the exact anti-pattern at 100 TB). The corpus-sized work is ONE
+    * map-combinable word-frequency groupBy; everything after operates
+    * on the word-frequency TABLE, which is vocabulary-sized, bounded
+    * explicitly by `maxWords` (kept via global top-(count, word) —
+    * Spark plans orderBy+limit as TakeOrderedAndProject: a bounded
+    * per-partition heap + a V-sized driver merge, never a full sort),
+    * and collected like the IVF codebook (a model-artifact-sized
+    * driver step, not corpus data). The merge loop itself is
+    * [[graft.tools.MakeBpeVocab.train]] — in-memory over the bounded
+    * table, deterministic by its (−count, left, right) argmax order.
+    *
+    * Dropping sub-`minFreq`/beyond-`maxWords` word forms is the
+    * standard trainer economy (rare forms contribute ~nothing to merge
+    * counts); with the caps wide open the result is BIT-IDENTICAL to
+    * the driver tool — the q128 gate re-trains on the vocab's own
+    * training corpus and must reproduce the checked-in TSV exactly
+    * (artifact provenance: the shipped tokenizer is reproducible from
+    * its declared inputs).
+    *
+    * Returns (rank, l, r) rows, rank ascending from 0. */
+  def trainFromCorpus(docs: org.apache.spark.sql.DataFrame,
+                      text: org.apache.spark.sql.Column, numMerges: Int,
+                      maxWords: Int = 1000000, minFreq: Long = 1L)
+                     : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(numMerges > 0 && maxWords > 0 && minFreq >= 1,
+      s"invalid trainer params: $numMerges/$maxWords/$minFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = docs
+      .select(explode(split(text, "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minFreq)
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    val merges = graft.tools.MakeBpeVocab.train(freq.toMap, numMerges)
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "l", "r")
+  }
 }

@@ -59,4 +59,53 @@ object Mixture {
       .where(Splits.hashSample(id, col("_mix_pm"), salt))
       .drop("_mix_stratum", "_mix_pm")
   }
+
+  /** Temperature-smoothed mixture (the multilingual-sampling knob of
+    * mBERT/XLM-R/mT5: sample stratum s with probability ∝ p_s^alpha,
+    * p_s = n_s/N): deletion-only realization keeping
+    * floor(1000 · (n_b/n_s)^(1-alpha)) per mille of stratum s, where b
+    * is the bottleneck stratum — the one whose target/size ratio is
+    * largest, i.e. min n_s for alpha < 1 (small strata pass WHOLE, big
+    * strata flatten toward them) and max n_s for alpha > 1 (sharpen).
+    * alpha = 1 keeps everything; alpha = 0 is a uniform per-stratum cap.
+    *
+    * Same scale shape as [[sampleToMixture]]: one map-combinable
+    * dimension groupBy, a LIMIT-1 sort of the dimension table, a
+    * broadcast rate join, and the q51 map-side md5 predicate — no RNG,
+    * no data-sized shuffle, AQE/re-run stable.
+    *
+    * Cross-engine determinism of the floor boundary: the bottleneck is
+    * chosen by ORDERING on (n_s, stratum) — monotone in n_s^(1-alpha),
+    * so no pow enters the comparison — and for alpha = 0.5 (the common
+    * T=2 setting, used by the q124 gate) the rate is computed with
+    * `sqrt`, which is IEEE-correctly-rounded in both engines, unlike
+    * libm `pow` whose last ulp may differ. Other alphas use `pow` and
+    * carry that caveat (documented, spec-covered, not oracle-gated). */
+  def temperatureSample(docs: DataFrame, id: Column, stratum: Column,
+                        alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be non-negative: $alpha")
+    Seq("_mix_stratum", "_mix_pm").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input must not contain the reserved column $c")
+    }
+    val counts = docs.groupBy(stratum.as("_mix_stratum"))
+      .agg(count(lit(1)).as("_mix_n"))
+    val b = counts
+      .orderBy(if (alpha <= 1.0) col("_mix_n").asc else col("_mix_n").desc,
+        col("_mix_stratum"))
+      .limit(1)
+      .select(col("_mix_n").as("_mix_nb"))
+    val ratio = col("_mix_nb").cast("double") / col("_mix_n").cast("double")
+    val shrink = // (n_b/n_s)^(1-alpha); exact-sqrt fast path at alpha=0.5
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(b))
+      .select(col("_mix_stratum"),
+        least(lit(1000), floor(lit(1000.0) * shrink).cast("int")).as("_mix_pm"))
+    docs.withColumn("_mix_stratum", stratum)
+      .join(broadcast(rates), "_mix_stratum")
+      .where(Splits.hashSample(id, col("_mix_pm"), salt))
+      .drop("_mix_stratum", "_mix_pm")
+  }
 }

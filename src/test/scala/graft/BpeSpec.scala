@@ -95,6 +95,52 @@ class BpeSpec extends SparkTestBase {
     assert(viaExpr == Bpe.encodeIds("the sort же order").toSeq)
   }
 
+  test("decode round trip: whitespace runs removed, OOV as <unk>, bad ids survive") {
+    // in-vocab text: decode(encode_ids(text)) == text minus whitespace
+    val t = "the sort  order\nwindow"
+    assert(Bpe.decodeIds(Bpe.encodeIds(t)) == "thesortorderwindow")
+    // OOV code points render as <unk>, one per UNMERGEABLE symbol
+    assert(Bpe.decodeIds(Bpe.encodeIds("же")) == "<unk><unk>")
+    // an id outside the vocab (corrupted manifest) decodes, not throws
+    assert(Bpe.decodeIds(Array(Int.MaxValue)) == "<unk>")
+    // expression path equals the library; null array elements -> unk
+    val viaExpr = Seq((1L, "the sort же order")).toDF("doc_id", "text")
+      .select(call_function("bpe_decode_ids",
+        call_function("bpe_encode_ids", col("text"))))
+      .as[String].head()
+    assert(viaExpr == Bpe.decodeIds(Bpe.encodeIds("the sort же order")))
+    val withNull = spark.range(1)
+      .select(call_function("bpe_decode_ids",
+        array(lit(5), lit(null).cast("int"), lit(7)))).as[String].head()
+    assert(withNull == Bpe.idTokens(5) + "<unk>" + Bpe.idTokens(7))
+  }
+
+  test("distributed trainer reproduces the checked-in artifact; caps bound the driver step") {
+    import graft.llm.Bpe
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trained = Bpe.trainFromCorpus(docs, col("text"),
+      graft.tools.MakeBpeVocab.NumMerges)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val checkedIn = Bpe.ranks.toSeq
+      .map { case ((l, r), rank) => (rank.toLong, l, r) }.sortBy(_._1)
+    assert(trained.toSeq == checkedIn,
+      "re-training on the declared corpus must reproduce bpe_merges.tsv")
+    // the plan: map-combinable word count + TakeOrdered (bounded heap),
+    // never a full global sort of the word table
+    val plan = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "").groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(1000000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-V must be a bounded heap:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"word count must combine map-side:\n$plan")
+    // a tight maxWords changes the result (fewer forms -> different
+    // counts) but still trains deterministically
+    val capped = Bpe.trainFromCorpus(docs, col("text"), 5, maxWords = 50)
+      .as[(Long, String, String)].collect()
+    assert(capped.length == 5 && capped.map(_._1).toSeq == (0L until 5L))
+  }
+
   test("chunkBpe windows the BPE stream with the chunk/stride contract") {
     val docs = Seq((1L, "the sort order merge window table scan " * 8),
       (2L, "x"), (3L, "")).toDF("doc_id", "text")

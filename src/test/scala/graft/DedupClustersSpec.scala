@@ -31,6 +31,35 @@ class DedupClustersSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L, 5L, 6L, 8L, 9L, 10L))
   }
 
+  test("leakage-safe split: cluster members share a split; loners get the per-doc split") {
+    import graft.llm.Splits
+    val docs = (1L to 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L), (6L, 7L), (150L, 151L))
+      .toDF("doc_a", "doc_b")
+    val split = DedupClusters.components(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(docs, Seq("doc_id"), "right")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("split_key"),
+        Splits.split(col("split_key")).as("split"))
+      .as[(Long, Long, String)].collect()
+    val byDoc = split.map(t => t._1 -> (t._2, t._3)).toMap
+    // near-dup cluster {1,2,4} shares key 1 and thus ONE split; {6,7} and
+    // {150,151} likewise — no member of a cluster can cross the boundary
+    assert(Set(1L, 2L, 4L).map(byDoc(_)).size == 1)
+    assert(Set(6L, 7L).map(byDoc(_)).size == 1)
+    assert(Set(150L, 151L).map(byDoc(_)).size == 1)
+    // unclustered docs carry their own id and exactly the q43 assignment
+    val lone = docs.filter(!col("doc_id").isin(1L, 2L, 4L, 6L, 7L, 150L, 151L))
+      .select(col("doc_id"), Splits.split(col("doc_id")).as("want"))
+      .as[(Long, String)].collect()
+    lone.foreach { case (id, want) =>
+      assert(byDoc(id) == ((id, want)), s"doc $id")
+    }
+    // all 200 docs present exactly once
+    assert(split.length == 200 && split.map(_._1).distinct.length == 200)
+  }
+
   test("end-to-end: minhash pairs over testdata form consistent clusters") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val pairs = MinHashLsh.verifiedPairs(docs, col("doc_id"), col("text"), 0.8)

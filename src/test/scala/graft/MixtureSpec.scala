@@ -42,6 +42,42 @@ class MixtureSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("temperature alpha=0.5: smallest stratum whole, others shrink by sqrt ratio") {
+    // n = web 400 / books 100 / code 50; bottleneck = code (min n).
+    // pm: code floor(1000*sqrt(50/50))=1000; books floor(1000*sqrt(0.5))=707;
+    // web floor(1000*sqrt(0.125))=353
+    val out = Mixture.temperatureSample(corpus, col("id"), col("domain"), 0.5)
+    val n = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(n("code") == 50L, s"bottleneck must keep all: ${n("code")}")
+    // expected kept: books ~70.7, web ~141 — md5-uniform wide bands
+    assert(n("books") > 45 && n("books") < 95, s"books kept ${n("books")}")
+    assert(n("web") > 100 && n("web") < 185, s"web kept ${n("web")}")
+  }
+
+  test("temperature alpha=1 keeps everything; alpha=0 caps every stratum at the bottleneck rate") {
+    val all = Mixture.temperatureSample(corpus, col("id"), col("domain"), 1.0)
+    assert(all.count() == 550)
+    // alpha=0: pm_s = floor(1000 * nb/ns) — the uniform-count cap
+    val flat = Mixture.temperatureSample(corpus, col("id"), col("domain"), 0.0)
+    val n = flat.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(n("code") == 50L)
+    // web pm=125 (E=50), books pm=500 (E=50): roughly equalized counts
+    assert(n("web") > 25 && n("web") < 80, s"web kept ${n("web")}")
+    assert(n("books") > 30 && n("books") < 70, s"books kept ${n("books")}")
+  }
+
+  test("temperature selection is deterministic, partitioning-independent, and nested across alphas") {
+    val a = Mixture.temperatureSample(corpus, col("id"), col("domain"), 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = Mixture.temperatureSample(corpus.repartition(13), col("id"),
+      col("domain"), 0.5).select("id").as[Long].collect().toSet
+    assert(a == b)
+    // same salt + lower per-stratum rate (smaller alpha) => subset
+    val c = Mixture.temperatureSample(corpus, col("id"), col("domain"), 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(c.subsetOf(a))
+  }
+
   test("schema is preserved and reserved columns rejected") {
     val out = Mixture.sampleToMixture(corpus, col("id"), col("domain"),
       Map("web" -> 1, "books" -> 1, "code" -> 1))

@@ -447,6 +447,35 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("size(bpe_encode(x)) is optimizer-rewritten to the native bpe_count") {
+    uncached {
+      val df = graft.sources.Tables.documents(spark, sf)
+        .select(size(call_function("bpe_encode", col("text"))).as("n"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bpe_count"),
+        s"rewrite must substitute bpe_count:\n$opt")
+      assert(!opt.contains("size(bpe_encode"),
+        s"the size-over-array form must be gone:\n$opt")
+      // and the packing entry (the real consumer) gets it too
+      val pack = SparkEntry.queries("q117_bpe_packing")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(pack.contains("bpe_count"),
+        s"q117's budget must run on bpe_count:\n$pack")
+      // semantics: counts identical to the array form, null included
+      val got = spark.sql(
+        "SELECT bpe_count('the sort order'), bpe_count(CAST(NULL AS STRING))").head()
+      assert(got.getInt(0) == graft.llm.Bpe.encode("the sort order").length)
+      assert(got.isNullAt(1))
+      // the rewritten form keeps size()'s own null contract (legacy -1
+      // or ANSI NULL, whichever this session is configured for)
+      val nulls = spark.sql(
+        """SELECT size(bpe_encode(CAST(NULL AS STRING))) AS a,
+          |       size(CAST(NULL AS ARRAY<STRING>)) AS b""".stripMargin).head()
+      assert(nulls.isNullAt(0) == nulls.isNullAt(1))
+      if (!nulls.isNullAt(0)) assert(nulls.getInt(0) == nulls.getInt(1))
+    }
+  }
+
   test("q118 freshness probe: one aggregate, scan reads only (event_type, ts)") {
     uncached {
       val plan = SparkEntry.queries("q118_freshness_probe")(spark, sf)
