@@ -230,6 +230,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming packer: per-shard cursor persists across batches; " +
+      "single-batch stream equals the batch operator") {
+    import graft.streaming.StreamingPacker
+    val docs = (1L to 60L).map(i => (i, 40 + (i % 7) * 13))
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = StreamingPacker.pack(
+        input.toDF().toDF("doc_id", "n_tokens"), budget = 128, shards = 4)
+      .writeStream.format("memory").queryName("pk_out").outputMode("append").start()
+    try {
+      // one batch with everything -> must equal batch packGreedy exactly
+      input.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table("pk_out")
+        .select("shard", "doc_id", "n_tokens", "seq_no", "offset")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+      val batch = graft.llm.Packing.packGreedy(
+          docs.toDF("doc_id", "n_tokens"), col("doc_id"), col("n_tokens"),
+          budget = 128, shards = 4)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(streamed.toSeq == batch.toSeq,
+        "a single-batch stream must be bit-identical to batch packing")
+    } finally q.stop()
+
+    // cursor persistence: the same docs split over two batches continue
+    // sequences across the batch boundary (no seq reset, no fill reset)
+    val input2 = MemoryStream[(Long, Long)](spark)
+    val q2 = StreamingPacker.pack(
+        input2.toDF().toDF("doc_id", "n_tokens"), budget = 128, shards = 1)
+      .writeStream.format("memory").queryName("pk_out2").outputMode("append").start()
+    try {
+      input2.addData(Seq((10L, 100L)))
+      q2.processAllAvailable()
+      input2.addData(Seq((11L, 20L), (12L, 50L)))
+      q2.processAllAvailable()
+      val rows = spark.table("pk_out2")
+        .select("doc_id", "seq_no", "offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // doc 10: seq 1 fill 100; doc 11 (next batch): 100+20<=128 joins
+      // seq 1 at offset 100; doc 12: 120+50>128 -> seq 2 offset 0
+      assert(rows.toSeq == Seq((10L, 1L, 0L), (11L, 1L, 100L), (12L, 2L, 0L)))
+    } finally q2.stop()
+  }
+
   test("batch/stream parity: exactDedup on a static frame = groupBy dedup") {
     val docs = Seq(
       StreamDoc(1, "A b C", new Timestamp(0)), StreamDoc(2, "a B c", new Timestamp(1)),
