@@ -1566,6 +1566,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Packing fill-rate report (the padding-waste metric a training
+    // team actually monitors — every token of waste is a wasted FLOP):
+    // per shard, sequences built, tokens packed, waste vs seqs·budget,
+    // and the integer-exact fill ppm. One map-combinable aggregate over
+    // the q117 chain; max(seq_no) is the sequence count because seq_no
+    // is dense from 1 within a shard.
+    "q129_packing_efficiency" -> ((s, dir) => {
+      import graft.llm.Packing
+      Packing.packGreedy(Tables.documents(s, dir), col("doc_id"),
+        size(call_function("bpe_encode", col("text"))),
+        budget = 256L, shards = 8)
+        .groupBy(col("shard"))
+        .agg(max(col("seq_no")).as("n_seqs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("shard"), col("n_seqs"), col("sum_tokens"),
+          (col("n_seqs") * lit(256L) - col("sum_tokens")).as("waste_tokens"),
+          floor(lit(1000000.0) * col("sum_tokens") /
+            (col("n_seqs") * lit(256L))).cast("long").as("fill_ppm"))
+    }),
+
     // Tokenizer provenance: distributed re-training on the vocab's own
     // declared training corpus (the sf0.001 documents fixture — pinned,
     // NOT the benchmark dir) must reproduce the checked-in merge table
@@ -2090,6 +2110,26 @@ object SparkEntry {
       |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
       |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
       |FROM st""".stripMargin
+
+  /** The q117 BPE-budget packing chain (bpe CTE + shard/pos table + the
+    * recursive greedy state), shared by q117 (per-doc rows) and q129
+    * (the fill-rate aggregate). */
+  private lazy val dBpePackCtes: String =
+    s"""${dBpeCte("documents")},
+      |d AS (
+      |  SELECT shard, doc_id, nt,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+      |  FROM (SELECT ${dMd5Long("dd.doc_id::VARCHAR")} % 8 AS shard, dd.doc_id,
+      |          CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS nt
+      |        FROM documents dd LEFT JOIN bpe b ON dd.doc_id = b.doc_id)),
+      |st AS (
+      |  SELECT shard, doc_id, nt, pos, CAST(1 AS BIGINT) AS seq_no, nt AS fill
+      |  FROM d WHERE pos = 1
+      |  UNION ALL
+      |  SELECT d.shard, d.doc_id, d.nt, d.pos,
+      |    CASE WHEN st.fill + d.nt > 256 THEN st.seq_no + 1 ELSE st.seq_no END,
+      |    CASE WHEN st.fill + d.nt > 256 THEN d.nt ELSE st.fill + d.nt END
+      |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)""".stripMargin
 
   private def dKMeansDimsTab(dims: Int) =
     s"(SELECT unnest(generate_series(1, $dims)) AS j)"
@@ -4333,23 +4373,23 @@ object SparkEntry {
 
     // q117: q65's packing chain, fed by the q116 token counts.
     "q117_bpe_packing" ->
-      s"""WITH RECURSIVE ${dBpeCte("documents")},
-        |d AS (
-        |  SELECT shard, doc_id, nt,
-        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
-        |  FROM (SELECT ${dMd5Long("dd.doc_id::VARCHAR")} % 8 AS shard, dd.doc_id,
-        |          CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS nt
-        |        FROM documents dd LEFT JOIN bpe b ON dd.doc_id = b.doc_id)),
-        |st AS (
-        |  SELECT shard, doc_id, nt, pos, CAST(1 AS BIGINT) AS seq_no, nt AS fill
-        |  FROM d WHERE pos = 1
-        |  UNION ALL
-        |  SELECT d.shard, d.doc_id, d.nt, d.pos,
-        |    CASE WHEN st.fill + d.nt > 256 THEN st.seq_no + 1 ELSE st.seq_no END,
-        |    CASE WHEN st.fill + d.nt > 256 THEN d.nt ELSE st.fill + d.nt END
-        |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)
+      s"""WITH RECURSIVE $dBpePackCtes
         |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
         |FROM st""".stripMargin,
+
+    // q129: the same chain, aggregated into the fill-rate report —
+    // integer-exact ppm over integer sums, no rounding caveat.
+    "q129_packing_efficiency" ->
+      s"""WITH RECURSIVE $dBpePackCtes,
+        |agg AS (
+        |  SELECT shard, MAX(seq_no) AS n_seqs, SUM(nt) AS sum_tokens
+        |  FROM st GROUP BY 1)
+        |SELECT shard, CAST(n_seqs AS BIGINT) AS n_seqs,
+        |  CAST(sum_tokens AS BIGINT) AS sum_tokens,
+        |  CAST(n_seqs * 256 - sum_tokens AS BIGINT) AS waste_tokens,
+        |  CAST(floor(1000000.0 * sum_tokens / (n_seqs * 256)) AS BIGINT)
+        |    AS fill_ppm
+        |FROM agg""".stripMargin,
 
     // q71: exact heavy-term counts hash-checked; the CMS contract
     // (never-underestimate + bounded overestimate at fixed seed) stated

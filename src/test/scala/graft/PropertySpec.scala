@@ -119,6 +119,28 @@ class PropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("BPE round-trip law on random in-vocab text: decode(encode_ids(s)) " +
+      "strips whitespace; token streams always repartition s losslessly") {
+    import graft.llm.Bpe
+    // generate from the vocab's BASE symbols (single code points), so
+    // every generated char is in-vocab and the round trip is exact
+    val baseChars = Bpe.vocabIds.keys.filter(_.length == 1).map(_.head).toSeq.sorted
+    assert(baseChars.nonEmpty)
+    val word = Gen.nonEmptyListOf(Gen.oneOf(baseChars)).map(_.mkString)
+    val text = Gen.listOf(Gen.oneOf(word, Gen.oneOf(" ", "  ", "\n", "\t")))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(text) { s =>
+      val noWs = s.replaceAll("\\s+", "")
+      // law 1: round trip = whitespace-stripped original (no unks)
+      Bpe.decodeIds(Bpe.encodeIds(s)) == noWs &&
+        // law 2: the token STRING stream is a lossless partition too
+        Bpe.encode(s).mkString("") == noWs
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("rolling hash satisfies the Rabin-Karp composition law " +
     "h(a ++ b) = (h(a) * B^|b| + h(b)) mod P") {
     val (b, p) = (31L, 2147483647L)
