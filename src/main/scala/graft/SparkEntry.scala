@@ -1586,6 +1586,25 @@ object SparkEntry {
             (col("n_seqs") * lit(256L))).cast("long").as("fill_ppm"))
     }),
 
+    // Sequence assembly: the packed token streams themselves — what a
+    // training loader actually reads. Pack order inside a sequence is
+    // doc_id order (sort_array over the member structs, deterministic
+    // under any agg order); the grouped state is bounded by the BUDGET,
+    // not the corpus. Gate serializes the stream (driver compare can't
+    // hash array cells — q16/q102 precedent).
+    "q130_sequence_assembly" -> ((s, dir) => {
+      import graft.llm.Packing
+      val docs = Tables.documents(s, dir)
+      Packing.assembleSequences(docs, col("doc_id"),
+        size(call_function("bpe_encode", col("text"))),
+        call_function("bpe_encode_ids", col("text")),
+        budget = 256L, shards = 8)
+        .select(col("shard"), col("seq_no"), col("n_docs"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          array_join(transform(col("tokens"), _.cast("string")), ",")
+            .as("tokens_str"))
+    }),
+
     // Tokenizer provenance: distributed re-training on the vocab's own
     // declared training corpus (the sf0.001 documents fixture — pinned,
     // NOT the benchmark dir) must reproduce the checked-in merge table
@@ -4376,6 +4395,30 @@ object SparkEntry {
       s"""WITH RECURSIVE $dBpePackCtes
         |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
         |FROM st""".stripMargin,
+
+    // q130: the packing chain joined to the q119 id streams, assembled
+    // per (shard, seq_no) in doc_id order; empty id streams contribute
+    // nothing (NULLIF + string_agg's null-skipping mirrors Spark's
+    // flatten of empty arrays).
+    "q130_sequence_assembly" ->
+      s"""WITH RECURSIVE $dBpePackCtes,
+        |vm AS (SELECT map(list(token), list(id)) AS v
+        |  FROM read_csv('$BpeVocab', delim='\t', header=true, quote='',
+        |    columns={'id':'INTEGER','token':'VARCHAR'})),
+        |ids AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(len(b.toks), 0) AS n_ids,
+        |    COALESCE(array_to_string(
+        |      list_transform(b.toks, t -> coalesce(map_extract(v, t)[1], 0)),
+        |      ','), '') AS ids_str
+        |  FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id, vm)
+        |SELECT st.shard, st.seq_no,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ids.n_ids) AS BIGINT) AS n_tokens,
+        |  COALESCE(string_agg(NULLIF(ids.ids_str, ''), ','
+        |    ORDER BY st.doc_id), '') AS tokens_str
+        |FROM st JOIN ids ON st.doc_id = ids.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // q129: the same chain, aggregated into the fill-rate report —
     // integer-exact ppm over integer sums, no rounding caveat.

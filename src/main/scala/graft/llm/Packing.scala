@@ -87,4 +87,33 @@ object Packing {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Materialize the packed sequences themselves — the tensor-input
+    * artifact a training loader reads: one row per (shard, seq_no) with
+    * the concatenated token-id stream of its member documents in pack
+    * order, plus the member count. `ids` is the per-document id-stream
+    * column (e.g. `bpe_encode_ids(text)`); the budget/shards must match
+    * the [[packGreedy]] call whose assignment is being assembled.
+    *
+    * Scale shape: the pack assignment is the packGreedy chain (one
+    * shard exchange); the id streams ride a doc_id equi-join; the
+    * grouped collect is bounded by the BUDGET (a sequence holds at most
+    * `budget` tokens — sequences are the unit a loader reads, so this
+    * is output-sized state, not corpus-sized). `sort_array` over the
+    * (doc_id, ids) structs keeps assembly order deterministic under any
+    * aggregation order. */
+  def assembleSequences(docs: DataFrame, id: org.apache.spark.sql.Column,
+                        nTokens: org.apache.spark.sql.Column,
+                        ids: org.apache.spark.sql.Column,
+                        budget: Long, shards: Int): DataFrame = {
+    val packed = packGreedy(docs, id, nTokens, budget, shards)
+    val streams = docs.select(id.as("doc_id"), ids.as("_ids"))
+    packed.join(streams, "doc_id")
+      .groupBy(col("shard"), col("seq_no"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("_ids"))))
+        .as("_parts"))
+      .select(col("shard"), col("seq_no"),
+        size(col("_parts")).cast("long").as("n_docs"),
+        flatten(transform(col("_parts"), _.getField("_ids"))).as("tokens"))
+  }
 }

@@ -510,6 +510,45 @@ class LlmTextSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
   }
 
+  test("sequence assembly conserves the token stream in pack order") {
+    import graft.llm.Packing
+    val docs = Seq(
+      (1L, Seq(10, 11)), (2L, Seq(20)), (3L, Seq(30, 31, 32)),
+      (4L, Seq.empty[Int]), (5L, Seq(50)))
+      .toDF("doc_id", "ids")
+    val out = Packing.assembleSequences(docs, col("doc_id"),
+        size(col("ids")), col("ids"), budget = 3L, shards = 1)
+      .orderBy("seq_no")
+      .select("seq_no", "n_docs", "tokens")
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+    // chain at budget 3: doc1(2)+doc2(1) fill seq 1; doc3(3) seq 2;
+    // doc4(0)+doc5(1) join... doc4 after doc3: fill 3+0=3 stays seq 2;
+    // doc5: 3+1>3 -> seq 3
+    assert(out == Seq(
+      (1L, 2L, Seq(10, 11, 20)),
+      (2L, 2L, Seq(30, 31, 32)), // doc4's empty stream rides along
+      (3L, 1L, Seq(50))))
+    // conservation on the fixture: concatenating sequences in
+    // (shard, seq_no) order replays every doc's stream exactly once,
+    // in doc_id order within each shard
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val ids = call_function("bpe_encode_ids", col("text"))
+    val asm = Packing.assembleSequences(docs2, col("doc_id"),
+        size(call_function("bpe_encode", col("text"))), ids,
+        budget = 256L, shards = 4)
+    val replayed = asm.orderBy("shard", "seq_no")
+      .select(col("shard"), col("tokens"))
+      .as[(Long, Seq[Int])].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val want = docs2
+      .select(graft.llm.Splits.md5Bucket(col("doc_id").cast("string"), 4)
+        .as("shard"), col("doc_id"), ids.as("i"))
+      .orderBy("shard", "doc_id")
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.flatMap(_._3)).toMap
+    assert(replayed == want)
+  }
+
   test("custom GreedyPack operator is value-identical to the " +
     "mapPartitions formulation (toy chain + full fixture)") {
     import graft.llm.Packing
