@@ -34,12 +34,14 @@ def normalize(df: pd.DataFrame) -> tuple:
                 return (isinstance(v, (list, tuple)) or
                         (hasattr(v, "__len__") and hasattr(v, "tolist")
                          and not isinstance(v, (str, bytes))))
-            if any(is_arraylike(v) for v in s.head(50)):
+            # scan EVERY cell (a LEFT JOIN can put the first array after
+            # any number of leading NULLs) and reuse the same predicate
+            # for detection and tuple-ization so they can't diverge
+            if any(is_arraylike(v) for v in s):
                 array_cols.append(c)
-            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                          (hasattr(v, "__len__") and not isinstance(v, str) and not isinstance(v, bytes) and hasattr(v, "tolist"))
-                          and not isinstance(v, str) else v)
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+            df[c] = s.map(lambda v: tuple(v.tolist())
+                          if hasattr(v, "tolist") and is_arraylike(v)
+                          else (tuple(v) if is_arraylike(v) else v))
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)

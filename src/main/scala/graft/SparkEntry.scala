@@ -1574,16 +1574,17 @@ object SparkEntry {
     // is dense from 1 within a shard.
     "q129_packing_efficiency" -> ((s, dir) => {
       import graft.llm.Packing
+      val budget = 256L // shared by the chain AND the waste arithmetic
       Packing.packGreedy(Tables.documents(s, dir), col("doc_id"),
         size(call_function("bpe_encode", col("text"))),
-        budget = 256L, shards = 8)
+        budget = budget, shards = 8)
         .groupBy(col("shard"))
         .agg(max(col("seq_no")).as("n_seqs"),
           sum(col("n_tokens")).as("sum_tokens"))
         .select(col("shard"), col("n_seqs"), col("sum_tokens"),
-          (col("n_seqs") * lit(256L) - col("sum_tokens")).as("waste_tokens"),
+          (col("n_seqs") * lit(budget) - col("sum_tokens")).as("waste_tokens"),
           floor(lit(1000000.0) * col("sum_tokens") /
-            (col("n_seqs") * lit(256L))).cast("long").as("fill_ppm"))
+            (col("n_seqs") * lit(budget))).cast("long").as("fill_ppm"))
     }),
 
     // Sequence assembly: the packed token streams themselves — what a
@@ -1644,8 +1645,12 @@ object SparkEntry {
       val ids = call_function("bpe_encode_ids", col("text"))
       Tables.documents(s, dir)
         .select(col("lang"), ids.as("_i"))
-        .select(col("lang"), size(col("_i")).cast("long").as("_n"),
-          size(filter(col("_i"), _ === 0)).cast("long").as("_u"))
+        // coalesce totalizes NULL texts to 0 tokens (the q116/q119
+        // convention, matching the oracle's COALESCE(len(b.toks), 0))
+        .select(col("lang"),
+          coalesce(size(col("_i")), lit(0)).cast("long").as("_n"),
+          coalesce(size(filter(col("_i"), _ === 0)), lit(0))
+            .cast("long").as("_u"))
         .groupBy(col("lang"))
         .agg(sum(col("_n")).as("n_tokens"), sum(col("_u")).as("n_unk"))
         .select(col("lang"), col("n_tokens"), col("n_unk"),

@@ -67,7 +67,7 @@ object Bpe {
   /** Decode an id stream back to text: the in-order concatenation of
     * the ids' token strings. Char-level BPE is a lossless partition of
     * each WORD, but pre-tokenization drops the whitespace between words
-    * — so the round-trip contract (pinned by BpeSpec and the q123 gate)
+    * — so the round-trip contract (pinned by BpeSpec and the q125 gate)
     * is `decodeIds(encodeIds(text)) == text with whitespace runs removed
     * and OOV code points replaced by <unk>`. Ids outside the vocab (a
     * corrupted manifest) decode to [[UnkToken]] rather than throwing:

@@ -84,7 +84,7 @@ object Mixture {
   def temperatureSample(docs: DataFrame, id: Column, stratum: Column,
                         alpha: Double, salt: String = ""): DataFrame = {
     require(alpha >= 0.0, s"alpha must be non-negative: $alpha")
-    Seq("_mix_stratum", "_mix_pm").foreach { c =>
+    Seq("_mix_stratum", "_mix_stratum_r", "_mix_pm").foreach { c =>
       require(!docs.columns.contains(c),
         s"input must not contain the reserved column $c")
     }
@@ -101,11 +101,15 @@ object Mixture {
       else if (alpha == 1.0) lit(1.0)
       else pow(ratio, lit(1.0 - alpha))
     val rates = counts.crossJoin(broadcast(b))
-      .select(col("_mix_stratum"),
+      .select(col("_mix_stratum").as("_mix_stratum_r"),
         least(lit(1000), floor(lit(1000.0) * shrink).cast("int")).as("_mix_pm"))
+    // null-safe join: a NULL stratum is a stratum like any other (it
+    // groupBy-counts as one), so it must rate-join too — a plain equi
+    // join would silently drop every unlabeled row, breaking the
+    // "alpha = 1 keeps everything" law
     docs.withColumn("_mix_stratum", stratum)
-      .join(broadcast(rates), "_mix_stratum")
+      .join(broadcast(rates), col("_mix_stratum") <=> col("_mix_stratum_r"))
       .where(Splits.hashSample(id, col("_mix_pm"), salt))
-      .drop("_mix_stratum", "_mix_pm")
+      .drop("_mix_stratum", "_mix_stratum_r", "_mix_pm")
   }
 }

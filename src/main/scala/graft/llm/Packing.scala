@@ -114,6 +114,12 @@ object Packing {
         .as("_parts"))
       .select(col("shard"), col("seq_no"),
         size(col("_parts")).cast("long").as("n_docs"),
-        flatten(transform(col("_parts"), _.getField("_ids"))).as("tokens"))
+        // NULL id streams (a null-text doc — packedBase already counts
+        // it as 0 tokens) are dropped BEFORE flatten: flatten returns
+        // NULL if ANY inner array is null, which would void the whole
+        // sequence's stream
+        flatten(transform(
+          filter(col("_parts"), _.getField("_ids").isNotNull),
+          _.getField("_ids"))).as("tokens"))
   }
 }

@@ -528,6 +528,16 @@ class LlmTextSpec extends SparkTestBase {
       (1L, 2L, Seq(10, 11, 20)),
       (2L, 2L, Seq(30, 31, 32)), // doc4's empty stream rides along
       (3L, 1L, Seq(50))))
+    // a NULL id stream (null-text doc) must not void its sequence:
+    // flatten would return NULL if the null array reached it
+    val withNull = Seq((1L, Some(Seq(10, 11))), (2L, None), (3L, Some(Seq(30))))
+      .toDF("doc_id", "ids")
+    val nOut = Packing.assembleSequences(withNull, col("doc_id"),
+        size(col("ids")), col("ids"), budget = 10L, shards = 1)
+      .select("seq_no", "n_docs", "tokens")
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+    assert(nOut == Seq((1L, 3L, Seq(10, 11, 30))),
+      "null stream rides along as a member with no tokens")
     // conservation on the fixture: concatenating sequences in
     // (shard, seq_no) order replays every doc's stream exactly once,
     // in doc_id order within each shard

@@ -57,6 +57,12 @@ class MixtureSpec extends SparkTestBase {
   test("temperature alpha=1 keeps everything; alpha=0 caps every stratum at the bottleneck rate") {
     val all = Mixture.temperatureSample(corpus, col("id"), col("domain"), 1.0)
     assert(all.count() == 550)
+    // a NULL stratum is a stratum like any other: unlabeled rows are
+    // counted, rate-joined (null-safely) and kept at alpha=1
+    val withNull = corpus.union(
+      (900 to 919).map(i => (i.toLong, null: String)).toDF("id", "domain"))
+    val allN = Mixture.temperatureSample(withNull, col("id"), col("domain"), 1.0)
+    assert(allN.count() == 570, "null-stratum rows must not be dropped")
     // alpha=0: pm_s = floor(1000 * nb/ns) — the uniform-count cap
     val flat = Mixture.temperatureSample(corpus, col("id"), col("domain"), 0.0)
     val n = flat.groupBy("domain").count().as[(String, Long)].collect().toMap
