@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.Size
+import org.apache.spark.sql.catalyst.expressions.{Expression, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.expressions.{BpeCountExpr, BpeEncodeExpr}
+import graft.expressions.{BpeCountExpr, BpeEncodeExpr, BpeEncodeIdsExpr}
 
 /** Optimizer rule (the `injectOptimizerRule` extension tier, next to the
   * expression tier in `expressions/` and the whole-operator tier in
@@ -26,8 +26,39 @@ import graft.expressions.{BpeCountExpr, BpeEncodeExpr}
   * idempotent: its output contains no `Size(BpeEncodeExpr)` to match).
   */
 object BpeCountRewrite extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case Size(b: BpeEncodeExpr, legacy) => BpeCountExpr(b.child, legacy)
+
+  private def isEncode(e: Expression): Boolean = e match {
+    case _: BpeEncodeExpr | _: BpeEncodeIdsExpr => true
+    case _ => false
+  }
+
+  /** Canonicalized inputs of every `bpe_encode`/`bpe_encode_ids` call
+    * that is used BARE (not directly under `size`). If the token array
+    * itself is consumed next to `size(...)` over the same input,
+    * rewriting the size would turn ONE shared merge-loop evaluation
+    * (codegen subexpression elimination) into two — a pessimization,
+    * so those inputs are left alone. */
+  private def bareEncodeInputs(plan: LogicalPlan): Set[Expression] = {
+    val bare = Set.newBuilder[Expression]
+    def scan(e: Expression): Unit = e match {
+      case Size(b, _) if isEncode(b) => b.children.foreach(scan)
+      case b if isEncode(b) =>
+        bare += b.children.head.canonicalized
+        b.children.foreach(scan)
+      case other => other.children.foreach(scan)
     }
+    plan.foreach(_.expressions.foreach(scan))
+    bare.result()
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val bare = bareEncodeInputs(plan)
+    plan.transformAllExpressions {
+      // the id-stream case counts tokens too (one id per token), and
+      // the count projection also skips the vocab lookups
+      case Size(b, legacy)
+          if isEncode(b) && !bare.contains(b.children.head.canonicalized) =>
+        BpeCountExpr(b.children.head, legacy)
+    }
+  }
 }

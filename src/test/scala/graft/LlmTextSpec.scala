@@ -573,5 +573,15 @@ class LlmTextSpec extends SparkTestBase {
     val nt = graft.llm.TextOps.nTokens(col("text"))
     assert(rows(Packing.packGreedyPlan(docs2, col("doc_id"), nt, 512L, 8))
       == rows(Packing.packGreedy(docs2, col("doc_id"), nt, 512L, 8)))
+    // doc_id is contract-wise "any orderable": both formulations must
+    // agree on STRING ids too (exec sorts on the child's second column
+    // generically, mapPartitions reads it untyped)
+    val sdocs = Seq(("d01", 4L), ("d02", 4L), ("d03", 4L), ("d10", 12L))
+      .toDF("doc_id", "nt")
+    def srows(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "doc_id", "n_tokens", "seq_no", "offset")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(srows(Packing.packGreedyPlan(sdocs, col("doc_id"), col("nt"), 10L, 2))
+      == srows(Packing.packGreedy(sdocs, col("doc_id"), col("nt"), 10L, 2)))
   }
 }

@@ -456,6 +456,21 @@ class PlanSpec extends SparkTestBase {
         s"rewrite must substitute bpe_count:\n$opt")
       assert(!opt.contains("size(bpe_encode"),
         s"the size-over-array form must be gone:\n$opt")
+      // the id-stream form counts tokens too (one id per token)
+      val optIds = graft.sources.Tables.documents(spark, sf)
+        .select(size(call_function("bpe_encode_ids", col("text"))).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(optIds.contains("bpe_count") && !optIds.contains("size(bpe_encode"),
+        s"size(bpe_encode_ids) must rewrite too:\n$optIds")
+      // NEGATIVE: when the token array itself is consumed next to the
+      // size, the rewrite must NOT fire (it would break codegen
+      // subexpression sharing — two merge loops instead of one)
+      val enc = call_function("bpe_encode", col("text"))
+      val optShared = graft.sources.Tables.documents(spark, sf)
+        .select(size(enc).as("n"), enc.as("toks"))
+        .queryExecution.optimizedPlan.toString
+      assert(!optShared.contains("bpe_count"),
+        s"shared-array case must keep size(bpe_encode):\n$optShared")
       // and the packing entry (the real consumer) gets it too
       val pack = SparkEntry.queries("q117_bpe_packing")(spark, sf)
         .queryExecution.optimizedPlan.toString
