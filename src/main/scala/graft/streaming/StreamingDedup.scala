@@ -40,6 +40,22 @@ object StreamingDedup {
   def exactDedup(docs: DataFrame): DataFrame =
     withFingerprint(docs).dropDuplicates("fingerprint")
 
+  /** Streaming NEAR-dup suppression on the SimHash sketch: documents
+    * whose 60-bit simhash collides exactly are near-identical with high
+    * probability (the batch q23/q32 fingerprint), so keying the same
+    * dropDuplicates machinery by the sketch drops boilerplate re-posts
+    * whose whitespace/punctuation edits defeat the exact fingerprint.
+    * Zero-hamming collisions only — a streaming state store can equi-
+    * match, not neighbor-search; candidates at hamming 1..k need the
+    * batch pigeonhole pass ([[graft.llm.SimHash]]) over the admitted
+    * stream. Same one-tiny-row-per-distinct-sketch state economics as
+    * [[exactDedup]]. */
+  def nearDupDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("simhash",
+        org.apache.spark.sql.functions.call_function("simhash60", col("text")))
+      .where(col("simhash").isNotNull) // null text: no tokens, no sketch
+      .dropDuplicates("simhash")
+
   /** First occurrence within the watermark horizon; duplicate state is
     * dropped once event time moves past `horizon`. Its dedup CONTRACT
     * (not its incidental extra drops — see [[keepFirstWithinHorizon]])

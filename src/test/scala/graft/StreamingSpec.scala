@@ -230,6 +230,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops sketch collisions across batches") {
+    val base = 1700000000000L
+    val input = MemoryStream[StreamDoc](spark)
+    val q = graft.streaming.StreamingDedup.nearDupDedup(input.toDF())
+      .select("doc_id")
+      .writeStream.format("memory").queryName("nd_out").outputMode("append").start()
+    try {
+      val boiler = "the quick brown fox jumps over the lazy dog again and again " * 4
+      input.addData(
+        StreamDoc(1, boiler, new Timestamp(base)),
+        StreamDoc(2, "completely different content about spark plans here",
+          new Timestamp(base + 1000)))
+      q.processAllAvailable()
+      // identical boilerplate in a LATER batch collides on the sketch
+      input.addData(StreamDoc(3, boiler, new Timestamp(base + 2000)))
+      q.processAllAvailable()
+      val kept = spark.table("nd_out").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L))
+      // parity: the streaming key equals the batch q23 fingerprint
+      val batchFp = graft.llm.SimHash.fingerprints(
+          Seq((1L, boiler)).toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .select("simhash").as[Long].head()
+      val streamFp = graft.streaming.StreamingDedup.nearDupDedup(
+          Seq((9L, boiler)).toDF("doc_id", "text"))
+        .select("simhash").as[Long].head()
+      assert(batchFp == streamFp)
+    } finally q.stop()
+  }
+
   test("streaming packer: per-shard cursor persists across batches; " +
       "single-batch stream equals the batch operator") {
     import graft.streaming.StreamingPacker
