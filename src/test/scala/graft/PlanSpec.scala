@@ -239,6 +239,24 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q124 temperature mixture: null-safe rate join still broadcasts; q129 report shapes") {
+    uncached {
+      // the <=> rate join (null strata are strata too) must not demote
+      // the dimension join to a sort-merge of the corpus
+      val plan = SparkEntry.queries("q124_temperature_mixture")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
+      // the fill-rate report is the packing chain + ONE extra exchange
+      // (the shard groupBy); anything more means the aggregate lost its
+      // map-side combine or the chain re-shuffled
+      val rep = SparkEntry.queries("q129_packing_efficiency")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(rep).length
+      assert(exchanges <= 2, s"expected chain + report exchanges only, got $exchanges:\n$rep")
+    }
+  }
+
   test("q81 substring spans: no window keyed by the gram hash, map-side dup counts") {
     uncached {
       // a boilerplate gram present in 10^8 positions must be counted by
