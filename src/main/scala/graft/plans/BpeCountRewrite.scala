@@ -32,28 +32,35 @@ object BpeCountRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Canonicalized inputs of every `bpe_encode`/`bpe_encode_ids` call
-    * that is used BARE (not directly under `size`). If the token array
-    * itself is consumed next to `size(...)` over the same input,
-    * rewriting the size would turn ONE shared merge-loop evaluation
-    * (codegen subexpression elimination) into two — a pessimization,
-    * so those inputs are left alone. */
-  private def bareEncodeInputs(plan: LogicalPlan): Set[Expression] = {
+  /** One pass over the plan's expressions: whether any `size(bpe_*)`
+    * target exists at all (the fast-path gate — most plans have none
+    * and must not pay a second traversal), and the canonicalized inputs
+    * of every `bpe_encode`/`bpe_encode_ids` call used BARE (not
+    * directly under `size`). If the token array itself is consumed next
+    * to `size(...)` over the same input, rewriting the size would turn
+    * ONE shared merge-loop evaluation (codegen subexpression
+    * elimination) into two — a pessimization, so those inputs are left
+    * alone. */
+  private def scanPlan(plan: LogicalPlan): (Boolean, Set[Expression]) = {
+    var hasTarget = false
     val bare = Set.newBuilder[Expression]
     def scan(e: Expression): Unit = e match {
-      case Size(b, _) if isEncode(b) => b.children.foreach(scan)
+      case Size(b, _) if isEncode(b) =>
+        hasTarget = true
+        b.children.foreach(scan)
       case b if isEncode(b) =>
         bare += b.children.head.canonicalized
         b.children.foreach(scan)
       case other => other.children.foreach(scan)
     }
     plan.foreach(_.expressions.foreach(scan))
-    bare.result()
+    (hasTarget, bare.result())
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bare = bareEncodeInputs(plan)
-    plan.transformAllExpressions {
+    val (hasTarget, bare) = scanPlan(plan)
+    if (!hasTarget) plan
+    else plan.transformAllExpressions {
       // the id-stream case counts tokens too (one id per token), and
       // the count projection also skips the vocab lookups
       case Size(b, legacy)
