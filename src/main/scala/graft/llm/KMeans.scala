@@ -49,6 +49,10 @@ object KMeans {
   def fitCentroids(vecs: DataFrame, k: Int = K, iters: Int = Iters): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 0, s"bad k=$k iters=$iters")
     var cents = Similarity.centroidSeq(vecs, k)
+    // empty corpus slice: no seeds, no rounds, no clusters — a job
+    // running over an empty day partition must produce zero rows, not
+    // crash on `cents.head` inside the Lloyd step
+    if (cents.isEmpty) return Seq.empty
     for (_ <- 1 to iters) cents = step(vecs, cents)
     cents
   }

@@ -165,7 +165,12 @@ object Similarity {
   /** (vec_id, embedding, cell) — each vector assigned to its single
     * best-scoring cell (ties -> lowest cid). */
   def assignCells(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
-    vecs.select(col("vec_id"), col("embedding"),
+    // no centroids (empty corpus seeding): schema-correct zero rows —
+    // the top_cells expression cannot be built over an empty matrix
+    if (cents.isEmpty)
+      vecs.select(col("vec_id"), col("embedding"),
+        lit(0).cast("int").as("cell")).where(lit(false))
+    else vecs.select(col("vec_id"), col("embedding"),
       element_at(topCells(col("embedding"), cents, 1), 1).as("cell"))
 
   /** Round-2 HOF formulation of [[assignCells]] (nCells interpreted
@@ -273,6 +278,12 @@ object Similarity {
   def pqTopK(vecs: DataFrame, queryPred: Column, k: Int,
              shortlist: Int = 20): DataFrame = {
     val book = pqCodebook(vecs)
+    // empty corpus: no codebook to train, no neighbors to rank —
+    // schema-correct zero rows (pqEncode would index book(m)(0))
+    if (book.exists(_.isEmpty))
+      return vecs.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("rank"),
+        lit(0.0).as("cosine")).where(lit(false))
     val q = vecs.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wAdc = Window.partitionBy(col("query_id"))
