@@ -21,6 +21,10 @@ import graft.functions.GaFunctions
 object SparkEntry {
 
   private val dec = DecimalType(18, 6)
+  /** 2-decimal render type for the profiler's min/max: double→decimal→
+    * string prints identically in Spark and DuckDB (raw double→string
+    * formatting does not). */
+  private val dec2 = DecimalType(18, 2)
   /** Wider decimal for long-cents sums (up to ~6e14 at sf0.1, more at
     * scale) converted back to money at the end of an aggregation. */
   private val dec28 = DecimalType(28, 6)
@@ -1994,6 +1998,268 @@ object SparkEntry {
         SimHash.fingerprints(Tables.documents(s, dir), col("doc_id"), col("text")),
         maxHamming = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // ------------------------------------------------ corpus statistics pack
+    // Reports built on graft.operators.IntStats: Spark's floating
+    // aggregates (corr/covar/stddev) sum doubles in partition order, so
+    // they are neither oracle-checkable nor run-to-run stable at scale.
+    // Each query below keeps every AGGREGATE in exact integer arithmetic
+    // (associative + commutative — identical under any partitioning, any
+    // AQE re-plan) and spends the floating point once per OUTPUT row from
+    // those sums. Sufficient statistics are O(groups) longs, map-side
+    // combinable: the same scale shape as count/sum.
+
+    // Signal-redundancy check before composing quality filters: Pearson
+    // correlation between chars/tokens/lines per language. |r| near 1
+    // means one signal is dead weight in a composite gate (and tells a
+    // filter author which thresholds move together across languages).
+    "q131_signal_corr" -> ((s, dir) => {
+      import graft.llm.TextOps
+      import graft.operators.IntStats._
+      val d0 = Tables.documents(s, dir).select(col("lang"),
+        col("n_chars").cast("long").as("x"),
+        size(TextOps.lowerTokens(col("text"))).cast("long").as("y"),
+        size(split(col("text"), "\n")).cast("long").as("z"))
+      val m = d0.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      m.select(col("lang"), col("n").as("n_docs"),
+        corrFromSums(col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy")).as("corr_chars_tokens"),
+        corrFromSums(col("n"), col("sx"), col("sz"), col("sxz"),
+          col("sxx"), col("szz")).as("corr_chars_lines"),
+        corrFromSums(col("n"), col("sy"), col("sz"), col("syz"),
+          col("syy"), col("szz")).as("corr_tokens_lines"))
+    }),
+
+    // Token-budget calibration: OLS fit tokens ~ chars per source — the
+    // bytes→tokens conversion a pipeline uses to budget tokenizer cost
+    // and pre-size packing shards BEFORE running the tokenizer over
+    // 100 TB. slope ≈ tokens per char; r² says how far the linear
+    // estimate can be trusted per source.
+    "q132_token_calibration" -> ((s, dir) => {
+      import graft.llm.TextOps
+      import graft.operators.IntStats._
+      val d0 = Tables.documents(s, dir).select(col("source"),
+        col("n_chars").cast("long").as("x"),
+        size(TextOps.lowerTokens(col("text"))).cast("long").as("y"))
+      val m = d0.groupBy("source").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(col("source"), col("n").as("n_docs"),
+        round(slopeFromSums(col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx")), 6).as("slope"),
+        round(interceptFromSums(col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx")), 6).as("intercept"),
+        r2FromSums(col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy")).as("r2"))
+    }),
+
+    // Split-balance diagnostic: pointwise mutual information between lang
+    // and source. pmi far from 0 marks (lang, source) cells that are
+    // over/under-represented vs independence — exactly the cells a
+    // mixture rebalance (q80/q124) must up/down-weight. One corpus
+    // shuffle: the marginals re-aggregate the tiny joint table, not the
+    // corpus, and broadcast back onto it.
+    "q133_mi_lang_source" -> ((s, dir) => {
+      import graft.operators.IntStats._
+      val joint = Tables.documents(s, dir).select("lang", "source")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_pair"))
+        .persist() // O(langs×sources) rows; computed once, read 4×
+      val byLang = joint.groupBy("lang").agg(sum("n_pair").as("n_lang"))
+      val bySource = joint.groupBy("source").agg(sum("n_pair").as("n_source"))
+      val total = joint.agg(sum("n_pair").as("n_total"))
+      joint.join(broadcast(byLang), "lang")
+        .join(broadcast(bySource), "source")
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n_pair"), col("n_lang"),
+          col("n_source"), col("n_total"),
+          pmiFromCounts(col("n_pair"), col("n_lang"), col("n_source"),
+            col("n_total")).as("pmi"))
+    }),
+
+    // Per-language z-score normalization of a per-doc signal — the
+    // feature-scaling step before any cross-language threshold (a 300-char
+    // doc is short for English, long for Chinese). Group sums broadcast
+    // back onto the corpus: one exchange for the 5-row stats table, the
+    // normalization itself is a narrow projection.
+    "q134_zscore_norm" -> ((s, dir) => {
+      import graft.operators.IntStats._
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("x"))
+      val m = d0.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      d0.join(broadcast(m), "lang")
+        .select(col("doc_id"), col("lang"), col("x").as("n_chars"),
+          zscoreFromSums(col("x"), col("n"), col("sx"), col("sxx")).as("z"))
+    }),
+
+    // Robust outlier flagging: |x − median| > 2·MAD per language. Median
+    // and MAD use the exact `percentile` aggregate (interpolation
+    // bit-identical to DuckDB's quantile_cont, q42 precedent) — exact
+    // buffers per group are fine at bounded group count; the 100 TB path
+    // swaps in approx_percentile exactly as q49 gates. Integer inputs
+    // make every intermediate (.5 halves) exactly representable, so the
+    // 3·MAD comparison is deterministic.
+    "q135_mad_outliers" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("x"))
+      val med = d0.groupBy("lang").agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = d0.join(broadcast(med), "lang")
+        .withColumn("dev", abs(col("x").cast("double") - col("med")))
+      val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .filter(col("dev") > col("mad") * 2.0)
+        .select(col("doc_id"), col("lang"), col("x").as("n_chars"),
+          col("med"), col("mad"))
+    }),
+
+    // Sequence-length bucketing for batch shaping: ntile octiles +
+    // percent_rank/cume_dist/dense_rank per language over token count
+    // (tie-broken by doc_id → fully deterministic). The report shape is a
+    // per-group sort (WindowExec); at 100 TB assign buckets from
+    // approx_percentile thresholds instead (q49 path) — rank positions
+    // need the sort, bucket membership does not.
+    "q136_length_buckets" -> ((s, dir) => {
+      import graft.llm.TextOps
+      import org.apache.spark.sql.expressions.Window
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(TextOps.lowerTokens(col("text"))).cast("long").as("nt"))
+      val w = Window.partitionBy("lang").orderBy(col("nt"), col("doc_id"))
+      val wd = Window.partitionBy("lang").orderBy(col("nt"))
+      d0.select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+        ntile(8).over(w).cast("long").as("bucket"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(wd).cast("long").as("dr"))
+    }),
+
+    // GROUPING SETS — the third member of the multi-granularity family
+    // next to rollup (q73) and cube (q94): two marginal reports (by lang,
+    // by source) in ONE corpus pass, without cube's 2ᵏ blowup.
+    // grouping() flags disambiguate aggregation nulls from data nulls.
+    "q137_grouping_sets" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+    }),
+
+    // Equi-width histogram of document length per language — integer
+    // bucket arithmetic (div, not double division), map-combinable
+    // groupBy; the profile report that sizes chunking (q92) and packing
+    // budgets (q117) before a run.
+    "q138_length_histogram" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), least(expr("n_chars div 64"), lit(15L)).as("bucket"))
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("bucket"), (col("bucket") * 64).as("bucket_lo"),
+          col("n_docs"))
+    }),
+
+    // Tokenizer fertility per language — the acceptance metric for a
+    // vocabulary (q128): BPE tokens per whitespace word, and chars per
+    // BPE token. A language with outsized fertility pays proportionally
+    // more compute per text byte at training time; this report is how a
+    // team decides the vocab needs rebalancing BEFORE tokenizing 100 TB.
+    // Ratios emitted as floor-ppm integers (q127 convention — exact,
+    // no float aggregate anywhere); size(bpe_encode) collapses to the
+    // allocation-free bpe_count via the optimizer rule (PlanSpec).
+    "q140_tokenizer_fertility" -> ((s, dir) => {
+      val ws = size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+        .cast("long")
+      val bt = coalesce(size(call_function("bpe_encode", col("text"))), lit(0))
+        .cast("long")
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars").cast("long").as("nc"),
+          ws.as("ws"), bt.as("bt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+          sum("bt").as("bpe_tokens"), sum("nc").as("snc"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          floor(lit(1000000.0) * col("bpe_tokens") /
+            greatest(col("ws_tokens"), lit(1L))).cast("long").as("fertility_ppm"),
+          floor(lit(1000000.0) * col("snc") /
+            greatest(col("bpe_tokens"), lit(1L))).cast("long").as("chars_per_tok_ppm"))
+    }),
+
+    // Table profiler — the pre-ingest governance pass (Deequ-style): one
+    // row per column with null count, exact distinct count, min/max
+    // rendered type-stably (doubles via DECIMAL(18,2) so both engines
+    // print identical strings), plus the 100 TB gate: the HLL sketch's
+    // distinct estimate must sit inside q62's bounds. Shape per column:
+    // the min/max/null pass is ONE map-combinable aggregate over a
+    // PRUNED single-column scan, and the exact distinct is a two-level
+    // aggregate (never the multi-distinct Expand — q62's lesson ×11
+    // columns would be 11 copies of every row in one exchange). At 100×
+    // you keep only the sketch arm; here the exact arm is the oracle
+    // anchor proving the sketch honest.
+    "q141_data_profile" -> ((s, dir) => {
+      val t = Tables.lineitem(s, dir)
+      def inBounds(approx: Column, exact: Column): Column =
+        abs(approx - exact) <= greatest(lit(5.0), exact * 0.1)
+      val parts = t.schema.fields.toSeq.map { f =>
+        val c = col(f.name)
+        val render = f.dataType.typeName match {
+          case "double" => (x: Column) => x.cast(dec2).cast("string")
+          case _ => (x: Column) => x.cast("string")
+        }
+        val base = t.agg(count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          render(min(c)).as("min_s"), render(max(c)).as("max_s"),
+          approx_count_distinct(c, 0.02).as("ad"))
+        val exact = t.select(c).where(c.isNotNull).distinct()
+          .agg(count(lit(1)).as("nd"))
+        base.crossJoin(exact).select(lit(f.name).as("col_name"),
+          col("n_rows"), col("n_nulls"), col("nd").as("n_distinct"),
+          col("min_s"), col("max_s"),
+          inBounds(col("ad"), col("nd")).as("distinct_in_bounds"))
+      }
+      parts.reduce(_ unionByName _)
+    }),
+
+    // Referential-integrity audit across the whole star schema — the
+    // cross-table expectation q82 doesn't cover: for each FK relation,
+    // total rows and orphan rows (left_anti against the distinct dim
+    // key). Dim sides here broadcast; at 100 TB the big-dim relations
+    // (orders, part) become shuffle anti-joins, with q93's bloom
+    // pre-filter as the cheap first pass. All-zero orphans is the
+    // EXPECTED result on consistent data — the spec plants an orphan to
+    // prove detection.
+    "q142_fk_audit" -> ((s, dir) => {
+      def rel(name: String, fact: DataFrame, key: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+        val orphans = fact.select(col(key).as("k")).where(col("k").isNotNull)
+          .join(dim.select(col(dimKey).as("k")).distinct(), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        fact.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans)
+          .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
+      Seq(
+        rel("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        rel("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        rel("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        rel("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        rel("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
+        rel("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+        rel("events.user_id->customer", Tables.events(s, dir), "user_id", c, "c_custkey")
+      ).reduce(_ unionByName _)
     })
   )
 
@@ -2108,6 +2374,20 @@ object SparkEntry {
 
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
+
+  /** Pearson r from BIGINT moment sums — the exact expression order of
+    * [[graft.operators.IntStats.corrFromSums]]; a count column `n` must
+    * be in scope in the surrounding SELECT. */
+  private def dCorr(sx: String, sy: String, sxy: String,
+                    sxx: String, syy: String): String =
+    s"CASE WHEN n*$sxx - $sx*$sx = 0 OR n*$syy - $sy*$sy = 0 THEN NULL " +
+      s"ELSE round(CAST(n*$sxy - $sx*$sy AS DOUBLE) / " +
+      s"sqrt(CAST(n*$sxx - $sx*$sx AS DOUBLE) * CAST(n*$syy - $sy*$sy AS DOUBLE)), 6) END"
+
+  /** Unrounded OLS slope from sums (IntStats.slopeFromSums order) —
+    * reused inside the intercept so both see the identical double. */
+  private val dSlope =
+    "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)"
 
   /** DuckDB mirror of [[graft.llm.KMeans]]: seed from the md5 sample,
     * then `iters` unrolled Lloyd rounds (q100's chained-CTE precedent) —
@@ -4736,6 +5016,194 @@ object SparkEntry {
         |        GROUP BY 1) n
         |    ON e2.user_id = n.user_id AND e2.ts_ms = n.m
         |  GROUP BY 1, 2)
-        |SELECT event_id, user_id, ts_ms FROM k""".stripMargin
+        |SELECT event_id, user_id, ts_ms FROM k""".stripMargin,
+
+    // ---------------------------------------------- corpus statistics pack
+    // Same integer-moment discipline as the engine (IntStats): every
+    // aggregate an exact BIGINT (CAST around SUM — DuckDB's SUM(BIGINT)
+    // is HUGEINT, the q70 lesson), floats once per output row with the
+    // IDENTICAL expression order, round(_, 6) absorbing ln's libm ulp.
+
+    "q131_signal_corr" ->
+      s"""WITH d AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      t -> t <> '')) AS BIGINT) AS y,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS z
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(z) AS BIGINT) AS sz,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |    CAST(SUM(z*z) AS BIGINT) AS szz,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*z) AS BIGINT) AS sxz,
+        |    CAST(SUM(y*z) AS BIGINT) AS syz
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n AS n_docs,
+        |  ${dCorr("sx", "sy", "sxy", "sxx", "syy")} AS corr_chars_tokens,
+        |  ${dCorr("sx", "sz", "sxz", "sxx", "szz")} AS corr_chars_lines,
+        |  ${dCorr("sy", "sz", "syz", "syy", "szz")} AS corr_tokens_lines
+        |FROM m""".stripMargin,
+
+    "q132_token_calibration" ->
+      s"""WITH d AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      t -> t <> '')) AS BIGINT) AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM d GROUP BY 1)
+        |SELECT source, n AS n_docs,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |    ELSE round($dSlope, 6) END AS slope,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |    ELSE round((CAST(sy AS DOUBLE) - ($dSlope) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+        |    ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |    END AS r2
+        |FROM m""".stripMargin,
+
+    "q133_mi_lang_source" ->
+      """WITH j AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM documents GROUP BY 1, 2),
+        |l AS (SELECT lang, CAST(SUM(n_pair) AS BIGINT) AS n_lang FROM j GROUP BY 1),
+        |s AS (SELECT source, CAST(SUM(n_pair) AS BIGINT) AS n_source FROM j GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM j)
+        |SELECT j.lang, j.source, n_pair, n_lang, n_source, n_total,
+        |  round(ln(CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE))), 6) AS pmi
+        |FROM j JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t""".stripMargin,
+
+    "q134_zscore_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |m AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT doc_id, lang, x AS n_chars,
+        |  CASE WHEN n < 2 OR n*sxx - sx*sx = 0 THEN NULL
+        |    ELSE round((CAST(n*x - sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)), 6)
+        |    END AS z
+        |FROM d JOIN m USING (lang)""".stripMargin,
+
+    "q135_mad_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |md AS (SELECT lang, quantile_cont(x, 0.5) AS med FROM d GROUP BY 1),
+        |dv AS (
+        |  SELECT doc_id, lang, x, med, abs(CAST(x AS DOUBLE) - med) AS dev
+        |  FROM d JOIN md USING (lang)),
+        |ma AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY 1)
+        |SELECT doc_id, lang, x AS n_chars, med, mad
+        |FROM dv JOIN ma USING (lang)
+        |WHERE dev > mad * 2.0""".stripMargin,
+
+    "q136_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT doc_id, lang, nt AS n_tokens,
+        |  CAST(ntile(8) OVER w AS BIGINT) AS bucket,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(dense_rank() OVER (PARTITION BY lang ORDER BY nt) AS BIGINT) AS dr
+        |FROM d
+        |WINDOW w AS (PARTITION BY lang ORDER BY nt, doc_id)""".stripMargin,
+
+    "q137_grouping_sets" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source))""".stripMargin,
+
+    "q138_length_histogram" ->
+      """WITH b AS (
+        |  SELECT lang, least(n_chars // 64, 15) AS bucket FROM documents),
+        |g AS (
+        |  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM b GROUP BY 1, 2)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(bucket * 64 AS BIGINT) AS bucket_lo, n_docs
+        |FROM g""".stripMargin,
+
+    // q140: the dBpeCte merge-loop replay supplies per-doc BPE tokens;
+    // whitespace words and chars aggregate alongside; ratios floor-ppm.
+    "q140_tokenizer_fertility" ->
+      s"""WITH RECURSIVE ${dBpeCte("documents")},
+        |per AS (
+        |  SELECT d.lang, CAST(d.n_chars AS BIGINT) AS nc,
+        |    CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+        |      x -> x <> '')) AS BIGINT) AS ws,
+        |    COALESCE(len(b.toks), 0) AS bt
+        |  FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id),
+        |agg AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(bt) AS BIGINT) AS bpe_tokens,
+        |    CAST(SUM(nc) AS BIGINT) AS snc
+        |  FROM per GROUP BY 1)
+        |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+        |  CAST(floor(1000000.0 * bpe_tokens / greatest(ws_tokens, 1))
+        |    AS BIGINT) AS fertility_ppm,
+        |  CAST(floor(1000000.0 * snc / greatest(bpe_tokens, 1))
+        |    AS BIGINT) AS chars_per_tok_ppm
+        |FROM agg""".stripMargin,
+
+    // q141: one UNION ALL arm per lineitem column; doubles render
+    // through DECIMAL(18,2) to match the engine's type-stable strings;
+    // the sketch gate is an all-TRUE literal (q62 convention — a broken
+    // HLL hash-fails the booleans).
+    "q141_data_profile" -> {
+      val cols = Seq(
+        ("l_orderkey", false), ("l_partkey", false), ("l_suppkey", false),
+        ("l_linenumber", false), ("l_quantity", true),
+        ("l_extendedprice", true), ("l_discount", true), ("l_tax", true),
+        ("l_returnflag", false), ("l_linestatus", false),
+        ("l_shipdate", false))
+      cols.map { case (c, dbl) =>
+        def r(agg: String) =
+          if (dbl) s"CAST(CAST($agg($c) AS DECIMAL(18,2)) AS VARCHAR)"
+          else s"CAST($agg($c) AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  ${r("MIN")} AS min_s, ${r("MAX")} AS max_s,
+           |  TRUE AS distinct_in_bounds
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
+    // q142: scalar-subquery twin of each anti-join arm.
+    "q142_fk_audit" -> {
+      val rels = Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+      rels.map { case (name, fact, key, dim, dimKey) =>
+        s"""SELECT '$name' AS relation,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $fact) AS n_rows,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $fact f
+           |   WHERE f.$key IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM $dim d WHERE d.$dimKey = f.$key)) AS n_orphans""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }
   )
 }

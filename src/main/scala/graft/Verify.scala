@@ -19,7 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration on a few
+    // queries (the driver never sets it — full suite + full manifest).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -48,7 +56,7 @@ object Verify {
     // Full query inventory, so the compare drives from what SHOULD exist
     // rather than from output dirs that happen to exist — a query that
     // crashed before writing anything fails its row instead of vanishing.
-    val manifest = SparkEntry.queries.keys.toSeq.sorted
+    val manifest = selected.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic statistics from INTEGER moment sums.
+  *
+  * Spark's floating aggregates (`corr`, `covar_samp`, `stddev`, ...) sum
+  * doubles in partition order, so their low bits depend on partitioning —
+  * they can never hash-match an oracle, and at 100 TB they are not even
+  * run-to-run stable. The discipline here is the one the engine already
+  * uses for entropy/surprisal (term-sorted folds): keep every AGGREGATE in
+  * exact integer arithmetic (associative + commutative → identical under
+  * any partitioning, any AQE re-plan, any executor count), and do the
+  * floating-point arithmetic ONCE per output row from those exact sums.
+  * Two engines evaluating the same IEEE expression over identical longs
+  * produce identical doubles (only `ln`'s last ulp is libm-dependent,
+  * which `round(_, 6)` absorbs — q113's log-odds precedent).
+  *
+  * Needed sums for a pair (x, y): n, Σx, Σy, Σxy, Σx², Σy² — six longs
+  * per group, map-side combinable, one shuffle regardless of group count.
+  * This is also the scale story: the sufficient statistics are O(groups),
+  * not O(rows), and merging partial sums is exact — the same reason
+  * count/sum scale and naive variance-of-doubles does not.
+  *
+  * Overflow envelope: Σx² ≤ n·max(x)²; callers bound max(x) (document
+  * char/token counts ≤ ~10⁴) so even 10¹² rows stay inside int64 for the
+  * moment sums; the n·Σx² products below are the binding term — callers
+  * with n·max(x)² near 2⁶³ should pre-scale x.
+  */
+object IntStats {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Pearson r from integer moment sums; NULL when either variance is 0.
+    * Mirrors exactly:
+    * `round(CAST(n*sxy - sx*sy AS DOUBLE) /
+    *    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)`
+    */
+  def corrFromSums(n: Column, sx: Column, sy: Column, sxy: Column,
+                   sxx: Column, syy: Column): Column = {
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    when(vx === 0 || vy === 0, lit(null).cast("double"))
+      .otherwise(round(d(cov) / sqrt(d(vx) * d(vy)), 6))
+  }
+
+  /** OLS slope of y ~ x (unrounded — intercept needs the full value). */
+  def slopeFromSums(n: Column, sx: Column, sy: Column, sxy: Column,
+                    sxx: Column): Column = {
+    val vx = n * sxx - sx * sx
+    when(vx === 0, lit(null).cast("double"))
+      .otherwise(d(n * sxy - sx * sy) / d(vx))
+  }
+
+  /** OLS intercept: (Σy − slope·Σx)/n with the UNROUNDED slope. */
+  def interceptFromSums(n: Column, sx: Column, sy: Column, sxy: Column,
+                        sxx: Column): Column =
+    (d(sy) - slopeFromSums(n, sx, sy, sxy, sxx) * d(sx)) / d(n)
+
+  /** R² = cov² / (varx·vary) from the same sums; NULL on zero variance. */
+  def r2FromSums(n: Column, sx: Column, sy: Column, sxy: Column,
+                 sxx: Column, syy: Column): Column = {
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    when(vx === 0 || vy === 0, lit(null).cast("double"))
+      .otherwise(round(d(cov) * d(cov) / (d(vx) * d(vy)), 6))
+  }
+
+  /** z-score of x against its group's (n, Σx, Σx²), sample (n−1) variance:
+    * ((n·x − Σx)/n) / sqrt((n·Σx² − Σx²ₛ)/(n·(n−1))); NULL when n < 2 or
+    * the group is constant.
+    */
+  def zscoreFromSums(x: Column, n: Column, sx: Column, sxx: Column): Column = {
+    val vx = n * sxx - sx * sx
+    when(n < 2 || vx === 0, lit(null).cast("double"))
+      .otherwise(round((d(n * x - sx) / d(n)) /
+        sqrt(d(vx) / d(n * (n - 1))), 6))
+  }
+
+  /** Pointwise mutual information ln(cnt·n / (cx·cy)) from joint and
+    * marginal counts — exact-integer ratio, one ln per output row. */
+  def pmiFromCounts(cnt: Column, cx: Column, cy: Column, n: Column): Column =
+    round(log(d(cnt) * d(n) / (d(cx) * d(cy))), 6)
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.IntStats._
+
+/** graft.operators.IntStats — deterministic statistics from integer
+  * moment sums. The load-bearing claims: (1) the formulas agree with the
+  * textbook definitions (cross-checked against Spark's own floating
+  * aggregates within fp tolerance), (2) the results are EXACTLY invariant
+  * under repartitioning — the property Spark's corr/stddev aggregates do
+  * not have and the reason IntStats exists.
+  */
+class IntStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Deterministic pseudo-random integer rows: x, then y linearly related
+  // plus hash noise so corr is high but not 1; grouped into 3 keys.
+  private def fixture(parts: Int): DataFrame =
+    spark.range(0, 300).repartition(parts)
+      .select((col("id") % 3).as("g"),
+        (col("id") % 97).cast("long").as("x"),
+        ((col("id") % 97) * 2 + pmod(hash(col("id")), lit(13))).cast("long").as("y"))
+
+  private def moments(df: DataFrame): DataFrame =
+    df.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+
+  test("corrFromSums matches Spark's corr aggregate within fp tolerance") {
+    val ours = moments(fixture(4))
+      .select(col("g"), corrFromSums(col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    val ref = fixture(4).groupBy("g")
+      .agg(corr(col("x").cast("double"), col("y").cast("double")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(ours.keySet == ref.keySet)
+    ours.foreach { case (g, r) =>
+      assert(math.abs(r - ref(g)) < 1e-6, s"group $g: $r vs ${ref(g)}")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
+  test("results are bit-identical under any partitioning (Spark's corr is not)") {
+    def run(parts: Int): Map[Long, (Double, Double, Double, Double)] =
+      moments(fixture(parts)).select(col("g"),
+        corrFromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy")),
+        round(slopeFromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")), 6),
+        round(interceptFromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")), 6),
+        r2FromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy")))
+        .as[(Long, Double, Double, Double, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(run(1) == run(13)) // exact ==, not tolerance
+  }
+
+  test("OLS on exactly linear data: slope/intercept/r2 recovered exactly") {
+    val lin = spark.range(1, 50).select(lit(0L).as("g"),
+      col("id").as("x"), (col("id") * 2 + 3).as("y"))
+    val m = moments(lin)
+    val out = m.select(
+      slopeFromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")),
+      interceptFromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")),
+      r2FromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy")))
+      .as[(Double, Double, Double)].head()
+    assert(out == ((2.0, 3.0, 1.0)))
+  }
+
+  test("zero-variance group yields NULL, not a crash or Infinity") {
+    val const = Seq((0L, 5L, 1L), (0L, 5L, 2L)).toDF("g", "x", "y")
+    val out = moments(const).select(
+      corrFromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy")),
+      slopeFromSums(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx")))
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("zscore: hand-checked values, and group mean of z is ~0") {
+    // x = {2, 4, 6}: mean 4, sample std 2 → z = {-1, 0, 1} exactly
+    val toy = Seq(2L, 4L, 6L).toDF("x").withColumn("g", lit(0L))
+    val m = toy.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+    val z = toy.join(m, "g")
+      .select(zscoreFromSums(col("x"), col("n"), col("sx"), col("sxx")))
+      .as[Double].collect().sorted
+    assert(z.sameElements(Array(-1.0, 0.0, 1.0)))
+    // singleton group → NULL (n < 2)
+    val one = Seq(7L).toDF("x").withColumn("g", lit(0L))
+    val m1 = one.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+    assert(one.join(m1, "g")
+      .select(zscoreFromSums(col("x"), col("n"), col("sx"), col("sxx")))
+      .collect().head.isNullAt(0))
+  }
+
+  test("pmi is exactly 0 for an independent joint distribution") {
+    // 2x2 uniform: every cell cnt=5, margins 10, n=20 → ln(5*20/(10*10)) = ln(1)
+    val joint = Seq(("a", "u", 5L), ("a", "v", 5L), ("b", "u", 5L), ("b", "v", 5L))
+      .toDF("l", "s", "cnt")
+    val out = joint.select(pmiFromCounts(col("cnt"), lit(10L), lit(10L), lit(20L)))
+      .as[Double].collect()
+    assert(out.forall(_ == 0.0))
+  }
+
+  test("q135 MAD gate flags a planted outlier and nothing else") {
+    // spread base (med=101, MAD=3 → gate at dev>6) plus one far outlier
+    val lens = Seq(96L, 98L, 100L, 102L, 104L, 500L)
+    val docs = lens.zipWithIndex.map { case (l, i) => (i.toLong, "en", l) }
+      .toDF("doc_id", "lang", "x")
+    val med = docs.groupBy("lang").agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = docs.join(med, "lang")
+      .withColumn("dev", abs(col("x").cast("double") - col("med")))
+    val mad = dev.groupBy("lang").agg(expr("percentile(dev, 0.5)").as("mad"))
+    val flagged = dev.join(mad, "lang").filter(col("dev") > col("mad") * 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(5L))
+  }
+
+  test("grouping sets emits exactly the two marginals with correct flags") {
+    val out = SparkEntry.queries("q137_grouping_sets")(spark, sf)
+    val rows = out.select("lang", "source", "g_lang", "g_source")
+      .as[(String, String, Long, Long)].collect()
+    val langs = rows.filter(r => r._3 == 0 && r._4 == 1)
+    val sources = rows.filter(r => r._3 == 1 && r._4 == 0)
+    assert(langs.length + sources.length == rows.length) // no (0,0)/(1,1) rows
+    assert(langs.forall(r => r._1 != null && r._2 == null))
+    assert(sources.forall(r => r._1 == null && r._2 != null))
+    // marginal totals both sum to the corpus size
+    val n = SparkEntrySpecHelpers.docCount(spark, sf)
+    val sums = out.groupBy("g_lang").agg(sum("n_docs").as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(sums(0L) == n && sums(1L) == n)
+  }
+
+  test("histogram counts partition the corpus; buckets within range") {
+    val out = SparkEntry.queries("q138_length_histogram")(spark, sf)
+    val total = out.agg(sum("n_docs")).as[Long].head()
+    assert(total == SparkEntrySpecHelpers.docCount(spark, sf))
+    val rows = out.select("bucket", "bucket_lo").as[(Long, Long)].collect()
+    assert(rows.forall { case (b, lo) => b >= 0 && b <= 15 && lo == b * 64 })
+  }
+
+  test("length buckets: octile sizes balanced, rank endpoints correct") {
+    val out = SparkEntry.queries("q136_length_buckets")(spark, sf)
+    val sizes = out.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("spread"))
+      .as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 1), s"ntile imbalance: ${sizes.mkString(",")}")
+    val pr = out.groupBy("lang").agg(min("pr").as("lo"), max("pr").as("hi"))
+      .as[(String, Double, Double)].collect()
+    assert(pr.forall(r => r._2 == 0.0 && r._3 == 1.0))
+  }
+}
+
+/** Tiny helpers shared by stats suites. */
+object SparkEntrySpecHelpers {
+  def docCount(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
+    graft.sources.Tables.documents(spark, sf).count()
+}

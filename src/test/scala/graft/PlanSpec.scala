@@ -570,4 +570,26 @@ class PlanSpec extends SparkTestBase {
       assert(exchanges <= 10, s"q96 grew to $exchanges hash exchanges:\n$plan")
     }
   }
+
+  test("stats pack: q131 is one shuffle; q134/q135 broadcast group stats") {
+    uncached {
+      // Moment sums: one map-combinable aggregate — exactly one exchange.
+      val corr = SparkEntry.queries("q131_signal_corr")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(corr).length == 1,
+        s"q131 must cost one shuffle:\n$corr")
+      assert(!corr.contains("Window"), s"no window belongs in q131:\n$corr")
+      // Normalization joins the O(groups) stats table back by BROADCAST:
+      // the corpus side must never shuffle for the join.
+      val z = SparkEntry.queries("q134_zscore_norm")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(z.contains("BroadcastHashJoin"),
+        s"group stats must broadcast onto the corpus:\n$z")
+      assert(!z.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$z")
+      val mad = SparkEntry.queries("q135_mad_outliers")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(mad.contains("BroadcastHashJoin") && !mad.contains("SortMergeJoin"),
+        s"median/MAD tables must broadcast:\n$mad")
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q140 tokenizer fertility, q141 table profiler, q142 FK audit. */
+class ProfilerAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q140: fertility >= 1.0 (BPE never merges across words) and sane ratios") {
+    val out = SparkEntry.queries("q140_tokenizer_fertility")(spark, sf)
+      .select("lang", "ws_tokens", "bpe_tokens", "fertility_ppm", "chars_per_tok_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 5)
+    out.foreach { case (lang, ws, bpe, fert, cpt) =>
+      // each whitespace word encodes to >= 1 BPE token
+      assert(bpe >= ws, s"$lang: bpe=$bpe < words=$ws")
+      assert(fert >= 1000000L, s"$lang fertility below 1.0: $fert")
+      assert(cpt > 0, s"$lang chars/token: $cpt")
+    }
+  }
+
+  test("q141: profile rows are consistent with the table; sketch in bounds") {
+    val t = graft.sources.Tables.lineitem(spark, sf)
+    val nRows = t.count()
+    val out = SparkEntry.queries("q141_data_profile")(spark, sf).collect()
+    assert(out.length == t.schema.fields.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_nulls") == 0L) // testdata has no nulls
+      assert(r.getAs[Long]("n_distinct") > 0L)
+      assert(r.getAs[Boolean]("distinct_in_bounds"))
+    }
+    val byCol = out.map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(byCol("l_returnflag").getAs[Long]("n_distinct") == 3L)
+    // double rendering is decimal-stable: always two decimals
+    assert(byCol("l_discount").getAs[String]("min_s").matches("-?\\d+\\.\\d{2}"))
+  }
+
+  test("q141 plan: no multi-distinct Expand; distincts stay two-level aggregates") {
+    spark.catalog.clearCache()
+    val plan = SparkEntry.queries("q141_data_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"multi-distinct Expand crept in:\n$plan")
+  }
+
+  test("q142: every star-schema relation intact on the fixture") {
+    val out = SparkEntry.queries("q142_fk_audit")(spark, sf)
+      .select("relation", "n_rows", "n_orphans")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.length == 8)
+    assert(out.forall(_._3 == 0L), s"unexpected orphans: ${out.filter(_._3 != 0)}")
+    val byRel = out.map(r => r._1 -> r._2).toMap
+    assert(byRel("lineitem.l_orderkey->orders") ==
+      graft.sources.Tables.lineitem(spark, sf).count())
+    assert(byRel("nation.n_regionkey->region") == 25L)
+  }
+
+  test("the anti-join shape detects a planted orphan") {
+    // same shape as q142's rel(): null-safe left_anti against distinct keys
+    val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
+      (4L, Some(10L)), (5L, None: Option[Long])).toDF("id", "fk")
+    val dim = Seq(10L, 20L, 30L).toDF("k")
+    val orphans = fact.select(col("fk").as("k")).where(col("k").isNotNull)
+      .join(dim.select(col("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1))).as[Long].head()
+    assert(orphans == 1L) // only fk=99; the NULL fk is not an orphan
+  }
+}
