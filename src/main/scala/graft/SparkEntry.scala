@@ -733,6 +733,16 @@ object SparkEntry {
       StreamingWindows.tumblingStats(Tables.events(s, dir), "1 hour")
     }),
 
+    // Streaming drift monitor, batch semantics: per-window mean/variance
+    // of value per event_type from milli-quantized INTEGER moment sums
+    // (the IntStats discipline lifted into the window family — the sums
+    // merge exactly across streaming triggers, so the same plan runs in
+    // append mode with a watermark; StreamingSpec drives that path).
+    "q143_window_moments" -> ((s, dir) => {
+      import graft.streaming.StreamingWindows
+      StreamingWindows.windowMoments(Tables.events(s, dir), "1 hour")
+    }),
+
     // Sliding windows (2h size / 1h slide — each event in exactly two
     // windows): the overlap is generated by Spark's window() expansion;
     // the oracle reproduces it as two shifted hour buckets.
@@ -2227,6 +2237,38 @@ object SparkEntry {
           inBounds(col("ad"), col("nd")).as("distinct_in_bounds"))
       }
       parts.reduce(_ unionByName _)
+    }),
+
+    // Filter-attrition report — what a corpus team reviews BEFORE
+    // applying a quality gate to 100 TB: per rule, how many documents it
+    // would reject (and the composite). One map-combinable aggregate
+    // over the same native text_stats pass q24 gates; the single
+    // result row unpivots via stack() — no second scan, no shuffle
+    // beyond the one global aggregate.
+    "q144_filter_attrition" -> ((s, dir) => {
+      import graft.llm.TextOps
+      val t = col("text")
+      val fails: Seq[(String, Column)] = Seq(
+        "min_tokens" -> !(TextOps.nTokens(t) >= 20),
+        "punct_ratio" -> !(TextOps.punctRatio(t) <= 0.1),
+        "stopword_band" -> !TextOps.stopwordRatio(t).between(0.05, 0.6),
+        "token_len_band" -> !TextOps.avgTokenLen(t).between(3.0, 12.0),
+        "min_chars" -> !(col("n_chars") >= 100L))
+      val failFlags = fails.map { case (n, c) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"f_$n")
+      }
+      val anyFlag = sum(when(
+        fails.map { case (_, c) => when(c, 1).otherwise(0) }.reduce(_ + _) > 0,
+        1L).otherwise(0L)).as("f_any")
+      val row = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_checked"), (failFlags :+ anyFlag): _*)
+      val stackArgs = (fails.map(_._1) :+ "any")
+        .map(n => s"'$n', f_$n").mkString(", ")
+      row.select(col("n_checked"),
+        expr(s"stack(${fails.size + 1}, $stackArgs) AS (rule, n_failing)"))
+        .select(col("rule"), col("n_checked"), col("n_failing"),
+          floor(lit(1000000.0) * col("n_failing") /
+            greatest(col("n_checked"), lit(1L))).cast("long").as("fail_ppm"))
     }),
 
     // Referential-integrity audit across the whole star schema — the
@@ -5184,6 +5226,67 @@ object SparkEntry {
            |  TRUE AS distinct_in_bounds
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
+    },
+
+    // q143: q67's time_bucket mirror + BIGINT moment sums; mean/var
+    // derived with the identical expression order, round 6.
+    "q143_window_moments" ->
+      """WITH b AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS h,
+        |    event_type, CAST(floor(value * 1000) AS BIGINT) AS mv
+        |  FROM events),
+        |m AS (
+        |  SELECT h AS window_start_ms, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(mv) AS BIGINT) AS sum_mv,
+        |    CAST(SUM(mv*mv) AS BIGINT) AS sum_mv2
+        |  FROM b GROUP BY 1, 2)
+        |SELECT window_start_ms, event_type, n_events, sum_mv, sum_mv2,
+        |  CAST(sum_mv AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_mv,
+        |  CASE WHEN n_events < 2 THEN NULL
+        |    ELSE CAST(n_events*sum_mv2 - sum_mv*sum_mv AS DOUBLE)
+        |      / CAST(n_events*(n_events-1) AS DOUBLE) END AS var_mv
+        |FROM m""".stripMargin,
+
+    // q144: q24's rule mirrors feeding one aggregate; a UNION arm per
+    // rule replays the stack() unpivot.
+    "q144_filter_attrition" -> {
+      import graft.llm.TextOps.Stopwords
+      val inEn = Stopwords("en").map(w => s"'$w'").mkString(", ")
+      val conds = Seq(
+        "min_tokens" -> "NOT (nt >= 20)",
+        "punct_ratio" -> "NOT (pr <= 0.1)",
+        "stopword_band" -> "NOT (round(s_en*1.0/nt, 4) BETWEEN 0.05 AND 0.6)",
+        "token_len_band" ->
+          "NOT (len(regexp_replace(text,'\\s','','g'))*1.0/nt BETWEEN 3.0 AND 12.0)",
+        "min_chars" -> "NOT (n_chars >= 100)")
+      val flagCols = conds.map { case (n, c) =>
+        s"CASE WHEN $c THEN 1 ELSE 0 END AS f_$n" }.mkString(",\n    ")
+      val sumCols = conds.map { case (n, _) =>
+        s"CAST(SUM(f_$n) AS BIGINT) AS f_$n" }.mkString(",\n    ")
+      val anySum = conds.map { case (n, _) => s"f_$n" }.mkString(" + ")
+      val arms = (conds.map(_._1) :+ "any").map { n =>
+        s"""SELECT '$n' AS rule, n_checked, f_$n AS n_failing,
+           |  CAST(floor(1000000.0 * f_$n / greatest(n_checked, 1)) AS BIGINT)
+           |    AS fail_ppm FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+        |  SELECT doc_id, text, n_chars,
+        |    string_split_regex(text, '\\s+') AS toks
+        |  FROM documents),
+        |t AS (SELECT *, len(toks) AS nt,
+        |  round(len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text), 4) AS pr,
+        |  len(list_filter(toks, x -> x IN ($inEn))) AS s_en
+        |  FROM d),
+        |f AS (
+        |  SELECT $flagCols
+        |  FROM t),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |    $sumCols,
+        |    CAST(SUM(CASE WHEN $anySum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS f_any
+        |  FROM f)
+        |$arms""".stripMargin
     },
 
     // q142: scalar-subquery twin of each anti-join arm.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-interval (tumbling) event-time aggregation — the third window
@@ -44,5 +44,46 @@ object StreamingWindows {
         unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"),
         col("min_value"), col("max_value"))
+  }
+
+  /** Per-window distribution monitor — the streaming form of the
+    * IntStats discipline ([[graft.operators.IntStats]]): mean/variance
+    * of `value` per (tumbling window, event_type), carried as INTEGER
+    * moment sums over the milli-quantized value. The sums are
+    * associative + commutative longs, so the streaming aggregation
+    * buffer merges exactly across triggers/retries and the batch twin
+    * hash-matches a DuckDB oracle (q143) — a floating mean/var
+    * aggregate could do neither. mean/var are derived per emitted row.
+    *
+    * This is the drift alarm a pipeline hangs on its ingest: a window
+    * whose mean_mv/var_mv jumps against the trailing baseline flags a
+    * schema or upstream change. Quantization trades range for headroom:
+    * milli units keep n·Σmv² inside int64 up to ~1e10 rows per
+    * (window, key) at |value| ≤ 1e3 — re-scale for wider domains.
+    */
+  def windowMoments(events: DataFrame, duration: String = "1 hour",
+                    watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    val d = (c: Column) => c.cast("double")
+    src
+      .select(col("ts"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("mv"))
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("mv").as("sum_mv"),
+        sum(col("mv") * col("mv")).as("sum_mv2"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_mv"), col("sum_mv2"),
+        // NO round(): identical longs through identical IEEE division
+        // yield bit-identical doubles in both engines, while round(_, 6)
+        // on a ~1e9-magnitude variance sits past double precision and
+        // the engines' rounding ALGORITHMS (BigDecimal vs float-scale)
+        // disagree in the last digit. Rounding is for libm ops (ln);
+        // + - * / sqrt are correctly-rounded and need none.
+        (d(col("sum_mv")) / d(col("n_events"))).as("mean_mv"),
+        when(col("n_events") < 2, lit(null).cast("double"))
+          .otherwise(
+            d(col("n_events") * col("sum_mv2") - col("sum_mv") * col("sum_mv")) /
+              d(col("n_events") * (col("n_events") - 1))).as("var_mv"))
   }
 }

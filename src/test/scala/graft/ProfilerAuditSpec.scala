@@ -55,6 +55,19 @@ class ProfilerAuditSpec extends SparkTestBase {
     assert(byRel("nation.n_regionkey->region") == 25L)
   }
 
+  test("q144: composite attrition bounded by the per-rule counts") {
+    val out = SparkEntry.queries("q144_filter_attrition")(spark, sf)
+      .select("rule", "n_checked", "n_failing")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.length == 6)
+    val byRule = out.map(r => r._1 -> r._3).toMap
+    val any = byRule("any")
+    val perRule = (byRule - "any").values
+    // any-rule failures: at least the worst single rule, at most the sum
+    assert(any >= perRule.max && any <= perRule.sum)
+    assert(out.map(_._2).distinct.size == 1) // one consistent n_checked
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),

@@ -424,6 +424,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("window moments: integer sums merge across triggers; emitted mean/var exact") {
+    import graft.streaming.StreamingWindows
+    val base = 1700000000000L
+    val hour = 3600 * 1000L
+    val rows = Seq(
+      (new Timestamp(base), "click", 2.0),
+      (new Timestamp(base + 60000), "click", 5.0),
+      (new Timestamp(base + hour), "click", 7.0)) // advances the watermark
+    val wInput = MemoryStream[(Timestamp, String, Double)](spark)
+    val stream = wInput.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingWindows.windowMoments(stream, "1 hour",
+      watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      wInput.addData(rows.take(1)) // first trigger: partial window state
+      q.processAllAvailable()
+      wInput.addData(rows.drop(1)) // second trigger merges into it
+      q.processAllAvailable()
+      val emitted = spark.table("wm_out")
+        .select("event_type", "n_events", "sum_mv", "sum_mv2", "mean_mv", "var_mv")
+        .as[(String, Long, Long, Long, Double, Option[Double])].collect().toSet
+      // mv = {2000, 5000}: sums exact, mean 3500, sample var 4.5e6 —
+      // identical no matter how rows split across triggers
+      assert(emitted ==
+        Set(("click", 2L, 7000L, 29000000L, 3500.0, Some(4500000.0))))
+      val batch = StreamingWindows.windowMoments(
+        rows.toDF("ts", "event_type", "value"), "1 hour")
+        .select("event_type", "n_events", "sum_mv", "sum_mv2", "mean_mv", "var_mv")
+        .as[(String, Long, Long, Long, Double, Option[Double])].collect().toSet
+      assert(batch.contains(
+        ("click", 2L, 7000L, 29000000L, 3500.0, Some(4500000.0))))
+      // the singleton third window carries a NULL variance, not a crash
+      assert(batch.contains(("click", 1L, 7000L, 49000000L, 7000.0, None)))
+    } finally q.stop()
+  }
+
   test("StreamingJob drains the fixture (AvailableNow) and a re-run is checkpoint-idempotent") {
     val out = java.nio.file.Files.createTempDirectory("sjout").toString + "/sessions"
     val ckpt = java.nio.file.Files.createTempDirectory("sjckpt").toString
