@@ -743,6 +743,48 @@ object SparkEntry {
       StreamingWindows.windowMoments(Tables.events(s, dir), "1 hour")
     }),
 
+    // Drift ALARM on top of q143's moment series: each window's mean
+    // against the trailing 24-window baseline — rolling sums of the
+    // INTEGER moments over a bounded row frame stay exact, so the
+    // 3-sigma comparison is bit-deterministic. The window function runs
+    // over the AGGREGATED series (O(windows) rows, not O(events)), so
+    // the per-key sort is trivial at any corpus scale; alarm is NULL
+    // until a full 24-window baseline exists.
+    "q145_drift_alarm" -> ((s, dir) => {
+      import graft.streaming.StreamingWindows
+      import org.apache.spark.sql.expressions.Window
+      val m = StreamingWindows.windowMoments(Tables.events(s, dir), "1 hour")
+        .select(col("window_start_ms"), col("event_type"),
+          col("n_events"), col("sum_mv"), col("sum_mv2"))
+      val w = Window.partitionBy("event_type").orderBy("window_start_ms")
+        .rowsBetween(-24, -1)
+      val d = (c: Column) => c.cast("double")
+      val withBase = m.select(col("window_start_ms"), col("event_type"),
+        col("n_events"), col("sum_mv"),
+        count(lit(1)).over(w).as("bw"),
+        sum("n_events").over(w).as("bn"),
+        sum("sum_mv").over(w).as("bs"),
+        sum("sum_mv2").over(w).as("bs2"))
+      // only windows with a FULL 24-window baseline are judged (a NULL
+      // boolean round-trips as None-vs-NaN through the driver's pandas
+      // compare; warm-up windows carry no signal anyway)
+      withBase.filter(col("bw") === 24)
+        .select(col("window_start_ms"), col("event_type"),
+          col("n_events"),
+          (d(col("sum_mv")) / d(col("n_events"))).as("mean_mv"),
+          (d(col("bs")) / d(col("bn"))).as("base_mean"),
+          // baseline variance derived in DOUBLE space from the exact
+          // longs ((Σx² − (Σx)²/n)/(n−1)) — the n·Σx² integer product
+          // would overflow int64 once a 24h baseline holds ~1e5 rows of
+          // milli-quantized values; doubles from identical longs stay
+          // bit-deterministic across engines
+          (abs(d(col("sum_mv")) / d(col("n_events")) - d(col("bs")) / d(col("bn"))) >
+            lit(3.0) * sqrt(
+              ((d(col("bs2")) - d(col("bs")) * d(col("bs")) / d(col("bn"))) /
+                d(col("bn") - 1)) / d(col("n_events"))))
+            .as("alarm"))
+    }),
+
     // Sliding windows (2h size / 1h slide — each event in exactly two
     // windows): the overlap is generated by Spark's window() expansion;
     // the oracle reproduces it as two shifted hour buckets.
@@ -2237,6 +2279,37 @@ object SparkEntry {
           inBounds(col("ad"), col("nd")).as("distinct_in_bounds"))
       }
       parts.reduce(_ unionByName _)
+    }),
+
+    // Multi-touch attribution credit — the model layer over the GA
+    // touchpoint paths (q10/q16): per channel, first-touch and
+    // last-touch counts plus LINEAR (1/n each) and U-SHAPE (40/20/40)
+    // fractional credit. Fractions are floor-ppm INTEGERS per touch
+    // (floor(1e6/n) — bit-identical to DuckDB's identical double op),
+    // so the channel totals are exact integer sums: a double credit sum
+    // would be partition-order dependent. Shape: one per-user window
+    // for (rank, n), then a map-combinable groupBy — per-user state is
+    // a rank, not an array.
+    "q146_attribution_credit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy("user_id")
+      val touches = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("channel"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val linear = floor(lit(1000000.0) / col("n")).cast("long")
+      val ushape = when(col("n") === 1, lit(1000000L))
+        .when(col("n") === 2, lit(500000L))
+        .when(col("rn") === 1 || col("rn") === col("n"), lit(400000L))
+        .otherwise(floor(lit(200000.0) / (col("n") - 2)).cast("long"))
+      touches.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_first"),
+          sum(when(col("rn") === col("n"), 1L).otherwise(0L)).as("n_last"),
+          sum(linear).as("linear_ppm"),
+          sum(ushape).as("ushape_ppm"))
     }),
 
     // Filter-attrition report — what a corpus team reviews BEFORE
@@ -5247,6 +5320,58 @@ object SparkEntry {
         |    ELSE CAST(n_events*sum_mv2 - sum_mv*sum_mv AS DOUBLE)
         |      / CAST(n_events*(n_events-1) AS DOUBLE) END AS var_mv
         |FROM m""".stripMargin,
+
+    // q145: q143's moment CTE + the identical bounded-frame rolling sums
+    // and double-space variance derivation.
+    "q145_drift_alarm" ->
+      """WITH b AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS h,
+        |    event_type, CAST(floor(value * 1000) AS BIGINT) AS mv
+        |  FROM events),
+        |m AS (
+        |  SELECT h AS window_start_ms, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(mv) AS BIGINT) AS sum_mv,
+        |    CAST(SUM(mv*mv) AS BIGINT) AS sum_mv2
+        |  FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start_ms, event_type, n_events, sum_mv,
+        |    COUNT(*) OVER w AS bw,
+        |    CAST(SUM(n_events) OVER w AS BIGINT) AS bn,
+        |    CAST(SUM(sum_mv) OVER w AS BIGINT) AS bs,
+        |    CAST(SUM(sum_mv2) OVER w AS BIGINT) AS bs2
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start_ms
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT window_start_ms, event_type, n_events,
+        |  CAST(sum_mv AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_mv,
+        |  CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) AS base_mean,
+        |  abs(CAST(sum_mv AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |      - CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE)) >
+        |    3.0 * sqrt(((CAST(bs2 AS DOUBLE)
+        |        - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))
+        |      / CAST(bn - 1 AS DOUBLE)) / CAST(n_events AS DOUBLE)) AS alarm
+        |FROM r WHERE bw = 24""".stripMargin,
+
+    // q146: identical rank/size windows and the identical floor-ppm op
+    // (floor of the double division, NOT integer //, so both engines
+    // run the same IEEE instruction).
+    "q146_attribution_credit" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS channel,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(SUM(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(SUM(CAST(floor(1000000.0 / n) AS BIGINT)) AS BIGINT) AS linear_ppm,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1000000
+        |    WHEN n = 2 THEN 500000
+        |    WHEN rn = 1 OR rn = n THEN 400000
+        |    ELSE CAST(floor(200000.0 / (n - 2)) AS BIGINT) END) AS BIGINT)
+        |    AS ushape_ppm
+        |FROM t GROUP BY 1""".stripMargin,
 
     // q144: q24's rule mirrors feeding one aggregate; a UNION arm per
     // rule replays the stack() unpivot.

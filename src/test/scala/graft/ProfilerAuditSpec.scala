@@ -68,6 +68,39 @@ class ProfilerAuditSpec extends SparkTestBase {
     assert(out.map(_._2).distinct.size == 1) // one consistent n_checked
   }
 
+  test("q145: only fully-baselined windows judged; alarm never null") {
+    val windows = SparkEntry.queries("q143_window_moments")(spark, sf)
+    val judged = SparkEntry.queries("q145_drift_alarm")(spark, sf)
+    // each event_type loses exactly its 24 warm-up windows
+    val perType = windows.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val judgedPerType = judged.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    perType.foreach { case (t, n) =>
+      assert(judgedPerType.getOrElse(t, 0L) == math.max(0L, n - 24))
+    }
+    assert(judged.filter(col("alarm").isNull).count() == 0)
+  }
+
+  test("q146: credit conservation — ppm totals bounded by floor loss") {
+    val out = SparkEntry.queries("q146_attribution_credit")(spark, sf)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val sums = out.agg(sum("n_first"), sum("n_last"),
+      sum("linear_ppm"), sum("ushape_ppm"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(sums._1 == users) // exactly one first touch per user
+    assert(sums._2 == users) // exactly one last touch per user
+    val maxTouches = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count().agg(max("count")).as[Long].head()
+    // floor(1e6/n) loses < n ppm per user; u-shape middle split likewise
+    for (total <- Seq(sums._3, sums._4)) {
+      assert(total <= 1000000L * users)
+      assert(total > 1000000L * users - maxTouches * users,
+        s"credit lost more than floor slack: $total vs ${1000000L * users}")
+    }
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
