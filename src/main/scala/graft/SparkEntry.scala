@@ -2220,6 +2220,31 @@ object SparkEntry {
           col("n_docs"))
     }),
 
+    // Equi-DEPTH histogram — q138's twin by population instead of
+    // width: exact quartile boundaries (q42 interpolation parity) and
+    // the resulting bucket occupancies per language. The boundary pass
+    // is an exact percentile over bounded groups; the count pass is a
+    // broadcast join + conditional sums. At 100 TB the boundaries come
+    // from approx_percentile (q49 gate) and this shape is how range
+    // partition bounds for q95-style layout are chosen.
+    "q139_equidepth_histogram" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("lang"),
+        col("n_chars").cast("long").as("x"))
+      val qs = d0.groupBy("lang").agg(
+        expr("percentile(x, 0.25)").as("q1"),
+        expr("percentile(x, 0.5)").as("q2"),
+        expr("percentile(x, 0.75)").as("q3"))
+      d0.join(broadcast(qs), "lang")
+        .groupBy(col("lang"), col("q1"), col("q2"), col("q3"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("x") <= col("q1"), 1L).otherwise(0L)).as("n_b1"),
+          sum(when(col("x") > col("q1") && col("x") <= col("q2"), 1L)
+            .otherwise(0L)).as("n_b2"),
+          sum(when(col("x") > col("q2") && col("x") <= col("q3"), 1L)
+            .otherwise(0L)).as("n_b3"),
+          sum(when(col("x") > col("q3"), 1L).otherwise(0L)).as("n_b4"))
+    }),
+
     // Tokenizer fertility per language — the acceptance metric for a
     // vocabulary (q128): BPE tokens per whitespace word, and chars per
     // BPE token. A language with outsized fertility pays proportionally
@@ -5253,6 +5278,20 @@ object SparkEntry {
         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
         |  CAST(bucket * 64 AS BIGINT) AS bucket_lo, n_docs
         |FROM g""".stripMargin,
+
+    "q139_equidepth_histogram" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |q AS (
+        |  SELECT lang, quantile_cont(x, 0.25) AS q1,
+        |    quantile_cont(x, 0.5) AS q2, quantile_cont(x, 0.75) AS q3
+        |  FROM d GROUP BY 1)
+        |SELECT lang, q1, q2, q3, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN x <= q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+        |  CAST(SUM(CASE WHEN x > q1 AND x <= q2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2,
+        |  CAST(SUM(CASE WHEN x > q2 AND x <= q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_b3,
+        |  CAST(SUM(CASE WHEN x > q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_b4
+        |FROM d JOIN q USING (lang) GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // q140: the dBpeCte merge-loop replay supplies per-doc BPE tokens;
     // whitespace words and chars aggregate alongside; ratios floor-ppm.

@@ -143,6 +143,20 @@ class IntStatsSpec extends SparkTestBase {
     assert(rows.forall { case (b, lo) => b >= 0 && b <= 15 && lo == b * 64 })
   }
 
+  test("equi-depth histogram: buckets partition each group, boundaries ordered") {
+    val out = SparkEntry.queries("q139_equidepth_histogram")(spark, sf)
+      .select("lang", "q1", "q2", "q3", "n_docs", "n_b1", "n_b2", "n_b3", "n_b4")
+      .as[(String, Double, Double, Double, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(out.length == 5)
+    out.foreach { case (lang, q1, q2, q3, n, b1, b2, b3, b4) =>
+      assert(q1 <= q2 && q2 <= q3, s"$lang boundaries out of order")
+      assert(b1 + b2 + b3 + b4 == n, s"$lang buckets don't partition")
+      // equi-depth up to tie granularity: no bucket hogs over half
+      Seq(b1, b2, b3, b4).foreach(b => assert(b > 0 && b <= n / 2 + 1))
+    }
+  }
+
   test("length buckets: octile sizes balanced, rank endpoints correct") {
     val out = SparkEntry.queries("q136_length_buckets")(spark, sf)
     val sizes = out.groupBy("lang", "bucket").count()
