@@ -613,6 +613,30 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
     }),
 
+    // ANN QUALITY evaluation — recall@5 of the LSH index (q27) against
+    // the brute-force truth (q26), per query: the acceptance report
+    // that decides whether an index's bucket parameters are good enough
+    // to replace the exact scan at 100 TB. Both sides are the engine's
+    // own deterministic operators, so even the recall of an
+    // approximation is hash-gated; floor-ppm integers keep the ratio
+    // exact. Shape: two bounded top-k results (query side broadcast in
+    // both), one equi-join on (query, neighbor).
+    "q147_ann_recall" -> ((s, dir) => {
+      import graft.llm.Similarity
+      val emb = Tables.embeddings(s, dir)
+      val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = Similarity.lshTopK(emb, col("vec_id") < 10, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_true"), col("n_hit"),
+          floor(lit(1000000.0) * col("n_hit") /
+            greatest(col("n_true"), lit(1L))).cast("long").as("recall_ppm"))
+    }),
+
     // Int8 embedding quantization (the vector pipeline's compressor —
     // candidate stages read 4x-smaller vectors): per-row math only, no
     // shuffle; checksums hash-check every quantized component via the
@@ -3572,6 +3596,35 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM sc)
         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
         |FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    // q147: q26's truth CTE (k=5) joined against q27's candidate CTE.
+    "q147_ann_recall" -> {
+      s"""WITH $dLshCtes,
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM s),
+        |truth AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5),
+        |qs AS (SELECT vec_id AS query_id, t, sig FROM sv WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT query_id, cc.vec_id AS neighbor_id
+        |  FROM qs JOIN sv cc USING (t, sig) WHERE query_id <> cc.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |sc AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("qq.embedding", "cc2.embedding")} AS cosine
+        |  FROM cand JOIN e qq ON qq.vec_id = query_id JOIN e cc2 ON cc2.vec_id = neighbor_id),
+        |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM sc),
+        |ann AS (SELECT query_id, neighbor_id FROM r2 WHERE rk <= 5)
+        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(floor(1000000.0 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / greatest(COUNT(*), 1)) AS BIGINT) AS recall_ppm
+        |FROM truth t LEFT JOIN ann a
+        |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        |GROUP BY 1""".stripMargin
     },
 
     "q35_ann_ivf" -> {

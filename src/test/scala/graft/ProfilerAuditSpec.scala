@@ -101,6 +101,18 @@ class ProfilerAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q147: recall report consistent — hits bounded by truth, ppm exact") {
+    val out = SparkEntry.queries("q147_ann_recall")(spark, sf)
+      .select("query_id", "n_true", "n_hit", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 10)
+    out.foreach { case (q, t, h, ppm) =>
+      assert(t == 5L, s"query $q truth size $t")
+      assert(h >= 0L && h <= t)
+      assert(ppm == math.floor(1000000.0 * h / t).toLong)
+    }
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
