@@ -613,6 +613,48 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
     }),
 
+    // Incremental aggregate MAINTENANCE — the materialized-view merge a
+    // daily pipeline runs instead of recomputing 100 TB: history and
+    // delta batches aggregate INDEPENDENTLY (here deliberately at
+    // different partitionings) into per-key moment sums, then merge by
+    // adding sums. The oracle computes the one-shot aggregation of the
+    // union: the hash gate IS the proof that the state merges exactly —
+    // the property every sum here was designed for (and the reason
+    // floating aggregates can't be maintained incrementally).
+    "q148_agg_merge" -> ((s, dir) => {
+      import graft.llm.Splits
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), floor(col("value") * 1000).cast("long").as("mv"))
+      val isHist = Splits.md5Bucket(col("event_id"), 100) < 80
+      def agg(df: DataFrame) = df.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("mv").as("s"),
+        sum(col("mv") * col("mv")).as("s2"))
+      val hist = agg(ev.filter(isHist).repartition(7, col("event_type")))
+      val delta = agg(ev.filter(!isHist).repartition(3, col("mv")))
+      hist.as("h").join(delta.as("d"), Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("h.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n_events"),
+          (coalesce(col("h.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("sum_mv"),
+          (coalesce(col("h.s2"), lit(0L)) + coalesce(col("d.s2"), lit(0L))).as("sum_mv2"))
+    }),
+
+    // RANGE-frame window — the event-time trailing aggregate the ROWS
+    // frames elsewhere (q145) cannot express: per event, activity of
+    // the SAME user in the preceding 15 minutes (inclusive), frame
+    // bounds in milliseconds. One hash exchange by user; frame state is
+    // a sliding buffer bounded by the horizon, not the partition.
+    "q149_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ms")
+        .rangeBetween(-900000L, 0L)
+      eventsWithMs(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          floor(col("value") * 1000).cast("long").as("mv"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          count(lit(1)).over(w).as("n_15m"),
+          sum("mv").over(w).as("sum_mv_15m"))
+    }),
+
     // ANN QUALITY evaluation — recall@5 of the LSH index (q27) against
     // the brute-force truth (q26), per query: the acceptance report
     // that decides whether an index's bucket parameters are good enough
@@ -3597,6 +3639,31 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
         |FROM r WHERE rk <= 5""".stripMargin
     },
+
+    // q148: the one-shot aggregation over the UNDIVIDED table — merged
+    // partial states must equal it exactly, whatever the batch split.
+    "q148_agg_merge" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS mv
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(mv) AS BIGINT) AS sum_mv,
+        |  CAST(SUM(mv*mv) AS BIGINT) AS sum_mv2
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // q149: identical RANGE frame (peers at the same ts_ms included by
+    // the standard in both engines).
+    "q149_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |    CAST(floor(value * 1000) AS BIGINT) AS mv
+        |  FROM events)
+        |SELECT event_id, user_id, ts_ms,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_15m,
+        |  CAST(SUM(mv) OVER w AS BIGINT) AS sum_mv_15m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |  RANGE BETWEEN 900000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q147: q26's truth CTE (k=5) joined against q27's candidate CTE.
     "q147_ann_recall" -> {

@@ -113,6 +113,33 @@ class ProfilerAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q148: merged partial aggregates equal the one-shot aggregation") {
+    val direct = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("mv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("mv").as("sum_mv"),
+        sum(col("mv") * col("mv")).as("sum_mv2"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val merged = SparkEntry.queries("q148_agg_merge")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == direct) // exact, not approximate
+  }
+
+  test("q149: RANGE frame hand-check — peers and horizon boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    // events at 0, 10min, 20min, 40min, plus a PEER at 20min
+    val ms = Seq(0L, 600000L, 1200000L, 1200000L, 2400000L)
+    val df = ms.zipWithIndex.map { case (t, i) => (i.toLong, 1L, t, 1L) }
+      .toDF("event_id", "user_id", "ts_ms", "mv")
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-900000L, 0L)
+    val out = df.select(col("ts_ms"), count(lit(1)).over(w).as("n"))
+      .as[(Long, Long)].collect().toSet
+    // 15-min trailing: t=0 →1; t=10m →2; both t=20m peers see {10m, 20m, 20m}=3;
+    // t=40m sees only itself
+    assert(out == Set((0L, 1L), (600000L, 2L), (1200000L, 3L), (2400000L, 1L)))
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
