@@ -571,6 +571,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q146/q149: window queries cost one hash exchange on their key") {
+    uncached {
+      // q146's rank and size windows share the user_id partitioning —
+      // a second exchange would mean the two windows stopped sharing it
+      val credit = SparkEntry.queries("q146_attribution_credit")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val creditEx = "Exchange hashpartitioning".r.findAllIn(credit).length
+      assert(creditEx <= 2, // user window + final channel groupBy
+        s"q146 grew to $creditEx exchanges:\n$credit")
+      val range = SparkEntry.queries("q149_range_frame")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(range).length == 1,
+        s"q149 must cost exactly the user_id shuffle:\n$range")
+    }
+  }
+
   test("stats pack: q131 is one shuffle; q134/q135 broadcast group stats") {
     uncached {
       // Moment sums: one map-combinable aggregate — exactly one exchange.
