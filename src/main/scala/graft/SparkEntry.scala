@@ -668,15 +668,20 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
         .select(col("query_id"), col("neighbor_id"))
-      val ann = Similarity.lshTopK(emb, col("vec_id") < 10, 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      truth.join(ann, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("query_id"), col("n_true"), col("n_hit"),
-          floor(lit(1000000.0) * col("n_hit") /
-            greatest(col("n_true"), lit(1L))).cast("long").as("recall_ppm"))
+      def recallOf(name: String, res: DataFrame): DataFrame =
+        truth.join(
+          res.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(lit(name).as("idx"), col("query_id"), col("n_true"),
+            col("n_hit"),
+            floor(lit(1000000.0) * col("n_hit") /
+              greatest(col("n_true"), lit(1L))).cast("long").as("recall_ppm"))
+      recallOf("lsh", Similarity.lshTopK(emb, col("vec_id") < 10, 5))
+        .unionByName(
+          recallOf("ivf", Similarity.ivfTopK(emb, col("vec_id") < 10, 5)))
     }),
 
     // Int8 embedding quantization (the vector pipeline's compressor —
@@ -3665,8 +3670,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |  RANGE BETWEEN 900000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    // q147: q26's truth CTE (k=5) joined against q27's candidate CTE.
+    // q147: q26's truth CTE (k=5) joined against q27's LSH candidate
+    // CTE and q35's IVF CTE stack (i-prefixed to avoid name clashes) —
+    // one recall arm per index.
     "q147_ann_recall" -> {
+      import graft.llm.Similarity.{Dims, IvfCells, IvfProbe}
+      def arm(name: String, annCte: String): String =
+        s"""SELECT '$name' AS idx, t.query_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_true,
+           |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(floor(1000000.0 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    / greatest(COUNT(*), 1)) AS BIGINT) AS recall_ppm
+           |FROM truth t LEFT JOIN $annCte a
+           |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
       s"""WITH $dLshCtes,
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -3684,14 +3701,32 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, ${dCosine("qq.embedding", "cc2.embedding")} AS cosine
         |  FROM cand JOIN e qq ON qq.vec_id = query_id JOIN e cc2 ON cc2.vec_id = neighbor_id),
         |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM sc),
-        |ann AS (SELECT query_id, neighbor_id FROM r2 WHERE rk <= 5)
-        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
-        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  CAST(floor(1000000.0 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    / greatest(COUNT(*), 1)) AS BIGINT) AS recall_ppm
-        |FROM truth t LEFT JOIN ann a
-        |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-        |GROUP BY 1""".stripMargin
+        |ann AS (SELECT query_id, neighbor_id FROM r2 WHERE rk <= 5),
+        |ic0 AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfCells),
+        |icent AS (
+        |  SELECT embedding AS ce,
+        |    ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+        |  FROM ic0),
+        |isc AS (
+        |  SELECT e2.vec_id, e2.embedding, cid,
+        |    list_sum(list_transform(generate_series(1, $Dims), i -> e2.embedding[i]::DOUBLE * ce[i]::DOUBLE))
+        |      / sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))) AS score
+        |  FROM embeddings e2 CROSS JOIN icent),
+        |irs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk FROM isc),
+        |iasn AS (SELECT vec_id, embedding, cid AS cell FROM irs WHERE rk = 1),
+        |iqp AS (SELECT vec_id AS query_id, embedding AS qe, cid AS cell
+        |        FROM irs WHERE rk <= $IvfProbe AND vec_id < 10),
+        |icand AS (
+        |  SELECT query_id, qe, a.vec_id AS neighbor_id, a.embedding AS ne
+        |  FROM iqp JOIN iasn a USING (cell) WHERE query_id <> a.vec_id),
+        |ir AS (SELECT query_id, neighbor_id, ${dCosine("qe", "ne")} AS cosine FROM icand),
+        |irk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ir),
+        |iann AS (SELECT query_id, neighbor_id FROM irk2 WHERE rnk <= 5)
+        |${arm("lsh", "ann")}
+        |UNION ALL
+        |${arm("ivf", "iann")}""".stripMargin
     },
 
     "q35_ann_ivf" -> {

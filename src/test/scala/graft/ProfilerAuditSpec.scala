@@ -103,11 +103,12 @@ class ProfilerAuditSpec extends SparkTestBase {
 
   test("q147: recall report consistent — hits bounded by truth, ppm exact") {
     val out = SparkEntry.queries("q147_ann_recall")(spark, sf)
-      .select("query_id", "n_true", "n_hit", "recall_ppm")
-      .as[(Long, Long, Long, Long)].collect()
-    assert(out.length == 10)
-    out.foreach { case (q, t, h, ppm) =>
-      assert(t == 5L, s"query $q truth size $t")
+      .select("idx", "query_id", "n_true", "n_hit", "recall_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 20) // 10 queries x {lsh, ivf}
+    assert(out.map(_._1).toSet == Set("lsh", "ivf"))
+    out.foreach { case (idx, q, t, h, ppm) =>
+      assert(t == 5L, s"$idx query $q truth size $t")
       assert(h >= 0L && h <= t)
       assert(ppm == math.floor(1000000.0 * h / t).toLong)
     }
