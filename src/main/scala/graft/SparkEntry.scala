@@ -613,6 +613,34 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), col("vec_id") < 10, 10)
     }),
 
+    // Join-key SKEW report — the statistics that decide broadcast vs
+    // shuffle vs salt (q34/q66's remedies) BEFORE a 100 TB join:
+    // per candidate key, cardinality, heaviest-key share (top1_ppm) and
+    // max/mean ratio (skew_x100; 100 = uniform). Each arm is a
+    // two-level map-combinable aggregate over a single pruned column —
+    // the same shape ANALYZE-style stats collection uses.
+    "q150_skew_report" -> ((s, dir) => {
+      def keyStats(table: String, df: DataFrame, key: String): DataFrame =
+        df.select(col(key).as("k")).where(col("k").isNotNull)
+          .groupBy("k").agg(count(lit(1)).as("c"))
+          .agg(sum("c").as("n_rows"), count(lit(1)).as("n_distinct"),
+            max("c").as("max_key_rows"))
+          .select(lit(table).as("table_name"), lit(key).as("key_col"),
+            col("n_rows"), col("n_distinct"), col("max_key_rows"),
+            floor(lit(1000000.0) * col("max_key_rows") /
+              greatest(col("n_rows"), lit(1L))).cast("long").as("top1_ppm"),
+            floor(lit(100.0) * col("max_key_rows") * col("n_distinct") /
+              greatest(col("n_rows"), lit(1L))).cast("long").as("skew_x100"))
+      Seq(
+        keyStats("lineitem", Tables.lineitem(s, dir), "l_orderkey"),
+        keyStats("lineitem", Tables.lineitem(s, dir), "l_partkey"),
+        keyStats("lineitem", Tables.lineitem(s, dir), "l_suppkey"),
+        keyStats("orders", Tables.orders(s, dir), "o_custkey"),
+        keyStats("events", Tables.events(s, dir), "user_id"),
+        keyStats("documents", Tables.documents(s, dir), "lang")
+      ).reduce(_ unionByName _)
+    }),
+
     // Incremental aggregate MAINTENANCE — the materialized-view merge a
     // daily pipeline runs instead of recomputing 100 TB: history and
     // delta batches aggregate INDEPENDENTLY (here deliberately at
@@ -3643,6 +3671,26 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM sc)
         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
         |FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    // q150: one two-level arm per key, derivations from the cast sums.
+    "q150_skew_report" -> {
+      val keys = Seq(
+        ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"), ("orders", "o_custkey"),
+        ("events", "user_id"), ("documents", "lang"))
+      keys.map { case (t, k) =>
+        s"""SELECT table_name, key_col, n_rows, n_distinct, max_key_rows,
+           |  CAST(floor(1000000.0 * max_key_rows / greatest(n_rows, 1)) AS BIGINT) AS top1_ppm,
+           |  CAST(floor(100.0 * max_key_rows * n_distinct / greatest(n_rows, 1)) AS BIGINT) AS skew_x100
+           |FROM (
+           |  SELECT '$t' AS table_name, '$k' AS key_col,
+           |    CAST(SUM(c) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           |    CAST(MAX(c) AS BIGINT) AS max_key_rows
+           |  FROM (SELECT $k AS key, COUNT(*) AS c FROM $t
+           |        WHERE $k IS NOT NULL GROUP BY 1) g) a""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
 
     // q148: the one-shot aggregation over the UNDIVIDED table — merged

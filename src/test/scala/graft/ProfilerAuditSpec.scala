@@ -141,6 +141,20 @@ class ProfilerAuditSpec extends SparkTestBase {
     assert(out == Set((0L, 1L), (600000L, 2L), (1200000L, 3L), (2400000L, 1L)))
   }
 
+  test("q150: skew stats internally consistent; skew ratio >= uniform floor") {
+    val out = SparkEntry.queries("q150_skew_report")(spark, sf)
+      .select("table_name", "key_col", "n_rows", "n_distinct", "max_key_rows", "skew_x100")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.length == 6)
+    out.foreach { case (t, k, n, nd, mx, skew) =>
+      assert(nd <= n && mx <= n, s"$t.$k inconsistent")
+      assert(mx * nd >= n, s"$t.$k max below mean") // max >= n/nd
+      assert(skew >= 100L, s"$t.$k skew_x100 $skew below uniform floor")
+    }
+    val li = out.find(r => r._2 == "l_orderkey").get
+    assert(li._3 == graft.sources.Tables.lineitem(spark, sf).count())
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
