@@ -57,6 +57,38 @@ class IntStatsSpec extends SparkTestBase {
     assert(run(1) == run(13)) // exact ==, not tolerance
   }
 
+  test("translation law: r and slope EXACTLY invariant under integer shifts") {
+    // cov and var numerators are algebraically invariant under x+c, y+d,
+    // and in INTEGER arithmetic the invariance is exact — so the derived
+    // doubles must be bit-identical, not merely close. (The scale law
+    // corr(ax, y) = corr(x, y) is NOT exact in fp — sqrt re-rounds — so
+    // only the translation law gets an == assertion.)
+    val rows = for (g <- 0 until 40; i <- 0 until 25) yield {
+      val x = ((g * 31 + i * 17) % 101).toLong
+      val y = 2 * x + (i * i % 13)
+      (g.toLong, x, y, (g * 997 % 5000 - 2500).toLong, (g * 773 % 3000 - 1500).toLong)
+    }
+    val df = rows.toDF("g", "x", "y", "cx", "cy")
+    def mom(xc: org.apache.spark.sql.Column, yc: org.apache.spark.sql.Column,
+            p: String) = Seq(
+      sum(xc).as(s"sx$p"), sum(yc).as(s"sy$p"), sum(xc * yc).as(s"sxy$p"),
+      sum(xc * xc).as(s"sxx$p"), sum(yc * yc).as(s"syy$p"))
+    val m = df.groupBy("g").agg(count(lit(1)).as("n"),
+      (mom(col("x"), col("y"), "0") ++
+        mom(col("x") + col("cx"), col("y") + col("cy"), "1")): _*)
+    val out = m.select(
+      corrFromSums(col("n"), col("sx0"), col("sy0"), col("sxy0"), col("sxx0"), col("syy0")).as("r0"),
+      corrFromSums(col("n"), col("sx1"), col("sy1"), col("sxy1"), col("sxx1"), col("syy1")).as("r1"),
+      slopeFromSums(col("n"), col("sx0"), col("sy0"), col("sxy0"), col("sxx0")).as("b0"),
+      slopeFromSums(col("n"), col("sx1"), col("sy1"), col("sxy1"), col("sxx1")).as("b1"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(out.length == 40)
+    out.foreach { case (r0, r1, b0, b1) =>
+      assert(r0 == r1, s"corr moved under translation: $r0 vs $r1")
+      assert(b0 == b1, s"slope moved under translation: $b0 vs $b1")
+    }
+  }
+
   test("OLS on exactly linear data: slope/intercept/r2 recovered exactly") {
     val lin = spark.range(1, 50).select(lit(0L).as("g"),
       col("id").as("x"), (col("id") * 2 + 3).as("y"))
