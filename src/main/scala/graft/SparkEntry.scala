@@ -696,6 +696,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
         .select(col("query_id"), col("neighbor_id"))
+        .persist() // read by BOTH index arms; Verify/Bench clear the cache
       def recallOf(name: String, res: DataFrame): DataFrame =
         truth.join(
           res.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
@@ -5559,8 +5560,9 @@ object SparkEntry {
         |SELECT window_start_ms, event_type, n_events, sum_mv, sum_mv2,
         |  CAST(sum_mv AS DOUBLE) / CAST(n_events AS DOUBLE) AS mean_mv,
         |  CASE WHEN n_events < 2 THEN NULL
-        |    ELSE CAST(n_events*sum_mv2 - sum_mv*sum_mv AS DOUBLE)
-        |      / CAST(n_events*(n_events-1) AS DOUBLE) END AS var_mv
+        |    ELSE (CAST(sum_mv2 AS DOUBLE)
+        |      - CAST(sum_mv AS DOUBLE) * CAST(sum_mv AS DOUBLE) / CAST(n_events AS DOUBLE))
+        |      / CAST(n_events - 1 AS DOUBLE) END AS var_mv
         |FROM m""".stripMargin,
 
     // q145: q143's moment CTE + the identical bounded-frame rolling sums

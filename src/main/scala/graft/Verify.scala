@@ -24,7 +24,11 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, // a typo must not yield a vacuous green run
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

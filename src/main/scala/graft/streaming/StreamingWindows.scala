@@ -57,9 +57,12 @@ object StreamingWindows {
     *
     * This is the drift alarm a pipeline hangs on its ingest: a window
     * whose mean_mv/var_mv jumps against the trailing baseline flags a
-    * schema or upstream change. Quantization trades range for headroom:
-    * milli units keep n·Σmv² inside int64 up to ~1e10 rows per
-    * (window, key) at |value| ≤ 1e3 — re-scale for wider domains.
+    * schema or upstream change. The CARRIED sums stay in int64 (Σmv²
+    * is safe to ~1e6 rows per window-key at |value| ≤ 1e3; re-scale the
+    * quantization for wider domains); the variance DERIVES in double
+    * space ((Σx² − (Σx)²/n)/(n−1)) because the n·Σx² integer product
+    * would wrap at realistic volumes — same rationale as q145's
+    * baseline math.
     */
   def windowMoments(events: DataFrame, duration: String = "1 hour",
                     watermark: Option[String] = None): DataFrame = {
@@ -83,7 +86,8 @@ object StreamingWindows {
         (d(col("sum_mv")) / d(col("n_events"))).as("mean_mv"),
         when(col("n_events") < 2, lit(null).cast("double"))
           .otherwise(
-            d(col("n_events") * col("sum_mv2") - col("sum_mv") * col("sum_mv")) /
-              d(col("n_events") * (col("n_events") - 1))).as("var_mv"))
+            (d(col("sum_mv2")) -
+              d(col("sum_mv")) * d(col("sum_mv")) / d(col("n_events"))) /
+              d(col("n_events") - 1)).as("var_mv"))
   }
 }
