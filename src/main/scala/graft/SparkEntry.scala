@@ -21,10 +21,6 @@ import graft.functions.GaFunctions
 object SparkEntry {
 
   private val dec = DecimalType(18, 6)
-  /** 2-decimal render type for the profiler's min/max: double→decimal→
-    * string prints identically in Spark and DuckDB (raw double→string
-    * formatting does not). */
-  private val dec2 = DecimalType(18, 2)
   /** Wider decimal for long-cents sums (up to ~6e14 at sf0.1, more at
     * scale) converted back to money at the end of an aggregation. */
   private val dec28 = DecimalType(28, 6)
@@ -620,17 +616,7 @@ object SparkEntry {
     // two-level map-combinable aggregate over a single pruned column —
     // the same shape ANALYZE-style stats collection uses.
     "q150_skew_report" -> ((s, dir) => {
-      def keyStats(table: String, df: DataFrame, key: String): DataFrame =
-        df.select(col(key).as("k")).where(col("k").isNotNull)
-          .groupBy("k").agg(count(lit(1)).as("c"))
-          .agg(sum("c").as("n_rows"), count(lit(1)).as("n_distinct"),
-            max("c").as("max_key_rows"))
-          .select(lit(table).as("table_name"), lit(key).as("key_col"),
-            col("n_rows"), col("n_distinct"), col("max_key_rows"),
-            floor(lit(1000000.0) * col("max_key_rows") /
-              greatest(col("n_rows"), lit(1L))).cast("long").as("top1_ppm"),
-            floor(lit(100.0) * col("max_key_rows") * col("n_distinct") /
-              greatest(col("n_rows"), lit(1L))).cast("long").as("skew_x100"))
+      import graft.operators.Profiling.{keySkew => keyStats}
       Seq(
         keyStats("lineitem", Tables.lineitem(s, dir), "l_orderkey"),
         keyStats("lineitem", Tables.lineitem(s, dir), "l_partkey"),
@@ -2382,29 +2368,8 @@ object SparkEntry {
     // columns would be 11 copies of every row in one exchange). At 100×
     // you keep only the sketch arm; here the exact arm is the oracle
     // anchor proving the sketch honest.
-    "q141_data_profile" -> ((s, dir) => {
-      val t = Tables.lineitem(s, dir)
-      def inBounds(approx: Column, exact: Column): Column =
-        abs(approx - exact) <= greatest(lit(5.0), exact * 0.1)
-      val parts = t.schema.fields.toSeq.map { f =>
-        val c = col(f.name)
-        val render = f.dataType.typeName match {
-          case "double" => (x: Column) => x.cast(dec2).cast("string")
-          case _ => (x: Column) => x.cast("string")
-        }
-        val base = t.agg(count(lit(1)).as("n_rows"),
-          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
-          render(min(c)).as("min_s"), render(max(c)).as("max_s"),
-          approx_count_distinct(c, 0.02).as("ad"))
-        val exact = t.select(c).where(c.isNotNull).distinct()
-          .agg(count(lit(1)).as("nd"))
-        base.crossJoin(exact).select(lit(f.name).as("col_name"),
-          col("n_rows"), col("n_nulls"), col("nd").as("n_distinct"),
-          col("min_s"), col("max_s"),
-          inBounds(col("ad"), col("nd")).as("distinct_in_bounds"))
-      }
-      parts.reduce(_ unionByName _)
-    }),
+    "q141_data_profile" -> ((s, dir) =>
+      graft.operators.Profiling.profile(Tables.lineitem(s, dir))),
 
     // Multi-touch attribution credit — the model layer over the GA
     // touchpoint paths (q10/q16): per channel, first-touch and
@@ -2478,15 +2443,7 @@ object SparkEntry {
     // EXPECTED result on consistent data — the spec plants an orphan to
     // prove detection.
     "q142_fk_audit" -> ((s, dir) => {
-      def rel(name: String, fact: DataFrame, key: String,
-              dim: DataFrame, dimKey: String): DataFrame = {
-        val orphans = fact.select(col(key).as("k")).where(col("k").isNotNull)
-          .join(dim.select(col(dimKey).as("k")).distinct(), Seq("k"), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        fact.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(orphans)
-          .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
-      }
+      import graft.operators.Profiling.{fkRelation => rel}
       val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
       val n = Tables.nation(s, dir); val r = Tables.region(s, dir)
