@@ -2402,6 +2402,35 @@ object SparkEntry {
           sum(ushape).as("ushape_ppm"))
     }),
 
+    // Attributed REVENUE — the business composition q146's credit model
+    // exists for: each user's total (milli-quantized) value is split
+    // across channels by linear credit share, so a channel's number is
+    // "revenue it deserves part-credit for". Integer end-to-end:
+    // per-(user, channel) share in ppm, attribution = floor(rev·share/1e6),
+    // channel totals exact sums. Same one-window shape as q146.
+    "q151_attributed_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy("user_id")
+      val touches = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("channel"),
+          floor(col("value") * 1000).cast("long").as("mv"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("rev_mv", sum("mv").over(wAll))
+      val perUserChannel = touches
+        .groupBy(col("user_id"), col("channel"), col("n"), col("rev_mv"))
+        .agg(count(lit(1)).as("k")) // touches of this channel for this user
+        .select(col("channel"),
+          (col("k") * floor(lit(1000000.0) / col("n")).cast("long")).as("share_ppm"),
+          col("rev_mv"))
+      perUserChannel
+        .select(col("channel"), col("share_ppm"),
+          floor(col("rev_mv").cast("double") * col("share_ppm") / lit(1000000.0))
+            .cast("long").as("attr_mv"))
+        .groupBy("channel")
+        .agg(sum("share_ppm").as("total_share_ppm"),
+          sum("attr_mv").as("attributed_mv"))
+    }),
+
     // Filter-attrition report — what a corpus team reviews BEFORE
     // applying a quality gate to 100 TB: per rule, how many documents it
     // would reject (and the composite). One map-combinable aggregate
@@ -5573,6 +5602,29 @@ object SparkEntry {
         |    ELSE CAST(floor(200000.0 / (n - 2)) AS BIGINT) END) AS BIGINT)
         |    AS ushape_ppm
         |FROM t GROUP BY 1""".stripMargin,
+
+    // q151: q146's windows as grouped joins; identical floor chain.
+    "q151_attributed_revenue" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS channel,
+        |    CAST(floor(value * 1000) AS BIGINT) AS mv
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(mv) AS BIGINT) AS rev_mv
+        |  FROM t GROUP BY 1),
+        |uc AS (
+        |  SELECT t.user_id, channel, CAST(COUNT(*) AS BIGINT) AS k, n, rev_mv
+        |  FROM t JOIN u USING (user_id) GROUP BY 1, 2, 4, 5),
+        |a AS (
+        |  SELECT channel,
+        |    k * CAST(floor(1000000.0 / n) AS BIGINT) AS share_ppm,
+        |    rev_mv
+        |  FROM uc)
+        |SELECT channel, CAST(SUM(share_ppm) AS BIGINT) AS total_share_ppm,
+        |  CAST(SUM(CAST(floor(CAST(rev_mv AS DOUBLE) * share_ppm / 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS attributed_mv
+        |FROM a GROUP BY 1""".stripMargin,
 
     // q144: q24's rule mirrors feeding one aggregate; a UNION arm per
     // rule replays the stack() unpivot.

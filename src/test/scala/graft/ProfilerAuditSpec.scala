@@ -155,6 +155,21 @@ class ProfilerAuditSpec extends SparkTestBase {
     assert(li._3 == graft.sources.Tables.lineitem(spark, sf).count())
   }
 
+  test("q151: attributed revenue conserves each user's revenue up to floor slack") {
+    val out = SparkEntry.queries("q151_attributed_revenue")(spark, sf)
+      .agg(sum("attributed_mv"), sum("total_share_ppm"))
+      .as[(Long, Long)].head()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), floor(col("value") * 1000).cast("long").as("mv"))
+    val totalRev = ev.agg(sum("mv")).as[Long].head()
+    val users = ev.select("user_id").distinct().count()
+    // every floor loses < 1e6 ppm-mv per (user, channel) cell; bound loosely
+    assert(out._1 <= totalRev)
+    assert(out._1 > totalRev - users * 200L * 1000L,
+      s"attribution lost too much: ${out._1} vs $totalRev")
+    assert(out._2 <= 1000000L * users)
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
