@@ -2402,6 +2402,44 @@ object SparkEntry {
           sum(ushape).as("ushape_ppm"))
     }),
 
+    // Exact-QUOTA stratified sample — q51's ratio twin: exactly k docs
+    // per language, chosen by deterministic md5 order (no RNG, stable
+    // under any partitioning). Uses the bounded-heap top-k AGGREGATE
+    // (q69's operator), not a window: per-group state is k rows, and
+    // the heap combines map-side, so a 100 TB stratum never sorts.
+    "q152_quota_sample" -> ((s, dir) => {
+      import graft.operators.TopK
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      TopK.topKPerKey(docs, Seq(col("lang")),
+        struct(col("h"), col("doc_id")), k = 20, largest = false)
+        .select(col("lang"), col("_row.doc_id").as("doc_id"), col("rank"))
+    }),
+
+    // Epoch-REPETITION plan — the upsampling twin of the q80/q124
+    // downsamplers (LLaMA-style mixes repeat small high-quality sources
+    // >1 epoch): per source a milli-epoch factor; each doc gets
+    // floor(me/1000) copies plus one more iff its md5 bucket falls
+    // under me%1000 — so the realized copy count hits the declared
+    // epochs within 1/1000 deterministically, no RNG. Gate: per-source
+    // doc and copy totals.
+    "q153_epoch_repeats" -> ((s, dir) => {
+      import graft.llm.Splits
+      val milliEpochs = Seq("src0" -> 2500L, "src1" -> 1500L, "src2" -> 500L)
+      val me = milliEpochs.foldLeft(when(lit(false), lit(0L))) {
+        case (acc, (k, v)) => acc.when(col("source") === k, lit(v))
+      }.otherwise(lit(1000L))
+      val copies = floor(col("me") / 1000.0).cast("long") +
+        when(Splits.md5Bucket(col("doc_id"), 1000) < col("me") % 1000, 1L)
+          .otherwise(0L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), me.as("me"))
+        .select(col("source"), col("me"), copies.as("copies"))
+        .groupBy(col("source"), col("me").as("milli_epochs"))
+        .agg(count(lit(1)).as("n_docs"), sum("copies").as("n_copies"))
+    }),
+
     // Attributed REVENUE — the business composition q146's credit model
     // exists for: each user's total (milli-quantized) value is split
     // across channels by linear credit share, so a channel's number is
@@ -5602,6 +5640,36 @@ object SparkEntry {
         |    ELSE CAST(floor(200000.0 / (n - 2)) AS BIGINT) END) AS BIGINT)
         |    AS ushape_ppm
         |FROM t GROUP BY 1""".stripMargin,
+
+    // q152: ROW_NUMBER over the identical (md5, doc_id) order.
+    "q152_quota_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM d)
+        |SELECT lang, doc_id, rank FROM r WHERE rank <= 20""".stripMargin,
+
+    // q153: identical CASE ladder + md5-bucket fractional epoch.
+    "q153_epoch_repeats" -> {
+      val b = dMd5Long("doc_id::VARCHAR") + " % 1000"
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1500
+        |      WHEN 'src2' THEN 500 ELSE 1000 END AS me
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, me,
+        |    CAST(floor(me / 1000.0) AS BIGINT)
+        |      + CASE WHEN $b < me % 1000 THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT source, CAST(me AS BIGINT) AS milli_epochs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(copies) AS BIGINT) AS n_copies
+        |FROM c GROUP BY 1, 2""".stripMargin
+    },
 
     // q151: q146's windows as grouped joins; identical floor chain.
     "q151_attributed_revenue" ->

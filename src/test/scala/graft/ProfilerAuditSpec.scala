@@ -170,6 +170,43 @@ class ProfilerAuditSpec extends SparkTestBase {
     assert(out._2 <= 1000000L * users)
   }
 
+  test("q152: exactly 20 per language, ranks 1..20, partitioning-invariant") {
+    val out = SparkEntry.queries("q152_quota_sample")(spark, sf)
+      .select("lang", "doc_id", "rank").as[(String, Long, Long)].collect()
+    assert(out.length == 100)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == 20, s"$lang quota ${rows.length}")
+      assert(rows.map(_._3).sorted.sameElements(1L to 20L), s"$lang ranks broken")
+    }
+    // the heap aggregate must pick the same sample at any parallelism
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val rep = graft.operators.TopK.topKPerKey(docs.repartition(13),
+      Seq(col("lang")), struct(col("h"), col("doc_id")), 20, largest = false)
+      .select(col("lang"), col("_row.doc_id"), col("rank"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(rep == out.toSet)
+  }
+
+  test("q153: copy totals sit between floor and ceil of the declared epochs") {
+    val out = SparkEntry.queries("q153_epoch_repeats")(spark, sf)
+      .select("source", "milli_epochs", "n_docs", "n_copies")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 20)
+    out.foreach { case (src, me, n, copies) =>
+      val base = me / 1000
+      val lo = n * base
+      val hi = n * (base + (if (me % 1000 > 0) 1 else 0))
+      assert(copies >= lo && copies <= hi,
+        s"$src: $copies outside [$lo, $hi] for me=$me n=$n")
+    }
+    // declared overrides present with their exact factors
+    val byScr = out.map(r => r._1 -> r._2).toMap
+    assert(byScr("src0") == 2500L && byScr("src2") == 500L &&
+      byScr("src5") == 1000L)
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
