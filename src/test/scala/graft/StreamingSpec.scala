@@ -461,6 +461,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming drift alarm judges EXACTLY the q145 windows with equal values") {
+    import graft.streaming.StreamingDrift
+    import graft.streaming.StreamingDrift.{Alarm, Ev}
+    val evRows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 1000).cast("long").as("mv"))
+      .as[(String, Timestamp, Long)].collect()
+    val maxTs = evRows.map(_._2.getTime).max
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingDrift.alarms(input.toDS())
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      input.addData(evRows.toSeq.map(r => Ev(r._1, r._2, r._3)))
+      q.processAllAvailable()
+      // far-future sentinel per key: advances the watermark so every
+      // REAL bucket closes (the sentinel's own bucket is never judged)
+      val far = new Timestamp(maxTs + 30L * 24 * 3600 * 1000)
+      input.addData(evRows.map(_._1).distinct.toSeq.map(t => Ev(t, far, 0L)))
+      q.processAllAvailable()
+      val streamed = spark.table("drift_out").as[Alarm].collect()
+        .map(a => (a.event_type, a.window_start_ms, a.n_events,
+          a.mean_mv, a.base_mean, a.alarm)).toSet
+      val batch = SparkEntry.queries("q145_drift_alarm")(spark, sf)
+        .select(col("event_type"), col("window_start_ms"), col("n_events"),
+          col("mean_mv"), col("base_mean"), col("alarm"))
+        .as[(String, Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(streamed == batch) // exact ==, doubles included
+    } finally q.stop()
+  }
+
   test("StreamingJob drains the fixture (AvailableNow) and a re-run is checkpoint-idempotent") {
     val out = java.nio.file.Files.createTempDirectory("sjout").toString + "/sessions"
     val ckpt = java.nio.file.Files.createTempDirectory("sjckpt").toString
