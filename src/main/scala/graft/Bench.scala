@@ -64,9 +64,53 @@ object Bench {
     // the warmup dataset is throwaway — don't accumulate it in /tmp
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
 
+    // upper-middle median: conservative for even counts, exact for odd
+    def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    var errors = Set.empty[String]
+
+    // GA throughput at synthetic scale (same plan as tools/BenchGaScale).
+    // Runs BEFORE the query sweep: r7 measured the same unchanged
+    // pipeline at 6.2 → 9.6 → 12.2 s as the suite in front of it grew
+    // 115 → 138 → 153 queries — accumulated JVM/GC pressure, not a
+    // regression. Heading the run keeps the headline comparable across
+    // rounds regardless of suite size.
+    // Median-of-N like the queries (round-5 verdict: a single contended
+    // pass recorded 52k hits/s vs 94-126k on identical code) — the
+    // median is the headline, the max pass shows the contention spread.
+    // Five passes, not three: the first 1-2 passes carry whole-stage
+    // codegen + optimizer-rule JIT for the 267-column plan (measured
+    // 19/10/7/7/7 s on identical code, ProfExtOverhead), so a 3-pass
+    // median still lands on a warmup pass; with five it reflects the
+    // warm steady state a long-running cluster job actually sees.
+    val gaScaleIters =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_ITERS", "5").toInt)
+    val gaScaleJson =
+      if (gaScaleHits <= 0) "null"
+      else try {
+        val visitors = math.max(1L, gaScaleHits / 50)
+        val secsPerPass = (1 to gaScaleIters).map { _ =>
+          spark.catalog.clearCache()
+          val hits = graft.tools.BenchGaScale.syntheticHits(spark, gaScaleHits, visitors)
+          val history = graft.jobs.GaPipeline.loadHistory(spark, "/nonexistent/_scale_hist")
+          val t0 = System.nanoTime()
+          val out = graft.jobs.GaPipeline.run(hits, history, "2019-09-23")
+          Seq(out.sessions, out.pageviews, out.events, out.products,
+            out.transactions, out.items)
+            .foreach(_.write.format("noop").mode("overwrite").save())
+          (System.nanoTime() - t0) / 1e9
+        }.toList
+        val medSec = median(secsPerPass)
+        val bestSec = secsPerPass.min
+        val allSec = secsPerPass.map(t => f"$t%.2f").mkString("[", ",", "]")
+        f"""{"hits":$gaScaleHits,"iterations":$gaScaleIters,"sec":$medSec%.2f,"sec_min":$bestSec%.2f,"sec_all":$allSec,"hits_per_sec":${(gaScaleHits / medSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
+        errors += "ga_scale"
+        "null"
+      }
+
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    var errors = Set.empty[String]
     for (_ <- 1 to iters) {
       SparkEntry.clearMemos()
       names.foreach { case (name, fn) =>
@@ -85,44 +129,12 @@ object Bench {
         }
       }
     }
-    // upper-middle median: conservative for even counts, exact for odd
-    def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val med = names.map { case (n, _) =>
       n -> times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0) }
     val mins = names.map { case (n, _) =>
       n -> times.get(n).filter(_.nonEmpty).map(_.min).getOrElse(-1.0) }
     def jmap(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-
-    // GA throughput at synthetic scale (same plan as tools/BenchGaScale).
-    // Median-of-N like the queries (round-5 verdict: a single contended
-    // pass recorded 52k hits/s vs 94-126k on identical code) — the
-    // median is the headline, the max pass shows the contention spread.
-    val gaScaleIters =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_ITERS", "3").toInt)
-    val gaScaleJson =
-      if (gaScaleHits <= 0) "null"
-      else try {
-        val visitors = math.max(1L, gaScaleHits / 50)
-        val secsPerPass = (1 to gaScaleIters).map { _ =>
-          spark.catalog.clearCache()
-          val hits = graft.tools.BenchGaScale.syntheticHits(spark, gaScaleHits, visitors)
-          val history = graft.jobs.GaPipeline.loadHistory(spark, "/nonexistent/_scale_hist")
-          val t0 = System.nanoTime()
-          val out = graft.jobs.GaPipeline.run(hits, history, "2019-09-23")
-          Seq(out.sessions, out.pageviews, out.events, out.products,
-            out.transactions, out.items)
-            .foreach(_.write.format("noop").mode("overwrite").save())
-          (System.nanoTime() - t0) / 1e9
-        }.toList
-        val medSec = median(secsPerPass)
-        val bestSec = secsPerPass.min
-        f"""{"hits":$gaScaleHits,"iterations":$gaScaleIters,"sec":$medSec%.2f,"sec_min":$bestSec%.2f,"hits_per_sec":${(gaScaleHits / medSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
-        errors += "ga_scale"
-        "null"
-      }
 
     val errJson = errors.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum

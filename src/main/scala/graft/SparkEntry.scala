@@ -432,6 +432,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_transitions"))
     }),
 
+    // Markov transition PROBABILITIES over the q115 page-transition
+    // counts: per from_path, each destination's share in floor-ppm —
+    // the navigation model behind next-page prediction and funnel
+    // leak analysis. Row-count totals broadcast back onto the tiny
+    // transition table; integers end to end.
+    "q155_ga_transition_probs" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("fullVisitorId"), col("visitId"))
+        .orderBy(col("hits_hitNumber").cast("long"))
+      val counts = gaOutputs(s).pageviews
+        .select(col("fullVisitorId"), col("visitId"),
+          col("hits_hitNumber"),
+          col("hits_page_pagePath").as("to_path"))
+        .withColumn("from_path", lag(col("to_path"), 1).over(w))
+        .where(col("from_path").isNotNull)
+        .groupBy(col("from_path"), col("to_path"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val totals = counts.groupBy("from_path")
+        .agg(sum("n_transitions").as("n_out"))
+      counts.join(broadcast(totals), "from_path")
+        .select(col("from_path"), col("to_path"), col("n_transitions"),
+          col("n_out"),
+          floor(lit(1000000.0) * col("n_transitions") /
+            greatest(col("n_out"), lit(1L))).cast("long").as("prob_ppm"))
+    }),
+
     // Landed-data freshness probe (the batch half of the S10 monitor,
     // streaming/FreshnessMonitor): latest event time + volume per event
     // type — ONE map-combinable aggregate over just (event_type, ts),
@@ -869,6 +895,37 @@ object SparkEntry {
               ((d(col("bs2")) - d(col("bs")) * d(col("bs")) / d(col("bn"))) /
                 d(col("bn") - 1)) / d(col("n_events"))))
             .as("alarm"))
+    }),
+
+    // Cross-METRIC correlation — IntStats composed at the second level:
+    // hourly integer sums per event_type (whole units, so the
+    // second-level moment products stay in int64 at any sf), then
+    // Pearson r between every type pair over the hours both emitted.
+    // Tells an observability consumer which metrics co-move (a shared
+    // upstream) vs which drift independently. The pair self-join runs
+    // over the AGGREGATED O(hours×types) series, not events.
+    "q154_metric_corr" -> ((s, dir) => {
+      import graft.operators.IntStats._
+      val hourly = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(sum("v").as("sv"))
+        .select(unix_millis(col("w.start")).as("h"), col("event_type"),
+          col("sv"))
+      val pairs = hourly.as("a").join(hourly.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          col("a.sv").as("x"), col("b.sv").as("y"))
+      pairs.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("ta"), col("tb"), col("n").as("n_windows"),
+          corrFromSums(col("n"), col("sx"), col("sy"), col("sxy"),
+            col("sxx"), col("syy")).as("r"))
     }),
 
     // Sliding windows (2h size / 1h slide — each event in exactly two
@@ -5640,6 +5697,52 @@ object SparkEntry {
         |    ELSE CAST(floor(200000.0 / (n - 2)) AS BIGINT) END) AS BIGINT)
         |    AS ushape_ppm
         |FROM t GROUP BY 1""".stripMargin,
+
+    // q154: time_bucket hourly sums, pair self-join, dCorr derivation.
+    "q154_metric_corr" ->
+      s"""WITH b AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS h,
+        |    event_type, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT h, event_type, CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ta, b2.event_type AS tb, a.sv AS x, b2.sv AS y
+        |  FROM m a JOIN m b2 ON a.h = b2.h AND a.event_type < b2.event_type),
+        |mm AS (
+        |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT ta, tb, n AS n_windows,
+        |  ${dCorr("sx", "sy", "sxy", "sxx", "syy")} AS r
+        |FROM mm""".stripMargin,
+
+    // q155: q115's transition CTEs + per-from totals and floor-ppm.
+    "q155_ga_transition_probs" ->
+      s"""WITH ${dGaSessionCtes("")},
+        |v AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY body_cid ORDER BY ms, message_id) AS evseq
+        |  FROM s),
+        |pv AS (SELECT * FROM v WHERE body_t = 'pageview'),
+        |t AS (
+        |  SELECT body_cid, seq, ${dPath("body_dl")} AS to_path,
+        |    LAG(${dPath("body_dl")}) OVER
+        |      (PARTITION BY body_cid, seq ORDER BY evseq) AS from_path
+        |  FROM pv),
+        |c AS (
+        |  SELECT from_path, to_path, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |  FROM t WHERE from_path IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_path, CAST(SUM(n_transitions) AS BIGINT) AS n_out
+        |  FROM c GROUP BY 1)
+        |SELECT from_path, to_path, n_transitions, n_out,
+        |  CAST(floor(1000000.0 * n_transitions / greatest(n_out, 1))
+        |    AS BIGINT) AS prob_ppm
+        |FROM c JOIN tot USING (from_path)""".stripMargin,
 
     // q152: ROW_NUMBER over the identical (md5, doc_id) order.
     "q152_quota_sample" ->

@@ -207,6 +207,32 @@ class ProfilerAuditSpec extends SparkTestBase {
       byScr("src5") == 1000L)
   }
 
+  test("q154: all unordered type pairs, r within [-1, 1]") {
+    val out = SparkEntry.queries("q154_metric_corr")(spark, sf)
+      .select("ta", "tb", "n_windows", "r")
+      .as[(String, String, Long, Option[Double])].collect()
+    assert(out.length == 10) // C(5, 2)
+    out.foreach { case (ta, tb, n, r) =>
+      assert(ta < tb, s"pair not canonical: $ta / $tb")
+      assert(n > 0)
+      r.foreach(v => assert(v >= -1.0 && v <= 1.0, s"$ta-$tb r=$v"))
+    }
+  }
+
+  test("q155: per-source transition probabilities sum to ~1e6 ppm") {
+    val out = SparkEntry.queries("q155_ga_transition_probs")(spark, sf)
+      .select("from_path", "n_transitions", "n_out", "prob_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (from, rows) =>
+      val total = rows.map(_._4).sum
+      // each destination's floor loses < 1 ppm-unit × destinations
+      assert(total <= 1000000L && total > 1000000L - rows.length,
+        s"$from: ppm sum $total over ${rows.length} destinations")
+      assert(rows.forall(r => r._3 == rows.head._3)) // shared n_out
+    }
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
