@@ -21,8 +21,9 @@ import org.apache.spark.sql.SparkSession
   *    151-row GA fixture measures plan latency, not engine throughput, so
   *    the bench also runs the full GA pipeline on
   *    SPARK_GRAFT_GA_SCALE_HITS (default 2,000,000) generated hits,
-  *    SPARK_GRAFT_GA_SCALE_ITERS times (default 3), and reports
-  *    `ga_scale` {hits, sec (median), sec_min, hits_per_sec,
+  *    SPARK_GRAFT_GA_SCALE_ITERS times (default 5 — the first passes
+  *    carry codegen/JIT warmup, see the inline rationale), and reports
+  *    `ga_scale` {hits, sec (median), sec_min, sec_all, hits_per_sec,
   *    hits_per_sec_max}. Set hits to 0 to skip.
   *  - Failures are NOT swallowed: a failing query records `-1` in the
   *    per-query map, is listed in `errors`, and flips the exit code to 1,
@@ -101,8 +102,11 @@ object Bench {
         }.toList
         val medSec = median(secsPerPass)
         val bestSec = secsPerPass.min
-        val allSec = secsPerPass.map(t => f"$t%.2f").mkString("[", ",", "]")
-        f"""{"hits":$gaScaleHits,"iterations":$gaScaleIters,"sec":$medSec%.2f,"sec_min":$bestSec%.2f,"sec_all":$allSec,"hits_per_sec":${(gaScaleHits / medSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
+        // Locale.ROOT: the f interpolator is locale-sensitive — a
+        // comma-decimal default locale would emit invalid JSON
+        def d2(t: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
+        val allSec = secsPerPass.map(d2).mkString("[", ",", "]")
+        s"""{"hits":$gaScaleHits,"iterations":$gaScaleIters,"sec":${d2(medSec)},"sec_min":${d2(bestSec)},"sec_all":$allSec,"hits_per_sec":${(gaScaleHits / medSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
         errors += "ga_scale"

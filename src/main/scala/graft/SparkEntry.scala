@@ -138,6 +138,24 @@ object SparkEntry {
 
   /** Full daily pipeline over the enriched fixture (md5 visit ids so
     * DuckDB can mirror the hash); shared by q16/q17/q45-q48. */
+  /** Page-transition counts over the pageview export — shared by the
+    * q115 gate and q155's probability normalization, so a change to the
+    * transition semantics (ordering tie-break, path source) can never
+    * drift between them. */
+  private def gaTransitionCounts(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fullVisitorId"), col("visitId"))
+      .orderBy(col("hits_hitNumber").cast("long"))
+    gaOutputs(s).pageviews
+      .select(col("fullVisitorId"), col("visitId"),
+        col("hits_hitNumber"),
+        col("hits_page_pagePath").as("to_path"))
+      .withColumn("from_path", lag(col("to_path"), 1).over(w))
+      .where(col("from_path").isNotNull)
+      .groupBy(col("from_path"), col("to_path"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   private def gaOutputs(s: SparkSession): graft.jobs.GaPipeline.Outputs =
     gaOutputsMemo.computeIfAbsent(s, { s =>
       import graft.jobs.GaPipeline
@@ -418,19 +436,7 @@ object SparkEntry {
     // page" analysis): lag over each visit's hit order — the window is
     // bounded by a session's pageview count — then a map-combinable
     // pair count. Composes the memoized GA pipeline output.
-    "q115_ga_transitions" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("fullVisitorId"), col("visitId"))
-        .orderBy(col("hits_hitNumber").cast("long"))
-      gaOutputs(s).pageviews
-        .select(col("fullVisitorId"), col("visitId"),
-          col("hits_hitNumber"),
-          col("hits_page_pagePath").as("to_path"))
-        .withColumn("from_path", lag(col("to_path"), 1).over(w))
-        .where(col("from_path").isNotNull)
-        .groupBy(col("from_path"), col("to_path"))
-        .agg(count(lit(1)).as("n_transitions"))
-    }),
+    "q115_ga_transitions" -> ((s, _) => gaTransitionCounts(s)),
 
     // Markov transition PROBABILITIES over the q115 page-transition
     // counts: per from_path, each destination's share in floor-ppm —
@@ -438,17 +444,7 @@ object SparkEntry {
     // leak analysis. Row-count totals broadcast back onto the tiny
     // transition table; integers end to end.
     "q155_ga_transition_probs" -> ((s, _) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("fullVisitorId"), col("visitId"))
-        .orderBy(col("hits_hitNumber").cast("long"))
-      val counts = gaOutputs(s).pageviews
-        .select(col("fullVisitorId"), col("visitId"),
-          col("hits_hitNumber"),
-          col("hits_page_pagePath").as("to_path"))
-        .withColumn("from_path", lag(col("to_path"), 1).over(w))
-        .where(col("from_path").isNotNull)
-        .groupBy(col("from_path"), col("to_path"))
-        .agg(count(lit(1)).as("n_transitions"))
+      val counts = gaTransitionCounts(s) // the q115 gate shares this def
       val totals = counts.groupBy("from_path")
         .agg(sum("n_transitions").as("n_out"))
       counts.join(broadcast(totals), "from_path")

@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction for a partitioned parquet tree — the
@@ -15,23 +16,33 @@ import org.apache.spark.sql.functions._
   * each shuffle task writes one file per partition value it holds, so a
   * partition lands in ≤ n files (~targetBytes each; hash collisions can
   * merge salt groups, never split them). Dynamic partition overwrite
-  * replaces EXACTLY the rewritten partitions — a concurrent untouched
-  * partition survives (the dynamic-partition backfill discipline).
+  * replaces EXACTLY the rewritten partitions; `partitions` scopes a run
+  * to a subset, leaving the rest byte-untouched (CompactionSpec pins
+  * that).
+  *
+  * Value-identity discipline: partition-column TYPE INFERENCE is
+  * disabled for the rewrite read, so values round-trip as the exact
+  * directory strings (`hour=00` stays `00`, never re-inferred to int 0
+  * and rewritten as a NEW `hour=0` directory family alongside the old
+  * one — silent row duplication). Budgets join on the Hive-unescaped
+  * value, and a loud require rejects any budget key the data does not
+  * carry rather than silently defaulting.
   *
   * Scale shape: one metadata listing (driver-side, O(files) — the thing
   * being fixed; acceptable because it shrinks), one shuffle sized by the
-  * data rewritten, no collect of row data. Content is preserved
-  * verbatim; only layout changes (spec asserts exact round trip and the
-  * post-compaction file counts). In-place rewrite is safe here because
-  * dynamic overwrite stages output and swaps partitions at COMMIT, after
-  * all source reads — but a mid-commit crash can lose the partition
-  * being swapped, so a production run points the write at a staging
-  * tree and renames (the TrainingArtifact versioning discipline).
+  * data rewritten, per-row budget lookup via a broadcast join on the
+  * O(partitions) counts table (not an O(partitions)-arm CASE), no
+  * collect of row data. Content is preserved verbatim; only layout
+  * changes. In-place rewrite is safe here because dynamic overwrite
+  * stages output and swaps partitions at COMMIT, after all source
+  * reads — but a mid-commit crash can lose the partition being
+  * swapped, so a production run points the write at a staging tree and
+  * renames (the TrainingArtifact versioning discipline).
   */
 object Compaction {
 
-  /** Returns (partitionValue → (bytes, files)) for a one-level
-    * `col=value` partitioned tree. */
+  /** Returns (unescaped partition value → (bytes, files)) for a
+    * one-level `col=value` partitioned tree. */
   def partitionStats(path: String): Map[String, (Long, Long)] = {
     val root = new java.io.File(path)
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
@@ -39,32 +50,51 @@ object Compaction {
     parts.map { d =>
       val files = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      d.getName -> ((files.map(_.length()).sum, files.length.toLong))
+      val raw = d.getName.substring(d.getName.indexOf('=') + 1)
+      ExternalCatalogUtils.unescapePathName(raw) ->
+        ((files.map(_.length()).sum, files.length.toLong))
     }.toMap
   }
 
-  /** Compacts every partition of `path` (one-level partitioning by
-    * `partCol`) to files of ~`targetBytes`. */
+  /** Compacts partitions of `path` (one-level partitioning by `partCol`)
+    * to files of ~`targetBytes`; `partitions` (unescaped values) limits
+    * the rewrite to a subset — others are left byte-identical. */
   def compact(spark: SparkSession, path: String, partCol: String,
-              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              partitions: Option[Set[String]] = None): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val stats = partitionStats(path)
-    if (stats.isEmpty) return
-    // target file count per partition value, broadcast as a literal map
-    val counts = stats.map { case (dir, (bytes, _)) =>
-      val value = dir.substring(dir.indexOf('=') + 1)
+    val selected = partitions match {
+      case Some(ps) =>
+        val missing = ps.diff(stats.keySet)
+        require(missing.isEmpty,
+          s"partitions not present under $path: ${missing.toSeq.sorted.mkString(", ")}")
+        stats.view.filterKeys(ps).toMap
+      case None => stats
+    }
+    if (selected.isEmpty) return
+    val counts = selected.map { case (value, (bytes, _)) =>
       value -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     }
-    val df = spark.read.parquet(path)
-    val nFiles = counts.foldLeft(when(lit(false), lit(1L))) {
-      case (acc, (v, n)) => acc.when(col(partCol).cast("string") === v, lit(n))
-    }.otherwise(lit(1L))
-    val salted = df
-      .withColumn("_n", nFiles)
-      .withColumn("_salt", pmod(hash(struct(df.columns.map(col): _*)), col("_n")))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevInfer = spark.conf.getOption(inferKey)
+    val prevOverwrite = spark.conf.getOption(overwriteKey)
+    spark.conf.set(inferKey, "false") // values round-trip as dir strings
+    spark.conf.set(overwriteKey, "dynamic")
     try {
+      import spark.implicits._
+      val df = spark.read.parquet(path)
+        .filter(col(partCol).isin(counts.keys.toSeq: _*))
+      // loud mismatch guard: every budget key must exist in the data
+      val dataValues = df.select(partCol).distinct().as[String].collect().toSet
+      val unmatched = counts.keySet.diff(dataValues)
+      require(unmatched.isEmpty,
+        s"budget keys carry no data (value-identity broken?): ${unmatched.toSeq.sorted.mkString(", ")}")
+      val budget = broadcast(counts.toSeq.toDF(partCol, "_n"))
+      val salted = df.join(budget, partCol)
+        .withColumn("_salt",
+          pmod(hash(struct(df.columns.map(col): _*)), col("_n")))
       salted
         .repartition(col(partCol), col("_salt"))
         .drop("_n", "_salt")
@@ -72,12 +102,12 @@ object Compaction {
         .partitionBy(partCol)
         .parquet(path)
     } finally {
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
       }
+      restore(inferKey, prevInfer)
+      restore(overwriteKey, prevOverwrite)
     }
   }
 

@@ -50,11 +50,17 @@ object StreamingDrift {
               st0.open.partition(b => b.start + HourMs <= wm)
             val (out, ring) =
               judge(key, closed.sortBy(_.start), st0.ring, baseline)
-            if (stillOpen.isEmpty) state.remove()
-            else {
-              state.update(DriftState(stillOpen, ring))
-              state.setTimeoutTimestamp(wm + 1)
-            }
+            // KEEP the ring even when no bucket stays open: a key that
+            // goes quiet and later resumes must be judged against its
+            // pre-gap baseline, exactly as q145's row frame does —
+            // remove() here would silently restart the 24-window
+            // warm-up and diverge from the batch twin. Ring state is
+            // bounded (≤ baseline buckets of four longs), so a
+            // forever-quiet key costs O(baseline), not a leak. Only re-arm
+            // the timeout while buckets remain open; a kept ring with
+            // nothing open needs no wake-up until new data arrives.
+            state.update(DriftState(stillOpen, ring))
+            if (stillOpen.nonEmpty) state.setTimeoutTimestamp(wm + 1)
             out.iterator
           } else {
             val open = scala.collection.mutable.Map(

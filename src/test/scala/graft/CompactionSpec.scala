@@ -38,20 +38,53 @@ class CompactionSpec extends SparkTestBase {
     assert(back == expected)
   }
 
-  test("partitions outside the tree being rewritten are untouched") {
+  test("a scoped run rewrites only the named partition; others stay byte-identical") {
     val path = Files.createTempDirectory("compact2").toString + "/t"
     val a = Seq((1L, "x", "en"), (2L, "y", "en")).toDF("id", "v", "lang")
     val b = Seq((3L, "z", "de")).toDF("id", "v", "lang")
     a.unionByName(b).repartition(5).write.partitionBy("lang").parquet(path)
-    val deBefore = Compaction.partitionStats(path)("lang=de")
-    // compact with a huge target: every partition becomes 1 file — but
-    // the de partition's CONTENT must be byte-for-byte re-readable
-    Compaction.compact(spark, path, "lang", targetBytes = 1L << 30)
-    val stats = Compaction.partitionStats(path)
-    assert(stats.values.forall(_._2 == 1L), s"not fully compacted: $stats")
+    def files(dir: String): Set[(String, Long)] =
+      Option(new java.io.File(path, dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toSet
+    val deBefore = files("lang=de")
+    assert(deBefore.nonEmpty)
+
+    Compaction.compact(spark, path, "lang", targetBytes = 1L << 30,
+      partitions = Some(Set("en")))
+
+    // en compacted to one file; de's file names AND sizes are untouched
+    assert(Compaction.partitionStats(path)("en")._2 == 1L)
+    assert(files("lang=de") == deBefore, "dynamic overwrite touched de")
     val back = Compaction.readBack(spark, path)
       .select("id", "v", "lang").as[(Long, String, String)].collect().toSet
     assert(back == Set((1L, "x", "en"), (2L, "y", "en"), (3L, "z", "de")))
-    assert(deBefore._1 > 0)
+  }
+
+  test("unknown partition names fail loudly instead of compacting nothing") {
+    val path = Files.createTempDirectory("compact3").toString + "/t"
+    Seq((1L, "en")).toDF("id", "lang").write.partitionBy("lang").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, path, "lang", partitions = Some(Set("xx")))
+    }
+    assert(e.getMessage.contains("xx"))
+  }
+
+  test("typed-looking partition values round-trip as directory strings") {
+    // hour=00..02: inference would read these as INT 0..2 and the
+    // rewrite would emit a SECOND hour=0.. directory family next to the
+    // originals — every row then read twice. The inference-off rewrite
+    // must keep the zero-padded names.
+    val path = Files.createTempDirectory("compact4").toString + "/t"
+    Seq((1L, "00"), (2L, "00"), (3L, "01"), (4L, "02"))
+      .toDF("id", "hour").repartition(4)
+      .write.partitionBy("hour").parquet(path)
+    Compaction.compact(spark, path, "hour", targetBytes = 1L << 30)
+    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("hour=00", "hour=01", "hour=02"),
+      s"directory families changed: $dirs")
+    val back = spark.read.parquet(path).select("id").as[Long].collect().toSet
+    assert(back == Set(1L, 2L, 3L, 4L), "rows duplicated or lost")
   }
 }

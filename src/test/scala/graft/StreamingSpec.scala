@@ -492,6 +492,64 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming drift alarm: baseline ring survives a quiet gap (batch-frame parity)") {
+    import graft.streaming.StreamingDrift
+    import graft.streaming.StreamingDrift.{Alarm, Ev}
+    import org.apache.spark.sql.expressions.Window
+    val base = 1700000000000L
+    val hour = 3600000L
+    def mk(hours: Seq[Int]): Seq[Ev] = hours.flatMap { h =>
+      (0 until 3).map(i =>
+        Ev("k", new Timestamp(base + h * hour + i * 60000L),
+          ((h * 37 + i * 13) % 500).toLong))
+    }
+    val pre = mk(0 until 26)   // fills the 24-ring, judges h24, h25
+    val post = mk(Seq(36, 37)) // resumes after a 10-hour quiet gap
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingDrift.alarms(input.toDS())
+      .writeStream.format("memory").queryName("drift_gap")
+      .outputMode("append").start()
+    try {
+      input.addData(pre); q.processAllAvailable()
+      input.addData(post); q.processAllAvailable()
+      // sentinel closes the post-gap buckets; its own bucket is never judged
+      input.addData(Seq(Ev("k", new Timestamp(base + 1000 * hour), 0L)))
+      q.processAllAvailable()
+      val streamed = spark.table("drift_gap").as[Alarm].collect()
+        .map(a => (a.window_start_ms, a.n_events, a.mean_mv, a.base_mean, a.alarm))
+        .toSet
+      // independent batch formulation of q145's row frame on the same rows
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val m = (pre ++ post).toDS()
+        .select(unix_millis(col("ts")).as("ms"), col("mv"))
+        .withColumn("ws", col("ms") - pmod(col("ms"), lit(hour)))
+        .groupBy("ws").agg(count(lit(1)).as("n"), sum("mv").as("s"),
+          sum(col("mv") * col("mv")).as("s2"))
+      val w = Window.orderBy("ws").rowsBetween(-24, -1)
+      val expected = m
+        .withColumn("bw", count(lit(1)).over(w))
+        .withColumn("bn", sum("n").over(w))
+        .withColumn("bs", sum("s").over(w))
+        .withColumn("bs2", sum("s2").over(w))
+        .filter(col("bw") === 24)
+        .select(col("ws"), col("n"),
+          (d(col("s")) / d(col("n"))).as("mean"),
+          (d(col("bs")) / d(col("bn"))).as("baseMean"),
+          (abs(d(col("s")) / d(col("n")) - d(col("bs")) / d(col("bn"))) >
+            lit(3.0) * sqrt(((d(col("bs2")) -
+              d(col("bs")) * d(col("bs")) / d(col("bn"))) /
+              d(col("bn") - 1)) / d(col("n")))).as("alarm"))
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      // judged set spans the gap: h24, h25, then h36, h37 against the
+      // PRE-GAP baseline — a dropped ring would lose the last two.
+      // Buckets align to EPOCH hours, so anchor at base's floor-hour.
+      val b0 = base - base % hour
+      assert(expected.map(_._1) ==
+        Set(b0 + 24 * hour, b0 + 25 * hour, b0 + 36 * hour, b0 + 37 * hour))
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("StreamingJob drains the fixture (AvailableNow) and a re-run is checkpoint-idempotent") {
     val out = java.nio.file.Files.createTempDirectory("sjout").toString + "/sessions"
     val ckpt = java.nio.file.Files.createTempDirectory("sjckpt").toString
