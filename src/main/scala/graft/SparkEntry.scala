@@ -2294,6 +2294,32 @@ object SparkEntry {
           zscoreFromSums(col("x"), col("n"), col("sx"), col("sxx")).as("z"))
     }),
 
+    // WEIGHTED median — the robust center under importance weights
+    // (here: doc length weighted by its token mass, the center of the
+    // TOKEN distribution rather than the document distribution — what a
+    // packing planner actually cares about). Spark has no weighted
+    // percentile; the classic formulation is a per-group cumulative sum
+    // over integer weights: first x where 2·cumw ≥ total. All integer
+    // comparisons, (x, doc_id) order fully deterministic; bounded
+    // groups make the per-group sort fine, and the oracle replays the
+    // identical frame.
+    "q156_weighted_median" -> ((s, dir) => {
+      import graft.llm.TextOps
+      import org.apache.spark.sql.expressions.Window
+      val d0 = Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+        col("n_chars").cast("long").as("x"),
+        size(TextOps.lowerTokens(col("text"))).cast("long").as("w"))
+      val w = Window.partitionBy("lang").orderBy(col("x"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d0.withColumn("cw", sum("w").over(w))
+      val tot = d0.groupBy("lang").agg(sum("w").as("total_w"))
+      cum.join(broadcast(tot), "lang")
+        .filter(col("cw") * 2 >= col("total_w"))
+        .groupBy(col("lang"), col("total_w"))
+        .agg(min(col("x")).as("weighted_median"))
+        .select(col("lang"), col("total_w"), col("weighted_median"))
+    }),
+
     // Robust outlier flagging: |x − median| > 2·MAD per language. Median
     // and MAD use the exact `percentile` aggregate (interpolation
     // bit-identical to DuckDB's quantile_cont, q42 precedent) — exact
@@ -5516,6 +5542,23 @@ object SparkEntry {
         |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)), 6)
         |    END AS z
         |FROM d JOIN m USING (lang)""".stripMargin,
+
+    "q156_weighted_median" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, x, w,
+        |    CAST(SUM(w) OVER (PARTITION BY lang ORDER BY x, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM d),
+        |t AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS total_w FROM d GROUP BY 1)
+        |SELECT lang, total_w, CAST(MIN(x) AS BIGINT) AS weighted_median
+        |FROM c JOIN t USING (lang)
+        |WHERE cw * 2 >= total_w
+        |GROUP BY 1, 2""".stripMargin,
 
     "q135_mad_outliers" ->
       """WITH d AS (

@@ -189,6 +189,29 @@ class IntStatsSpec extends SparkTestBase {
     }
   }
 
+  test("weighted median: hand-checked toy; unit weights degrade to plain median") {
+    import org.apache.spark.sql.expressions.Window
+    // x = {1, 2, 10}, w = {1, 1, 10}: weighted median = 10 (token mass
+    // concentrated in the long doc), plain median = 2
+    def wmed(rows: Seq[(Long, Long)]): Long = {
+      val d0 = rows.zipWithIndex
+        .map { case ((x, w), i) => ("g", i.toLong, x, w) }
+        .toDF("lang", "doc_id", "x", "w")
+      val w = Window.partitionBy("lang").orderBy(col("x"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d0.withColumn("cw", sum("w").over(w))
+        .join(d0.groupBy("lang").agg(sum("w").as("t")), "lang")
+        .filter(col("cw") * 2 >= col("t"))
+        .agg(min("x")).as[Long].head()
+    }
+    assert(wmed(Seq((1L, 1L), (2L, 1L), (10L, 10L))) == 10L)
+    assert(wmed(Seq((1L, 1L), (2L, 1L), (10L, 1L))) == 2L) // unit weights
+    // and the gated query itself: median lies inside the data range
+    val out = SparkEntry.queries("q156_weighted_median")(spark, sf)
+      .select("lang", "weighted_median").as[(String, Long)].collect()
+    assert(out.length == 5 && out.forall(r => r._2 > 0))
+  }
+
   test("length buckets: octile sizes balanced, rank endpoints correct") {
     val out = SparkEntry.queries("q136_length_buckets")(spark, sf)
     val sizes = out.groupBy("lang", "bucket").count()
