@@ -1174,6 +1174,42 @@ object SparkEntry {
           col("n_rows"))
     }),
 
+    // Audience-overlap report with SKETCH ALGEBRA: exact distinct-user
+    // intersection per event-type pair (hash-checked) next to the HLL
+    // estimate of the pair's UNION, gated by q62's bounds via
+    // inclusion–exclusion — the cross-segment overlap question answered
+    // at 100 TB by merging per-segment sketches instead of re-joining
+    // raw users. The pair dim is O(types²) rows and broadcasts; the
+    // tagged join is the only row-scale work.
+    "q157_user_overlap" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .select(col("event_type").as("t"), col("user_id")).distinct()
+      val types = users.select(col("t")).distinct()
+      val pairDim = types.as("x").crossJoin(types.as("y"))
+        .filter(col("x.t") < col("y.t"))
+        .select(col("x.t").as("ta"), col("y.t").as("tb"))
+      val perType = users.groupBy("t").agg(count(lit(1)).as("n"))
+      val nBoth = users.as("a").join(users.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+        .agg(count(lit(1)).as("n_both"))
+      val approxUnion = users
+        .join(broadcast(pairDim), col("t") === col("ta") || col("t") === col("tb"))
+        .groupBy("ta", "tb")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("au"))
+      val exact = pairDim
+        .join(perType.select(col("t").as("ta"), col("n").as("n_a")), "ta")
+        .join(perType.select(col("t").as("tb"), col("n").as("n_b")), "tb")
+        .join(nBoth, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"))
+      exact.join(approxUnion, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+          (abs(col("au") - (col("n_a") + col("n_b") - col("n_both"))) <=
+            greatest(lit(5.0), (col("n_a") + col("n_b") - col("n_both")) * 0.1))
+            .as("union_in_bounds"))
+    }),
+
     // Train/eval n-gram decontamination (GPT-3 appendix-C recipe) over
     // the deterministic q43 split: train docs sharing ≥1 distinct word
     // 8-gram with any test doc. One equi-join on the gram hash; the eval
@@ -5542,6 +5578,25 @@ object SparkEntry {
         |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)), 6)
         |    END AS z
         |FROM d JOIN m USING (lang)""".stripMargin,
+
+    // q157: exact arms in SQL; the sketch gate is an all-TRUE literal
+    // (q62 convention — a broken HLL union hash-fails the booleans).
+    "q157_user_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |n AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |ts AS (SELECT DISTINCT t FROM u),
+        |p AS (SELECT a.t AS ta, b.t AS tb FROM ts a JOIN ts b ON a.t < b.t),
+        |bo AS (
+        |  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, na.n AS n_a, nb.n AS n_b,
+        |  CAST(COALESCE(bo.n_both, 0) AS BIGINT) AS n_both,
+        |  TRUE AS union_in_bounds
+        |FROM p
+        |JOIN n na ON na.t = p.ta
+        |JOIN n nb ON nb.t = p.tb
+        |LEFT JOIN bo ON bo.ta = p.ta AND bo.tb = p.tb""".stripMargin,
 
     "q156_weighted_median" ->
       """WITH d AS (

@@ -233,6 +233,18 @@ class ProfilerAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q157: overlap bounded by marginals; sketch union inside its bounds") {
+    val out = SparkEntry.queries("q157_user_overlap")(spark, sf)
+      .select("ta", "tb", "n_a", "n_b", "n_both", "union_in_bounds")
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    assert(out.length == 10) // C(5, 2)
+    out.foreach { case (ta, tb, na, nb, both, inBounds) =>
+      assert(ta < tb)
+      assert(both <= math.min(na, nb), s"$ta/$tb overlap exceeds a marginal")
+      assert(inBounds, s"$ta/$tb sketch union out of bounds")
+    }
+  }
+
   test("the anti-join shape detects a planted orphan") {
     // same shape as q142's rel(): null-safe left_anti against distinct keys
     val fact = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
