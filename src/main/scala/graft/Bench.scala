@@ -23,7 +23,8 @@ import org.apache.spark.sql.SparkSession
   *    SPARK_GRAFT_GA_SCALE_HITS (default 2,000,000) generated hits,
   *    SPARK_GRAFT_GA_SCALE_ITERS times (default 5 — the first passes
   *    carry codegen/JIT warmup, see the inline rationale), and reports
-  *    `ga_scale` {hits, sec (median), sec_min, sec_all, hits_per_sec,
+  *    `ga_scale` {hits, sec (= sec_warm), sec_cold (first pass),
+  *    sec_warm (median of the rest), sec_min, sec_all, hits_per_sec,
   *    hits_per_sec_max}. Set hits to 0 to skip.
   *  - Failures are NOT swallowed: a failing query records `-1` in the
   *    per-query map, is listed in `errors`, and flips the exit code to 1,
@@ -100,13 +101,21 @@ object Bench {
             .foreach(_.write.format("noop").mode("overwrite").save())
           (System.nanoTime() - t0) / 1e9
         }.toList
-        val medSec = median(secsPerPass)
+        // Cold and warm are SEPARATE fields (round-7 verdict: folding the
+        // cold first pass into one median made an improved warm floor
+        // read as a regression round-over-round). `sec_cold` is the first
+        // pass (codegen/JIT for the 267-col plan), `sec_warm` the median
+        // of the remaining passes — the steady state a long-running job
+        // sees, and the headline `sec`.
+        val coldSec = secsPerPass.head
+        val warmPasses = if (secsPerPass.length > 1) secsPerPass.tail else secsPerPass
+        val warmSec = median(warmPasses)
         val bestSec = secsPerPass.min
         // Locale.ROOT: the f interpolator is locale-sensitive — a
         // comma-decimal default locale would emit invalid JSON
         def d2(t: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
         val allSec = secsPerPass.map(d2).mkString("[", ",", "]")
-        s"""{"hits":$gaScaleHits,"iterations":$gaScaleIters,"sec":${d2(medSec)},"sec_min":${d2(bestSec)},"sec_all":$allSec,"hits_per_sec":${(gaScaleHits / medSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
+        s"""{"hits":$gaScaleHits,"iterations":$gaScaleIters,"sec":${d2(warmSec)},"sec_cold":${d2(coldSec)},"sec_warm":${d2(warmSec)},"sec_min":${d2(bestSec)},"sec_all":$allSec,"hits_per_sec":${(gaScaleHits / warmSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
         errors += "ga_scale"

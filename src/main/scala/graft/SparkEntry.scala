@@ -166,6 +166,12 @@ object SparkEntry {
     })
 
   // --------------------------------------------------------------- queries
+  /** CALLER CONTRACT: a few entries `.persist()` an intermediate that is
+    * read by several arms of the same query (q133's joint counts, q147's
+    * brute-force truth) and cannot unpersist it before the caller has
+    * executed the returned frame. Run `spark.catalog.clearCache()` after
+    * consuming each entry — Verify, Bench and the specs all do — or
+    * cached tables accumulate across queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1 scan + A-agg: TPC-H Q1-style pricing summary (group-by aggregate,
     // partial aggregation map-side). Exact FIXED-POINT money math: the
@@ -1193,8 +1199,13 @@ object SparkEntry {
         col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
         .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
         .agg(count(lit(1)).as("n_both"))
+      // tag each user row with every pair it belongs to via TWO equi-joins
+      // (t===ta ∪ t===tb) — an OR-of-equalities predicate would plan as a
+      // BroadcastNestedLoopJoin evaluating O(users × pairs) predicates;
+      // the union keeps both arms hash/broadcast joins on a single key.
       val approxUnion = users
-        .join(broadcast(pairDim), col("t") === col("ta") || col("t") === col("tb"))
+        .join(broadcast(pairDim), col("t") === col("ta"))
+        .unionByName(users.join(broadcast(pairDim), col("t") === col("tb")))
         .groupBy("ta", "tb")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("au"))
       val exact = pairDim
@@ -1822,13 +1833,14 @@ object SparkEntry {
     // training loader actually reads. Pack order inside a sequence is
     // doc_id order (sort_array over the member structs, deterministic
     // under any agg order); the grouped state is bounded by the BUDGET,
-    // not the corpus. Gate serializes the stream (driver compare can't
-    // hash array cells — q16/q102 precedent).
+    // not the corpus. The pack budget is the id stream's own size, so
+    // the merge loop runs ONCE per document (codegen CSE; PlanSpec
+    // counts the generated call sites). Gate serializes the stream
+    // (driver compare can't hash array cells — q16/q102 precedent).
     "q130_sequence_assembly" -> ((s, dir) => {
       import graft.llm.Packing
       val docs = Tables.documents(s, dir)
       Packing.assembleSequences(docs, col("doc_id"),
-        size(call_function("bpe_encode", col("text"))),
         call_function("bpe_encode_ids", col("text")),
         budget = 256L, shards = 8)
         .select(col("shard"), col("seq_no"), col("n_docs"),
@@ -2476,13 +2488,15 @@ object SparkEntry {
     // row per column with null count, exact distinct count, min/max
     // rendered type-stably (doubles via DECIMAL(18,2) so both engines
     // print identical strings), plus the 100 TB gate: the HLL sketch's
-    // distinct estimate must sit inside q62's bounds. Shape per column:
-    // the min/max/null pass is ONE map-combinable aggregate over a
-    // PRUNED single-column scan, and the exact distinct is a two-level
-    // aggregate (never the multi-distinct Expand — q62's lesson ×11
-    // columns would be 11 copies of every row in one exchange). At 100×
-    // you keep only the sketch arm; here the exact arm is the oracle
-    // anchor proving the sketch honest.
+    // distinct estimate must sit inside q62's bounds. Shape: ALL
+    // columns' null/min/max/sketch stats fold into ONE map-combinable
+    // aggregate over one scan (r7 verdict: per-column base passes were
+    // C scans for C×4 expressions' worth of work); only the exact
+    // distincts stay per-column two-level aggregates (never the
+    // multi-distinct Expand — q62's lesson ×11 columns would be 11
+    // copies of every row in one exchange). At 100× you keep only the
+    // sketch arm; here the exact arm is the oracle anchor proving the
+    // sketch honest.
     "q141_data_profile" -> ((s, dir) =>
       graft.operators.Profiling.profile(Tables.lineitem(s, dir))),
 

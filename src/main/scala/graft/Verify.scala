@@ -60,9 +60,19 @@ object Verify {
     // Full query inventory, so the compare drives from what SHOULD exist
     // rather than from output dirs that happen to exist — a query that
     // crashed before writing anything fails its row instead of vanishing.
+    // A SPARK_GRAFT_ONLY run writes its reduced inventory to a DISTINCT
+    // filename (and removes any stale full manifest) so a later compare
+    // over the directory can never mistake a partial run for a verified
+    // full round.
     val manifest = selected.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
-    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
+    if (only.isDefined) {
+      Files.deleteIfExists(Paths.get(s"$outDir/queries.json"))
+      Files.writeString(Paths.get(s"$outDir/queries_partial.json"), manifest)
+      System.err.println(
+        s"[verify] PARTIAL run (${selected.size}/${SparkEntry.queries.size} " +
+          "queries) — manifest written to queries_partial.json only")
+    } else Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()
   }
 }

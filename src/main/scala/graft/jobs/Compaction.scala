@@ -42,17 +42,25 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Returns (unescaped partition value → (bytes, files)) for a
-    * one-level `col=value` partitioned tree. */
-  def partitionStats(path: String): Map[String, (Long, Long)] = {
-    val root = new java.io.File(path)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
+    * one-level `col=value` partitioned tree. Listed via Hadoop's
+    * FileSystem API so every storage the table can live on (hdfs://,
+    * s3a://, file:, bare local paths) works — a java.io.File walk would
+    * silently return nothing for URI paths and turn compact() into a
+    * no-op on exactly the storage where small-file compaction matters.
+    * A root that does not exist fails loudly for the same reason. */
+  def partitionStats(spark: SparkSession, path: String): Map[String, (Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"compaction root does not exist: $path")
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
     parts.map { d =>
-      val files = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      val raw = d.getName.substring(d.getName.indexOf('=') + 1)
+      val name = d.getPath.getName
+      val files = fs.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val raw = name.substring(name.indexOf('=') + 1)
       ExternalCatalogUtils.unescapePathName(raw) ->
-        ((files.map(_.length()).sum, files.length.toLong))
+        ((files.map(_.getLen).sum, files.length.toLong))
     }.toMap
   }
 
@@ -63,7 +71,7 @@ object Compaction {
               targetBytes: Long = 128L * 1024 * 1024,
               partitions: Option[Set[String]] = None): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val stats = partitionStats(path)
+    val stats = partitionStats(spark, path)
     val selected = partitions match {
       case Some(ps) =>
         val missing = ps.diff(stats.keySet)
@@ -76,39 +84,34 @@ object Compaction {
     val counts = selected.map { case (value, (bytes, _)) =>
       value -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     }
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevInfer = spark.conf.getOption(inferKey)
-    val prevOverwrite = spark.conf.getOption(overwriteKey)
-    spark.conf.set(inferKey, "false") // values round-trip as dir strings
-    spark.conf.set(overwriteKey, "dynamic")
-    try {
-      import spark.implicits._
-      val df = spark.read.parquet(path)
-        .filter(col(partCol).isin(counts.keys.toSeq: _*))
-      // loud mismatch guard: every budget key must exist in the data
-      val dataValues = df.select(partCol).distinct().as[String].collect().toSet
-      val unmatched = counts.keySet.diff(dataValues)
-      require(unmatched.isEmpty,
-        s"budget keys carry no data (value-identity broken?): ${unmatched.toSeq.sorted.mkString(", ")}")
-      val budget = broadcast(counts.toSeq.toDF(partCol, "_n"))
-      val salted = df.join(budget, partCol)
-        .withColumn("_salt",
-          pmod(hash(struct(df.columns.map(col): _*)), col("_n")))
-      salted
-        .repartition(col(partCol), col("_salt"))
-        .drop("_n", "_salt")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(partCol)
-        .parquet(path)
-    } finally {
-      def restore(key: String, prev: Option[String]): Unit = prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      restore(inferKey, prevInfer)
-      restore(overwriteKey, prevOverwrite)
-    }
+    // The rewrite needs non-default SQL-conf semantics (no partition
+    // type inference, dynamic overwrite). SQL confs are per-SESSION
+    // state: running on a cloned session confines them to this job —
+    // concurrent queries on the caller's session keep their semantics,
+    // and two concurrent compact() calls cannot restore each other's
+    // values out of order (the clone is discarded, nothing to restore).
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false") // values round-trip as dir strings
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import sess.implicits._
+    val df = sess.read.parquet(path)
+      .filter(col(partCol).isin(counts.keys.toSeq: _*))
+    // loud mismatch guard: every budget key must exist in the data
+    val dataValues = df.select(partCol).distinct().as[String].collect().toSet
+    val unmatched = counts.keySet.diff(dataValues)
+    require(unmatched.isEmpty,
+      s"budget keys carry no data (value-identity broken?): ${unmatched.toSeq.sorted.mkString(", ")}")
+    val budget = broadcast(counts.toSeq.toDF(partCol, "_n"))
+    val salted = df.join(budget, partCol)
+      .withColumn("_salt",
+        pmod(hash(struct(df.columns.map(col): _*)), col("_n")))
+    salted
+      .repartition(col(partCol), col("_salt"))
+      .drop("_n", "_salt")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(path)
   }
 
   /** The read-back frame, for parity checks. */

@@ -92,30 +92,60 @@ object Packing {
     * artifact a training loader reads: one row per (shard, seq_no) with
     * the concatenated token-id stream of its member documents in pack
     * order, plus the member count. `ids` is the per-document id-stream
-    * column (e.g. `bpe_encode_ids(text)`); the budget/shards must match
-    * the [[packGreedy]] call whose assignment is being assembled.
+    * column (e.g. `bpe_encode_ids(text)`); the pack budget is the
+    * stream's own length (`size(ids)` — one id per token), so the
+    * assignment and the assembled payload can never disagree.
     *
-    * Scale shape: the pack assignment is the packGreedy chain (one
-    * shard exchange); the id streams ride a doc_id equi-join; the
-    * grouped collect is bounded by the BUDGET (a sequence holds at most
-    * `budget` tokens — sequences are the unit a loader reads, so this
-    * is output-sized state, not corpus-sized). `sort_array` over the
-    * (doc_id, ids) structs keeps assembly order deterministic under any
-    * aggregation order. */
+    * Scale shape: ONE pass. The id stream is computed once per document
+    * (the `size(ids)` budget and the bare `ids` payload sit in the same
+    * projection: [[graft.plans.BpeCountRewrite]]'s bare-consumed guard
+    * keeps the `size` un-rewritten and codegen subexpression
+    * elimination evaluates the merge loop once — PlanSpec counts the
+    * generated `computeIds` call sites) and rides the single shard
+    * exchange through the greedy state pass; no second encode branch,
+    * no doc_id join back. The grouped collect is bounded by the BUDGET
+    * (a sequence holds at most `budget` tokens — output-sized state,
+    * not corpus-sized). `sort_array` over the (doc_id, ids) structs
+    * keeps assembly order deterministic under any aggregation order. */
   def assembleSequences(docs: DataFrame, id: org.apache.spark.sql.Column,
-                        nTokens: org.apache.spark.sql.Column,
                         ids: org.apache.spark.sql.Column,
                         budget: Long, shards: Int): DataFrame = {
-    val packed = packGreedy(docs, id, nTokens, budget, shards)
-    val streams = docs.select(id.as("doc_id"), ids.as("_ids"))
-    packed.join(streams, "doc_id")
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shards > 0, s"shards must be positive: $shards")
+    val base = docs.select(
+      Splits.md5Bucket(id.cast("string"), shards).as("shard"),
+      id.as("doc_id"),
+      // a NULL stream (null-text doc) packs as 0 tokens, like
+      // packedBase's coalesce
+      coalesce(size(ids).cast("long"), lit(0L)).as("n_tokens"),
+      ids.as("_ids"))
+    val sorted = base.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("seq_no", LongType, nullable = false)))
+    val packed = sorted.mapPartitions { rows =>
+      var curShard = 0L
+      var started = false
+      var fill = 0L
+      var seq = 0L
+      rows.map { r =>
+        val shard = r.getLong(0)
+        val nt = r.getLong(2)
+        if (!started || shard != curShard) {
+          started = true; curShard = shard; seq = 1L; fill = nt
+        } else if (fill + nt > budget) {
+          seq += 1; fill = nt
+        } else fill += nt
+        Row(r.get(0), r.get(1), r.get(2), r.get(3), seq)
+      }
+    }(Encoders.row(outSchema))
+    packed
       .groupBy(col("shard"), col("seq_no"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("_ids"))))
         .as("_parts"))
       .select(col("shard"), col("seq_no"),
         size(col("_parts")).cast("long").as("n_docs"),
-        // NULL id streams (a null-text doc — packedBase already counts
-        // it as 0 tokens) are dropped BEFORE flatten: flatten returns
+        // NULL id streams are dropped BEFORE flatten: flatten returns
         // NULL if ANY inner array is null, which would void the whole
         // sequence's stream
         flatten(transform(

@@ -22,34 +22,49 @@ object Profiling {
     * — raw double→string formatting differs between engines), and an
     * HLL-sketch bounds gate (`distinct_in_bounds`) as the 100 TB arm.
     *
-    * Shape: per column, the null/min/max pass is ONE map-combinable
-    * aggregate over a PRUNED single-column scan, and the exact distinct
-    * is a two-level aggregate — never the multi-distinct Expand, which
-    * would copy every row once per profiled column into one exchange.
-    * At scale keep only the sketch arm; the exact arm is the oracle
-    * anchor proving the sketch honest.
+    * Shape: ALL columns' null/min/max/sketch stats fold into ONE
+    * map-combinable aggregate over one scan (C×4+1 independent agg
+    * expressions — HLL sketches are plain aggregates, so this is still
+    * Expand-free), exploded back into one row per column. Only the
+    * exact distincts stay per-column two-level aggregates (C pruned
+    * scans) — never the multi-distinct Expand, which would copy every
+    * row once per profiled column into one exchange. At scale keep only
+    * the sketch arm; the exact arm is the oracle anchor proving the
+    * sketch honest.
     */
   def profile(t: DataFrame, rsd: Double = 0.02): DataFrame = {
     def inBounds(approx: Column, exact: Column): Column =
       abs(approx - exact) <= greatest(lit(5.0), exact * (5 * rsd))
-    val parts = t.schema.fields.toSeq.map { f =>
+    val fields = t.schema.fields.toSeq
+    // one scan, index-aliased so profiled column names can never collide
+    // with the stat slots
+    val statExprs = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
       val render = f.dataType.typeName match {
         case "double" => (x: Column) => x.cast(dec2).cast("string")
         case _ => (x: Column) => x.cast("string")
       }
-      val base = t.agg(count(lit(1)).as("n_rows"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
-        render(min(c)).as("min_s"), render(max(c)).as("max_s"),
-        approx_count_distinct(c, rsd).as("ad"))
-      val exact = t.select(c).where(c.isNotNull).distinct()
-        .agg(count(lit(1)).as("nd"))
-      base.crossJoin(exact).select(lit(f.name).as("col_name"),
-        col("n_rows"), col("n_nulls"), col("nd").as("n_distinct"),
-        col("min_s"), col("max_s"),
-        inBounds(col("ad"), col("nd")).as("distinct_in_bounds"))
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"_nn$i"),
+        render(min(c)).as(s"_mn$i"), render(max(c)).as(s"_mx$i"),
+        approx_count_distinct(c, rsd).as(s"_ad$i"))
     }
-    parts.reduce(_ unionByName _)
+    val base = t.agg(count(lit(1)).as("n_rows"), statExprs: _*)
+      .select(col("n_rows"), explode(array(fields.zipWithIndex.map {
+        case (f, i) => struct(lit(f.name).as("col_name"),
+          col(s"_nn$i").as("n_nulls"), col(s"_mn$i").as("min_s"),
+          col(s"_mx$i").as("max_s"), col(s"_ad$i").as("ad"))
+      }: _*)).as("_s"))
+      .select(col("n_rows"), col("_s.*"))
+    // per-column exact distinct: C two-level aggregates, one row each
+    val exact = fields.map { f =>
+      t.select(col(f.name)).where(col(f.name).isNotNull).distinct()
+        .agg(count(lit(1)).as("nd"))
+        .select(lit(f.name).as("col_name"), col("nd"))
+    }.reduce(_ unionByName _)
+    base.join(broadcast(exact), "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("nd").as("n_distinct"), col("min_s"), col("max_s"),
+        inBounds(col("ad"), col("nd")).as("distinct_in_bounds"))
   }
 
   /** One referential-integrity relation: total fact rows and orphan

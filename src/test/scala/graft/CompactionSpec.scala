@@ -16,7 +16,7 @@ class CompactionSpec extends SparkTestBase {
     val docs = graft.sources.Tables.documents(spark, sf)
     // fragment: ~20 files per lang partition
     docs.repartition(20).write.partitionBy("lang").parquet(path)
-    val before = Compaction.partitionStats(path)
+    val before = Compaction.partitionStats(spark, path)
     assert(before.nonEmpty && before.values.forall(_._2 >= 10),
       s"fixture not fragmented: $before")
     val expected = docs.collect().toSet
@@ -24,7 +24,7 @@ class CompactionSpec extends SparkTestBase {
     // 64 KiB target → a handful of files per partition
     Compaction.compact(spark, path, "lang", targetBytes = 64L * 1024)
 
-    val after = Compaction.partitionStats(path)
+    val after = Compaction.partitionStats(spark, path)
     assert(after.keySet == before.keySet, "partition set changed")
     after.foreach { case (p, (bytes, files)) =>
       val target = math.max(1L, (before(p)._1 + 64 * 1024 - 1) / (64 * 1024))
@@ -54,7 +54,7 @@ class CompactionSpec extends SparkTestBase {
       partitions = Some(Set("en")))
 
     // en compacted to one file; de's file names AND sizes are untouched
-    assert(Compaction.partitionStats(path)("en")._2 == 1L)
+    assert(Compaction.partitionStats(spark, path)("en")._2 == 1L)
     assert(files("lang=de") == deBefore, "dynamic overwrite touched de")
     val back = Compaction.readBack(spark, path)
       .select("id", "v", "lang").as[(Long, String, String)].collect().toSet

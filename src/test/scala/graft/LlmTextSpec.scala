@@ -517,7 +517,7 @@ class LlmTextSpec extends SparkTestBase {
       (4L, Seq.empty[Int]), (5L, Seq(50)))
       .toDF("doc_id", "ids")
     val out = Packing.assembleSequences(docs, col("doc_id"),
-        size(col("ids")), col("ids"), budget = 3L, shards = 1)
+        col("ids"), budget = 3L, shards = 1)
       .orderBy("seq_no")
       .select("seq_no", "n_docs", "tokens")
       .as[(Long, Long, Seq[Int])].collect().toSeq
@@ -533,7 +533,7 @@ class LlmTextSpec extends SparkTestBase {
     val withNull = Seq((1L, Some(Seq(10, 11))), (2L, None), (3L, Some(Seq(30))))
       .toDF("doc_id", "ids")
     val nOut = Packing.assembleSequences(withNull, col("doc_id"),
-        size(col("ids")), col("ids"), budget = 10L, shards = 1)
+        col("ids"), budget = 10L, shards = 1)
       .select("seq_no", "n_docs", "tokens")
       .as[(Long, Long, Seq[Int])].collect().toSeq
     assert(nOut == Seq((1L, 3L, Seq(10, 11, 30))),
@@ -543,8 +543,7 @@ class LlmTextSpec extends SparkTestBase {
     // in doc_id order within each shard
     val docs2 = graft.sources.Tables.documents(spark, sf)
     val ids = call_function("bpe_encode_ids", col("text"))
-    val asm = Packing.assembleSequences(docs2, col("doc_id"),
-        size(call_function("bpe_encode", col("text"))), ids,
+    val asm = Packing.assembleSequences(docs2, col("doc_id"), ids,
         budget = 256L, shards = 4)
     val replayed = asm.orderBy("shard", "seq_no")
       .select(col("shard"), col("tokens"))

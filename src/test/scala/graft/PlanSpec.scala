@@ -608,4 +608,40 @@ class PlanSpec extends SparkTestBase {
         s"median/MAD tables must broadcast:\n$mad")
     }
   }
+
+  test("q130 assembly evaluates the BPE merge loop at ONE codegen call site") {
+    uncached {
+      val df = SparkEntry.queries("q130_sequence_assembly")(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      // the budget is size(bpe_encode_ids(text)) next to the bare stream:
+      // BpeCountRewrite's bare-consumed guard must NOT substitute
+      // bpe_count (that would force a second, unshareable merge loop)
+      assert(!opt.contains("bpe_count"),
+        s"budget must stay size() so the stream is shared:\n$opt")
+      // no second encode branch: the string-token form is gone entirely
+      assert("bpe_encode\\((?!_)".r.findFirstIn(opt).isEmpty,
+        s"q130 must not also run bpe_encode:\n$opt")
+      // codegen subexpression elimination: the generated whole-stage
+      // code calls computeIds exactly once. Checked on the standalone
+      // base projection (codegenString cannot descend into AQE query
+      // stages) — the identical size(ids)+ids projection q130's
+      // optimized plan was just asserted to contain.
+      val ids = call_function("bpe_encode_ids", col("text"))
+      val proj = graft.sources.Tables.documents(spark, sf)
+        .select(coalesce(size(ids).cast("long"), lit(0L)).as("n_tokens"),
+          ids.as("_ids"))
+      val code = org.apache.spark.sql.execution.debug
+        .codegenString(proj.queryExecution.executedPlan)
+      val sites = "BpeEncode\\.computeIds\\(".r.findAllIn(code).length
+      assert(sites == 1,
+        s"merge loop must have exactly one generated call site, got $sites")
+      // and the fused pass also dropped the doc_id join: two hash
+      // exchanges total (shard repartition + the sequence groupBy)
+      val phys = df.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(phys).length <= 2,
+        s"assembly must not re-join the streams:\n$phys")
+      assert(!phys.contains("SortMergeJoin") && !phys.contains("BroadcastHashJoin"),
+        s"assembly must be join-free:\n$phys")
+    }
+  }
 }

@@ -11,7 +11,6 @@ class TrainingArtifactSpec extends SparkTestBase {
     val out = java.nio.file.Files.createTempDirectory("graft_train").toString
     val docs = graft.sources.Tables.documents(spark, sf)
     val assembled = Packing.assembleSequences(docs, col("doc_id"),
-      size(call_function("bpe_encode", col("text"))),
       call_function("bpe_encode_ids", col("text")),
       budget = 256L, shards = 4)
     TrainingArtifact.write(assembled, out)
