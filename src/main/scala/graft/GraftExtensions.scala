@@ -103,6 +103,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, 1, 1, "lsh_sigs(<arg>)")
         LshSigsExpr(children.head)
       }))
+    // lsh_sigs_int(emb, nTables, nBits) — integer signatures for
+    // multi-probe (sig XOR mask); table/bit counts as constant ints
+    ext.injectFunction((
+      FunctionIdentifier("lsh_sigs_int"),
+      new ExpressionInfo(classOf[LshSigsIntExpr].getName, "lsh_sigs_int"),
+      (children: Seq[Expression]) => {
+        arity(children, 3, 3, "lsh_sigs_int(emb, nTables, nBits)")
+        LshSigsIntExpr(children.head,
+          longLit(children(1), "lsh_sigs_int nTables").toInt,
+          longLit(children(2), "lsh_sigs_int nBits").toInt)
+      }))
     // winnow_fingerprints(text, k, w) — k/w as constant integers
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),

@@ -156,6 +156,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** q158/q159 fixture: event times compressed into a 2-hour band
+    * starting 23:00 of their own day (pure integer-ms arithmetic, so
+    * the DuckDB oracle reproduces it exactly) — a realistic share of
+    * 30-min-gap sessions then straddles midnight, which is the
+    * reference defect both queries interrogate. */
+  private def midnightEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tms"))
+      .select(col("event_id"), col("user_id"),
+        (col("tms") - pmod(col("tms"), lit(86400000L)) + lit(82800000L) +
+          expr("(tms % 86400000) div 12")).as("ts_ms"))
+
   private def gaOutputs(s: SparkSession): graft.jobs.GaPipeline.Outputs =
     gaOutputsMemo.computeIfAbsent(s, { s =>
       import graft.jobs.GaPipeline
@@ -697,20 +709,29 @@ object SparkEntry {
           sum("mv").over(w).as("sum_mv_15m"))
     }),
 
-    // ANN QUALITY evaluation — recall@5 of the LSH index (q27) against
-    // the brute-force truth (q26), per query: the acceptance report
-    // that decides whether an index's bucket parameters are good enough
-    // to replace the exact scan at 100 TB. Both sides are the engine's
-    // own deterministic operators, so even the recall of an
-    // approximation is hash-gated; floor-ppm integers keep the ratio
-    // exact. Shape: two bounded top-k results (query side broadcast in
-    // both), one equi-join on (query, neighbor).
+    // ANN QUALITY evaluation — recall@5 of each index against the
+    // brute-force truth (q26), per query: the acceptance report that
+    // decides whether an index's parameters are good enough to replace
+    // the exact scan at 100 TB. Four arms: the single-probe baselines
+    // (lsh = q27's 4×6-bit tables, ivf = q35's md5-sampled 4/16-probe)
+    // next to the PRODUCTION configurations (lsh_mp = 16×8-bit
+    // multi-probe Hamming ≤ 2; ivf_km = Lloyd-refined centroids,
+    // store-2 spill, 10/16 probe). Each row carries its arm's MEAN
+    // recall and `gate_ok` = mean ≥ 0.9 — TRUE for both production
+    // arms on this near-orthogonal fixture (the ANN worst case),
+    // deliberately FALSE for the baselines: the report is exactly the
+    // evidence for retiring them. Both sides are the engine's own
+    // deterministic operators, so even the recall of an approximation
+    // is hash-gated; floor-ppm integers keep the ratios exact. Shape:
+    // bounded top-k results (query side broadcast in all), one
+    // equi-join on (query, neighbor) per arm.
     "q147_ann_recall" -> ((s, dir) => {
       import graft.llm.Similarity
+      import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
       val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
         .select(col("query_id"), col("neighbor_id"))
-        .persist() // read by BOTH index arms; Verify/Bench clear the cache
+        .persist() // read by all four index arms; callers clearCache after
       def recallOf(name: String, res: DataFrame): DataFrame =
         truth.join(
           res.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
@@ -722,9 +743,21 @@ object SparkEntry {
             col("n_hit"),
             floor(lit(1000000.0) * col("n_hit") /
               greatest(col("n_true"), lit(1L))).cast("long").as("recall_ppm"))
-      recallOf("lsh", Similarity.lshTopK(emb, col("vec_id") < 10, 5))
-        .unionByName(
-          recallOf("ivf", Similarity.ivfTopK(emb, col("vec_id") < 10, 5)))
+      val arms =
+        recallOf("lsh", Similarity.lshTopK(emb, col("vec_id") < 10, 5))
+          .unionByName(
+            recallOf("ivf", Similarity.ivfTopK(emb, col("vec_id") < 10, 5)))
+          .unionByName(recallOf("lsh_mp",
+            Similarity.multiProbeLshTopK(emb, col("vec_id") < 10, 5)))
+          .unionByName(recallOf("ivf_km",
+            Similarity.ivfKmeansTopK(emb, col("vec_id") < 10, 5)))
+      // per-arm mean over the bounded query set (exact: the ppm sum is
+      // < 2^53, count ≤ 10 — the double division is the same IEEE op in
+      // the oracle)
+      arms.withColumn("mean_recall_ppm",
+          floor(avg(col("recall_ppm")).over(Window.partitionBy("idx")))
+            .cast("long"))
+        .withColumn("gate_ok", col("mean_recall_ppm") >= 900000L)
     }),
 
     // Int8 embedding quantization (the vector pipeline's compressor —
@@ -1219,6 +1252,110 @@ object SparkEntry {
           (abs(col("au") - (col("n_a") + col("n_b") - col("n_both"))) <=
             greatest(lit(5.0), (col("n_a") + col("n_b") - col("n_both")) * 0.1))
             .as("union_in_bounds"))
+    }),
+
+    // MIDNIGHT-BOUNDARY sessionization parity — the oracle gate on the
+    // reference's defining defect: its daily job reads ONE day partition
+    // and sessionizes inside it, so a session spanning midnight is
+    // silently split into two (reference
+    // functions/sessionization/main.py:1314-1318 day filter + :1344
+    // single-day read). This query runs BOTH semantics over one
+    // deterministic fixture and reconciles them: the `session_window`
+    // route (the streaming path's gap semantics — StreamingSpec proves
+    // the watermarked stream emits these exact rows) against the
+    // faithful day-partitioned batch replay. Event times are remapped
+    // to compress each day's activity into a 2-hour band starting 23:00
+    // (pure integer-ms arithmetic, oracle-identical), so a realistic
+    // share of sessions straddles midnight. Per boundary-free session:
+    // its day-partitioned fragment count (≥ 2 ⟺ crosses midnight) and
+    // the conserved event total — all integers, hash-gated. Shape: two
+    // window passes sharing one (user_id) exchange, a per-user
+    // equi-join with a range residual (fragments are output-, not
+    // event-, scale), no driver state.
+    "q158_midnight_sessions" -> ((s, dir) => {
+      import graft.streaming.StreamingSessionize
+      import org.apache.spark.sql.expressions.Window
+      val gapMs = 1800000L
+      val dayMs = 86400000L
+      val ev = midnightEvents(s, dir)
+      // boundary-free sessions: the streaming route's gap semantics
+      val free = StreamingSessionize.sessionWindowAgg(
+        ev.select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts")))
+      // faithful day-partitioned replay (the reference defect): each
+      // calendar day sessionized independently; same strictly-greater
+      // split rule as session_window so ONLY the boundary differs
+      val wOrd = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val frag = ev.withColumn("day", expr(s"ts_ms div $dayMs"))
+        .withColumn("brk",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(wOrd) <= gapMs, 0L)
+            .otherwise(1L))
+        .withColumn("sid", sum(col("brk"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id").as("f_user"), col("day"), col("sid"))
+        .agg(min(col("ts_ms")).as("fstart"), count(lit(1)).as("fn"))
+      free.join(frag,
+          free("user_id") === frag("f_user") &&
+            frag("fstart") >= free("session_start_ms") &&
+            frag("fstart") < free("session_end_ms"))
+        .groupBy(col("user_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"))
+        .agg(count(lit(1)).as("n_day_fragments"),
+          sum(col("fn")).as("n_fragment_events"))
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("n_events"), col("n_day_fragments"), col("n_fragment_events"),
+          expr(s"(session_start_ms div $dayMs) <> " +
+            s"((session_end_ms - $gapMs) div $dayMs)").as("crosses_midnight"))
+    }),
+
+    // SESSION-HISTORY MERGE — the Delta-style keyed upsert (§2.8's
+    // proper fix, composed from Upsert + the SCD2 builder) replayed as
+    // a two-batch re-run with mutated sessions: the STALE history is
+    // the session table daily jobs had built through Jan 6 (remapped
+    // events before the Jan 7 midnight cutoff), the SOURCE is the
+    // corrected recompute. Sessions that straddled the cutoff midnight
+    // carry the same (user, session_start) KEY but a new end/count —
+    // idempotent-append would suppress them as duplicates and keep the
+    // stale row; upsert REPLACES them ('updated'); post-cutoff sessions
+    // insert; the rest carry over byte-identical ('unchanged').
+    // n_versions is the SCD2 validity-run count across the two batch
+    // snapshots (2 ⟺ updated) — the audit trail a warehouse keeps of
+    // the same merge. Hash-gating the merged rows proves merge(stale,
+    // recompute) converges to the recompute exactly. Shape: key
+    // equi-joins only (anti-join + union + classify), one exchange
+    // family on the session key; the SCD2 pass is the one-sort window
+    // build.
+    "q159_session_merge" -> ((s, dir) => {
+      import graft.operators.{Scd2, Upsert}
+      import graft.streaming.StreamingSessionize
+      val cutoffMs = 19729L * 86400000L // 2024-01-07T00:00Z
+      val ev = midnightEvents(s, dir)
+      def sess(df: DataFrame): DataFrame = StreamingSessionize.sessionWindowAgg(
+        df.select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts")))
+      val stale = sess(ev.filter(col("ts_ms") < cutoffMs))
+      val full = sess(ev)
+      val keys = Seq("user_id", "session_start_ms")
+      val merged = Upsert.upsert(stale, full, keys)
+      val staleK = stale.select(col("user_id"), col("session_start_ms"),
+        col("session_end_ms").as("_old_end"), col("n_events").as("_old_n"))
+      val versions = Scd2.intervals(
+        stale.withColumn("_b", lit(1L)).unionByName(full.withColumn("_b", lit(2L))),
+        struct(col("user_id"), col("session_start_ms")),
+        struct(col("session_end_ms"), col("n_events")),
+        col("_b"), col("_b"))
+        .groupBy(col("key.user_id").as("user_id"),
+          col("key.session_start_ms").as("session_start_ms"))
+        .agg(count(lit(1)).as("n_versions"))
+      merged.join(staleK, keys, "left")
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("n_events"),
+          when(col("_old_end").isNull, "inserted")
+            .when(col("_old_end") =!= col("session_end_ms") ||
+              col("_old_n") =!= col("n_events"), "updated")
+            .otherwise("unchanged").as("action"))
+        .join(versions, keys)
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("n_events"), col("action"), col("n_versions"))
     }),
 
     // Train/eval n-gram decontamination (GPT-3 appendix-C recipe) over
@@ -2348,9 +2485,12 @@ object SparkEntry {
     // packing planner actually cares about). Spark has no weighted
     // percentile; the classic formulation is a per-group cumulative sum
     // over integer weights: first x where 2·cumw ≥ total. All integer
-    // comparisons, (x, doc_id) order fully deterministic; bounded
-    // groups make the per-group sort fine, and the oracle replays the
-    // identical frame.
+    // comparisons, (x, doc_id) order fully deterministic. The window
+    // arm's per-language sort is a ~5-task parallelism ceiling, so the
+    // 100× arm is IntStats.weightedMedianBisect — log2(range) rounds of
+    // one map-combinable aggregate each, no sort, no window — and
+    // because the bisection is EXACT (not a sketch), both arms are
+    // hash-gated for outright equality (bisect_matches all-TRUE).
     "q156_weighted_median" -> ((s, dir) => {
       import graft.llm.TextOps
       import org.apache.spark.sql.expressions.Window
@@ -2361,11 +2501,18 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = d0.withColumn("cw", sum("w").over(w))
       val tot = d0.groupBy("lang").agg(sum("w").as("total_w"))
-      cum.join(broadcast(tot), "lang")
+      val exact = cum.join(broadcast(tot), "lang")
         .filter(col("cw") * 2 >= col("total_w"))
         .groupBy(col("lang"), col("total_w"))
         .agg(min(col("x")).as("weighted_median"))
         .select(col("lang"), col("total_w"), col("weighted_median"))
+      val bisect = graft.operators.IntStats
+        .weightedMedianBisect(d0, col("lang"), col("x"), col("w"))
+        .select(col("k").as("lang"), col("weighted_median").as("bisect_median"))
+      exact.join(broadcast(bisect), "lang")
+        .select(col("lang"), col("total_w"), col("weighted_median"),
+          col("bisect_median"),
+          (col("bisect_median") === col("weighted_median")).as("bisect_matches"))
     }),
 
     // Robust outlier flagging: |x − median| > 2·MAD per language. Median
@@ -3127,6 +3274,36 @@ object SparkEntry {
        |  $unions)""".stripMargin
   }
 
+  /** Integer multi-probe LSH CTEs over `embeddings` (mirrors
+    * [[graft.expressions.LshSigsIntExpr]] + [[Similarity.probeMasks]]):
+    * mv (per-table integer sig columns) → msv (one row per table) →
+    * mmask (the Hamming-≤2 XOR masks, [[Similarity.probeMasks]] order). */
+  private def dLshIntCtes: String = {
+    import graft.llm.Similarity
+    val (nTables, nBits) = (Similarity.MpTables, Similarity.MpBits)
+    def planeList(t: Int, j: Int): String =
+      (0 until Similarity.Dims).map(d => Similarity.planeWeight(t, j, d))
+        .mkString("[", ", ", "]")
+    def sigInt(t: Int): String = (0 until nBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1,${Similarity.Dims}), " +
+        s"i -> embedding[i]::DOUBLE * (${planeList(t, j)})[i])) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val sigCols = (0 until nTables)
+      .map(t => s"CAST(${sigInt(t)} AS BIGINT) AS msig$t").mkString(",\n  ")
+    val unions = (0 until nTables)
+      .map(t => s"SELECT vec_id, $t AS t, msig$t AS sig FROM mv")
+      .mkString("\n  UNION ALL ")
+    val masks = Similarity.probeMasks(nBits, Similarity.MpHamming)
+      .mkString("[", ", ", "]")
+    s"""mv AS (SELECT vec_id, embedding,
+       |  $sigCols
+       |  FROM embeddings),
+       |msv AS (
+       |  $unions),
+       |mmask AS (SELECT CAST(unnest($masks) AS BIGINT) AS m)""".stripMargin
+  }
+
   /** SimHash fingerprint CTEs over `documents` → fp(doc_id, simhash). */
   private def dSimhashCtes: String = {
     import graft.llm.SimHash.Bits
@@ -3872,11 +4049,12 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |  RANGE BETWEEN 900000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    // q147: q26's truth CTE (k=5) joined against q27's LSH candidate
-    // CTE and q35's IVF CTE stack (i-prefixed to avoid name clashes) —
-    // one recall arm per index.
+    // q147: q26's truth CTE (k=5) joined against four index-candidate
+    // CTE stacks (i-/m-/k- prefixed to avoid name clashes) — one recall
+    // arm per index; production arms gated on mean recall ≥ 0.9.
     "q147_ann_recall" -> {
-      import graft.llm.Similarity.{Dims, IvfCells, IvfProbe}
+      import graft.llm.Similarity.{Dims, IvfCells, IvfProbe,
+        IvfKmeansCells, IvfKmeansIters, IvfKmeansProbe, IvfKmeansStore}
       def arm(name: String, annCte: String): String =
         s"""SELECT '$name' AS idx, t.query_id,
            |  CAST(COUNT(*) AS BIGINT) AS n_true,
@@ -3887,6 +4065,8 @@ object SparkEntry {
            |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
            |GROUP BY 1, 2""".stripMargin
       s"""WITH $dLshCtes,
+        |$dLshIntCtes,
+        |${dKMeansCtes(IvfKmeansCells, IvfKmeansIters, Dims)},
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
         |s AS (
@@ -3894,11 +4074,11 @@ object SparkEntry {
         |  FROM q, c WHERE query_id <> neighbor_id),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM s),
         |truth AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 5),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
         |qs AS (SELECT vec_id AS query_id, t, sig FROM sv WHERE vec_id < 10),
         |cand AS (
         |  SELECT DISTINCT query_id, cc.vec_id AS neighbor_id
         |  FROM qs JOIN sv cc USING (t, sig) WHERE query_id <> cc.vec_id),
-        |e AS (SELECT vec_id, embedding FROM embeddings),
         |sc AS (
         |  SELECT query_id, neighbor_id, ${dCosine("qq.embedding", "cc2.embedding")} AS cosine
         |  FROM cand JOIN e qq ON qq.vec_id = query_id JOIN e cc2 ON cc2.vec_id = neighbor_id),
@@ -3925,10 +4105,44 @@ object SparkEntry {
         |  FROM iqp JOIN iasn a USING (cell) WHERE query_id <> a.vec_id),
         |ir AS (SELECT query_id, neighbor_id, ${dCosine("qe", "ne")} AS cosine FROM icand),
         |irk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ir),
-        |iann AS (SELECT query_id, neighbor_id FROM irk2 WHERE rnk <= 5)
+        |iann AS (SELECT query_id, neighbor_id FROM irk2 WHERE rnk <= 5),
+        |mq AS (
+        |  SELECT vec_id AS query_id, t, xor(sig, m) AS sig
+        |  FROM msv CROSS JOIN mmask WHERE vec_id < 10),
+        |mcand AS (
+        |  SELECT DISTINCT query_id, d.vec_id AS neighbor_id
+        |  FROM mq JOIN msv d USING (t, sig) WHERE query_id <> d.vec_id),
+        |msc AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("mqq.embedding", "mcc.embedding")} AS cosine
+        |  FROM mcand JOIN e mqq ON mqq.vec_id = query_id JOIN e mcc ON mcc.vec_id = neighbor_id),
+        |mr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM msc),
+        |mann AS (SELECT query_id, neighbor_id FROM mr WHERE rk <= 5),
+        |krk AS (SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+        |  FROM sf),
+        |kasn AS (SELECT vec_id, cid AS cell FROM krk WHERE rk <= $IvfKmeansStore),
+        |kqp AS (SELECT vec_id AS query_id, cid AS cell FROM krk
+        |        WHERE rk <= $IvfKmeansProbe AND vec_id < 10),
+        |kcand AS (
+        |  SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+        |  FROM kqp JOIN kasn a USING (cell) WHERE query_id <> a.vec_id),
+        |ksc AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("kqq.embedding", "kcc.embedding")} AS cosine
+        |  FROM kcand JOIN e kqq ON kqq.vec_id = query_id JOIN e kcc ON kcc.vec_id = neighbor_id),
+        |kr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ksc),
+        |kann AS (SELECT query_id, neighbor_id FROM kr WHERE rk <= 5),
+        |allarms AS (
         |${arm("lsh", "ann")}
         |UNION ALL
-        |${arm("ivf", "iann")}""".stripMargin
+        |${arm("ivf", "iann")}
+        |UNION ALL
+        |${arm("lsh_mp", "mann")}
+        |UNION ALL
+        |${arm("ivf_km", "kann")})
+        |SELECT idx, query_id, n_true, n_hit, recall_ppm,
+        |  CAST(floor(AVG(recall_ppm) OVER (PARTITION BY idx)) AS BIGINT) AS mean_recall_ppm,
+        |  (floor(AVG(recall_ppm) OVER (PARTITION BY idx)) >= 900000) AS gate_ok
+        |FROM allarms""".stripMargin
     },
 
     "q35_ann_ivf" -> {
@@ -5612,6 +5826,105 @@ object SparkEntry {
         |JOIN n nb ON nb.t = p.tb
         |LEFT JOIN bo ON bo.ta = p.ta AND bo.tb = p.tb""".stripMargin,
 
+    // q158: the q28 session CTE stack over midnight-compressed times,
+    // joined against its own day-partitioned replay (the reference's
+    // defective semantics), fragment counts reconciled per session.
+    "q158_midnight_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events),
+        |r AS (
+        |  SELECT event_id, user_id,
+        |    (tms - (tms % 86400000)) + 82800000 + ((tms % 86400000) // 12) AS ms
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ms, event_id,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM r),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g),
+        |free AS (
+        |  SELECT user_id, MIN(ms) AS session_start_ms,
+        |    MAX(ms) + 1800000 AS session_end_ms,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, seq),
+        |dg AS (
+        |  SELECT user_id, ms // 86400000 AS day, ms, event_id,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id, ms // 86400000
+        |      ORDER BY ms, event_id) AS gap
+        |  FROM r),
+        |ds AS (
+        |  SELECT user_id, day, ms,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, day ORDER BY ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM dg),
+        |frag AS (
+        |  SELECT user_id, day, seq, MIN(ms) AS fstart,
+        |    CAST(COUNT(*) AS BIGINT) AS fn
+        |  FROM ds GROUP BY 1, 2, 3)
+        |SELECT f.user_id, f.session_start_ms, f.session_end_ms, f.n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_day_fragments,
+        |  CAST(SUM(fr.fn) AS BIGINT) AS n_fragment_events,
+        |  ((f.session_start_ms // 86400000) <>
+        |   ((f.session_end_ms - 1800000) // 86400000)) AS crosses_midnight
+        |FROM free f JOIN frag fr ON fr.user_id = f.user_id
+        |  AND fr.fstart >= f.session_start_ms AND fr.fstart < f.session_end_ms
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // q159: merge(stale, recompute) provably converges to the recompute,
+    // so the oracle builds the full session table and classifies each
+    // row against the stale (pre-cutoff) build; n_versions mirrors the
+    // two-snapshot SCD2 run count arithmetically (2 ⟺ updated).
+    "q159_session_merge" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events),
+        |r AS (
+        |  SELECT event_id, user_id,
+        |    (tms - (tms % 86400000)) + 82800000 + ((tms % 86400000) // 12) AS ms
+        |  FROM e),
+        |fg AS (
+        |  SELECT user_id, ms, event_id,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM r),
+        |fq AS (
+        |  SELECT user_id, ms,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM fg),
+        |fsess AS (
+        |  SELECT user_id, MIN(ms) AS session_start_ms,
+        |    MAX(ms) + 1800000 AS session_end_ms,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM fq GROUP BY user_id, seq),
+        |sg AS (
+        |  SELECT user_id, ms, event_id,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM r WHERE ms < 1704585600000),
+        |sq AS (
+        |  SELECT user_id, ms,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM sg),
+        |ssess AS (
+        |  SELECT user_id, MIN(ms) AS session_start_ms,
+        |    MAX(ms) + 1800000 AS session_end_ms,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM sq GROUP BY user_id, seq)
+        |SELECT f.user_id, f.session_start_ms, f.session_end_ms, f.n_events,
+        |  CASE WHEN s.session_end_ms IS NULL THEN 'inserted'
+        |       WHEN s.session_end_ms <> f.session_end_ms
+        |         OR s.n_events <> f.n_events THEN 'updated'
+        |       ELSE 'unchanged' END AS action,
+        |  CAST(CASE WHEN s.session_end_ms IS NOT NULL
+        |         AND (s.session_end_ms <> f.session_end_ms
+        |           OR s.n_events <> f.n_events) THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_versions
+        |FROM fsess f LEFT JOIN ssess s USING (user_id, session_start_ms)""".stripMargin,
+
     "q156_weighted_median" ->
       """WITH d AS (
         |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS x,
@@ -5624,7 +5937,9 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
         |  FROM d),
         |t AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS total_w FROM d GROUP BY 1)
-        |SELECT lang, total_w, CAST(MIN(x) AS BIGINT) AS weighted_median
+        |SELECT lang, total_w, CAST(MIN(x) AS BIGINT) AS weighted_median,
+        |  CAST(MIN(x) AS BIGINT) AS bisect_median,
+        |  TRUE AS bisect_matches
         |FROM c JOIN t USING (lang)
         |WHERE cw * 2 >= total_w
         |GROUP BY 1, 2""".stripMargin,

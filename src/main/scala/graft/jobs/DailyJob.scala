@@ -27,12 +27,19 @@ object DailyJob {
     val enrichedDay = s"$enrichedRoot/year=$y/month=$m/day=$d"
     val historyPath = s"$outRoot/history/sessions"
     def daily(tpe: String) = s"$outRoot/daily/type=$tpe/year=$y/month=$m/day=$d"
+    /** CSV delivery tree — the `aggregated/ga/<date>/<table>` layout the
+      * reference's SFTP uploader scans for `.csv` keys
+      * (sftp-uploader/main.py:48); its regex matches any
+      * `(sessions|pageviews|products|events)…csv` under the date dir,
+      * which a Spark CSV part file inside `<tpe>/` satisfies. */
+    def delivery(tpe: String) = s"$outRoot/aggregated/ga/year=$y/month=$m/day=$d/$tpe"
   }
 
   def run(spark: SparkSession, paths: Paths, idAlgo: String = "sha1",
           coalesceOutput: Boolean = true,
           catalogDb: Option[String] = Some("ga"),
-          idempotentHistory: Boolean = false): GaPipeline.Outputs = {
+          idempotentHistory: Boolean = false,
+          csvDelivery: Boolean = false): GaPipeline.Outputs = {
     val hits = Ingest.readEnrichedHits(spark, paths.enrichedDay)
     val history = GaPipeline.loadHistory(spark, paths.historyPath)
     // Incremental touchpoints: every row dayOnly keeps belongs to a
@@ -72,10 +79,73 @@ object DailyJob {
     ).foreach { case (tpe, df) =>
       dayOnly(df).write.mode("overwrite").parquet(paths.daily(tpe))
     }
+    // CSV delivery hook (S9's in-engine half): the four tables the
+    // reference's SFTP uploader greps for, as headered CSV next to the
+    // parquet — the uploader-side zip/transfer stays out-of-engine per
+    // SURVEY §2, but a reference user now gets the delivery artifact.
+    // (The reference's own path is half-dead: the job writes parquet
+    // while the uploader expects CSV — this closes that gap.)
+    if (csvDelivery)
+      Seq("sessions" -> out.sessions, "pageviews" -> out.pageviews,
+        "products" -> out.products, "events" -> out.events
+      ).foreach { case (tpe, df) =>
+        dayOnly(csvSafe(df)).write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(paths.delivery(tpe))
+      }
     // Catalog re-sync after the writes — the reference's nightly crawler
     // (S5 serve stage); None skips it for path-only consumers.
     catalogDb.foreach(db => GaCatalog.register(spark, paths.outRoot, db))
     out
+  }
+
+  /** CSV cannot carry nested cells: atomic arrays join with '|', other
+    * complex types serialize as JSON (the oracle-gate queries' own
+    * array-serialization discipline). */
+  private[jobs] def csvSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def complex(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: ArrayType | _: StructType | _: MapType => true
+      case _ => false
+    }
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(e, _) if !complex(e) =>
+          array_join(transform(col(f.name), _.cast("string")), "|").as(f.name)
+        case t if complex(t) => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
+  /** MERGE a session batch into the history by (fullVisitorId, visitId)
+    * — the Delta-style upsert ([[graft.operators.Upsert]], §2.8's proper
+    * fix) the anti-join `idempotentHistory` mode cannot express: that
+    * mode only SUPPRESSES re-appended duplicates, so a session that
+    * legitimately changed (reopened across the day boundary, revenue
+    * restated) keeps its stale history row; this mode REPLACES it.
+    *
+    * The history path is both input and output, so the merged frame is
+    * materialized to a staging tree first and swapped in by rename
+    * (the TrainingArtifact versioning discipline); a crash before the
+    * final rename leaves the previous history intact. On local/HDFS the
+    * renames are atomic; an S3 deployment points the staging write at
+    * the committer-backed output path instead. */
+  def mergeHistory(spark: SparkSession, historyPath: String,
+                   sessions: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val existing = GaPipeline.loadHistory(spark, historyPath)
+    val merged = graft.operators.Upsert.upsert(existing, sessions,
+      Seq("fullVisitorId", "visitId"))
+    val staging = historyPath + "__staging"
+    merged.write.mode("overwrite").parquet(staging) // materializes the read
+    val fs = new Path(historyPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val dst = new Path(historyPath)
+    val old = new Path(historyPath + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst)) require(fs.rename(dst, old), s"swap-out failed: $dst")
+    require(fs.rename(new Path(staging), dst), s"swap-in failed: $staging")
+    fs.delete(old, true)
   }
 
   /** The scale form of the six daily overwrites: ONE partitioned write

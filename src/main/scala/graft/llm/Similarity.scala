@@ -190,9 +190,49 @@ object Similarity {
     * nProbe = nCells the probe covers every cell and the result equals
     * [[bruteForceTopK]] exactly (asserted in SimilaritySpec). */
   def ivfTopK(vecs: DataFrame, queryPred: Column, k: Int,
-              nCells: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame = {
-    val cents = centroidSeq(vecs, nCells)
-    val assigned = assignCells(vecs, cents)
+              nCells: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame =
+    ivfTopKWith(vecs, centroidSeq(vecs, nCells), queryPred, k, nProbe)
+
+  /** The PRODUCTION IVF configuration: Lloyd-refined coarse quantizer
+    * ([[KMeans.fitCentroids]] — deterministic, oracle-replayable) with
+    * redundant store-`store` assignment (each database vector indexed
+    * under its `store` best cells — the spill/soft-assignment knob that
+    * buys recall at `store`× index size, not probe-count, cost) and a
+    * wider probe. q147 gates this configuration's measured recall@5 at
+    * ≥ 0.9 against the brute-force truth. The probe budget is honest
+    * about the fixture: the synthetic embeddings are near-orthogonal
+    * random vectors (mean pairwise cosine ≈ 0.0004), the adversarial
+    * case for ANY coarse quantizer, so ≥ 0.9 recall needs probe 10/16 +
+    * store 2 here; on real clustered embeddings the same machinery runs
+    * at nProbe ≈ 1–2 — the knobs are explicit, the shape (broadcast
+    * centroid literals, one map-side assignment pass, equi-join on
+    * cell) is what survives 100 TB. */
+  val IvfKmeansCells = 16
+  val IvfKmeansIters = 3
+  val IvfKmeansProbe = 10
+  val IvfKmeansStore = 2
+
+  def ivfKmeansTopK(vecs: DataFrame, queryPred: Column, k: Int,
+                    kCells: Int = IvfKmeansCells, iters: Int = IvfKmeansIters,
+                    nProbe: Int = IvfKmeansProbe,
+                    store: Int = IvfKmeansStore): DataFrame =
+    ivfTopKWith(vecs, KMeans.fitCentroids(vecs, kCells, iters),
+      queryPred, k, nProbe, store)
+
+  /** IVF top-k over an EXPLICIT centroid matrix — the shared engine of
+    * [[ivfTopK]] (md5-sample seed) and [[ivfKmeansTopK]] (Lloyd-refined).
+    * `store` > 1 indexes each database vector under its `store` best
+    * cells; candidate pairs then need a distinct (a pair can meet in
+    * up to `store` cells) and fetch embeddings back by id, the
+    * [[lshTopK]] shape. */
+  def ivfTopKWith(vecs: DataFrame, cents: Seq[Seq[Double]], queryPred: Column,
+                  k: Int, nProbe: Int, store: Int = 1): DataFrame = {
+    require(store >= 1, s"store must be >= 1: $store")
+    // empty corpus: no centroids to probe — schema-correct zero rows
+    if (cents.isEmpty)
+      return vecs.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("rank"),
+        lit(0.0).as("cosine")).where(lit(false))
     // nProbe closest cells per query — same native ranking as the
     // assignment (score desc, cid-asc tie-break: the oracle's ROW_NUMBER
     // order).
@@ -201,13 +241,33 @@ object Similarity {
         explode(topCells(col("embedding"), cents, nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.join(broadcast(q), Seq("cell"))
-      .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosineD(col("qe"), col("embedding")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    if (store == 1) {
+      // exactly one cell per vector: no duplicate pairs possible
+      assignCells(vecs, cents).join(broadcast(q), Seq("cell"))
+        .where(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosineD(col("qe"), col("embedding")), 6).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    } else {
+      val assigned = vecs.select(col("vec_id"),
+        explode(topCells(col("embedding"), cents, store)).as("cell"))
+      val cand = assigned
+        .join(broadcast(q.select(col("query_id"), col("cell"))), Seq("cell"))
+        .where(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+      val emb = vecs.select(col("vec_id"), col("embedding"))
+      cand
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce")), "neighbor_id")
+        .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    }
   }
 
   // ------------------------------------------------------------------ PQ
@@ -319,6 +379,78 @@ object Similarity {
     when(scale === 0f, transform(emb, _ => lit(0L)))
       .otherwise(transform(emb,
         x => round(x.cast("double") * 127d / scale.cast("double")).cast("long")))
+  }
+
+  // ------------------------------------------------- multi-probe LSH
+  /** The PRODUCTION LSH configuration (Lv et al. '07 multi-probe over
+    * Charikar hyperplane tables): [[MpTables]] independent integer
+    * signatures per vector ([[graft.expressions.LshSigsIntExpr]], one
+    * native pass), and each QUERY probes every bucket within Hamming
+    * distance [[MpHamming]] of its signature in every table —
+    * `sig XOR mask` over a 1+B+C(B,2) literal mask list. Probing
+    * expands the query batch (small by contract), never the corpus:
+    * the database stores exactly `nTables` rows per vector — the
+    * L-table memory cost every multi-probe index pays — and the
+    * candidate generation stays an equi-join on (t, sig). q147 gates
+    * this configuration's measured recall@5 at ≥ 0.9; like the IVF
+    * production arm, the near-orthogonal fixture forces generous
+    * parameters (16×8-bit tables, Hamming ≤ 2), while real clustered
+    * embeddings run fewer tables at the same machinery. */
+  val MpTables = 16
+  val MpBits = 8
+  val MpHamming = 2
+
+  /** Integer bucket signatures, one per table — native single pass. */
+  def sigsInt(emb: Column, nTables: Int = MpTables, nBits: Int = MpBits): Column =
+    call_function("lsh_sigs_int", emb, lit(nTables), lit(nBits))
+
+  /** XOR masks of popcount ≤ `hamming` over `nBits` bits: 0 first, then
+    * single bits ascending, then pairs (i < j) in (i, j) order — a
+    * deterministic order the oracle reproduces with generate_series. */
+  def probeMasks(nBits: Int, hamming: Int): Seq[Long] = {
+    require(hamming >= 0 && hamming <= 2, s"hamming 0..2 supported: $hamming")
+    Seq(0L) ++
+      (if (hamming >= 1) (0 until nBits).map(i => 1L << i) else Nil) ++
+      (if (hamming >= 2)
+        for { i <- 0 until nBits; j <- (i + 1) until nBits }
+          yield (1L << i) | (1L << j)
+      else Nil)
+  }
+
+  /** (vec_id, t, sig) — one row per (vector, hash table). */
+  def bucketedInt(vecs: DataFrame, nTables: Int = MpTables,
+                  nBits: Int = MpBits): DataFrame =
+    vecs.select(col("vec_id"),
+      posexplode(sigsInt(col("embedding"), nTables, nBits)).as(Seq("t", "sig")))
+
+  /** Multi-probe LSH top-k: Hamming-≤`hamming` bucket probes in every
+    * table → distinct candidate pairs → exact cosine rerank. */
+  def multiProbeLshTopK(vecs: DataFrame, queryPred: Column, k: Int,
+                        nTables: Int = MpTables, nBits: Int = MpBits,
+                        hamming: Int = MpHamming): DataFrame = {
+    val db = bucketedInt(vecs, nTables, nBits)
+      .select(col("vec_id").as("neighbor_id"), col("t"), col("sig"))
+    val qb = bucketedInt(vecs.filter(queryPred), nTables, nBits)
+      .select(col("vec_id").as("query_id"), col("t"),
+        col("sig").as("_qsig"))
+      .withColumn("_m", explode(typedLit(probeMasks(nBits, hamming))))
+      .select(col("query_id"), col("t"),
+        col("_qsig").bitwiseXOR(col("_m")).as("sig"))
+    val cand = qb.join(db, Seq("t", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
   /** LSH candidates (same bucket in any table) + exact cosine rerank. */

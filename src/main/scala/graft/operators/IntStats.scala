@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic statistics from INTEGER moment sums.
@@ -84,4 +84,57 @@ object IntStats {
     * marginal counts — exact-integer ratio, one ln per output row. */
   def pmiFromCounts(cnt: Column, cx: Column, cy: Column, n: Column): Column =
     round(log(d(cnt) * d(n) / (d(cx) * d(cy))), 6)
+
+  /** Weighted median by VALUE-DOMAIN BISECTION — the 100 TB arm of
+    * q156's per-group cumulative-weight window. The window formulation
+    * totally sorts each group inside one task (a 5-language corpus has
+    * a 5-task parallelism ceiling); this one runs ~log2(value range)
+    * rounds, each a single MAP-COMBINABLE aggregate over the full
+    * frame (`sum(w · [x ≤ mid])` per key — no sort, no window, no
+    * per-group state), with an O(keys) driver-side bounds table (the
+    * bounded-collect family: centroids, vocab, heavy hitters).
+    *
+    * And it is EXACT, not approximate: the invariant maintains the
+    * smallest integer t with 2·W(≤t) ≥ W_total, and that t is always a
+    * data value (if t-1 fails the inequality, weight entered at t). So
+    * q156 can hash-gate this arm against the window formulation
+    * outright — sharper than a bounds gate.
+    *
+    * Keys are strings; values `x` any Long range (floorDiv keeps the
+    * bisection correct on negative domains); weights non-negative
+    * Longs. Returns (k, total_w, weighted_median); keys with no rows
+    * are absent, all-zero-weight keys return their min x (the window
+    * formulation's own contract). */
+  def weightedMedianBisect(df: DataFrame, key: Column, x: Column,
+                           w: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(key.as("k"), x.cast("long").as("x"),
+      w.cast("long").as("w"))
+    // one pass: per-key bounds + total weight (bounded rows collected)
+    var bounds = base.groupBy("k")
+      .agg(min("x").as("lo"), max("x").as("hi"), sum("w").as("tw"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, lo, hi, tw) => k -> ((lo, hi, tw)) }.toMap
+    while (bounds.values.exists { case (lo, hi, _) => lo < hi }) {
+      // floorDiv: correct bisection for negative value domains too
+      val mids = bounds.toSeq.map { case (k, (lo, hi, _)) =>
+        (k, Math.floorDiv(lo + hi, 2L))
+      }.toDF("k", "mid")
+      val cum = base.join(broadcast(mids), "k")
+        .groupBy("k")
+        .agg(sum(when(col("x") <= col("mid"), col("w")).otherwise(0L)).as("cw"))
+        .as[(String, Long)].collect().toMap
+      bounds = bounds.map { case (k, (lo, hi, tw)) =>
+        if (lo >= hi) k -> ((lo, hi, tw))
+        else {
+          val mid = Math.floorDiv(lo + hi, 2L)
+          if (2L * cum.getOrElse(k, 0L) >= tw) k -> ((lo, mid, tw))
+          else k -> ((mid + 1L, hi, tw))
+        }
+      }
+    }
+    bounds.toSeq.map { case (k, (lo, _, tw)) => (k, tw, lo) }
+      .toDF("k", "total_w", "weighted_median")
+  }
 }

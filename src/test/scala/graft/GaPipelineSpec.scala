@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Ingest
@@ -136,6 +138,84 @@ class GaPipelineSpec extends SparkTestBase {
     DailyJob.run(spark, paths, catalogDb = None, idempotentHistory = true)
     assert(spark.read.parquet(paths.historyPath).count() == n,
       "re-run must not double-append (the reference defect, fixed)")
+  }
+
+  test("mergeHistory: a reopened session's row is REPLACED where the " +
+    "anti-join mode would keep it stale") {
+    val tmp = Files.createTempDirectory("gamerge").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths, catalogDb = None, idempotentHistory = true)
+    val before = spark.read.parquet(paths.historyPath)
+    val n = before.count()
+    assert(n > 0)
+    val key = before.orderBy("fullVisitorId", "visitId")
+      .select("fullVisitorId", "visitId").head()
+    val (kVis, kId) = (key.getString(0), key.get(1))
+    // the "re-run with a mutated session": same keys, one session's
+    // revenue restated
+    val restated = before.withColumn("totals_transactionRevenue",
+      when(col("fullVisitorId") === kVis && col("visitId") === kId,
+        lit("999990000")).otherwise(col("totals_transactionRevenue")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(!(col("fullVisitorId") === kVis && col("visitId") === kId))
+        .select(before.columns.sorted.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    // contrast, measured BEFORE the swap invalidates the lazy readers:
+    // the suppress-only anti-join (idempotentHistory's mechanism) would
+    // drop the restated row as a duplicate key and keep the stale value
+    val antiJoinKept = restated.join(
+      before.select("fullVisitorId", "visitId").distinct(),
+      Seq("fullVisitorId", "visitId"), "left_anti").count()
+    assert(antiJoinKept == 0,
+      "anti-join suppresses ALL re-run rows — it cannot deliver an update")
+    val beforeRows = rows(before)
+    DailyJob.mergeHistory(spark, paths.historyPath, restated)
+    val after = spark.read.parquet(paths.historyPath)
+    // no duplicate keys, no growth — and the mutation LANDED
+    assert(after.count() == n, "merge must not change cardinality")
+    assert(after.groupBy("fullVisitorId", "visitId").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(after.filter(col("fullVisitorId") === kVis &&
+      col("visitId") === kId &&
+      col("totals_transactionRevenue") === "999990000").count() == 1,
+      "upsert must replace the matched row with the restated version")
+    // untouched rows carry over byte-identical
+    assert(rows(after) == beforeRows)
+    // crash-safety scaffolding is gone after a clean swap
+    assert(!new java.io.File(paths.historyPath + "__staging").exists())
+    assert(!new java.io.File(paths.historyPath + "__old").exists())
+  }
+
+  test("csvDelivery writes the four tables where the reference's SFTP " +
+    "uploader regex finds them") {
+    val tmp = Files.createTempDirectory("gacsv").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths, catalogDb = None, csvDelivery = true)
+    // the uploader filters bucket keys with
+    //   ^aggregated/ga/year=Y/month=M/day=D/(sessions|pageviews|products|events).*csv$
+    // (reference sftp-uploader/main.py:48) — every table must yield at
+    // least one matching key relative to the out root
+    val uploaderRegex =
+      ("^aggregated/ga/year=2019/month=09/day=23/" +
+        "(sessions|pageviews|products|events).*csv$").r
+    val root = java.nio.file.Paths.get(tmp)
+    val keys = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString).toSeq
+    val matched = keys.filter(k => uploaderRegex.findFirstIn(k).isDefined)
+    Seq("sessions", "pageviews", "products", "events").foreach { t =>
+      assert(matched.exists(_.contains(s"/$t/")),
+        s"no uploader-visible csv for $t; keys=${keys.filter(_.contains(t))}")
+    }
+    // content round-trips: header + escaped CSV reads back with the
+    // session count, and the nested touchpoints column is serialized
+    val back = spark.read.option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").csv(paths.delivery("sessions"))
+    assert(back.count() ==
+      spark.read.parquet(paths.daily("sessions")).count())
+    assert(back.columns.contains("touchpoints"))
+    // parquet outputs still present next to the delivery tree
+    assert(new java.io.File(paths.daily("sessions")).exists())
   }
 
   test("dynamic-partition daily write: re-running one day replaces only " +

@@ -206,10 +206,44 @@ class IntStatsSpec extends SparkTestBase {
     }
     assert(wmed(Seq((1L, 1L), (2L, 1L), (10L, 10L))) == 10L)
     assert(wmed(Seq((1L, 1L), (2L, 1L), (10L, 1L))) == 2L) // unit weights
-    // and the gated query itself: median lies inside the data range
+    // and the gated query itself: median lies inside the data range and
+    // the bisection arm agrees everywhere
     val out = SparkEntry.queries("q156_weighted_median")(spark, sf)
-      .select("lang", "weighted_median").as[(String, Long)].collect()
+      .select("lang", "weighted_median", "bisect_matches")
+      .as[(String, Long, Boolean)].collect()
     assert(out.length == 5 && out.forall(r => r._2 > 0))
+    assert(out.forall(_._3), "bisection drifted from the window formulation")
+  }
+
+  test("bisection weighted median: exact on toys, negatives, zero weights, " +
+    "partitioning-invariant on the fixture") {
+    import graft.operators.IntStats
+    def bmed(rows: Seq[(String, Long, Long)]): Map[String, Long] = {
+      val df = rows.toDF("k", "x", "w")
+      IntStats.weightedMedianBisect(df, col("k"), col("x"), col("w"))
+        .select("k", "weighted_median").as[(String, Long)].collect().toMap
+    }
+    assert(bmed(Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 10L, 10L))) ==
+      Map("a" -> 10L))
+    assert(bmed(Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 10L, 1L))) ==
+      Map("a" -> 2L))
+    // negative value domain (floorDiv bisection) + per-key independence
+    assert(bmed(Seq(("n", -10L, 1L), ("n", -5L, 1L), ("n", 100L, 1L),
+      ("p", 7L, 3L))) == Map("n" -> -5L, "p" -> 7L))
+    // all-zero weights: min x (the window formulation's contract)
+    assert(bmed(Seq(("z", 4L, 0L), ("z", 9L, 0L))) == Map("z" -> 4L))
+    // single value converges without rounds
+    assert(bmed(Seq(("s", 42L, 5L))) == Map("s" -> 42L))
+    // fixture: equals the window arm at any input partitioning
+    val d0 = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars").cast("long").as("x"),
+        size(graft.llm.TextOps.lowerTokens(col("text"))).cast("long").as("w"))
+    val a = IntStats.weightedMedianBisect(d0, col("lang"), col("x"), col("w"))
+      .as[(String, Long, Long)].collect().toSet
+    val b = IntStats.weightedMedianBisect(d0.repartition(13),
+      col("lang"), col("x"), col("w"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b && a.size == 5)
   }
 
   test("length buckets: octile sizes balanced, rank endpoints correct") {

@@ -136,6 +136,74 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native lsh_sigs_int equals the bit-string signatures on shared planes") {
+    // tables/bits within the classic (NumTables, NumBits) range share
+    // the same md5 planes, so the int signature's bit j must equal the
+    // string signature's char j
+    val out = vecs.limit(200).select(
+      col("vec_id"),
+      Similarity.sigsInt(col("embedding"),
+        Similarity.NumTables, Similarity.NumBits).as("ints"),
+      call_function("lsh_sigs", col("embedding")).as("strs")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ints = r.getSeq[Long](1)
+      val strs = r.getSeq[String](2)
+      ints.zip(strs).foreach { case (iv, sv) =>
+        val fromStr = sv.zipWithIndex.collect {
+          case ('1', j) => 1L << j
+        }.sum
+        assert(iv == fromStr, s"vec ${r.getLong(0)}: int=$iv str=$sv")
+      }
+    }
+  }
+
+  test("multi-probe at Hamming 0 on the classic planes equals single-probe LSH") {
+    val mp = Similarity.multiProbeLshTopK(vecs, col("vec_id") < 5, 5,
+      nTables = Similarity.NumTables, nBits = Similarity.NumBits, hamming = 0)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val single = Similarity.lshTopK(vecs, col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(mp == single,
+      "zero-radius multi-probe must reduce to the exact-bucket join")
+  }
+
+  test("probe masks: count, popcount bound, deterministic order") {
+    val m = Similarity.probeMasks(8, 2)
+    assert(m.length == 1 + 8 + 28)
+    assert(m.distinct.length == m.length)
+    assert(m.forall(v => java.lang.Long.bitCount(v) <= 2))
+    assert(m.take(9) == Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L))
+  }
+
+  test("store-2 IVF with full probe equals brute force; store widens candidates") {
+    val cents = graft.llm.KMeans.fitCentroids(vecs,
+      Similarity.IvfKmeansCells, Similarity.IvfKmeansIters)
+    val full = Similarity.ivfTopKWith(vecs, cents, col("vec_id") < 5, 5,
+      nProbe = Similarity.IvfKmeansCells, store = 2)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val brute = Similarity.bruteForceTopK(vecs, col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(full == brute, "full probe must reduce store-2 IVF to exact search")
+    // redundant assignment really indexes each vector `store` times
+    val assigned = vecs.select(col("vec_id"),
+      explode(Similarity.topCells(col("embedding"), cents, 2)).as("cell"))
+    assert(assigned.count() == vecs.count() * 2)
+  }
+
+  test("production arms are deterministic under repartitioning") {
+    val a = Similarity.ivfKmeansTopK(vecs, col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val b = Similarity.ivfKmeansTopK(vecs.repartition(13), col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(a == b, "kmeans-IVF result must not depend on partitioning")
+    val c = Similarity.multiProbeLshTopK(vecs, col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val d = Similarity.multiProbeLshTopK(vecs.repartition(7), col("vec_id") < 5, 5)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(c == d, "multi-probe result must not depend on partitioning")
+  }
+
   test("native top_cells assignment equals the HOF argmax formulation") {
     val cents = Similarity.centroidSeq(vecs, Similarity.IvfCells)
     val native = Similarity.assignCells(vecs, cents)

@@ -355,6 +355,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermarked stream emits q158's cross-midnight sessions exactly " +
+    "(the sessions the reference's daily batch splits)") {
+    // q158's fixture: events remapped into a 2-hour band around each
+    // midnight (same integer-ms transform as the query/oracle), bounded
+    // to a user subset so the MemoryStream batch stays spec-sized
+    val ev0 = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"))
+      .select(col("user_id"),
+        (col("tms") - pmod(col("tms"), lit(86400000L)) + lit(82800000L) +
+          expr("(tms % 86400000) div 12")).as("ts_ms"))
+    val batch = StreamingSessionize.sessionWindowAgg(
+      ev0.select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // at least one batch session straddles midnight — the fixture's point
+    val crossing = batch.filter { case (_, s, e, _) =>
+      s / 86400000L != (e - Gap) / 86400000L }
+    assert(crossing.nonEmpty, "fixture lost its cross-midnight sessions")
+
+    val events = ev0.as[(Long, Long)].collect()
+      .map { case (u, ms) => ev(u, ms) }
+    val maxMs = events.map(_.ts.getTime).max
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingSessionize.sessionWindowAgg(
+      input.toDF(), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("mid_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events.toSeq: _*)
+      q.processAllAvailable()
+      // sentinel advances the watermark past every session's end+gap
+      input.addData(ev(999999L, maxMs + 100 * Gap))
+      q.processAllAvailable()
+      val streamed = spark.table("mid_out")
+        .filter(col("user_id") < 30)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // the watermarked stream finalizes EXACTLY the batch sessions —
+      // including every cross-midnight one the daily batch mode splits
+      assert(streamed == batch,
+        s"stream/batch drift: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream inner join within a time bound matches the batch " +
     "interval semantics") {
     import org.apache.spark.sql.functions.expr
