@@ -34,4 +34,53 @@ object Upsert {
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(source)
   }
+
+  /** PARTITION-SCOPED merge against a `partCol`-partitioned parquet
+    * tree — the file-pruning shape a lakehouse MERGE has, and the 100 TB
+    * answer to [[upsert]]'s whole-table rewrite: only partitions
+    * carrying source rows are READ (partition-pruned scan) and
+    * REWRITTEN (dynamic partition overwrite); a year of untouched daily
+    * partitions is neither scanned nor written. New partition values in
+    * the source become inserts of whole new partitions.
+    *
+    * Contract the caller owns (true for session history keyed by start
+    * date): a key's rows live under ONE partition value, and a source
+    * row carries the SAME partition value as the target row it updates
+    * — otherwise the stale twin in the unscanned partition survives.
+    *
+    * Runs on a cloned session (the Compaction discipline): dynamic
+    * overwrite + inference-off stay scoped to this merge. In-place
+    * read/rewrite is safe because dynamic overwrite stages output and
+    * swaps partitions at COMMIT, after all source reads — the
+    * Compaction caveat about mid-commit crashes applies identically. */
+  def upsertPartitionScoped(spark: org.apache.spark.sql.SparkSession,
+                            targetPath: String, partCol: String,
+                            source: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!keys.contains(partCol), s"$partCol partitions the tree; key on the id columns")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(sess.sessionState.newHadoopConf())
+    // re-root the source on the clone (RDDs are context-, not session-,
+    // scoped) so the overwrite semantics above govern its write — no
+    // driver materialization involved
+    val src = sess.createDataFrame(source.rdd, source.schema)
+    if (!fs.exists(root)) {
+      // bootstrap: the whole source is new partitions
+      src.write.partitionBy(partCol).parquet(targetPath)
+      return
+    }
+    // O(batch partitions) driver list — the "partitions touched" set a
+    // table format would read from its transaction log
+    val touched = src.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val affected = sess.read.parquet(targetPath)
+      .filter(col(partCol).cast("string").isin(touched: _*))
+    upsert(affected, src, keys)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(targetPath)
+  }
 }
