@@ -726,31 +726,47 @@ object SparkEntry {
     // bounded top-k results (query side broadcast in all), one
     // equi-join on (query, neighbor) per arm.
     "q147_ann_recall" -> ((s, dir) => {
-      import graft.llm.Similarity
+      import graft.llm.{KMeans, Similarity}
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
-      val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      val pred = col("vec_id") < 10
+      val truth = Similarity.bruteForceTopK(emb, pred, 5)
         .select(col("query_id"), col("neighbor_id"))
         .persist() // read by all four index arms; callers clearCache after
-      def recallOf(name: String, res: DataFrame): DataFrame =
+      // each arm reports recall AND its pre-rerank candidate-set size —
+      // recall alone hides the scan cost (a full-scan "index" has
+      // perfect recall); the pair is the acceptance tradeoff
+      def recallOf(name: String, res: DataFrame, cand: DataFrame): DataFrame =
         truth.join(
           res.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
           Seq("query_id", "neighbor_id"), "left")
           .groupBy("query_id")
           .agg(count(lit(1)).as("n_true"),
             sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .join(cand.groupBy("query_id").agg(count(lit(1)).as("nc")),
+            Seq("query_id"), "left")
           .select(lit(name).as("idx"), col("query_id"), col("n_true"),
             col("n_hit"),
             floor(lit(1000000.0) * col("n_hit") /
-              greatest(col("n_true"), lit(1L))).cast("long").as("recall_ppm"))
+              greatest(col("n_true"), lit(1L))).cast("long").as("recall_ppm"),
+            coalesce(col("nc"), lit(0L)).as("n_cand"))
+      val seedCents = Similarity.centroidSeq(emb, Similarity.IvfCells)
+      val kmCents = KMeans.fitCentroids(emb,
+        Similarity.IvfKmeansCells, Similarity.IvfKmeansIters)
       val arms =
-        recallOf("lsh", Similarity.lshTopK(emb, col("vec_id") < 10, 5))
-          .unionByName(
-            recallOf("ivf", Similarity.ivfTopK(emb, col("vec_id") < 10, 5)))
+        recallOf("lsh", Similarity.lshTopK(emb, pred, 5),
+            Similarity.lshCandidatePairs(emb, pred))
+          .unionByName(recallOf("ivf",
+            Similarity.ivfTopKWith(emb, seedCents, pred, 5, Similarity.IvfProbe),
+            Similarity.ivfCandidatePairs(emb, seedCents, pred, Similarity.IvfProbe)))
           .unionByName(recallOf("lsh_mp",
-            Similarity.multiProbeLshTopK(emb, col("vec_id") < 10, 5)))
+            Similarity.multiProbeLshTopK(emb, pred, 5),
+            Similarity.multiProbeCandidatePairs(emb, pred)))
           .unionByName(recallOf("ivf_km",
-            Similarity.ivfKmeansTopK(emb, col("vec_id") < 10, 5)))
+            Similarity.ivfTopKWith(emb, kmCents, pred, 5,
+              Similarity.IvfKmeansProbe, Similarity.IvfKmeansStore),
+            Similarity.ivfCandidatePairs(emb, kmCents, pred,
+              Similarity.IvfKmeansProbe, Similarity.IvfKmeansStore)))
       // per-arm mean over the bounded query set (exact: the ppm sum is
       // < 2^53, count ≤ 10 — the double division is the same IEEE op in
       // the oracle)
@@ -4055,15 +4071,20 @@ object SparkEntry {
     "q147_ann_recall" -> {
       import graft.llm.Similarity.{Dims, IvfCells, IvfProbe,
         IvfKmeansCells, IvfKmeansIters, IvfKmeansProbe, IvfKmeansStore}
-      def arm(name: String, annCte: String): String =
-        s"""SELECT '$name' AS idx, t.query_id,
-           |  CAST(COUNT(*) AS BIGINT) AS n_true,
-           |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-           |  CAST(floor(1000000.0 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-           |    / greatest(COUNT(*), 1)) AS BIGINT) AS recall_ppm
-           |FROM truth t LEFT JOIN $annCte a
-           |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-           |GROUP BY 1, 2""".stripMargin
+      def arm(name: String, annCte: String, candCte: String): String =
+        s"""SELECT '$name' AS idx, x.query_id, x.n_true, x.n_hit, x.recall_ppm,
+           |  CAST(COALESCE(cc.n_cand, 0) AS BIGINT) AS n_cand
+           |FROM (
+           |  SELECT t.query_id,
+           |    CAST(COUNT(*) AS BIGINT) AS n_true,
+           |    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |    CAST(floor(1000000.0 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      / greatest(COUNT(*), 1)) AS BIGINT) AS recall_ppm
+           |  FROM truth t LEFT JOIN $annCte a
+           |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |  GROUP BY 1) x
+           |LEFT JOIN (SELECT query_id, COUNT(*) AS n_cand FROM $candCte GROUP BY 1) cc
+           |  ON cc.query_id = x.query_id""".stripMargin
       s"""WITH $dLshCtes,
         |$dLshIntCtes,
         |${dKMeansCtes(IvfKmeansCells, IvfKmeansIters, Dims)},
@@ -4132,14 +4153,14 @@ object SparkEntry {
         |kr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ksc),
         |kann AS (SELECT query_id, neighbor_id FROM kr WHERE rk <= 5),
         |allarms AS (
-        |${arm("lsh", "ann")}
+        |${arm("lsh", "ann", "cand")}
         |UNION ALL
-        |${arm("ivf", "iann")}
+        |${arm("ivf", "iann", "icand")}
         |UNION ALL
-        |${arm("lsh_mp", "mann")}
+        |${arm("lsh_mp", "mann", "mcand")}
         |UNION ALL
-        |${arm("ivf_km", "kann")})
-        |SELECT idx, query_id, n_true, n_hit, recall_ppm,
+        |${arm("ivf_km", "kann", "kcand")})
+        |SELECT idx, query_id, n_true, n_hit, recall_ppm, n_cand,
         |  CAST(floor(AVG(recall_ppm) OVER (PARTITION BY idx)) AS BIGINT) AS mean_recall_ppm,
         |  (floor(AVG(recall_ppm) OVER (PARTITION BY idx)) >= 900000) AS gate_ok
         |FROM allarms""".stripMargin

@@ -233,16 +233,15 @@ object Similarity {
       return vecs.select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(0L).as("rank"),
         lit(0.0).as("cosine")).where(lit(false))
-    // nProbe closest cells per query — same native ranking as the
-    // assignment (score desc, cid-asc tie-break: the oracle's ROW_NUMBER
-    // order).
-    val q = vecs.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(topCells(col("embedding"), cents, nProbe)).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     if (store == 1) {
-      // exactly one cell per vector: no duplicate pairs possible
+      // exactly one cell per vector: no duplicate pairs possible, and
+      // the query embedding rides the cell join — rerank FUSED with
+      // candidate generation, no fetch-back join
+      val q = vecs.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(topCells(col("embedding"), cents, nProbe)).as("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
       assignCells(vecs, cents).join(broadcast(q), Seq("cell"))
         .where(col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -250,24 +249,45 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
-    } else {
-      val assigned = vecs.select(col("vec_id"),
-        explode(topCells(col("embedding"), cents, store)).as("cell"))
-      val cand = assigned
-        .join(broadcast(q.select(col("query_id"), col("cell"))), Seq("cell"))
-        .where(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
-      val emb = vecs.select(col("vec_id"), col("embedding"))
-      cand
-        .join(emb.select(col("vec_id").as("query_id"),
-          col("embedding").as("qe")), "query_id")
-        .join(emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ce")), "neighbor_id")
-        .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    }
+    } else
+      rerankTopK(vecs, ivfCandidatePairs(vecs, cents, queryPred, nProbe, store), k)
+  }
+
+  /** IVF candidate pairs (query_id, neighbor_id) — the pre-rerank scan
+    * set; distinct under store > 1 (a pair can meet in up to `store`
+    * cells). Exposed so q147's acceptance report can count each arm's
+    * scan cost next to its recall. */
+  def ivfCandidatePairs(vecs: DataFrame, cents: Seq[Seq[Double]],
+                        queryPred: Column, nProbe: Int,
+                        store: Int = 1): DataFrame = {
+    if (cents.isEmpty)
+      return vecs.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id")).where(lit(false))
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        explode(topCells(col("embedding"), cents, nProbe)).as("cell"))
+    val assigned = vecs.select(col("vec_id"),
+      explode(topCells(col("embedding"), cents, store)).as("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    if (store == 1) joined else joined.distinct()
+  }
+
+  /** Exact-cosine rerank of candidate pairs → per-query top-k. */
+  def rerankTopK(vecs: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val emb = vecs.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), "neighbor_id")
+      .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
   // ------------------------------------------------------------------ PQ
@@ -423,11 +443,11 @@ object Similarity {
     vecs.select(col("vec_id"),
       posexplode(sigsInt(col("embedding"), nTables, nBits)).as(Seq("t", "sig")))
 
-  /** Multi-probe LSH top-k: Hamming-≤`hamming` bucket probes in every
-    * table → distinct candidate pairs → exact cosine rerank. */
-  def multiProbeLshTopK(vecs: DataFrame, queryPred: Column, k: Int,
-                        nTables: Int = MpTables, nBits: Int = MpBits,
-                        hamming: Int = MpHamming): DataFrame = {
+  /** Multi-probe candidate pairs: Hamming-≤`hamming` bucket probes in
+    * every table, distinct (query, neighbor). */
+  def multiProbeCandidatePairs(vecs: DataFrame, queryPred: Column,
+                               nTables: Int = MpTables, nBits: Int = MpBits,
+                               hamming: Int = MpHamming): DataFrame = {
     val db = bucketedInt(vecs, nTables, nBits)
       .select(col("vec_id").as("neighbor_id"), col("t"), col("sig"))
     val qb = bucketedInt(vecs.filter(queryPred), nTables, nBits)
@@ -436,41 +456,31 @@ object Similarity {
       .withColumn("_m", explode(typedLit(probeMasks(nBits, hamming))))
       .select(col("query_id"), col("t"),
         col("_qsig").bitwiseXOR(col("_m")).as("sig"))
-    val cand = qb.join(db, Seq("t", "sig"))
+    qb.join(db, Seq("t", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val emb = vecs.select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .join(emb.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe")), "query_id")
-      .join(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce")), "neighbor_id")
-      .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Multi-probe LSH top-k: Hamming-≤`hamming` bucket probes in every
+    * table → distinct candidate pairs → exact cosine rerank. */
+  def multiProbeLshTopK(vecs: DataFrame, queryPred: Column, k: Int,
+                        nTables: Int = MpTables, nBits: Int = MpBits,
+                        hamming: Int = MpHamming): DataFrame =
+    rerankTopK(vecs,
+      multiProbeCandidatePairs(vecs, queryPred, nTables, nBits, hamming), k)
+
+  /** Exact-bucket LSH candidate pairs (same bucket in any table). */
+  def lshCandidatePairs(vecs: DataFrame, queryPred: Column): DataFrame = {
+    val b = bucketed(vecs)
+    b.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("t"), col("sig"))
+      .join(b.select(col("vec_id").as("neighbor_id"), col("t"), col("sig")),
+        Seq("t", "sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
   }
 
   /** LSH candidates (same bucket in any table) + exact cosine rerank. */
-  def lshTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val b = bucketed(vecs)
-    val qb = b.filter(queryPred).select(col("vec_id").as("query_id"),
-      col("t"), col("sig"))
-    val cand = qb.join(b.select(col("vec_id").as("neighbor_id"), col("t"), col("sig")),
-      Seq("t", "sig"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
-    val emb = vecs.select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
-      .withColumn("cosine", round(cosineD(col("qe"), col("ce")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
-  }
+  def lshTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame =
+    rerankTopK(vecs, lshCandidatePairs(vecs, queryPred), k)
 }

@@ -103,27 +103,31 @@ class ProfilerAuditSpec extends SparkTestBase {
 
   test("q147: recall report consistent; production arms pass the 0.9 gate") {
     val out = SparkEntry.queries("q147_ann_recall")(spark, sf)
-      .select("idx", "query_id", "n_true", "n_hit", "recall_ppm",
+      .select("idx", "query_id", "n_true", "n_hit", "recall_ppm", "n_cand",
         "mean_recall_ppm", "gate_ok")
-      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect()
     spark.catalog.clearCache() // q147 persists its truth table
     assert(out.length == 40) // 10 queries x {lsh, ivf, lsh_mp, ivf_km}
     assert(out.map(_._1).toSet == Set("lsh", "ivf", "lsh_mp", "ivf_km"))
-    out.foreach { case (idx, q, t, h, ppm, _, _) =>
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    out.foreach { case (idx, q, t, h, ppm, nc, _, _) =>
       assert(t == 5L, s"$idx query $q truth size $t")
       assert(h >= 0L && h <= t)
       assert(ppm == math.floor(1000000.0 * h / t).toLong)
+      // every hit is a candidate; candidates bounded by the index's
+      // replication ceiling (store=2 is the worst case)
+      assert(nc >= h && nc <= 2 * (corpus - 1), s"$idx query $q n_cand $nc")
     }
     // per-arm mean is the floor of the arm's own recall_ppm average
     out.groupBy(_._1).foreach { case (idx, rows) =>
       val want = math.floor(rows.map(_._5).sum.toDouble / rows.length).toLong
-      assert(rows.forall(_._6 == want), s"$idx mean drifted")
-      assert(rows.forall(r => r._7 == (want >= 900000L)), s"$idx gate wrong")
+      assert(rows.forall(_._7 == want), s"$idx mean drifted")
+      assert(rows.forall(r => r._8 == (want >= 900000L)), s"$idx gate wrong")
     }
     // the production configurations MUST clear 0.9 mean recall@5; the
     // single-probe baselines must not (that contrast is the report's
     // point — evidence for retiring them)
-    val gateByIdx = out.groupBy(_._1).view.mapValues(_.head._7).toMap
+    val gateByIdx = out.groupBy(_._1).view.mapValues(_.head._8).toMap
     assert(gateByIdx("lsh_mp"), "multi-probe LSH below production recall")
     assert(gateByIdx("ivf_km"), "kmeans-IVF below production recall")
     assert(!gateByIdx("lsh") && !gateByIdx("ivf"),
