@@ -2517,18 +2517,26 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = d0.withColumn("cw", sum("w").over(w))
       val tot = d0.groupBy("lang").agg(sum("w").as("total_w"))
-      val exact = cum.join(broadcast(tot), "lang")
-        .filter(col("cw") * 2 >= col("total_w"))
+      val cumT = cum.join(broadcast(tot), "lang")
+      // one cum frame serves both exact quantiles: smallest x with
+      // denom·cumw ≥ numer·total (integer comparisons throughout)
+      def exactQ(numer: Int, denom: Int, as: String) = cumT
+        .filter(col("cw") * denom >= col("total_w") * numer)
         .groupBy(col("lang"), col("total_w"))
-        .agg(min(col("x")).as("weighted_median"))
-        .select(col("lang"), col("total_w"), col("weighted_median"))
-      val bisect = graft.operators.IntStats
+        .agg(min(col("x")).as(as))
+      val exact = exactQ(1, 2, "weighted_median")
+        .join(exactQ(9, 10, "weighted_p90").drop("total_w"), "lang")
+      val bisectM = graft.operators.IntStats
         .weightedMedianBisect(d0, col("lang"), col("x"), col("w"))
         .select(col("k").as("lang"), col("weighted_median").as("bisect_median"))
-      exact.join(broadcast(bisect), "lang")
+      val bisectP = graft.operators.IntStats
+        .weightedQuantileBisect(d0, col("lang"), col("x"), col("w"), 9L, 10L)
+        .select(col("k").as("lang"), col("weighted_q").as("bisect_p90"))
+      exact.join(broadcast(bisectM), "lang").join(broadcast(bisectP), "lang")
         .select(col("lang"), col("total_w"), col("weighted_median"),
-          col("bisect_median"),
-          (col("bisect_median") === col("weighted_median")).as("bisect_matches"))
+          col("bisect_median"), col("weighted_p90"), col("bisect_p90"),
+          (col("bisect_median") === col("weighted_median") &&
+            col("bisect_p90") === col("weighted_p90")).as("bisect_matches"))
     }),
 
     // Robust outlier flagging: |x − median| > 2·MAD per language. Median
@@ -5957,13 +5965,20 @@ object SparkEntry {
         |    CAST(SUM(w) OVER (PARTITION BY lang ORDER BY x, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
         |  FROM d),
-        |t AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS total_w FROM d GROUP BY 1)
-        |SELECT lang, total_w, CAST(MIN(x) AS BIGINT) AS weighted_median,
-        |  CAST(MIN(x) AS BIGINT) AS bisect_median,
+        |t AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS total_w FROM d GROUP BY 1),
+        |md AS (
+        |  SELECT lang, total_w, CAST(MIN(x) AS BIGINT) AS weighted_median
+        |  FROM c JOIN t USING (lang)
+        |  WHERE cw * 2 >= total_w GROUP BY 1, 2),
+        |p9 AS (
+        |  SELECT lang, CAST(MIN(x) AS BIGINT) AS weighted_p90
+        |  FROM c JOIN t USING (lang)
+        |  WHERE cw * 10 >= total_w * 9 GROUP BY 1)
+        |SELECT lang, total_w, weighted_median,
+        |  weighted_median AS bisect_median,
+        |  weighted_p90, weighted_p90 AS bisect_p90,
         |  TRUE AS bisect_matches
-        |FROM c JOIN t USING (lang)
-        |WHERE cw * 2 >= total_w
-        |GROUP BY 1, 2""".stripMargin,
+        |FROM md JOIN p9 USING (lang)""".stripMargin,
 
     "q135_mad_outliers" ->
       """WITH d AS (

@@ -148,6 +148,20 @@ object DailyJob {
     fs.delete(old, true)
   }
 
+  /** The 100 TB form of [[mergeHistory]]: the history lives as a
+    * `date=`-partitioned tree and the merge is PARTITION-SCOPED
+    * ([[graft.operators.Upsert.upsertPartitionScoped]]) — only the
+    * dates present in the batch are read and rewritten; a year of
+    * untouched days is neither scanned nor written (where
+    * [[mergeHistory]] rewrites the whole table per batch). The key
+    * contract holds by construction: a session's partition is its
+    * start `date`, and a reopened session keeps its start date, so the
+    * updated row lands in the same partition as the stale one. */
+  def mergeHistoryPartitioned(spark: SparkSession, historyRoot: String,
+                              sessions: DataFrame): Unit =
+    graft.operators.Upsert.upsertPartitionScoped(spark, historyRoot,
+      "date", sessions, Seq("fullVisitorId", "visitId"))
+
   /** The scale form of the six daily overwrites: ONE partitioned write
     * per type with DYNAMIC partition overwrite — partition columns come
     * from the data (`to_date(timestamp)`), and Spark replaces exactly

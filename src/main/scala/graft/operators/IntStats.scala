@@ -106,7 +106,19 @@ object IntStats {
     * are absent, all-zero-weight keys return their min x (the window
     * formulation's own contract). */
   def weightedMedianBisect(df: DataFrame, key: Column, x: Column,
-                           w: Column): DataFrame = {
+                           w: Column): DataFrame =
+    weightedQuantileBisect(df, key, x, w, 1L, 2L)
+      .withColumnRenamed("weighted_q", "weighted_median")
+
+  /** General weighted quantile by the same bisection: smallest x with
+    * W(≤x) ≥ (numer/denom)·W_total — the comparison stays in exact
+    * integers (`denom·cw ≥ numer·tw`), so any rational quantile (p90 =
+    * 9/10, p99 = 99/100) gets the identical log-round scale shape and
+    * the identical hash-gateability. Returns (k, total_w, weighted_q). */
+  def weightedQuantileBisect(df: DataFrame, key: Column, x: Column,
+                             w: Column, numer: Long, denom: Long): DataFrame = {
+    require(numer >= 0 && denom > 0 && numer <= denom,
+      s"quantile must be a rational in [0, 1]: $numer/$denom")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(key.as("k"), x.cast("long").as("x"),
@@ -129,12 +141,12 @@ object IntStats {
         if (lo >= hi) k -> ((lo, hi, tw))
         else {
           val mid = Math.floorDiv(lo + hi, 2L)
-          if (2L * cum.getOrElse(k, 0L) >= tw) k -> ((lo, mid, tw))
+          if (denom * cum.getOrElse(k, 0L) >= numer * tw) k -> ((lo, mid, tw))
           else k -> ((mid + 1L, hi, tw))
         }
       }
     }
     bounds.toSeq.map { case (k, (lo, _, tw)) => (k, tw, lo) }
-      .toDF("k", "total_w", "weighted_median")
+      .toDF("k", "total_w", "weighted_q")
   }
 }

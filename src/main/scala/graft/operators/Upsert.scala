@@ -76,8 +76,17 @@ object Upsert {
     // table format would read from its transaction log
     val touched = src.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
+    require(!touched.contains(null),
+      s"source rows with NULL $partCol cannot be partition-scoped " +
+        "(they would land in the Hive default partition outside the scan scope)")
+    // inference is off, so the pruned read carries partCol as the raw
+    // directory string; cast it back to the SOURCE's type — the source
+    // typed the tree at bootstrap, so this round-trips value-identically
+    // (and a string-typed source keeps `hour=00` verbatim, the
+    // Compaction value-identity lesson)
     val affected = sess.read.parquet(targetPath)
       .filter(col(partCol).cast("string").isin(touched: _*))
+      .withColumn(partCol, col(partCol).cast(source.schema(partCol).dataType))
     upsert(affected, src, keys)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(partCol)

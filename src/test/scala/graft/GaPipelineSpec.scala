@@ -186,6 +186,51 @@ class GaPipelineSpec extends SparkTestBase {
     assert(!new java.io.File(paths.historyPath + "__old").exists())
   }
 
+  test("mergeHistoryPartitioned rewrites only the batch's date partition; " +
+    "other days' files untouched on disk") {
+    val tmp = Files.createTempDirectory("gamergep").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths, catalogDb = None, idempotentHistory = true)
+    val day1 = spark.read.parquet(paths.historyPath).collect()
+    val day1df = spark.createDataFrame(
+      spark.sparkContext.parallelize(day1.toSeq),
+      spark.read.parquet(paths.historyPath).schema)
+    // fabricate a second day: same schema, distinct keys, date=20190924
+    val day2df = day1df
+      .withColumn("date", lit(20190924))
+      .withColumn("fullVisitorId", concat(lit("d2-"), col("fullVisitorId")))
+    val root = s"$tmp/history_part"
+    DailyJob.mergeHistoryPartitioned(spark, root, day1df.unionByName(day2df))
+    val n0 = spark.read.parquet(root).count()
+    assert(n0 == 2L * day1.length)
+    def files(date: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val d2Before = files("20190924")
+    assert(d2Before.nonEmpty)
+    Thread.sleep(1100) // mtime granularity
+    // re-run day 1 with one session's revenue restated
+    val key = day1df.orderBy("fullVisitorId", "visitId")
+      .select("fullVisitorId", "visitId").head()
+    val restated = day1df.withColumn("totals_transactionRevenue",
+      when(col("fullVisitorId") === key.getString(0) &&
+        col("visitId") === key.get(1), lit("777770000"))
+        .otherwise(col("totals_transactionRevenue")))
+    DailyJob.mergeHistoryPartitioned(spark, root, restated)
+    // day-2 partition byte-untouched; day-1 updated in place
+    assert(files("20190924") == d2Before,
+      "unmerged day's partition must never be rewritten")
+    val after = spark.read.parquet(root)
+    assert(after.count() == n0)
+    assert(after.filter(col("fullVisitorId") === key.getString(0) &&
+      col("visitId") === key.get(1) &&
+      col("totals_transactionRevenue") === "777770000").count() == 1)
+    assert(after.groupBy("fullVisitorId", "visitId").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("csvDelivery writes the four tables where the reference's SFTP " +
     "uploader regex finds them") {
     val tmp = Files.createTempDirectory("gacsv").toString

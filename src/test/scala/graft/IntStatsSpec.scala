@@ -206,13 +206,14 @@ class IntStatsSpec extends SparkTestBase {
     }
     assert(wmed(Seq((1L, 1L), (2L, 1L), (10L, 10L))) == 10L)
     assert(wmed(Seq((1L, 1L), (2L, 1L), (10L, 1L))) == 2L) // unit weights
-    // and the gated query itself: median lies inside the data range and
-    // the bisection arm agrees everywhere
+    // and the gated query itself: median lies inside the data range,
+    // p90 dominates it, and the bisection arms agree everywhere
     val out = SparkEntry.queries("q156_weighted_median")(spark, sf)
-      .select("lang", "weighted_median", "bisect_matches")
-      .as[(String, Long, Boolean)].collect()
+      .select("lang", "weighted_median", "weighted_p90", "bisect_matches")
+      .as[(String, Long, Long, Boolean)].collect()
     assert(out.length == 5 && out.forall(r => r._2 > 0))
-    assert(out.forall(_._3), "bisection drifted from the window formulation")
+    assert(out.forall(r => r._3 >= r._2), "p90 below the median")
+    assert(out.forall(_._4), "bisection drifted from the window formulation")
   }
 
   test("bisection weighted median: exact on toys, negatives, zero weights, " +
@@ -234,6 +235,13 @@ class IntStatsSpec extends SparkTestBase {
     assert(bmed(Seq(("z", 4L, 0L), ("z", 9L, 0L))) == Map("z" -> 4L))
     // single value converges without rounds
     assert(bmed(Seq(("s", 42L, 5L))) == Map("s" -> 42L))
+    // general rational quantile: p90 of unit weights over 1..10 is 9
+    // (cumw(9)=9 ≥ 0.9·10, cumw(8)=8 < 9)
+    val p90 = IntStats.weightedQuantileBisect(
+      (1L to 10L).map(v => ("g", v, 1L)).toDF("k", "x", "w"),
+      col("k"), col("x"), col("w"), 9L, 10L)
+      .select("weighted_q").as[Long].head()
+    assert(p90 == 9L)
     // fixture: equals the window arm at any input partitioning
     val d0 = graft.sources.Tables.documents(spark, sf)
       .select(col("lang"), col("n_chars").cast("long").as("x"),
