@@ -2526,13 +2526,15 @@ object SparkEntry {
         .agg(min(col("x")).as(as))
       val exact = exactQ(1, 2, "weighted_median")
         .join(exactQ(9, 10, "weighted_p90").drop("total_w"), "lang")
-      val bisectM = graft.operators.IntStats
-        .weightedMedianBisect(d0, col("lang"), col("x"), col("w"))
-        .select(col("k").as("lang"), col("weighted_median").as("bisect_median"))
-      val bisectP = graft.operators.IntStats
-        .weightedQuantileBisect(d0, col("lang"), col("x"), col("w"), 9L, 10L)
-        .select(col("k").as("lang"), col("weighted_q").as("bisect_p90"))
-      exact.join(broadcast(bisectM), "lang").join(broadcast(bisectP), "lang")
+      // BOTH quantiles ride one shared bisection loop (round count =
+      // max, not sum; each round is one map-combinable aggregate)
+      val bisect = graft.operators.IntStats
+        .weightedQuantilesBisect(d0, col("lang"), col("x"), col("w"),
+          Seq((1L, 2L), (9L, 10L)))
+        .select(col("k").as("lang"),
+          element_at(col("weighted_qs"), 1).as("bisect_median"),
+          element_at(col("weighted_qs"), 2).as("bisect_p90"))
+      exact.join(broadcast(bisect), "lang")
         .select(col("lang"), col("total_w"), col("weighted_median"),
           col("bisect_median"), col("weighted_p90"), col("bisect_p90"),
           (col("bisect_median") === col("weighted_median") &&

@@ -127,10 +127,12 @@ object DailyJob {
     *
     * The history path is both input and output, so the merged frame is
     * materialized to a staging tree first and swapped in by rename
-    * (the TrainingArtifact versioning discipline); a crash before the
-    * final rename leaves the previous history intact. On local/HDFS the
-    * renames are atomic; an S3 deployment points the staging write at
-    * the committer-backed output path instead. */
+    * (the TrainingArtifact versioning discipline): a crash before the
+    * swap leaves the previous history untouched, and a crash INSIDE the
+    * two-rename window leaves it intact under `__old` (recover by
+    * renaming back). On local/HDFS the renames are atomic; an S3
+    * deployment points the staging write at the committer-backed output
+    * path instead. */
   def mergeHistory(spark: SparkSession, historyPath: String,
                    sessions: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path

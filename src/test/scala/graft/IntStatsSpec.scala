@@ -242,6 +242,28 @@ class IntStatsSpec extends SparkTestBase {
       col("k"), col("x"), col("w"), 9L, 10L)
       .select("weighted_q").as[Long].head()
     assert(p90 == 9L)
+    // randomized differential vs a driver-side reference: 300 rows,
+    // negative domain, zero weights, four quantiles incl. the 0/1 edges
+    val rnd = new scala.util.Random(12345)
+    val rows = (1 to 300).map(_ => ("g" + rnd.nextInt(3),
+      (rnd.nextInt(20001) - 10000).toLong, rnd.nextInt(5).toLong))
+    val quants = Seq((1L, 2L), (9L, 10L), (0L, 1L), (1L, 1L))
+    def ref(g: String, numer: Long, denom: Long): Long = {
+      val xs = rows.filter(_._1 == g).map(t => (t._2, t._3)).sortBy(_._1)
+      val tw = xs.map(_._2).sum
+      var cw = 0L
+      xs.find { case (_, wt) => cw += wt; denom * cw >= numer * tw }
+        .map(_._1).getOrElse(xs.head._1)
+    }
+    val got = IntStats.weightedQuantilesBisect(rows.toDF("k", "x", "w"),
+      col("k"), col("x"), col("w"), quants)
+      .select("k", "weighted_qs").as[(String, Seq[Long])].collect().toMap
+    (0 to 2).map("g" + _).foreach { g =>
+      quants.zipWithIndex.foreach { case ((n, d), qi) =>
+        assert(got(g)(qi) == ref(g, n, d),
+          s"$g q=$n/$d: got ${got(g)(qi)} want ${ref(g, n, d)}")
+      }
+    }
     // fixture: equals the window arm at any input partitioning
     val d0 = graft.sources.Tables.documents(spark, sf)
       .select(col("lang"), col("n_chars").cast("long").as("x"),
