@@ -158,6 +158,15 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("lsh_sigs_int on a dimension-mismatched embedding yields all-zero sigs") {
+    // the LshSigsExpr contract: wrong-length vectors bucket to sig 0 in
+    // every table rather than crashing the shard
+    val bad = Seq((1L, Seq(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val sigs = bad.select(Similarity.sigsInt(col("embedding")))
+      .head().getSeq[Long](0)
+    assert(sigs.length == Similarity.MpTables && sigs.forall(_ == 0L))
+  }
+
   test("multi-probe at Hamming 0 on the classic planes equals single-probe LSH") {
     val mp = Similarity.multiProbeLshTopK(vecs, col("vec_id") < 5, 5,
       nTables = Similarity.NumTables, nBits = Similarity.NumBits, hamming = 0)

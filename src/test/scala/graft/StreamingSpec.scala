@@ -400,6 +400,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming upsert sink: re-finalized keys update the serving table; " +
+    "untouched partitions never rewritten; redelivery idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("sus").toString + "/serve"
+    val ckpt = java.nio.file.Files.createTempDirectory("susck").toString
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = graft.streaming.StreamingUpsert.run(
+      input.toDF().toDF("id", "day", "v"), root, ckpt, "day", Seq("id"))
+    try {
+      input.addData((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
+      q.processAllAvailable()
+      def files(day: String): Map[String, Long] = {
+        val d = new java.io.File(s"$root/day=$day")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val d2Before = files("2024-01-02")
+      assert(d2Before.nonEmpty)
+      Thread.sleep(1100) // mtime granularity
+      // batch 2: key 1 re-finalized (update), key 3 new (insert);
+      // day 2024-01-02 untouched
+      input.addData((1L, "2024-01-01", 99L), (3L, "2024-01-03", 30L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(root)
+        .select(col("id"), col("day").cast("string"), col("v"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == Set((1L, "2024-01-01", 99L), (2L, "2024-01-02", 20L),
+        (3L, "2024-01-03", 30L)))
+      assert(files("2024-01-02") == d2Before,
+        "partition without batch rows must never be rewritten")
+      // redelivery (the at-least-once case): merging the same rows again
+      // replaces them with identical versions — cardinality stable
+      graft.operators.Upsert.upsertPartitionScoped(spark, root, "day",
+        Seq((1L, "2024-01-01", 99L)).toDF("id", "day", "v"), Seq("id"))
+      assert(spark.read.parquet(root).count() == 3)
+    } finally q.stop()
+  }
+
   test("stream-stream inner join within a time bound matches the batch " +
     "interval semantics") {
     import org.apache.spark.sql.functions.expr
