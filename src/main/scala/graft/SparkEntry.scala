@@ -1982,6 +1982,45 @@ object SparkEntry {
             (col("n_seqs") * lit(budget))).cast("long").as("fill_ppm"))
     }),
 
+    // PACKING-ORDER comparison — the fill-rate knob a training team
+    // actually tunes, as a three-arm measured report: the q129
+    // arrival-order next-fit chain, the LENGTH-SORTED next-fit chain
+    // (the instructive FOIL: with only ONE open bin, decreasing order
+    // packs WORSE — every bin's tail is wasted on the first medium doc
+    // that overflows it), and FIRST-FIT-DECREASING with 4 bounded open
+    // bins (the real fill win: short docs top up older bins' tails).
+    // All three are one-exchange chained passes with O(1) state — FFD's
+    // is K (id, fill) pairs — and every fill is hash-gated per shard,
+    // including the FFD chain's full K-bin state machine (the oracle
+    // carries the identical open-bin lists through its recursive CTE).
+    // The trade FFD buys its fill with: pack order inside a sequence
+    // follows placement, not doc_id (q130-style id-ordered assembly
+    // keeps the arrival chain).
+    "q160_packing_order" -> ((s, dir) => {
+      import graft.llm.Packing
+      val budget = 256L
+      val docs = Tables.documents(s, dir)
+      val nTok = size(call_function("bpe_encode", col("text")))
+      def fillOf(packed: DataFrame, seqs: String, ppm: String): DataFrame =
+        packed.groupBy(col("shard"))
+          .agg(max(col("seq_no")).as(seqs), sum(col("n_tokens")).as("_st"))
+          .select(col("shard"), col(seqs),
+            floor(lit(1000000.0) * col("_st") / (col(seqs) * lit(budget)))
+              .cast("long").as(ppm))
+      fillOf(Packing.packGreedy(docs, col("doc_id"), nTok, budget, 8),
+          "n_seqs_arrival", "fill_ppm_arrival")
+        .join(fillOf(
+          Packing.packGreedySorted(docs, col("doc_id"), nTok, budget, 8),
+          "n_seqs_nfd", "fill_ppm_nfd"), "shard")
+        .join(fillOf(
+          Packing.packFirstFit(docs, col("doc_id"), nTok, budget, 8),
+          "n_seqs_ffd", "fill_ppm_ffd"), "shard")
+        .select(col("shard"), col("n_seqs_arrival"), col("fill_ppm_arrival"),
+          col("n_seqs_nfd"), col("fill_ppm_nfd"),
+          col("n_seqs_ffd"), col("fill_ppm_ffd"),
+          (col("fill_ppm_ffd") - col("fill_ppm_arrival")).as("ffd_delta_ppm"))
+    }),
+
     // Sequence assembly: the packed token streams themselves — what a
     // training loader actually reads. Pack order inside a sequence is
     // doc_id order (sort_array over the member structs, deterministic
@@ -2981,25 +3020,32 @@ object SparkEntry {
       |SELECT shard, doc_id, nt AS n_tokens, seq_no, fill - nt AS "offset"
       |FROM st""".stripMargin
 
-  /** The q117 BPE-budget packing chain (bpe CTE + shard/pos table + the
-    * recursive greedy state), shared by q117 (per-doc rows) and q129
-    * (the fill-rate aggregate). */
-  private lazy val dBpePackCtes: String =
-    s"""${dBpeCte("documents")},
-      |d AS (
+  /** One BPE-budget packing chain (`<p>d` shard/pos table + `<p>st`
+    * recursive greedy state) under an arbitrary within-shard order —
+    * `""`/doc_id is q117/q129/q130's arrival-order chain; q160 adds an
+    * `f`-prefixed `nt DESC, doc_id` chain (next-fit-decreasing). */
+  private def dBpePackChain(p: String, orderSql: String): String =
+    s"""${p}d AS (
       |  SELECT shard, doc_id, nt,
-      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY $orderSql) AS pos
       |  FROM (SELECT ${dMd5Long("dd.doc_id::VARCHAR")} % 8 AS shard, dd.doc_id,
       |          CAST(COALESCE(len(b.toks), 0) AS BIGINT) AS nt
       |        FROM documents dd LEFT JOIN bpe b ON dd.doc_id = b.doc_id)),
-      |st AS (
+      |${p}st AS (
       |  SELECT shard, doc_id, nt, pos, CAST(1 AS BIGINT) AS seq_no, nt AS fill
-      |  FROM d WHERE pos = 1
+      |  FROM ${p}d WHERE pos = 1
       |  UNION ALL
       |  SELECT d.shard, d.doc_id, d.nt, d.pos,
       |    CASE WHEN st.fill + d.nt > 256 THEN st.seq_no + 1 ELSE st.seq_no END,
       |    CASE WHEN st.fill + d.nt > 256 THEN d.nt ELSE st.fill + d.nt END
-      |  FROM st JOIN d ON d.shard = st.shard AND d.pos = st.pos + 1)""".stripMargin
+      |  FROM ${p}st st JOIN ${p}d d ON d.shard = st.shard AND d.pos = st.pos + 1)""".stripMargin
+
+  /** The q117 BPE-budget packing chain (bpe CTE + shard/pos table + the
+    * recursive greedy state), shared by q117 (per-doc rows), q129
+    * (the fill-rate aggregate) and q130 (assembly). */
+  private lazy val dBpePackCtes: String =
+    s"""${dBpeCte("documents")},
+      |${dBpePackChain("", "doc_id")}""".stripMargin
 
   private def dKMeansDimsTab(dims: Int) =
     s"(SELECT unnest(generate_series(1, $dims)) AS j)"
@@ -5460,6 +5506,58 @@ object SparkEntry {
         |  CAST(floor(1000000.0 * sum_tokens / (n_seqs * 256)) AS BIGINT)
         |    AS fill_ppm
         |FROM agg""".stripMargin,
+
+    // q160: the arrival-order chain, the f-prefixed nt-DESC next-fit
+    // chain, and the g-prefixed FIRST-FIT-DECREASING chain whose
+    // recursive state carries the SAME K open-bin (id, fill) lists the
+    // Spark pass holds (list_position is 0 — not NULL — on no-fit).
+    "q160_packing_order" -> {
+      val K = graft.llm.Packing.FfdOpenBins
+      val ix = "list_position(list_transform(st.bfills, f -> f + d.nt <= 256), true)"
+      s"""WITH RECURSIVE $dBpePackCtes,
+        |${dBpePackChain("f", "nt DESC, doc_id")},
+        |gd AS (SELECT shard, doc_id, nt,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY nt DESC, doc_id) AS pos
+        |  FROM fd),
+        |gst AS (
+        |  SELECT shard, doc_id, nt, pos,
+        |    CAST(1 AS BIGINT) AS bin,
+        |    [CAST(1 AS BIGINT)] AS bids, [CAST(nt AS BIGINT)] AS bfills,
+        |    CAST(2 AS BIGINT) AS nextid
+        |  FROM gd WHERE pos = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.nt, d.pos,
+        |    CASE WHEN $ix > 0 THEN st.bids[$ix] ELSE st.nextid END,
+        |    CASE WHEN $ix > 0 THEN st.bids
+        |         WHEN len(st.bids) >= $K THEN list_append(st.bids[2:], st.nextid)
+        |         ELSE list_append(st.bids, st.nextid) END,
+        |    CASE WHEN $ix > 0 THEN
+        |        list_transform(generate_series(1, len(st.bfills)),
+        |          j -> CASE WHEN j = $ix THEN st.bfills[j] + d.nt ELSE st.bfills[j] END)
+        |      WHEN len(st.bfills) >= $K THEN list_append(st.bfills[2:], CAST(d.nt AS BIGINT))
+        |      ELSE list_append(st.bfills, CAST(d.nt AS BIGINT)) END,
+        |    CASE WHEN $ix > 0 THEN st.nextid ELSE st.nextid + 1 END
+        |  FROM gst st JOIN gd d ON d.shard = st.shard AND d.pos = st.pos + 1),
+        |ag AS (SELECT shard, MAX(seq_no) AS ns, SUM(nt) AS stok FROM st GROUP BY 1),
+        |fg AS (SELECT shard, MAX(seq_no) AS ns, SUM(nt) AS stok FROM fst GROUP BY 1),
+        |gg AS (SELECT shard, MAX(bin) AS ns, SUM(nt) AS stok FROM gst GROUP BY 1)
+        |SELECT ag.shard,
+        |  CAST(ag.ns AS BIGINT) AS n_seqs_arrival,
+        |  CAST(floor(1000000.0 * ag.stok / (ag.ns * 256)) AS BIGINT)
+        |    AS fill_ppm_arrival,
+        |  CAST(fg.ns AS BIGINT) AS n_seqs_nfd,
+        |  CAST(floor(1000000.0 * fg.stok / (fg.ns * 256)) AS BIGINT)
+        |    AS fill_ppm_nfd,
+        |  CAST(gg.ns AS BIGINT) AS n_seqs_ffd,
+        |  CAST(floor(1000000.0 * gg.stok / (gg.ns * 256)) AS BIGINT)
+        |    AS fill_ppm_ffd,
+        |  CAST(floor(1000000.0 * gg.stok / (gg.ns * 256)) -
+        |       floor(1000000.0 * ag.stok / (ag.ns * 256)) AS BIGINT)
+        |    AS ffd_delta_ppm
+        |FROM ag
+        |JOIN fg ON fg.shard = ag.shard
+        |JOIN gg ON gg.shard = ag.shard""".stripMargin
+    },
 
     // q71: exact heavy-term counts hash-checked; the CMS contract
     // (never-underestimate + bounded overestimate at fixed seed) stated

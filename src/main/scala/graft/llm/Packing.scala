@@ -62,11 +62,97 @@ object Packing {
 
   def packGreedy(docs: DataFrame, id: org.apache.spark.sql.Column,
                  nTokens: org.apache.spark.sql.Column,
-                 budget: Long, shards: Int): DataFrame = {
+                 budget: Long, shards: Int): DataFrame =
+    packChain(packedBase(docs, id, nTokens, shards), budget,
+      Seq(col("shard"), col("doc_id")))
+
+  /** LENGTH-SORTED packing (next-fit-DECREASING): the same chained pass
+    * over a within-shard (n_tokens desc, doc_id) order. Kept as the
+    * measured FOIL in q160: under the one-open-bin next-fit constraint,
+    * decreasing order actually packs WORSE than arrival order on mixed
+    * corpora (every bin's tail is wasted on the first medium doc that
+    * overflows it) — the fill win of "sort by length" only materializes
+    * with multiple open bins ([[packFirstFit]]). Same cost shape as
+    * [[packGreedy]]: the sort key changes, the exchange does not. */
+  def packGreedySorted(docs: DataFrame, id: org.apache.spark.sql.Column,
+                       nTokens: org.apache.spark.sql.Column,
+                       budget: Long, shards: Int): DataFrame =
+    packChain(packedBase(docs, id, nTokens, shards), budget,
+      Seq(col("shard"), col("n_tokens").desc, col("doc_id")))
+
+  /** Open bins kept live per shard by [[packFirstFit]]: the bounded-K
+    * variant of first-fit — classic FFD keeps EVERY bin open (O(bins)
+    * state, unbounded on a 10⁹-doc shard); K bins is O(1) state with
+    * nearly all of FFD's fill on real length distributions, because a
+    * bin that the next K documents couldn't top up rarely gets topped
+    * up later in a decreasing order. */
+  val FfdOpenBins = 4
+
+  /** FIRST-FIT-DECREASING packing with K bounded open bins — the
+    * fill-rate upgrade over [[packGreedy]]'s next-fit chain: documents
+    * are visited longest-first and each is placed in the OLDEST open
+    * bin it fits (bins scanned in opening order); if none fits, the
+    * oldest bin closes forever and a new one opens. `seq_no` numbers
+    * bins in OPENING order within each shard; `offset` is the
+    * document's first token position inside its bin.
+    *
+    * Same scale shape as every packing chain here: ONE shard exchange,
+    * an in-partition secondary sort, and a single pass whose state is
+    * K (fill, bin-id) pairs — constant, not corpus- or bin-count-sized.
+    * The trade vs [[packGreedy]]: pack order inside a bin follows
+    * placement (length-descending), not doc_id — id-ordered assembly
+    * readers keep the arrival chain. Oracle-gated (q160) against a
+    * DuckDB recursive-CTE mirror carrying the identical K-bin state. */
+  def packFirstFit(docs: DataFrame, id: org.apache.spark.sql.Column,
+                   nTokens: org.apache.spark.sql.Column,
+                   budget: Long, shards: Int,
+                   openBins: Int = FfdOpenBins): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(openBins >= 1, s"openBins must be positive: $openBins")
     val base = packedBase(docs, id, nTokens, shards)
     val sorted = base.repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("seq_no", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false)))
+    sorted.mapPartitions { rows =>
+      var curShard = 0L
+      var started = false
+      // open bins in OPENING order: parallel arrays of (bin id, fill)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](openBins)
+      val fills = new scala.collection.mutable.ArrayBuffer[Long](openBins)
+      var nextId = 1L
+      rows.map { r =>
+        val shard = r.getLong(0)
+        val nt = r.getLong(2)
+        if (!started || shard != curShard) {
+          started = true; curShard = shard
+          ids.clear(); fills.clear(); nextId = 1L
+        }
+        var i = 0
+        var placed = -1
+        while (placed < 0 && i < ids.length) {
+          if (fills(i) + nt <= budget) placed = i
+          i += 1
+        }
+        val (bin, off) =
+          if (placed >= 0) {
+            val o = fills(placed); fills(placed) += nt; (ids(placed), o)
+          } else {
+            if (ids.length == openBins) { ids.remove(0); fills.remove(0) }
+            ids += nextId; fills += nt; nextId += 1
+            (nextId - 1, 0L)
+          }
+        Row(r.get(0), r.get(1), r.get(2), bin, off)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def packChain(base: DataFrame, budget: Long,
+                        order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val sorted = base.repartition(col("shard"))
+      .sortWithinPartitions(order: _*)
     val outSchema = StructType(sorted.schema.fields ++ Seq(
       StructField("seq_no", LongType, nullable = false),
       StructField("offset", LongType, nullable = false)))

@@ -510,6 +510,57 @@ class LlmTextSpec extends SparkTestBase {
     assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
   }
 
+  test("first-fit-decreasing packing: hand-checked placement, eviction, " +
+    "invariants, and fill >= arrival order on the fixture") {
+    import graft.llm.Packing
+    // budget 10, K=4 open bins, one shard; processing order is nt desc:
+    //   9 -> bin1; 8 -> bin2; 7 -> bin3; 6 -> bin4;
+    //   5 -> fits nowhere (9+5, 8+5, 7+5, 6+5 all > 10) -> EVICT bin1
+    //        (oldest), open bin5;
+    //   2 -> first open fit = bin2 (8+2 = 10);
+    //   1 -> bin2 full, bin3 7+1 fits -> (bin3, 7)
+    val docs = Seq((1L, 9L), (2L, 8L), (3L, 7L), (4L, 6L), (5L, 2L),
+      (6L, 1L), (7L, 5L)).toDF("doc_id", "nt")
+    val out = Packing.packFirstFit(docs, col("doc_id"), col("nt"),
+      budget = 10L, shards = 1)
+      .select("doc_id", "seq_no", "offset")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(1L -> (1L, 0L), 2L -> (2L, 0L), 3L -> (3L, 0L),
+      4L -> (4L, 0L), 7L -> (5L, 0L), 5L -> (2L, 8L), 6L -> (3L, 7L)))
+
+    // invariants on real data: exactly-once, budget respected except
+    // single oversize docs, and FFD's fill dominates the arrival chain
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+    val nTok = graft.llm.TextOps.nTokens(col("text"))
+    val ffd = Packing.packFirstFit(docs2, col("doc_id"), nTok,
+      budget = 256L, shards = 8)
+    assert(ffd.count() == docs2.count())
+    assert(ffd.select("doc_id").distinct().count() == docs2.count())
+    val bad = ffd.groupBy("shard", "seq_no")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("n"))
+      .where(col("total") > 256 && col("n") > 1)
+    assert(bad.count() == 0, "multi-doc bin over budget")
+    def bins(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy("shard").agg(max("seq_no").as("ns"))
+        .as[(Long, Long)].collect().toMap
+    val arrival = bins(Packing.packGreedy(docs2, col("doc_id"), nTok,
+      budget = 256L, shards = 8))
+    bins(ffd).foreach { case (shard, nFfd) =>
+      assert(nFfd <= arrival(shard),
+        s"shard $shard: FFD opened $nFfd bins vs arrival ${arrival(shard)}")
+    }
+    // partitioning-invariant (the chain state is per-shard, the order
+    // deterministic)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "doc_id", "seq_no", "offset")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows(ffd) == rows(Packing.packFirstFit(docs2.repartition(13),
+      col("doc_id"), nTok, budget = 256L, shards = 8)))
+    // scale shape: exactly one exchange
+    val plan = ffd.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, s"plan:\n$plan")
+  }
+
   test("sequence assembly conserves the token stream in pack order") {
     import graft.llm.Packing
     val docs = Seq(
