@@ -68,8 +68,11 @@ object Upsert {
     // driver materialization involved
     val src = sess.createDataFrame(source.rdd, source.schema)
     if (!fs.exists(root)) {
-      // bootstrap: the whole source is new partitions
-      src.write.partitionBy(partCol).parquet(targetPath)
+      // bootstrap: the whole source is new partitions. An EMPTY first
+      // batch writes nothing — a zero-file tree would make every later
+      // read of the target fail schema inference (an empty day is
+      // normal for a streaming sink's first triggers, not an error).
+      if (!src.isEmpty) src.write.partitionBy(partCol).parquet(targetPath)
       return
     }
     // O(batch partitions) driver list — the "partitions touched" set a

@@ -73,6 +73,28 @@ class UpsertSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("empty batches are no-ops: no poisoned bootstrap tree, no partition " +
+    "rewrites against an existing target") {
+    val path = Files.createTempDirectory("upsert_empty").toString + "/t"
+    val none = Seq.empty[(Long, String, Long)].toDF("id", "day", "v")
+    // empty FIRST batch must not create a schemaless zero-file tree
+    Upsert.upsertPartitionScoped(spark, path, "day", none, Seq("id"))
+    Upsert.upsertPartitionScoped(spark, path, "day",
+      Seq((1L, "2024-01-01", 1L)).toDF("id", "day", "v"), Seq("id"))
+    assert(spark.read.parquet(path).count() == 1)
+    // empty LATER batch: nothing touched
+    val f = new java.io.File(s"$path/day=2024-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(x => x.getName -> x.lastModified()).toMap
+    Thread.sleep(1100)
+    Upsert.upsertPartitionScoped(spark, path, "day", none, Seq("id"))
+    val after = new java.io.File(s"$path/day=2024-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(x => x.getName -> x.lastModified()).toMap
+    assert(after == f, "empty merge must not rewrite anything")
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("caller-session confs survive a partition-scoped merge untouched") {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key, "STATIC")
