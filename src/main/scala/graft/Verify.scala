@@ -54,7 +54,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Partial runs also FILTER the oracle manifest to the selected
+    // names — compare_oracle.py drives from oracle_sql.json, so a full
+    // manifest next to a partial dump would fail every undumped query
+    // instead of checking just the iterated ones. The driver's full run
+    // (no SPARK_GRAFT_ONLY) always writes the complete manifest.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full query inventory, so the compare drives from what SHOULD exist
@@ -72,7 +78,13 @@ object Verify {
       System.err.println(
         s"[verify] PARTIAL run (${selected.size}/${SparkEntry.queries.size} " +
           "queries) — manifest written to queries_partial.json only")
-    } else Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
+    } else {
+      // symmetric cleanup: a FULL run must not leave a stale partial
+      // manifest from an earlier SPARK_GRAFT_ONLY iteration next to the
+      // full one — a directory-driven compare could misread it.
+      Files.deleteIfExists(Paths.get(s"$outDir/queries_partial.json"))
+      Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
+    }
     spark.stop()
   }
 }

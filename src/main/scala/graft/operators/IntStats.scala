@@ -157,12 +157,32 @@ object IntStats {
       val seed = base.groupBy("k")
         .agg(min("x").as("lo"), max("x").as("hi"), sum("w").as("tw"))
         .as[(String, Long, Long, Long)].collect()
+      // Domain guards, ONCE per key (not per row), failing loudly instead
+      // of silently wrapping: `hi - lo` overflows when a key's value
+      // domain spans more than Long.MaxValue (values near both Long
+      // extremes), which would degenerate probing to one value per round;
+      // and the integer quantile test `denom·cw ≥ numer·tw` wraps when
+      // denom·tw exceeds Long range (cw ≤ tw and numer ≤ denom, so this
+      // single product bounds every comparison the loop performs).
+      val maxDenom = qs.map(_._2).max
+      seed.foreach { case (k, lo, hi, tw) =>
+        try Math.subtractExact(hi, lo) catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"weightedQuantilesBisect: key '$k' value span [$lo, $hi] " +
+              "exceeds Long range; pre-scale or split the domain")
+        }
+        try Math.multiplyExact(maxDenom, tw) catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"weightedQuantilesBisect: key '$k' total weight $tw × " +
+              s"denominator $maxDenom exceeds Long range; pre-scale weights")
+        }
+      }
       var bounds: Map[(String, Int), (Long, Long, Long)] =
         (for ((k, lo, hi, tw) <- seed; qi <- qs.indices)
           yield (k, qi) -> ((lo, hi, tw))).toMap
-      // probes in [lo, hi): evenly spaced on a floorDiv step (overflow-free
-      // for any Long range; step 0 degenerates to the single probe `lo`,
-      // i.e. plain bisection on 1-wide brackets)
+      // probes in [lo, hi): evenly spaced on a floorDiv step (hi − lo
+      // checked non-overflowing above; step 0 degenerates to the single
+      // probe `lo`, i.e. plain bisection on 1-wide brackets)
       def probesOf(lo: Long, hi: Long): Seq[Long] = {
         val step = Math.floorDiv(hi - lo, BisectFanout.toLong)
         (1 until BisectFanout).map(i => lo + step * i)

@@ -66,33 +66,41 @@ object Upsert {
     // re-root the source on the clone (RDDs are context-, not session-,
     // scoped) so the overwrite semantics above govern its write — no
     // driver materialization involved
-    val src = sess.createDataFrame(source.rdd, source.schema)
-    if (!fs.exists(root)) {
-      // bootstrap: the whole source is new partitions. An EMPTY first
-      // batch writes nothing — a zero-file tree would make every later
-      // read of the target fail schema inference (an empty day is
-      // normal for a streaming sink's first triggers, not an error).
-      if (!src.isEmpty) src.write.partitionBy(partCol).parquet(targetPath)
-      return
-    }
-    // O(batch partitions) driver list — the "partitions touched" set a
-    // table format would read from its transaction log
-    val touched = src.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    require(!touched.contains(null),
-      s"source rows with NULL $partCol cannot be partition-scoped " +
-        "(they would land in the Hive default partition outside the scan scope)")
-    // inference is off, so the pruned read carries partCol as the raw
-    // directory string; cast it back to the SOURCE's type — the source
-    // typed the tree at bootstrap, so this round-trips value-identically
-    // (and a string-typed source keeps `hour=00` verbatim, the
-    // Compaction value-identity lesson)
-    val affected = sess.read.parquet(targetPath)
-      .filter(col(partCol).cast("string").isin(touched: _*))
-      .withColumn(partCol, col(partCol).cast(source.schema(partCol).dataType))
-    upsert(affected, src, keys)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy(partCol)
-      .parquet(targetPath)
+    // Persist the re-rooted source: it is consumed up to three times
+    // (isEmpty/bootstrap write, touched-partition collect, merge write).
+    // Without the pin an expensive source triples its compute, and a
+    // NON-DETERMINISTIC one could yield a touched-partition list that
+    // diverges from the rows actually written — leaving stale twins in
+    // partitions the scan never visited. One evaluation ends both risks.
+    val src = sess.createDataFrame(source.rdd, source.schema).persist()
+    try {
+      if (!fs.exists(root)) {
+        // bootstrap: the whole source is new partitions. An EMPTY first
+        // batch writes nothing — a zero-file tree would make every later
+        // read of the target fail schema inference (an empty day is
+        // normal for a streaming sink's first triggers, not an error).
+        if (!src.isEmpty) src.write.partitionBy(partCol).parquet(targetPath)
+        return
+      }
+      // O(batch partitions) driver list — the "partitions touched" set a
+      // table format would read from its transaction log
+      val touched = src.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      require(!touched.contains(null),
+        s"source rows with NULL $partCol cannot be partition-scoped " +
+          "(they would land in the Hive default partition outside the scan scope)")
+      // inference is off, so the pruned read carries partCol as the raw
+      // directory string; cast it back to the SOURCE's type — the source
+      // typed the tree at bootstrap, so this round-trips value-identically
+      // (and a string-typed source keeps `hour=00` verbatim, the
+      // Compaction value-identity lesson)
+      val affected = sess.read.parquet(targetPath)
+        .filter(col(partCol).cast("string").isin(touched: _*))
+        .withColumn(partCol, col(partCol).cast(source.schema(partCol).dataType))
+      upsert(affected, src, keys)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(partCol)
+        .parquet(targetPath)
+    } finally src.unpersist()
   }
 }
