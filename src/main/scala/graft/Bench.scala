@@ -34,6 +34,36 @@ import org.apache.spark.sql.SparkSession
   *    log tail can't lose a query's recorded time (round-5 verdict).
   */
 object Bench {
+  /** Fixed-cost CPU calibration probe (round-8 verdict: every
+    * comparable query drifted 1.24–1.56× slower round-over-round,
+    * including code-untouched ones — the signature of a busier/slower
+    * box, but unprovable from the record alone). A constant xorshift
+    * loop has no plan, no IO, no GC churn: its wall time moves ONLY
+    * with the machine, so future rounds can divide query drift by
+    * calibration drift and see what is environment vs regression.
+    * Two arms: single-thread (per-core speed) and all-cores (the
+    * contention a 32-thread local[32] suite actually competes under).
+    */
+  @volatile private var calibSink = 0L // defeats dead-code elimination
+  private def burn(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L; var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+  private def calibrate(): (Double, Double, Int) = {
+    val Iters = 400000000L
+    calibSink ^= burn(Iters / 20) // JIT warm the loop itself
+    val t0 = System.nanoTime()
+    calibSink ^= burn(Iters)
+    val single = (System.nanoTime() - t0) / 1e9
+    val p = Runtime.getRuntime.availableProcessors
+    val t1 = System.nanoTime()
+    val threads = (1 to p).map(_ => new Thread(() => { calibSink ^= burn(Iters) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val par = (System.nanoTime() - t1) / 1e9
+    (single, par, p)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,6 +99,12 @@ object Bench {
     // upper-middle median: conservative for even counts, exact for odd
     def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     var errors = Set.empty[String]
+
+    // Calibration runs BEFORE ga_scale/queries (pristine JVM, no Spark
+    // heap yet) and AGAIN at the end (under the suite's accumulated GC
+    // pressure + any box drift during the ~5 min run); both land in the
+    // record so drift WITHIN a run is visible too.
+    val (calib1t, calibNt, calibThreads) = calibrate()
 
     // GA throughput at synthetic scale (same plan as tools/BenchGaScale).
     // Runs BEFORE the query sweep: r7 measured the same unchanged
@@ -151,7 +187,11 @@ object Bench {
 
     val errJson = errors.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"ga_scale":$gaScaleJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min)","sf":"$sfDir"}"""
+    val (calib1tEnd, calibNtEnd, _) = calibrate()
+    def d2c(t: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    val calibJson =
+      s"""{"sec_1t":${d2c(calib1t)},"sec_nt":${d2c(calibNt)},"sec_1t_end":${d2c(calib1tEnd)},"sec_nt_end":${d2c(calibNtEnd)},"threads":$calibThreads}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min); calibration = fixed 400M-iter xorshift loop, 1-thread and all-cores, at start and end","sf":"$sfDir"}"""
     // The FULL record (per-query medians + mins for all queries) lands
     // in a file only: BENCH_r05/r06's stdout tail truncated mid-value —
     // a 115-entry map is larger than the driver's tail window, so the
@@ -170,7 +210,7 @@ object Bench {
       "q100_pagerank", "q101_containment_join", "q115_ga_transitions")
     val medMap = med.toMap
     val headlineMap = headline.flatMap(n => medMap.get(n).map(n -> _))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"n_queries":${med.size},"queries":${jmap(headlineMap)},"ga_scale":$gaScaleJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"n_queries":${med.size},"queries":${jmap(headlineMap)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

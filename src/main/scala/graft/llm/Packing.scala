@@ -106,10 +106,18 @@ object Packing {
   def packFirstFit(docs: DataFrame, id: org.apache.spark.sql.Column,
                    nTokens: org.apache.spark.sql.Column,
                    budget: Long, shards: Int,
-                   openBins: Int = FfdOpenBins): DataFrame = {
+                   openBins: Int = FfdOpenBins): DataFrame =
+    ffdPass(packedBase(docs, id, nTokens, shards), budget, openBins)
+
+  /** The shared K-open-bin first-fit state pass: `base` must carry
+    * `shard` at position 0 and `n_tokens` at position 2 (any further
+    * columns ride along untouched); appends (seq_no, offset). One
+    * shard exchange + secondary sort + a single pass holding K
+    * (bin id, fill) pairs. */
+  private def ffdPass(base: DataFrame, budget: Long,
+                      openBins: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(openBins >= 1, s"openBins must be positive: $openBins")
-    val base = packedBase(docs, id, nTokens, shards)
     val sorted = base.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
     val outSchema = StructType(sorted.schema.fields ++ Seq(
@@ -143,7 +151,7 @@ object Packing {
             ids += nextId; fills += nt; nextId += 1
             (nextId - 1, 0L)
           }
-        Row(r.get(0), r.get(1), r.get(2), bin, off)
+        Row.fromSeq(r.toSeq :+ bin :+ off)
       }
     }(Encoders.row(outSchema))
   }
@@ -234,6 +242,41 @@ object Packing {
         // NULL id streams are dropped BEFORE flatten: flatten returns
         // NULL if ANY inner array is null, which would void the whole
         // sequence's stream
+        flatten(transform(
+          filter(col("_parts"), _.getField("_ids").isNotNull),
+          _.getField("_ids"))).as("tokens"))
+  }
+
+  /** [[assembleSequences]] over the FIRST-FIT-DECREASING placement
+    * ([[packFirstFit]]) instead of the arrival-order next-fit chain —
+    * harvesting q160's measured fill win (up to +12% on the fixture =
+    * that many fewer padding FLOPs per epoch) in the artifact a
+    * training loader actually reads. In-bin order is PLACEMENT order
+    * (length-descending visit), so members are assembled by their
+    * `offset` (each document's first token position — strictly
+    * increasing in placement order within a bin), not by doc_id; the
+    * sort_array over (offset, doc_id, ids) structs keeps that
+    * deterministic under any aggregation order. Cost shape is
+    * identical to [[assembleSequences]]: the id stream is computed
+    * once and rides the single shard exchange through the K-bin state
+    * pass; the grouped collect stays budget-bounded. */
+  def assembleSequencesFirstFit(docs: DataFrame,
+                                id: org.apache.spark.sql.Column,
+                                ids: org.apache.spark.sql.Column,
+                                budget: Long, shards: Int,
+                                openBins: Int = FfdOpenBins): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val base = docs.select(
+      Splits.md5Bucket(id.cast("string"), shards).as("shard"),
+      id.as("doc_id"),
+      coalesce(size(ids).cast("long"), lit(0L)).as("n_tokens"),
+      ids.as("_ids"))
+    ffdPass(base, budget, openBins)
+      .groupBy(col("shard"), col("seq_no"))
+      .agg(sort_array(collect_list(
+        struct(col("offset"), col("doc_id"), col("_ids")))).as("_parts"))
+      .select(col("shard"), col("seq_no"),
+        size(col("_parts")).cast("long").as("n_docs"),
         flatten(transform(
           filter(col("_parts"), _.getField("_ids").isNotNull),
           _.getField("_ids"))).as("tokens"))

@@ -134,14 +134,16 @@ object Similarity {
   val IvfCells = 16
   val IvfProbe = 4
 
-  /** The nCells deterministic centroid embeddings, in cid order. */
+  /** The nCells deterministic centroid embeddings, in cid order.
+    * Accepts float or double element types (q161's clustered fixture
+    * derives a double-typed embedding from the float corpus). */
   def centroidSeq(vecs: DataFrame, nCells: Int): Seq[Seq[Double]] =
     vecs.select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCells)
       .collect()
       .toSeq
-      .map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+      .map(_.getSeq[Number](1).toSeq.map(_.doubleValue()))
 
   /** Cell-ranking score vs one centroid: dot(e, c) / ||c||. Same argmax
     * as full cosine (||e|| is constant per row) at a third of the flops;
@@ -181,6 +183,42 @@ object Similarity {
     vecs.select(col("vec_id"), col("embedding"),
       (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int").as("cell"))
   }
+
+  /** q161's planted-cluster fixture: a deterministic structured
+    * embedding space derived from the (near-orthogonal) corpus itself —
+    * vector v's clustered embedding is `anchor(v % groups) + alpha·v`,
+    * where the anchors are the first `groups` corpus vectors. Anchors
+    * are mutually near-orthogonal, so the derived space is `groups`
+    * well-separated tight clusters: the data regime where an ANN index
+    * must PRUNE, not just recall (q147's fixture is the recall worst
+    * case; this is the selectivity test bed). Both engines replay the
+    * same IEEE double arithmetic (zip_with here, a list_transform in
+    * the DuckDB mirror), so even the fixture itself is hash-stable.
+    * Shape: one broadcast join against `groups` anchor rows. */
+  def plantedClusters(vecs: DataFrame, groups: Int = 10,
+                      alpha: Double = 0.2): DataFrame = {
+    require(groups >= 1, s"groups must be positive: $groups")
+    val anchors = vecs.filter(col("vec_id") < groups)
+      .select(col("vec_id").as("_g"), col("embedding").as("_ae"))
+    vecs.withColumn("_g", col("vec_id") % groups)
+      .join(broadcast(anchors), "_g")
+      .select(col("vec_id"),
+        zip_with(col("_ae"), col("embedding"),
+          (a, e) => a.cast("double") + lit(alpha) * e.cast("double"))
+          .as("embedding"))
+  }
+
+  /** SELECTIVE index configurations — the parameters the same
+    * machinery runs at on data WITH structure (q161's planted-cluster
+    * fixture), vs the recall-first production parameters the
+    * near-orthogonal worst case forces (probe 10/16 + store 2,
+    * Hamming ≤ 2). Measured on the fixture at sf0.001/0.01/0.1:
+    * IVF probe-2/store-1 = recall 0.94–0.96 scanning 12–16% of the
+    * corpus; single-probe 16×8 LSH = recall 1.0 at 16–18%. q161 gates
+    * BOTH directions: mean recall ≥ 0.9 AND mean candidates ≤ 20%. */
+  val IvfSelProbe = 2
+  val IvfSelStore = 1
+  val MpSelHamming = 0
 
   /** IVF-Flat top-k: assign cells -> probe the query's nProbe closest
     * cells -> exact cosine rerank of just those cells' vectors. The only

@@ -83,4 +83,55 @@ object StreamingSessionize {
           }
       }
   }
+
+  /** LIVE-SERVING sessionizer — [[withCustomState]]'s Update-mode twin:
+    * every batch that touches a key emits the open session's CURRENT
+    * aggregate (same (user_id, session_start_ms) key), plus the final
+    * row of any session the batch closed, so a downstream keyed MERGE
+    * ([[StreamingUpsert]]) serves sessions AS THEY GROW — each
+    * refinement REPLACES the serving row in place, and the row stops
+    * moving at its final value. The event-time timeout therefore has
+    * nothing left to say: the last touch already emitted the final
+    * aggregate, so timeout just drops state (no duplicate emission).
+    *
+    * Caveat the caller owns: a late event OLDER than the open
+    * session's start re-keys the session (new session_start_ms), which
+    * a keyed merge stores as a second row; within-gap FORWARD
+    * extension — the overwhelmingly common late case — updates in
+    * place. Reconciling backward shifts is the q158 compactor's job.
+    */
+  def withLiveState(ds: Dataset[Ev], gapMs: Long = GapMs): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // already served at its final value
+            Iterator.empty
+          } else {
+            val sorted = events.map(_.ts.getTime).toSeq.sorted
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end < gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.start, s.end, s.n) // final
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+              out += SessionOut(userId, s.start, s.end, s.n) // provisional
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

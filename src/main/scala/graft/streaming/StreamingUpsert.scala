@@ -31,13 +31,20 @@ import graft.operators.Upsert
   */
 object StreamingUpsert {
 
-  /** Start the merge loop: streaming `rows` (append-mode output, e.g.
-    * finalized session windows) merged into `servingRoot` partitioned
-    * by `partCol`, keyed by `keys`. */
+  /** Start the merge loop: streaming `rows` merged into `servingRoot`
+    * partitioned by `partCol`, keyed by `keys`. `outputMode` follows
+    * the upstream stateful operator: "append" for finalized-only
+    * emissions (session_window + watermark), "update" for
+    * provisional-refinement emissions
+    * ([[StreamingSessionize.withLiveState]] — the keyed merge is what
+    * MAKES update-mode serving correct: each refinement replaces its
+    * row instead of appending a growing history). */
   def run(rows: DataFrame, servingRoot: String, checkpointDir: String,
-          partCol: String, keys: Seq[String]): StreamingQuery =
+          partCol: String, keys: Seq[String],
+          outputMode: String = "append"): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // empty trigger batches carry no partitions to touch
         if (!batch.isEmpty)

@@ -437,6 +437,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("live serve composition: stream -> withLiveState sessionizer -> keyed " +
+    "merge; late data UPDATES the serving row across triggers") {
+    // The full advertised chain, live: events stream in, the
+    // Update-mode sessionizer emits each touched session's CURRENT
+    // aggregate, and the keyed merge replaces its serving row — the
+    // q159 semantics driven end to end instead of batch-replayed.
+    val root = java.nio.file.Files.createTempDirectory("lsv").toString + "/serve"
+    val ckpt = java.nio.file.Files.createTempDirectory("lsvck").toString
+    val base = 1700000000000L // 2023-11-14 UTC
+    // EARLIER day: a later day would advance the watermark past
+    // trigger 2's late event and the state operator would drop it
+    val otherDay = base - 3 * 86400000L
+    val input = MemoryStream[Ev](spark)
+    val sessions = StreamingSessionize.withLiveState(input.toDS()).toDF()
+      .withColumn("day",
+        to_date(timestamp_millis(col("session_start_ms"))).cast("string"))
+    val q = graft.streaming.StreamingUpsert.run(sessions, root, ckpt,
+      "day", Seq("user_id", "session_start_ms"), outputMode = "update")
+    def serving(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(root)
+        .select(col("user_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    try {
+      // trigger 1: user 1 opens a session (2 events), user 2 a session
+      // on ANOTHER day (its partition must never be rewritten after)
+      input.addData(ev(1, base), ev(1, base + 60000), ev(2, otherDay))
+      q.processAllAvailable()
+      assert(serving() == Set(
+        (1L, base, base + 60000, 2L), (2L, otherDay, otherDay, 1L)))
+      val otherPart = new java.io.File(s"$root/day=2023-11-11")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      assert(otherPart.nonEmpty)
+      Thread.sleep(1100) // mtime granularity
+      // trigger 2: a LATE within-gap event extends user 1's open
+      // session — same (user_id, session_start_ms) key, so the serving
+      // row is REPLACED in place: still 2 rows, refined aggregate
+      input.addData(ev(1, base + 120000))
+      q.processAllAvailable()
+      assert(serving() == Set(
+        (1L, base, base + 120000, 3L), (2L, otherDay, otherDay, 1L)))
+      assert(new java.io.File(s"$root/day=2023-11-11")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap == otherPart,
+        "partition without touched keys must never be rewritten")
+      // trigger 3: past the gap — the old session's serving row stays
+      // at its final value, a NEW session row appears under a new key
+      input.addData(ev(1, base + 10 * Gap))
+      q.processAllAvailable()
+      assert(serving() == Set(
+        (1L, base, base + 120000, 3L),
+        (1L, base + 10 * Gap, base + 10 * Gap, 1L),
+        (2L, otherDay, otherDay, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream inner join within a time bound matches the batch " +
     "interval semantics") {
     import org.apache.spark.sql.functions.expr

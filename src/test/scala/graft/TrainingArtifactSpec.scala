@@ -44,4 +44,37 @@ class TrainingArtifactSpec extends SparkTestBase {
       .select("seq_no").as[Long].collect().toSeq
     assert(one == one.sorted, "shard file must be in seq_no order")
   }
+
+  test("FFD assembly serves through the same layout at a better fill") {
+    val out = java.nio.file.Files.createTempDirectory("graft_train_ffd").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ids = call_function("bpe_encode_ids", col("text"))
+    val arrival = Packing.assembleSequences(docs, col("doc_id"), ids,
+      budget = 256L, shards = 4)
+    val ffd = Packing.assembleSequencesFirstFit(docs, col("doc_id"), ids,
+      budget = 256L, shards = 4)
+    TrainingArtifact.write(ffd, out)
+    TrainingArtifact.register(spark, out, db = "train_spec_ffd")
+
+    val served = spark.table("train_spec_ffd.sequences")
+    // same corpus content: the concatenated token multiset is identical
+    // (packing reorders, never drops or duplicates)
+    def tokenCounts(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(col("tokens")).as("t")).groupBy("t").count()
+      .as[(Long, Long)].collect().toMap
+    assert(tokenCounts(served) == tokenCounts(arrival))
+    // every sequence respects the budget
+    assert(served.where(size(col("tokens")) > 256).isEmpty)
+    // the fill win is real in the artifact: FFD needs no MORE
+    // sequences than arrival order (strictly fewer on this fixture)
+    val nFfd = served.count()
+    val nArr = arrival.count()
+    assert(nFfd <= nArr, s"FFD packed $nFfd sequences vs arrival $nArr")
+    // layout contract holds for the FFD artifact too
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$out/sequences/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s must be one pack-ordered file")
+    }
+  }
 }
