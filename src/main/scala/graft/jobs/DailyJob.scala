@@ -132,7 +132,11 @@ object DailyJob {
     * two-rename window leaves it intact under `__old` (recover by
     * renaming back). On local/HDFS the renames are atomic; an S3
     * deployment points the staging write at the committer-backed output
-    * path instead. */
+    * path instead. Between the two renames the path briefly does not
+    * exist — fine for a nightly batch with no concurrent readers; a
+    * LIVE table the streaming/daily composition reads continuously
+    * should use [[mergeHistoryVersioned]] (pointer swap, no window) or
+    * [[mergeHistoryPartitioned]] instead. */
   def mergeHistory(spark: SparkSession, historyPath: String,
                    sessions: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
@@ -148,6 +152,78 @@ object DailyJob {
     if (fs.exists(dst)) require(fs.rename(dst, old), s"swap-out failed: $dst")
     require(fs.rename(new Path(staging), dst), s"swap-in failed: $staging")
     fs.delete(old, true)
+  }
+
+  /** Reader-safe MERGE for LIVE history tables — closes
+    * [[mergeHistory]]'s swap window (between its two renames the
+    * history path does not exist, so a concurrent reader fails and
+    * crash recovery from `__old` is manual; tolerable for a nightly
+    * batch, not for a table the streaming/daily composition reads
+    * continuously). Versioned-directory + pointer-file layout:
+    *
+    *   <root>/_CURRENT       one-line pointer: the active version dir
+    *   <root>/v=00000042/    immutable, complete parquet trees
+    *
+    * The merge writes a COMPLETE new version NEXT TO the old one, then
+    * swaps only the POINTER (FileContext rename with OVERWRITE —
+    * atomic on local/HDFS; on S3 the pointer is a single small object,
+    * whose put is atomic where directory renames are not). Every
+    * reader that resolves the pointer therefore sees a complete tree —
+    * the old version before the swap, the new one after — and a crash
+    * at ANY point leaves a valid pointer to a complete tree. The
+    * superseded version is kept one generation for readers already
+    * scanning it; older versions are GC'd on the next merge.
+    */
+  def mergeHistoryVersioned(spark: SparkSession, root: String,
+                            sessions: DataFrame): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(conf)
+    val cur = currentVersion(spark, root)
+    val existing = cur.map(v => GaPipeline.loadHistory(spark, s"$root/$v"))
+      .getOrElse(GaPipeline.loadHistory(spark, s"$root/__nonexistent"))
+    val merged = graft.operators.Upsert.upsert(existing, sessions,
+      Seq("fullVisitorId", "visitId"))
+    val curN = cur.map(_.stripPrefix("v=").toLong).getOrElse(-1L)
+    val next = f"v=${curN + 1}%08d"
+    merged.write.mode("overwrite").parquet(s"$root/$next")
+    // pointer swap: write-new + atomic rename-over
+    val tmp = new Path(root, "_CURRENT__tmp")
+    val ptr = new Path(root, "_CURRENT")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(rootP.toUri, conf)
+      .rename(tmp, ptr, Options.Rename.OVERWRITE)
+    // GC: keep the new current + its predecessor (in-flight readers)
+    val keep = Set(next) ++ cur
+    fs.listStatus(rootP).map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") && !keep(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** Resolve the versioned history through its pointer — the read side
+    * of [[mergeHistoryVersioned]]; empty (schema-correct) history when
+    * no version has ever been published. */
+  def loadHistoryVersioned(spark: SparkSession, root: String): DataFrame =
+    currentVersion(spark, root)
+      .map(v => GaPipeline.loadHistory(spark, s"$root/$v"))
+      .getOrElse(GaPipeline.loadHistory(spark, s"$root/__nonexistent"))
+
+  private def currentVersion(spark: SparkSession, root: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val ptr = new Path(root, "_CURRENT")
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+          .filter(_.nonEmpty)
+      } finally in.close()
+    }
   }
 
   /** The 100 TB form of [[mergeHistory]]: the history lives as a

@@ -41,6 +41,14 @@ object BigramLm {
   /** `(doc_id, n_bigrams, xent)`: per-document add-k bigram
     * cross-entropy; `xent` is null for docs with fewer than 2 tokens.
     *
+    * Profile (round 9, tools/ProfQ91 at sf0.1 on local[32], warm): the
+    * full score runs ≈ 2.0 s, a fold-free variant (plain `sum(c)`,
+    * order-dependent) ≈ 1.9 s, and the cached tf table alone ≈ 0.6 s —
+    * i.e. the bit-stability sorted fold costs ~5% of the query, the
+    * dominant cost is the corpus-sized (doc, bigram) shuffle + the
+    * three joins, and the round-8 record's 11.7 s was machine drift
+    * (the calibration probe now pins that). The fold stays.
+    *
     * `cache = true` (default, the MinHashLsh lifecycle): the per-doc tf
     * table feeds THREE branches (global bigram counts, first-word
     * totals, and the per-doc fold) — without a persist each branch

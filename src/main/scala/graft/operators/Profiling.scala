@@ -28,11 +28,27 @@ object Profiling {
     * Expand-free), exploded back into one row per column. Only the
     * exact distincts stay per-column two-level aggregates (C pruned
     * scans) — never the multi-distinct Expand, which would copy every
-    * row once per profiled column into one exchange. At scale keep only
-    * the sketch arm; the exact arm is the oracle anchor proving the
-    * sketch honest.
+    * row once per profiled column into one exchange.
+    *
+    * `exactDistinct = false` is the documented SCALE MODE. Measured
+    * split on the q141 lineitem input (sf0.1, local[32], warm,
+    * tools/ProfProfile): sketch-only ≈ 1.6–2.4 s, full ≈ 2.3 s — at
+    * THIS scale the one-scan base (C×4 aggregates incl. C HLLs)
+    * carries most of the cost and the exact arm adds ~30%, so the
+    * round-8 "one-scan refactor didn't halve q141" observation is
+    * answered: there was no 2× left to win, the base scan is the
+    * floor. The flag still matters at 100 TB, where the exact arm's
+    * cost model is different in KIND: C extra full-column scans plus
+    * C corpus-cardinality distinct EXCHANGES (shuffle bytes ∝ distinct
+    * values) versus the base's single scan with constant-size
+    * (C×sketch) shuffle. Sketch mode keeps `n_distinct` as the HLL
+    * estimate and `distinct_in_bounds` vacuously true (same schema,
+    * so reports stay union-compatible across modes); the exact arm
+    * remains the oracle anchor proving the sketch honest at
+    * verification scale (q141 gates it).
     */
-  def profile(t: DataFrame, rsd: Double = 0.02): DataFrame = {
+  def profile(t: DataFrame, rsd: Double = 0.02,
+              exactDistinct: Boolean = true): DataFrame = {
     def inBounds(approx: Column, exact: Column): Column =
       abs(approx - exact) <= greatest(lit(5.0), exact * (5 * rsd))
     val fields = t.schema.fields.toSeq
@@ -55,6 +71,10 @@ object Profiling {
           col(s"_mx$i").as("max_s"), col(s"_ad$i").as("ad"))
       }: _*)).as("_s"))
       .select(col("n_rows"), col("_s.*"))
+    if (!exactDistinct)
+      return base.select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("ad").as("n_distinct"), col("min_s"), col("max_s"),
+        lit(true).as("distinct_in_bounds"))
     // per-column exact distinct: C two-level aggregates, one row each
     val exact = fields.map { f =>
       t.select(col(f.name)).where(col(f.name).isNotNull).distinct()

@@ -231,6 +231,54 @@ class GaPipelineSpec extends SparkTestBase {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("mergeHistoryVersioned: pointer always resolves to a complete tree; " +
+    "superseded version survives one generation for in-flight readers") {
+    val tmp = Files.createTempDirectory("gamergev").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths, catalogDb = None, idempotentHistory = true)
+    val batch = spark.read.parquet(paths.historyPath)
+    val n = batch.count()
+    val root = s"$tmp/history_v"
+    // bootstrap: no pointer yet → schema-correct empty history
+    assert(DailyJob.loadHistoryVersioned(spark, root).count() == 0)
+    DailyJob.mergeHistoryVersioned(spark, root, batch)
+    def pointer(): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_CURRENT")), "UTF-8").trim
+    assert(pointer() == "v=00000000")
+    assert(DailyJob.loadHistoryVersioned(spark, root).count() == n)
+    // merge a restated batch: new version published, pointer swapped,
+    // the OLD version's files stay byte-identical for in-flight readers
+    val key = batch.orderBy("fullVisitorId", "visitId")
+      .select("fullVisitorId", "visitId").head()
+    val restated = batch.withColumn("totals_transactionRevenue",
+      when(col("fullVisitorId") === key.getString(0) &&
+        col("visitId") === key.get(1), lit("555550000"))
+        .otherwise(col("totals_transactionRevenue")))
+    def files(v: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/$v")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val v0Files = files("v=00000000")
+    assert(v0Files.nonEmpty)
+    DailyJob.mergeHistoryVersioned(spark, root, restated)
+    assert(pointer() == "v=00000001")
+    assert(files("v=00000000") == v0Files,
+      "superseded version must survive untouched for in-flight readers")
+    val after = DailyJob.loadHistoryVersioned(spark, root)
+    assert(after.count() == n)
+    assert(after.filter(col("fullVisitorId") === key.getString(0) &&
+      col("visitId") === key.get(1) &&
+      col("totals_transactionRevenue") === "555550000").count() == 1)
+    // third merge: v0 is GC'd, v1 (the predecessor) kept
+    DailyJob.mergeHistoryVersioned(spark, root, restated)
+    assert(pointer() == "v=00000002")
+    assert(!new java.io.File(s"$root/v=00000000").exists(), "GC keeps 2 versions")
+    assert(new java.io.File(s"$root/v=00000001").exists())
+    assert(DailyJob.loadHistoryVersioned(spark, root).count() == n)
+  }
+
   test("csvDelivery writes the four tables where the reference's SFTP " +
     "uploader regex finds them") {
     val tmp = Files.createTempDirectory("gacsv").toString

@@ -36,6 +36,28 @@ class ProfilerAuditSpec extends SparkTestBase {
     assert(byCol("l_discount").getAs[String]("min_s").matches("-?\\d+\\.\\d{2}"))
   }
 
+  test("q141 scale mode: sketch-only profile keeps the schema, tracks exact") {
+    val t = graft.sources.Tables.lineitem(spark, sf)
+    val full = graft.operators.Profiling.profile(t)
+    val sketch = graft.operators.Profiling.profile(t, exactDistinct = false)
+    // union-compatible across modes — a report pipeline can switch
+    // modes per table size without a schema branch
+    assert(sketch.schema == full.schema)
+    val exact = full.collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
+    sketch.collect().foreach { r =>
+      val (c, nd) = (r.getAs[String]("col_name"), r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Boolean]("distinct_in_bounds")) // vacuous by contract
+      // the served estimate is the same HLL the full mode gates, so it
+      // must sit within the full mode's own acceptance envelope
+      assert(math.abs(nd - exact(c)) <= math.max(5.0, exact(c) * 0.1),
+        s"$c: sketch $nd vs exact ${exact(c)}")
+    }
+    // the scale mode's point: no per-column distinct stages in the plan
+    val plan = sketch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+  }
+
   test("q141 plan: no multi-distinct Expand; distincts stay two-level aggregates") {
     spark.catalog.clearCache()
     val plan = SparkEntry.queries("q141_data_profile")(spark, sf)
