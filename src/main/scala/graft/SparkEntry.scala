@@ -1469,6 +1469,23 @@ object SparkEntry {
         Seq("hash", "merge", "vector"))
     }),
 
+    // Hybrid retrieval — reciprocal-rank fusion of the lexical and
+    // vector arms (Cormack et al. '09): each query doc retrieves by
+    // its own top-3 TF-IDF keywords (multi-query BM25 — ONE corpus
+    // tokenization semi-joined to the broadcast term set before any
+    // exchange) and by its embedding (exact cosine top-10), fused
+    // rank-only so BM25 logs and cosines never meet on one scale.
+    // RRF stays EXACT: each arm contributes floor(1e6/(60+rank)) ppm —
+    // an integer — so the fused score is an order-independent sum and
+    // the whole report hash-gates, per-arm ranks carried (null where
+    // an arm missed). The curation primitive behind retrieval-based
+    // decontamination and near-dup adjudication.
+    "q163_hybrid_retrieval" -> ((s, dir) => {
+      import graft.llm.Retrieval
+      Retrieval.hybrid(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        col("doc_id") < 10, col("vec_id") < 10)
+    }),
+
     // Corpus vocabulary/document-frequency table (the IDF primitive):
     // per-term tf + df over lowercased whitespace tokens, df >= 3.
     "q54_vocab_stats" -> ((s, dir) => {
@@ -4943,6 +4960,81 @@ object SparkEntry {
         |  FROM tf JOIN dft USING (term) CROSS JOIN st)
         |SELECT doc_id, round($branches, 4) AS score
         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+
+    // q163: the q89 keyword stack (ranked only for the query docs, the
+    // engine's docPred pushdown), the q55 BM25 score expression over
+    // the keyword term set with the per-(query, doc) fold in
+    // term-sorted order (list_reduce, the q91 pattern), the q26 cosine
+    // stack at depth 10, and the integer-ppm RRF full-outer fusion.
+    "q163_hybrid_retrieval" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |ksc AS (
+        |  SELECT doc_id, term, tf,
+        |    round(CAST(tf AS DOUBLE) *
+        |      (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0),
+        |      6) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN nd
+        |  WHERE doc_id < 10),
+        |krk AS (
+        |  SELECT doc_id, term,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term DESC, tf DESC) AS rank
+        |  FROM ksc),
+        |qkw AS (SELECT DISTINCT doc_id AS query_id, term FROM krk WHERE rank <= 3),
+        |dlt AS (SELECT doc_id, CAST(COALESCE(len(toks), 0) AS BIGINT) AS dl FROM w),
+        |bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dlt),
+        |btf AS (
+        |  SELECT t.doc_id, d.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok t JOIN dlt d USING (doc_id)
+        |  WHERE t.term IN (SELECT term FROM qkw)
+        |  GROUP BY 1, 2, 3),
+        |bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+        |bs AS (
+        |  SELECT doc_id, term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}) /
+        |      (tf + $k1 * (${1 - b} + $b * dl / avgdl)) AS s
+        |  FROM btf JOIN bdf USING (term) CROSS JOIN bst),
+        |bq AS (
+        |  SELECT q.query_id, s.doc_id,
+        |    round(list_reduce(list(s.s ORDER BY s.term), (a, x) -> a + x), 4) AS score
+        |  FROM bs s JOIN qkw q USING (term)
+        |  WHERE s.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM bq QUALIFY lex_rank <= 10),
+        |vq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |vc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |vs AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
+        |  FROM vq, vc WHERE query_id <> neighbor_id),
+        |vrk AS (
+        |  SELECT query_id, neighbor_id AS doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS vec_rank
+        |  FROM vs QUALIFY vec_rank <= 10),
+        |fz AS (
+        |  SELECT query_id, doc_id, l.lex_rank, v.vec_rank,
+        |    (COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0) +
+        |     COALESCE(CAST(floor(1000000.0 / (60 + v.vec_rank)) AS BIGINT), 0)) AS rrf_ppm
+        |  FROM lrk l FULL OUTER JOIN vrk v USING (query_id, doc_id))
+        |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_ppm,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppm DESC, doc_id) AS rank
+        |  FROM fz) t WHERE rank <= 10""".stripMargin
     },
 
     // q106/q107: expected hashes computed by the fixture GENERATOR from

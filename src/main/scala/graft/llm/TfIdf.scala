@@ -37,8 +37,13 @@ object TfIdf {
     * without a persist each branch re-explodes the corpus. The result
     * is eagerly localCheckpointed and the cache released before
     * returning; `cache = false` exposes the lazy plan (specs). */
+  /** `docPred` (on `doc_id`) restricts WHICH documents get keywords
+    * while tf/df/N stay corpus-wide — the scale shape for "keywords of
+    * these few docs" consumers ([[Retrieval.hybrid]]'s query side):
+    * the filter lands before the top-k heap, so the bounded-state
+    * stage only sees the selected docs' rows. */
   def topTerms(docs: DataFrame, id: Column, text: Column, k: Int = 3,
-               cache: Boolean = true): DataFrame = {
+               cache: Boolean = true, docPred: Column = lit(true)): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val tf0 = docs
       .select(id.as("doc_id"), explode(TextOps.lowerTokens(text)).as("term"))
@@ -54,7 +59,7 @@ object TfIdf {
         col("tf").cast("double") *
           (log((col("n_docs").cast("double") + 1.0) /
             (col("df").cast("double") + 1.0)) + 1.0), 6))
-    val result = TopK.topKPerKey(scored, Seq(col("doc_id")),
+    val result = TopK.topKPerKey(scored.where(docPred), Seq(col("doc_id")),
         struct(col("score"), col("term"), col("tf")), k)
       .select(col("doc_id"), col("_row.term").as("term"),
         col("_row.tf").as("tf"), col("_row.score").as("score"), col("rank"))
