@@ -176,55 +176,24 @@ object DailyJob {
     */
   def mergeHistoryVersioned(spark: SparkSession, root: String,
                             sessions: DataFrame): Unit = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path}
-    val conf = spark.sessionState.newHadoopConf()
-    val rootP = new Path(root)
-    val fs = rootP.getFileSystem(conf)
-    val cur = currentVersion(spark, root)
+    import graft.sources.Versioned
+    val cur = Versioned.current(spark, root)
     val existing = cur.map(v => GaPipeline.loadHistory(spark, s"$root/$v"))
       .getOrElse(GaPipeline.loadHistory(spark, s"$root/__nonexistent"))
     val merged = graft.operators.Upsert.upsert(existing, sessions,
       Seq("fullVisitorId", "visitId"))
-    val curN = cur.map(_.stripPrefix("v=").toLong).getOrElse(-1L)
-    val next = f"v=${curN + 1}%08d"
+    val next = Versioned.nextName(cur)
     merged.write.mode("overwrite").parquet(s"$root/$next")
-    // pointer swap: write-new + atomic rename-over
-    val tmp = new Path(root, "_CURRENT__tmp")
-    val ptr = new Path(root, "_CURRENT")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(rootP.toUri, conf)
-      .rename(tmp, ptr, Options.Rename.OVERWRITE)
-    // GC: keep the new current + its predecessor (in-flight readers)
-    val keep = Set(next) ++ cur
-    fs.listStatus(rootP).map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") && !keep(p.getName))
-      .foreach(p => fs.delete(p, true))
+    Versioned.publish(spark, root, next, cur)
   }
 
   /** Resolve the versioned history through its pointer — the read side
     * of [[mergeHistoryVersioned]]; empty (schema-correct) history when
     * no version has ever been published. */
   def loadHistoryVersioned(spark: SparkSession, root: String): DataFrame =
-    currentVersion(spark, root)
+    graft.sources.Versioned.current(spark, root)
       .map(v => GaPipeline.loadHistory(spark, s"$root/$v"))
       .getOrElse(GaPipeline.loadHistory(spark, s"$root/__nonexistent"))
-
-  private def currentVersion(spark: SparkSession, root: String): Option[String] = {
-    import org.apache.hadoop.fs.Path
-    val ptr = new Path(root, "_CURRENT")
-    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
-          .filter(_.nonEmpty)
-      } finally in.close()
-    }
-  }
 
   /** The 100 TB form of [[mergeHistory]]: the history lives as a
     * `date=`-partitioned tree and the merge is PARTITION-SCOPED
