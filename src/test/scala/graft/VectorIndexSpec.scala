@@ -61,6 +61,37 @@ class VectorIndexSpec extends SparkTestBase {
     }
   }
 
+  test("streaming maintenance: a vector stream drains into the index " +
+    "via foreachBatch append; queries see each batch as it lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("vidx_st").toString + "/index"
+    val ckpt = java.nio.file.Files.createTempDirectory("vidx_stck").toString
+    VectorIndex.build(spark, vecs, root)
+    val dims = vecs.select(size(col("embedding"))).first().getInt(0)
+    val base = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) VectorIndex.append(spark, batch, root)
+      }.start()
+    try {
+      input.addData(base.take(2).map { case (id, e) => (id + 20000L, e) }: _*)
+      q.processAllAvailable()
+      val t1 = VectorIndex.query(spark, vecs.filter(col("vec_id") < 2), root, 1)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(t1.forall { case (qid, n, _, cos) => n == qid + 20000L && cos == 1.0 })
+      input.addData(base.drop(2).map { case (id, e) => (id + 20000L, e) }: _*)
+      q.processAllAvailable()
+      val t2 = VectorIndex.query(spark, vecs.filter(col("vec_id") < 4), root, 1)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(t2.length == 4)
+      assert(t2.forall { case (qid, n, _, cos) => n == qid + 20000L && cos == 1.0 })
+      assert(dims == 64) // fixture sanity: the clones carried real vectors
+    } finally q.stop()
+  }
+
   test("rebuild publishes a new version; empty index queries empty") {
     val root = java.nio.file.Files.createTempDirectory("vidx_rv").toString + "/index"
     assert(VectorIndex.query(spark, vecs.limit(1), root, k = 5).isEmpty)
