@@ -949,6 +949,22 @@ object SparkEntry {
           col("type_users"))
     }),
 
+    // Heavy/light-decomposed skew join (saltedJoin's complement for a
+    // non-broadcastable build side with few hot keys): the probe's
+    // top-8 heaviest join keys take a BROADCAST route (only the small
+    // side's heavy subset ships), everything else the normal shuffle
+    // join, unioned — the key space is partitioned exactly, so the
+    // oracle is simply the PLAIN inner join, and the hash gate proves
+    // the decomposition drops/duplicates nothing.
+    "q164_skew_split_join" -> ((s, dir) => {
+      import graft.operators.Skew
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_name"))
+      Skew.splitJoin(li, p, "l_partkey")
+    }),
+
     // Tumbling event-time windows (the fixed-interval family next to
     // q28's gap sessions): batch semantics of the streaming plan,
     // order-independent stats so the hash can't drift with partitioning.
@@ -6089,6 +6105,12 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.key = b.key AND a.event_id < b.event_id
         |  AND abs(a.ms - b.ms) <= 120000""".stripMargin,
+
+    // q164: like q66, the decomposed join's oracle is the PLAIN join —
+    // equality proves the heavy/light key-space partition is exact.
+    "q164_skew_split_join" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     // The salted join's oracle is the PLAIN join — equality proves the
     // salt/replicate/drop dance is semantics-free.

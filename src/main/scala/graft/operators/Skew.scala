@@ -49,4 +49,37 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** HEAVY/LIGHT-decomposed inner equi-join — the complementary skew
+    * strategy to [[saltedJoin]] for when the small side is too big to
+    * broadcast WHOLE but the hot keys are few (the real 100 TB shape:
+    * a bot visitor id, a null-ish sentinel key, one viral item): probe
+    * the large side for its heaviest keys (one map-combinable count +
+    * a bounded top-`topN` collect — the heavy-hitter probe q150
+    * reports on), then route those keys through a BROADCAST join
+    * (only the small side's heavy-key SUBSET broadcasts — topN rows
+    * per key, not the table) while every other key takes the normal
+    * shuffle join; union. The hot keys therefore never meet a single
+    * reducer, and the result equals the plain inner join BY
+    * CONSTRUCTION — the key space is partitioned exactly (q164
+    * hash-gates the equality; inner-join semantics drop null keys on
+    * both routes alike). `minCount` keeps the probe honest: keys below
+    * it are never worth the broadcast detour, so a uniform table
+    * degenerates to one plain shuffle join plus an empty broadcast
+    * branch. */
+  def splitJoin(large: DataFrame, small: DataFrame, key: String,
+                topN: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(topN >= 1, s"topN must be positive: $topN")
+    val heavy = large.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minCount && col(key).isNotNull)
+      .orderBy(col("_c").desc, col(key))
+      .limit(topN)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    if (heavy.isEmpty) return large.join(small, Seq(key))
+    val heavyPath = large.filter(col(key).isin(heavy: _*))
+      .join(broadcast(small.filter(col(key).isin(heavy: _*))), Seq(key))
+    val lightPath = large.filter(!col(key).isin(heavy: _*))
+      .join(small.filter(!col(key).isin(heavy: _*)), Seq(key))
+    heavyPath.unionByName(lightPath)
+  }
 }
