@@ -644,4 +644,33 @@ class PlanSpec extends SparkTestBase {
         s"assembly must be join-free:\n$phys")
     }
   }
+
+  test("q162 FFD assembly keeps q130's shape: join-free, ≤2 hash exchanges") {
+    uncached {
+      val phys = SparkEntry.queries("q162_ffd_assembly")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(phys).length <= 2,
+        s"FFD assembly must ride one shard exchange + one groupBy:\n$phys")
+      assert(!phys.contains("SortMergeJoin") && !phys.contains("BroadcastHashJoin"),
+        s"FFD assembly must be join-free:\n$phys")
+    }
+  }
+
+  test("q163 hybrid retrieval: corpus tokens semi-join the broadcast term " +
+    "set; only broadcast-scalar cross joins; fusion never sort-merges the corpus") {
+    uncached {
+      val phys = SparkEntry.queries("q163_hybrid_retrieval")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(phys).nonEmpty,
+        s"query-term filter must be a broadcast semi-join before any exchange:\n$phys")
+      // the only nested-loop joins are the 1-row scalar broadcasts
+      // (corpus stats); a real cartesian would be a Cross WITHOUT build
+      assert(!phys.contains("CartesianProduct"),
+        s"no cartesian product belongs here:\n$phys")
+      // full-outer fusion joins two ≤k-row-per-query lists — the single
+      // allowed sort-merge; the corpus itself must never reach one
+      val smj = "SortMergeJoin".r.findAllIn(phys).length
+      assert(smj <= 1, s"only the RRF fusion may sort-merge, got $smj:\n$phys")
+    }
+  }
 }
