@@ -36,11 +36,22 @@ import graft.sources.Versioned
   */
 object VectorIndex {
 
-  /** Fit + publish a new index version over `vecs` (vec_id, embedding). */
+  /** Fit + publish a new index version over `vecs` (vec_id, embedding).
+    *
+    * `quantized = true` stores the inverted lists as symmetric-int8
+    * codes ([[Similarity.quantizeInt8]] cast to bytes) instead of
+    * float32 — 4× smaller lists in memory/shuffle, the compression
+    * that lets a 100 TB vector corpus scan from memory. Per-vector
+    * scale is deliberately NOT stored: cosine is scale-invariant, so
+    * the code's DIRECTION is all ranking needs; the cost is the int8
+    * rounding of that direction, and [[query]] against a quantized
+    * version is therefore approximate (recall spec-gated on the
+    * clustered fixture, exact on well-separated data). */
   def build(spark: SparkSession, vecs: DataFrame, root: String,
             kCells: Int = Similarity.IvfKmeansCells,
             iters: Int = Similarity.IvfKmeansIters,
-            store: Int = Similarity.IvfSelStore): Unit = {
+            store: Int = Similarity.IvfSelStore,
+            quantized: Boolean = false): Unit = {
     require(store >= 1, s"store must be >= 1: $store")
     val cents = KMeans.fitCentroids(vecs, kCells, iters)
     val cur = Versioned.current(spark, root)
@@ -50,7 +61,7 @@ object VectorIndex {
       .toDF("cell", "centroid")
       .coalesce(1) // k·dims doubles: one model-artifact file
       .write.mode("overwrite").parquet(s"$root/$next/centroids")
-    assignRows(vecs, cents, store)
+    assignRows(vecs, cents, store, quantized)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/$next/assignments")
     Versioned.publish(spark, root, next, cur)
@@ -62,7 +73,8 @@ object VectorIndex {
   def append(spark: SparkSession, vecs: DataFrame, root: String): Unit = {
     val (v, cents) = centroids(spark, root)
     if (cents.isEmpty) return // empty index: nothing to assign against
-    assignRows(vecs, cents, storeOf(spark, root, v))
+    val quantized = isQuantized(spark, root, v)
+    assignRows(vecs, cents, storeOf(spark, root, v), quantized)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$root/$v/assignments")
   }
@@ -86,8 +98,15 @@ object VectorIndex {
     // the partition column alone would read every cell directory)
     val probed = q.select(col("cell").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val lists = spark.read.parquet(s"$root/$v/assignments")
+    val lists0 = spark.read.parquet(s"$root/$v/assignments")
       .filter(col("cell").cast("string").isin(probed: _*))
+    // a quantized version scores against the int8 DIRECTION (cosine is
+    // scale-invariant; the full-precision query keeps its own side exact)
+    val lists =
+      if (lists0.schema.fieldNames.contains("q8"))
+        lists0.withColumn("embedding",
+          transform(col("q8"), _.cast("double"))).drop("q8")
+      else lists0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val cand = lists
@@ -116,9 +135,20 @@ object VectorIndex {
     }
 
   private def assignRows(vecs: DataFrame, cents: Seq[Seq[Double]],
-                         store: Int): DataFrame =
-    vecs.select(col("vec_id"), col("embedding"),
+                         store: Int, quantized: Boolean = false): DataFrame = {
+    val payload =
+      if (quantized)
+        transform(Similarity.quantizeInt8(col("embedding")),
+          _.cast("byte")).as("q8")
+      else col("embedding")
+    vecs.select(col("vec_id"), payload,
       explode(Similarity.topCells(col("embedding"), cents, store)).as("cell"))
+  }
+
+  private def isQuantized(spark: SparkSession, root: String,
+                          v: String): Boolean =
+    spark.read.parquet(s"$root/$v/assignments")
+      .schema.fieldNames.contains("q8")
 
   /** Recover the version's `store` from its own data: the max cells
     * any vector is stored under (1 row, column-pruned aggregate). */
