@@ -837,6 +837,62 @@ object SparkEntry {
         .withColumn("gate_ok", col("gate_recall") && col("gate_prune"))
     }),
 
+    // Retrieval quality metrics — the standard IR yardsticks (MRR,
+    // nDCG@10) for the two selective index arms against the exact
+    // top-10 truth on the clustered fixture, completing q147 (recall)
+    // and q161 (selectivity) with rank-aware quality. Kept hash-exact:
+    // reciprocal rank is floor(1e6/first_rel_rank); DCG folds
+    // 1/ln(rank+1) in rank order (any log base cancels in the
+    // DCG/IDCG ratio, and ln is the base both engines compute
+    // bit-identically — the q55/q89/q91 precedent); per-query nDCG
+    // lands as a floor-ppm INTEGER so the per-arm means average exact
+    // integers, order-independent.
+    "q165_retrieval_metrics" -> ((s, dir) => {
+      import graft.llm.{KMeans, Similarity}
+      import org.apache.spark.sql.expressions.Window
+      val k = 10
+      val cemb = Similarity.plantedClusters(Tables.embeddings(s, dir))
+        .persist() // feeds truth + both arms; callers clearCache after
+      val pred = col("vec_id") < 10
+      val truth = Similarity.bruteForceTopK(cemb, pred, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val nt = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      def metricsOf(name: String, res: DataFrame): DataFrame =
+        res.select(col("query_id"), col("neighbor_id"), col("rank"))
+          .join(truth.withColumn("rel", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .withColumn("rel", coalesce(col("rel"), lit(0L)))
+          .groupBy("query_id")
+          .agg(sum(col("rel")).as("n_rel"),
+            min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
+            aggregate(sort_array(collect_list(struct(col("rank"), col("rel")))),
+              lit(0.0), (a, x) => a + when(x.getField("rel") === 1L,
+                lit(1.0) / log(x.getField("rank").cast("double") + 1.0))
+                .otherwise(lit(0.0))).as("dcg"))
+          .join(nt, Seq("query_id"))
+          .withColumn("idcg",
+            aggregate(sequence(lit(1L), least(lit(k.toLong), col("n_truth"))),
+              lit(0.0), (a, i) => a + lit(1.0) / log(i.cast("double") + 1.0)))
+          .select(lit(name).as("idx"), col("query_id"), col("n_rel"),
+            col("first_rel_rank"),
+            coalesce(floor(lit(1000000.0) / col("first_rel_rank"))
+              .cast("long"), lit(0L)).as("rr_ppm"),
+            floor(lit(1000000.0) * col("dcg") / col("idcg")).cast("long")
+              .as("ndcg_ppm"))
+      val kmCents = KMeans.fitCentroids(cemb,
+        Similarity.IvfKmeansCells, Similarity.IvfKmeansIters)
+      val arms = metricsOf("ivf_km_sel",
+          Similarity.ivfTopKWith(cemb, kmCents, pred, k,
+            Similarity.IvfSelProbe, Similarity.IvfSelStore))
+        .unionByName(metricsOf("lsh_sel",
+          Similarity.multiProbeLshTopK(cemb, pred, k,
+            Similarity.MpTables, Similarity.MpBits, Similarity.MpSelHamming)))
+      val w = Window.partitionBy("idx")
+      arms
+        .withColumn("mean_rr_ppm", floor(avg(col("rr_ppm")).over(w)).cast("long"))
+        .withColumn("mean_ndcg_ppm", floor(avg(col("ndcg_ppm")).over(w)).cast("long"))
+    }),
+
     // Int8 embedding quantization (the vector pipeline's compressor —
     // candidate stages read 4x-smaller vectors): per-row math only, no
     // shuffle; checksums hash-check every quantized component via the
@@ -4445,6 +4501,85 @@ object SparkEntry {
         |  (floor(AVG(recall_ppm) OVER (PARTITION BY idx)) >= 900000 AND
         |   floor(1000000.0 * AVG(n_cand) OVER (PARTITION BY idx) / corpus_n) <= 200000) AS gate_ok
         |FROM allarms, n""".stripMargin
+    },
+
+    // q165: q161's fixture + arm stacks at depth 10, then the IR-metric
+    // layer — rel flags from the truth join, first_rel_rank, the
+    // rank-ordered 1/ln(rank+1) DCG fold (list_reduce, q91 pattern),
+    // the ideal fold over generate_series, per-query floor-ppm nDCG,
+    // and window means over exact integers.
+    "q165_retrieval_metrics" -> {
+      import graft.llm.Similarity.{Dims, IvfKmeansCells, IvfKmeansIters,
+        IvfSelProbe}
+      def arm(name: String, rkCte: String): String =
+        s"""SELECT '$name' AS idx, p.query_id, p.n_rel,
+           |  CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
+           |  COALESCE(CAST(floor(1000000.0 / p.first_rel_rank) AS BIGINT), 0) AS rr_ppm,
+           |  CAST(floor(1000000.0 * p.dcg /
+           |    list_reduce(list_transform(generate_series(1, CAST(least(10, nt.n_truth) AS INT)),
+           |      i -> 1.0 / ln(i + 1.0)), (a, b) -> a + b)) AS BIGINT) AS ndcg_ppm
+           |FROM (
+           |  SELECT h.query_id, CAST(SUM(h.rel) AS BIGINT) AS n_rel,
+           |    MIN(CASE WHEN h.rel = 1 THEN h.rank END) AS first_rel_rank,
+           |    list_reduce(list(CASE WHEN h.rel = 1 THEN 1.0 / ln(h.rank + 1.0)
+           |      ELSE 0.0 END ORDER BY h.rank), (a, b) -> a + b) AS dcg
+           |  FROM (
+           |    SELECT r.query_id, r.rank,
+           |      CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           |    FROM $rkCte r LEFT JOIN truth t
+           |      ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id) h
+           |  GROUP BY 1) p
+           |JOIN nt USING (query_id)""".stripMargin
+      s"""WITH cemb AS (
+        |  SELECT e.vec_id,
+        |    list_transform(generate_series(1, $Dims),
+        |      i -> a.embedding[i]::DOUBLE + 0.2 * e.embedding[i]::DOUBLE) AS embedding
+        |  FROM embeddings e JOIN embeddings a ON a.vec_id = e.vec_id % 10),
+        |${dLshIntCtes("cemb")},
+        |${dKMeansCtes(IvfKmeansCells, IvfKmeansIters, Dims, "cemb")},
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM cemb WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM cemb),
+        |ts AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ts),
+        |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rk <= 10),
+        |nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
+        |e AS (SELECT vec_id, embedding FROM cemb),
+        |kqp AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+        |    FROM sf) t WHERE rk <= $IvfSelProbe AND vec_id < 10),
+        |kcand AS (
+        |  SELECT query_id, a.vec_id AS neighbor_id
+        |  FROM kqp JOIN af a USING (cell) WHERE query_id <> a.vec_id),
+        |ksc AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("kqq.embedding", "kcc.embedding")} AS cosine
+        |  FROM kcand JOIN e kqq ON kqq.vec_id = query_id JOIN e kcc ON kcc.vec_id = neighbor_id),
+        |krt AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM ksc) t WHERE rank <= 10),
+        |mq AS (SELECT vec_id AS query_id, t, sig FROM msv WHERE vec_id < 10),
+        |mcand AS (
+        |  SELECT DISTINCT query_id, d.vec_id AS neighbor_id
+        |  FROM mq JOIN msv d USING (t, sig) WHERE query_id <> d.vec_id),
+        |msc AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("mqq.embedding", "mcc.embedding")} AS cosine
+        |  FROM mcand JOIN e mqq ON mqq.vec_id = query_id JOIN e mcc ON mcc.vec_id = neighbor_id),
+        |mrt AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM msc) t WHERE rank <= 10),
+        |allarms AS (
+        |${arm("ivf_km_sel", "krt")}
+        |UNION ALL
+        |${arm("lsh_sel", "mrt")})
+        |SELECT idx, query_id, n_rel, first_rel_rank, rr_ppm, ndcg_ppm,
+        |  CAST(floor(AVG(rr_ppm) OVER (PARTITION BY idx)) AS BIGINT) AS mean_rr_ppm,
+        |  CAST(floor(AVG(ndcg_ppm) OVER (PARTITION BY idx)) AS BIGINT) AS mean_ndcg_ppm
+        |FROM allarms""".stripMargin
     },
 
     "q35_ann_ivf" -> {
