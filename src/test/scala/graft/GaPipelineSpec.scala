@@ -311,6 +311,64 @@ class GaPipelineSpec extends SparkTestBase {
     assert(new java.io.File(paths.daily("sessions")).exists())
   }
 
+  test("Delivery.packageDelivery zips the date's CSVs under the uploader's " +
+    "names, byte-deterministically; the upload-state ledger merges by key") {
+    import graft.jobs.Delivery
+    val tmp = Files.createTempDirectory("gadeliv").toString
+    val paths = DailyJob.Paths("fixtures/ga/enriched", tmp, "2019-09-23")
+    DailyJob.run(spark, paths, catalogDb = None, csvDelivery = true)
+    val (zipPath, keys) = Delivery.packageDelivery(spark, paths,
+      uploadedAt = "2019-09-24T03:00:00")
+    assert(zipPath.endsWith("/outgoing/20190923.zip"))
+    // entries carry the uploader's /tmp naming: <table>_<YYYYMMDD>.csv
+    val zf = new java.util.zip.ZipFile(zipPath)
+    val entries = try {
+      val es = zf.entries()
+      Iterator.continually(es).takeWhile(_.hasMoreElements)
+        .map(_.nextElement().getName).toList
+    } finally zf.close()
+    assert(entries.sorted == List("events_20190923.csv",
+      "pageviews_20190923.csv", "products_20190923.csv",
+      "sessions_20190923.csv"), entries.toString)
+    // an entry's content is the delivery CSV verbatim
+    val zf2 = new java.util.zip.ZipFile(zipPath)
+    val sessionBytes = try {
+      val in = zf2.getInputStream(zf2.getEntry("sessions_20190923.csv"))
+      try in.readAllBytes() finally in.close()
+    } finally zf2.close()
+    val srcCsv = new java.io.File(paths.delivery("sessions")).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    assert(java.util.Arrays.equals(sessionBytes,
+      java.nio.file.Files.readAllBytes(srcCsv.toPath)))
+    // ledger: one success row carrying the compressed keys, all of
+    // which the uploader's own regex would have selected
+    val state1 = Delivery.uploadState(spark, tmp).collect()
+    assert(state1.length == 1)
+    val r = state1.head
+    assert(r.getAs[String]("uploaded_file_name") == "20190923.zip")
+    assert(r.getAs[String]("status") == "success")
+    assert(r.getAs[String]("uploaded_at") == "2019-09-24T03:00:00")
+    val uploaderRegex =
+      ("^aggregated/ga/year=2019/month=09/day=23/" +
+        "(sessions|pageviews|products|events).*csv$").r
+    val recorded = r.getSeq[String](r.fieldIndex("compressed_files"))
+    assert(recorded.toSet == keys.toSet && keys.size == 4)
+    keys.foreach(k => assert(uploaderRegex.findFirstIn(k).isDefined, k))
+    // re-packaging is idempotent: the zip is byte-identical (fixed
+    // entry times, sorted order) and the ledger row is REPLACED, not
+    // duplicated
+    val bytes1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(zipPath))
+    val (zipPath2, _) = Delivery.packageDelivery(spark, paths,
+      uploadedAt = "2019-09-24T06:00:00") // a later retry
+    assert(zipPath2 == zipPath)
+    assert(java.util.Arrays.equals(bytes1,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(zipPath))))
+    val state2 = Delivery.uploadState(spark, tmp).collect()
+    assert(state2.length == 1)
+    assert(state2.head.getAs[String]("uploaded_at") == "2019-09-24T06:00:00")
+  }
+
   test("dynamic-partition daily write: re-running one day replaces only " +
     "that day's partitions (backfill-safe, order-free)") {
     import org.apache.spark.sql.functions.{expr, lit => flit}
