@@ -105,6 +105,36 @@ object SparkEntry {
     pairsMemo.clear(); gaOutputsMemo.clear(); corpusMemo.clear()
   }
 
+  /** Shared stack of the ANN selectivity/quality gates (q161/q165):
+    * the planted-cluster fixture, the exact top-`depth` truth, and the
+    * two SELECTIVE production arms as (name, results, candidates) —
+    * the queries differ only in retrieval depth and the metric layer
+    * they put on top, so the fixture/arm machinery lives once (and the
+    * DuckDB twin lives once in [[dSelArmCtes]]). `cemb` is persisted:
+    * it feeds truth + both arms; callers clearCache after. */
+  private def selFixtureArms(s: SparkSession, dir: String, depth: Int)
+      : (DataFrame, DataFrame, Seq[(String, DataFrame, DataFrame)]) = {
+    import graft.llm.{KMeans, Similarity}
+    val cemb = Similarity.plantedClusters(Tables.embeddings(s, dir)).persist()
+    val pred = col("vec_id") < 10
+    val truth = Similarity.bruteForceTopK(cemb, pred, depth)
+      .select(col("query_id"), col("neighbor_id"))
+    val kmCents = KMeans.fitCentroids(cemb,
+      Similarity.IvfKmeansCells, Similarity.IvfKmeansIters)
+    val arms = Seq(
+      ("ivf_km_sel",
+        Similarity.ivfTopKWith(cemb, kmCents, pred, depth,
+          Similarity.IvfSelProbe, Similarity.IvfSelStore),
+        Similarity.ivfCandidatePairs(cemb, kmCents, pred,
+          Similarity.IvfSelProbe, Similarity.IvfSelStore)),
+      ("lsh_sel",
+        Similarity.multiProbeLshTopK(cemb, pred, depth,
+          Similarity.MpTables, Similarity.MpBits, Similarity.MpSelHamming),
+        Similarity.multiProbeCandidatePairs(cemb, pred,
+          Similarity.MpTables, Similarity.MpBits, Similarity.MpSelHamming)))
+    (cemb, truth, arms)
+  }
+
   // ---------------------------------------------------------------- events
   /** Events with `ts_ms` epoch millis added (shared base for W1-W3 ops). */
   private def eventsWithMs(s: SparkSession, dir: String): DataFrame =
@@ -789,13 +819,8 @@ object SparkEntry {
     // 0.94–0.96 recall at 12–16% scanned, LSH 1.0 at 16–18% — TRUE
     // gates at every sf, hash-checked like q147.
     "q161_ann_selectivity" -> ((s, dir) => {
-      import graft.llm.{KMeans, Similarity}
       import org.apache.spark.sql.expressions.Window
-      val cemb = Similarity.plantedClusters(Tables.embeddings(s, dir))
-        .persist() // feeds truth + both arms; callers clearCache after
-      val pred = col("vec_id") < 10
-      val truth = Similarity.bruteForceTopK(cemb, pred, 5)
-        .select(col("query_id"), col("neighbor_id"))
+      val (cemb, truth, selArms) = selFixtureArms(s, dir, 5)
       def armOf(name: String, res: DataFrame, cand: DataFrame): DataFrame =
         truth.join(
           res.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
@@ -810,19 +835,8 @@ object SparkEntry {
             floor(lit(1000000.0) * col("n_hit") /
               greatest(col("n_true"), lit(1L))).cast("long").as("recall_ppm"),
             coalesce(col("nc"), lit(0L)).as("n_cand"))
-      val kmCents = KMeans.fitCentroids(cemb,
-        Similarity.IvfKmeansCells, Similarity.IvfKmeansIters)
-      val arms =
-        armOf("ivf_km_sel",
-          Similarity.ivfTopKWith(cemb, kmCents, pred, 5,
-            Similarity.IvfSelProbe, Similarity.IvfSelStore),
-          Similarity.ivfCandidatePairs(cemb, kmCents, pred,
-            Similarity.IvfSelProbe, Similarity.IvfSelStore))
-        .unionByName(armOf("lsh_sel",
-          Similarity.multiProbeLshTopK(cemb, pred, 5,
-            Similarity.MpTables, Similarity.MpBits, Similarity.MpSelHamming),
-          Similarity.multiProbeCandidatePairs(cemb, pred,
-            Similarity.MpTables, Similarity.MpBits, Similarity.MpSelHamming)))
+      val arms = selArms.map { case (name, res, cand) => armOf(name, res, cand) }
+        .reduce(_ unionByName _)
       val corpusN = cemb.agg(count(lit(1)).cast("long").as("corpus_n"))
       arms.crossJoin(broadcast(corpusN)) // broadcast scalar, not cartesian
         .withColumn("mean_recall_ppm",
@@ -848,14 +862,9 @@ object SparkEntry {
     // lands as a floor-ppm INTEGER so the per-arm means average exact
     // integers, order-independent.
     "q165_retrieval_metrics" -> ((s, dir) => {
-      import graft.llm.{KMeans, Similarity}
       import org.apache.spark.sql.expressions.Window
       val k = 10
-      val cemb = Similarity.plantedClusters(Tables.embeddings(s, dir))
-        .persist() // feeds truth + both arms; callers clearCache after
-      val pred = col("vec_id") < 10
-      val truth = Similarity.bruteForceTopK(cemb, pred, k)
-        .select(col("query_id"), col("neighbor_id"))
+      val (_, truth, selArms) = selFixtureArms(s, dir, k)
       val nt = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
       def metricsOf(name: String, res: DataFrame): DataFrame =
         res.select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -879,14 +888,8 @@ object SparkEntry {
               .cast("long"), lit(0L)).as("rr_ppm"),
             floor(lit(1000000.0) * col("dcg") / col("idcg")).cast("long")
               .as("ndcg_ppm"))
-      val kmCents = KMeans.fitCentroids(cemb,
-        Similarity.IvfKmeansCells, Similarity.IvfKmeansIters)
-      val arms = metricsOf("ivf_km_sel",
-          Similarity.ivfTopKWith(cemb, kmCents, pred, k,
-            Similarity.IvfSelProbe, Similarity.IvfSelStore))
-        .unionByName(metricsOf("lsh_sel",
-          Similarity.multiProbeLshTopK(cemb, pred, k,
-            Similarity.MpTables, Similarity.MpBits, Similarity.MpSelHamming)))
+      val arms = selArms.map { case (name, res, _) => metricsOf(name, res) }
+        .reduce(_ unionByName _)
       val w = Window.partitionBy("idx")
       arms
         .withColumn("mean_rr_ppm", floor(avg(col("rr_ppm")).over(w)).cast("long"))
@@ -3554,6 +3557,63 @@ object SparkEntry {
     * [[graft.expressions.LshSigsIntExpr]] + [[Similarity.probeMasks]]):
     * mv (per-table integer sig columns) → msv (one row per table) →
     * mmask (the Hamming-≤2 XOR masks, [[Similarity.probeMasks]] order). */
+  /** Shared DuckDB stack of the ANN selectivity/quality gates — the
+    * twin of [[selFixtureArms]]: cemb (the same IEEE anchor + 0.2·v
+    * derivation as Similarity.plantedClusters), the integer-LSH and
+    * k-means CTEs over it, exact top-`depth` truth, and both SELECTIVE
+    * arms: k-means IVF at probe IvfSelProbe/store 1 (store 1 ⇒ af IS
+    * the assignment, no distinct — mirrors the Spark fused path's
+    * duplicate-free candidates) ending in `kcand`/`krt`, and
+    * single-probe integer LSH (msv joined to itself, no mask CTE)
+    * ending in `mcand`/`mrt`; `krt`/`mrt` carry (query_id,
+    * neighbor_id, rank ≤ depth). q161 (depth 5) and q165 (depth 10)
+    * layer their metric SELECTs over these. */
+  private def dSelArmCtes(depth: Int): String = {
+    import graft.llm.Similarity.{Dims, IvfKmeansCells, IvfKmeansIters,
+      IvfSelProbe}
+    s"""cemb AS (
+      |  SELECT e.vec_id,
+      |    list_transform(generate_series(1, $Dims),
+      |      i -> a.embedding[i]::DOUBLE + 0.2 * e.embedding[i]::DOUBLE) AS embedding
+      |  FROM embeddings e JOIN embeddings a ON a.vec_id = e.vec_id % 10),
+      |${dLshIntCtes("cemb")},
+      |${dKMeansCtes(IvfKmeansCells, IvfKmeansIters, Dims, "cemb")},
+      |q AS (SELECT vec_id AS query_id, embedding AS qe FROM cemb WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM cemb),
+      |ts AS (
+      |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
+      |  FROM q, c WHERE query_id <> neighbor_id),
+      |tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ts),
+      |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rk <= $depth),
+      |e AS (SELECT vec_id, embedding FROM cemb),
+      |kqp AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+      |    FROM sf) t WHERE rk <= $IvfSelProbe AND vec_id < 10),
+      |kcand AS (
+      |  SELECT query_id, a.vec_id AS neighbor_id
+      |  FROM kqp JOIN af a USING (cell) WHERE query_id <> a.vec_id),
+      |ksc AS (
+      |  SELECT query_id, neighbor_id, ${dCosine("kqq.embedding", "kcc.embedding")} AS cosine
+      |  FROM kcand JOIN e kqq ON kqq.vec_id = query_id JOIN e kcc ON kcc.vec_id = neighbor_id),
+      |krt AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM ksc) t WHERE rank <= $depth),
+      |mq AS (SELECT vec_id AS query_id, t, sig FROM msv WHERE vec_id < 10),
+      |mcand AS (
+      |  SELECT DISTINCT query_id, d.vec_id AS neighbor_id
+      |  FROM mq JOIN msv d USING (t, sig) WHERE query_id <> d.vec_id),
+      |msc AS (
+      |  SELECT query_id, neighbor_id, ${dCosine("mqq.embedding", "mcc.embedding")} AS cosine
+      |  FROM mcand JOIN e mqq ON mqq.vec_id = query_id JOIN e mcc ON mcc.vec_id = neighbor_id),
+      |mrt AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM msc) t WHERE rank <= $depth)""".stripMargin
+  }
+
   private def dLshIntCtes(src: String = "embeddings"): String = {
     import graft.llm.Similarity
     val (nTables, nBits) = (Similarity.MpTables, Similarity.MpBits)
@@ -4426,17 +4486,11 @@ object SparkEntry {
         |FROM allarms""".stripMargin
     },
 
-    // q161: the planted-cluster fixture (cemb — the same IEEE
-    // anchor + 0.2·v derivation as Similarity.plantedClusters), truth
-    // re-derived over it, and the two SELECTIVE arms: k-means IVF at
-    // probe 2/store 1 (store 1 ⇒ af IS the assignment, no distinct —
-    // mirrors the Spark fused path's duplicate-free candidates) and
-    // single-probe integer LSH (msv joined to itself, no mask CTE).
-    // Both gates replayed: mean recall ≥ 0.9 AND mean candidate
-    // volume ≤ 20% of the corpus.
+    // q161: the shared [[dSelArmCtes]] fixture/truth/arm stack at
+    // depth 5, then the recall + candidate-volume layer. Both gates
+    // replayed: mean recall ≥ 0.9 AND mean candidate volume ≤ 20% of
+    // the corpus.
     "q161_ann_selectivity" -> {
-      import graft.llm.Similarity.{Dims, IvfKmeansCells, IvfKmeansIters,
-        IvfSelProbe}
       def arm(name: String, annCte: String, candCte: String): String =
         s"""SELECT '$name' AS idx, x.query_id, x.n_true, x.n_hit, x.recall_ppm,
            |  CAST(COALESCE(cc.n_cand, 0) AS BIGINT) AS n_cand
@@ -4451,47 +4505,11 @@ object SparkEntry {
            |  GROUP BY 1) x
            |LEFT JOIN (SELECT query_id, COUNT(*) AS n_cand FROM $candCte GROUP BY 1) cc
            |  ON cc.query_id = x.query_id""".stripMargin
-      s"""WITH cemb AS (
-        |  SELECT e.vec_id,
-        |    list_transform(generate_series(1, $Dims),
-        |      i -> a.embedding[i]::DOUBLE + 0.2 * e.embedding[i]::DOUBLE) AS embedding
-        |  FROM embeddings e JOIN embeddings a ON a.vec_id = e.vec_id % 10),
-        |${dLshIntCtes("cemb")},
-        |${dKMeansCtes(IvfKmeansCells, IvfKmeansIters, Dims, "cemb")},
-        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM cemb WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM cemb),
-        |ts AS (
-        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
-        |  FROM q, c WHERE query_id <> neighbor_id),
-        |tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ts),
-        |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rk <= 5),
-        |e AS (SELECT vec_id, embedding FROM cemb),
-        |kqp AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM (
-        |    SELECT vec_id, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
-        |    FROM sf) t WHERE rk <= $IvfSelProbe AND vec_id < 10),
-        |kcand AS (
-        |  SELECT query_id, a.vec_id AS neighbor_id
-        |  FROM kqp JOIN af a USING (cell) WHERE query_id <> a.vec_id),
-        |ksc AS (
-        |  SELECT query_id, neighbor_id, ${dCosine("kqq.embedding", "kcc.embedding")} AS cosine
-        |  FROM kcand JOIN e kqq ON kqq.vec_id = query_id JOIN e kcc ON kcc.vec_id = neighbor_id),
-        |kr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ksc),
-        |kann AS (SELECT query_id, neighbor_id FROM kr WHERE rk <= 5),
-        |mq AS (SELECT vec_id AS query_id, t, sig FROM msv WHERE vec_id < 10),
-        |mcand AS (
-        |  SELECT DISTINCT query_id, d.vec_id AS neighbor_id
-        |  FROM mq JOIN msv d USING (t, sig) WHERE query_id <> d.vec_id),
-        |msc AS (
-        |  SELECT query_id, neighbor_id, ${dCosine("mqq.embedding", "mcc.embedding")} AS cosine
-        |  FROM mcand JOIN e mqq ON mqq.vec_id = query_id JOIN e mcc ON mcc.vec_id = neighbor_id),
-        |mr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM msc),
-        |mann AS (SELECT query_id, neighbor_id FROM mr WHERE rk <= 5),
+      s"""WITH ${dSelArmCtes(5)},
         |allarms AS (
-        |${arm("ivf_km_sel", "kann", "kcand")}
+        |${arm("ivf_km_sel", "krt", "kcand")}
         |UNION ALL
-        |${arm("lsh_sel", "mann", "mcand")}),
+        |${arm("lsh_sel", "mrt", "mcand")}),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_n FROM cemb)
         |SELECT idx, query_id, n_true, n_hit, recall_ppm, n_cand, corpus_n,
         |  CAST(floor(AVG(recall_ppm) OVER (PARTITION BY idx)) AS BIGINT) AS mean_recall_ppm,
@@ -4503,14 +4521,12 @@ object SparkEntry {
         |FROM allarms, n""".stripMargin
     },
 
-    // q165: q161's fixture + arm stacks at depth 10, then the IR-metric
-    // layer — rel flags from the truth join, first_rel_rank, the
-    // rank-ordered 1/ln(rank+1) DCG fold (list_reduce, q91 pattern),
-    // the ideal fold over generate_series, per-query floor-ppm nDCG,
-    // and window means over exact integers.
+    // q165: the shared [[dSelArmCtes]] fixture/truth/arm stack at
+    // depth 10, then the IR-metric layer — rel flags from the truth
+    // join, first_rel_rank, the rank-ordered 1/ln(rank+1) DCG fold
+    // (list_reduce, q91 pattern), the ideal fold over generate_series,
+    // per-query floor-ppm nDCG, and window means over exact integers.
     "q165_retrieval_metrics" -> {
-      import graft.llm.Similarity.{Dims, IvfKmeansCells, IvfKmeansIters,
-        IvfSelProbe}
       def arm(name: String, rkCte: String): String =
         s"""SELECT '$name' AS idx, p.query_id, p.n_rel,
            |  CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
@@ -4530,48 +4546,8 @@ object SparkEntry {
            |      ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id) h
            |  GROUP BY 1) p
            |JOIN nt USING (query_id)""".stripMargin
-      s"""WITH cemb AS (
-        |  SELECT e.vec_id,
-        |    list_transform(generate_series(1, $Dims),
-        |      i -> a.embedding[i]::DOUBLE + 0.2 * e.embedding[i]::DOUBLE) AS embedding
-        |  FROM embeddings e JOIN embeddings a ON a.vec_id = e.vec_id % 10),
-        |${dLshIntCtes("cemb")},
-        |${dKMeansCtes(IvfKmeansCells, IvfKmeansIters, Dims, "cemb")},
-        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM cemb WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM cemb),
-        |ts AS (
-        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
-        |  FROM q, c WHERE query_id <> neighbor_id),
-        |tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM ts),
-        |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rk <= 10),
+      s"""WITH ${dSelArmCtes(10)},
         |nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1),
-        |e AS (SELECT vec_id, embedding FROM cemb),
-        |kqp AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM (
-        |    SELECT vec_id, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
-        |    FROM sf) t WHERE rk <= $IvfSelProbe AND vec_id < 10),
-        |kcand AS (
-        |  SELECT query_id, a.vec_id AS neighbor_id
-        |  FROM kqp JOIN af a USING (cell) WHERE query_id <> a.vec_id),
-        |ksc AS (
-        |  SELECT query_id, neighbor_id, ${dCosine("kqq.embedding", "kcc.embedding")} AS cosine
-        |  FROM kcand JOIN e kqq ON kqq.vec_id = query_id JOIN e kcc ON kcc.vec_id = neighbor_id),
-        |krt AS (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |    FROM ksc) t WHERE rank <= 10),
-        |mq AS (SELECT vec_id AS query_id, t, sig FROM msv WHERE vec_id < 10),
-        |mcand AS (
-        |  SELECT DISTINCT query_id, d.vec_id AS neighbor_id
-        |  FROM mq JOIN msv d USING (t, sig) WHERE query_id <> d.vec_id),
-        |msc AS (
-        |  SELECT query_id, neighbor_id, ${dCosine("mqq.embedding", "mcc.embedding")} AS cosine
-        |  FROM mcand JOIN e mqq ON mqq.vec_id = query_id JOIN e mcc ON mcc.vec_id = neighbor_id),
-        |mrt AS (
-        |  SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |    FROM msc) t WHERE rank <= 10),
         |allarms AS (
         |${arm("ivf_km_sel", "krt")}
         |UNION ALL

@@ -175,17 +175,9 @@ object DailyJob {
     * scanning it; older versions are GC'd on the next merge.
     */
   def mergeHistoryVersioned(spark: SparkSession, root: String,
-                            sessions: DataFrame): Unit = {
-    import graft.sources.Versioned
-    val cur = Versioned.current(spark, root)
-    val existing = cur.map(v => GaPipeline.loadHistory(spark, s"$root/$v"))
-      .getOrElse(GaPipeline.loadHistory(spark, s"$root/__nonexistent"))
-    val merged = graft.operators.Upsert.upsert(existing, sessions,
+                            sessions: DataFrame): Unit =
+    graft.sources.Versioned.upsertPublish(spark, root, sessions,
       Seq("fullVisitorId", "visitId"))
-    val next = Versioned.nextName(cur)
-    merged.write.mode("overwrite").parquet(s"$root/$next")
-    Versioned.publish(spark, root, next, cur)
-  }
 
   /** Resolve the versioned history through its pointer — the read side
     * of [[mergeHistoryVersioned]]; empty (schema-correct) history when

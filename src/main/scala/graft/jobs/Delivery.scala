@@ -32,9 +32,14 @@ import graft.sources.Versioned
   */
 object Delivery {
 
-  /** Fixed entry mtime (2000-01-01T00:00Z): zip's DOS-time epoch
-    * starts in 1980, so "zero" must be a post-1980 constant. */
-  private val EntryTimeMs = 946684800000L
+  /** Fixed entry mtime (2000-01-01T00:00): zip's DOS-time epoch starts
+    * in 1980, so "zero" must be a post-1980 constant. A LOCAL date-time
+    * because `ZipEntry.setTime(millis)` converts through the JVM
+    * default TimeZone — the same CSVs zipped under UTC vs a western
+    * zone would differ in the entry timestamp bytes, breaking the
+    * cross-machine checksum contract; `setTimeLocal` writes these DOS
+    * fields verbatim, timezone-independent. */
+  private val EntryTime = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
 
   val LedgerTables: Seq[String] =
     Seq("sessions", "pageviews", "products", "events")
@@ -69,7 +74,7 @@ object Delivery {
     val zos = new ZipOutputStream(Files.newOutputStream(JPaths.get(zipPath)))
     try found.foreach { case (name, f) =>
       val e = new ZipEntry(name)
-      e.setTime(EntryTimeMs)
+      e.setTimeLocal(EntryTime)
       zos.putNextEntry(e)
       Files.copy(f.toPath, zos)
       zos.closeEntry()
@@ -107,15 +112,7 @@ object Delivery {
       "success"))
       .toDF("year", "uploaded_at", "compressed_files",
         "uploaded_file_name", "status")
-    val existing = {
-      val cur = Versioned.current(spark, root)
-      cur.map(v => spark.read.parquet(s"$root/$v")).getOrElse(row.limit(0))
-    }
-    val merged = graft.operators.Upsert.upsert(existing, row,
-      Seq("uploaded_file_name"))
-    val cur = Versioned.current(spark, root)
-    val next = Versioned.nextName(cur)
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$root/$next")
-    Versioned.publish(spark, root, next, cur)
+    Versioned.upsertPublish(spark, root, row, Seq("uploaded_file_name"),
+      coalesce1 = true)
   }
 }

@@ -13,6 +13,7 @@ import graft.sources.Versioned
   *   <root>/_CURRENT                    pointer ([[Versioned]])
   *   <root>/v=NNNNNNNN/centroids/       (cell, centroid) — k·dims rows
   *   <root>/v=NNNNNNNN/assignments/     cell=N/ (vec_id, embedding)
+  *   <root>/v=NNNNNNNN/_meta            build-time constants (store, quantized)
   *
   * The assignments tree IS the inverted-list layout (faiss IVF-Flat):
   * each vector's row — id AND embedding — lives under its cell's
@@ -64,19 +65,35 @@ object VectorIndex {
     assignRows(vecs, cents, store, quantized)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/$next/assignments")
+    // build-time constants travel WITH the version: append must reuse
+    // the exact store/quantized the lists were written under, and
+    // deriving them from the data itself is both O(index) per append
+    // and wrong under a retried (duplicated) append batch
+    writeMeta(spark, s"$root/$next/_meta", store, quantized)
     Versioned.publish(spark, root, next, cur)
   }
 
   /** Admit a new vector batch into the current version: assign to the
     * EXISTING centroids, additive write into the touched cell
-    * partitions (no version swap — see the lifecycle note above). */
+    * partitions (no version swap — see the lifecycle note above).
+    *
+    * Concurrency contract: builds and appends are ONE writer at a time
+    * (the caller serializes them — e.g. the foreachBatch loop that owns
+    * the index). A [[build]] that PUBLISHES while an append is writing
+    * would strand the batch in the superseded version; the post-write
+    * pointer check below turns that near-miss into a loud failure so
+    * an at-least-once caller re-appends into the new version. */
   def append(spark: SparkSession, vecs: DataFrame, root: String): Unit = {
     val (v, cents) = centroids(spark, root)
     if (cents.isEmpty) return // empty index: nothing to assign against
-    val quantized = isQuantized(spark, root, v)
-    assignRows(vecs, cents, storeOf(spark, root, v), quantized)
+    val (store, quantized) = readMeta(spark, s"$root/$v/_meta")
+    assignRows(vecs, cents, store, quantized)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$root/$v/assignments")
+    val after = Versioned.current(spark, root)
+    require(after.contains(v),
+      s"index version changed during append ($v -> ${after.orNull}): " +
+        "the batch landed in the superseded version — re-append it")
   }
 
   /** Top-k per query vector in `queries` (vec_id, embedding), probing
@@ -145,16 +162,34 @@ object VectorIndex {
       explode(Similarity.topCells(col("embedding"), cents, store)).as("cell"))
   }
 
-  private def isQuantized(spark: SparkSession, root: String,
-                          v: String): Boolean =
-    spark.read.parquet(s"$root/$v/assignments")
-      .schema.fieldNames.contains("q8")
+  /** Build-time constants of a version, as a tiny `_meta` text file
+    * (`store=N`/`quantized=B` lines) — Hadoop-FS IO so the artifact
+    * works on s3a/hdfs roots like the trees it describes. */
+  private def writeMeta(spark: SparkSession, path: String,
+                        store: Int, quantized: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"store=$store\nquantized=$quantized\n".getBytes("UTF-8"))
+    finally out.close()
+  }
 
-  /** Recover the version's `store` from its own data: the max cells
-    * any vector is stored under (1 row, column-pruned aggregate). */
-  private def storeOf(spark: SparkSession, root: String, v: String): Int = {
-    val r = spark.read.parquet(s"$root/$v/assignments")
-      .groupBy("vec_id").count().agg(max("count")).first()
-    if (r.isNullAt(0)) 1 else r.getLong(0).toInt
+  private def readMeta(spark: SparkSession, path: String): (Int, Boolean) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"index version is missing its _meta file: $path")
+    val in = fs.open(p)
+    val text = try {
+      val buf = new Array[Byte](256)
+      var n = 0
+      var r = in.read(buf, 0, buf.length)
+      while (r > 0) { n += r; r = in.read(buf, n, buf.length - n) }
+      new String(buf, 0, n, "UTF-8")
+    } finally in.close()
+    val kv = text.linesIterator.map(_.trim).filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    (kv("store").toInt, kv("quantized").toBoolean)
   }
 }

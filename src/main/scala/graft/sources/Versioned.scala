@@ -30,10 +30,13 @@ object Versioned {
     else {
       val in = fs.open(ptr)
       try {
+        // read to EOF: a single read() may legally return short (the
+        // Hadoop stream contract), which would truncate the pointer
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
-          .filter(_.nonEmpty)
+        var n = 0
+        var r = in.read(buf, 0, buf.length)
+        while (r > 0) { n += r; r = in.read(buf, n, buf.length - n) }
+        Some(new String(buf, 0, n, "UTF-8").trim).filter(_.nonEmpty)
       } finally in.close()
     }
   }
@@ -60,5 +63,25 @@ object Versioned {
     fs.listStatus(rootP).map(_.getPath)
       .filter(p => p.getName.startsWith("v=") && !keep(p.getName))
       .foreach(p => fs.delete(p, true))
+  }
+
+  /** The full keyed-MERGE lifecycle over a versioned table — resolve
+    * current, load (or bootstrap from `batch.limit(0)`), upsert the
+    * batch by `keys`, write the next version, publish. The one
+    * implementation behind [[graft.jobs.DailyJob.mergeHistoryVersioned]]
+    * and [[graft.jobs.Delivery]]'s upload-state ledger, so the
+    * publish/GC/bootstrap handling can't drift between them.
+    * `coalesce1` packs ledger-sized tables into one file. */
+  def upsertPublish(spark: SparkSession, root: String,
+                    batch: org.apache.spark.sql.DataFrame,
+                    keys: Seq[String], coalesce1: Boolean = false): Unit = {
+    val cur = current(spark, root)
+    val existing = cur.map(v => spark.read.parquet(s"$root/$v"))
+      .getOrElse(batch.limit(0))
+    val merged = graft.operators.Upsert.upsert(existing, batch, keys)
+    val next = nextName(cur)
+    val out = if (coalesce1) merged.coalesce(1) else merged
+    out.write.mode("overwrite").parquet(s"$root/$next")
+    publish(spark, root, next, cur)
   }
 }

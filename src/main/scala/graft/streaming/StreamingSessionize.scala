@@ -67,7 +67,12 @@ object StreamingSessionize {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.end < gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                  // min-start: a watermark-admitted event can still be
+                  // OLDER than the open session's start (cross-batch
+                  // late data); the session's bounds must contain every
+                  // event it counts
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed += SessionOut(userId, s.start, s.end, s.n)
                   cur = Some(SessionState(t, t, 1))
@@ -95,10 +100,16 @@ object StreamingSessionize {
     * aggregate, so timeout just drops state (no duplicate emission).
     *
     * Caveat the caller owns: a late event OLDER than the open
-    * session's start re-keys the session (new session_start_ms), which
-    * a keyed merge stores as a second row; within-gap FORWARD
-    * extension — the overwhelmingly common late case — updates in
-    * place. Reconciling backward shifts is the q158 compactor's job.
+    * session's start MERGES into it with a min'd start — the session's
+    * bounds always contain every event it counts, but the re-key (new
+    * session_start_ms) means a keyed merge stores a second row and the
+    * provisional row under the old start goes stale; and because the
+    * one-open-session state cannot retroactively split, an admitted
+    * event more than a gap before the start is absorbed rather than
+    * opening its own earlier session. Within-gap FORWARD extension —
+    * the overwhelmingly common late case — updates in place.
+    * Reconciling stale rows/backward shifts is the q158 compactor's
+    * job (the batch recompute is the ground truth).
     */
   def withLiveState(ds: Dataset[Ev], gapMs: Long = GapMs): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
@@ -117,7 +128,11 @@ object StreamingSessionize {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.end < gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                  // min-start (see withCustomState): the re-key this
+                  // causes under the (user_id, session_start_ms) merge
+                  // key is the documented caveat below
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   out += SessionOut(userId, s.start, s.end, s.n) // final
                   cur = Some(SessionState(t, t, 1))

@@ -195,7 +195,11 @@ object MmdbToRanges {
         val r = record(buf, meta, node, side)
         val p = (prefix << 1) | side
         if (r < meta.nodeCount) {
-          require(depth < 32, s"malformed tree: depth > 32 below v4 root")
+          // an INTERIOR node's children must still have room for a leaf
+          // below them: interior prefix length (depth + 1) caps at 31,
+          // else a /33 "leaf" would later shift by a negative span and
+          // emit a garbage range BEFORE any guard fired
+          require(depth < 31, s"malformed tree: interior node below /31")
           stack = (r, p, depth + 1) :: stack
         } else if (r > meta.nodeCount) {
           val span = 32 - (depth + 1)
