@@ -896,6 +896,35 @@ object SparkEntry {
         .withColumn("mean_ndcg_ppm", floor(avg(col("ndcg_ppm")).over(w)).cast("long"))
     }),
 
+    // DSIR importance resampling (Xie et al. '23): select k=100 docs
+    // from the raw corpus with P ∝ the hashed-n-gram importance weight
+    // toward the English subset as the target distribution — the
+    // label-free quality-selection knob between q80's declared mixture
+    // and a trained classifier. Deterministic end-to-end (md5 Gumbel
+    // keys, bucket-sorted folds), so the SELECTED SET itself
+    // hash-gates; gate_enriched asserts the selection actually moved
+    // the corpus toward the target (selected target fraction > raw
+    // target fraction).
+    "q166_dsir_select" -> ((s, dir) => {
+      import graft.llm.Dsir
+      val docs = Tables.documents(s, dir)
+      val scored = Dsir.score(docs, col("doc_id"), col("text"),
+        col("lang") === "en")
+      // 100 rows feeding two consumers; callers clearCache after
+      val sel = Dsir.resample(scored, k = 100).persist()
+      val selFrac = sel.agg(floor(lit(1000000.0) *
+        avg(col("is_target").cast("int"))).cast("long").as("sel_t_ppm"))
+      val rawFrac = scored.agg(floor(lit(1000000.0) *
+        avg(col("is_target").cast("int"))).cast("long").as("raw_t_ppm"))
+      sel
+        .crossJoin(broadcast(selFrac)) // broadcast scalars, not cartesians
+        .crossJoin(broadcast(rawFrac))
+        .select(col("doc_id"), col("is_target"), col("n_feats"),
+          floor(lit(1000000.0) * col("log_weight")).cast("long").as("lw_ppm"),
+          col("rank"), col("sel_t_ppm"), col("raw_t_ppm"),
+          (col("sel_t_ppm") > col("raw_t_ppm")).as("gate_enriched"))
+    }),
+
     // Int8 embedding quantization (the vector pipeline's compressor —
     // candidate stages read 4x-smaller vectors): per-row math only, no
     // shuffle; checksums hash-check every quantized component via the
@@ -4556,6 +4585,74 @@ object SparkEntry {
         |  CAST(floor(AVG(rr_ppm) OVER (PARTITION BY idx)) AS BIGINT) AS mean_rr_ppm,
         |  CAST(floor(AVG(ndcg_ppm) OVER (PARTITION BY idx)) AS BIGINT) AS mean_ndcg_ppm
         |FROM allarms""".stripMargin
+    },
+
+    // q166: the DSIR chain replayed — q91's token/bigram construction
+    // (UNION ALL of the two unnests = the engine's concatenated
+    // feature array), md5-bucket counts, the smoothed log-ratio table,
+    // the bucket-sorted list_reduce fold (q91 pattern), Gumbel keys
+    // from the same md5 u, ROW_NUMBER mirroring the bounded-heap
+    // struct order (key DESC, doc_id DESC), and the two ppm fractions.
+    "q166_dsir_select" -> {
+      import graft.llm.Dsir.{Alpha, Buckets}
+      val am = Alpha * Buckets
+      s"""WITH base AS (
+        |  SELECT doc_id, (lang = 'en') AS t,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ff AS (
+        |  SELECT doc_id, t, unnest(toks) AS f FROM base
+        |  UNION ALL
+        |  SELECT doc_id, t, unnest(list_transform(generate_series(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS f
+        |  FROM base),
+        |tf AS (
+        |  SELECT doc_id, t, ${dMd5Long("f")} % $Buckets AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM ff GROUP BY 1, 2, 3),
+        |btab AS (
+        |  SELECT b, CAST(SUM(tf) AS BIGINT) AS cr,
+        |    CAST(SUM(CASE WHEN t THEN tf ELSE 0 END) AS BIGINT) AS ct
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+        |               CAST(SUM(ct) AS BIGINT) AS nt FROM btab),
+        |lr AS (
+        |  SELECT b,
+        |    (ln((CAST(ct AS DOUBLE) + $Alpha) / (CAST(nt AS DOUBLE) + $am)) -
+        |     ln((CAST(cr AS DOUBLE) + $Alpha) / (CAST(nr AS DOUBLE) + $am))) AS lr
+        |  FROM btab CROSS JOIN tot),
+        |co AS (SELECT doc_id, b, tf, CAST(tf AS DOUBLE) * lr AS c
+        |       FROM tf JOIN lr USING (b)),
+        |sm AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feats,
+        |    list_reduce(list(c ORDER BY b), (a, x) -> a + x) AS lw
+        |  FROM co GROUP BY 1),
+        |sc AS (
+        |  SELECT d.doc_id, d.t AS is_target,
+        |    COALESCE(sm.n_feats, 0) AS n_feats,
+        |    COALESCE(sm.lw, 0.0) AS log_weight
+        |  FROM (SELECT doc_id, t FROM base) d LEFT JOIN sm USING (doc_id)),
+        |ky AS (
+        |  SELECT *, log_weight - ln(-ln(
+        |    (${dMd5Long("doc_id::VARCHAR||'dsir'")}::DOUBLE + 0.5) /
+        |    1152921504606846976.0)) AS key
+        |  FROM sc),
+        |rk AS (
+        |  SELECT doc_id, is_target, n_feats, log_weight,
+        |    CAST(row_number() OVER (ORDER BY key DESC, doc_id DESC) AS BIGINT) AS rank
+        |  FROM ky),
+        |sel AS (SELECT * FROM rk WHERE rank <= 100),
+        |sfr AS (SELECT CAST(floor(1000000.0 *
+        |          AVG(CASE WHEN is_target THEN 1 ELSE 0 END)) AS BIGINT) AS sel_t_ppm
+        |        FROM sel),
+        |rfr AS (SELECT CAST(floor(1000000.0 *
+        |          AVG(CASE WHEN is_target THEN 1 ELSE 0 END)) AS BIGINT) AS raw_t_ppm
+        |        FROM sc)
+        |SELECT doc_id, is_target, n_feats,
+        |  CAST(floor(1000000.0 * log_weight) AS BIGINT) AS lw_ppm,
+        |  rank, sel_t_ppm, raw_t_ppm,
+        |  (sel_t_ppm > raw_t_ppm) AS gate_enriched
+        |FROM sel CROSS JOIN sfr CROSS JOIN rfr""".stripMargin
     },
 
     "q35_ann_ivf" -> {
