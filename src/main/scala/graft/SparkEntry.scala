@@ -925,6 +925,32 @@ object SparkEntry {
           (col("sel_t_ppm") > col("raw_t_ppm")).as("gate_enriched"))
     }),
 
+    // Semantic decontamination: q50's n-gram check catches verbatim
+    // benchmark leakage; this catches the PARAPHRASED leak — training
+    // vectors within cosine 0.4 of any test-split vector, found with
+    // the q79 SemDeDup machinery run ACROSS the train/eval boundary
+    // only (train never self-joins; the benchmark-sized eval side
+    // broadcasts its bucket keys and vectors).
+    "q167_semantic_decontamination" -> ((s, dir) => {
+      import graft.llm.{Decontamination, Splits}
+      val vecs = Tables.embeddings(s, dir)
+      val train = vecs.filter(Splits.split(col("vec_id")) === "train")
+      val evalSet = vecs.filter(Splits.split(col("vec_id")) === "test")
+      Decontamination.semanticReport(train, evalSet, tau = 0.4)
+    }),
+
+    // Hard-negative mining — the contrastive-training prep step: per
+    // query, the top-5 most-similar DIFFERENT-label vectors (the
+    // confusable almost-positives a retriever must learn to push away)
+    // plus the separability margin vs the same-label positives. One
+    // fused corpus pass: queries broadcast, one exchange by query feeds
+    // both the negative ranking and the positive window statistics.
+    "q168_hard_negatives" -> ((s, dir) => {
+      import graft.llm.Similarity
+      Similarity.hardNegatives(Tables.embeddings(s, dir),
+        col("vec_id") < 10, 5)
+    }),
+
     // Int8 embedding quantization (the vector pipeline's compressor —
     // candidate stages read 4x-smaller vectors): per-row math only, no
     // shuffle; checksums hash-check every quantized component via the
@@ -4654,6 +4680,61 @@ object SparkEntry {
         |  (sel_t_ppm > raw_t_ppm) AS gate_enriched
         |FROM sel CROSS JOIN sfr CROSS JOIN rfr""".stripMargin
     },
+
+    // q167: the q27 LSH CTEs split by the q43 md5-bucket predicate on
+    // vec_id (< 80 train, >= 90 test), cross-set-only candidate join,
+    // exact cosine, per-train-doc report.
+    "q167_semantic_decontamination" -> {
+      val b = dMd5Long("vec_id::VARCHAR") + " % 100"
+      s"""WITH $dLshCtes,
+        |tb AS (SELECT vec_id AS train_id, t, sig FROM sv WHERE $b < 80),
+        |eb AS (SELECT vec_id AS eval_id, t, sig FROM sv WHERE $b >= 90),
+        |cand AS (SELECT DISTINCT train_id, eval_id FROM tb JOIN eb USING (t, sig)),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |sc AS (
+        |  SELECT train_id, eval_id,
+        |    ${dCosine("ta.embedding", "ev.embedding")} AS cosine
+        |  FROM cand JOIN e ta ON ta.vec_id = train_id
+        |  JOIN e ev ON ev.vec_id = eval_id)
+        |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+        |  CAST(SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  MAX(cosine) AS max_cosine,
+        |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
+        |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q168: q26's brute CTE stack, label-aware — negatives ranked per
+    // (query, side), positive stats as window aggregates over the same
+    // partition, floor-ppm integers throughout.
+    "q168_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS ce
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |    CAST(floor(1000000.0 * ${dCosine("qe", "ce")}) AS BIGINT) AS cos_ppm,
+        |    (neighbor_label = query_label) AS is_pos
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |w AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id, is_pos
+        |      ORDER BY cos_ppm DESC, neighbor_id) AS rk,
+        |    SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY query_id) AS n_pos,
+        |    SUM(CASE WHEN is_pos THEN cos_ppm ELSE 0 END)
+        |      OVER (PARTITION BY query_id) AS sum_pos,
+        |    MAX(CASE WHEN NOT is_pos THEN cos_ppm END)
+        |      OVER (PARTITION BY query_id) AS max_neg_ppm
+        |  FROM s)
+        |SELECT query_id, query_label, CAST(rk AS BIGINT) AS rank,
+        |  neighbor_id, neighbor_label, cos_ppm,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(floor(sum_pos::DOUBLE / greatest(n_pos, 1)::DOUBLE) AS BIGINT) AS mean_pos_ppm,
+        |  max_neg_ppm,
+        |  CAST(floor(sum_pos::DOUBLE / greatest(n_pos, 1)::DOUBLE) AS BIGINT) - max_neg_ppm AS margin_ppm,
+        |  (CAST(floor(sum_pos::DOUBLE / greatest(n_pos, 1)::DOUBLE) AS BIGINT) - max_neg_ppm > 0) AS separable
+        |FROM w WHERE NOT is_pos AND rk <= 5""".stripMargin,
 
     "q35_ann_ivf" -> {
       import graft.llm.Similarity.{Dims, IvfCells, IvfProbe}

@@ -81,6 +81,45 @@ object Decontamination {
       .where(col("n_shared") >= minShared)
   }
 
+  /** SEMANTIC decontamination report — the paraphrase-robust
+    * complement of [[contaminationPairs]]: a training document whose
+    * EMBEDDING sits within cosine `tau` of any eval/benchmark vector
+    * is flagged even when it shares zero word n-grams with it (the
+    * reworded-benchmark leak the GPT-3 recipe cannot see; the
+    * retrieval-based decontamination practice, run with the q79
+    * SemDeDup machinery ACROSS the train/eval boundary).
+    *
+    * Cross-set ONLY — train never self-joins: both sides hash into the
+    * shared LSH tables ([[Similarity.bucketed]], one native pass), and
+    * because the eval side is a benchmark corpus (thousands of rows,
+    * not billions) BOTH its bucket keys and its vectors broadcast — the
+    * train side is one map-side signature pass + a broadcast bucket
+    * join + a broadcast vector join; no train-sized shuffle anywhere
+    * (the [[contaminationPairs]] scale argument, embedding-shaped).
+    *
+    * Per train doc with ≥1 bucket collision: `n_cand` candidates,
+    * `n_hits` at `tau`, `max_cosine`, and the `contaminated` flag. */
+  def semanticReport(train: DataFrame, evalSet: DataFrame,
+                     tau: Double): DataFrame = {
+    val tb = Similarity.bucketed(train)
+    val eb = Similarity.bucketed(evalSet)
+    val cand = tb.select(col("vec_id").as("train_id"), col("t"), col("sig"))
+      .join(broadcast(eb.select(col("vec_id").as("eval_id"), col("t"),
+        col("sig"))), Seq("t", "sig"))
+      .select("train_id", "eval_id").distinct()
+    val scored = cand
+      .join(train.select(col("vec_id").as("train_id"),
+        col("embedding").as("ea")), "train_id")
+      .join(broadcast(evalSet.select(col("vec_id").as("eval_id"),
+        col("embedding").as("eb"))), "eval_id")
+      .withColumn("cosine", round(Similarity.cosineD(col("ea"), col("eb")), 6))
+    scored.groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("cosine") >= tau, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cosine")).as("max_cosine"))
+      .withColumn("contaminated", col("n_hits") >= 1L)
+  }
+
   /** The train corpus with contaminated documents removed (anti-join
     * against the flagged set — the small side by construction). */
   def decontaminated(train: DataFrame, trainId: Column, trainText: Column,

@@ -521,4 +521,57 @@ object Similarity {
   /** LSH candidates (same bucket in any table) + exact cosine rerank. */
   def lshTopK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame =
     rerankTopK(vecs, lshCandidatePairs(vecs, queryPred), k)
+
+  /** HARD-NEGATIVE mining — the contrastive-training prep step (DPR /
+    * ANCE style): for each query vector, the top-`k` most similar
+    * corpus vectors with a DIFFERENT `label` (the confusable
+    * almost-positives a bi-encoder must learn to push away), plus the
+    * per-query separability diagnostic: mean cosine to the SAME-label
+    * positives vs the hardest negative's cosine, their margin, and the
+    * `separable` flag (margin > 0 — in-batch negatives would suffice;
+    * margin ≤ 0 means the mined negatives are genuinely needed).
+    *
+    * Shape: [[bruteForceTopK]]'s exact plan, label-aware and fused —
+    * the bounded query set broadcasts, ONE pass scores every (query,
+    * vector) pair, and one exchange on `query_id` feeds both the
+    * negative ranking (windowed per (query, side)) and the positive
+    * statistics (window aggregates over the same partition) — the
+    * positives are never re-scored in a second corpus pass. All
+    * quantities land as exact integers (floor-ppm cosines, long sums,
+    * floor of a long/long double division), so the mined set AND the
+    * margins hash-gate against the oracle.
+    */
+  def hardNegatives(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = vecs.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("label").as("query_label"), col("embedding").as("qe"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        floor(lit(1000000.0) * round(cosineD(col("qe"), col("ce")), 6))
+          .cast("long").as("cos_ppm"),
+        (col("neighbor_label") === col("query_label")).as("is_pos"))
+    val byQuery = Window.partitionBy(col("query_id"))
+    val bySide = Window.partitionBy(col("query_id"), col("is_pos"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(bySide).cast("long"))
+      .withColumn("n_pos",
+        sum(when(col("is_pos"), 1L).otherwise(0L)).over(byQuery))
+      .withColumn("sum_pos",
+        sum(when(col("is_pos"), col("cos_ppm")).otherwise(0L)).over(byQuery))
+      .withColumn("max_neg_ppm",
+        max(when(!col("is_pos"), col("cos_ppm"))).over(byQuery))
+      .where(!col("is_pos") && col("rank") <= k)
+      .withColumn("mean_pos_ppm",
+        floor(col("sum_pos").cast("double") /
+          greatest(col("n_pos"), lit(1L)).cast("double")).cast("long"))
+      .withColumn("margin_ppm", col("mean_pos_ppm") - col("max_neg_ppm"))
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cos_ppm"),
+        col("n_pos"), col("mean_pos_ppm"), col("max_neg_ppm"),
+        col("margin_ppm"), (col("margin_ppm") > 0L).as("separable"))
+  }
 }

@@ -419,6 +419,36 @@ class LlmTextSpec extends SparkTestBase {
     assert(strict == 0)
   }
 
+  test("semantic decontamination: cross-set only, paraphrase caught, eval side broadcasts") {
+    import graft.llm.Decontamination
+    val dims = graft.llm.Similarity.Dims
+    def vec(seed: Int): Seq[Double] =
+      (0 until dims).map(i => math.sin(seed * 31.0 + i)).toSeq
+    def near(v: Seq[Double]): Seq[Double] =
+      v.zipWithIndex.map { case (x, i) => x + 0.001 * math.cos(i.toDouble) }
+    val e1 = vec(1)
+    // train: 10 ≈ eval's 100 (the paraphrase leak); 11/12 mutually
+    // near-identical (a train-side dup that must NOT be reported);
+    // 13 unrelated
+    val train = Seq(
+      (10L, near(e1)), (11L, vec(2)), (12L, near(vec(2))), (13L, vec(9)))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, e1), (101L, vec(5)))
+      .toDF("vec_id", "embedding")
+    val rep = Decontamination.semanticReport(train, evalSet, tau = 0.9)
+    val rows = rep.select("train_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(rows(10L) == ((1L, true)), "paraphrased benchmark doc flagged")
+    // 11 ≈ 12 is a train×train pair: the report may list 11/12 only if
+    // they bucket-collide with an EVAL vector, and never as contaminated
+    rows.get(11L).foreach { case (h, c) => assert(h == 0L && !c) }
+    rows.get(12L).foreach { case (h, c) => assert(h == 0L && !c) }
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark-sized eval side must broadcast")
+  }
+
   test("line dedup drops corpus-wide boilerplate, keeps order, handles edge docs") {
     import graft.llm.LineDedup
     val boiler = "accept our cookies to continue"

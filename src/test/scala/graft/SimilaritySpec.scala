@@ -294,4 +294,32 @@ class SimilaritySpec extends SparkTestBase {
       assert(q.forall(v => v >= -127 && v <= 127))
     }
   }
+
+  test("hard negatives: different-label only, ranked, margin splits separable queries") {
+    // label 0: 1≈2 (positives); label 1: 3 leans toward 1 (the hard
+    // negative), 4 orthogonal; label 2: 5 leans toward 4 (makes query 4
+    // NON-separable: its hardest negative beats its one positive)
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.8f, 0.6f, 0.0f, 0.0f), 1),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 0.95f, 0.3f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vs, col("vec_id").isin(1L, 4L), 3)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2)) -> r).toMap
+    // query 1: negatives are 3 (cos .8), then the 4/5 tie broken by id
+    assert(Seq(1L, 2L, 3L).map(k => rows((1L, k)).getLong(3)) == Seq(3L, 4L, 5L))
+    val q1 = rows((1L, 1L))
+    assert(q1.getLong(6) == 1L, "one positive (vec 2)")
+    assert(q1.getLong(8) == 800000L, "hardest negative is vec 3 at cos 0.8")
+    assert(q1.getBoolean(10), "query 1 separable: mean positive ~.994 > .8")
+    assert(out.filter(col("query_label") === col("neighbor_label")).count() == 0)
+    // query 4: positive 3 at cos .6, hardest negative 5 at cos ~.954
+    val q4 = rows((4L, 1L))
+    assert(q4.getLong(3) == 5L && q4.getLong(9) < 0L && !q4.getBoolean(10),
+      "query 4 not separable: hard negative beats its positive")
+    // the query side broadcasts; the corpus is never shuffled pre-score
+    assert(out.queryExecution.executedPlan.toString.contains("Broadcast"))
+  }
 }
