@@ -939,6 +939,30 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // Bitext mining — margin-based parallel-pair extraction (the
+    // CCMatrix/LASER recipe): each a-side vector's best b-side match,
+    // scored by the RATIO margin against both local neighborhoods and
+    // accepted only when mutual-best AND above threshold. Exact arm =
+    // the acceptance baseline; at scale the same margin layer runs on
+    // the ANN shortlist.
+    "q170_bitext_mining" -> ((s, dir) => {
+      import graft.llm.{Bitext, Splits}
+      Bitext.mine(Tables.embeddings(s, dir),
+        Splits.md5Bucket(col("vec_id")) < 50, k = 4,
+        marginThresholdPpm = 1040000L)
+    }),
+
+    // Distributed PCA, the corpus-sized half: ONE pass folds every row
+    // into the d×d second-moment grid + first moments + count over the
+    // int8-quantized vectors (exact integers — the only way a Gram
+    // matrix can hash-gate). Map-side combined: the exchange carries
+    // the bounded grid per partition, never the corpus. The driver-side
+    // eigensolve + projection continuation is spec-gated (PcaSpec).
+    "q169_embedding_gram" -> ((s, dir) => {
+      import graft.llm.Pca
+      Pca.gramInt8(Tables.embeddings(s, dir))
+    }),
+
     // Hard-negative mining — the contrastive-training prep step: per
     // query, the top-5 most-similar DIFFERENT-label vectors (the
     // confusable almost-positives a retriever must learn to push away)
@@ -4701,6 +4725,70 @@ object SparkEntry {
         |  MAX(cosine) AS max_cosine,
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q170: the full a×b score matrix, both ranks and both conditional
+    // top-k sums as window functions, ratio margin from exact longs.
+    "q170_bitext_mining" -> {
+      val bkt = dMd5Long("vec_id::VARCHAR") + " % 100"
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ae FROM embeddings WHERE $bkt < 50),
+        |b AS (SELECT vec_id AS b_id, embedding AS be FROM embeddings WHERE $bkt >= 50),
+        |s AS (
+        |  SELECT a_id, b_id,
+        |    CAST(floor(1000000.0 * ${dCosine("ae", "be")}) AS BIGINT) AS cos_ppm
+        |  FROM a, b),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id) AS rk_a,
+        |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id) AS rk_b
+        |  FROM s),
+        |w AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN rk_a <= 4 THEN cos_ppm END) OVER (PARTITION BY a_id) AS sum_a,
+        |    SUM(CASE WHEN rk_b <= 4 THEN cos_ppm END) OVER (PARTITION BY b_id) AS sum_b
+        |  FROM r),
+        |m AS (
+        |  SELECT *, CAST(floor(1000000.0 * (8 * cos_ppm)::DOUBLE
+        |    / greatest(sum_a + sum_b, 1)::DOUBLE) AS BIGINT) AS margin_ppm
+        |  FROM w WHERE rk_a = 1)
+        |SELECT a_id, b_id, cos_ppm,
+        |  CAST(sum_a AS BIGINT) AS sum_nn_a, CAST(sum_b AS BIGINT) AS sum_nn_b,
+        |  margin_ppm, (rk_b = 1) AS mutual,
+        |  ((rk_b = 1) AND margin_ppm >= 1040000) AS accepted
+        |FROM m""".stripMargin
+    },
+
+    // q169: q72's quantization CTE, then the moment grid via two
+    // generate_series laterals (upper triangle), the linear row, and
+    // the count row — all exact integers.
+    "q169_embedding_gram" -> {
+      val d = graft.llm.Similarity.Dims
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) * 127 / CAST(scale AS DOUBLE)) AS BIGINT)) END AS ql
+        |  FROM e),
+        |p AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+        |    CAST(SUM(ql[i] * ql[j]) AS BIGINT) AS g
+        |  FROM q, generate_series(1, $d) t1(i), generate_series(1, $d) t2(j)
+        |  WHERE j >= i GROUP BY 1, 2),
+        |l AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS di, CAST(-1 AS BIGINT) AS dj,
+        |    CAST(SUM(ql[i]) AS BIGINT) AS g
+        |  FROM q, generate_series(1, $d) t1(i) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(-1 AS BIGINT) AS di, CAST(-1 AS BIGINT) AS dj,
+        |    CAST(COUNT(*) AS BIGINT) AS g
+        |  FROM q)
+        |SELECT di, dj, g FROM p
+        |UNION ALL SELECT di, dj, g FROM l
+        |UNION ALL SELECT di, dj, g FROM c""".stripMargin
     },
 
     // q168: q26's brute CTE stack, label-aware — negatives ranked per

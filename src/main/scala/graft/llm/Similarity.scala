@@ -554,8 +554,12 @@ object Similarity {
           .cast("long").as("cos_ppm"),
         (col("neighbor_label") === col("query_label")).as("is_pos"))
     val byQuery = Window.partitionBy(col("query_id"))
-    val bySide = Window.partitionBy(col("query_id"), col("is_pos"))
-      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    // negatives sort before positives (false < true), so within the
+    // single query_id partition row_number IS the per-side negative
+    // rank for every row that survives the filter — ONE exchange
+    // serves the ranking and all three partition-frame aggregates
+    val bySide = Window.partitionBy(col("query_id"))
+      .orderBy(col("is_pos").asc, col("cos_ppm").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(bySide).cast("long"))
       .withColumn("n_pos",

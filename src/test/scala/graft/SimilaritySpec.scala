@@ -322,4 +322,32 @@ class SimilaritySpec extends SparkTestBase {
     // the query side broadcasts; the corpus is never shuffled pre-score
     assert(out.queryExecution.executedPlan.toString.contains("Broadcast"))
   }
+
+  test("bitext mining: mutual-best gate, ratio margin rewards isolated matches") {
+    import graft.llm.Bitext
+    // A = {1, 2}, B = {101, 102, 103}. b101 is the close match for BOTH
+    // a-vectors, but a1 is strictly closer — so (a1, b101) is mutual and
+    // (a2, b101) is forward-only and must be rejected despite its cosine.
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (101L, Seq(0.95f, 0.05f, 0.0f, 0.0f), 0),
+      (102L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (103L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Bitext.mine(vs, col("vec_id") < 100L, k = 2,
+      marginThresholdPpm = 1040000L)
+      .orderBy("a_id").collect()
+    assert(out.length == 2, "one row per a-side vector")
+    val Array(r1, r2) = out
+    assert(r1.getLong(1) == 101L && r2.getLong(1) == 101L,
+      "both forward-bests point at b101")
+    assert(r1.getBoolean(6) && r1.getBoolean(7),
+      "(a1, b101) is mutual and clears the ratio margin")
+    assert(!r2.getBoolean(6) && !r2.getBoolean(7),
+      "(a2, b101) is forward-only: rejected")
+    assert(r1.getLong(5) > 1000000L,
+      "margin > 1: the best beats its neighborhood mean (a zero-cos " +
+        "second neighbor drags the denominator down)")
+  }
 }
