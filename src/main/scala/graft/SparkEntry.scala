@@ -939,6 +939,18 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // Poisson bootstrap — distributed error bars for a corpus metric
+    // (mean document length): every row draws a deterministic
+    // Poisson(1) multiplicity per replicate from its md5 uniform, the
+    // B=200 replicate means fold map-side, and the CI is a percentile
+    // pick over the bounded replicate set. No RNG, so the whole CI
+    // hash-gates.
+    "q171_bootstrap_ci" -> ((s, dir) => {
+      import graft.operators.Bootstrap
+      Bootstrap.meanCi(Tables.documents(s, dir), col("doc_id"),
+        length(col("text")), b = 200, lo = 5, hi = 196)
+    }),
+
     // Bitext mining — margin-based parallel-pair extraction (the
     // CCMatrix/LASER recipe): each a-side vector's best b-side match,
     // scored by the RATIO margin against both local neighborhoods and
@@ -4725,6 +4737,41 @@ object SparkEntry {
         |  MAX(cosine) AS max_cosine,
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q171: the same Poisson(1) CDF inversion on the same md5 uniform
+    // (cutoff literals interpolated from Bootstrap.Cutoffs so both
+    // engines compare the identical doubles), replicate means as exact
+    // integer ratios, CI as a list_sort percentile pick.
+    "q171_bootstrap_ci" -> {
+      import graft.operators.Bootstrap
+      val u = s"(${dMd5Long("(id || ':' || b::VARCHAR)")})::DOUBLE / 1152921504606846976.0"
+      val cases = Bootstrap.Cutoffs.zipWithIndex
+        .map { case (c, k) => s"WHEN $u < $c THEN $k" }.mkString(" ")
+      s"""WITH d AS (
+        |  SELECT doc_id::VARCHAR AS id, CAST(length(text) AS BIGINT) AS x
+        |  FROM documents),
+        |t AS (SELECT id, x, b FROM d, generate_series(0, 199) g(b)),
+        |w AS (
+        |  SELECT CAST(b AS BIGINT) AS b, x,
+        |    CAST(CASE $cases ELSE 7 END AS BIGINT) AS w
+        |  FROM t),
+        |reps AS (
+        |  SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |    CAST(SUM(w * x) AS BIGINT) AS sum_wx,
+        |    CAST(floor(1000000.0 * SUM(w * x)::DOUBLE
+        |      / greatest(SUM(w), 1)::DOUBLE) AS BIGINT) AS mean_ppm
+        |  FROM w GROUP BY 1),
+        |point AS (
+        |  SELECT CAST(floor(1000000.0 * SUM(x)::DOUBLE
+        |    / greatest(COUNT(*), 1)::DOUBLE) AS BIGINT) AS point_ppm
+        |  FROM d),
+        |ci AS (
+        |  SELECT ms[5] AS ci_lo_ppm, ms[196] AS ci_hi_ppm
+        |  FROM (SELECT list_sort(list(mean_ppm)) AS ms FROM reps) z)
+        |SELECT b, n_eff, sum_wx, mean_ppm, point_ppm, ci_lo_ppm, ci_hi_ppm,
+        |  (point_ppm >= ci_lo_ppm AND point_ppm <= ci_hi_ppm) AS covered
+        |FROM reps CROSS JOIN point CROSS JOIN ci""".stripMargin
     },
 
     // q170: the full a×b score matrix, both ranks and both conditional

@@ -82,4 +82,41 @@ class PcaSpec extends SparkTestBase {
     assert(ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-6 },
       s"eigenvalues non-increasing: $ev")
   }
+
+  test("reduced-dimension candidate generation: 64d -> 10d PCA shortlist keeps recall on clustered data") {
+    import graft.llm.Similarity
+    // the q161 fixture: 10 planted clusters — low-rank structure PCA
+    // must find; scoring in 10d is 6.4x cheaper than 64d, and the
+    // reduced-space shortlist + full-dim rerank is the classic
+    // two-stage ANN (the PQ/ADC pattern, PCA-flavored)
+    val cemb = Similarity.plantedClusters(Tables.embeddings(spark, sf))
+    val grid = Pca.gramInt8(cemb).as[(Long, Long, Long)].collect().toSeq
+    val comps = Pca.topComponents(Pca.covariance(grid), 10, iters = 60)
+    val red = Pca.project(cemb, comps).select(col("vec_id"),
+      array((1 to 10).map(k => col(s"pc$k")): _*).as("embedding"))
+    val truth = Similarity.bruteForceTopK(cemb, col("vec_id") < 10, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // coarse stage: the 10d space must preserve CLUSTER structure —
+    // shortlist members overwhelmingly share the query's cluster
+    val shortlist20 = Similarity.bruteForceTopK(red, col("vec_id") < 10, 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val purity = shortlist20
+      .filter(col("query_id") % 10 === col("neighbor_id") % 10).count()
+      .toDouble / shortlist20.count()
+    println(s"[pca-ann] 10d shortlist@20 cluster purity = $purity")
+    // fine stage: a cluster-sized 10d shortlist + full-dim rerank must
+    // retain the exact truth (the residual directions PCA drops carry
+    // the WITHIN-cluster order, so the shortlist must cover the cluster)
+    val shortlist60 = Similarity.bruteForceTopK(red, col("vec_id") < 10, 60)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(shortlist60, Seq("query_id", "neighbor_id")).count()
+    val total = truth.count()
+    assert(total > 0)
+    val recall = hits.toDouble / total
+    println(s"[pca-ann] 10d shortlist@60 recall of 64d truth@5 = $recall")
+    assert(purity >= 0.95,
+      s"10d shortlist must stay within the query's cluster: purity=$purity")
+    assert(recall >= 0.9,
+      s"cluster-sized 10d shortlist must retain the 64d truth@5: recall=$recall")
+  }
 }
