@@ -939,6 +939,22 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // Incremental Gram maintenance — the q148 materialized-view
+    // property, PCA-shaped: history and delta batches gram
+    // INDEPENDENTLY (deliberately at different partitionings) and
+    // merge by adding cells; the oracle computes the one-shot grid
+    // over the undivided table, so the hash gate IS the proof that a
+    // daily pipeline can maintain the covariance at O(delta + d²)
+    // instead of re-scanning the corpus.
+    "q172_gram_merge" -> ((s, dir) => {
+      import graft.llm.{Pca, Splits}
+      val emb = Tables.embeddings(s, dir)
+      val isHist = Splits.md5Bucket(col("vec_id"), 100) < 80
+      val hist = Pca.gramInt8(emb.filter(isHist).repartition(7, col("vec_id")))
+      val delta = Pca.gramInt8(emb.filter(!isHist).repartition(3))
+      Pca.mergeGrams(Seq(hist, delta))
+    }),
+
     // Poisson bootstrap — distributed error bars for a corpus metric
     // (mean document length): every row draws a deterministic
     // Poisson(1) multiplicity per replicate from its md5 uniform, the
@@ -3623,6 +3639,41 @@ object SparkEntry {
        |    / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
        |       * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))), 6)""".stripMargin
 
+  /** The one-shot exact-integer moment grid over `embeddings` (q169's
+    * mirror, and q172's: merged partial grids must equal the one-shot
+    * computation exactly): q72's quantization CTE, the upper-triangle
+    * second moments via two generate_series laterals, the linear
+    * moments, and the count row. */
+  private def dGramSql: String = {
+    val d = graft.llm.Similarity.Dims
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x))) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(round(CAST(x AS DOUBLE) * 127 / CAST(scale AS DOUBLE)) AS BIGINT)) END AS ql
+      |  FROM e),
+      |p AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+      |    CAST(SUM(ql[i] * ql[j]) AS BIGINT) AS g
+      |  FROM q, generate_series(1, $d) t1(i), generate_series(1, $d) t2(j)
+      |  WHERE j >= i GROUP BY 1, 2),
+      |l AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS di, CAST(-1 AS BIGINT) AS dj,
+      |    CAST(SUM(ql[i]) AS BIGINT) AS g
+      |  FROM q, generate_series(1, $d) t1(i) GROUP BY 1, 2),
+      |c AS (
+      |  SELECT CAST(-1 AS BIGINT) AS di, CAST(-1 AS BIGINT) AS dj,
+      |    CAST(COUNT(*) AS BIGINT) AS g
+      |  FROM q)
+      |SELECT di, dj, g FROM p
+      |UNION ALL SELECT di, dj, g FROM l
+      |UNION ALL SELECT di, dj, g FROM c""".stripMargin
+  }
+
   /** Hyperplane-LSH bucket CTEs over `embeddings`: v (per-table sig
     * columns, generated hyperplane literals) → sv (one row per table). */
   private def dLshCtes: String = {
@@ -4739,6 +4790,10 @@ object SparkEntry {
         |FROM sc GROUP BY 1""".stripMargin
     },
 
+    // q172: the one-shot q169 grid over the UNDIVIDED table — merged
+    // partial grids must equal it exactly, whatever the batch split.
+    "q172_gram_merge" -> dGramSql,
+
     // q171: the same Poisson(1) CDF inversion on the same md5 uniform
     // (cutoff literals interpolated from Bootstrap.Cutoffs so both
     // engines compare the identical doubles), replicate means as exact
@@ -4808,35 +4863,7 @@ object SparkEntry {
     // q169: q72's quantization CTE, then the moment grid via two
     // generate_series laterals (upper triangle), the linear row, and
     // the count row — all exact integers.
-    "q169_embedding_gram" -> {
-      val d = graft.llm.Similarity.Dims
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(x))) AS scale
-        |  FROM embeddings),
-        |q AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-        |         ELSE list_transform(embedding,
-        |                x -> CAST(round(CAST(x AS DOUBLE) * 127 / CAST(scale AS DOUBLE)) AS BIGINT)) END AS ql
-        |  FROM e),
-        |p AS (
-        |  SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
-        |    CAST(SUM(ql[i] * ql[j]) AS BIGINT) AS g
-        |  FROM q, generate_series(1, $d) t1(i), generate_series(1, $d) t2(j)
-        |  WHERE j >= i GROUP BY 1, 2),
-        |l AS (
-        |  SELECT CAST(i - 1 AS BIGINT) AS di, CAST(-1 AS BIGINT) AS dj,
-        |    CAST(SUM(ql[i]) AS BIGINT) AS g
-        |  FROM q, generate_series(1, $d) t1(i) GROUP BY 1, 2),
-        |c AS (
-        |  SELECT CAST(-1 AS BIGINT) AS di, CAST(-1 AS BIGINT) AS dj,
-        |    CAST(COUNT(*) AS BIGINT) AS g
-        |  FROM q)
-        |SELECT di, dj, g FROM p
-        |UNION ALL SELECT di, dj, g FROM l
-        |UNION ALL SELECT di, dj, g FROM c""".stripMargin
-    },
+    "q169_embedding_gram" -> dGramSql,
 
     // q168: q26's brute CTE stack, label-aware — negatives ranked per
     // (query, side), positive stats as window aggregates over the same

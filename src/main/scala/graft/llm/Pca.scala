@@ -60,6 +60,18 @@ object Pca {
       .agg(sum(col("t.v")).as("g"))
   }
 
+  /** Merge independently-computed [[gramInt8]] grids by adding their
+    * cells — the incremental-maintenance face of the Gram split: a
+    * daily pipeline grams only the DELTA batch and folds it into the
+    * stored grid at O(d²) cost, instead of re-scanning the corpus.
+    * Exactness is the point of the integer domain: merged partial
+    * states equal the one-shot grid bit-for-bit whatever the batch
+    * split (the q148 materialized-view property; floating Gram sums
+    * could never guarantee this). */
+  def mergeGrams(grids: Seq[DataFrame]): DataFrame =
+    grids.reduce(_ unionByName _)
+      .groupBy("di", "dj").agg(sum(col("g")).as("g"))
+
   /** Dense covariance matrix from [[gramInt8]]'s collected grid
     * (exact integers → deterministic doubles):
     * C[i][j] = G_ij/n − (s_i/n)(s_j/n). */

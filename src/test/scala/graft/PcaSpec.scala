@@ -83,6 +83,18 @@ class PcaSpec extends SparkTestBase {
       s"eigenvalues non-increasing: $ev")
   }
 
+  test("mergeGrams: any batch split merges to the one-shot grid exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val oneShot = Pca.gramInt8(emb).as[(Long, Long, Long)].collect().toSet
+    val parts = Seq(
+      emb.filter(col("vec_id") % 3 === 0).repartition(5),
+      emb.filter(col("vec_id") % 3 === 1).repartition(2, col("vec_id")),
+      emb.filter(col("vec_id") % 3 === 2))
+    val merged = Pca.mergeGrams(parts.map(Pca.gramInt8))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == oneShot)
+  }
+
   test("reduced-dimension candidate generation: 64d -> 10d PCA shortlist keeps recall on clustered data") {
     import graft.llm.Similarity
     // the q161 fixture: 10 planted clusters — low-rank structure PCA
