@@ -939,6 +939,17 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // T5-style span corruption — the denoising-objective counterpart
+    // of the causal-LM assembly: fixed windows, one md5-placed span per
+    // full window masked behind a numbered sentinel, (input, target)
+    // pair emitted per document. Pure per-row HOF arithmetic over the
+    // BPE ids — no shuffle beyond the scan.
+    "q173_span_corruption" -> ((s, dir) => {
+      import graft.llm.SpanCorruption
+      SpanCorruption.corrupt(Tables.documents(s, dir), col("doc_id"),
+        call_function("bpe_encode_ids", col("text")))
+    }),
+
     // Incremental Gram maintenance — the q148 materialized-view
     // property, PCA-shaped: history and delta batches gram
     // INDEPENDENTLY (deliberately at different partitionings) and
@@ -4788,6 +4799,50 @@ object SparkEntry {
         |  MAX(cosine) AS max_cosine,
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q173: q119's ids CTE, then the same window arithmetic — md5
+    // offsets, 1-based inclusive list slices mirroring Spark's
+    // (start, length) slices, sentinel splice, string join.
+    "q173_span_corruption" -> {
+      def off(k: String) =
+        s"(${dMd5Long(s"(doc_id::VARCHAR || ':' || ($k)::VARCHAR)")} % 18)"
+      s"""WITH RECURSIVE ${dBpeCte("documents")},
+        |vm AS (SELECT map(list(token), list(id)) AS v
+        |  FROM read_csv('$BpeVocab', delim='\t', header=true, quote='',
+        |    columns={'id':'INTEGER','token':'VARCHAR'})),
+        |ii AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(list_transform(b.toks, t -> coalesce(map_extract(v, t)[1], 0)), []) AS ids
+        |  FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id, vm),
+        |base AS (
+        |  SELECT doc_id, ids, len(ids) AS n,
+        |    CAST(floor(len(ids) / 20.0) AS INT) AS ns
+        |  FROM ii),
+        |o AS (
+        |  SELECT doc_id, n, ns,
+        |    CASE WHEN ns >= 1 THEN
+        |      list_concat(
+        |        flatten(list_transform(range(ns), k ->
+        |          list_concat(
+        |            ids[(CASE WHEN k = 0 THEN 0
+        |                 ELSE (k-1)*20 + ${off("k-1")} + 3 END) + 1
+        |                : k*20 + ${off("k")}],
+        |            [1000000 + k]))),
+        |        ids[(ns-1)*20 + ${off("ns-1")} + 4 : n])
+        |    ELSE ids END AS masked,
+        |    CASE WHEN ns >= 1 THEN
+        |      flatten(list_transform(range(ns), k ->
+        |        list_concat([1000000 + k],
+        |          ids[k*20 + ${off("k")} + 1 : k*20 + ${off("k")} + 3])))
+        |    ELSE [] END AS target
+        |  FROM base)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(ns AS BIGINT) AS n_spans,
+        |  COALESCE(array_to_string(list_transform(masked, e -> e::VARCHAR), ','), '') AS masked_str,
+        |  COALESCE(array_to_string(list_transform(target, e -> e::VARCHAR), ','), '') AS target_str,
+        |  CAST(floor(1000000.0 * (ns * 3)::DOUBLE / greatest(n, 1)::DOUBLE) AS BIGINT) AS corrupt_ppm
+        |FROM o""".stripMargin
     },
 
     // q172: the one-shot q169 grid over the UNDIVIDED table — merged

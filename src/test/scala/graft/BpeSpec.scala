@@ -156,4 +156,36 @@ class BpeSpec extends SparkTestBase {
     val rebuilt = got.init.flatMap(_.split(" ").take(11)) ++ got.last.split(" ")
     assert(rebuilt == want, "stride rebuild must recover the token stream")
   }
+
+  test("span corruption: one span per full window, round-trip reconstructs the stream") {
+    import graft.llm.SpanCorruption
+    val df = Seq(
+      (1L, (0 until 50).toArray),  // 2 full windows + a clean 10-token tail
+      (2L, (0 until 19).toArray),  // shorter than a window: untouched
+      (3L, Array.empty[Int]))
+      .toDF("doc_id", "ids")
+    val out = SpanCorruption.corrupt(df, col("doc_id"), col("ids"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+          r.getLong(5)))).toMap
+    val (n1, ns1, masked1, target1, ppm1) = out(1L)
+    assert(n1 == 50 && ns1 == 2 && ppm1 == 120000L)
+    def ints(s: String): Seq[Int] =
+      if (s.isEmpty) Nil else s.split(",").map(_.toInt).toSeq
+    val m1 = ints(masked1)
+    val t1 = ints(target1)
+    // targets: sentinel k then its 3-token span, spans inside their windows
+    assert(t1.length == 8 && t1(0) == 1000000 && t1(4) == 1000001)
+    assert(t1.slice(1, 4).forall(v => v >= 0 && v < 20), "span 0 in window 0")
+    assert(t1.slice(5, 8).forall(v => v >= 20 && v < 40), "span 1 in window 1")
+    // round trip: substituting each sentinel with its target span must
+    // reconstruct the identity stream (ids = positions)
+    val spans = Map(1000000 -> t1.slice(1, 4), 1000001 -> t1.slice(5, 8))
+    val rebuilt = m1.flatMap(v => spans.getOrElse(v, Seq(v)))
+    assert(rebuilt == (0 until 50), "masked + target must rebuild the doc")
+    assert(m1.length == 50 - 6 + 2, "each 3-token span collapses to one sentinel")
+    // short and empty docs stay clean
+    assert(out(2L) == ((19L, 0L, (0 until 19).mkString(","), "", 0L)))
+    assert(out(3L) == ((0L, 0L, "", "", 0L)))
+  }
 }
