@@ -939,6 +939,49 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // Learned quality classifier — multinomial Naive Bayes trained and
+    // scored in one job (the GPT-3/LLaMA curation design: curated
+    // sources positive, the rest negative, a linear model over token
+    // counts keeps high scorers). The synthetic corpus shares one
+    // vocabulary across sources, so the positive class carries a
+    // PLANTED two-token lexical signal derived deterministically from
+    // the corpus itself (the q161/q167 fixture discipline) — the gates
+    // then prove real end-to-end learning: the fit must RECOVER the
+    // signal from the 80% train split and separate the held-out test
+    // split (mean-score separation by exact cross-multiplied integer
+    // sums, accuracy ≥ 90%). Scale shape: one corpus explode, a
+    // vocab-bounded count reduction broadcast back, token-sorted
+    // per-doc fold (q91 discipline) so every score_ppm hash-gates.
+    "q174_nb_quality_classifier" -> ((s, dir) => {
+      import graft.llm.{NaiveBayes, Splits}
+      val meta = Tables.documents(s, dir)
+        .withColumn("curated",
+          Splits.md5Long(concat(col("doc_id").cast("string"), lit(":cur")))
+            % 2 === 0)
+        .withColumn("split", Splits.split(col("doc_id")))
+        .withColumn("text2",
+          when(col("curated"), concat(col("text"), lit(" premium curated")))
+            .otherwise(col("text")))
+      val scored = NaiveBayes.trainScore(meta, col("doc_id"), col("text2"),
+        col("curated"), col("split") === "train")
+      val rep = scored.join(
+        meta.select(col("doc_id"), col("curated"), col("split")), "doc_id")
+      val gates = rep.filter(col("split") === "test").agg(
+        sum(when(col("curated"), col("score_ppm")).otherwise(0L)).as("sc"),
+        count(when(col("curated"), 1)).as("ncur"),
+        sum(when(!col("curated"), col("score_ppm")).otherwise(0L)).as("sn"),
+        count(when(!col("curated"), 1)).as("nnon"),
+        count(when(col("predicted") === col("curated"), 1)).as("ncorrect"),
+        count(lit(1)).as("ntest"))
+      rep.crossJoin(broadcast(gates))
+        .select(col("doc_id"), col("split"), col("curated"),
+          col("n_toks"), col("score_ppm"), col("predicted"),
+          (col("sc") * col("nnon") > col("sn") * col("ncur"))
+            .as("gate_separates"),
+          (col("ncorrect") * lit(10L) >= col("ntest") * lit(9L))
+            .as("gate_accuracy"))
+    }),
+
     // T5-style span corruption — the denoising-objective counterpart
     // of the causal-LM assembly: fixed windows, one md5-placed span per
     // full window masked behind a numbered sentinel, (input, target)
@@ -4799,6 +4842,71 @@ object SparkEntry {
         |  MAX(cosine) AS max_cosine,
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q174: the full NB fit replayed — planted signal, md5 split and
+    // label, class-conditional counts over train, add-one smoothing,
+    // token-sorted list_reduce fold (the q91 discipline), and the same
+    // cross-multiplied integer gate sums.
+    "q174_nb_quality_classifier" -> {
+      val b = dMd5Long("doc_id::VARCHAR") + " % 100"
+      val cur = dMd5Long("doc_id::VARCHAR || ':cur'") + " % 2 = 0"
+      s"""WITH m AS (
+        |  SELECT doc_id, $cur AS curated,
+        |    CASE WHEN $b < 80 THEN 'train'
+        |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+        |    CASE WHEN $cur THEN text || ' premium curated' ELSE text END AS t2
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(t2), '\\s+'), x -> x <> '') AS toks
+        |  FROM m),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN curated THEN tf ELSE 0 END) AS BIGINT) AS cg,
+        |    CAST(SUM(CASE WHEN NOT curated THEN tf ELSE 0 END) AS BIGINT) AS cb
+        |  FROM tf JOIN m USING (doc_id) WHERE split = 'train' GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM cnt),
+        |pri AS (
+        |  SELECT ln((COUNT(*) FILTER (WHERE curated) + 1)::DOUBLE /
+        |    (COUNT(*) FILTER (WHERE NOT curated) + 1)::DOUBLE) AS prior
+        |  FROM m WHERE split = 'train'),
+        |co AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf,
+        |    CAST(tf AS DOUBLE) *
+        |      (ln((COALESCE(cg, 0) + 1)::DOUBLE / (ng + v)::DOUBLE) -
+        |       ln((COALESCE(cb, 0) + 1)::DOUBLE / (nb + v)::DOUBLE)) AS c
+        |  FROM tf LEFT JOIN cnt USING (tok) CROSS JOIN tot),
+        |sm AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |    list_reduce(list(c ORDER BY tok), (a, b) -> a + b) AS s
+        |  FROM co GROUP BY 1),
+        |sc AS (
+        |  SELECT m.doc_id, m.split, m.curated,
+        |    COALESCE(sm.n_toks, 0) AS n_toks,
+        |    CAST(floor(1000000.0 * (COALESCE(sm.s, 0.0) + prior)) AS BIGINT)
+        |      AS score_ppm
+        |  FROM m LEFT JOIN sm USING (doc_id) CROSS JOIN pri),
+        |sp AS (SELECT *, score_ppm > 0 AS predicted FROM sc),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN curated THEN score_ppm ELSE 0 END) AS BIGINT) AS gsc,
+        |    CAST(COUNT(*) FILTER (WHERE curated) AS BIGINT) AS ncur,
+        |    CAST(SUM(CASE WHEN NOT curated THEN score_ppm ELSE 0 END) AS BIGINT) AS gsn,
+        |    CAST(COUNT(*) FILTER (WHERE NOT curated) AS BIGINT) AS nnon,
+        |    CAST(COUNT(*) FILTER (WHERE predicted = curated) AS BIGINT) AS ncorrect,
+        |    CAST(COUNT(*) AS BIGINT) AS ntest
+        |  FROM sp WHERE split = 'test')
+        |SELECT doc_id, split, curated, n_toks, score_ppm, predicted,
+        |  gsc * nnon > gsn * ncur AS gate_separates,
+        |  ncorrect * 10 >= ntest * 9 AS gate_accuracy
+        |FROM sp CROSS JOIN g""".stripMargin
     },
 
     // q173: q119's ids CTE, then the same window arithmetic — md5
