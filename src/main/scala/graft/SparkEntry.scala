@@ -939,6 +939,19 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // CCNet-style perplexity bucketing — per-language head/middle/tail
+    // terciles under the corpus's own bigram LM, keep = head+middle.
+    // The cutoffs come from the IntStats value-domain bisection
+    // (log-round map-combinable passes, lang×quantile-bounded result
+    // broadcast back), NOT a per-lang ntile window — an ntile over a
+    // 100 TB language partition is a global corpus sort; this never
+    // sorts and assigns buckets map-side.
+    "q175_perplexity_buckets" -> ((s, dir) => {
+      import graft.llm.PerplexityBuckets
+      PerplexityBuckets.buckets(Tables.documents(s, dir), col("doc_id"),
+        col("text"), col("lang"))
+    }),
+
     // Learned quality classifier — multinomial Naive Bayes trained and
     // scored in one job (the GPT-3/LLaMA curation design: curated
     // sources positive, the rest negative, a linear model over token
@@ -4843,6 +4856,68 @@ object SparkEntry {
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
     },
+
+    // q175: the q91 bigram-LM chain, then the tercile cutoffs as the
+    // q156 cumulative-window convention (smallest value covering the
+    // target mass — exactly what the bisection returns), bucket CASE,
+    // CCNet keep policy.
+    "q175_perplexity_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bgt AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM w),
+        |tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bgt GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS t FROM w)),
+        |co AS (
+        |  SELECT doc_id, bg, tf,
+        |    CAST(tf AS DOUBLE) * ln((CAST(c2 AS DOUBLE) + 0.5) /
+        |      (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS c
+        |  FROM tf JOIN c2 USING (bg)
+        |  JOIN c1 ON split_part(bg, ' ', 1) = w1 CROSS JOIN v),
+        |sm AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(c ORDER BY bg), (a, b) -> a + b) AS s
+        |  FROM co GROUP BY 1),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(sm.n_bigrams, 0) AS n_bigrams,
+        |    round(-sm.s / sm.n_bigrams, 4) AS xent
+        |  FROM (SELECT doc_id, lang FROM documents) d LEFT JOIN sm USING (doc_id)),
+        |sx AS (
+        |  SELECT doc_id, lang, n_bigrams,
+        |    CASE WHEN n_bigrams > 0
+        |      THEN CAST(round(xent * 10000, 0) AS BIGINT) END AS xent_i
+        |  FROM sc),
+        |cm AS (
+        |  SELECT lang, xent_i,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang ORDER BY xent_i, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM sx WHERE n_bigrams > 0),
+        |t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot
+        |      FROM sx WHERE n_bigrams > 0 GROUP BY 1),
+        |p1 AS (SELECT lang, MIN(xent_i) AS p33
+        |       FROM cm JOIN t USING (lang) WHERE cw * 3 >= tot GROUP BY 1),
+        |p2 AS (SELECT lang, MIN(xent_i) AS p66
+        |       FROM cm JOIN t USING (lang) WHERE cw * 3 >= tot * 2 GROUP BY 1),
+        |bk AS (
+        |  SELECT sx.doc_id, sx.lang, sx.n_bigrams, sx.xent_i,
+        |    CASE WHEN n_bigrams > 0 THEN p33 END AS p33,
+        |    CASE WHEN n_bigrams > 0 THEN p66 END AS p66,
+        |    CASE WHEN n_bigrams = 0 THEN 'na'
+        |         WHEN xent_i <= p33 THEN 'head'
+        |         WHEN xent_i <= p66 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM sx LEFT JOIN p1 USING (lang) LEFT JOIN p2 USING (lang))
+        |SELECT doc_id, lang, n_bigrams, xent_i, p33, p66, bucket,
+        |  bucket IN ('head', 'middle') AS keep
+        |FROM bk""".stripMargin,
 
     // q174: the full NB fit replayed — planted signal, md5 split and
     // label, class-conditional counts over train, add-one smoothing,

@@ -664,4 +664,45 @@ class LlmTextSpec extends SparkTestBase {
     assert(srows(Packing.packGreedyPlan(sdocs, col("doc_id"), col("nt"), 10L, 2))
       == srows(Packing.packGreedy(sdocs, col("doc_id"), col("nt"), 10L, 2)))
   }
+
+  test("perplexity buckets: balanced terciles, ties to lower bucket, " +
+    "na short docs, keep = head+middle, repartition-stable") {
+    import graft.llm.PerplexityBuckets
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val b = PerplexityBuckets.buckets(docs, col("doc_id"), col("text"),
+      col("lang"))
+    val rows = b.collect()
+    // every scored doc bucketed; short docs are 'na' with null cutoffs
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_bigrams")
+      val bucket = r.getAs[String]("bucket")
+      if (nb == 0) {
+        assert(bucket == "na" && r.isNullAt(r.fieldIndex("p33")))
+      } else {
+        assert(Set("head", "middle", "tail")(bucket))
+        val (x, p33, p66) = (r.getAs[Long]("xent_i"),
+          r.getAs[Long]("p33"), r.getAs[Long]("p66"))
+        assert(p33 <= p66)
+        // the bucket is exactly the cutoff comparison (ties go lower)
+        val expect = if (x <= p33) "head" else if (x <= p66) "middle" else "tail"
+        assert(bucket == expect)
+        assert(r.getAs[Boolean]("keep") == (bucket != "tail"))
+      }
+    }
+    // terciles are balanced within 1 plus the tie mass at each cutoff:
+    // head holds >= ceil(n/3) (smallest value covering 1/3), and head
+    // + middle >= ceil(2n/3)
+    val perLang = rows.filter(_.getAs[Long]("n_bigrams") > 0)
+      .groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (_, rs) =>
+      val n = rs.length.toLong
+      val h = rs.count(_.getAs[String]("bucket") == "head").toLong
+      val hm = rs.count(r => r.getAs[String]("bucket") != "tail").toLong
+      assert(3 * h >= n && 3 * hm >= 2 * n)
+    }
+    // deterministic under repartition (cutoff search + assignment)
+    val b2 = PerplexityBuckets.buckets(docs.repartition(13), col("doc_id"),
+      col("text"), col("lang")).collect()
+    assert(rows.map(_.toString).sorted.toSeq == b2.map(_.toString).sorted.toSeq)
+  }
 }
