@@ -939,6 +939,20 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // Markov removal-effect attribution — the data-driven attribution
+    // model (GA4's): journeys → first-order chain over event-type
+    // channels with absorbing conv/null, channel value = absorption
+    // drop when its inbound transitions are removed, credit ∝ effect.
+    // Corpus-sized work is one window pass + a map-combinable count;
+    // the (channels+3)²-bounded chain iterates driver-side in exact
+    // Longs (16 rounds), so every ppm hash-gates.
+    "q176_markov_attribution" -> ((s, dir) => {
+      import graft.operators.MarkovAttribution
+      MarkovAttribution.removalEffects(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("event_type") === "purchase")
+    }),
+
     // CCNet-style perplexity bucketing — per-language head/middle/tail
     // terciles under the corpus's own bigram LM, keep = head+middle.
     // The cutoffs come from the IntStats value-domain bisection
@@ -4855,6 +4869,91 @@ object SparkEntry {
         |  MAX(cosine) AS max_cosine,
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q176: journeys + transition ppm via windows, then the SAME
+    // 16-round integer absorption iteration as a recursive CTE whose
+    // rows carry the per-variant (channel, a) list — list_transform
+    // lookups instead of aggregation in the recursive term (the q160
+    // list-state discipline). All integer, so every column hash-gates.
+    "q176_markov_attribution" -> {
+      def pp(f: String, t: String) =
+        s"COALESCE(list_filter(ps, q -> q.f = $f AND q.t = $t)[1].p, 0)"
+      s"""WITH RECURSIVE e AS (
+        |  SELECT user_id AS u, event_type AS c,
+        |    event_type = 'purchase' AS cv,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |fp AS (SELECT u, MIN(rn) AS prn FROM e WHERE cv GROUP BY 1),
+        |j AS (
+        |  SELECT e.u, e.rn, CASE WHEN e.cv THEN 'conv' ELSE e.c END AS state,
+        |    fp.prn
+        |  FROM e LEFT JOIN fp USING (u)
+        |  WHERE fp.prn IS NULL OR e.rn <= fp.prn),
+        |st AS (
+        |  SELECT COALESCE(lag(state) OVER (PARTITION BY u ORDER BY rn),
+        |    'start') AS from_s, state AS to_s
+        |  FROM j
+        |  UNION ALL
+        |  SELECT state, 'null'
+        |  FROM (SELECT state, rn, MAX(rn) OVER (PARTITION BY u) AS lrn
+        |        FROM j WHERE prn IS NULL)
+        |  WHERE rn = lrn),
+        |cnt AS (SELECT from_s, to_s, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM st GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT from_s, to_s, n,
+        |    CAST(floor(1000000 * n / (SUM(n) OVER (PARTITION BY from_s)))
+        |      AS BIGINT) AS p_ppm
+        |  FROM cnt),
+        |ch AS (SELECT DISTINCT to_s AS c FROM cnt
+        |       WHERE to_s NOT IN ('conv', 'null')),
+        |chl AS (SELECT list(c ORDER BY c) AS cs FROM ch),
+        |pl AS (SELECT list(struct_pack(f := from_s, t := to_s,
+        |  p := p_ppm)) AS ps FROM pr),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions FROM fp),
+        |vr AS (SELECT '' AS removed UNION ALL SELECT c FROM ch),
+        |it AS (
+        |  SELECT 0 AS k, removed,
+        |    list_transform(list_filter(cs, x -> x <> removed),
+        |      x -> struct_pack(c := x, a := CAST(0 AS BIGINT))) AS av
+        |  FROM vr CROSS JOIN chl
+        |  UNION ALL
+        |  SELECT k + 1, removed,
+        |    list_transform(av, s -> struct_pack(c := s.c, a := CAST(
+        |      ${pp("s.c", "'conv'")} +
+        |      (COALESCE(list_sum(list_transform(av,
+        |         x -> ${pp("s.c", "x.c")} * x.a)), 0) // 1000000)
+        |      AS BIGINT))) AS av
+        |  FROM it CROSS JOIN pl
+        |  WHERE k < 16),
+        |fin AS (
+        |  SELECT removed, CAST(${pp("'start'", "'conv'")} +
+        |    (COALESCE(list_sum(list_transform(av,
+        |       x -> ${pp("'start'", "x.c")} * x.a)), 0) // 1000000)
+        |    AS BIGINT) AS a0
+        |  FROM it CROSS JOIN pl WHERE k = 16),
+        |b AS (SELECT a0 AS base FROM fin WHERE removed = ''),
+        |re AS (
+        |  SELECT removed AS channel, a0 AS removed_cvr_ppm,
+        |    CASE WHEN base > 0
+        |      THEN CAST(1000000 * (base - a0) // base AS BIGINT)
+        |      ELSE 0 END AS removal_effect_ppm
+        |  FROM fin CROSS JOIN b WHERE removed <> ''),
+        |sre AS (SELECT CAST(SUM(removal_effect_ppm) AS BIGINT) AS s FROM re),
+        |tch AS (SELECT to_s AS channel, CAST(SUM(n) AS BIGINT) AS n_touches
+        |        FROM cnt WHERE to_s NOT IN ('conv', 'null') GROUP BY 1)
+        |SELECT re.channel, COALESCE(tch.n_touches, 0) AS n_touches,
+        |  base AS base_cvr_ppm, removed_cvr_ppm, removal_effect_ppm,
+        |  CASE WHEN s > 0
+        |    THEN CAST(1000000 * removal_effect_ppm // s AS BIGINT)
+        |    ELSE 0 END AS credit_ppm,
+        |  CASE WHEN s > 0
+        |    THEN CAST(n_conversions * removal_effect_ppm // s AS BIGINT)
+        |    ELSE 0 END AS attributed_conv,
+        |  n_conversions
+        |FROM re LEFT JOIN tch USING (channel)
+        |CROSS JOIN b CROSS JOIN sre CROSS JOIN nc""".stripMargin
     },
 
     // q175: the q91 bigram-LM chain, then the tercile cutoffs as the
