@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // token-count budget without materializing the token array
     // (plans/BpeCountRewrite.scala).
     ext.injectOptimizerRule(_ => graft.plans.BpeCountRewrite)
+    // Materialized-summary rewrite: matching aggregates over a
+    // registered base table answer from its pre-aggregated summary
+    // (plans/SummaryRewrite.scala). No-op until a summary registers.
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),

@@ -939,6 +939,35 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // Materialized-summary rewrite, oracle-proven end to end: a
+    // summary over (l_returnflag, l_linestatus) materializes, and the
+    // SAME declarative aggregate against the BASE table silently
+    // answers from it — gate_rewritten asserts the optimized plan
+    // scans ONLY the summary, while the DuckDB oracle computes from
+    // the base, so the hash gate IS the exactness proof. Measures are
+    // exact longs (sum reassociation is only sound in exact
+    // arithmetic); the dim-only filter rides onto the summary.
+    "q177_summary_rewrite" -> ((s, dir) => {
+      import graft.plans.SummaryRewrite
+      val base = s"$dir/lineitem.parquet"
+      val qtyL = round(col("l_quantity")).cast("long")
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      // deterministic per-base temp location: bench/verify re-runs
+      // overwrite in place instead of littering tmp with one dir per pass
+      val sumDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_summary_" + Integer.toHexString(base.hashCode)).toString
+      SummaryRewrite.materialize(s, base, sumDir,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(qtyL -> "s_qty", pc -> "s_price"))
+      val out = s.read.parquet(base)
+        .filter(col("l_returnflag") =!= "X")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyL).as("sum_qty"), sum(pc).as("sum_price_cents"),
+          count(lit(1)).as("n_rows"))
+      out.withColumn("gate_rewritten",
+        lit(SummaryRewrite.readsOnlySummaries(out)))
+    }),
+
     // Markov removal-effect attribution — the data-driven attribution
     // model (GA4's): journeys → first-order chain over event-type
     // channels with absorbing conv/null, channel value = absorption
@@ -4870,6 +4899,20 @@ object SparkEntry {
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
     },
+
+    // q177: the oracle computes from the BASE table — the Spark side
+    // answers from the materialized summary, so the hash equality
+    // proves the rewrite exact; gate_rewritten must be TRUE.
+    "q177_summary_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS gate_rewritten
+        |FROM lineitem
+        |WHERE l_returnflag <> 'X'
+        |GROUP BY 1, 2""".stripMargin,
 
     // q176: journeys + transition ppm via windows, then the SAME
     // 16-round integer absorption iteration as a recursive CTE whose
