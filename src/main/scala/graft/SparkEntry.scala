@@ -50,6 +50,7 @@ object SparkEntry {
   val MultilineDocs = "/root/repo/fixtures/docs/multiline.jsonl"
   val BpeMerges = "/root/repo/src/main/resources/graft/bpe_merges.tsv"
   val BpeVocab = "/root/repo/src/main/resources/graft/bpe_vocab.tsv"
+  val UnigramVocab = "/root/repo/src/main/resources/graft/unigram_vocab.tsv"
 
   /** Checked-in multi-line/non-ASCII documents (newlines, CJK, Cyrillic,
     * astral emoji, blank lines, trailing newlines) — the text shapes the
@@ -937,6 +938,18 @@ object SparkEntry {
       val train = vecs.filter(Splits.split(col("vec_id")) === "train")
       val evalSet = vecs.filter(Splits.split(col("vec_id")) === "test")
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
+    }),
+
+    // Unigram-LM tokenizer training (SentencePiece's model, the BPE
+    // alternative): Viterbi-EM over the bounded word-frequency table,
+    // exact integer counts throughout. Provenance gate (the q128
+    // discipline): re-training on the vocab's own declared corpus
+    // (sf0.001, pinned — NOT the benchmark dir) must reproduce the
+    // checked-in piece table bit-for-bit.
+    "q178_unigram_train" -> ((s, _) => {
+      import graft.llm.UnigramLm
+      UnigramLm.train(
+        Tables.documents(s, "/root/testdata/sf0.001"), col("text"))
     }),
 
     // Materialized-summary rewrite, oracle-proven end to end: a
@@ -4899,6 +4912,14 @@ object SparkEntry {
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
     },
+
+    // q178: the artifact itself IS the expected value — re-training on
+    // the declared corpus must emit exactly the checked-in TSV.
+    "q178_unigram_train" ->
+      s"""SELECT CAST(rank AS BIGINT) AS rank, piece,
+        |  CAST(cnt AS BIGINT) AS cnt, CAST(p_ppm AS BIGINT) AS p_ppm
+        |FROM read_csv('$UnigramVocab', delim='\t', header=true, quote='',
+        |  columns={'rank':'BIGINT','piece':'VARCHAR','cnt':'BIGINT','p_ppm':'BIGINT'})""".stripMargin,
 
     // q177: the oracle computes from the BASE table — the Spark side
     // answers from the materialized summary, so the hash equality
