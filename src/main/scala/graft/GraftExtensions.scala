@@ -208,6 +208,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeCountExpr(children.head, legacySizeOfNull = false)
       }))
     ext.injectFunction((
+      FunctionIdentifier("unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncodeExpr].getName, "unigram_encode"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "unigram_encode(<text>)")
+        UnigramEncodeExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bpe_decode_ids"),
       new ExpressionInfo(classOf[BpeDecodeIdsExpr].getName, "bpe_decode_ids"),
       (children: Seq[Expression]) => {

@@ -940,6 +940,21 @@ object SparkEntry {
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
     }),
 
+    // Unigram-LM segmentation of the corpus under the checked-in piece
+    // table (q178's artifact): per-word Viterbi decode as a native
+    // codegen projection — zero shuffle beyond the scan. The DuckDB
+    // oracle replays the exact DP (position ascending, length
+    // ascending, strict improvement) in list_reduce folds, so the
+    // piece stream hash-gates piece for piece.
+    "q179_unigram_encode" -> ((s, dir) => {
+      val pieces = call_function("unigram_encode", col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        coalesce(size(pieces).cast("long"), lit(0L)).as("n_pieces"),
+        coalesce(size(filter(pieces, p => p === "<unk>")).cast("long"),
+          lit(0L)).as("n_unk"),
+        coalesce(array_join(pieces, ","), lit("")).as("pieces_str"))
+    }),
+
     // Unigram-LM tokenizer training (SentencePiece's model, the BPE
     // alternative): Viterbi-EM over the bounded word-frequency table,
     // exact integer counts throughout. Provenance gate (the q128
@@ -4911,6 +4926,72 @@ object SparkEntry {
         |  MAX(cosine) AS max_cosine,
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q179: the exact Viterbi DP replayed — one recursive CTE advances
+    // dp/backpointer lists position by position (length-ascending
+    // candidate fold, strict improvement — the pinned tie rule), a
+    // second walks the backpointers; scores are ln(cnt)−ln(tot) from
+    // the same checked-in integers, added in the same order, so the
+    // doubles compare identically and the piece stream hash-gates.
+    "q179_unigram_encode" -> {
+      val piece = "substr(word, CAST(i + 2 - l AS INT), CAST(l AS INT))"
+      val scoreOf = s"""CASE WHEN map_extract(m, $piece)[1] IS NOT NULL
+        |          THEN ds[CAST(i + 2 - l AS INT)] +
+        |            (ln(CAST(map_extract(m, $piece)[1] AS DOUBLE)) -
+        |             ln(CAST(tot AS DOUBLE)))
+        |          WHEN l = 1
+        |          THEN ds[CAST(i + 2 - l AS INT)] +
+        |            (ln(CAST(1 AS DOUBLE)) - ln(CAST(tot AS DOUBLE)))
+        |          ELSE NULL END""".stripMargin
+      s"""WITH RECURSIVE v AS (
+        |  SELECT map(list(piece), list(CAST(cnt AS BIGINT))) AS m,
+        |    CAST(SUM(cnt) AS BIGINT) AS tot
+        |  FROM read_csv('$UnigramVocab', delim='\t', header=true, quote='',
+        |    columns={'rank':'BIGINT','piece':'VARCHAR','cnt':'BIGINT','p_ppm':'BIGINT'})),
+        |uwords AS (
+        |  SELECT doc_id, wi, word, len(word) AS n
+        |  FROM (SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word,
+        |      generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) AS wi
+        |    FROM documents)),
+        |urec AS (
+        |  SELECT doc_id, wi, word, n, CAST(0 AS BIGINT) AS i,
+        |    [CAST(0.0 AS DOUBLE)] AS ds, [CAST(0 AS BIGINT)] AS bk
+        |  FROM uwords
+        |  UNION ALL
+        |  SELECT doc_id, wi, word, n, i + 1 AS i,
+        |    list_append(ds, best.s) AS ds, list_append(bk, best.l) AS bk
+        |  FROM (
+        |    SELECT doc_id, wi, word, n, i, ds,  bk,
+        |      list_reduce(
+        |        list_transform(range(1, least(8, i + 1) + 1), l ->
+        |          struct_pack(l := l, s := $scoreOf)),
+        |        (b, x) -> CASE WHEN x.s IS NOT NULL AND (b.s IS NULL OR x.s > b.s)
+        |                       THEN x ELSE b END) AS best
+        |    FROM urec, v WHERE i < n) t),
+        |udone AS (SELECT doc_id, wi, word, bk, n FROM urec WHERE i = n),
+        |ubrec AS (
+        |  SELECT doc_id, wi, word, bk, CAST(n AS BIGINT) AS i,
+        |    CAST([] AS VARCHAR[]) AS ps
+        |  FROM udone
+        |  UNION ALL
+        |  SELECT doc_id, wi, word, bk, i - bk[CAST(i + 1 AS INT)] AS i,
+        |    list_prepend(substr(word,
+        |      CAST(i - bk[CAST(i + 1 AS INT)] + 1 AS INT),
+        |      CAST(bk[CAST(i + 1 AS INT)] AS INT)), ps) AS ps
+        |  FROM ubrec WHERE i > 0),
+        |useg AS (SELECT doc_id, wi, ps FROM ubrec WHERE i = 0),
+        |utoks AS (
+        |  SELECT doc_id, flatten(list(list_transform(ps, p ->
+        |    CASE WHEN len(p) = 1 AND map_extract(m, p)[1] IS NULL
+        |         THEN '<unk>' ELSE p END) ORDER BY wi)) AS toks
+        |  FROM useg, v GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_pieces,
+        |  CAST(COALESCE(len(list_filter(toks, p -> p = '<unk>')), 0) AS BIGINT) AS n_unk,
+        |  COALESCE(array_to_string(toks, ','), '') AS pieces_str
+        |FROM documents d LEFT JOIN utoks USING (doc_id)""".stripMargin
     },
 
     // q178: the artifact itself IS the expected value — re-training on

@@ -44,6 +44,65 @@ object UnigramLm {
   val Rounds = 3
   val VocabSize = 300
 
+  /** Classpath location of the checked-in piece table. */
+  val VocabResource = "/graft/unigram_vocab.tsv"
+  val UnkPiece = "<unk>"
+
+  /** The checked-in artifact: piece → count, plus the count total —
+    * resolved once per JVM from the classpath (the [[Bpe.vocabIds]]
+    * lifecycle: executors get it with the jar). */
+  lazy val artifact: (Map[String, Long], Long) = {
+    val in = getClass.getResourceAsStream(VocabResource)
+    require(in != null,
+      s"missing resource $VocabResource — run graft.tools.MakeUnigramVocab")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val m = src.getLines()
+        .filter(ln => ln.nonEmpty && !ln.startsWith("rank\t"))
+        .map { ln => val a = ln.split("\t", -1); a(1) -> a(2).toLong }.toMap
+      (m, m.values.sum)
+    } finally src.close()
+  }
+
+  /** Viterbi with TOTAL coverage: a single character absent from the
+    * vocab scores as count 1 (ln 1 = 0 numerator — the hardest
+    * possible piece) and emits [[UnkPiece]], so arbitrary text always
+    * segments. Same DP order and tie rule as [[viterbi]]. */
+  def viterbiSafe(word: String, cnt: Map[String, Long], tot: Long,
+                  maxLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Nil
+    val lnTot = math.log(tot.toDouble)
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(0)
+    dp(0) = 0.0
+    for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
+      val c = cnt.getOrElse(word.substring(i - l, i),
+        if (l == 1) 1L else 0L)
+      if (c > 0 && dp(i - l) != Double.NegativeInfinity) {
+        val s = dp(i - l) + (math.log(c.toDouble) - lnTot)
+        if (s > dp(i)) { dp(i) = s; back(i) = l }
+      }
+    }
+    val out = mutable.ListBuffer.empty[String]
+    var i = n
+    while (i > 0) {
+      val p = word.substring(i - back(i), i)
+      out.prepend(
+        if (p.length == 1 && !cnt.contains(p)) UnkPiece else p)
+      i -= back(i)
+    }
+    out.toList
+  }
+
+  /** Segment `text` under the checked-in artifact: whitespace words,
+    * each Viterbi-decoded, unknown characters as [[UnkPiece]]. */
+  def encode(text: String): Array[String] = {
+    val (cnt, tot) = artifact
+    text.split("\\s+").iterator.filter(_.nonEmpty)
+      .flatMap(w => viterbiSafe(w, cnt, tot, MaxLen)).toArray
+  }
+
   /** Seed counts: Σ word_freq × overlapping substring occurrences for
     * every substring of length 1..maxLen. */
   def substrCounts(freq: Seq[(String, Long)], maxLen: Int): Map[String, Long] = {

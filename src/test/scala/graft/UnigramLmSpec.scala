@@ -37,6 +37,26 @@ class UnigramLmSpec extends SparkTestBase {
     assert(vocab.contains("q"))      // singleton char never dies
   }
 
+  test("encode: pieces rebuild the words; unknown chars surface as <unk>; " +
+    "expression matches the library function") {
+    val (cnt, tot) = graft.llm.UnigramLm.artifact
+    // pieces concatenate back to the input (no unks on corpus words)
+    val toks = graft.llm.UnigramLm.encode("window scan window")
+    assert(toks.mkString == "windowscanwindow")
+    assert(toks.count(_ == "window") == 2)
+    // a character absent from the vocab becomes its own <unk> piece
+    val unk = graft.llm.UnigramLm.encode("scan Ω scan")
+    assert(unk.toSeq == Seq("scan", "<unk>", "scan"))
+    assert(!cnt.contains("Ω") && tot > 0)
+    // the native expression is the same function
+    val viaExpr = Seq((1L, "window scan Ωx"))
+      .toDF("doc_id", "text")
+      .select(call_function("unigram_encode", col("text")).as("p"))
+      .as[Seq[String]].head()
+    assert(viaExpr == graft.llm.UnigramLm.encode("window scan Ωx").toSeq)
+    assert(viaExpr.contains("<unk>"))
+  }
+
   test("provenance: re-training on the declared corpus reproduces the " +
     "checked-in artifact; every corpus word segments under it") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
