@@ -177,6 +177,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepStatsExpr(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("gram_agg"),
+      new ExpressionInfo(classOf[GramAggExpr].getName, "gram_agg"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "gram_agg(<array<bigint>>)")
+        GramAggExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => {
