@@ -177,6 +177,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepStatsExpr(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("ac_scan"),
+      new ExpressionInfo(classOf[AcScanExpr].getName, "ac_scan"),
+      (children: Seq[Expression]) => {
+        arity(children, 2, 2, "ac_scan(<text>, <patterns>)")
+        AcScanExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("gram_agg"),
       new ExpressionInfo(classOf[GramAggExpr].getName, "gram_agg"),
       (children: Seq[Expression]) => {

@@ -52,6 +52,15 @@ object SparkEntry {
   val BpeVocab = "/root/repo/src/main/resources/graft/bpe_vocab.tsv"
   val UnigramVocab = "/root/repo/src/main/resources/graft/unigram_vocab.tsv"
 
+  /** q180's fixture blocklist: corpus words and phrases chosen to
+    * exercise the Aho–Corasick suffix chains — nested patterns
+    * ("table" ⊃ "able" ⊃ "ble"), cross-word phrases, and never-match
+    * entries. Shared verbatim by the query and its oracle. */
+  private val BlocklistPatterns = Seq(
+    "table", "able", "ble", "scan", "can", "an", "at", "data", "ata",
+    "row scan", "fast merge", "big table", "agg row", "order", "rder",
+    "window", "stream", "slow", "low", "query", "very", "zzz never")
+
   /** Checked-in multi-line/non-ASCII documents (newlines, CJK, Cyrillic,
     * astral emoji, blank lines, trailing newlines) — the text shapes the
     * driver-generated sf documents don't carry. */
@@ -938,6 +947,25 @@ object SparkEntry {
       val train = vecs.filter(Splits.split(col("vec_id")) === "train")
       val evalSet = vecs.filter(Splits.split(col("vec_id")) === "test")
       Decontamination.semanticReport(train, evalSet, tau = 0.4)
+    }),
+
+    // Blocklist scanning — the curation pass a 10k-phrase blocklist
+    // needs: ONE Aho–Corasick walk per document (native ac_scan
+    // expression) finds every blocklisted phrase whatever the pattern
+    // count, where the naive plans are P contains() scans per doc or a
+    // backtracking mega-regex. Case-insensitive by ASCII fold on both
+    // sides; n_occ counts ALL ending positions (overlaps included),
+    // which the oracle mirrors with a per-pattern position scan.
+    "q180_blocklist_scan" -> ((s, dir) => {
+      val patCol = array(BlocklistPatterns.map(lit): _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          call_function("ac_scan", coalesce(col("text"), lit("")), patCol)
+            .as("r"))
+        .select(col("doc_id"),
+          array_join(col("r.hits"), "|").as("hits"),
+          col("r.n_occ").as("n_occ"),
+          size(col("r.hits")).cast("long").as("n_patterns"))
     }),
 
     // Unigram-LM segmentation of the corpus under the checked-in piece
@@ -4926,6 +4954,32 @@ object SparkEntry {
         |  MAX(cosine) AS max_cosine,
         |  (SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) >= 1) AS contaminated
         |FROM sc GROUP BY 1""".stripMargin
+    },
+
+    // q180: per-pattern position scan — for each (doc, pattern), count
+    // the starting positions whose substring equals the pattern
+    // (bijective with ac_scan's ending positions, overlaps included);
+    // hits = the sorted matched patterns. ASCII fold via translate
+    // mirrors the expression's locale-free A–Z map exactly.
+    "q180_blocklist_scan" -> {
+      val pats = BlocklistPatterns.map(p => s"'$p'").mkString(", ")
+      s"""WITH pats AS (SELECT unnest([$pats]) AS p),
+        |d AS (SELECT doc_id,
+        |    translate(coalesce(text, ''),
+        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |      'abcdefghijklmnopqrstuvwxyz') AS lt
+        |  FROM documents),
+        |m AS (SELECT doc_id, p,
+        |    CASE WHEN length(p) <= length(lt) THEN
+        |      len(list_filter(range(1, CAST(length(lt) - length(p) + 2 AS BIGINT)),
+        |        i -> substr(lt, CAST(i AS INT), CAST(length(p) AS INT)) = p))
+        |    ELSE 0 END AS occ
+        |  FROM d CROSS JOIN pats)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list(p) FILTER (WHERE occ > 0)), '|'), '') AS hits,
+        |  CAST(SUM(occ) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_patterns
+        |FROM m GROUP BY doc_id""".stripMargin
     },
 
     // q179: the exact Viterbi DP replayed — one recursive CTE advances

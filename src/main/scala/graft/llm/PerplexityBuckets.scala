@@ -31,12 +31,19 @@ object PerplexityBuckets {
   def buckets(docs: DataFrame, id: Column, text: Column,
               lang: Column): DataFrame = {
     import graft.operators.IntStats
+    // persist: the scored frame is read twice — the bisection's seeded
+    // base projection and the final bucket assignment — and its lineage
+    // is the full BigramLm corpus pass; without the cache that pass
+    // runs twice. Per-doc rows, so the footprint is O(docs), not corpus
+    // text. (Released by the session's per-query cache clear, the
+    // engine's convention for query-lifetime intermediates.)
     val scored = BigramLm.score(docs, id, text)
       .join(docs.select(id.as("doc_id"), lang.as("lang")), "doc_id")
       // round(xent·10⁴) recovers the exact integer behind the 4-dp
       // round (the double sits within ~1e-10 of it — never at a .5)
       .withColumn("xent_i",
         when(col("n_bigrams") > 0, round(col("xent") * lit(10000)).cast("long")))
+      .persist()
     val cuts = IntStats.weightedQuantilesBisect(
       scored.filter(col("n_bigrams") > 0), col("lang"), col("xent_i"),
       lit(1L), Seq((1L, 3L), (2L, 3L)))
