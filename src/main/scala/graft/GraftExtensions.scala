@@ -184,6 +184,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         AcScanExpr(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("varint_pack"),
+      new ExpressionInfo(classOf[VarintPackExpr].getName, "varint_pack"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "varint_pack(<array<bigint>>)")
+        VarintPackExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("varint_unpack"),
+      new ExpressionInfo(classOf[VarintUnpackExpr].getName, "varint_unpack"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "varint_unpack(<binary>)")
+        VarintUnpackExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("gram_agg"),
       new ExpressionInfo(classOf[GramAggExpr].getName, "gram_agg"),
       (children: Seq[Expression]) => {

@@ -968,6 +968,30 @@ object SparkEntry {
           size(col("r.hits")).cast("long").as("n_patterns"))
     }),
 
+    // Posting-list compression — the STORAGE face of q102's inverted
+    // index: per-term sorted doc-id lists delta+LEB128-encoded by the
+    // native varint_pack (Lucene's vInt layout), decode verified
+    // in-plan. packed_bytes hash-gates against the oracle's per-delta
+    // byte-width replay; roundtrip_ok is the in-engine decode==input
+    // gate (all-true, q93 style). Both codec sites are per-row
+    // projections in codegen — the index write/read path costs no
+    // shuffle beyond the posting build itself.
+    "q181_postings_varint" -> ((s, dir) => {
+      import graft.llm.InvertedIndex
+      val lists = InvertedIndex.postings(Tables.documents(s, dir),
+        col("doc_id"), col("text"), minDf = 3, maxDf = 400)
+        .groupBy(col("term"))
+        .agg(sort_array(collect_list(col("doc_id").cast("long")))
+          .as("postings"))
+      val packed = call_function("varint_pack", col("postings"))
+      lists.select(col("term"),
+          size(col("postings")).cast("long").as("n_docs"),
+          (size(col("postings")) * 8L).cast("long").as("raw_bytes"),
+          length(packed).cast("long").as("packed_bytes"),
+          (call_function("varint_unpack", packed) === col("postings"))
+            .as("roundtrip_ok"))
+    }),
+
     // Unigram-LM segmentation of the corpus under the checked-in piece
     // table (q178's artifact): per-word Viterbi decode as a native
     // codegen projection — zero shuffle beyond the scan. The DuckDB
@@ -4981,6 +5005,33 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_patterns
         |FROM m GROUP BY doc_id""".stripMargin
     },
+
+    // q181: the LEB128 byte width of each delta replayed as an integer
+    // CASE ladder (1 byte per 7 bits), summed per term over the
+    // lag-windowed doc-id gaps; roundtrip_ok mirrors as TRUE (the
+    // engine-side decode==input gate).
+    "q181_postings_varint" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |pd AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term FROM pd GROUP BY term
+        |        HAVING COUNT(*) BETWEEN 3 AND 400),
+        |del AS (
+        |  SELECT term,
+        |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS d
+        |  FROM pd JOIN dft USING (term))
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(SUM(CASE WHEN d < 128 THEN 1 WHEN d < 16384 THEN 2
+        |    WHEN d < 2097152 THEN 3 WHEN d < 268435456 THEN 4
+        |    WHEN d < 34359738368 THEN 5 WHEN d < 4398046511104 THEN 6
+        |    WHEN d < 562949953421312 THEN 7
+        |    WHEN d < 72057594037927936 THEN 8 ELSE 9 END) AS BIGINT) AS packed_bytes,
+        |  TRUE AS roundtrip_ok
+        |FROM del GROUP BY term""".stripMargin,
 
     // q179: the exact Viterbi DP replayed — one recursive CTE advances
     // dp/backpointer lists position by position (length-ascending
