@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered base table answer from its pre-aggregated summary
     // (plans/SummaryRewrite.scala). No-op until a summary registers.
     ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
+    // FK join elimination: a validated fact→dim constraint drops
+    // dimension joins the query doesn't consume
+    // (plans/JoinElimination.scala). No-op until a constraint registers.
+    ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),

@@ -968,6 +968,29 @@ object SparkEntry {
           size(col("r.hits")).cast("long").as("n_patterns"))
     }),
 
+    // FK join elimination — the optimizer drops a declared-constraint
+    // dimension join the query never consumes: orders⋈customer on the
+    // validated o_custkey→c_custkey FK, projecting fact columns (plus
+    // the key itself, rewritten to the fact's fk), aggregates with NO
+    // customer scan in the plan. gate_join_free is the plan-level
+    // proof; the oracle runs the JOINED form, so the hash gate is the
+    // semantics-preservation proof.
+    "q182_join_elimination" -> ((s, dir) => {
+      import graft.plans.JoinElimination
+      JoinElimination.register(s, s"$dir/orders.parquet", "o_custkey",
+        s"$dir/customer.parquet", "c_custkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val out = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderpriority"), c("c_custkey"),
+          round(o("o_totalprice") * 100).cast("long").as("price_cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          sum(col("price_cents")).as("sum_price_cents"))
+      out.withColumn("gate_join_free", lit(JoinElimination.joinFree(out)))
+    }),
+
     // Posting-list compression — the STORAGE face of q102's inverted
     // index: per-term sorted doc-id lists delta+LEB128-encoded by the
     // native varint_pack (Lucene's vInt layout), decode verified
@@ -5005,6 +5028,17 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_patterns
         |FROM m GROUP BY doc_id""".stripMargin
     },
+
+    // q182: the JOINED form — identical results prove the elimination
+    // is semantics-preserving; gate_join_free mirrors TRUE.
+    "q182_join_elimination" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_join_free
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // q181: the LEB128 byte width of each delta replayed as an integer
     // CASE ladder (1 byte per 7 bits), summed per term over the
