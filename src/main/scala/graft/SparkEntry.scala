@@ -968,6 +968,38 @@ object SparkEntry {
           size(col("r.hits")).cast("long").as("n_patterns"))
     }),
 
+    // Data-skipping scan — file-level min/max stats prune an
+    // UNPARTITIONED layout before the scan (the Delta/Iceberg pruning
+    // layer): orders re-clustered on o_orderdate (range layout, the
+    // q95 clustering half), a one-pass per-file stats index, and a
+    // 3-month predicate that reads only the files whose [min, max]
+    // intersects it. gate_pruned proves files were actually skipped;
+    // the hash gate against the oracle's full-table filter proves the
+    // pruning lost nothing (the row filter is re-applied after the
+    // pruned read — file stats are necessary, not sufficient).
+    "q183_skipping_scan" -> ((s, dir) => {
+      import graft.sources.SkippingIndex
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_skip_layout_$tag").toString
+      val idx = new java.io.File(tmp, s"graft_skip_idx_$tag").toString
+      s.read.parquet(base).repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(layout)
+      SkippingIndex.build(s, layout, Seq("o_orderdate"), idx)
+      val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+      val (paths, total) = SkippingIndex.prunedPaths(s, idx,
+        "o_orderdate", lo, hi)
+      SkippingIndex.scan(s, layout, paths)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+        .withColumn("gate_pruned", lit(paths.length < total))
+    }),
+
     // FK join elimination — the optimizer drops a declared-constraint
     // dimension join the query never consumes: orders⋈customer on the
     // validated o_custkey→c_custkey FK, projecting fact columns (plus
@@ -5028,6 +5060,18 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_patterns
         |FROM m GROUP BY doc_id""".stripMargin
     },
+
+    // q183: the plain full-table filter — equal hashes prove the
+    // pruned read lost no rows; gate_pruned mirrors TRUE.
+    "q183_skipping_scan" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |  AND o_orderdate < TIMESTAMP '1995-06-01'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // q182: the JOINED form — identical results prove the elimination
     // is semantics-preserving; gate_join_free mirrors TRUE.

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data-skipping index — the pruning layer every
+  * table format (Delta/Iceberg/Hudi) keeps next to the data: one
+  * bounded stats row per (file, indexed column), consulted BEFORE the
+  * scan so a selective predicate reads only the files whose value
+  * range can match. Partition pruning skips directories the partition
+  * scheme anticipated; the skipping index prunes WITHIN an
+  * unpartitioned layout, and pays off exactly when the data is
+  * clustered on the filter column (the q95 Z-order/layout story —
+  * clustering and skipping are two halves of one feature).
+  *
+  * Scale shape: the build is ONE pass over the table, map-combinable,
+  * grouped by `_metadata.file_path` — the shuffle carries O(files)
+  * rows, never the corpus — and the index itself is a tiny parquet
+  * table read driver-side at plan time (bounded by file count, the
+  * documented Compaction-style listing contract). Pruning is sound by
+  * interval logic alone: a file is kept iff [min, max] intersects
+  * [lo, hi]; all-null files carry null min/max and are dropped, which
+  * is exact because a null can never satisfy a range predicate. The
+  * caller re-applies the row-level filter after the pruned read —
+  * file granularity is coarse by design.
+  */
+object SkippingIndex {
+
+  /** One stats row per file: `file, n_rows`, and per indexed column
+    * `min_<c>, max_<c>, nnull_<c>`. Overwrites `indexPath`. */
+  def build(spark: SparkSession, tablePath: String, cols: Seq[String],
+            indexPath: String): Unit = {
+    require(cols.nonEmpty, "skipping index needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c")))
+    spark.read.parquet(tablePath)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .coalesce(1) // O(files) rows — one footer beats many
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Files whose `[min_c, max_c]` intersects `[lo, hi]` (either bound
+    * may be null = unbounded). Driver-side and bounded by file count.
+    * Returns (kept paths, total file count) so callers can gate on
+    * pruning actually happening. */
+  def prunedPaths(spark: SparkSession, indexPath: String, c: String,
+                  lo: Any, hi: Any): (Seq[String], Long) = {
+    val idx = spark.read.parquet(indexPath)
+    val total = idx.count()
+    val loK = if (lo == null) lit(true) else col(s"max_$c") >= lit(lo)
+    val hiK = if (hi == null) lit(true) else col(s"min_$c") <= lit(hi)
+    // null min/max = all-null file: range predicates can't match it
+    val kept = idx.filter(col(s"min_$c").isNotNull && loK && hiK)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** The pruned scan: read only the surviving files. The row-level
+    * predicate must be RE-APPLIED by the caller (file stats are
+    * necessary, not sufficient). Empty survivor list → empty frame
+    * with the table's schema (read the path, filter false — never a
+    * schemaless emptyDataFrame). */
+  def scan(spark: SparkSession, tablePath: String,
+           paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.read.parquet(tablePath).filter(lit(false))
+    else spark.read.parquet(paths: _*)
+}

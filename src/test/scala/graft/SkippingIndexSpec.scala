@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SkippingIndex
+
+class SkippingIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val tmp = System.getProperty("java.io.tmpdir")
+
+  test("clustered layout: narrow predicate prunes files, result equals full scan") {
+    val layout = s"$tmp/graft_sk_spec_layout"
+    val idx = s"$tmp/graft_sk_spec_idx"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(layout)
+    SkippingIndex.build(spark, layout, Seq("o_orderdate", "o_totalprice"), idx)
+
+    val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    val (paths, total) = SkippingIndex.prunedPaths(spark, idx, "o_orderdate", lo, hi)
+    assert(total == 8, s"8 range files expected, got $total")
+    assert(paths.nonEmpty && paths.length < total,
+      s"a 3-month window over a range layout must prune: kept ${paths.length}/$total")
+
+    val pruned = SkippingIndex.scan(spark, layout, paths)
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .select("o_orderkey").as[Long].collect().sorted
+    val full = spark.read.parquet(layout)
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(pruned.sameElements(full), "pruning must lose nothing")
+  }
+
+  test("unclustered (hash) layout keeps every file — skipping needs clustering") {
+    val layout = s"$tmp/graft_sk_spec_hash"
+    val idx = s"$tmp/graft_sk_spec_hash_idx"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .repartition(8, col("o_orderkey")) // scatters dates across files
+      .write.mode("overwrite").parquet(layout)
+    SkippingIndex.build(spark, layout, Seq("o_orderdate"), idx)
+    val (paths, total) = SkippingIndex.prunedPaths(spark, idx, "o_orderdate",
+      java.sql.Timestamp.valueOf("1995-03-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+    assert(paths.length.toLong == total,
+      "every file spans the full range: nothing prunes")
+  }
+
+  test("all-null files are skipped exactly; empty survivor set keeps the schema") {
+    val layout = s"$tmp/graft_sk_spec_nulls"
+    val idx = s"$tmp/graft_sk_spec_nulls_idx"
+    // two files, written explicitly: one with values, one all-null
+    Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(layout)
+    Seq((3L, Option.empty[Long]), (4L, None)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(layout)
+    SkippingIndex.build(spark, layout, Seq("v"), idx)
+    val (paths, total) = SkippingIndex.prunedPaths(spark, idx, "v", 5L, 25L)
+    assert(total == 2 && paths.length == 1, "the all-null file must prune")
+    val got = SkippingIndex.scan(spark, layout, paths)
+      .filter(col("v").between(5L, 25L)).select("id")
+      .as[Long].collect().sorted
+    assert(got.sameElements(Array(1L, 2L)))
+    // disjoint window: no survivors, but the frame keeps the schema
+    val (none, _) = SkippingIndex.prunedPaths(spark, idx, "v", 100L, 200L)
+    assert(none.isEmpty)
+    val empty = SkippingIndex.scan(spark, layout, none)
+    assert(empty.columns.toSeq == Seq("id", "v") && empty.count() == 0)
+  }
+}
