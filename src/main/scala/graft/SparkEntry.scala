@@ -968,6 +968,20 @@ object SparkEntry {
           size(col("r.hits")).cast("long").as("n_patterns"))
     }),
 
+    // DoReMi-style learned domain weights — multiplicative-weights
+    // ascent on per-domain EXCESS cross-entropy under the corpus's own
+    // bigram LM: hard domains upweight, the Group-DRO update DoReMi
+    // instantiates, with q80's declared-weight sampler as the
+    // downstream consumer. One corpus scoring pass; 8 exact-Long
+    // update rounds over the domains-bounded table (the q176 Markov
+    // discipline), so every ppm hash-gates against the oracle's
+    // unrolled replay.
+    "q184_doremi_mixture" -> ((s, dir) => {
+      import graft.llm.Mixture
+      Mixture.doremiWeights(Tables.documents(s, dir), col("doc_id"),
+        col("text"), col("source"))
+    }),
+
     // Data-skipping scan — file-level min/max stats prune an
     // UNPARTITIONED layout before the scan (the Delta/Iceberg pruning
     // layer): orders re-clustered on o_orderdate (range layout, the
@@ -5059,6 +5073,68 @@ object SparkEntry {
         |  CAST(SUM(occ) AS BIGINT) AS n_occ,
         |  CAST(COUNT(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_patterns
         |FROM m GROUP BY doc_id""".stripMargin
+    },
+
+    // q184: the q175 per-doc xent replay aggregated per source, then
+    // the 8 multiplicative-weights rounds UNROLLED as CTEs — integer
+    // clamp, truncating // division (DuckDB // and Scala Long./ agree
+    // on negatives), window-sum renormalization each round.
+    "q184_doremi_mixture" -> {
+      val roundsSql = (1 to 8).map { k =>
+        s"""r$k AS (
+          |  SELECT domain, n_docs, sum_xent, mean_micro, excess, w0,
+          |    CAST(u * 1000000 // CAST(SUM(u) OVER () AS BIGINT) AS BIGINT) AS w
+          |  FROM (SELECT domain, n_docs, sum_xent, mean_micro, excess, w0,
+          |      w * (1000000 + GREATEST(-500000, LEAST(500000, excess // 4))) AS u
+          |    FROM r${k - 1}) t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bgt AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM w),
+        |tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bgt GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS t FROM w)),
+        |co AS (
+        |  SELECT doc_id, bg, tf,
+        |    CAST(tf AS DOUBLE) * ln((CAST(c2 AS DOUBLE) + 0.5) /
+        |      (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS c
+        |  FROM tf JOIN c2 USING (bg)
+        |  JOIN c1 ON split_part(bg, ' ', 1) = w1 CROSS JOIN v),
+        |sm AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(c ORDER BY bg), (a, b) -> a + b) AS s
+        |  FROM co GROUP BY 1),
+        |sx AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(round(round(-sm.s / sm.n_bigrams, 4) * 10000, 0) AS BIGINT) AS xent_i
+        |  FROM (SELECT doc_id, source FROM documents) d
+        |  JOIN sm USING (doc_id) WHERE sm.n_bigrams > 0),
+        |dom AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(xent_i) AS BIGINT) AS sum_xent
+        |        FROM sx GROUP BY 1),
+        |g AS (SELECT CAST(SUM(sum_xent) AS BIGINT) AS ts,
+        |        CAST(SUM(n_docs) AS BIGINT) AS tn,
+        |        CAST(COUNT(*) AS BIGINT) AS nd FROM dom),
+        |r0 AS (
+        |  SELECT domain, n_docs, sum_xent,
+        |    sum_xent * 100 // n_docs AS mean_micro,
+        |    (sum_xent * 100 // n_docs) - (ts * 100 // tn) AS excess,
+        |    1000000 // nd AS w0, 1000000 // nd AS w
+        |  FROM dom CROSS JOIN g),
+        |$roundsSql
+        |SELECT domain, n_docs, sum_xent, mean_micro, excess,
+        |  w0 AS w0_ppm, w AS w_ppm,
+        |  (SELECT SUM(w) <= 1000000 AND SUM(w) > 1000000 - COUNT(*) FROM r8) AS gate_mass,
+        |  (SELECT w >= w0 FROM r8 ORDER BY excess DESC, domain LIMIT 1) AS gate_hardest_up
+        |FROM r8""".stripMargin
     },
 
     // q183: the plain full-table filter — equal hashes prove the

@@ -112,4 +112,78 @@ object Mixture {
       .where(Splits.hashSample(id, col("_mix_pm"), salt))
       .drop("_mix_stratum", "_mix_stratum_r", "_mix_pm")
   }
+
+  /** DoReMi-style LEARNED domain weights (Xie et al. 2023, the public
+    * method re-derived): where [[sampleToMixture]] consumes DECLARED
+    * weights, this derives them from measured per-domain difficulty —
+    * multiplicative-weights ascent on each domain's EXCESS LOSS, so
+    * domains the current model finds hardest (highest cross-entropy
+    * above the corpus mean) are upweighted, the Group-DRO update
+    * DoReMi instantiates. The loss proxy is the corpus's own
+    * [[BigramLm]] (the q175 scorer — no external model), so the whole
+    * stage measures, reweights, and reports in one job.
+    *
+    * Determinism is the design constraint (the q176 Markov
+    * discipline): all iteration state is EXACT Longs — per-doc
+    * ×10⁴-integer cross-entropies sum per domain, means land in
+    * micro-units by truncating division, and each of the `rounds`
+    * updates is `w ← w · (10⁶ + clamp(excess/η⁻¹, ±ppm))` renormalized
+    * by truncating integer division (the classic (1+ηx)
+    * multiplicative-weights form — affine in exact integers, where
+    * exp(ηx) would drag bit-fragile doubles through 8 rounds). Scala's
+    * truncating `Long./` and DuckDB's `//` agree on negatives, so the
+    * oracle unrolls the identical rounds.
+    *
+    * Scale shape: the corpus-sized work is ONE BigramLm scoring pass;
+    * everything after is a domains-bounded dimension table collected
+    * driver-side (documented bounded collect) and O(D · rounds) Long
+    * arithmetic. Output, one row per domain: `(domain, n_docs,
+    * sum_xent, mean_micro, excess, w0_ppm, w_ppm, gate_mass,
+    * gate_hardest_up)` — gate_mass bounds the renormalized total in
+    * (10⁶ − D, 10⁶]; gate_hardest_up asserts the hardest domain ended
+    * at or above uniform. */
+  def doremiWeights(docs: DataFrame, id: Column, text: Column,
+                    domain: Column, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = BigramLm.score(docs, id, text)
+      .join(docs.select(id.as("doc_id"), domain.as("_dom")), "doc_id")
+      .filter(col("n_bigrams") > 0)
+      .withColumn("xent_i", round(col("xent") * lit(10000)).cast("long"))
+    val dom = scored.groupBy(col("_dom"))
+      .agg(count(lit(1)).as("n"), sum(col("xent_i")).as("sx"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    if (dom.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long, Long, Long,
+        Boolean, Boolean)].toDF("domain", "n_docs", "sum_xent",
+        "mean_micro", "excess", "w0_ppm", "w_ppm", "gate_mass",
+        "gate_hardest_up")
+    val d = dom.length
+    val (ts, tn) = (dom.map(_._3).sum, dom.map(_._2).sum)
+    val globalMicro = ts * 100L / tn
+    val meanMicro = dom.map { case (_, n, sx) => sx * 100L / n }
+    val excess = meanMicro.map(_ - globalMicro)
+    val w0 = 1000000L / d
+    var w = Array.fill(d)(w0)
+    for (_ <- 1 to rounds) {
+      val u = Array.tabulate(d) { i =>
+        val f = 1000000L + math.max(-500000L, math.min(500000L, excess(i) / 4L))
+        w(i) * f
+      }
+      val s = u.sum
+      w = u.map(_ * 1000000L / s)
+    }
+    val mass = w.sum
+    val gateMass = mass <= 1000000L && mass > 1000000L - d
+    // hardest domain: max excess, SMALLEST domain name breaking ties
+    // (the oracle's ORDER BY excess DESC, domain LIMIT 1)
+    val hardest = dom.indices.minBy(i => (-excess(i), dom(i)._1))
+    val gateHardest = w(hardest) >= w0
+    dom.indices.map { i =>
+      (dom(i)._1, dom(i)._2, dom(i)._3, meanMicro(i), excess(i), w0,
+        w(i), gateMass, gateHardest)
+    }.toDF("domain", "n_docs", "sum_xent", "mean_micro", "excess",
+      "w0_ppm", "w_ppm", "gate_mass", "gate_hardest_up")
+  }
 }

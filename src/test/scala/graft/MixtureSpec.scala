@@ -84,6 +84,44 @@ class MixtureSpec extends SparkTestBase {
     assert(c.subsetOf(a))
   }
 
+  test("doremiWeights: hard domains upweight, mass conserved, exact Longs") {
+    // two domains: 'hard' docs are unique-word strings (high bigram
+    // xent), 'easy' docs repeat one bigram (low xent)
+    val docs = ((0 until 20).map(i =>
+        (i.toLong, s"alpha$i beta$i gamma$i delta$i", "hard")) ++
+      (20 until 40).map(i =>
+        (i.toLong, "ping pong ping pong ping pong", "easy")))
+      .toDF("doc_id", "text", "domain")
+    val out = Mixture.doremiWeights(docs, col("doc_id"), col("text"),
+      col("domain"), rounds = 8)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val (hard, easy) = (out("hard"), out("easy"))
+    assert(hard._5 > 0 && easy._5 < 0, "excess signs")
+    assert(hard._7 > hard._6 && easy._7 < easy._6,
+      s"hard upweights from uniform, easy down: $hard / $easy")
+    assert(hard._8 && hard._9, "gates hold")
+    val mass = hard._7 + easy._7
+    assert(mass <= 1000000L && mass > 1000000L - 2, s"mass $mass")
+    // determinism: a second run is bit-identical
+    val again = Mixture.doremiWeights(docs, col("doc_id"), col("text"),
+      col("domain"), rounds = 8)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
+  test("doremiWeights: empty input yields an empty frame with the schema") {
+    val docs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "domain")
+    val out = Mixture.doremiWeights(docs, col("doc_id"), col("text"),
+      col("domain"))
+    assert(out.columns.toSeq == Seq("domain", "n_docs", "sum_xent",
+      "mean_micro", "excess", "w0_ppm", "w_ppm", "gate_mass",
+      "gate_hardest_up"))
+    assert(out.count() == 0)
+  }
+
   test("schema is preserved and reserved columns rejected") {
     val out = Mixture.sampleToMixture(corpus, col("id"), col("domain"),
       Map("web" -> 1, "books" -> 1, "code" -> 1))
