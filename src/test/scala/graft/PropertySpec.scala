@@ -576,4 +576,62 @@ class PropertySpec extends SparkTestBase {
     assert(computeCp(cp("kitten"), cp("sitting"), 3) == 3)
     assert(computeCp(cp("kitten"), cp("sitting"), 2) == 3) // clamp
   }
+
+  test("varint roundtrip + byte-width law on random sorted lists") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.expressions.Varint
+    val rnd = new scala.util.Random(4711)
+    def leb128Width(v: Long): Int = { // independent reference
+      var x = v; var n = 1
+      while (x >= 128L) { x >>>= 7; n += 1 }
+      n
+    }
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(60)
+      // mixed-magnitude ascending list: gaps from 0 to ~2^45
+      var acc = math.abs(rnd.nextLong()) % 1000L
+      val xs = (0 until n).map { _ =>
+        acc += (math.abs(rnd.nextLong()) % (1L << rnd.nextInt(46)))
+        acc
+      }
+      val packed = Varint.pack(new GenericArrayData(xs.toArray))
+      val expectBytes =
+        if (xs.isEmpty) 0
+        else leb128Width(xs.head) +
+          xs.sliding(2).collect { case Seq(a, b) => leb128Width(b - a) }.sum
+      assert(packed.length == expectBytes, s"width law on $xs")
+      val out = Varint.unpack(packed)
+      assert((0 until out.numElements()).map(out.getLong) == xs,
+        s"roundtrip on $xs")
+    }
+  }
+
+  test("ac_scan equals the brute-force position scan on random texts and pattern sets") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val rnd = new scala.util.Random(1337)
+    val alphabet = "abcB "
+    def randStr(n: Int) =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 200) {
+      val pats = (1 to (1 + rnd.nextInt(6)))
+        .map(_ => randStr(1 + rnd.nextInt(4))).distinct
+        .filter(_.trim.nonEmpty) // avoid all-space phrases for clarity
+        .map(_.toLowerCase).distinct
+      if (pats.nonEmpty) {
+        val text = randStr(rnd.nextInt(60))
+        val auto = graft.expressions.AcScan.cached(pats.toArray)
+        val row = auto.scan(UTF8String.fromString(text))
+        val gotHits = row.getArray(0)
+          .toObjectArray(StringType).map(_.toString).toSeq
+        val gotOcc = row.getLong(1)
+        val lt = text.toLowerCase
+        val occ = pats.map(p =>
+          p -> (0 to lt.length - p.length).count(i => lt.startsWith(p, i)))
+        assert(gotOcc == occ.map(_._2.toLong).sum, s"occ: '$text' vs $pats")
+        assert(gotHits.sorted == occ.filter(_._2 > 0).map(_._1).sorted,
+          s"hits: '$text' vs $pats")
+      }
+    }
+  }
 }
