@@ -42,6 +42,41 @@ object SkippingIndex {
       .write.mode("overwrite").parquet(indexPath)
   }
 
+  /** Incremental refresh: stat ONLY the files the index has not seen
+    * (the streaming-ingest case — a day's append adds a handful of
+    * files to a layout with thousands) and union them with the
+    * existing rows. The scan cost is O(new files), not O(table); rows
+    * for already-indexed files are carried over verbatim, never
+    * recomputed. Files deleted from the layout (compaction) drop out
+    * of the index. Falls back to a full [[build]] when no index
+    * exists. */
+  def refresh(spark: SparkSession, tablePath: String, cols: Seq[String],
+              indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idxDir = new Path(indexPath)
+    val fs = idxDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(idxDir)) return build(spark, tablePath, cols, indexPath)
+    val table = spark.read.parquet(tablePath)
+    val live = table.inputFiles.toSet
+    val existing = spark.read.parquet(indexPath)
+      .filter(col("file").isin(live.toSeq: _*))
+      .localCheckpoint(true) // sever lineage: the overwrite below would
+                             // otherwise read the dir it is replacing
+    val known = existing.select("file").collect().map(_.getString(0)).toSet
+    val fresh = live.diff(known).toSeq
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c")))
+    val freshStats =
+      if (fresh.isEmpty) existing.limit(0)
+      else spark.read.parquet(fresh: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    existing.unionByName(freshStats).coalesce(1)
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
   /** Files whose `[min_c, max_c]` intersects `[lo, hi]` (either bound
     * may be null = unbounded). Driver-side and bounded by file count.
     * Returns (kept paths, total file count) so callers can gate on

@@ -46,6 +46,34 @@ class SkippingIndexSpec extends SparkTestBase {
       "every file spans the full range: nothing prunes")
   }
 
+  test("refresh stats only unseen files; carried rows byte-identical; dropped files leave") {
+    val layout = s"$tmp/graft_sk_spec_inc"
+    val idx = s"$tmp/graft_sk_spec_inc_idx"
+    (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(layout)
+    SkippingIndex.build(spark, layout, Seq("v"), idx)
+    val before = spark.read.parquet(idx).collect()
+    assert(before.length == 1)
+    // append a second file; refresh must keep the old row verbatim
+    (101L to 200L).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(layout)
+    SkippingIndex.refresh(spark, layout, Seq("v"), idx)
+    val after = spark.read.parquet(idx).collect().sortBy(_.getAs[Long]("n_rows"))
+    assert(after.length == 2)
+    assert(after.exists(_.toSeq == before.head.toSeq), "old row carried verbatim")
+    val (paths, total) = SkippingIndex.prunedPaths(spark, idx, "v", 1500L, 1600L)
+    assert(total == 2 && paths.length == 1, "only the new file matches [1500,1600]")
+    // no-op refresh: same two rows
+    SkippingIndex.refresh(spark, layout, Seq("v"), idx)
+    assert(spark.read.parquet(idx).count() == 2)
+    // compaction: rewrite the layout to one file — stale entries leave
+    spark.read.parquet(layout).repartition(1)
+      .write.mode("overwrite").parquet(s"$layout-c")
+    SkippingIndex.refresh(spark, s"$layout-c", Seq("v"), idx)
+    val compacted = spark.read.parquet(idx).collect()
+    assert(compacted.length == 1 && compacted.head.getAs[Long]("n_rows") == 200L)
+  }
+
   test("all-null files are skipped exactly; empty survivor set keeps the schema") {
     val layout = s"$tmp/graft_sk_spec_nulls"
     val idx = s"$tmp/graft_sk_spec_nulls_idx"
