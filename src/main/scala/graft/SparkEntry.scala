@@ -982,6 +982,18 @@ object SparkEntry {
         col("text"), col("source"))
     }),
 
+    // Kneser–Ney bigram cross-entropy — the KenLM-grade smoothing the
+    // CCNet family actually filters with, next to q91's add-k arm:
+    // backoff mass goes to the CONTINUATION unigram (distinct-history
+    // count), not a uniform 1/V. Every KN statistic is a one-more
+    // reduction of the persisted vocab²-bounded bigram-type table —
+    // zero extra corpus passes; same bigram-sorted per-doc fold.
+    "q185_kneser_ney" -> ((s, dir) => {
+      import graft.llm.BigramLm
+      BigramLm.scoreKneserNey(Tables.documents(s, dir), col("doc_id"),
+        col("text"))
+    }),
+
     // Data-skipping scan — file-level min/max stats prune an
     // UNPARTITIONED layout before the scan (the Delta/Iceberg pruning
     // layer): orders re-clustered on o_orderdate (range layout, the
@@ -5136,6 +5148,44 @@ object SparkEntry {
         |  (SELECT w >= w0 FROM r8 ORDER BY excess DESC, domain LIMIT 1) AS gate_hardest_up
         |FROM r8""".stripMargin
     },
+
+    // q185: the q91 CTE chain with the add-k probability swapped for
+    // interpolated Kneser–Ney — continuation counts N1+(w1·)/N1+(·w2)
+    // and the type total N1+(··) all reduce from the c2 bigram-type
+    // CTE; identical double assembly (exact-integer products, one ln)
+    // and the same list(c ORDER BY bg) fold.
+    "q185_kneser_ney" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bgt AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM w),
+        |tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bgt GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1,
+        |       CAST(COUNT(*) AS BIGINT) AS n1w1 FROM c2 GROUP BY 1),
+        |cont AS (SELECT split_part(bg, ' ', 2) AS w2,
+        |       CAST(COUNT(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY 1),
+        |nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM c2),
+        |co AS (
+        |  SELECT doc_id, bg, tf,
+        |    CAST(tf AS DOUBLE) * ln(
+        |      (GREATEST(CAST(c2 AS DOUBLE) - 0.75, 0.0) * CAST(nbt AS DOUBLE)
+        |        + 0.75 * CAST(n1w1 AS DOUBLE) * CAST(ncw2 AS DOUBLE)) /
+        |      (CAST(c1 AS DOUBLE) * CAST(nbt AS DOUBLE))) AS c
+        |  FROM tf JOIN c2 USING (bg)
+        |  JOIN c1 ON split_part(bg, ' ', 1) = w1
+        |  JOIN cont ON split_part(bg, ' ', 2) = w2 CROSS JOIN nbt),
+        |sm AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(c ORDER BY bg), (a, b) -> a + b) AS s
+        |  FROM co GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sm.n_bigrams, 0) AS n_bigrams,
+        |  round(-sm.s / sm.n_bigrams, 4) AS xent
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN sm USING (doc_id)""".stripMargin,
 
     // q183: the plain full-table filter — equal hashes prove the
     // pruned read lost no rows; gate_pruned mirrors TRUE.

@@ -96,4 +96,79 @@ object BigramLm {
       out
     } else result
   }
+
+  /** Interpolated Kneser–Ney bigram cross-entropy — the KenLM-grade
+    * smoothing CCNet-style filters actually run (Kneser & Ney '95;
+    * Chen & Goodman '98 eq. 4.26), one notch above [[score]]'s add-k:
+    * instead of flattening every unseen/rare transition toward a
+    * uniform 1/V, the backoff mass goes to the CONTINUATION unigram
+    * P_cont(w2) = N1+(·w2)/N1+(··) — "how many distinct histories does
+    * w2 follow" — which is what separates a genuinely versatile word
+    * from one frequent only inside a single collocation ("Francisco"
+    * is common but almost always follows "San"; KN backs off to it
+    * reluctantly, add-k generously).
+    *
+    *   P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with the classic D = 0.75. Self-trained and self-scored like
+    * [[score]], so every scored bigram has c ≥ 1 and P > 0 — no OOV
+    * branch.
+    *
+    * Scale shape is [[score]]'s with ZERO extra corpus passes: ALL the
+    * KN statistics (c1, N1+(w1·), N1+(·w2), N1+(··)) are one-more
+    * reductions of the vocab²-bounded bigram-type table, which is
+    * persisted because it feeds four consumers. Bit-stability: the
+    * probability is assembled as one ratio of products of exact-integer
+    * doubles (exact while every product < 2^53 — at corpus scales
+    * beyond that the DOUBLE ratio merely loses hash-exactness, the
+    * estimate stays fine), one ln per bigram type, and the per-doc sum
+    * folds in bigram-sorted order exactly as [[score]] does. */
+  def scoreKneserNey(docs: DataFrame, id: Column, text: Column,
+                     cache: Boolean = true): DataFrame = {
+    val D = 0.75
+    val base = docs.select(id.as("doc_id"), text.as("_text"))
+    val inst = base.select(col("doc_id"),
+      explode(bigrams(col("_text"))).as("bg"))
+    val tf0 = inst.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (cache)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
+    // bigram-type table: (bg, c2) — every KN statistic reduces from it
+    val c20 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
+    val c2 = if (cache)
+      c20.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else c20
+    // per-history: total count c1 AND distinct-continuation count N1+(w1·)
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1w1"))
+    // per-continuation: distinct-history count N1+(·w2)
+    val cont = c2.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("ncw2"))
+    // total bigram types N1+(··): 1 row, broadcasts
+    val nbt = c2.agg(count(lit(1)).as("nbt"))
+    val contrib = tf
+      .join(c2, "bg")
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(cont, substring_index(col("bg"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(nbt))
+      .withColumn("c", col("tf").cast("double") *
+        log((greatest(col("c2").cast("double") - D, lit(0.0)) * col("nbt").cast("double") +
+          lit(D) * col("n1w1").cast("double") * col("ncw2").cast("double")) /
+          (col("c1").cast("double") * col("nbt").cast("double"))))
+    val summed = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("bg"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+    val result = base.select(col("doc_id")).join(summed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 4).as("xent"))
+    if (cache) {
+      val out = result.localCheckpoint(true)
+      tf.unpersist(); c2.unpersist()
+      out
+    } else result
+  }
 }

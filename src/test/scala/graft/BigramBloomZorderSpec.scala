@@ -45,6 +45,69 @@ class BigramBloomZorderSpec extends SparkTestBase {
       s"common transitions must score lower: ${out(1L)} vs ${out(4L)}")
   }
 
+  test("Kneser-Ney: hand-computed interpolated probabilities") {
+    // same corpus as the add-k test. Bigram types: "a b" c2=3,
+    // "b a" c2=1, "b c" c2=1; c1: a->3 (N1+(a.)=1), b->2 (N1+(b.)=2);
+    // N1+(.b)=1, N1+(.a)=1, N1+(.c)=1; N1+(..)=3; D=0.75.
+    // P(b|a) = (max(3-.75,0)*3 + .75*1*1)/(3*3) = 7.5/9
+    // P(a|b) = (max(1-.75,0)*3 + .75*2*1)/(2*3) = 2.25/6
+    // P(c|b) = same = 2.25/6
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = BigramLm.scoreKneserNey(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_bigrams", "xent")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 7.5 / 9.0; val pBX = 2.25 / 6.0
+    val d1 = -(2.0 * math.log(pAB) + 1.0 * math.log(pBX)) / 3.0
+    val d2 = -(1.0 * math.log(pAB) + 1.0 * math.log(pBX)) / 2.0
+    assert(out(1L) == ((3L, Some(r4(d1)))))
+    assert(out(2L) == ((2L, Some(r4(d2)))))
+    assert(out(3L) == ((0L, None)), "single-token doc: no bigrams, null xent")
+  }
+
+  test("Kneser-Ney: per-history probability mass is exactly 1 " +
+    "(discounted seen mass + backoff mass)") {
+    // For every history w1: sum_seen max(c12-D,0)/c1 = 1 - D*N1w1/c1 and
+    // the backoff term adds D*N1w1/c1 * sum_all Pcont = D*N1w1/c1, so the
+    // model is a PROPER distribution — the property add-k only
+    // approximates. Recompute the stats the operator derives and check.
+    val docs = Seq((1L, "a b a b c a"), (2L, "b c b a"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    val inst = docs.select(explode(BigramLm.bigrams(col("text"))).as("bg"))
+    val c2 = inst.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .as[(String, Long)].collect().toMap
+    val hist = c2.groupBy(_._1.split(" ")(0))
+    val contCount = c2.keys.groupBy(_.split(" ")(1)).map { case (w, g) => w -> g.size }
+    val nbt = c2.size.toDouble
+    for ((w1, grams) <- hist) {
+      val c1 = grams.values.sum.toDouble
+      val n1w1 = grams.size.toDouble
+      val seen = grams.map { case (bg, c12) =>
+        math.max(c12 - 0.75, 0.0) / c1 +
+          0.75 * n1w1 / c1 * (contCount(bg.split(" ")(1)) / nbt)
+      }.sum
+      val unseenBackoff = 0.75 * n1w1 / c1 *
+        contCount.filterNot { case (w2, _) => grams.contains(s"$w1 $w2") }
+          .values.sum / nbt
+      assert(math.abs(seen + unseenBackoff - 1.0) < 1e-12,
+        s"history '$w1' mass ${seen + unseenBackoff}")
+    }
+  }
+
+  test("Kneser-Ney: templated text still scores lower than shuffled") {
+    val template = (1 to 20).map(_ => "the quick brown fox").mkString(" ")
+    val shuffled = "fox the brown quick " * 3 + "quick fox the brown"
+    val docs = Seq((1L, template), (2L, template), (3L, template),
+      (4L, shuffled)).toDF("doc_id", "text")
+    val out = BigramLm.scoreKneserNey(docs, col("doc_id"), col("text"))
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(4L),
+      s"common transitions must score lower: ${out(1L)} vs ${out(4L)}")
+  }
+
   // ------------------------------------------------------ bloom prune
 
   test("bloom: every inserted key tests true; most absent keys test false") {
