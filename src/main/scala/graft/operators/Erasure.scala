@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed erasure — the right-to-be-forgotten DELETE a serving store
+  * must honor (GDPR art. 17 / CCPA): every row belonging to a set of
+  * data subjects disappears from the table, an audit ledger records
+  * what was erased, and at 100 TB the rewrite touches only the
+  * partitions that actually held the subjects' rows.
+  *
+  * Complements [[Upsert]]: MERGE replaces matched rows with new
+  * versions; erasure removes them. The partition-scoped form differs
+  * from `upsertPartitionScoped` in one fundamental way: a deletion
+  * request carries NO partition column — a subject's rows may sit under
+  * any partition — so the touched-partition set cannot be read off the
+  * source batch. It comes from one narrow key+partition projection of
+  * the target (columnar scan of two thin columns, the same stats pass a
+  * table format answers from its file-level indexes), after which only
+  * the affected partitions are read in full and rewritten.
+  *
+  * The second difference is the fully-erased partition: dynamic
+  * partition overwrite replaces only partitions PRESENT in the output,
+  * so a partition whose every row matched a subject would survive the
+  * rewrite untouched — the exact opposite of a deletion guarantee.
+  * Those directories are removed explicitly after the commit.
+  */
+object Erasure {
+
+  /** Pure transform: rows of `target` whose key appears in `subjects`
+    * are dropped. `subjects` is a deletion-request batch — small by
+    * contract (bounded by the requests received, not by the data), so
+    * it broadcasts and the target never shuffles. */
+  def erase(target: DataFrame, subjects: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "erase needs at least one key column")
+    target.join(broadcast(subjects.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
+  }
+
+  /** Partition-scoped erasure against a `partCol`-partitioned parquet
+    * tree, with an audit ledger. Steps:
+    *
+    *   1. ONE narrow projection (keys + partCol) of the target,
+    *      semi-joined against the broadcast subject batch, persisted —
+    *      it answers both the touched-partition list and the per-subject
+    *      erased-row counts. Column pruning makes this a thin scan even
+    *      when the table is wide.
+    *   2. Affected partitions (partition-pruned read) are anti-joined
+    *      and rewritten under dynamic partition overwrite — untouched
+    *      partitions keep their files byte-identical.
+    *   3. Partitions whose every row was erased are deleted via the
+    *      filesystem (dynamic overwrite cannot: they are absent from
+    *      the output). The write commits BEFORE the deletes, so a crash
+    *      between them leaves extra-but-consistent data, never loss.
+    *   4. If `ledgerPath` is set, one row per requested subject key —
+    *      including keys that matched nothing, n_rows_erased = 0, so
+    *      the audit trail proves every request was processed — appends
+    *      with `batch_id` and the touched-partition count.
+    *
+    * Like [[Upsert.upsertPartitionScoped]] this runs on a cloned
+    * session (inference off, dynamic overwrite scoped to this call)
+    * and stages output before the partition swap; the Compaction
+    * caveat about mid-commit crashes applies. */
+  def erasePartitionScoped(spark: SparkSession, targetPath: String,
+                           partCol: String, subjects: DataFrame,
+                           keys: Seq[String], batchId: String,
+                           ledgerPath: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "erase needs at least one key column")
+    require(!keys.contains(partCol),
+      s"$partCol partitions the tree; key on the subject id columns")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(sess.sessionState.newHadoopConf())
+    require(fs.exists(root), s"erasure target $targetPath does not exist")
+    // re-root on the clone + single evaluation (the Upsert discipline)
+    val subj = sess.createDataFrame(subjects.rdd, subjects.schema)
+      .select(keys.map(col): _*).distinct().persist()
+    try {
+      // 1. narrow matched projection: keys + partition, persisted —
+      // feeds the touched list AND the ledger counts
+      val matched = sess.read.parquet(targetPath)
+        .select((keys :+ partCol).map(col): _*)
+        .join(broadcast(subj), keys, "left_semi")
+        .persist()
+      val touched = matched.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val erasedPerKey = matched.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_rows_erased"))
+      // ledger rows cover EVERY requested key (zeros included).
+      // localCheckpoint(eager) BEFORE the rewrite: the ledger's lineage
+      // reads the very files the rewrite replaces and the delete
+      // removes — materialize now, write after the erasure completes.
+      val ledger = subj
+        .join(erasedPerKey, keys, "left")
+        .select(keys.map(col) ++ Seq(
+          coalesce(col("n_rows_erased"), lit(0L)).as("n_rows_erased"),
+          lit(batchId).as("batch_id"),
+          lit(touched.size.toLong).as("n_partitions_touched")): _*)
+        // bounded by the request batch — keep the audit file count sane
+        .coalesce(1)
+        .localCheckpoint(true)
+      if (touched.nonEmpty) {
+        // Fully-erased detection must happen BEFORE the rewrite (after
+        // it, such a partition still holds its ORIGINAL files — dynamic
+        // overwrite only replaces partitions present in the output — so
+        // it is indistinguishable from an untouched one). A partition is
+        // fully erased iff its matched count equals its total count; the
+        // total is a zero-data-column count over the pruned partitions
+        // (row-group metadata reads).
+        val matchedPerPart = matched
+          .groupBy(col(partCol).cast("string").as("_p"))
+          .agg(count(lit(1)).as("_m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totalPerPart = sess.read.parquet(targetPath)
+          .filter(col(partCol).cast("string").isin(touched: _*))
+          .groupBy(col(partCol).cast("string").as("_p"))
+          .agg(count(lit(1)).as("_n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val fullyErased = touched.filter(p =>
+          matchedPerPart.getOrElse(p, 0L) == totalPerPart(p))
+        // 2. rewrite affected partitions without the subjects' rows.
+        // Inference is off, so partCol reads as the raw directory string
+        // and writes back to the identical directory names.
+        val affected = sess.read.parquet(targetPath)
+          .filter(col(partCol).cast("string").isin(touched: _*))
+        val surviving = affected.join(broadcast(subj), keys, "left_anti")
+        surviving.write.mode(SaveMode.Overwrite)
+          .partitionBy(partCol).parquet(targetPath)
+        // 3. the write commits first, the directory deletes follow — a
+        // crash between them leaves extra-but-consistent data.
+        fullyErased.foreach { p =>
+          // Hive-escape the value exactly as the writer did when it
+          // created the directory (spaces, colons, ... in part values)
+          val dir = s"$partCol=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(p)
+          fs.delete(new org.apache.hadoop.fs.Path(root, dir), true)
+        }
+      }
+      // 4. audit trail last: a ledger row states the erasure COMPLETED
+      ledgerPath.foreach(lp =>
+        ledger.write.mode(SaveMode.Append).parquet(lp))
+      matched.unpersist()
+    } finally subj.unpersist()
+  }
+}
