@@ -247,6 +247,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UnigramEncodeExpr(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(classOf[WordPieceEncodeExpr].getName, "wordpiece_encode"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, 1, "wordpiece_encode(<text>)")
+        WordPieceEncodeExpr(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bpe_decode_ids"),
       new ExpressionInfo(classOf[BpeDecodeIdsExpr].getName, "bpe_decode_ids"),
       (children: Seq[Expression]) => {

@@ -51,6 +51,7 @@ object SparkEntry {
   val BpeMerges = "/root/repo/src/main/resources/graft/bpe_merges.tsv"
   val BpeVocab = "/root/repo/src/main/resources/graft/bpe_vocab.tsv"
   val UnigramVocab = "/root/repo/src/main/resources/graft/unigram_vocab.tsv"
+  val WordPieceVocab = "/root/repo/src/main/resources/graft/wordpiece_vocab.tsv"
 
   /** q180's fixture blocklist: corpus words and phrases chosen to
     * exercise the Aho–Corasick suffix chains — nested patterns
@@ -1097,6 +1098,33 @@ object SparkEntry {
     "q178_unigram_train" -> ((s, _) => {
       import graft.llm.UnigramLm
       UnigramLm.train(
+        Tables.documents(s, "/root/testdata/sf0.001"), col("text"))
+    }),
+
+    // WordPiece segmentation (BERT's tokenizer — greedy longest-match-
+    // first, ## continuations, all-or-nothing [UNK]) via the native
+    // wordpiece_encode codegen expression: per-row projection, zero
+    // shuffle. The oracle replays the greedy matcher as a recursive
+    // CTE advancing (pos, pieces) per word — each step takes the
+    // LONGEST vocab member at pos, exactly the tie-free scan the
+    // encoder runs.
+    "q186_wordpiece_encode" -> ((s, dir) => {
+      val pieces = call_function("wordpiece_encode", col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        coalesce(size(pieces).cast("long"), lit(0L)).as("n_pieces"),
+        coalesce(size(filter(pieces, p => p === "[UNK]")).cast("long"),
+          lit(0L)).as("n_unk"),
+        coalesce(array_join(pieces, ","), lit("")).as("pieces_str"))
+    }),
+
+    // WordPiece training provenance (the q128/q178 discipline):
+    // re-training on the vocab's own declared corpus (sf0.001,
+    // pinned) must reproduce the checked-in table bit-for-bit —
+    // likelihood-scored merges with exact cross-multiplied
+    // comparisons, so the whole table hash-gates.
+    "q187_wordpiece_train" -> ((s, _) => {
+      import graft.llm.WordPiece
+      WordPiece.trainFromCorpus(
         Tables.documents(s, "/root/testdata/sf0.001"), col("text"))
     }),
 
@@ -5302,6 +5330,60 @@ object SparkEntry {
         |  COALESCE(array_to_string(toks, ','), '') AS pieces_str
         |FROM documents d LEFT JOIN utoks USING (doc_id)""".stripMargin
     },
+
+    // q186: greedy longest-match-first replay — a recursive CTE per
+    // word advancing (pos, pieces); each step takes the LONGEST vocab
+    // member at pos (## continuation when pos > 0), no match or a
+    // >100-char word collapses the WHOLE word to [UNK] (the
+    // all-or-nothing BERT rule).
+    "q186_wordpiece_encode" -> {
+      def piece(l: String) =
+        s"""(CASE WHEN pos = 0 THEN '' ELSE '##' END ||
+          |  substr(word, CAST(pos + 1 AS INT), CAST($l AS INT)))""".stripMargin
+      s"""WITH RECURSIVE v AS (
+        |  SELECT map(list(token), list(TRUE)) AS m
+        |  FROM read_csv('$WordPieceVocab', delim='\t', header=true, quote='',
+        |    columns={'id':'BIGINT','token':'VARCHAR'})),
+        |words AS (
+        |  SELECT doc_id, wi, word, len(word) AS n
+        |  FROM (SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word,
+        |      generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) AS wi
+        |    FROM documents)),
+        |rec AS (
+        |  SELECT doc_id, wi, word, n, CAST(0 AS BIGINT) AS pos,
+        |    CAST([] AS VARCHAR[]) AS ps
+        |  FROM words WHERE n <= 100
+        |  UNION ALL
+        |  SELECT doc_id, wi, word, n,
+        |    CASE WHEN best IS NULL THEN n ELSE pos + best END AS pos,
+        |    CASE WHEN best IS NULL THEN ['[UNK]']
+        |         ELSE list_append(ps, ${piece("best")}) END AS ps
+        |  FROM (
+        |    SELECT doc_id, wi, word, n, pos, ps,
+        |      list_reduce(list_transform(range(1, n - pos + 1), l ->
+        |        CASE WHEN map_extract(m, ${piece("l")})[1] IS NOT NULL
+        |             THEN l ELSE NULL END),
+        |        (a, b) -> CASE WHEN b IS NOT NULL THEN b ELSE a END) AS best
+        |    FROM rec, v WHERE pos < n) t),
+        |longw AS (SELECT doc_id, wi, ['[UNK]'] AS ps FROM words WHERE n > 100),
+        |seg AS (SELECT doc_id, wi, ps FROM rec WHERE pos = n
+        |        UNION ALL SELECT doc_id, wi, ps FROM longw),
+        |toks AS (SELECT doc_id, flatten(list(ps ORDER BY wi)) AS toks
+        |         FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_pieces,
+        |  CAST(COALESCE(len(list_filter(toks, p -> p = '[UNK]')), 0) AS BIGINT) AS n_unk,
+        |  COALESCE(array_to_string(toks, ','), '') AS pieces_str
+        |FROM documents d LEFT JOIN toks USING (doc_id)""".stripMargin
+    },
+
+    // q187: the artifact itself IS the expected value (q128/q178
+    // provenance discipline).
+    "q187_wordpiece_train" ->
+      s"""SELECT CAST(id AS BIGINT) AS id, token
+        |FROM read_csv('$WordPieceVocab', delim='\t', header=true, quote='',
+        |  columns={'id':'BIGINT','token':'VARCHAR'})""".stripMargin,
 
     // q178: the artifact itself IS the expected value — re-training on
     // the declared corpus must emit exactly the checked-in TSV.
