@@ -1128,6 +1128,24 @@ object SparkEntry {
         Tables.documents(s, "/root/testdata/sf0.001"), col("text"))
     }),
 
+    // Semi-supervised label propagation over the near-dup graph (q20's
+    // memoized verified pairs): a deterministic md5 30% of docs carry a
+    // trusted seed label (source class), 4 synchronous integer-vote
+    // rounds spread it to near-duplicates — dup-of-known-spam IS spam.
+    // Ties to the smallest label, seeds clamped, no labeled neighbor
+    // keeps the previous state; every vote an exact Long, so the full
+    // labeling hash-gates against the oracle's unrolled 4-round replay.
+    "q188_label_prop" -> ((s, dir) => {
+      import graft.llm.{LabelProp, Splits}
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        when(Splits.md5Bucket(col("doc_id"), 10) < 3,
+          when(col("source").isin("src0", "src1", "src2"), 1).otherwise(0))
+          .as("seed"))
+      LabelProp.propagate(seeded, col("doc_id"), col("seed"),
+        docDupPairs(s, dir, 0.8), col("doc_a"), col("doc_b"), rounds = 4)
+        .select(col("id").as("doc_id"), col("seed_label"), col("label"))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -5376,6 +5394,44 @@ object SparkEntry {
         |  CAST(COALESCE(len(list_filter(toks, p -> p = '[UNK]')), 0) AS BIGINT) AS n_unk,
         |  COALESCE(array_to_string(toks, ','), '') AS pieces_str
         |FROM documents d LEFT JOIN toks USING (doc_id)""".stripMargin
+    },
+
+    // q188: q20's exact-jaccard pair CTEs → symmetrized edge list →
+    // the same 4 vote rounds unrolled (count votes from labeled
+    // neighbors, ROW_NUMBER argmax with (c DESC, label ASC), seeds
+    // clamped via COALESCE(seed, vote, prev)).
+    "q188_label_prop" -> {
+      val roundsSql = (1 to 4).map { k =>
+        s"""v$k AS (
+          |  SELECT e.dst AS doc_id, l.label, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM e JOIN l${k - 1} l ON e.src = l.doc_id
+          |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+          |b$k AS (
+          |  SELECT doc_id, label FROM (
+          |    SELECT doc_id, label, ROW_NUMBER() OVER
+          |      (PARTITION BY doc_id ORDER BY c DESC, label ASC) AS rn
+          |    FROM v$k) t WHERE rn = 1),
+          |l$k AS (
+          |  SELECT n.doc_id, COALESCE(n.seed, b.label, p.label) AS label
+          |  FROM n LEFT JOIN b$k b USING (doc_id)
+          |  LEFT JOIN l${k - 1} p USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${dShingleCtes()},
+        |hh AS (SELECT DISTINCT doc_id, ${dMd5Long("t")} % ${graft.llm.MinHashLsh.P} AS h FROM sh),
+        |$dJaccardTail,
+        |p0 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p0
+        |      UNION SELECT doc_b, doc_a FROM p0),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN ${dMd5Long("doc_id::VARCHAR")} % 10 < 3
+        |         THEN (CASE WHEN source IN ('src0','src1','src2')
+        |               THEN 1 ELSE 0 END) END AS seed
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, seed AS label FROM n),
+        |$roundsSql
+        |SELECT n.doc_id, CAST(n.seed AS INT) AS seed_label,
+        |  CAST(l4.label AS INT) AS label
+        |FROM n JOIN l4 USING (doc_id)""".stripMargin
     },
 
     // q187: the artifact itself IS the expected value (q128/q178
