@@ -1146,6 +1146,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("seed_label"), col("label"))
     }),
 
+    // Per-node triangle counts over the supplier co-occurrence graph
+    // (suppliers sharing an order are linked; order sizes are bounded,
+    // so the pair generator is a cheap bounded self-join). Degree
+    // orientation keeps the wedge volume O(m^1.5) — the hub-proof form
+    // that survives a celebrity node at 100 TB; the oracle lists each
+    // triangle x<y<z once via its three canonical edges.
+    "q189_triangles" -> ((s, dir) => {
+      import graft.operators.Triangles
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
+      Triangles.countPerNode(pairs, col("sa"), col("sb"))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -5433,6 +5450,26 @@ object SparkEntry {
         |  CAST(l4.label AS INT) AS label
         |FROM n JOIN l4 USING (doc_id)""".stripMargin
     },
+
+    // q189: brute-force triangle listing — canonical u<v edges, each
+    // triangle x<y<z found exactly once as (x,y)+(y,z)+(x,z), then
+    // node unpivot. Exact integer counts, so the whole table hash-gates
+    // against the engine's degree-oriented wedge join.
+    "q189_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS u,
+        |         CAST(b.l_suppkey AS BIGINT) AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_suppkey < b.l_suppkey),
+        |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+        |        FROM e ab
+        |        JOIN e bc ON ab.v = bc.u
+        |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |nodes AS (SELECT x AS node FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1""".stripMargin,
 
     // q187: the artifact itself IS the expected value (q128/q178
     // provenance discipline).

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-node triangle counting — the local-clustering signal on a
+  * similarity/interaction graph (a near-dup cluster of size k is a
+  * k-clique: its members each sit in C(k-1,2) triangles, so triangle
+  * counts separate tight dup cliques from chain-like borderline
+  * matches; on a co-visit graph it is the classic community-density
+  * metric).
+  *
+  * Algorithm: DEGREE ORIENTATION (the standard scalable trick —
+  * Chiba & Nishizeki '85; the compact-forward/Suri-Vassilvitskii
+  * MapReduce form): each undirected edge points from its
+  * lower-(degree, id) end to the higher one, making the orientation a
+  * DAG where every node's out-degree is O(√m); every triangle then has
+  * EXACTLY ONE wedge node holding both out-edges, so
+  * wedges ⋈ oriented-edges counts each triangle once with total wedge
+  * volume Σ outdeg² = O(m^1.5) — where the naive undirected wedge join
+  * is Σ deg² and a single hub explodes it. A 100 TB graph's hottest
+  * celebrity node generates NO wedges: all its edges point inward.
+  *
+  * Shape: two self-joins over the oriented edge table (persisted,
+  * hash-partitioned on src — both the wedge build and the closing
+  * probe reuse it), one explode + integer groupBy for per-node counts.
+  * Exact Longs throughout; output is (node, n_triangles) for nodes in
+  * at least one triangle.
+  */
+object Triangles {
+
+  /** `(node, n_triangles)` over the undirected distinct edges in
+    * `pairs` (any orientation, dups/self-loops dropped). */
+  def countPerNode(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    val e = pairs.select(least(a, b).cast("long").as("u"),
+        greatest(a, b).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id) ascending — ties broken by id, so the
+    // orientation is total and deterministic
+    val withDeg = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val o = withDeg.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            col("dv").as("ddst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+            col("du").as("ddst"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at the lowest-rank corner: two out-edges, dsts ordered by
+    // the same (deg, id) rank so each unordered dst pair appears once
+    val e1 = o.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
+    val e2 = o.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+    // close the wedge: the third edge is oriented w1 -> w2 by
+    // transitivity of the rank order
+    val tri = wedges.join(o.select(col("src").as("w1"), col("dst").as("w2")),
+      Seq("w1", "w2"))
+    val counts = tri
+      .select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    // node-bounded result; eager-checkpoint then release the edge cache
+    // (the MinHashLsh lifecycle — nothing lingers in the CacheManager)
+    val out = counts.localCheckpoint(true)
+    o.unpersist()
+    out
+  }
+}
