@@ -1163,6 +1163,25 @@ object SparkEntry {
       Triangles.countPerNode(pairs, col("sa"), col("sb"))
     }),
 
+    // k-core of the part co-purchase graph (parts sharing >= 2 orders;
+    // k = 3): density peeling separates genuinely dense communities
+    // from stars/chains — at sf0.01 the peel cascades ~10 waves before
+    // the 935-node core stabilizes, so the fixpoint loop (and the
+    // oracle's bounded unrolled replay, gate column `converged`) is
+    // exercised for real, not just one trivial round.
+    "q190_kcore" -> ((s, dir) => {
+      import graft.operators.KCore
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val co = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pu"), col("b.l_partkey").as("pv"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      KCore.subgraph(co, col("pu"), col("pv"), k = 3)
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -5470,6 +5489,38 @@ object SparkEntry {
         |          UNION ALL SELECT z FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1""".stripMargin,
+
+    // q190: the same peel unrolled 14 rounds (fixpoint at sf0.01 takes
+    // ~11; the k-core is round-grouping-invariant, so extra rounds are
+    // idempotent). `converged` TRUE is the gate: if 14 rounds ever
+    // stopped short of the engine's true fixpoint the cores differ and
+    // the hash catches it. Every e_r is MATERIALIZED: DuckDB inlines
+    // plain CTEs, and each round references the previous one three
+    // times — un-materialized, the 14-round chain re-plans the base
+    // scan 3^14 times (observed as fd exhaustion, not just slowness).
+    "q190_kcore" -> {
+      val rounds = (1 to 14).map { r =>
+        s"""a$r AS MATERIALIZED (SELECT n FROM (
+          |    SELECT n, COUNT(*) AS d FROM (
+          |      SELECT u AS n FROM e${r - 1}
+          |      UNION ALL SELECT v FROM e${r - 1}) t
+          |    GROUP BY 1) dd WHERE d >= 3),
+          |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+          |  WHERE u IN (SELECT n FROM a$r) AND v IN (SELECT n FROM a$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT u, v FROM (
+        |    SELECT CAST(a.l_partkey AS BIGINT) AS u,
+        |      CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
+        |    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2) cc WHERE c >= 2),
+        |$rounds
+        |SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_deg,
+        |  TRUE AS converged
+        |FROM (SELECT u AS n FROM e14 UNION ALL SELECT v FROM e14) t
+        |GROUP BY 1""".stripMargin
+    },
 
     // q187: the artifact itself IS the expected value (q128/q178
     // provenance discipline).
