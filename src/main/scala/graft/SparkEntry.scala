@@ -1182,6 +1182,36 @@ object SparkEntry {
       KCore.subgraph(co, col("pu"), col("pv"), k = 3)
     }),
 
+    // Bradley–Terry strengths from pairwise judgments (the
+    // reward-model / leaderboard aggregation): duels are consecutive
+    // line items inside an order — the higher-quantity supplier "wins"
+    // (ties and self-duels abstain). 8 integer-ppm MM rounds; the
+    // oracle unrolls the identical Long arithmetic, so strengths,
+    // wins and game counts all hash-gate.
+    "q191_bradley_terry" -> ((s, dir) => {
+      import graft.llm.BradleyTerry
+      import org.apache.spark.sql.expressions.Window
+      // l_linenumber is NOT unique inside a synthetic order — extend
+      // the sort by the two columns the duel reads, so rows still tied
+      // are identical in (suppkey, quantity) and the duel multiset is
+      // permutation-invariant
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_suppkey", "l_quantity")
+      val duels = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_quantity"))
+        .withColumn("nx_s", lead("l_suppkey", 1).over(w))
+        .withColumn("nx_q", lead("l_quantity", 1).over(w))
+        .filter(col("nx_s").isNotNull && col("l_suppkey") =!= col("nx_s") &&
+          col("l_quantity") =!= col("nx_q"))
+        .select(
+          when(col("l_quantity") > col("nx_q"), col("l_suppkey"))
+            .otherwise(col("nx_s")).as("win"),
+          when(col("l_quantity") > col("nx_q"), col("nx_s"))
+            .otherwise(col("l_suppkey")).as("lose"))
+      BradleyTerry.fit(duels, col("win"), col("lose"), rounds = 8)
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -5520,6 +5550,53 @@ object SparkEntry {
         |  TRUE AS converged
         |FROM (SELECT u AS n FROM e14 UNION ALL SELECT v FROM e14) t
         |GROUP BY 1""".stripMargin
+    },
+
+    // q191: the identical MM iteration unrolled — every division a
+    // positive integral `//` (Spark `div`), every sum exact integer,
+    // so all 8 rounds replay bit-for-bit. MATERIALIZED per round (the
+    // q190 lesson: plain CTEs inline and the chain re-plans the scan
+    // exponentially).
+    "q191_bradley_terry" -> {
+      val rounds = (1 to 8).map { r =>
+        s"""t$r AS (SELECT e.i,
+          |    (e.n * 1000000000) // GREATEST(pi.p + pj.p, 1) AS term
+          |  FROM e JOIN p${r - 1} pi ON e.i = pi.i
+          |  JOIN p${r - 1} pj ON e.j = pj.i),
+          |r$r AS MATERIALIZED (SELECT d.i,
+          |    (COALESCE(wi.wi, 0) * 1000000000) // GREATEST(d.d, 1) AS raw
+          |  FROM (SELECT i, SUM(term) AS d FROM t$r GROUP BY 1) d
+          |  LEFT JOIN wi ON d.i = wi.i),
+          |p$r AS MATERIALIZED (SELECT i, CAST((raw * 1000000) //
+          |    GREATEST((SELECT SUM(raw) FROM r$r), 1) AS BIGINT) AS p
+          |  FROM r$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH duel AS MATERIALIZED (
+        |  SELECT CASE WHEN q > nq THEN s ELSE ns END AS w,
+        |         CASE WHEN q > nq THEN ns ELSE s END AS l
+        |  FROM (SELECT CAST(l_suppkey AS BIGINT) AS s, l_quantity AS q,
+        |          CAST(LEAD(l_suppkey) OVER win AS BIGINT) AS ns,
+        |          LEAD(l_quantity) OVER win AS nq
+        |        FROM lineitem
+        |        WINDOW win AS (PARTITION BY l_orderkey
+        |          ORDER BY l_linenumber, l_suppkey, l_quantity)) t
+        |  WHERE ns IS NOT NULL AND s <> ns AND q <> nq),
+        |g AS MATERIALIZED (SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM duel GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT a AS i, b AS j, n FROM g
+        |  UNION ALL SELECT b, a, n FROM g),
+        |wi AS MATERIALIZED (SELECT w AS i, CAST(COUNT(*) AS BIGINT) AS wi
+        |  FROM duel GROUP BY 1),
+        |it AS MATERIALIZED (SELECT DISTINCT i FROM e),
+        |p0 AS MATERIALIZED (SELECT i,
+        |  CAST(1000000 // (SELECT COUNT(*) FROM it) AS BIGINT) AS p FROM it),
+        |$rounds,
+        |gm AS (SELECT i, CAST(SUM(n) AS BIGINT) AS games FROM e GROUP BY 1)
+        |SELECT it.i AS item, p8.p AS strength_ppm,
+        |  COALESCE(wi.wi, 0) AS wins, gm.games
+        |FROM it JOIN p8 ON it.i = p8.i
+        |LEFT JOIN wi ON it.i = wi.i
+        |JOIN gm ON it.i = gm.i""".stripMargin
     },
 
     // q187: the artifact itself IS the expected value (q128/q178
