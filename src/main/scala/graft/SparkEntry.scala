@@ -1212,6 +1212,50 @@ object SparkEntry {
       BradleyTerry.fit(duels, col("win"), col("lose"), rounds = 8)
     }),
 
+    // Exact per-split AUC of the q174 quality classifier — the metric
+    // a threshold gets chosen by before the filter gates 100 TB.
+    // Mann–Whitney with average-rank ties, doubled ranks keep the
+    // half-integers in Longs; one window sort per split, zero doubles.
+    "q192_classifier_auc" -> ((s, dir) => {
+      import graft.llm.{Evaluation, NaiveBayes, Splits}
+      val meta = Tables.documents(s, dir)
+        .withColumn("curated",
+          Splits.md5Long(concat(col("doc_id").cast("string"), lit(":cur")))
+            % 2 === 0)
+        .withColumn("split", Splits.split(col("doc_id")))
+        .withColumn("text2",
+          when(col("curated"), concat(col("text"), lit(" premium curated")))
+            .otherwise(col("text")))
+      val scored = NaiveBayes.trainScore(meta, col("doc_id"), col("text2"),
+        col("curated"), col("split") === "train")
+      Evaluation.aucByGroup(
+        scored.join(meta.select(col("doc_id"), col("curated"), col("split")),
+          "doc_id"),
+        col("split"), col("score_ppm"), col("curated"))
+    }),
+
+    // Decile lift/gains table over the same ranking: per split, how
+    // much of the positive class the top-k% of scores captures, and
+    // the decile's lift over base rate — the table a curation budget
+    // ("keep the top 30%") is actually read off.
+    "q193_lift_table" -> ((s, dir) => {
+      import graft.llm.{Evaluation, NaiveBayes, Splits}
+      val meta = Tables.documents(s, dir)
+        .withColumn("curated",
+          Splits.md5Long(concat(col("doc_id").cast("string"), lit(":cur")))
+            % 2 === 0)
+        .withColumn("split", Splits.split(col("doc_id")))
+        .withColumn("text2",
+          when(col("curated"), concat(col("text"), lit(" premium curated")))
+            .otherwise(col("text")))
+      val scored = NaiveBayes.trainScore(meta, col("doc_id"), col("text2"),
+        col("curated"), col("split") === "train")
+      Evaluation.liftTable(
+        scored.join(meta.select(col("doc_id"), col("curated"), col("split")),
+          "doc_id"),
+        col("split"), col("score_ppm"), col("curated"))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -3643,6 +3687,58 @@ object SparkEntry {
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
 
+  /** q174's full NB train+score chain, ending in
+    * `sp(doc_id, split, curated, n_toks, score_ppm, predicted)` —
+    * shared by the classifier gate (q174) and the ranking-metric
+    * queries built over the same scores (q192/q193). */
+  private def dNbScoredCtes() = {
+    val b = dMd5Long("doc_id::VARCHAR") + " % 100"
+    val cur = dMd5Long("doc_id::VARCHAR || ':cur'") + " % 2 = 0"
+    s"""m AS (
+      |  SELECT doc_id, $cur AS curated,
+      |    CASE WHEN $b < 80 THEN 'train'
+      |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+      |    CASE WHEN $cur THEN text || ' premium curated' ELSE text END AS t2
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(t2), '\\s+'), x -> x <> '') AS toks
+      |  FROM m),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2),
+      |cnt AS (
+      |  SELECT tok,
+      |    CAST(SUM(CASE WHEN curated THEN tf ELSE 0 END) AS BIGINT) AS cg,
+      |    CAST(SUM(CASE WHEN NOT curated THEN tf ELSE 0 END) AS BIGINT) AS cb
+      |  FROM tf JOIN m USING (doc_id) WHERE split = 'train' GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM cnt),
+      |pri AS (
+      |  SELECT ln((COUNT(*) FILTER (WHERE curated) + 1)::DOUBLE /
+      |    (COUNT(*) FILTER (WHERE NOT curated) + 1)::DOUBLE) AS prior
+      |  FROM m WHERE split = 'train'),
+      |co AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf,
+      |    CAST(tf AS DOUBLE) *
+      |      (ln((COALESCE(cg, 0) + 1)::DOUBLE / (ng + v)::DOUBLE) -
+      |       ln((COALESCE(cb, 0) + 1)::DOUBLE / (nb + v)::DOUBLE)) AS c
+      |  FROM tf LEFT JOIN cnt USING (tok) CROSS JOIN tot),
+      |sm AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+      |    list_reduce(list(c ORDER BY tok), (a, b) -> a + b) AS s
+      |  FROM co GROUP BY 1),
+      |sc AS (
+      |  SELECT m.doc_id, m.split, m.curated,
+      |    COALESCE(sm.n_toks, 0) AS n_toks,
+      |    CAST(floor(1000000.0 * (COALESCE(sm.s, 0.0) + prior)) AS BIGINT)
+      |      AS score_ppm
+      |  FROM m LEFT JOIN sm USING (doc_id) CROSS JOIN pri),
+      |sp AS (SELECT *, score_ppm > 0 AS predicted FROM sc)""".stripMargin
+  }
+
   /** Pearson r from BIGINT moment sums — the exact expression order of
     * [[graft.operators.IntStats.corrFromSums]]; a count column `n` must
     * be in scope in the surrounding SELECT. */
@@ -5780,51 +5876,7 @@ object SparkEntry {
     // token-sorted list_reduce fold (the q91 discipline), and the same
     // cross-multiplied integer gate sums.
     "q174_nb_quality_classifier" -> {
-      val b = dMd5Long("doc_id::VARCHAR") + " % 100"
-      val cur = dMd5Long("doc_id::VARCHAR || ':cur'") + " % 2 = 0"
-      s"""WITH m AS (
-        |  SELECT doc_id, $cur AS curated,
-        |    CASE WHEN $b < 80 THEN 'train'
-        |         WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
-        |    CASE WHEN $cur THEN text || ' premium curated' ELSE text END AS t2
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(t2), '\\s+'), x -> x <> '') AS toks
-        |  FROM m),
-        |tf AS (
-        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM w) GROUP BY 1, 2),
-        |cnt AS (
-        |  SELECT tok,
-        |    CAST(SUM(CASE WHEN curated THEN tf ELSE 0 END) AS BIGINT) AS cg,
-        |    CAST(SUM(CASE WHEN NOT curated THEN tf ELSE 0 END) AS BIGINT) AS cb
-        |  FROM tf JOIN m USING (doc_id) WHERE split = 'train' GROUP BY 1),
-        |tot AS (
-        |  SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(cb) AS BIGINT) AS nb,
-        |    CAST(COUNT(*) AS BIGINT) AS v
-        |  FROM cnt),
-        |pri AS (
-        |  SELECT ln((COUNT(*) FILTER (WHERE curated) + 1)::DOUBLE /
-        |    (COUNT(*) FILTER (WHERE NOT curated) + 1)::DOUBLE) AS prior
-        |  FROM m WHERE split = 'train'),
-        |co AS (
-        |  SELECT tf.doc_id, tf.tok, tf.tf,
-        |    CAST(tf AS DOUBLE) *
-        |      (ln((COALESCE(cg, 0) + 1)::DOUBLE / (ng + v)::DOUBLE) -
-        |       ln((COALESCE(cb, 0) + 1)::DOUBLE / (nb + v)::DOUBLE)) AS c
-        |  FROM tf LEFT JOIN cnt USING (tok) CROSS JOIN tot),
-        |sm AS (
-        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
-        |    list_reduce(list(c ORDER BY tok), (a, b) -> a + b) AS s
-        |  FROM co GROUP BY 1),
-        |sc AS (
-        |  SELECT m.doc_id, m.split, m.curated,
-        |    COALESCE(sm.n_toks, 0) AS n_toks,
-        |    CAST(floor(1000000.0 * (COALESCE(sm.s, 0.0) + prior)) AS BIGINT)
-        |      AS score_ppm
-        |  FROM m LEFT JOIN sm USING (doc_id) CROSS JOIN pri),
-        |sp AS (SELECT *, score_ppm > 0 AS predicted FROM sc),
+      s"""WITH ${dNbScoredCtes()},
         |g AS (
         |  SELECT
         |    CAST(SUM(CASE WHEN curated THEN score_ppm ELSE 0 END) AS BIGINT) AS gsc,
@@ -5838,6 +5890,57 @@ object SparkEntry {
         |  gsc * nnon > gsn * ncur AS gate_separates,
         |  ncorrect * 10 >= ntest * 9 AS gate_accuracy
         |FROM sp CROSS JOIN g""".stripMargin
+    },
+
+    // q192: the same score chain, then Mann–Whitney with average-rank
+    // ties — 2·avgrank = 2·RANK() + ties − 1 keeps every intermediate
+    // an exact integer, identical to the engine's doubled-rank window.
+    "q192_classifier_auc" -> {
+      s"""WITH ${dNbScoredCtes()},
+        |rk AS (SELECT split, curated,
+        |    2 * RANK() OVER (PARTITION BY split ORDER BY score_ppm)
+        |      + COUNT(*) OVER (PARTITION BY split, score_ppm) - 1 AS ar2
+        |  FROM sp),
+        |a AS (SELECT split,
+        |    CAST(COUNT(*) FILTER (WHERE curated) AS BIGINT) AS n_pos,
+        |    CAST(COUNT(*) FILTER (WHERE NOT curated) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN curated THEN ar2 ELSE 0 END) AS BIGINT) AS r2
+        |  FROM rk GROUP BY 1)
+        |SELECT split AS "group", n_pos, n_neg,
+        |  r2 - n_pos * (n_pos + 1) AS u2,
+        |  CAST((1000000 * (r2 - n_pos * (n_pos + 1))) //
+        |    GREATEST(2 * n_pos * n_neg, 1) AS BIGINT) AS auc_ppm
+        |FROM a""".stripMargin
+    },
+
+    // q193: decile gains table — RANK()-based binning so score ties
+    // share a decile (deterministic, possibly uneven bins), cumulative
+    // capture and lift as integral ppm divisions.
+    "q193_lift_table" -> {
+      s"""WITH ${dNbScoredCtes()},
+        |rk AS (SELECT split, curated,
+        |    RANK() OVER (PARTITION BY split ORDER BY score_ppm DESC) AS rmin,
+        |    CAST(COUNT(*) OVER (PARTITION BY split) AS BIGINT) AS n
+        |  FROM sp),
+        |bins AS (SELECT split, (10 * (rmin - 1)) // n AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (WHERE curated) AS BIGINT) AS n_pos
+        |  FROM rk GROUP BY 1, 2),
+        |dtot AS (SELECT split, CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(n_pos) AS BIGINT) AS pt
+        |  FROM bins GROUP BY 1)
+        |SELECT b.split AS "group", CAST(b.decile AS BIGINT) AS decile,
+        |  b.n, b.n_pos,
+        |  CAST((1000000 * b.n_pos) // GREATEST(b.n, 1) AS BIGINT)
+        |    AS pos_rate_ppm,
+        |  CAST(SUM(b.n_pos) OVER (PARTITION BY b.split ORDER BY b.decile)
+        |    AS BIGINT) AS cum_pos,
+        |  CAST((1000000 * SUM(b.n_pos) OVER (PARTITION BY b.split
+        |      ORDER BY b.decile)) // GREATEST(t.pt, 1) AS BIGINT)
+        |    AS capture_ppm,
+        |  CAST((1000000 * b.n_pos * t.nt) // GREATEST(b.n * t.pt, 1)
+        |    AS BIGINT) AS lift_ppm
+        |FROM bins b JOIN dtot t ON b.split = t.split""".stripMargin
     },
 
     // q173: q119's ids CTE, then the same window arithmetic — md5

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Evaluation
+
+/** Ranking-metric decision table: hand-computed AUC (including the
+  * tie half-credit), perfect/inverted rankings, decile gains math. */
+class EvaluationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(String, Long, Boolean)]): Map[String, (Long, Long, Long, Long)] = {
+    Evaluation.aucByGroup(rows.toDF("g", "s", "y"),
+        col("g"), col("s"), col("y"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("hand case: 3 of 4 pos-neg pairs ordered correctly -> 750000") {
+    val out = auc(Seq(("a", 5L, true), ("a", 3L, true),
+      ("a", 4L, false), ("a", 1L, false)))
+    assert(out("a") == ((2L, 2L, 6L, 750000L)), out.toString)
+  }
+
+  test("perfect separation is 1.0; inverted is 0.0") {
+    val perfect = auc(Seq(("a", 10L, true), ("a", 9L, true),
+      ("a", 2L, false), ("a", 1L, false)))
+    assert(perfect("a")._4 == 1000000L, perfect.toString)
+    val inverted = auc(Seq(("a", 1L, true), ("a", 10L, false)))
+    assert(inverted("a")._4 == 0L, inverted.toString)
+  }
+
+  test("a full tie scores exactly half credit") {
+    val out = auc(Seq(("a", 2L, true), ("a", 2L, false)))
+    assert(out("a") == ((1L, 1L, 1L, 500000L)), out.toString)
+  }
+
+  test("groups are independent; a one-class group reports 0 safely") {
+    val out = auc(Seq(("a", 5L, true), ("a", 1L, false),
+      ("b", 7L, true), ("b", 8L, true)))
+    assert(out("a")._4 == 1000000L)
+    assert(out("b") == ((2L, 0L, 0L, 0L)), out.toString)
+  }
+
+  test("decile gains: top-half positives give lift 2.0 and full capture at decile 4") {
+    // 20 rows, scores 20..1, the top 10 scores positive
+    val rows = (1 to 20).map(i => ("g", i.toLong, i > 10))
+    val out = Evaluation.liftTable(rows.toDF("g", "s", "y"),
+        col("g"), col("s"), col("y"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(out.keySet == (0L to 9L).toSet, out.toString)
+    assert((0L to 4L).forall(d => out(d) == ((2L, 2L, 1000000L, 2 * (d + 1), 200000L * (d + 1), 2000000L))), out.toString)
+    assert((5L to 9L).forall(d => out(d)._2 == 0L && out(d)._6 == 0L), out.toString)
+    assert(out(4L)._5 == 1000000L, "all positives captured by decile 4")
+  }
+
+  test("score ties share a decile: bins are uneven but deterministic") {
+    // 10 rows all score 7: one bin, decile 0, holding everything
+    val rows = (1 to 10).map(i => ("g", 7L, i % 2 == 0))
+    val out = Evaluation.liftTable(rows.toDF("g", "s", "y"),
+        col("g"), col("s"), col("y"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1 && out.head._2 == 0L && out.head._3 == 10L,
+      out.mkString(","))
+    assert(out.head._8 == 1000000L, "uniform bin has lift exactly 1")
+  }
+}
