@@ -1256,6 +1256,18 @@ object SparkEntry {
         col("split"), col("score_ppm"), col("curated"))
     }),
 
+    // Rank-biased overlap between q163's two retrieval arms — the
+    // drift metric for "did the scorer / index rebuild move the
+    // results?": top-weighted (rank-1 agreement counts ~15× rank-10),
+    // exact-rational at p = 0.9, depth 10, normalized so identical
+    // top-10s score exactly 1e6 ppm. One equi-join + integer groupBy.
+    "q194_rank_drift_rbo" -> ((s, dir) => {
+      import graft.llm.{Evaluation, Retrieval}
+      Evaluation.rbo10(
+        Retrieval.lexicalArm(Tables.documents(s, dir), col("doc_id") < 10),
+        Retrieval.vectorArm(Tables.embeddings(s, dir), col("vec_id") < 10))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -3683,6 +3695,70 @@ object SparkEntry {
       |    THEN list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]))
       |    ELSE []::VARCHAR[] END) AS t
       |  FROM w)""".stripMargin
+
+  /** The two retrieval arm CTE stacks of q163 — the q89 keyword stack
+    * (ranked only for the query docs), the q55 BM25 fold, and the q26
+    * cosine stack — ending in `lrk(query_id, doc_id, lex_rank)` and
+    * `vrk(query_id, doc_id, vec_rank)` at depth 10. Shared by the RRF
+    * fusion (q163) and the RBO drift metric (q194). */
+  private def dRetrievalArmsCtes() = {
+      val (k1, b) = (1.2, 0.75)
+      s"""w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |ksc AS (
+        |  SELECT doc_id, term, tf,
+        |    round(CAST(tf AS DOUBLE) *
+        |      (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0),
+        |      6) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN nd
+        |  WHERE doc_id < 10),
+        |krk AS (
+        |  SELECT doc_id, term,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term DESC, tf DESC) AS rank
+        |  FROM ksc),
+        |qkw AS (SELECT DISTINCT doc_id AS query_id, term FROM krk WHERE rank <= 3),
+        |dlt AS (SELECT doc_id, CAST(COALESCE(len(toks), 0) AS BIGINT) AS dl FROM w),
+        |bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dlt),
+        |btf AS (
+        |  SELECT t.doc_id, d.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok t JOIN dlt d USING (doc_id)
+        |  WHERE t.term IN (SELECT term FROM qkw)
+        |  GROUP BY 1, 2, 3),
+        |bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+        |bs AS (
+        |  SELECT doc_id, term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}) /
+        |      (tf + $k1 * (${1 - b} + $b * dl / avgdl)) AS s
+        |  FROM btf JOIN bdf USING (term) CROSS JOIN bst),
+        |bq AS (
+        |  SELECT q.query_id, s.doc_id,
+        |    round(list_reduce(list(s.s ORDER BY s.term), (a, x) -> a + x), 4) AS score
+        |  FROM bs s JOIN qkw q USING (term)
+        |  WHERE s.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM bq QUALIFY lex_rank <= 10),
+        |vq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |vc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |vs AS (
+        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
+        |  FROM vq, vc WHERE query_id <> neighbor_id),
+        |vrk AS (
+        |  SELECT query_id, neighbor_id AS doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS vec_rank
+        |  FROM vs QUALIFY vec_rank <= 10)""".stripMargin
+  }
 
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
@@ -6632,62 +6708,7 @@ object SparkEntry {
     // term-sorted order (list_reduce, the q91 pattern), the q26 cosine
     // stack at depth 10, and the integer-ppm RRF full-outer fusion.
     "q163_hybrid_retrieval" -> {
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH w AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-        |ksc AS (
-        |  SELECT doc_id, term, tf,
-        |    round(CAST(tf AS DOUBLE) *
-        |      (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0),
-        |      6) AS score
-        |  FROM tf JOIN dft USING (term) CROSS JOIN nd
-        |  WHERE doc_id < 10),
-        |krk AS (
-        |  SELECT doc_id, term,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, term DESC, tf DESC) AS rank
-        |  FROM ksc),
-        |qkw AS (SELECT DISTINCT doc_id AS query_id, term FROM krk WHERE rank <= 3),
-        |dlt AS (SELECT doc_id, CAST(COALESCE(len(toks), 0) AS BIGINT) AS dl FROM w),
-        |bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dlt),
-        |btf AS (
-        |  SELECT t.doc_id, d.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM tok t JOIN dlt d USING (doc_id)
-        |  WHERE t.term IN (SELECT term FROM qkw)
-        |  GROUP BY 1, 2, 3),
-        |bdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY 1),
-        |bs AS (
-        |  SELECT doc_id, term,
-        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}) /
-        |      (tf + $k1 * (${1 - b} + $b * dl / avgdl)) AS s
-        |  FROM btf JOIN bdf USING (term) CROSS JOIN bst),
-        |bq AS (
-        |  SELECT q.query_id, s.doc_id,
-        |    round(list_reduce(list(s.s ORDER BY s.term), (a, x) -> a + x), 4) AS score
-        |  FROM bs s JOIN qkw q USING (term)
-        |  WHERE s.doc_id <> q.query_id
-        |  GROUP BY 1, 2),
-        |lrk AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
-        |  FROM bq QUALIFY lex_rank <= 10),
-        |vq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        |vc AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
-        |vs AS (
-        |  SELECT query_id, neighbor_id, ${dCosine("qe", "ce")} AS cosine
-        |  FROM vq, vc WHERE query_id <> neighbor_id),
-        |vrk AS (
-        |  SELECT query_id, neighbor_id AS doc_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS vec_rank
-        |  FROM vs QUALIFY vec_rank <= 10),
+      s"""WITH ${dRetrievalArmsCtes()},
         |fz AS (
         |  SELECT query_id, doc_id, l.lex_rank, v.vec_rank,
         |    (COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0) +
@@ -6700,6 +6721,30 @@ object SparkEntry {
         |    ORDER BY rrf_ppm DESC, doc_id) AS rank
         |  FROM fz) t WHERE rank <= 10""".stripMargin
     },
+
+    // q194: the same two arm CTE stacks, then the exact RBO@10 tail —
+    // each overlap pair weighted by W(max rank) from the identical
+    // integer coefficient table the engine bakes.
+    "q194_rank_drift_rbo" -> {
+      import graft.llm.Evaluation
+      val cases = Evaluation.RboWeights.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+      s"""WITH ${dRetrievalArmsCtes()},
+        |qs AS (SELECT query_id FROM lrk UNION SELECT query_id FROM vrk),
+        |ov AS (SELECT l.query_id,
+        |    CASE GREATEST(l.lex_rank, v.vec_rank) $cases END AS w
+        |  FROM lrk l JOIN vrk v USING (query_id, doc_id)),
+        |ag AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    CAST(SUM(w) AS BIGINT) AS rbo_num
+        |  FROM ov GROUP BY 1)
+        |SELECT qs.query_id, COALESCE(ag.n_common, 0) AS n_common,
+        |  COALESCE(ag.rbo_num, 0) AS rbo_num,
+        |  CAST((COALESCE(ag.rbo_num, 0) * 1000000) //
+        |    ${Evaluation.RboMax} AS BIGINT) AS rbo_ppm
+        |FROM qs LEFT JOIN ag USING (query_id)""".stripMargin
+    },
+
+
 
     // q106/q107: expected hashes computed by the fixture GENERATOR from
     // its drawing formulas (independent of the JVM decode+hash path);

@@ -48,6 +48,52 @@ object Evaluation {
         expr("(1000000L * u2) div greatest(2L * n_pos * n_neg, 1L)"))
   }
 
+  /** RBO@10 integer machinery (p = 9/10, depth 10, normalized to the
+    * truncated maximum so identical rankings score exactly 10⁶ ppm).
+    * An overlap pair first counted at depth m = max(rank_a, rank_b)
+    * contributes to every depth d ≥ m, so its total weight is
+    * W(m) = Σ_{d≥m} c_d with c_d = (1−p)·p^(d−1)/d brought to the
+    * common denominator 10¹⁰·2520 (2520 = lcm(1..10)) and the shared
+    * factor 4 cancelled to keep 10⁶·Σ inside a Long. All exact. */
+  private val RboCoefs: IndexedSeq[Long] = (1 to 10).map { d =>
+    def pw(base: Long, e: Int) = (1 to e).foldLeft(1L)((a, _) => a * base)
+    pw(9L, d - 1) * pw(10L, 10 - d) * (2520L / d) / 4L
+  }
+  /** W(m), 1-indexed by m: suffix sums of the depth coefficients. */
+  val RboWeights: IndexedSeq[Long] =
+    RboCoefs.scanRight(0L)(_ + _).dropRight(1)
+  /** Σ d·c_d — the score of two identical depth-10 rankings. */
+  val RboMax: Long = RboWeights.sum
+
+  /** Exact rank-biased overlap at depth 10 (Webber et al. '10,
+    * truncated + normalized) between two rankings — the drift metric
+    * for "did the index rebuild / scorer change move the results?":
+    * top-weighted (rank-1 agreement counts ~15× rank-10), unlike
+    * plain overlap. `a`, `b`: `(query_id, doc_id, rank)` with 1-based
+    * ranks; rows beyond rank 10 are ignored. Output one row per query
+    * seen in either ranking: `(query_id, n_common, rbo_num, rbo_ppm)`
+    * with `rbo_ppm` = ⌊10⁶·RBO⌋ — 10⁶ iff the top-10s are identical
+    * in order, 0 iff disjoint. One equi-join + one integer groupBy. */
+  def rbo10(a: DataFrame, b: DataFrame): DataFrame = {
+    def arm(df: DataFrame, rn: String) =
+      df.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as(rn)).filter(col(rn) <= 10)
+    val ra = arm(a, "r_a")
+    val rb = arm(b, "r_b")
+    val qs = ra.select("query_id").union(rb.select("query_id")).distinct()
+    val ov = ra.join(rb, Seq("query_id", "doc_id"))
+      .withColumn("w", element_at(
+        array(RboWeights.map(lit): _*),
+        greatest(col("r_a"), col("r_b")).cast("int")))
+    val agg = ov.groupBy("query_id")
+      .agg(count(lit(1)).as("n_common"), sum("w").as("rbo_num"))
+    qs.join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_num"), lit(0L)).as("rbo_num"))
+      .withColumn("rbo_ppm", expr(s"(rbo_num * 1000000L) div ${RboMax}L"))
+  }
+
   /** Per-group decile lift/gains table over the score ranking:
     * `(group, decile, n, n_pos, pos_rate_ppm, cum_pos, capture_ppm,
     * lift_ppm)`. Decile 0 holds the HIGHEST scores; rows tied on score

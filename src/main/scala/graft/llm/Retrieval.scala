@@ -101,20 +101,31 @@ object Retrieval {
     * its own top-[[QueryTerms]] TF-IDF keywords (lexical arm, BM25)
     * and its embedding (vector arm, exact cosine), fused by RRF.
     * Self-matches are excluded from both arms. */
-  def hybrid(docs: DataFrame, emb: DataFrame,
-             docPred: Column, vecPred: Column, k: Int = ArmK): DataFrame = {
+  /** The lexical arm alone: per query document (selected by `docPred`),
+    * BM25 over its own top-[[QueryTerms]] TF-IDF keywords, self-matches
+    * excluded, ranked `(query_id, doc_id, rank)` with rank ≤ k. */
+  def lexicalArm(docs: DataFrame, docPred: Column,
+                 k: Int = ArmK): DataFrame = {
     val kw = TfIdf.topTerms(docs, col("doc_id"), col("text"),
         QueryTerms, cache = false, docPred = docPred)
       .select(col("doc_id").as("query_id"), col("term"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val lex = bm25Multi(docs, col("doc_id"), col("text"), kw)
+    bm25Multi(docs, col("doc_id"), col("text"), kw)
       .where(col("query_id") =!= col("doc_id"))
       .withColumn("rank", row_number().over(wq).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "doc_id", "rank")
-    val vec = Similarity.bruteForceTopK(emb, vecPred, k)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq("lex" -> lex, "vec" -> vec), RrfK, k)
   }
+
+  /** The vector arm alone: exact cosine top-k per query embedding
+    * (selected by `vecPred`), `(query_id, doc_id, rank)`. */
+  def vectorArm(emb: DataFrame, vecPred: Column, k: Int = ArmK): DataFrame =
+    Similarity.bruteForceTopK(emb, vecPred, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+
+  def hybrid(docs: DataFrame, emb: DataFrame,
+             docPred: Column, vecPred: Column, k: Int = ArmK): DataFrame =
+    rrfFuse(Seq("lex" -> lexicalArm(docs, docPred, k),
+      "vec" -> vectorArm(emb, vecPred, k)), RrfK, k)
 }

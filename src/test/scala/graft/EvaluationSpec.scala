@@ -55,6 +55,46 @@ class EvaluationSpec extends SparkTestBase {
     assert(out(4L)._5 == 1000000L, "all positives captured by decile 4")
   }
 
+  private def rbo(a: Seq[(Long, Long, Long)],
+                  b: Seq[(Long, Long, Long)]): Map[Long, (Long, Long)] = {
+    Evaluation.rbo10(a.toDF("query_id", "doc_id", "rank"),
+        b.toDF("query_id", "doc_id", "rank"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+  }
+
+  test("rbo: identical top-10s score exactly 1e6; disjoint score 0") {
+    val r1 = (1L to 10L).map(d => (1L, 100L + d, d))
+    val r2 = (1L to 10L).map(d => (2L, 200L + d, d))
+    val out = rbo(r1 ++ r2, r1 ++ r2.map(t => (t._1, t._2 + 50L, t._3)))
+    assert(out(1L) == ((10L, 1000000L)), out.toString)
+    assert(out(2L) == ((0L, 0L)), out.toString)
+  }
+
+  test("rbo weight table: top-rank agreement dominates tail agreement") {
+    // only rank 1 agrees vs only rank 10 agrees
+    val base = (1L to 10L).map(d => (1L, 100L + d, d))
+    val top = rbo(base, base.map { case (q, i, r) =>
+      (q, if (r == 1L) i else i + 50L, r) })(1L)
+    val tail = rbo(base, base.map { case (q, i, r) =>
+      (q, if (r == 10L) i else i + 50L, r) })(1L)
+    assert(top._1 == 1L && tail._1 == 1L)
+    assert(top._2 > 14L * tail._2,
+      s"rank-1 weight must dominate: $top vs $tail")
+    // exact values from the integer table
+    assert(top._2 == (1000000L * Evaluation.RboWeights(0)) / Evaluation.RboMax)
+    assert(tail._2 == (1000000L * Evaluation.RboWeights(9)) / Evaluation.RboMax)
+  }
+
+  test("rbo: order permutation within the same set lowers the score") {
+    val base = (1L to 10L).map(d => (1L, 100L + d, d))
+    val reversed = base.map { case (q, i, r) => (q, i, 11L - r) }
+    val same = rbo(base, base)(1L)._2
+    val perm = rbo(base, reversed)(1L)._2
+    assert(same == 1000000L && perm < same && perm > 0L,
+      s"same=$same perm=$perm")
+  }
+
   test("score ties share a decile: bins are uneven but deterministic") {
     // 10 rows all score 7: one bin, decile 0, holding everything
     val rows = (1 to 10).map(i => ("g", 7L, i % 2 == 0))
