@@ -1268,6 +1268,26 @@ object SparkEntry {
         Retrieval.vectorArm(Tables.embeddings(s, dir), col("vec_id") < 10))
     }),
 
+    // Kaplan–Meier session-length survival: how long do sessions last,
+    // with each user's chronologically last session right-censored
+    // (the observation window may have cut it). Duration in whole
+    // minutes; the curve folds on a 1e6 integer grid step by step, so
+    // the life table hash-gates against a linear recursive-CTE replay.
+    "q195_session_survival" -> ((s, dir) => {
+      import graft.operators.{Sessionization, Survival}
+      import org.apache.spark.sql.expressions.Window
+      val sess = Sessionization.sessions(Sessionization.sessionize(
+        eventsWithMs(s, dir), col("user_id"), col("ts_ms"),
+        tieBreakers = Seq(col("event_id")), idAlgo = "md5"))
+      val obs = sess
+        .withColumn("max_end",
+          max("session_end_ms").over(Window.partitionBy("user_id")))
+        .select(
+          expr("(session_end_ms - session_start_ms) div 60000L").as("dur"),
+          (col("session_end_ms") =!= col("max_end")).as("ended"))
+      Survival.kaplanMeier(obs, col("dur"), col("ended"))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -6743,6 +6763,50 @@ object SparkEntry {
         |    ${Evaluation.RboMax} AS BIGINT) AS rbo_ppm
         |FROM qs LEFT JOIN ag USING (query_id)""".stripMargin
     },
+
+    // q195: q11's session CTE chain → per-user censor flag → the same
+    // step-by-step integral fold as a LINEAR recursive CTE (row k
+    // joins row k+1 — no exponential re-inlining, so no MATERIALIZED
+    // needed on the recursion itself).
+    "q195_session_survival" ->
+      """WITH RECURSIVE e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ms,
+        |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM e),
+        |sq AS (
+        |  SELECT user_id, ms,
+        |    SUM(CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, MIN(ms) AS st, MAX(ms) AS en
+        |  FROM sq GROUP BY user_id, seq),
+        |o AS (
+        |  SELECT (en - st) // 60000 AS t,
+        |    en <> MAX(en) OVER (PARTITION BY user_id) AS ev
+        |  FROM sess),
+        |gr AS (SELECT t, CAST(COUNT(*) FILTER (WHERE ev) AS BIGINT) AS d,
+        |    CAST(COUNT(*) FILTER (WHERE NOT ev) AS BIGINT) AS c
+        |  FROM o GROUP BY 1),
+        |base AS (SELECT t, d, c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn,
+        |    CAST(SUM(d + c) OVER () -
+        |      (SUM(d + c) OVER (ORDER BY t) - d - c) AS BIGINT) AS nr
+        |  FROM gr),
+        |km AS (
+        |  SELECT rn, t, nr, d, c,
+        |    CASE WHEN nr > 0 THEN (1000000 * (nr - d)) // nr
+        |         ELSE 1000000 END AS s
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.t, b.nr, b.d, b.c,
+        |    CASE WHEN b.nr > 0 THEN (km.s * (b.nr - b.d)) // b.nr
+        |         ELSE km.s END
+        |  FROM km JOIN base b ON b.rn = km.rn + 1)
+        |SELECT t, nr AS n_risk, d AS n_event, c AS n_censored,
+        |  CAST(s AS BIGINT) AS s_ppm
+        |FROM km""".stripMargin,
 
 
 
