@@ -107,6 +107,32 @@ object SparkEntry {
   private val gaOutputsMemo =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.jobs.GaPipeline.Outputs]()
 
+  /** Session-scoped memo of the NB-scored corpus (q174's train+score,
+    * eagerly checkpointed inside trainScore): the classifier gate
+    * (q174) and the ranking metrics over the same scores (q192/q193)
+    * consume one fit, exactly as a production eval run scores once and
+    * derives every metric from the scored table. */
+  private val nbScoredMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** `(doc_id, split, curated, n_toks, score_ppm, predicted)`. */
+  private def nbScored(s: SparkSession, dir: String): DataFrame =
+    nbScoredMemo.computeIfAbsent((s, dir), _ => {
+      import graft.llm.{NaiveBayes, Splits}
+      val meta = Tables.documents(s, dir)
+        .withColumn("curated",
+          Splits.md5Long(concat(col("doc_id").cast("string"), lit(":cur")))
+            % 2 === 0)
+        .withColumn("split", Splits.split(col("doc_id")))
+        .withColumn("text2",
+          when(col("curated"), concat(col("text"), lit(" premium curated")))
+            .otherwise(col("text")))
+      NaiveBayes.trainScore(meta, col("doc_id"), col("text2"),
+          col("curated"), col("split") === "train")
+        .join(meta.select(col("doc_id"), col("curated"), col("split")),
+          "doc_id")
+    })
+
   /** Drop all memoized intermediates. Bench calls this at the top of each
     * iteration pass so repeated passes re-measure the real LSH cost
     * (within one pass q20 -> q37/q38 sharing still applies, exactly as a
@@ -114,6 +140,7 @@ object SparkEntry {
     * the ContextCleaner once unreferenced. */
   def clearMemos(): Unit = {
     pairsMemo.clear(); gaOutputsMemo.clear(); corpusMemo.clear()
+    nbScoredMemo.clear()
   }
 
   /** Shared stack of the ANN selectivity/quality gates (q161/q165):
@@ -1217,20 +1244,8 @@ object SparkEntry {
     // Mann–Whitney with average-rank ties, doubled ranks keep the
     // half-integers in Longs; one window sort per split, zero doubles.
     "q192_classifier_auc" -> ((s, dir) => {
-      import graft.llm.{Evaluation, NaiveBayes, Splits}
-      val meta = Tables.documents(s, dir)
-        .withColumn("curated",
-          Splits.md5Long(concat(col("doc_id").cast("string"), lit(":cur")))
-            % 2 === 0)
-        .withColumn("split", Splits.split(col("doc_id")))
-        .withColumn("text2",
-          when(col("curated"), concat(col("text"), lit(" premium curated")))
-            .otherwise(col("text")))
-      val scored = NaiveBayes.trainScore(meta, col("doc_id"), col("text2"),
-        col("curated"), col("split") === "train")
-      Evaluation.aucByGroup(
-        scored.join(meta.select(col("doc_id"), col("curated"), col("split")),
-          "doc_id"),
+      import graft.llm.Evaluation
+      Evaluation.aucByGroup(nbScored(s, dir),
         col("split"), col("score_ppm"), col("curated"))
     }),
 
@@ -1239,20 +1254,8 @@ object SparkEntry {
     // the decile's lift over base rate — the table a curation budget
     // ("keep the top 30%") is actually read off.
     "q193_lift_table" -> ((s, dir) => {
-      import graft.llm.{Evaluation, NaiveBayes, Splits}
-      val meta = Tables.documents(s, dir)
-        .withColumn("curated",
-          Splits.md5Long(concat(col("doc_id").cast("string"), lit(":cur")))
-            % 2 === 0)
-        .withColumn("split", Splits.split(col("doc_id")))
-        .withColumn("text2",
-          when(col("curated"), concat(col("text"), lit(" premium curated")))
-            .otherwise(col("text")))
-      val scored = NaiveBayes.trainScore(meta, col("doc_id"), col("text2"),
-        col("curated"), col("split") === "train")
-      Evaluation.liftTable(
-        scored.join(meta.select(col("doc_id"), col("curated"), col("split")),
-          "doc_id"),
+      import graft.llm.Evaluation
+      Evaluation.liftTable(nbScored(s, dir),
         col("split"), col("score_ppm"), col("curated"))
     }),
 
@@ -1358,19 +1361,7 @@ object SparkEntry {
     // vocab-bounded count reduction broadcast back, token-sorted
     // per-doc fold (q91 discipline) so every score_ppm hash-gates.
     "q174_nb_quality_classifier" -> ((s, dir) => {
-      import graft.llm.{NaiveBayes, Splits}
-      val meta = Tables.documents(s, dir)
-        .withColumn("curated",
-          Splits.md5Long(concat(col("doc_id").cast("string"), lit(":cur")))
-            % 2 === 0)
-        .withColumn("split", Splits.split(col("doc_id")))
-        .withColumn("text2",
-          when(col("curated"), concat(col("text"), lit(" premium curated")))
-            .otherwise(col("text")))
-      val scored = NaiveBayes.trainScore(meta, col("doc_id"), col("text2"),
-        col("curated"), col("split") === "train")
-      val rep = scored.join(
-        meta.select(col("doc_id"), col("curated"), col("split")), "doc_id")
+      val rep = nbScored(s, dir)
       val gates = rep.filter(col("split") === "test").agg(
         sum(when(col("curated"), col("score_ppm")).otherwise(0L)).as("sc"),
         count(when(col("curated"), 1)).as("ncur"),
