@@ -1291,6 +1291,18 @@ object SparkEntry {
       Survival.kaplanMeier(obs, col("dur"), col("ended"))
     }),
 
+    // Market-basket lift over part co-purchases — the statistical
+    // complement of q190's structural graph: raw co-occurrence
+    // confounds popularity with affinity; lift_ppm = 1e6·c_ij·N /
+    // (c_i·c_j) is exact integer association. Top-3 partners per part
+    // among pairs sharing >= 2 orders, ranked on the ppm grid with id
+    // tie-break.
+    "q196_basket_lift" -> ((s, dir) => {
+      import graft.operators.Association
+      Association.liftPairs(Tables.lineitem(s, dir),
+        col("l_orderkey"), col("l_partkey"), minCo = 2, topK = 3)
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -6798,6 +6810,31 @@ object SparkEntry {
         |SELECT t, nr AS n_risk, d AS n_event, c AS n_censored,
         |  CAST(s AS BIGINT) AS s_ppm
         |FROM km""".stripMargin,
+
+    // q196: the identical count ratios — distinct (order, part), pair
+    // counts on the canonical x<y orientation, symmetrize, integral
+    // ppm lift, ROW_NUMBER (lift DESC, partner) top-3.
+    "q196_basket_lift" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b,
+        |    CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+        |ci AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+        |co AS (SELECT a.i AS x, b2.i AS y, CAST(COUNT(*) AS BIGINT) AS n_co
+        |  FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT x AS item, y AS partner, n_co FROM co
+        |  UNION ALL SELECT y, x, n_co FROM co),
+        |en AS (SELECT s.item, s.partner, s.n_co,
+        |    ca.c AS n_item, cb.c AS n_partner, n.n_baskets,
+        |    CAST((1000000 * s.n_co * n.n_baskets) //
+        |      (ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |  FROM sym s JOIN ci ca ON s.item = ca.i
+        |  JOIN ci cb ON s.partner = cb.i CROSS JOIN n)
+        |SELECT item, partner, n_co, n_item, n_partner, n_baskets,
+        |  lift_ppm, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+        |    ORDER BY lift_ppm DESC, partner) AS rank FROM en) t
+        |WHERE rank <= 3""".stripMargin,
 
 
 
