@@ -1303,6 +1303,17 @@ object SparkEntry {
         col("l_orderkey"), col("l_partkey"), minCo = 2, topK = 3)
     }),
 
+    // Per-event-type trend + seasonal-naive backtest over the daily
+    // event counts: OLS slope as a ratio of exact Long moment sums,
+    // MAE of the y[d-7] forecast over exactly-7-day-lagged pairs —
+    // the trend complement of q105's spike detector and q143's
+    // distribution monitor, all integral ppm.
+    "q197_trend_backtest" -> ((s, dir) => {
+      import graft.operators.Trend
+      Trend.dailyTrendBacktest(Tables.events(s, dir),
+        col("event_type"), expr("unix_millis(ts) div 86400000L"))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -6835,6 +6846,44 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
         |    ORDER BY lift_ppm DESC, partner) AS rank FROM en) t
         |WHERE rank <= 3""".stripMargin,
+
+    // q197: identical integer moments — both engines truncate integral
+    // division toward zero, so the possibly-negative slope numerator
+    // divides identically.
+    "q197_trend_backtest" ->
+      """WITH d0 AS (
+        |  SELECT event_type AS series, epoch_ms(ts) // 86400000 AS dd,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT series, dd - MIN(dd) OVER (PARTITION BY series) AS d, y
+        |  FROM d0),
+        |lg AS (
+        |  SELECT series, d, y,
+        |    LAG(d, 7) OVER (PARTITION BY series ORDER BY d) AS pd,
+        |    LAG(y, 7) OVER (PARTITION BY series ORDER BY d) AS py
+        |  FROM daily),
+        |le AS (
+        |  SELECT series, d, y,
+        |    CASE WHEN pd = d - 7 THEN abs(y - py) END AS err
+        |  FROM lg),
+        |ag AS (
+        |  SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(d * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(d * d) AS BIGINT) AS sxx,
+        |    CAST(COUNT(err) AS BIGINT) AS n_backtest,
+        |    CAST(COALESCE(SUM(err), 0) AS BIGINT) AS serr
+        |  FROM le GROUP BY 1)
+        |SELECT series, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx > 0
+        |    THEN CAST((1000000 * (n_days * sxy - sx * sy)) //
+        |      (n_days * sxx - sx * sx) AS BIGINT)
+        |    ELSE 0 END AS slope_ppm_per_day,
+        |  n_backtest,
+        |  CAST((1000000 * serr) // GREATEST(n_backtest, 1) AS BIGINT)
+        |    AS mae_ppm
+        |FROM ag""".stripMargin,
 
 
 

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series trend + forecast-backtest diagnostics over a daily
+  * counter — the monitoring pair behind "is this metric drifting, and
+  * would the naive forecast have caught it?": an OLS slope prices the
+  * trend, a seasonal-naive backtest (ŷ_d = y_{d−7}) prices the
+  * predictability, and both are pure ratios of exact Long moment sums
+  * (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — integer numerator and
+  * denominator, emitted as an integral ppm division), so the whole
+  * report hash-gates. The trend complement of the spike detector
+  * (q105 bursts) and the distribution monitor (q143 drift).
+  *
+  * Scale shape: one integer groupBy to the (series, day)-bounded daily
+  * table, then one lag window + one moment aggregation per series —
+  * map-combinable after the window; no collect, no doubles.
+  */
+object Trend {
+
+  /** `(series, n_days, slope_ppm_per_day, n_backtest, mae_ppm)`:
+    * per-series OLS slope over (day-index, count) in count-ppm per
+    * day, and the mean absolute error of the seasonal-naive(7)
+    * forecast over days whose d−7 ancestor was observed (gaps skip —
+    * backtest pairs require an exact 7-day lag). */
+  def dailyTrendBacktest(events: DataFrame, series: Column,
+                         day: Column, seasonDays: Int = 7): DataFrame = {
+    val daily = events
+      .select(series.as("series"), day.cast("long").as("d0"))
+      .groupBy("series", "d0").agg(count(lit(1)).as("y"))
+      // x-translation leaves the slope unchanged; re-basing each series
+      // at day 0 keeps the moment sums small (epoch-day x-values would
+      // push n·Σx² toward Long range on long/huge series)
+      .withColumn("d", col("d0") -
+        min("d0").over(Window.partitionBy("series")))
+    val w = Window.partitionBy("series").orderBy("d")
+    val lagged = daily
+      .withColumn("pd", lag("d", seasonDays).over(w))
+      .withColumn("py", lag("y", seasonDays).over(w))
+      .withColumn("err",
+        when(col("pd") === col("d") - seasonDays, abs(col("y") - col("py"))))
+    lagged.groupBy("series").agg(
+        count(lit(1)).as("n_days"),
+        sum("d").as("sx"), sum("y").as("sy"),
+        sum(col("d") * col("y")).as("sxy"),
+        sum(col("d") * col("d")).as("sxx"),
+        count(col("err")).as("n_backtest"),
+        sum(col("err")).as("serr"))
+      .select(col("series"), col("n_days"),
+        expr("""CASE WHEN n_days * sxx - sx * sx > 0L
+                THEN (1000000L * (n_days * sxy - sx * sy))
+                     div (n_days * sxx - sx * sx)
+                ELSE 0L END""").as("slope_ppm_per_day"),
+        col("n_backtest"),
+        expr("(1000000L * coalesce(serr, 0L)) div greatest(n_backtest, 1L)")
+          .as("mae_ppm"))
+  }
+}
