@@ -1173,21 +1173,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("seed_label"), col("label"))
     }),
 
-    // Per-node triangle counts over the supplier co-occurrence graph
-    // (suppliers sharing an order are linked; order sizes are bounded,
-    // so the pair generator is a cheap bounded self-join). Degree
+    // Per-node triangle counts over q190's part co-purchase graph
+    // (parts sharing >= 2 orders — the same sparse graph the k-core
+    // peels, so the structural family reads one fixture). Degree
     // orientation keeps the wedge volume O(m^1.5) — the hub-proof form
     // that survives a celebrity node at 100 TB; the oracle lists each
-    // triangle x<y<z once via its three canonical edges.
+    // triangle x<y<z once via its three canonical edges. (The dense
+    // supplier co-occurrence graph is deliberately NOT the fixture:
+    // at sf0.1 it is near-complete — C(1000,3)/6 ≈ 1.7e8 triangles —
+    // a throughput stress with no structure to find.)
     "q189_triangles" -> ((s, dir) => {
       import graft.operators.Triangles
       val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("sa"), col("b.l_suppkey").as("sb"))
-      Triangles.countPerNode(pairs, col("sa"), col("sb"))
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      Triangles.countPerNode(pairs, col("pa"), col("pb"))
     }),
 
     // k-core of the part co-purchase graph (parts sharing >= 2 orders;
@@ -1312,6 +1317,17 @@ object SparkEntry {
       import graft.operators.Trend
       Trend.dailyTrendBacktest(Tables.events(s, dir),
         col("event_type"), expr("unix_millis(ts) div 86400000L"))
+    }),
+
+    // word2vec-style negative-sampling table: 1000 stratified CDF
+    // probes over the count^(3/4)-smoothed unigram distribution —
+    // weights as the exact nested radical floor(sqrt(floor(sqrt(n^3)))),
+    // the CDF a two-phase prefix sum (no corpus-sized single-partition
+    // window), the probe lookup the as-of composition. Zero RNG.
+    "q198_negative_sampling" -> ((s, dir) => {
+      import graft.llm.NegativeSampling
+      NegativeSampling.sampleTable(Tables.documents(s, dir),
+        col("text"), k = 1000)
     }),
 
     // Materialized-summary rewrite, oracle-proven end to end: a
@@ -5711,11 +5727,13 @@ object SparkEntry {
     // node unpivot. Exact integer counts, so the whole table hash-gates
     // against the engine's degree-oriented wedge join.
     "q189_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        |e AS (SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS u,
-        |         CAST(b.l_suppkey AS BIGINT) AS v
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT u, v FROM (
+        |      SELECT CAST(a.l_partkey AS BIGINT) AS u,
+        |        CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |       AND a.l_suppkey < b.l_suppkey),
+        |       AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2) t WHERE c >= 2),
         |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
         |        FROM e ab
         |        JOIN e bc ON ab.v = bc.u
@@ -6884,6 +6902,31 @@ object SparkEntry {
         |  CAST((1000000 * serr) // GREATEST(n_backtest, 1) AS BIGINT)
         |    AS mae_ppm
         |FROM ag""".stripMargin,
+
+    // q198: identical radical weights (C sqrt and Java Math.sqrt are
+    // both IEEE correctly-rounded, so the doubles agree bit-for-bit),
+    // plain single-ORDER-BY cumulative window (the oracle runs at
+    // fixture scale), range join on the half-open CDF interval.
+    "q198_negative_sampling" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |vc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tk GROUP BY 1),
+        |vw AS (SELECT token, n,
+        |    CAST(floor(sqrt(floor(sqrt(CAST(n * n * n AS DOUBLE)))))
+        |      AS BIGINT) AS w
+        |  FROM vc),
+        |cw AS (SELECT token, n, w,
+        |    CAST(SUM(w) OVER (ORDER BY token) AS BIGINT) AS cum
+        |  FROM vw),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM vw),
+        |pr AS (SELECT CAST(r.range AS BIGINT) AS k,
+        |    CAST((r.range * wt) // 1000 AS BIGINT) AS t
+        |  FROM range(0, 1000) r, tot)
+        |SELECT p.k, p.t, c.token, c.n, c.w
+        |FROM pr p JOIN cw c ON c.cum - c.w <= p.t AND p.t < c.cum""".stripMargin,
 
 
 

@@ -42,6 +42,11 @@ object BradleyTerry {
     val wl = prefs.select(winner.cast("long").as("w"),
         loser.cast("long").as("l"))
       .filter(col("w") =!= col("l"))
+      // the judgment stream feeds BOTH reductions below — persist so the
+      // (possibly window-heavy) duel derivation runs once, not once per
+      // consumer (bench r9: the unpersisted stream re-ran its window
+      // every MM round through `wins`)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fold the judgment stream ONCE: directed game counts (i's view of
     // each opponent) and per-item wins — everything after is m-bounded
     val games = wl
@@ -53,7 +58,9 @@ object BradleyTerry {
       .union(games.select(col("b").as("i"), col("a").as("j"), col("n")))
       .repartition(col("i"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // m-bounded and read every round: eager-checkpoint once
     val wins = wl.groupBy(col("w").as("i")).agg(count(lit(1)).as("wi"))
+      .localCheckpoint(true)
     val items = edges.select("i").distinct()
     // uniform integer start: p0 = floor(1e6 / m)
     var state = items
@@ -66,16 +73,19 @@ object BradleyTerry {
         .join(state.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
         .select(col("i"),
           expr("(n * 1000000000L) div greatest(pi + pj, 1L)").as("term"))
+      // m-bounded; eager-checkpoint BEFORE the normalizer so the
+      // corpus-sized terms pipeline runs once per round, not twice
+      // (the Z aggregate and the crossJoin would each re-evaluate it)
       val raw = terms.groupBy("i").agg(sum("term").as("d"))
         .join(wins, Seq("i"), "left")
         .select(col("i"),
           expr("(coalesce(wi, 0L) * 1000000000L) div greatest(d, 1L)")
             .as("raw"))
+        .localCheckpoint(true)
       state = raw
         .crossJoin(broadcast(raw.agg(sum("raw").as("_z"))))
         .select(col("i"),
           expr("(raw * 1000000L) div greatest(_z, 1L)").as("p"))
-        .localCheckpoint(true)
     }
     val out = state
       .join(wins, Seq("i"), "left")
@@ -83,7 +93,7 @@ object BradleyTerry {
       .select(col("i").as("item"), col("p").as("strength_ppm"),
         coalesce(col("wi"), lit(0L)).as("wins"), col("games"))
       .localCheckpoint(true)
-    games.unpersist(); edges.unpersist()
+    wl.unpersist(); games.unpersist(); edges.unpersist()
     out
   }
 }
