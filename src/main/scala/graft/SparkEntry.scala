@@ -1330,6 +1330,24 @@ object SparkEntry {
         col("text"), k = 1000)
     }),
 
+    // Full coreness over the same co-purchase graph (q189's triangles,
+    // q190's k-core, one fixture): the h-index iteration converges to
+    // every node's core number at once — 21 rounds at sf0.001, 10 at
+    // sf0.01 — so the fixpoint loop is exercised hard; `converged`
+    // gates the oracle's 24-round unrolled replay.
+    "q199_coreness" -> ((s, dir) => {
+      import graft.operators.KCore
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val co = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pu"), col("b.l_partkey").as("pv"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      KCore.coreness(co, col("pu"), col("pv"))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -6927,6 +6945,36 @@ object SparkEntry {
         |  FROM range(0, 1000) r, tot)
         |SELECT p.k, p.t, c.token, c.n, c.w
         |FROM pr p JOIN cw c ON c.cum - c.w <= p.t AND p.t < c.cum""".stripMargin,
+
+    // q199: 24 unrolled h-index rounds (fixpoint takes 21 at sf0.001,
+    // 10 at sf0.01; extra rounds are idempotent at the fixpoint), each
+    // MATERIALIZED (the q190 lesson). The H-index window is the same
+    // (c DESC) row_number + MAX(rn where c >= rn) the engine runs.
+    "q199_coreness" -> {
+      val rounds = (1 to 24).map { r =>
+        s"""c$r AS MATERIALIZED (
+          |  SELECT node, CAST(COALESCE(MAX(CASE WHEN c >= rn THEN rn END), 0)
+          |    AS BIGINT) AS c
+          |  FROM (SELECT e.u AS node, p.c,
+          |      ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY p.c DESC) AS rn
+          |    FROM e JOIN c${r - 1} p ON e.v = p.node) t
+          |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT u, v FROM (
+        |    SELECT CAST(a.l_partkey AS BIGINT) AS u,
+        |      CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
+        |    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2) t WHERE c >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |c0 AS MATERIALIZED (SELECT u AS node,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1),
+        |$rounds
+        |SELECT node, c AS coreness, TRUE AS converged FROM c24""".stripMargin
+    },
 
 
 

@@ -29,6 +29,61 @@ import org.apache.spark.storage.StorageLevel
   */
 object KCore {
 
+  /** Full coreness (graph degeneracy) per node via the h-index
+    * iteration (Lü et al. '16, "The H-index of a network node"):
+    * c₀ = degree; c_{k+1}(v) = H-index of the neighbors' c_k (the
+    * largest h with ≥ h neighbors at value ≥ h); the sequence is
+    * monotone non-increasing and its fixpoint IS the core number —
+    * every node's k-core membership for every k at once, where
+    * [[subgraph]] answers one k. Deterministic: integer state, and the
+    * H-index of a multiset is order-independent (row_number ties among
+    * equal values cannot change it).
+    *
+    * Scale shape per round: one equi-join of the node state into the
+    * persisted symmetric edge list + one per-node window (sort by
+    * value inside the node's partition) + one integer max — the same
+    * exchanges every round over a FIXED graph; convergence check is
+    * one driver-side Long (changed-node count).
+    *
+    * `(node, coreness, converged)`. */
+  def coreness(pairs: DataFrame, a: Column, b: Column,
+               maxRounds: Int = 64): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e0 = pairs
+      .select(least(a, b).cast("long").as("u"),
+        greatest(a, b).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val edges = e0
+      .union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
+      .persist(lvl)
+    var state = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    import org.apache.spark.sql.expressions.Window
+    while (!converged && round < maxRounds) {
+      val nb = edges.join(state.withColumnRenamed("node", "v"), Seq("v"))
+        .select(col("u").as("node"), col("c"))
+      val rn = nb.withColumn("rn", row_number().over(
+        Window.partitionBy("node").orderBy(col("c").desc)))
+      val next = rn.groupBy("node")
+        .agg(coalesce(max(when(col("c") >= col("rn"), col("rn"))), lit(0))
+          .cast("long").as("c"))
+        .localCheckpoint(true)
+      val changed = next.join(state.withColumnRenamed("c", "c0"), "node")
+        .filter(col("c") =!= col("c0")).count()
+      state = next
+      converged = changed == 0L
+      round += 1
+    }
+    edges.unpersist()
+    state.select(col("node"), col("c").as("coreness"),
+      lit(converged).as("converged"))
+  }
+
   /** `(node, core_deg, converged)` for the nodes of the k-core of the
     * undirected graph in `pairs` (any orientation; dups and self-loops
     * dropped). `core_deg` is the node's degree INSIDE the core (≥ k by

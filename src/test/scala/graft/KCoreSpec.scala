@@ -67,4 +67,46 @@ class KCoreSpec extends SparkTestBase {
     val (core, conv) = run(clique(Seq(1L, 2L, 3L, 4L)), k = 10)
     assert(core.isEmpty && conv)
   }
+
+  private def cores(pairs: Seq[(Long, Long)]): (Map[Long, Long], Boolean) = {
+    val out = KCore.coreness(pairs.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Boolean)].collect()
+    (out.map(r => r._1 -> r._2).toMap, out.forall(_._3))
+  }
+
+  test("coreness: K4 with pendant leaves is 3 inside, 1 on the leaves") {
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      (1L to 4L).map(i => (i, i + 10L))
+    val (c, conv) = cores(edges)
+    assert((1L to 4L).forall(c(_) == 3L), c.toString)
+    assert((11L to 14L).forall(c(_) == 1L), c.toString)
+    assert(conv)
+  }
+
+  test("coreness: star hub is 1 despite its huge degree") {
+    val (c, conv) = cores((1L to 20L).map(i => (100L, i)))
+    assert(c.values.forall(_ == 1L), c.toString)
+    assert(conv)
+  }
+
+  test("coreness: lollipop — triangle 2, tail 1; consistent with subgraph") {
+    val edges = clique(Seq(1L, 2L, 3L)) ++
+      Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    val (c, conv) = cores(edges)
+    assert(c == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L), c.toString)
+    assert(conv)
+    // cross-check: nodes with coreness >= 2 are exactly the 2-core
+    val (core2, _) = run(edges, k = 2)
+    assert(core2.keySet == c.filter(_._2 >= 2L).keySet)
+  }
+
+  test("coreness: two cliques joined by a bridge keep their own cores") {
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      Seq((4L, 10L))
+    val (c, conv) = cores(edges)
+    assert((1L to 4L).forall(c(_) == 3L), c.toString)
+    assert(Seq(10L, 11L, 12L).forall(c(_) == 2L), c.toString)
+    assert(conv)
+  }
 }
