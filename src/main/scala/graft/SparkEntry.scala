@@ -1348,6 +1348,38 @@ object SparkEntry {
       KCore.coreness(co, col("pu"), col("pv"))
     }),
 
+    // Modularity scoring of two partitions of the same co-purchase
+    // graph: connected components (real structure — every edge intra)
+    // vs an md5 8-bucket null partition (must score ≈ 0). Detection
+    // without scoring can't tell structure from chance; Q on the exact
+    // 4m² denominator makes the comparison a hash-gated integer.
+    "q200_modularity" -> ((s, dir) => {
+      import graft.operators.Modularity
+      import graft.llm.{DedupClusters, Splits}
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val co = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pu"), col("b.l_partkey").as("pv"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+        .localCheckpoint(true)
+      val cc = DedupClusters.components(
+        co.select(col("pu").as("doc_a"), col("pv").as("doc_b")))
+      val nodes = co.select(col("pu").as("node"))
+        .union(co.select(col("pv").as("node"))).distinct()
+      val hash8 = nodes.select(col("node"),
+        Splits.md5Bucket(col("node"), 8).as("community"))
+      Modularity.score(co, col("pu"), col("pv"),
+          cc, col("doc_id"), col("cluster_id"))
+        .withColumn("method", lit("components"))
+        .unionByName(
+          Modularity.score(co, col("pu"), col("pv"),
+              hash8, col("node"), col("community"))
+            .withColumn("method", lit("hash8")))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -6974,6 +7006,69 @@ object SparkEntry {
         |  FROM e GROUP BY 1),
         |$rounds
         |SELECT node, c AS coreness, TRUE AS converged FROM c24""".stripMargin
+    },
+
+    // q200: reach-closure components (q37's pattern) + the md5 bucket
+    // mirror, each scored by the identical 4m²-denominator arithmetic.
+    "q200_modularity" -> {
+      val hash8 = dMd5Long("node::VARCHAR") + " % 8"
+      def block(membCte: String, method: String) =
+        s"""SELECT p.community, p.n_nodes, p.m_intra, p.deg_sum,
+          |  4 * p.m_intra * mm.m - p.deg_sum * p.deg_sum AS qc_num,
+          |  tt.q_ppm, '$method' AS method
+          |FROM (
+          |  SELECT d.community, d.n_nodes, d.deg_sum,
+          |    COALESCE(i.m_intra, 0) AS m_intra
+          |  FROM (SELECT mb.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          |      CAST(SUM(dg.deg) AS BIGINT) AS deg_sum
+          |    FROM $membCte mb JOIN deg dg ON mb.node = dg.node
+          |    GROUP BY 1) d
+          |  LEFT JOIN (SELECT ma.community, CAST(COUNT(*) AS BIGINT) AS m_intra
+          |    FROM e0 ee JOIN $membCte ma ON ee.u = ma.node
+          |    JOIN $membCte mc ON ee.v = mc.node
+          |    WHERE ma.community = mc.community GROUP BY 1) i
+          |  USING (community)) p
+          |CROSS JOIN mm
+          |CROSS JOIN (
+          |  SELECT CAST((1000000 * SUM(q)) // GREATEST(4 * mx.m * mx.m, 1)
+          |      AS BIGINT) AS q_ppm
+          |  FROM (
+          |    SELECT 4 * COALESCE(i2.m_intra, 0) * mm2.m
+          |        - d2.deg_sum * d2.deg_sum AS q
+          |    FROM (SELECT mb2.community, CAST(SUM(dg2.deg) AS BIGINT) AS deg_sum
+          |      FROM $membCte mb2 JOIN deg dg2 ON mb2.node = dg2.node
+          |      GROUP BY 1) d2
+          |    LEFT JOIN (SELECT ma2.community, CAST(COUNT(*) AS BIGINT) AS m_intra
+          |      FROM e0 ee2 JOIN $membCte ma2 ON ee2.u = ma2.node
+          |      JOIN $membCte mc2 ON ee2.v = mc2.node
+          |      WHERE ma2.community = mc2.community GROUP BY 1) i2
+          |    USING (community)
+          |    CROSS JOIN mm mm2) q
+          |  CROSS JOIN mm mx GROUP BY mx.m) tt""".stripMargin
+      s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT u, v FROM (
+        |    SELECT CAST(a.l_partkey AS BIGINT) AS u,
+        |      CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
+        |    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |      AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2) t WHERE c >= 2),
+        |es AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+        |  UNION SELECT v, u FROM e0),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM es
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN es e ON r.dst = e.a),
+        |comp AS MATERIALIZED (SELECT src AS node,
+        |  CAST(MIN(dst) AS BIGINT) AS community FROM reach GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM es),
+        |h8 AS MATERIALIZED (SELECT node,
+        |  CAST($hash8 AS BIGINT) AS community FROM nodes),
+        |deg AS MATERIALIZED (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM es GROUP BY 1),
+        |mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0)
+        |${block("comp", "components")}
+        |UNION ALL
+        |${block("h8", "hash8")}""".stripMargin
     },
 
 
