@@ -1380,6 +1380,16 @@ object SparkEntry {
             .withColumn("method", lit("hash8")))
     }),
 
+    // Vocabulary richness per language: hapax/dis legomena, the Chao1
+    // lower bound on the true type count, and the Good–Turing unseen
+    // mass (the probability the NEXT token is a new type) — the report
+    // a tokenizer vocab budget is planned against. Exact rationals.
+    "q201_vocab_richness" -> ((s, dir) => {
+      import graft.llm.TextOps
+      TextOps.vocabRichness(Tables.documents(s, dir),
+        col("lang"), col("text"))
+    }),
+
     // Materialized-summary rewrite, oracle-proven end to end: a
     // summary over (l_returnflag, l_linestatus) materializes, and the
     // SAME declarative aggregate against the BASE table silently
@@ -7070,6 +7080,32 @@ object SparkEntry {
         |UNION ALL
         |${block("h8", "hash8")}""".stripMargin
     },
+
+    // q201: the same count-of-counts reductions and Chao1/Good–Turing
+    // integral forms (f2 = 0 branch mirrored).
+    "q201_vocab_richness" ->
+      """WITH tk AS (
+        |  SELECT lang AS grp,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT grp, tok, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tk GROUP BY 1, 2)
+        |SELECT grp AS "group",
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS f1,
+        |  CAST(COUNT(*) FILTER (WHERE n = 2) AS BIGINT) AS f2,
+        |  CAST(CASE WHEN COUNT(*) FILTER (WHERE n = 2) > 0
+        |    THEN (1000 * (2 * COUNT(*) * COUNT(*) FILTER (WHERE n = 2)
+        |        + COUNT(*) FILTER (WHERE n = 1) * COUNT(*) FILTER (WHERE n = 1)))
+        |      // (2 * COUNT(*) FILTER (WHERE n = 2))
+        |    ELSE 1000 * COUNT(*) + (1000 * COUNT(*) FILTER (WHERE n = 1)
+        |        * (COUNT(*) FILTER (WHERE n = 1) - 1)) // 2
+        |    END AS BIGINT) AS chao1_x1000,
+        |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
+        |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
+        |FROM tf GROUP BY 1""".stripMargin,
 
 
 

@@ -21,6 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Per-group vocabulary richness — the "how much vocabulary haven't
+    * we seen?" report a tokenizer budget is planned against: observed
+    * type/token counts, hapax/dis legomena, the Chao1 lower bound on
+    * true vocabulary size (Chao '84: D + f₁²/(2f₂)) and the
+    * Good–Turing unseen-probability mass (f₁/N — the chance the next
+    * token is a NEW type). Exact rationals on the ppm grid:
+    * chao1_x1000 = ⌊1000·(2·D·f₂ + f₁²)/(2·f₂)⌋ (f₂ = 0 falls back to
+    * the Chao1-bias-corrected f₁(f₁−1)/2 + D form), gt_unseen_ppm =
+    * ⌊10⁶·f₁/N⌋. One corpus explode + two integer groupBys — the
+    * count-of-counts table is frequency-bounded. */
+  def vocabRichness(docs: DataFrame, group: Column,
+                    text: Column): DataFrame = {
+    val tf = docs.select(group.as("grp"),
+        explode(lowerTokens(text)).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("n"))
+    tf.groupBy("grp").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("n") === 1L, 1)).as("f1"),
+        count(when(col("n") === 2L, 1)).as("f2"))
+      .select(col("grp").as("group"), col("n_tokens"), col("n_types"),
+        col("f1"), col("f2"),
+        expr("""CASE WHEN f2 > 0L
+                THEN (1000L * (2L * n_types * f2 + f1 * f1)) div (2L * f2)
+                ELSE 1000L * n_types + (1000L * f1 * (f1 - 1L)) div 2L
+                END""").as("chao1_x1000"),
+        expr("(1000000L * f1) div greatest(n_tokens, 1L)")
+          .as("gt_unseen_ppm"))
+  }
+
   val SubtokenRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 
   val Stopwords: Map[String, Seq[String]] = Map(

@@ -705,4 +705,30 @@ class LlmTextSpec extends SparkTestBase {
       col("text"), col("lang")).collect()
     assert(rows.map(_.toString).sorted.toSeq == b2.map(_.toString).sorted.toSeq)
   }
+
+  test("vocabRichness: hand-computed Chao1 and Good-Turing mass") {
+    // corpus: a a a b b c d -> N=7, D=4, f1=2 (c,d), f2=1 (b)
+    // chao1 = D + f1^2/(2 f2) = 4 + 2 = 6 -> 6000; unseen = 2/7
+    val docs = Seq(("en", "a a a b b c d")).toDF("lang", "text")
+    val r = TextOps.vocabRichness(docs, col("lang"), col("text"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == (("en", 7L, 4L, 2L, 1L, 6000L, 285714L)), r.toString)
+  }
+
+  test("vocabRichness: f2 = 0 falls back to the bias-corrected form") {
+    // every type once: N=3, D=3, f1=3, f2=0
+    // chao1 = D + f1(f1-1)/2 = 3 + 3 = 6 -> 6000; unseen mass = 1
+    val docs = Seq(("x", "p q r")).toDF("lang", "text")
+    val r = TextOps.vocabRichness(docs, col("lang"), col("text"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == (("x", 3L, 3L, 3L, 0L, 6000L, 1000000L)), r.toString)
+  }
+
+  test("vocabRichness: a fully-saturated vocabulary estimates itself") {
+    // no hapax, no dis: chao1 = D exactly, unseen mass 0
+    val docs = Seq(("s", "w w w z z z")).toDF("lang", "text")
+    val r = TextOps.vocabRichness(docs, col("lang"), col("text"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r._6 == 2000L && r._7 == 0L, r.toString)
+  }
 }
