@@ -178,6 +178,33 @@ object SparkEntry {
   private def eventsWithMs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("ts_ms", unix_millis(col("ts")))
 
+  /** Supplier duels from consecutive line items inside an order: the
+    * higher-quantity supplier "wins"; ties and self-duels abstain.
+    * l_linenumber is NOT unique inside a synthetic order, so the sort
+    * extends by the two columns the duel reads — rows still tied are
+    * identical in (suppkey, quantity) and the duel multiset is
+    * permutation-invariant. Shared by the BT fit (q191) and the
+    * judgment-agreement report (q202): `(l_orderkey, l_linenumber,
+    * l_suppkey, l_quantity, win, lose)`. */
+  private def supplierDuels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_suppkey", "l_quantity")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"))
+      .withColumn("nx_s", lead("l_suppkey", 1).over(w))
+      .withColumn("nx_q", lead("l_quantity", 1).over(w))
+      .filter(col("nx_s").isNotNull && col("l_suppkey") =!= col("nx_s") &&
+        col("l_quantity") =!= col("nx_q"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"),
+        when(col("l_quantity") > col("nx_q"), col("l_suppkey"))
+          .otherwise(col("nx_s")).as("win"),
+        when(col("l_quantity") > col("nx_q"), col("nx_s"))
+          .otherwise(col("l_suppkey")).as("lose"))
+  }
+
   private def sessionFlags(s: SparkSession, dir: String): DataFrame =
     Sessionization.withSessionFlags(
       eventsWithMs(s, dir), col("user_id"), col("ts_ms"),
@@ -1222,26 +1249,8 @@ object SparkEntry {
     // wins and game counts all hash-gate.
     "q191_bradley_terry" -> ((s, dir) => {
       import graft.llm.BradleyTerry
-      import org.apache.spark.sql.expressions.Window
-      // l_linenumber is NOT unique inside a synthetic order — extend
-      // the sort by the two columns the duel reads, so rows still tied
-      // are identical in (suppkey, quantity) and the duel multiset is
-      // permutation-invariant
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_suppkey", "l_quantity")
-      val duels = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-          col("l_quantity"))
-        .withColumn("nx_s", lead("l_suppkey", 1).over(w))
-        .withColumn("nx_q", lead("l_quantity", 1).over(w))
-        .filter(col("nx_s").isNotNull && col("l_suppkey") =!= col("nx_s") &&
-          col("l_quantity") =!= col("nx_q"))
-        .select(
-          when(col("l_quantity") > col("nx_q"), col("l_suppkey"))
-            .otherwise(col("nx_s")).as("win"),
-          when(col("l_quantity") > col("nx_q"), col("nx_s"))
-            .otherwise(col("l_suppkey")).as("lose"))
-      BradleyTerry.fit(duels, col("win"), col("lose"), rounds = 8)
+      BradleyTerry.fit(supplierDuels(s, dir), col("win"), col("lose"),
+        rounds = 8)
     }),
 
     // Exact per-split AUC of the q174 quality classifier — the metric
@@ -1388,6 +1397,24 @@ object SparkEntry {
       import graft.llm.TextOps
       TextOps.vocabRichness(Tables.documents(s, dir),
         col("lang"), col("text"))
+    }),
+
+    // Cohen's κ over repeated duels — the quality gate on the
+    // preference data BEFORE q191 aggregates it: for every supplier
+    // pair judged at least twice, do the first two judgments agree
+    // beyond what their own marginals produce by chance? Rater 1/2 =
+    // the first two duels per pair in (order, line, supplier,
+    // quantity, outcome) order — the outcome tie-break keeps the b/c
+    // split deterministic.
+    "q202_judgment_agreement" -> ((s, dir) => {
+      import graft.llm.Evaluation
+      val d = supplierDuels(s, dir)
+        .withColumn("pa", least(col("win"), col("lose")))
+        .withColumn("pb", greatest(col("win"), col("lose")))
+      Evaluation.cohenKappa(d, struct(col("pa"), col("pb")),
+        col("win") === col("pa"),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_quantity")))
     }),
 
     // Materialized-summary rewrite, oracle-proven end to end: a
@@ -3873,6 +3900,23 @@ object SparkEntry {
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
 
+  /** The supplier-duel stream of [[supplierDuels]] mirrored —
+    * `duel(okey, ln, s, q, w, l)` with the same extended sort. Shared
+    * by the BT fit (q191) and the agreement report (q202). */
+  private def dDuelsCte() =
+    """duel AS MATERIALIZED (
+      |  SELECT okey, ln, s, q,
+      |    CASE WHEN q > nq THEN s ELSE ns END AS w,
+      |    CASE WHEN q > nq THEN ns ELSE s END AS l
+      |  FROM (SELECT l_orderkey AS okey, l_linenumber AS ln,
+      |          CAST(l_suppkey AS BIGINT) AS s, l_quantity AS q,
+      |          CAST(LEAD(l_suppkey) OVER win AS BIGINT) AS ns,
+      |          LEAD(l_quantity) OVER win AS nq
+      |        FROM lineitem
+      |        WINDOW win AS (PARTITION BY l_orderkey
+      |          ORDER BY l_linenumber, l_suppkey, l_quantity)) t
+      |  WHERE ns IS NOT NULL AND s <> ns AND q <> nq)""".stripMargin
+
   /** q174's full NB train+score chain, ending in
     * `sp(doc_id, split, curated, n_toks, score_ppm, predicted)` —
     * shared by the classifier gate (q174) and the ranking-metric
@@ -5855,16 +5899,7 @@ object SparkEntry {
           |    GREATEST((SELECT SUM(raw) FROM r$r), 1) AS BIGINT) AS p
           |  FROM r$r)""".stripMargin
       }.mkString(",\n")
-      s"""WITH duel AS MATERIALIZED (
-        |  SELECT CASE WHEN q > nq THEN s ELSE ns END AS w,
-        |         CASE WHEN q > nq THEN ns ELSE s END AS l
-        |  FROM (SELECT CAST(l_suppkey AS BIGINT) AS s, l_quantity AS q,
-        |          CAST(LEAD(l_suppkey) OVER win AS BIGINT) AS ns,
-        |          LEAD(l_quantity) OVER win AS nq
-        |        FROM lineitem
-        |        WINDOW win AS (PARTITION BY l_orderkey
-        |          ORDER BY l_linenumber, l_suppkey, l_quantity)) t
-        |  WHERE ns IS NOT NULL AND s <> ns AND q <> nq),
+      s"""WITH ${dDuelsCte()},
         |g AS MATERIALIZED (SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
         |    CAST(COUNT(*) AS BIGINT) AS n FROM duel GROUP BY 1, 2),
         |e AS MATERIALIZED (SELECT a AS i, b AS j, n FROM g
@@ -7106,6 +7141,41 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q202: same duel stream, same first-two-per-pair pivot (outcome
+    // as the final tie-break), identical marginal-product kappa.
+    "q202_judgment_agreement" -> {
+      s"""WITH ${dDuelsCte()},
+        |j AS (SELECT LEAST(w, l) AS pa, GREATEST(w, l) AS pb,
+        |    CAST(w = LEAST(w, l) AS INT) AS o, okey, ln, s, q
+        |  FROM duel),
+        |r AS (SELECT pa, pb, o,
+        |    ROW_NUMBER() OVER (PARTITION BY pa, pb
+        |      ORDER BY okey, ln, s, q, o) AS rn
+        |  FROM j),
+        |p AS (SELECT pa, pb,
+        |    MAX(CASE WHEN rn = 1 THEN o END) AS r1,
+        |    MAX(CASE WHEN rn = 2 THEN o END) AS r2
+        |  FROM r WHERE rn <= 2 GROUP BY 1, 2),
+        |cells AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(COUNT(*) FILTER (WHERE r1 = 1 AND r2 = 1) AS BIGINT) AS a,
+        |    CAST(COUNT(*) FILTER (WHERE r1 = 1 AND r2 = 0) AS BIGINT) AS b,
+        |    CAST(COUNT(*) FILTER (WHERE r1 = 0 AND r2 = 1) AS BIGINT) AS c,
+        |    CAST(COUNT(*) FILTER (WHERE r1 = 0 AND r2 = 0) AS BIGINT) AS d
+        |  FROM p WHERE r2 IS NOT NULL)
+        |SELECT n_units, a, b, c, d,
+        |  CAST((1000000 * (a + d)) // GREATEST(n_units, 1) AS BIGINT)
+        |    AS po_ppm,
+        |  CAST(CASE WHEN n_units * n_units -
+        |      ((a + b) * (a + c) + (c + d) * (b + d)) > 0
+        |    THEN (1000000 * (n_units * (a + d) -
+        |      ((a + b) * (a + c) + (c + d) * (b + d))))
+        |      // (n_units * n_units -
+        |      ((a + b) * (a + c) + (c + d) * (b + d)))
+        |    ELSE 0 END AS BIGINT) AS kappa_ppm
+        |FROM cells""".stripMargin
+    },
 
 
 

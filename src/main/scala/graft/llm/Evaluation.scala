@@ -94,6 +94,47 @@ object Evaluation {
       .withColumn("rbo_ppm", expr(s"(rbo_num * 1000000L) div ${RboMax}L"))
   }
 
+  /** Cohen's κ inter-judgment agreement (Cohen '60) — the quality
+    * gate on the preference data itself, before [[BradleyTerry]]
+    * aggregates it: raw percent-agreement rewards degenerate
+    * always-same-answer judging; κ subtracts the agreement the two
+    * judgments' own marginals would produce by chance. "Rater 1/2"
+    * are the first two judgments per unit in the caller's
+    * deterministic order (the outcome itself breaks residual ties, so
+    * the assignment — and therefore the b/c split — is
+    * order-stable); units with fewer than two judgments are skipped.
+    * Exact: κ·ppm = ⌊10⁶·(N·(a+d) − Σ marginal products) /
+    * (N² − Σ marginal products)⌋, all Longs, one row out. */
+  def cohenKappa(judgments: DataFrame, unit: Column, outcome: Column,
+                 order: Seq[Column]): DataFrame = {
+    val base = judgments.select(unit.as("u"),
+      outcome.cast("boolean").cast("int").as("o"),
+      struct(order: _*).as("ord"))
+    val seq = base.withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("ord"), col("o"))))
+      .filter(col("rn") <= 2)
+    val pairs = seq.groupBy("u").agg(
+        max(when(col("rn") === 1, col("o"))).as("r1"),
+        max(when(col("rn") === 2, col("o"))).as("r2"))
+      .filter(col("r2").isNotNull)
+    pairs.agg(
+        count(lit(1)).as("n_units"),
+        count(when(col("r1") === 1 && col("r2") === 1, 1)).as("a"),
+        count(when(col("r1") === 1 && col("r2") === 0, 1)).as("b"),
+        count(when(col("r1") === 0 && col("r2") === 1, 1)).as("c"),
+        count(when(col("r1") === 0 && col("r2") === 0, 1)).as("d"))
+      .select(col("n_units"), col("a"), col("b"), col("c"), col("d"),
+        expr("(1000000L * (a + d)) div greatest(n_units, 1L)")
+          .as("po_ppm"),
+        expr("""CASE WHEN n_units * n_units -
+                  ((a + b) * (a + c) + (c + d) * (b + d)) > 0L
+                THEN (1000000L * (n_units * (a + d) -
+                  ((a + b) * (a + c) + (c + d) * (b + d))))
+                  div (n_units * n_units -
+                  ((a + b) * (a + c) + (c + d) * (b + d)))
+                ELSE 0L END""").as("kappa_ppm"))
+  }
+
   /** Per-group decile lift/gains table over the score ranking:
     * `(group, decile, n, n_pos, pos_rate_ppm, cum_pos, capture_ppm,
     * lift_ppm)`. Decile 0 holds the HIGHEST scores; rows tied on score

@@ -95,6 +95,44 @@ class EvaluationSpec extends SparkTestBase {
       s"same=$same perm=$perm")
   }
 
+  private def kappa(units: Seq[(Long, Int, Boolean)]): (Long, Long, Long, Long, Long, Long, Long) = {
+    // (unit, judgment order, outcome)
+    Evaluation.cohenKappa(units.toDF("u", "ord", "o"),
+        col("u"), col("o"), Seq(col("ord")))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+  }
+
+  test("kappa: perfect repeat agreement scores exactly 1e6") {
+    val units = Seq((1L, 1, true), (1L, 2, true), (2L, 1, false),
+      (2L, 2, false))
+    val out = kappa(units)
+    assert(out == ((2L, 1L, 0L, 0L, 1L, 1000000L, 1000000L)), out.toString)
+  }
+
+  test("kappa: chance-level agreement scores exactly 0 despite po = 1/2") {
+    // uniform 2x2 table: a=b=c=d=1
+    val units = Seq(
+      (1L, 1, true), (1L, 2, true), (2L, 1, true), (2L, 2, false),
+      (3L, 1, false), (3L, 2, true), (4L, 1, false), (4L, 2, false))
+    val out = kappa(units)
+    assert(out._6 == 500000L && out._7 == 0L, out.toString)
+  }
+
+  test("kappa: systematic flip scores exactly -1e6") {
+    val units = Seq((1L, 1, true), (1L, 2, false), (2L, 1, false),
+      (2L, 2, true))
+    val out = kappa(units)
+    assert(out._7 == -1000000L, out.toString)
+  }
+
+  test("kappa: degenerate all-same marginals fall back to 0; singles skipped") {
+    val units = Seq((1L, 1, true), (1L, 2, true), (2L, 1, true),
+      (2L, 2, true), (3L, 1, true)) // unit 3 has one judgment
+    val out = kappa(units)
+    assert(out._1 == 2L, "singleton unit skipped")
+    assert(out._7 == 0L, "pe = 1 has no information; convention 0")
+  }
+
   test("score ties share a decile: bins are uneven but deterministic") {
     // 10 rows all score 7: one bin, decile 0, holding everything
     val rows = (1 to 10).map(i => ("g", 7L, i % 2 == 0))
