@@ -11,6 +11,67 @@ import graft.streaming.StreamingSessionize.Ev
 /** Top-level so Spark can build an encoder without an outer scope. */
 case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
 
+class StreamingTopKSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.streaming.StreamingTopK
+  import graft.streaming.StreamingTopK.{Arrival, Counter, Snapshot}
+
+  test("SpaceSaving offer: tracked increment, free slot, min eviction with tie rule") {
+    val c0 = List.empty[Counter]
+    val c1 = Seq("a", "a", "b", "c").foldLeft(c0)(
+      (cs, i) => StreamingTopK.offer(cs, i, capacity = 3))
+    assert(c1.map(c => c.item -> ((c.count, c.err))).toMap ==
+      Map("a" -> ((2L, 0L)), "b" -> ((1L, 0L)), "c" -> ((1L, 0L))))
+    // full: new item evicts the min; tie (b,c) breaks to smallest "b"
+    val c2 = StreamingTopK.offer(c1, "d", capacity = 3)
+    val m = c2.map(c => c.item -> ((c.count, c.err))).toMap
+    assert(!m.contains("b") && m("d") == ((2L, 1L)), m.toString)
+    assert(m.contains("c"), "only the tie-min is evicted")
+  }
+
+  test("SpaceSaving guarantees on a random-ish scripted stream") {
+    val rnd = new scala.util.Random(42)
+    val items = Seq.fill(400)(s"i${rnd.nextInt(30)}") ++
+      Seq.fill(200)("HH") // a true heavy hitter: 200 of 600 > n/cap
+    val cap = 10
+    val cs = items.foldLeft(List.empty[Counter])(
+      (acc, i) => StreamingTopK.offer(acc, i, cap))
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(cs.exists(_.item == "HH"), "guarantee (a): f > n/cap is tracked")
+    cs.foreach { c =>
+      val t = truth(c.item)
+      assert(c.count >= t && c.count - c.err <= t,
+        s"guarantee (b) violated for $c vs true $t")
+    }
+  }
+
+  test("streaming snapshots: per-batch top-k, state carried across batches") {
+    val input = MemoryStream[Arrival](spark)
+    val q = StreamingTopK.topK(input.toDS(), capacity = 3, k = 2)
+      .writeStream.format("memory").queryName("tk_out")
+      .outputMode("update").start()
+    try {
+      input.addData(Arrival("g", "a", 1), Arrival("g", "a", 2),
+        Arrival("g", "b", 3), Arrival("g", "c", 4))
+      q.processAllAvailable()
+      input.addData(Arrival("g", "d", 5), Arrival("g", "d", 6),
+        Arrival("h", "z", 7))
+      q.processAllAvailable()
+      val out = spark.table("tk_out").as[Snapshot].collect()
+      val b1 = out.filter(s => s.key == "g" && s.batch_seq == 1)
+        .sortBy(_.rank).map(s => (s.item, s.count, s.err)).toSeq
+      assert(b1 == Seq(("a", 2L, 0L), ("b", 1L, 0L)), b1.toString)
+      // batch 2: d evicts min "b" (tie to smallest) -> d: 2+... d twice:
+      // first d replaces b (count 2, err 1), second d increments -> 3
+      val b2 = out.filter(s => s.key == "g" && s.batch_seq == 2)
+        .sortBy(_.rank).map(s => (s.item, s.count, s.err)).toSeq
+      assert(b2 == Seq(("d", 3L, 1L), ("a", 2L, 0L)), b2.toString)
+      val h = out.filter(_.key == "h").map(s => (s.item, s.count)).toSeq
+      assert(h == Seq(("z", 1L)), "keys are independent")
+    } finally q.stop()
+  }
+}
+
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
