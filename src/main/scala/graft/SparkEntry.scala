@@ -1406,6 +1406,16 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Hampel median/MAD outlier days per event type: the robust twin
+    // of q105's burst z-scores — median and MAD have 50% breakdown, so
+    // a burst cannot inflate its own threshold. Lower medians are real
+    // data values (no averaging), flags pure Long comparisons.
+    "q203_mad_outliers" -> ((s, dir) => {
+      import graft.operators.Trend
+      Trend.madOutliers(Tables.events(s, dir),
+        col("event_type"), expr("unix_millis(ts) div 86400000L"))
+    }),
+
     "q202_judgment_agreement" -> ((s, dir) => {
       import graft.llm.Evaluation
       val d = supplierDuels(s, dir)
@@ -7141,6 +7151,34 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q203: identical lower-median ranks ((n+1)//2 in (value, day)
+    // order) and Long flag comparisons.
+    "q203_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (SELECT series, d, y,
+        |    ROW_NUMBER() OVER (PARTITION BY series ORDER BY y, d) AS rn,
+        |    COUNT(*) OVER (PARTITION BY series) AS n
+        |  FROM daily),
+        |med AS (SELECT series,
+        |    CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN y END) AS BIGINT) AS med
+        |  FROM r1 GROUP BY 1),
+        |wd AS (SELECT dl.series, dl.d, dl.y, m.med,
+        |    abs(dl.y - m.med) AS dev
+        |  FROM daily dl JOIN med m USING (series)),
+        |r2 AS (SELECT series, d, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY series ORDER BY dev, d) AS rn,
+        |    COUNT(*) OVER (PARTITION BY series) AS n
+        |  FROM wd),
+        |mad AS (SELECT series,
+        |    CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS BIGINT) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT w.series, CAST(w.d AS BIGINT) AS d, w.y, w.med, m2.mad,
+        |  w.dev > 3 * m2.mad AS is_outlier
+        |FROM wd w JOIN mad m2 USING (series)""".stripMargin,
 
     // q202: same duel stream, same first-two-per-pair pivot (outcome
     // as the final tie-break), identical marginal-product kappa.

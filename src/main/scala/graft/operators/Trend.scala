@@ -20,6 +20,40 @@ import org.apache.spark.sql.functions._
   */
 object Trend {
 
+  /** Robust outlier days per series — median/MAD flags (Hampel's
+    * identifier): mean±σ rules let the outliers they hunt inflate
+    * their own threshold; the median and the median absolute
+    * deviation have 50% breakdown, so a burst cannot hide itself.
+    * Exact integers throughout: the LOWER median (the value at rank
+    * ⌈n/2⌉ in (value, day) order — a real data value, no averaging),
+    * and the flag compares |y − med| > k·MAD directly in Longs.
+    * Two rank windows over the (series, day)-bounded daily table.
+    *
+    * `(series, d, y, med, mad, is_outlier)` — every observed day,
+    * flagged. A constant series has MAD 0, so ANY deviation flags
+    * (the documented Hampel-at-zero behavior). */
+  def madOutliers(events: DataFrame, series: Column, day: Column,
+                  k: Int = 3): DataFrame = {
+    val daily = events
+      .select(series.as("series"), day.cast("long").as("d"))
+      .groupBy("series", "d").agg(count(lit(1)).as("y"))
+    def lowerMedian(df: DataFrame, value: Column, out: String) = {
+      val w = Window.partitionBy("series").orderBy(value, col("d"))
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy("series")))
+        .withColumn(out,
+          max(when(col("_rn") === expr("(_n + 1L) div 2L"), value))
+            .over(Window.partitionBy("series")))
+        .drop("_rn", "_n")
+    }
+    val withMed = lowerMedian(daily, col("y"), "med")
+      .withColumn("dev", abs(col("y") - col("med")))
+    lowerMedian(withMed, col("dev"), "mad")
+      .select(col("series"), col("d"), col("y"), col("med"),
+        col("mad").as("mad"),
+        (col("dev") > lit(k.toLong) * col("mad")).as("is_outlier"))
+  }
+
   /** `(series, n_days, slope_ppm_per_day, n_backtest, mae_ppm)`:
     * per-series OLS slope over (day-index, count) in count-ppm per
     * day, and the mean absolute error of the seasonal-naive(7)

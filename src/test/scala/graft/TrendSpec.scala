@@ -64,4 +64,43 @@ class TrendSpec extends SparkTestBase {
     val out = run(Seq(("one", 3L, 9L)))
     assert(out("one") == ((1L, 0L, 0L, 0L)), out.toString)
   }
+
+  private def mad(rows: Seq[(String, Long, Long)]): Map[(String, Long), (Long, Long, Long, Boolean)] = {
+    Trend.madOutliers(events(rows), col("s"), col("d"))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+  }
+
+  test("mad: a 100x burst flags; the median ignores it") {
+    // y = 5 for 8 days, 500 on day 8
+    val rows = (0L to 7L).map(d => ("s", d, 5L)) :+ (("s", 8L, 500L))
+    val out = mad(rows)
+    // n=9, lower median rank 5 -> med 5; devs: eight 0s and one 495 ->
+    // mad = 0; burst: 495 > 3*0 flags; constant days: 0 > 0 false
+    assert(out(("s", 8L)) == ((500L, 5L, 0L, true)), out.toString)
+    assert(out(("s", 0L)) == ((5L, 5L, 0L, false)), out.toString)
+  }
+
+  test("mad: threshold is exactly 3*MAD, strict") {
+    // values 1..7: med = 4, devs {3,2,1,0,1,2,3} sorted {0,1,1,2,2,3,3}
+    // rank 4 -> mad = 2; flag iff dev > 6: none (max dev 3)
+    val rows = (1L to 7L).map(d => ("t", d, d))
+    val out = mad(rows)
+    assert(out.values.forall(!_._4), out.toString)
+    assert(out(("t", 1L))._2 == 4L && out(("t", 1L))._3 == 2L, out.toString)
+    // stretch day 7 to exactly the boundary med + 3*mad = 10: not out;
+    // 11 is out
+    val b10 = mad(rows.init :+ (("t", 7L, 10L)))
+    assert(!b10(("t", 7L))._4, s"boundary is inclusive-safe: $b10")
+    val b11 = mad(rows.init :+ (("t", 7L, 11L)))
+    assert(b11(("t", 7L))._4, b11.toString)
+  }
+
+  test("mad: lower median is a data value, even-count series") {
+    // 4 days, y in {1, 2, 100, 101}: lower median = rank 2 -> 2
+    val rows = Seq(("e", 1L, 1L), ("e", 2L, 2L), ("e", 3L, 100L),
+      ("e", 4L, 101L))
+    val out = mad(rows)
+    assert(out(("e", 1L))._2 == 2L, out.toString)
+  }
 }
