@@ -1211,15 +1211,7 @@ object SparkEntry {
     // a throughput stress with no structure to find.)
     "q189_triangles" -> ((s, dir) => {
       import graft.operators.Triangles
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 2)
-      Triangles.countPerNode(pairs, col("pa"), col("pb"))
+      Triangles.countPerNode(copurchasePairs(s, dir), col("pu"), col("pv"))
     }),
 
     // k-core of the part co-purchase graph (parts sharing >= 2 orders;
@@ -1230,15 +1222,7 @@ object SparkEntry {
     // exercised for real, not just one trivial round.
     "q190_kcore" -> ((s, dir) => {
       import graft.operators.KCore
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val co = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pu"), col("b.l_partkey").as("pv"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 2)
-      KCore.subgraph(co, col("pu"), col("pv"), k = 3)
+      KCore.subgraph(copurchasePairs(s, dir), col("pu"), col("pv"), k = 3)
     }),
 
     // Bradley–Terry strengths from pairwise judgments (the
@@ -1346,15 +1330,7 @@ object SparkEntry {
     // gates the oracle's 24-round unrolled replay.
     "q199_coreness" -> ((s, dir) => {
       import graft.operators.KCore
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val co = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pu"), col("b.l_partkey").as("pv"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 2)
-      KCore.coreness(co, col("pu"), col("pv"))
+      KCore.coreness(copurchasePairs(s, dir), col("pu"), col("pv"))
     }),
 
     // Modularity scoring of two partitions of the same co-purchase
@@ -1365,15 +1341,7 @@ object SparkEntry {
     "q200_modularity" -> ((s, dir) => {
       import graft.operators.Modularity
       import graft.llm.{DedupClusters, Splits}
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val co = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pu"), col("b.l_partkey").as("pv"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 2)
-        .localCheckpoint(true)
+      val co = copurchasePairs(s, dir).localCheckpoint(true)
       val cc = DedupClusters.components(
         co.select(col("pu").as("doc_a"), col("pv").as("doc_b")))
       val nodes = co.select(col("pu").as("node"))
@@ -1406,6 +1374,26 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Local clustering coefficient over the co-purchase graph: the
+    // fraction of each part's co-purchase partners that are themselves
+    // co-purchased — the density-vs-popularity signal raw degree and
+    // raw triangle counts each miss alone. Exact ppm, every node.
+    "q204_clustering_coef" -> ((s, dir) => {
+      import graft.operators.Triangles
+      Triangles.clusteringCoef(copurchasePairs(s, dir),
+        col("pu"), col("pv"))
+    }),
+
+    // Degree assortativity of the same graph: do well-connected parts
+    // co-purchase with other well-connected parts? Pearson r over the
+    // directed stub degrees from exact Long moments (Σx = Σy and
+    // Σx² = Σy² by symmetrization — the emitted moments prove it).
+    "q205_assortativity" -> ((s, dir) => {
+      import graft.operators.Triangles
+      Triangles.degreeAssortativity(copurchasePairs(s, dir),
+        col("pu"), col("pv"))
+    }),
+
     // Hampel median/MAD outlier days per event type: the robust twin
     // of q105's burst z-scores — median and MAD have 50% breakdown, so
     // a burst cannot inflate its own threshold. Lower medians are real
@@ -3909,6 +3897,20 @@ object SparkEntry {
 
   /** 60-bit md5 hash of column `c` (matches Spark conv(md5,16,10)). */
   private def dMd5Long(c: String) = s"('0x'||substr(md5($c),1,15))::BIGINT"
+
+  /** The sparse part co-purchase graph (parts sharing ≥ 2 orders) —
+    * the one fixture the whole graph family reads (q189/q190/q199/
+    * q200/q204/q205): `(pu, pv, n_co)`. */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pu"), col("b.l_partkey").as("pv"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+  }
 
   /** The supplier-duel stream of [[supplierDuels]] mirrored —
     * `duel(okey, ln, s, q, w, l)` with the same extended sort. Shared
@@ -7151,6 +7153,56 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q204: q189's brute triangle listing + degrees + the identical
+    // integral coefficient.
+    "q204_clustering_coef" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT u, v FROM (
+        |      SELECT CAST(a.l_partkey AS BIGINT) AS u,
+        |        CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2) t WHERE c >= 2),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) t GROUP BY 1),
+        |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+        |        FROM e ab JOIN e bc ON ab.v = bc.u
+        |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) t GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(tn.n, 0) AS n_triangles,
+        |  CAST(CASE WHEN d.deg >= 2
+        |    THEN (1000000 * 2 * COALESCE(tn.n, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS coef_ppm
+        |FROM deg d LEFT JOIN tn USING (node)""".stripMargin,
+
+    // q205: directed stub moments + the shared exact Pearson order.
+    "q205_assortativity" -> {
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT u, v FROM (
+        |      SELECT CAST(a.l_partkey AS BIGINT) AS u,
+        |        CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2) t WHERE c >= 2),
+        |deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) t
+        |  GROUP BY 1),
+        |st AS (SELECT da.deg AS du, db.deg AS dv
+        |  FROM (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0) d
+        |  JOIN deg da ON d.u = da.node JOIN deg db ON d.v = db.node),
+        |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+        |    CAST(SUM(du * dv) AS BIGINT) AS sxy,
+        |    CAST(SUM(du * du) AS BIGINT) AS sxx,
+        |    CAST(SUM(dv * dv) AS BIGINT) AS syy
+        |  FROM st)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |  ${dCorr("sx", "sy", "sxy", "sxx", "syy")} AS r
+        |FROM mo""".stripMargin
+    },
 
     // q203: identical lower-median ranks ((n+1)//2 in (value, day)
     // order) and Long flag comparisons.

@@ -29,6 +29,60 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Local clustering coefficient per node (Watts–Strogatz '98):
+    * C(v) = 2·T(v)/(deg(deg−1)) — the fraction of a node's neighbor
+    * pairs that are themselves linked, the density-vs-popularity
+    * signal raw degree and raw triangle counts each miss alone. On
+    * the exact ppm grid ((10⁶·2·T) div (deg·(deg−1)); deg < 2 → 0),
+    * every node of the graph reported. `(node, deg, n_triangles,
+    * coef_ppm)`. */
+  def clusteringCoef(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    val e = pairs.select(least(a, b).cast("long").as("u"),
+        greatest(a, b).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = countPerNode(e, col("u"), col("v"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coef_ppm",
+        expr("""CASE WHEN deg >= 2L
+                THEN (1000000L * 2L * n_triangles) div (deg * (deg - 1L))
+                ELSE 0L END"""))
+  }
+
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over all DIRECTED edge stubs — positive on
+    * social-style graphs (hubs prefer hubs), negative on
+    * hub-and-spoke/web graphs. Exact Long moment sums (symmetrization
+    * makes Σx = Σy and Σx² = Σy² by construction — emitted so the
+    * oracle gate proves it), r via the shared
+    * [[IntStats.corrFromSums]] expression order. One row. */
+  def degreeAssortativity(pairs: DataFrame, a: Column,
+                          b: Column): DataFrame = {
+    val e = pairs.select(least(a, b).cast("long").as("u"),
+        greatest(a, b).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val directed = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val stubs = directed
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    stubs.agg(count(lit(1)).as("n"),
+        sum("du").as("sx"), sum("dv").as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      .withColumn("r", IntStats.corrFromSums(col("n"), col("sx"),
+        col("sy"), col("sxy"), col("sxx"), col("syy")))
+  }
+
   /** `(node, n_triangles)` over the undirected distinct edges in
     * `pairs` (any orientation, dups/self-loops dropped). */
   def countPerNode(pairs: DataFrame, a: Column, b: Column): DataFrame = {

@@ -48,6 +48,32 @@ class TrianglesSpec extends SparkTestBase {
     assert(run(dirty) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clustering coefficient: clique 1.0, star 0, lollipop graded") {
+    import graft.operators.Triangles.clusteringCoef
+    val edges = clique(Seq(1L, 2L, 3L)) ++ Seq((3L, 4L), (4L, 5L))
+    val out = clusteringCoef(edges.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 1000000L)), out.toString)
+    assert(out(3L) == ((3L, 1L, 333333L)), "1 of C(3,2) pairs linked")
+    assert(out(4L) == ((2L, 0L, 0L)), out.toString)
+    assert(out(5L) == ((1L, 0L, 0L)), "deg < 2 is 0 by definition")
+  }
+
+  test("assortativity: symmetric moments; star is exactly -1, clique null") {
+    import graft.operators.Triangles.degreeAssortativity
+    def r(edges: Seq[(Long, Long)]) =
+      degreeAssortativity(edges.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+        .collect().head
+    val star = r((1L to 5L).map(i => (9L, i)))
+    assert(star._2 == star._3 && star._5 == star._6,
+      "symmetrization makes the moments equal")
+    assert(star._7.contains(-1.0), s"perfect hub-spoke anticorrelation: $star")
+    val k4 = r(clique(Seq(1L, 2L, 3L, 4L)))
+    assert(k4._7.isEmpty, "constant degrees have no defined correlation")
+  }
+
   test("hub graph: orientation points every hub edge inward, counts exact") {
     // hub 100 linked to 1..10, plus ring edges (i, i+1) among the spokes:
     // triangle {hub, i, i+1} for i in 1..9 -> hub in 9, spoke ends in 1,
