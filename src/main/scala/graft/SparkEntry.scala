@@ -1374,6 +1374,37 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // DPO-style preference-pair mining from the scored pool: per
+    // source, pair the r-th best with the r-th worst NB-scored doc
+    // (up to 10 pairs) — the chosen/rejected construction a
+    // preference-tuning set is assembled by when only pointwise
+    // scores exist. gate_margin asserts every chosen outscores its
+    // rejected; one fit (the shared NB memo), two rank windows.
+    "q206_dpo_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = nbScored(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      val top = Window.partitionBy("source")
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+      val bot = Window.partitionBy("source")
+        .orderBy(col("score_ppm").asc, col("doc_id").desc)
+      val ranked = scored
+        .withColumn("rt", row_number().over(top).cast("long"))
+        .withColumn("rb", row_number().over(bot).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val cap = least(lit(10L), expr("n div 2L"))
+      val chosen = ranked.filter(col("rt") <= cap)
+        .select(col("source"), col("rt").as("pair_rank"),
+          col("doc_id").as("chosen_id"), col("score_ppm").as("chosen_score"))
+      val rejected = ranked.filter(col("rb") <= cap)
+        .select(col("source"), col("rb").as("pair_rank"),
+          col("doc_id").as("rejected_id"),
+          col("score_ppm").as("rejected_score"))
+      chosen.join(rejected, Seq("source", "pair_rank"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .withColumn("gate_margin", col("margin") > 0L)
+    }),
+
     // Local clustering coefficient over the co-purchase graph: the
     // fraction of each part's co-purchase partners that are themselves
     // co-purchased — the density-vs-popularity signal raw degree and
@@ -7153,6 +7184,33 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q206: the shared NB score chain + mirrored top/bottom rank
+    // windows (descending ranks tie-broken by doc_id ascending on the
+    // top side and doc_id DESCENDING on the bottom side, so the two
+    // rankings are exact mirrors).
+    "q206_dpo_pairs" -> {
+      s"""WITH ${dNbScoredCtes()},
+        |src AS (SELECT sp.doc_id, sp.score_ppm, d.source
+        |  FROM sp JOIN documents d USING (doc_id)),
+        |rk AS (SELECT doc_id, score_ppm, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score_ppm ASC, doc_id DESC) AS BIGINT) AS rb,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM src),
+        |ch AS (SELECT source, rt AS pair_rank, doc_id AS chosen_id,
+        |    score_ppm AS chosen_score
+        |  FROM rk WHERE rt <= LEAST(10, n // 2)),
+        |rj AS (SELECT source, rb AS pair_rank, doc_id AS rejected_id,
+        |    score_ppm AS rejected_score
+        |  FROM rk WHERE rb <= LEAST(10, n // 2))
+        |SELECT source, pair_rank, chosen_id, chosen_score, rejected_id,
+        |  rejected_score, chosen_score - rejected_score AS margin,
+        |  chosen_score - rejected_score > 0 AS gate_margin
+        |FROM ch JOIN rj USING (source, pair_rank)""".stripMargin
+    },
 
     // q204: q189's brute triangle listing + degrees + the identical
     // integral coefficient.
