@@ -1374,6 +1374,17 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Benford first-digit audit over extended prices in cents — the
+    // data-quality alarm no min/max/null profile raises: natural
+    // multiplicative quantities lead with digit d at log10(1+1/d);
+    // fabricated or truncated columns don't. Exact ppm deviations and
+    // the total-variation distance as a repeated gate column.
+    "q207_benford" -> ((s, dir) => {
+      import graft.operators.Profiling
+      Profiling.benford(Tables.lineitem(s, dir),
+        round(col("l_extendedprice") * 100).cast("long"))
+    }),
+
     // DPO-style preference-pair mining from the scored pool: per
     // source, pair the r-th best with the r-th worst NB-scored doc
     // (up to 10 pairs) — the chosen/rejected construction a
@@ -7184,6 +7195,31 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q207: the engine's OWN constant table interpolated (one source
+    // of truth for the Benford expectations), identical integral ppm.
+    "q207_benford" -> {
+      val consts = graft.operators.Profiling.BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+      s"""WITH ex(digit, exp_ppm) AS (VALUES $consts),
+        |dg AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem
+        |  WHERE CAST(round(l_extendedprice * 100, 0) AS BIGINT) > 0),
+        |ob AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM dg GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nt FROM ob),
+        |pd AS (SELECT ex.digit, COALESCE(ob.n_obs, 0) AS n_obs,
+        |    CAST(ex.exp_ppm AS BIGINT) AS exp_ppm,
+        |    CAST((1000000 * COALESCE(ob.n_obs, 0)) // GREATEST(nt.nt, 1)
+        |      AS BIGINT) AS obs_ppm
+        |  FROM ex LEFT JOIN ob ON ex.digit = ob.digit CROSS JOIN nt)
+        |SELECT CAST(digit AS BIGINT) AS digit, n_obs, obs_ppm, exp_ppm,
+        |  abs(obs_ppm - exp_ppm) AS dev_ppm,
+        |  (SELECT CAST(SUM(abs(obs_ppm - exp_ppm)) // 2 AS BIGINT) FROM pd)
+        |    AS tvd_ppm
+        |FROM pd""".stripMargin
+    },
 
     // q206: the shared NB score chain + mirrored top/bottom rank
     // windows (descending ranks tie-broken by doc_id ascending on the

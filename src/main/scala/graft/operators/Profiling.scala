@@ -15,6 +15,45 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Profiling {
 
+  /** ⌊10⁶·log₁₀(1 + 1/d)⌋ for d = 1..9 — the Benford expectation on
+    * the ppm grid, computed once here and interpolated verbatim into
+    * the oracle SQL so both engines share ONE constant table. */
+  val BenfordPpm: IndexedSeq[Long] =
+    (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /** Benford first-digit audit (Newcomb 1881/Benford '38; Nigrini's
+    * fraud-audit staple) — naturally-grown multiplicative quantities
+    * (prices, populations, file sizes) lead with digit d at frequency
+    * log₁₀(1+1/d); fabricated or truncated columns don't, so the
+    * deviation is a data-quality alarm no min/max/null profile can
+    * raise. `value` must be a positive integer column (scale floats
+    * to cents upstream). One integer groupBy over the 9-row digit
+    * domain; per digit `(digit, n_obs, obs_ppm, exp_ppm, dev_ppm)`
+    * plus the total-variation distance `tvd_ppm` = ⌊Σ|obs−exp|/2⌋
+    * repeated on every row (gate-column discipline). All exact. */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.select(value.cast("long").as("v"))
+      .filter(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val expTable = df.sparkSession.createDataFrame(
+        (1 to 9).map(d => (d.toLong, BenfordPpm(d - 1))))
+      .toDF("digit", "exp_ppm")
+    val perDigit = expTable.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("exp_ppm"))
+      .crossJoin(broadcast(digits.agg(sum("n_obs").as("nt"))))
+      .withColumn("obs_ppm", expr("(1000000L * n_obs) div greatest(nt, 1L)"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      // 9-row domain; checkpoint before the total (one evaluation)
+      .localCheckpoint(true)
+    perDigit
+      .crossJoin(broadcast(perDigit.agg(
+        expr("sum(dev_ppm) div 2L").as("tvd_ppm"))))
+      .select("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm", "tvd_ppm")
+  }
+
   private val dec2 = DecimalType(18, 2)
 
   /** Per-column table profile (Deequ-style): null count, exact distinct

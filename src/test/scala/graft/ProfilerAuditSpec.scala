@@ -297,4 +297,32 @@ class ProfilerAuditSpec extends SparkTestBase {
       .agg(count(lit(1))).as[Long].head()
     assert(orphans == 1L) // only fk=99; the NULL fk is not an orphan
   }
+
+  test("benford: degenerate all-digit-1 column maxes the deviation") {
+    import graft.operators.Profiling
+    val df = (1 to 8).map(i => 1000L + i).toDF("v") // all lead with 1
+    val out = Profiling.benford(df, col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 1000000L && out(1L)._5 ==
+      1000000L - Profiling.BenfordPpm(0), out.toString)
+    assert((2L to 9L).forall(d => out(d)._2 == 0L &&
+      out(d)._5 == Profiling.BenfordPpm(d.toInt - 1)), out.toString)
+    // TVD identical on every row; zero/negative values are excluded
+    assert(out.values.map(_._6).toSet.size == 1)
+    val withJunk = Profiling.benford(
+      df.union(Seq(0L, -500L).toDF("v")), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(withJunk.map(_._2).sum == 8L, "non-positive rows dropped")
+  }
+
+  test("benford: a perfectly benford-weighted sample sits at tvd ~ 0") {
+    import graft.operators.Profiling
+    // counts proportional to the expectation table itself
+    val rows = (1 to 9).flatMap(d =>
+      Seq.fill((Profiling.BenfordPpm(d - 1) / 1000L).toInt)(d.toLong * 10L))
+    val out = Profiling.benford(rows.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.head._6 < 3000L, s"quantization noise only: ${out.head._6}")
+  }
 }
