@@ -1374,6 +1374,31 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Revenue concentration per nation: the Gini coefficient of
+    // customer revenue (cents) as an exact rational — "what share of
+    // revenue sits in the top tail" with zero doubles.
+    "q208_revenue_gini" -> ((s, dir) => {
+      import graft.operators.IntStats
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      IntStats.giniByGroup(
+        rev.join(cust, col("o_custkey") === col("c_custkey")),
+        col("c_nationkey"), col("rev_cents"))
+    }),
+
+    // 10%-trimmed mean of line quantities per return flag — the robust
+    // location estimate the plain mean lacks a breakdown point for;
+    // trimming drops value multisets, so tie order cannot matter.
+    "q209_trimmed_mean" -> ((s, dir) => {
+      import graft.operators.IntStats
+      IntStats.trimmedMeanByGroup(Tables.lineitem(s, dir),
+        col("l_returnflag"), round(col("l_quantity")).cast("long"))
+    }),
+
     // Benford first-digit audit over extended prices in cents — the
     // data-quality alarm no min/max/null profile raises: natural
     // multiplicative quantities lead with digit d at log10(1+1/d);
@@ -7195,6 +7220,43 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q208/q209: identical rank windows and integral ratios.
+    "q208_revenue_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c.c_nationkey AS grp, r.rev_cents AS v
+        |  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+        |rk AS (SELECT grp, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v)
+        |      AS BIGINT) AS i
+        |  FROM j)
+        |SELECT CAST(grp AS BIGINT) AS "group",
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS total,
+        |  CAST((1000000 * (2 * SUM(i * v) - (COUNT(*) + 1) * SUM(v))) //
+        |    GREATEST(COUNT(*) * SUM(v), 1) AS BIGINT) AS gini_ppm
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    "q209_trimmed_mean" ->
+      """WITH b AS (SELECT l_returnflag AS grp,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS v
+        |  FROM lineitem),
+        |rk AS (SELECT grp, v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v)
+        |      AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM b),
+        |kk AS (SELECT grp, v, i, n, (n * 10) // 100 AS k FROM rk)
+        |SELECT grp AS "group", n, CAST(k AS BIGINT) AS n_trim,
+        |  CAST(SUM(v) AS BIGINT) AS sum_kept,
+        |  CAST((1000000 * SUM(v)) // GREATEST(COUNT(*), 1) AS BIGINT)
+        |    AS mean_ppm
+        |FROM kk WHERE i > k AND i <= n - k
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // q207: the engine's OWN constant table interpolated (one source
     // of truth for the Benford expectations), identical integral ppm.

@@ -32,6 +32,55 @@ object IntStats {
 
   private def d(c: Column): Column = c.cast("double")
 
+  /** Gini coefficient per group from non-negative integer values —
+    * the concentration report ("what share of revenue sits in the top
+    * tail?") as an EXACT rational: with values ranked ascending,
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), emitted as
+    * ⌊10⁶·G⌋. Ties rank arbitrarily but Σ i·xᵢ is tie-invariant
+    * (swapping ranks between equal values changes nothing), so the
+    * result is deterministic. One rank window + one integer
+    * reduction per group; all-zero groups report 0.
+    * `(group, n, total, gini_ppm)`. */
+  def giniByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("grp"), value.cast("long").as("v"))
+    val ranked = base.withColumn("i", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("v")))
+    ranked.groupBy("grp").agg(
+        count(lit(1)).as("n"), sum("v").as("total"),
+        sum(col("i") * col("v")).as("siv"))
+      .select(col("grp").as("group"), col("n"), col("total"),
+        expr("""(1000000L * (2L * siv - (n + 1L) * total))
+                div greatest(n * total, 1L)""").as("gini_ppm"))
+  }
+
+  /** α-trimmed mean per group over integer values: drop the
+    * ⌊n·αPct/100⌋ smallest and largest values (as multisets —
+    * tie-rank order cannot change which VALUES are dropped), report
+    * the exact kept-sum ratio. The robust location estimate whose
+    * breakdown point the plain mean lacks; the aggregation sibling of
+    * [[graft.operators.Trend.madOutliers]]'s flags.
+    * `(group, n, n_trim, sum_kept, mean_ppm)`. */
+  def trimmedMeanByGroup(df: DataFrame, group: Column, value: Column,
+                         alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 0 && alphaPct < 50, s"alphaPct: $alphaPct")
+    val base = df.select(group.as("grp"), value.cast("long").as("v"))
+    val ranked = base
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+      .withColumn("k", expr(s"(n * ${alphaPct}L) div 100L"))
+    ranked.filter(col("i") > col("k") && col("i") <= col("n") - col("k"))
+      .groupBy(col("grp"), col("n"), col("k"))
+      .agg(count(lit(1)).as("n_kept"), sum("v").as("sum_kept"))
+      .select(col("grp").as("group"), col("n"), col("k").as("n_trim"),
+        col("sum_kept"),
+        expr("(1000000L * sum_kept) div greatest(n_kept, 1L)")
+          .as("mean_ppm"))
+  }
+
   /** Pearson r from integer moment sums; NULL when either variance is 0.
     * Mirrors exactly:
     * `round(CAST(n*sxy - sx*sy AS DOUBLE) /

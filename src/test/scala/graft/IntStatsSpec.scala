@@ -286,6 +286,32 @@ class IntStatsSpec extends SparkTestBase {
       .as[(String, Double, Double)].collect()
     assert(pr.forall(r => r._2 == 0.0 && r._3 == 1.0))
   }
+
+  test("gini: hand-computed inequality grades; equality is exactly 0") {
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 10L), // G = 2/3
+      ("b", 5L), ("b", 5L), // perfect equality
+      ("c", 0L), ("c", 0L), ("c", 0L), ("c", 9L)) // G = 3/4
+      .toDF("g", "v")
+    val out = graft.operators.IntStats.giniByGroup(df, col("g"), col("v"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map("a" -> 666666L, "b" -> 0L, "c" -> 750000L),
+      out.toString)
+  }
+
+  test("trimmed mean: 20% trim drops exactly one from each tail of 5") {
+    val df = Seq.tabulate(5)(i => ("g", Seq(1L, 2L, 3L, 4L, 100L)(i)))
+      .toDF("g", "v")
+    val out = graft.operators.IntStats.trimmedMeanByGroup(df, col("g"), col("v"),
+        alphaPct = 20)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(out == (("g", 5L, 1L, 9L, 3000000L)), out.toString)
+    // 10% of 5 floors to 0: nothing trimmed, the outlier stays
+    val all = graft.operators.IntStats.trimmedMeanByGroup(df, col("g"), col("v"),
+        alphaPct = 10)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(all._3 == 0L && all._5 == 22000000L, all.toString)
+  }
 }
 
 /** Tiny helpers shared by stats suites. */
