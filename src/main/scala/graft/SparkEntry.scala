@@ -1374,6 +1374,25 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Diff-in-diff over user-day event counts: md5-assigned treatment,
+    // post = the second half of the observation window (relative to
+    // the data's own min day, so the fixture carries no wall-clock
+    // constant). Each cell mean on the ppm grid, the DiD estimate the
+    // integer difference of differences, repeated gate-column style.
+    "q210_diff_in_diff" -> ((s, dir) => {
+      import graft.operators.DiffInDiff
+      import graft.llm.Splits
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000L").as("d"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("y"))
+      val horizon = ud.agg(min("d").as("d0"), max("d").as("d1"))
+      DiffInDiff.estimate(
+        ud.crossJoin(broadcast(horizon)),
+        Splits.md5Bucket(col("user_id"), 2) === 0,
+        expr("d >= d0 + (d1 - d0 + 1L) div 2L"),
+        col("y"))
+    }),
+
     // Revenue concentration per nation: the Gini coefficient of
     // customer revenue (cents) as an exact rational — "what share of
     // revenue sits in the top tail" with zero doubles.
@@ -7220,6 +7239,35 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q210: identical md5 assignment, relative-horizon post split,
+    // ppm cell means and integer difference of differences.
+    "q210_diff_in_diff" -> {
+      val treat = dMd5Long("user_id::VARCHAR") + " % 2 = 0"
+      s"""WITH ud AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |hz AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+        |cells AS (
+        |  SELECT $treat AS treated,
+        |    d >= d0 + (d1 - d0 + 1) // 2 AS post,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y
+        |  FROM ud CROSS JOIN hz GROUP BY 1, 2),
+        |cm AS (SELECT treated, post, n_obs, sum_y,
+        |    CAST((1000000 * sum_y) // GREATEST(n_obs, 1) AS BIGINT)
+        |      AS mean_ppm
+        |  FROM cells),
+        |did AS (SELECT
+        |    (MAX(CASE WHEN treated AND post THEN mean_ppm END)
+        |     - MAX(CASE WHEN treated AND NOT post THEN mean_ppm END))
+        |    - (MAX(CASE WHEN NOT treated AND post THEN mean_ppm END)
+        |     - MAX(CASE WHEN NOT treated AND NOT post THEN mean_ppm END))
+        |    AS did_ppm
+        |  FROM cm)
+        |SELECT cm.*, did.did_ppm FROM cm CROSS JOIN did""".stripMargin
+    },
 
     // q208/q209: identical rank windows and integral ratios.
     "q208_revenue_gini" ->
