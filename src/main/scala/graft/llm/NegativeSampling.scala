@@ -47,13 +47,14 @@ object NegativeSampling {
     val grouped = weighted.withColumn("g", substring(col("token"), 1, 1))
       .withColumn("cum_in",
         sum("w").over(Window.partitionBy("g").orderBy("token")))
-    val offsets = grouped.groupBy("g").agg(sum("w").as("gw"))
-      // alphabet-bounded rows: this window is one row per distinct
-      // leading character, not corpus-sized
-      .withColumn("off",
-        coalesce(sum("gw").over(Window.orderBy("g")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("g", "off")
+    // alphabet-bounded (one row per distinct leading character): the
+    // offset is a theta self-join, not a global-order window — no
+    // single-partition sort anywhere in the operator
+    val groupSums = grouped.groupBy("g").agg(sum("w").as("gw"))
+    val offsets = groupSums.as("l")
+      .join(groupSums.as("r"), col("r.g") < col("l.g"), "left")
+      .groupBy(col("l.g").as("g"))
+      .agg(coalesce(sum(col("r.gw")), lit(0L)).as("off"))
     // right side keyed like the probes; its "t" is the interval lower
     // bound cum − w, so the as-of match (latest lo ≤ t_k) is exactly
     // the unique interval owner — intervals partition [0, W)
