@@ -46,12 +46,19 @@ object IntStats {
     val ranked = base.withColumn("i", row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy("grp").orderBy("v")))
+    // the rank-weighted sum reaches ~n²·max(v)/2 — ×10⁶ leaves Long
+    // range long before real group sizes do, so the ratio is computed
+    // in DECIMAL(38,0) (exact, 128-bit headroom; DuckDB's HUGEINT
+    // mirrors it) and only the final ppm comes back as a Long
     ranked.groupBy("grp").agg(
         count(lit(1)).as("n"), sum("v").as("total"),
-        sum(col("i") * col("v")).as("siv"))
+        sum(col("i").cast("decimal(38,0)") * col("v")).as("siv"))
       .select(col("grp").as("group"), col("n"), col("total"),
-        expr("""(1000000L * (2L * siv - (n + 1L) * total))
-                div greatest(n * total, 1L)""").as("gini_ppm"))
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) *
+                  (2 * siv - (n + 1) * CAST(total AS DECIMAL(38,0))))
+                div greatest(CAST(n AS DECIMAL(38,0)) *
+                  CAST(total AS DECIMAL(38,0)), 1) AS BIGINT)""")
+          .as("gini_ppm"))
   }
 
   /** α-trimmed mean per group over integer values: drop the
