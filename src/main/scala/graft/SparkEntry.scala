@@ -1374,6 +1374,23 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Incremental triangle maintenance: an md5 20% of co-purchase
+    // edges arrive as the "delta batch"; counts update by probing only
+    // the delta edges' neighborhoods (O(|delta|·davg), never the
+    // O(m^1.5) recount), each new triangle attributed once to its
+    // smallest delta edge. The oracle is LITERALLY q189's one-shot SQL
+    // — incremental == full recompute is the definitional gate.
+    "q211_incremental_triangles" -> ((s, dir) => {
+      import graft.operators.Triangles
+      import graft.llm.Splits
+      val split = copurchasePairs(s, dir).withColumn("_b",
+        Splits.md5Bucket(
+          concat(col("pu"), lit(":"), col("pv")), 5))
+      Triangles.countPerNodeIncremental(
+        split.filter(col("_b") < 4), col("pu"), col("pv"),
+        split.filter(col("_b") === 4), col("pu"), col("pv"))
+    }),
+
     // Diff-in-diff over user-day event counts: md5-assigned treatment,
     // post = the second half of the observation window (relative to
     // the data's own min day, so the fixture carries no wall-clock
@@ -4005,6 +4022,27 @@ object SparkEntry {
         .localCheckpoint(true)
     })
 
+  /** One-shot brute triangle listing over the co-purchase graph —
+    * the shared oracle of q189 (direct counts) and q211 (incremental
+    * maintenance must equal the one-shot). */
+  private val dTrianglesOneShot =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT u, v FROM (
+        |      SELECT CAST(a.l_partkey AS BIGINT) AS u,
+        |        CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2) t WHERE c >= 2),
+        |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+        |        FROM e ab
+        |        JOIN e bc ON ab.v = bc.u
+        |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |nodes AS (SELECT x AS node FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1""".stripMargin
+
   /** The supplier-duel stream of [[supplierDuels]] mirrored —
     * `duel(okey, ln, s, q, w, l)` with the same extended sort. Shared
     * by the BT fit (q191) and the agreement report (q202). */
@@ -5935,23 +5973,13 @@ object SparkEntry {
     // triangle x<y<z found exactly once as (x,y)+(y,z)+(x,z), then
     // node unpivot. Exact integer counts, so the whole table hash-gates
     // against the engine's degree-oriented wedge join.
-    "q189_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (SELECT u, v FROM (
-        |      SELECT CAST(a.l_partkey AS BIGINT) AS u,
-        |        CAST(b.l_partkey AS BIGINT) AS v, COUNT(*) AS c
-        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |       AND a.l_partkey < b.l_partkey
-        |      GROUP BY 1, 2) t WHERE c >= 2),
-        |tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
-        |        FROM e ab
-        |        JOIN e bc ON ab.v = bc.u
-        |        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
-        |nodes AS (SELECT x AS node FROM tri
-        |          UNION ALL SELECT y FROM tri
-        |          UNION ALL SELECT z FROM tri)
-        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |FROM nodes GROUP BY 1""".stripMargin,
+    "q189_triangles" -> dTrianglesOneShot,
+
+    // q211: the gate IS definitional — the incremental maintenance
+    // must equal the one-shot brute count over the union, so the
+    // oracle is literally q189's SQL.
+    "q211_incremental_triangles" -> dTrianglesOneShot,
+
 
     // q190: the same peel unrolled 14 rounds (fixpoint at sf0.01 takes
     // ~11; the k-core is round-grouping-invariant, so extra rounds are

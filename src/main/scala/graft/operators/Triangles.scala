@@ -83,6 +83,67 @@ object Triangles {
         col("sy"), col("sxy"), col("sxx"), col("syy")))
   }
 
+  /** Incremental triangle maintenance: counts over base ∪ delta
+    * touching only the delta edges' neighborhoods — O(|delta|·d̄)
+    * instead of O(m^1.5), the daily-ingest shape (a day's new edges
+    * against a 100 TB graph must not recount the world). Every
+    * triangle containing ≥ 1 delta edge is found from each of its
+    * delta edges and attributed ONCE to its lexicographically
+    * smallest delta edge (2- and 3-delta-edge triangles would
+    * otherwise double/triple count); base-duplicate delta edges are
+    * dropped first. The correctness gate is definitional: the merged
+    * counts must equal [[countPerNode]] over the union — q211
+    * hash-gates exactly that.
+    *
+    * `(node, n_triangles)` over base ∪ delta. */
+  def countPerNodeIncremental(basePairs: DataFrame, ba: Column, bb: Column,
+                              deltaPairs: DataFrame, da: Column,
+                              db: Column): DataFrame = {
+    def canon(df: DataFrame, x: Column, y: Column) =
+      df.select(least(x, y).cast("long").as("u"),
+          greatest(x, y).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    val eb = canon(basePairs, ba, bb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ed = canon(deltaPairs, da, db).join(eb, Seq("u", "v"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = eb.union(ed)
+    // symmetric adjacency of the union, flagged: is the edge delta?
+    val adj = all.join(ed.withColumn("_d", lit(true)), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("_d"), lit(false)).as("d"))
+    val sym = adj.select(col("u").as("x"), col("v").as("y"), col("d"))
+      .union(adj.select(col("v").as("x"), col("u").as("y"), col("d")))
+      .repartition(col("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // for each delta edge (u,v): common neighbors w via two probes of
+    // the symmetric adjacency — volume O(|delta| · avg degree)
+    val viaU = ed.join(sym.select(col("x").as("u"), col("y").as("w"),
+      col("d").as("dw_u")), Seq("u"))
+    val closed = viaU.join(sym.select(col("x").as("v"), col("y").as("w"),
+        col("d").as("dw_v")), Seq("v", "w"))
+      .filter(col("w") =!= col("u") && col("w") =!= col("v"))
+    // attribute once: (u,v) must be the smallest delta edge of the
+    // triangle — any delta side edge that sorts before it claims it
+    def edgeKey(x: Column, y: Column) = struct(least(x, y), greatest(x, y))
+    val mine = closed.filter(
+      (!col("dw_u") || edgeKey(col("u"), col("w")) > edgeKey(col("u"), col("v"))) &&
+      (!col("dw_v") || edgeKey(col("v"), col("w")) > edgeKey(col("u"), col("v"))))
+    val deltaCounts = mine
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("dt"))
+    val baseCounts = countPerNode(eb, col("u"), col("v"))
+    val out = baseCounts.withColumnRenamed("n_triangles", "bt")
+      .join(deltaCounts, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("bt"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+          .as("n_triangles"))
+      .filter(col("n_triangles") > 0L)
+      .localCheckpoint(true)
+    eb.unpersist(); ed.unpersist(); sym.unpersist()
+    out
+  }
+
   /** `(node, n_triangles)` over the undirected distinct edges in
     * `pairs` (any orientation, dups/self-loops dropped). */
   def countPerNode(pairs: DataFrame, a: Column, b: Column): DataFrame = {

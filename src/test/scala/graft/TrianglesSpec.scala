@@ -74,6 +74,38 @@ class TrianglesSpec extends SparkTestBase {
     assert(k4._7.isEmpty, "constant degrees have no defined correlation")
   }
 
+  private def incr(base: Seq[(Long, Long)],
+                   delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    import graft.operators.Triangles.countPerNodeIncremental
+    countPerNodeIncremental(base.toDF("a", "b"), col("a"), col("b"),
+        delta.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("incremental == one-shot, whatever the delta composition") {
+    // mixed graph: cliques, chains, hubs
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L)) ++
+      Seq((4L, 5L), (7L, 8L), (8L, 1L), (2L, 6L), (3L, 7L))
+    val full = run(edges)
+    // every 20%/50%/80% split must reproduce the one-shot counts
+    for (k <- Seq(2, 5, 8)) {
+      val (d, b) = edges.zipWithIndex.partition(_._2 % 10 < k)
+      val got = incr(b.map(_._1), d.map(_._1))
+      assert(got == full, s"split $k: $got vs $full")
+    }
+    // all-delta (empty base) and all-base degenerate cases
+    assert(incr(Seq.empty, edges) == full)
+    assert(incr(edges, Seq.empty) == full)
+  }
+
+  test("incremental: multi-delta-edge triangles count once; dup deltas ignored") {
+    // triangle {1,2,3} entirely in the delta; (4,5) duplicates a base edge
+    val base = Seq((3L, 4L), (4L, 5L))
+    val delta = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (2L, 1L))
+    val got = incr(base, delta)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
+
   test("hub graph: orientation points every hub edge inward, counts exact") {
     // hub 100 linked to 1..10, plus ring edges (i, i+1) among the spokes:
     // triangle {hub, i, i+1} for i in 1..9 -> hub in 9, spoke ends in 1,
