@@ -1374,6 +1374,28 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Sequential pattern mining, n-gram form: the most frequent
+    // 3-step behavior sequences across user event streams — the
+    // order-sensitive complement of q176's first-order transitions
+    // (a trigram can be common while both its bigrams are noise).
+    // Two leads per user stream, one integer groupBy over the
+    // event-type³-bounded domain, TakeOrderedAndProject for the
+    // top-10 (no global window, no single-partition sort).
+    "q212_behavior_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
+    }),
+
     // Incremental triangle maintenance: an md5 20% of co-purchase
     // edges arrive as the "delta batch"; counts update by probing only
     // the delta edges' neighborhoods (O(|delta|·davg), never the
@@ -7274,6 +7296,21 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q212: identical per-user leads (events ordered by (ts, event_id)
+    // — unique, so LEAD is total) and the same (n DESC, trigram) top-10.
+    "q212_behavior_trigrams" ->
+      """WITH tg AS (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM tg WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3
+        |LIMIT 10""".stripMargin,
 
     // q210: identical md5 assignment, relative-horizon post split,
     // ppm cell means and integer difference of differences.

@@ -396,6 +396,38 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no unpartitioned windows anywhere in the query inventory") {
+    // an empty partitionSpec moves ALL rows to one partition — the
+    // classic silent scale-killer (round-9: q198's offset window was
+    // caught by exactly this smell and rewritten as a bounded join)
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      assert(bad.isEmpty, s"$name moves all rows to one partition: $bad")
+    }
+  }
+
+  test("q212 top-10 is TakeOrdered, not a global sort or window") {
+    val plan = uncached(SparkEntry.queries("q212_behavior_trigrams")(
+      spark, sf).queryExecution.executedPlan.toString)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rank("), "no rank window needed for a top-k")
+  }
+
+  test("q192 AUC: the rank window and the reduction share one exchange") {
+    val plan = uncached(SparkEntry.queries("q192_classifier_auc")(
+      spark, sf).queryExecution.executedPlan.toString)
+    // the scored input arrives checkpointed; after it, one hash
+    // exchange on grp serves the rank window, the tie counts, and the
+    // final groupBy (same key) — re-sorts are fine, re-shuffles not
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"AUC should not re-shuffle per stage:\n$plan")
+  }
+
   test("pagerank loop body reuses the persisted edge partitioning " +
     "(no exchange on the edge side inside an iteration)") {
     uncached {
