@@ -1374,6 +1374,15 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Lead–lag scan between signup and purchase daily volumes: Pearson
+    // r at every lag in ±7 days from exact Long moments — the
+    // "which metric moves first" table; the reader picks the peak.
+    "q213_lead_lag" -> ((s, dir) => {
+      import graft.operators.Trend
+      Trend.leadLag(Tables.events(s, dir), col("event_type"),
+        expr("unix_millis(ts) div 86400000L"), "signup", "purchase")
+    }),
+
     // Sequential pattern mining, n-gram form: the most frequent
     // 3-step behavior sequences across user event streams — the
     // order-sensitive complement of q176's first-order transitions
@@ -7296,6 +7305,30 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q213: per-lag aligned self-joins over the daily table, shared
+    // exact Pearson order; the lag axis comes from generate_series.
+    "q213_lead_lag" -> {
+      s"""WITH daily AS (
+        |  SELECT event_type AS series, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |xs AS (SELECT d, y AS xv FROM daily WHERE series = 'signup'),
+        |ys AS (SELECT d AS dy, y AS yv FROM daily WHERE series = 'purchase'),
+        |lg AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        |mo AS (
+        |  SELECT lg.lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+        |    CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+        |    CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+        |    CAST(SUM(yv * yv) AS BIGINT) AS syy
+        |  FROM lg LEFT JOIN xs ON TRUE
+        |  JOIN ys ON ys.dy = xs.d + lg.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+        |  ${dCorr("sx", "sy", "sxy", "sxx", "syy")} AS r
+        |FROM mo""".stripMargin
+    },
 
     // q212: identical per-user leads (events ordered by (ts, event_id)
     // — unique, so LEAD is total) and the same (n DESC, trigram) top-10.

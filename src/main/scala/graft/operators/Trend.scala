@@ -20,6 +20,45 @@ import org.apache.spark.sql.functions._
   */
 object Trend {
 
+  /** Lead–lag cross-correlation between two daily counters — "does x
+    * lead y by k days?": for each lag in ±`maxLag`, Pearson r between
+    * x(d) and y(d+lag) over the days where BOTH are observed, from
+    * exact Long moment sums through the shared
+    * [[IntStats.corrFromSums]] expression order (so every per-lag r
+    * hash-gates; the reader picks the peak). One self-join per lag
+    * over the day-bounded daily table — 2·maxLag+1 cheap passes, no
+    * windows. `(lag, n_days, r)`. */
+  def leadLag(events: DataFrame, series: Column, day: Column,
+              xSeries: String, ySeries: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 60, s"maxLag: $maxLag")
+    val daily = events
+      .select(series.as("series"), day.cast("long").as("d"))
+      .groupBy("series", "d").agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val xs = daily.filter(col("series") === xSeries)
+      .select(col("d"), col("y").as("xv"))
+    val ys = daily.filter(col("series") === ySeries)
+      .select(col("d").as("dy"), col("y").as("yv"))
+    val lags = (-maxLag to maxLag).map { k =>
+      xs.join(ys, col("dy") === col("d") + k)
+        .agg(count(lit(1)).as("n"),
+          sum("xv").as("sx"), sum("yv").as("sy"),
+          sum(col("xv") * col("yv")).as("sxy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .select(lit(k.toLong).as("lag"), col("n").as("n_days"),
+          IntStats.corrFromSums(col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy")).as("r"))
+    }
+    // lags with zero aligned days carry no information — dropped, so
+    // the output is one row per OBSERVABLE lag
+    val out = lags.reduce(_ unionByName _)
+      .filter(col("n_days") > 0L)
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
   /** Robust outlier days per series — median/MAD flags (Hampel's
     * identifier): mean±σ rules let the outliers they hunt inflate
     * their own threshold; the median and the median absolute

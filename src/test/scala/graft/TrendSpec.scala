@@ -65,6 +65,21 @@ class TrendSpec extends SparkTestBase {
     assert(out("one") == ((1L, 0L, 0L, 0L)), out.toString)
   }
 
+  test("lead-lag: a planted 3-day lead peaks at exactly r = 1.0 at lag 3") {
+    // x: a non-degenerate pattern; y is x shifted 3 days later
+    val xv = Seq(5L, 9L, 2L, 7L, 4L, 8L, 3L, 6L, 1L, 9L, 5L, 2L)
+    val rows = xv.zipWithIndex.flatMap { case (v, d) =>
+      Seq(("x", d.toLong, v), ("y", d.toLong + 3L, v)) }
+    val out = Trend.leadLag(events(rows), col("s"), col("d"), "x", "y",
+        maxLag = 5)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(3L)._2.contains(1.0), s"planted lead: $out")
+    assert(out(3L)._1 == 12L, "all 12 days align at the true lag")
+    assert(out.filter(_._1 != 3L).values.forall(v =>
+      v._2.forall(_ < 1.0)), s"only the true lag is perfect: $out")
+  }
+
   private def mad(rows: Seq[(String, Long, Long)]): Map[(String, Long), (Long, Long, Long, Boolean)] = {
     Trend.madOutliers(events(rows), col("s"), col("d"))
       .as[(String, Long, Long, Long, Long, Boolean)].collect()
