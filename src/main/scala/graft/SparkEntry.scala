@@ -1374,6 +1374,15 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Flesch reading ease per document — the readability gate next to
+    // the heuristic quality score: integer regexp counts (sentences,
+    // words, vowel-group syllables) + one fixed rounded formula.
+    "q214_readability" -> ((s, dir) => {
+      import graft.llm.TextOps
+      TextOps.readability(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+    }),
+
     // Lead–lag scan between signup and purchase daily volumes: Pearson
     // r at every lag in ±7 days from exact Long moments — the
     // "which metric moves first" table; the reader picks the peak.
@@ -7305,6 +7314,28 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q214: identical regexp counts (DuckDB regexp_extract_all length
+    // = Spark regexp_count) and the same rounded formula.
+    "q214_readability" ->
+      """SELECT doc_id,
+        |  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |    AS BIGINT), 1) AS n_sents,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syllables,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) > 0 THEN
+        |    round(206.835
+        |      - 1.015 * CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x <> '')) AS DOUBLE)
+        |        / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+        |      - 84.6 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |        / CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |          x -> x <> '')) AS DOUBLE), 4)
+        |  END AS flesch
+        |FROM documents""".stripMargin,
 
     // q213: per-lag aligned self-joins over the daily table, shared
     // exact Pearson order; the lag axis comes from generate_series.

@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Flesch reading-ease per document (Flesch '48; Kincaid '75's
+    * military-manual calibration made it the de-facto readability
+    * gate) — the curation signal orthogonal to [[quality]]'s
+    * punctuation/stopword ratios: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with syllables approximated by VOWEL
+    * GROUPS (the standard cheap heuristic; whitespace breaks groups,
+    * so one regexp count over the whole text equals the per-word
+    * sum). All three inputs are exact integer regexp counts; the one
+    * double formula is a single fixed expression rounded to 4, so the
+    * score hash-gates. Pure per-row projection, zero shuffle.
+    * `(id, n_sents, n_words, n_syllables, flesch)`. */
+  def readability(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        greatest(regexp_count(text, lit("[.!?]+")), lit(1L)).as("n_sents"),
+        size(lowerTokens(text)).cast("long").as("n_words"),
+        regexp_count(lower(text), lit("[aeiouy]+")).as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0L,
+          round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double")
+              / col("n_sents").cast("double")
+            - lit(84.6) * col("n_syllables").cast("double")
+              / col("n_words").cast("double"), 4)))
+
   /** Per-group vocabulary richness — the "how much vocabulary haven't
     * we seen?" report a tokenizer budget is planned against: observed
     * type/token counts, hapax/dis legomena, the Chao1 lower bound on

@@ -724,6 +724,21 @@ class LlmTextSpec extends SparkTestBase {
     assert(r == (("x", 3L, 3L, 3L, 0L, 6000L, 1000000L)), r.toString)
   }
 
+  test("readability: hand-computed Flesch; empty text is null-safe") {
+    val docs = Seq((1L, "The cat sat."), (2L, ""),
+      (3L, "Incomprehensibility! Extraordinary considerations?"))
+      .toDF("doc_id", "text")
+    val out = TextOps.readability(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // "The cat sat." : 1 sentence, 3 words, 3 vowel groups
+    // flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(out(1L) == ((1L, 1L, 3L, 3L, Some(119.19))), out.toString)
+    assert(out(2L)._5.isEmpty && out(2L)._2 == 1L, "empty text: null score")
+    // long-word doc scores far below the simple one
+    assert(out(3L)._5.get < out(1L)._5.get - 100, out.toString)
+  }
+
   test("vocabRichness: a fully-saturated vocabulary estimates itself") {
     // no hapax, no dis: chao1 = D exactly, unseen mass 0
     val docs = Seq(("s", "w w w z z z")).toDF("lang", "text")
