@@ -1374,6 +1374,23 @@ object SparkEntry {
     // the first two duels per pair in (order, line, supplier,
     // quantity, outcome) order — the outcome tie-break keeps the b/c
     // split deterministic.
+    // Day-of-week seasonality profile per event type: observed share
+    // vs the uniform 1/7 expectation, exact ppm — the weekly-shape
+    // fingerprint a seasonal-naive forecast (q197) presumes and an
+    // anomaly rule must not fire on. dow derives from the epoch day
+    // ((d+3) mod 7, 0 = Monday), identical on both engines.
+    "q215_dow_seasonality" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("((unix_millis(ts) div 86400000L) + 3L) % 7L").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("event_type").agg(sum("n").as("nt"))
+      counts.join(tot, "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("(1000000L * n) div greatest(nt, 1L)").as("share_ppm"))
+        .withColumn("dev_ppm", abs(col("share_ppm") - lit(142857L)))
+    }),
+
     // Flesch reading ease per document — the readability gate next to
     // the heuristic quality score: integer regexp counts (sentences,
     // words, vowel-group syllables) + one fixed rounded formula.
@@ -7314,6 +7331,20 @@ object SparkEntry {
         |  CAST((1000000 * COUNT(*) FILTER (WHERE n = 1)) //
         |    GREATEST(SUM(n), 1) AS BIGINT) AS gt_unseen_ppm
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // q215: identical epoch-day dow and integral shares.
+    "q215_dow_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type, ((epoch_ms(ts) // 86400000) + 3) % 7 AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.n,
+        |  CAST((1000000 * c.n) // GREATEST(t.nt, 1) AS BIGINT) AS share_ppm,
+        |  abs(CAST((1000000 * c.n) // GREATEST(t.nt, 1) AS BIGINT) - 142857)
+        |    AS dev_ppm
+        |FROM c JOIN t USING (event_type)""".stripMargin,
 
     // q214: identical regexp counts (DuckDB regexp_extract_all length
     // = Spark regexp_count) and the same rounded formula.
