@@ -47,7 +47,26 @@ case class AcScanExpr(left: Expression, right: Expression)
       case (StringType, ArrayType(StringType, _)) =>
         if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           "ac_scan patterns must be a foldable array<string> literal")
-        else TypeCheckResult.TypeCheckSuccess
+        else {
+          // Guard the FOLDED value here, not in the lazy automaton build:
+          // a null/empty/null-element pattern list would otherwise NPE
+          // during codegen and surface as an opaque planning error.
+          val arr = right.eval().asInstanceOf[ArrayData]
+          if (arr == null) TypeCheckResult.TypeCheckFailure(
+            "ac_scan patterns must not be a null literal")
+          else if (arr.numElements() == 0) TypeCheckResult.TypeCheckFailure(
+            "ac_scan patterns must be non-empty")
+          else {
+            var i = 0; var bad = -1
+            while (i < arr.numElements() && bad < 0) {
+              if (arr.isNullAt(i) || arr.getUTF8String(i).numBytes() == 0) bad = i
+              i += 1
+            }
+            if (bad >= 0) TypeCheckResult.TypeCheckFailure(
+              s"ac_scan pattern at index $bad is null or empty")
+            else TypeCheckResult.TypeCheckSuccess
+          }
+        }
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"ac_scan requires (string, array<string>), got " +
           s"${l.simpleString}, ${r.simpleString}")

@@ -138,6 +138,14 @@ object Varint {
         val byte = b(i); i += 1
         if (shift >= 64) throw new IllegalArgumentException(
           "varint_unpack: varint group exceeds 64 bits")
+        // 10th byte (shift 63): only its LSB fits in a 64-bit value —
+        // payload bits 1..6 would shift out of range and silently
+        // truncate, and a set continuation bit promises an 11th byte.
+        // Both are non-canonical encodings: fail loudly, never decode a
+        // wrong value.
+        if (shift == 63 && (byte & 0xfe) != 0)
+          throw new IllegalArgumentException(
+            "varint_unpack: non-canonical 10-byte group (payload above bit 63)")
         x |= (byte & 0x7fL) << shift
         shift += 7
         more = (byte & 0x80) != 0

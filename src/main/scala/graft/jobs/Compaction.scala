@@ -117,4 +117,61 @@ object Compaction {
   /** The read-back frame, for parity checks. */
   def readBack(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ATOMIC compaction — [[compact]] under the
+    * [[graft.sources.Manifest]] commit protocol, closing the documented
+    * mid-commit crash hazard (the header's "a production run points the
+    * write at a staging tree and renames" — this IS that run, with the
+    * rename being the manifest publish instead of a tree move). The
+    * compacted files stage as fresh appends next to the small files
+    * they replace; one rename swaps the manifest; vacuum reclaims the
+    * replaced files. Crash anywhere = old or new snapshot, never a
+    * partition half-compacted. Readers resolve via `Manifest.read`. */
+  def compactAtomic(spark: SparkSession, path: String, partCol: String,
+                    targetBytes: Long = 128L * 1024 * 1024,
+                    partitions: Option[Set[String]] = None): Unit = {
+    import graft.sources.Manifest
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
+    import sess.implicits._
+    Manifest.bootstrap(sess, path)
+    // per-partition byte budgets from the LIVE file list (a crashed
+    // earlier attempt's garbage must not inflate the budget)
+    val (fs, rootP) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(sess.sessionState.newHadoopConf()), p)
+    }
+    val live = Manifest.current(sess, path).get._2
+    val stats = live.groupBy(Manifest.partitionOf(_, partCol))
+      .map { case (value, fls) =>
+        value -> fls.map(f =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(rootP, f)).getLen).sum
+      }
+    val selected = partitions match {
+      case Some(ps) =>
+        val missing = ps.diff(stats.keySet)
+        require(missing.isEmpty,
+          s"partitions not present under $path: ${missing.toSeq.sorted.mkString(", ")}")
+        stats.view.filterKeys(ps).toMap
+      case None => stats
+    }
+    if (selected.isEmpty) return
+    val counts = selected.map { case (value, bytes) =>
+      value -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    }
+    val df = Manifest.read(sess, path)
+      .filter(col(partCol).isin(counts.keys.toSeq: _*))
+    val budget = broadcast(counts.toSeq.toDF(partCol, "_n"))
+    val salted = df.join(budget, partCol)
+      .withColumn("_salt",
+        pmod(hash(struct(df.columns.map(col): _*)), col("_n")))
+      .repartition(col(partCol), col("_salt"))
+      .drop("_n", "_salt")
+    val newFiles = Manifest.stagePartitionReplacement(sess, path, partCol,
+      salted, counts.keys.toSeq)
+    Manifest.commit(sess, path, newFiles)
+    Manifest.vacuum(sess, path)
+  }
 }

@@ -102,6 +102,27 @@ object Bpe {
   def codePointSymbols(word: String): Array[String] =
     word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
+  /** UTF-16 offsets of the code-point boundaries of `word`:
+    * `bounds(0) = 0`, `bounds(k)` = offset after the k-th code point,
+    * `bounds.last = word.length`. Substring grids in the tokenizers
+    * index THIS array, never raw char offsets — a supplementary-plane
+    * character is one grid cell, so no piece ever splits a surrogate
+    * pair, and lengths count code points exactly as the DuckDB oracles'
+    * substr/len do. */
+  def cpBounds(word: String): Array[Int] = {
+    val n = word.codePointCount(0, word.length)
+    val b = new Array[Int](n + 1)
+    var off = 0
+    var k = 0
+    while (k < n) {
+      b(k) = off
+      off += Character.charCount(word.codePointAt(off))
+      k += 1
+    }
+    b(n) = word.length
+    b
+  }
+
   /** Encode one word: merge the leftmost occurrence of the lowest-ranked
     * adjacent pair, one occurrence per step, to fixpoint. O(L² · merges)
     * worst case on an L-symbol word — words are short and the loop is

@@ -58,6 +58,52 @@ object InvertedIndex {
     } else result
   }
 
+  /** Write the SERVING index artifact for `docs` at `path`: one row per
+    * (term, doc) with tf and the positional posting list delta+varint
+    * packed (`positions_packed` binary — the [[graft.expressions.Varint]]
+    * codec, ~5–8× smaller than raw int64 arrays). Unbounded df (minDf=1,
+    * no maxDf): a SERVING index must answer any phrase, so no term may
+    * be missing — the df bounds exist for analysis-sized postings, not
+    * for search. Rows are repartitioned by term so each term's posting
+    * rows co-locate in files (at scale: bucket by term), and parquet
+    * min/max column stats on `term` let a phrase query's `term IN (...)`
+    * predicate prune row groups — the consumer never scans the corpus
+    * OR the full index. */
+  def writeIndexArtifact(docs: DataFrame, id: Column, text: Column,
+                         path: String): Unit = {
+    postings(docs, id, text, minDf = 1, maxDf = Int.MaxValue)
+      .select(col("term"), col("doc_id"), col("tf"),
+        call_function("varint_pack", col("positions")).as("positions_packed"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Exact phrase search answered FROM the index artifact (round-9
+    * verdict task #5 — the posting-list consumer): per phrase slot, one
+    * filtered read of the index (term-pruned scan), positions decoded
+    * by the native varint codec in-projection, then the identical
+    * per-doc HOF alignment as [[phraseSearch]]. The plan touches ONLY
+    * the index table — no scan of the documents corpus (PlanSpec-
+    * asserted), which is the entire point of exporting the artifact. */
+  def phraseSearchFromIndex(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least 2 terms")
+    require(phrase.map(_.toLowerCase) == phrase, "phrase must be lowercase")
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      index.where(col("term") === t)
+        .select(col("doc_id"),
+          call_function("varint_unpack", col("positions_packed")).as(s"p$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val matches = phrase.indices.tail
+      .foldLeft(col("p0"))((acc, i) =>
+        filter(acc, p => array_contains(col(s"p$i"), p + i)))
+    joined
+      .withColumn("n_matches", size(matches).cast("long"))
+      .where(col("n_matches") > 0)
+      .select(col("doc_id"), col("n_matches"))
+  }
+
   /** Exact phrase search via positional postings: documents containing
     * `phrase` as CONSECUTIVE tokens, with the match count. Tokens are
     * filtered to the phrase terms BEFORE any aggregation (the BM25

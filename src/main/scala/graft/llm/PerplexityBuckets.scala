@@ -35,8 +35,9 @@ object PerplexityBuckets {
     // base projection and the final bucket assignment — and its lineage
     // is the full BigramLm corpus pass; without the cache that pass
     // runs twice. Per-doc rows, so the footprint is O(docs), not corpus
-    // text. (Released by the session's per-query cache clear, the
-    // engine's convention for query-lifetime intermediates.)
+    // text. Released below via the BigramLm.score lifecycle (eager
+    // checkpoint of the result, then unpersist) so library callers
+    // outside Verify/Bench don't accumulate cache entries per call.
     val scored = BigramLm.score(docs, id, text)
       .join(docs.select(id.as("doc_id"), lang.as("lang")), "doc_id")
       // round(xent·10⁴) recovers the exact integer behind the 4-dp
@@ -50,7 +51,7 @@ object PerplexityBuckets {
       .select(col("k").as("lang"),
         element_at(col("weighted_qs"), 1).as("p33"),
         element_at(col("weighted_qs"), 2).as("p66"))
-    scored.join(broadcast(cuts), Seq("lang"), "left")
+    val out = scored.join(broadcast(cuts), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("xent_i"),
         when(col("n_bigrams") > 0, col("p33")).as("p33"),
         when(col("n_bigrams") > 0, col("p66")).as("p66"),
@@ -59,5 +60,8 @@ object PerplexityBuckets {
           .when(col("xent_i") <= col("p66"), "middle")
           .otherwise("tail").as("bucket"))
       .withColumn("keep", col("bucket").isin("head", "middle"))
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
   }
 }

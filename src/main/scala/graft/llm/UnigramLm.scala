@@ -48,6 +48,10 @@ object UnigramLm {
   val VocabResource = "/graft/unigram_vocab.tsv"
   val UnkPiece = "<unk>"
 
+  /** Piece length in CODE POINTS — the grid every length rule in this
+    * tokenizer counts on (surrogate pair = 1). */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** The checked-in artifact: piece → count, plus the count total —
     * resolved once per JVM from the classpath (the [[Bpe.vocabIds]]
     * lifecycle: executors get it with the jar). */
@@ -64,20 +68,25 @@ object UnigramLm {
     } finally src.close()
   }
 
-  /** Viterbi with TOTAL coverage: a single character absent from the
+  /** Viterbi with TOTAL coverage: a single CODE POINT absent from the
     * vocab scores as count 1 (ln 1 = 0 numerator — the hardest
     * possible piece) and emits [[UnkPiece]], so arbitrary text always
-    * segments. Same DP order and tie rule as [[viterbi]]. */
+    * segments. Same DP order and tie rule as [[viterbi]]. The DP grid
+    * is code-point boundaries ([[Bpe.cpBounds]]): a supplementary-plane
+    * character is ONE unknown piece, never two lone-surrogate `<unk>`s,
+    * matching the oracle's code-point substr/len semantics (round-9
+    * advice; BMP text is byte-identical either way). */
   def viterbiSafe(word: String, cnt: Map[String, Long], tot: Long,
                   maxLen: Int): Seq[String] = {
-    val n = word.length
+    val bd = Bpe.cpBounds(word)
+    val n = bd.length - 1
     if (n == 0) return Nil
     val lnTot = math.log(tot.toDouble)
     val dp = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = Array.fill(n + 1)(0)
     dp(0) = 0.0
     for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
-      val c = cnt.getOrElse(word.substring(i - l, i),
+      val c = cnt.getOrElse(word.substring(bd(i - l), bd(i)),
         if (l == 1) 1L else 0L)
       if (c > 0 && dp(i - l) != Double.NegativeInfinity) {
         val s = dp(i - l) + (math.log(c.toDouble) - lnTot)
@@ -87,9 +96,9 @@ object UnigramLm {
     val out = mutable.ListBuffer.empty[String]
     var i = n
     while (i > 0) {
-      val p = word.substring(i - back(i), i)
+      val p = word.substring(bd(i - back(i)), bd(i))
       out.prepend(
-        if (p.length == 1 && !cnt.contains(p)) UnkPiece else p)
+        if (back(i) == 1 && !cnt.contains(p)) UnkPiece else p)
       i -= back(i)
     }
     out.toList
@@ -104,13 +113,18 @@ object UnigramLm {
   }
 
   /** Seed counts: Σ word_freq × overlapping substring occurrences for
-    * every substring of length 1..maxLen. */
+    * every substring of length 1..maxLen — lengths and offsets in CODE
+    * POINTS ([[Bpe.cpBounds]]), so no seed piece splits a surrogate
+    * pair. */
   def substrCounts(freq: Seq[(String, Long)], maxLen: Int): Map[String, Long] = {
     val m = mutable.Map.empty[String, Long]
-    for ((w, n) <- freq; i <- 0 until w.length;
-         l <- 1 to math.min(maxLen, w.length - i)) {
-      val s = w.substring(i, i + l)
-      m.update(s, m.getOrElse(s, 0L) + n)
+    for ((w, n) <- freq) {
+      val bd = Bpe.cpBounds(w)
+      val wn = bd.length - 1
+      for (i <- 0 until wn; l <- 1 to math.min(maxLen, wn - i)) {
+        val s = w.substring(bd(i), bd(i + l))
+        m.update(s, m.getOrElse(s, 0L) + n)
+      }
     }
     m.toMap
   }
@@ -120,7 +134,8 @@ object UnigramLm {
     * strict improvement — ties keep the shorter-piece incumbent. */
   def viterbi(word: String, cnt: Map[String, Long], tot: Long,
               maxLen: Int): Seq[String] = {
-    val n = word.length
+    val bd = Bpe.cpBounds(word)
+    val n = bd.length - 1
     if (n == 0) return Nil
     val lnTot = math.log(tot.toDouble)
     val dp = Array.fill(n + 1)(Double.NegativeInfinity)
@@ -128,7 +143,7 @@ object UnigramLm {
     dp(0) = 0.0
     for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
       if (dp(i - l) != Double.NegativeInfinity) {
-        cnt.get(word.substring(i - l, i)) match {
+        cnt.get(word.substring(bd(i - l), bd(i))) match {
           case Some(c) if c > 0 =>
             val s = dp(i - l) + (math.log(c.toDouble) - lnTot)
             if (s > dp(i)) { dp(i) = s; back(i) = l }
@@ -140,7 +155,7 @@ object UnigramLm {
       s"word '$word' not segmentable — coverage invariant broken")
     val out = mutable.ListBuffer.empty[String]
     var i = n
-    while (i > 0) { out.prepend(word.substring(i - back(i), i)); i -= back(i) }
+    while (i > 0) { out.prepend(word.substring(bd(i - back(i)), bd(i))); i -= back(i) }
     out.toList
   }
 
@@ -153,7 +168,7 @@ object UnigramLm {
     val next = mutable.Map.empty[String, Long]
     for ((w, n) <- freq; p <- viterbi(w, cnt, tot, maxLen))
       next.update(p, next.getOrElse(p, 0L) + n)
-    val chars = cnt.keysIterator.filter(_.length == 1)
+    val chars = cnt.keysIterator.filter(cpLen(_) == 1)
     for (c <- chars) if (next.getOrElse(c, 0L) == 0L) next.update(c, 1L)
     next.toMap
   }
@@ -178,13 +193,13 @@ object UnigramLm {
       .limit(maxWords)
       .as[(String, Long)].collect().toSeq
     val seed = substrCounts(freq, maxLen)
-    val chars = seed.keySet.filter(_.length == 1)
-    val multi = seed.iterator.filter(_._1.length > 1).toSeq
+    val chars = seed.keySet.filter(cpLen(_) == 1)
+    val multi = seed.iterator.filter(kv => cpLen(kv._1) > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }.take(seedSize)
     var cnt: Map[String, Long] =
       (chars.map(c => c -> seed(c)) ++ multi).toMap
     for (_ <- 1 to rounds) cnt = emRound(freq, cnt, maxLen)
-    val keptMulti = cnt.iterator.filter(_._1.length > 1).toSeq
+    val keptMulti = cnt.iterator.filter(kv => cpLen(kv._1) > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }
       .take(math.max(0, vocabSize - chars.size))
     val vocab = (chars.toSeq.map(c => c -> cnt.getOrElse(c, 1L)) ++ keptMulti)

@@ -48,8 +48,10 @@ object WordPiece {
       val pieces = src.getLines()
         .filter(ln => ln.nonEmpty && !ln.startsWith("id\t"))
         .map(_.split("\t", -1)(1)).toSet
-      val maxLen = pieces.iterator
-        .map(p => p.stripPrefix(ContPrefix).length).max
+      val maxLen = pieces.iterator.map { p =>
+        val b = p.stripPrefix(ContPrefix)
+        b.codePointCount(0, b.length) // the scan cap counts code points
+      }.max
       (pieces, maxLen)
     } finally src.close()
   }
@@ -62,9 +64,13 @@ object WordPiece {
   }
 
   /** Greedy longest-match-first encode of one word against a piece set.
-    * `maxPieceLen` bounds the scan (longest piece in the vocab). */
+    * `maxPieceLen` bounds the scan (longest piece in the vocab). All
+    * positions and lengths — including the [[MaxWordChars]] cap — count
+    * CODE POINTS ([[Bpe.cpBounds]] grid), matching the oracle's
+    * substr/len semantics; no candidate ever splits a surrogate pair. */
   def encodeWord(word: String, pieces: Set[String], maxPieceLen: Int): Array[String] = {
-    val n = word.length
+    val bd = Bpe.cpBounds(word)
+    val n = bd.length - 1
     if (n == 0) return Array.empty
     if (n > MaxWordChars) return Array(UnkToken)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -74,8 +80,8 @@ object WordPiece {
       var hit: String = null
       while (l >= 1 && hit == null) {
         val cand =
-          if (i == 0) word.substring(0, l)
-          else ContPrefix + word.substring(i, i + l)
+          if (i == 0) word.substring(0, bd(l))
+          else ContPrefix + word.substring(bd(i), bd(i + l))
         if (pieces.contains(cand)) hit = cand else l -= 1
       }
       if (hit == null) return Array(UnkToken) // all-or-nothing

@@ -19,21 +19,36 @@ import org.apache.spark.sql.functions._
   * documented grid semantics, bit-stable on both engines.
   *
   * Scale shape: one distinct + one bounded per-basket self-join (pair
-  * volume Σ size² — basket sizes are bounded in practice; a pathological
-  * mega-basket needs a size cap upstream), two integer groupBys, a
-  * 1-row broadcast for N, and a per-item window for the top-k. No
-  * collect.
+  * volume Σ size²), two integer groupBys, a 1-row broadcast for N, and
+  * a per-item window for the top-k. No collect. The Σ size² bound is
+  * only real because of `maxBasketSize`: one degenerate basket with 10⁶
+  * items would alone generate 10¹² candidate pairs (the hub shape
+  * [[graft.llm.Triangles]] orients away from), so baskets above the cap
+  * are EXCLUDED WHOLE before any pair is formed — from the pair join,
+  * the item counts, and N alike, keeping lift a consistent statistic
+  * over the surviving basket population. Order-shaped baskets never hit
+  * the default cap; a corpus with legitimately huge baskets needs a
+  * heavy/light decomposition (the q164 skew-join shape), not raw pairs.
   */
 object Association {
 
   /** Symmetrized top-k association partners per item:
     * `(item, partner, n_co, n_item, n_partner, n_baskets, lift_ppm,
-    * rank)` for pairs co-occurring in ≥ `minCo` baskets. */
+    * rank)` for pairs co-occurring in ≥ `minCo` baskets. Baskets with
+    * more than `maxBasketSize` distinct items are dropped whole (see
+    * the object doc — the O(Σ size²) pair-volume guard). */
   def liftPairs(baskets: DataFrame, basket: Column, item: Column,
-                minCo: Int = 2, topK: Int = 3): DataFrame = {
-    val bi = baskets
+                minCo: Int = 2, topK: Int = 3,
+                maxBasketSize: Int = 10000): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must allow pairs: $maxBasketSize")
+    val biAll = baskets
       .select(basket.cast("long").as("b"), item.cast("long").as("i"))
       .distinct()
+    // basket-size gate: one map-combinable count per basket, inner-joined
+    // back — an oversized basket contributes nothing anywhere
+    val smallB = biAll.groupBy(col("b")).agg(count(lit(1)).as("_sz"))
+      .where(col("_sz") <= maxBasketSize).select("b")
+    val bi = biAll.join(smallB, "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = bi.select(countDistinct(col("b")).as("n_baskets"))
     val ci = bi.groupBy(col("i")).agg(count(lit(1)).as("c"))

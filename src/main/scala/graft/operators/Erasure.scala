@@ -144,4 +144,69 @@ object Erasure {
       matched.unpersist()
     } finally subj.unpersist()
   }
+
+  /** ATOMIC partition-scoped erasure — [[erasePartitionScoped]] under
+    * the [[graft.sources.Manifest]] commit protocol. The two crash
+    * hazards of the dynamic-overwrite form disappear structurally:
+    * surviving rows stage as fresh appended files (nothing overwritten),
+    * and a FULLY-erased partition needs no filesystem delete at all —
+    * it is simply absent from the published manifest, so the deletion
+    * guarantee holds the instant the rename lands (vacuum reclaims the
+    * bytes afterwards). Crash anywhere: manifest readers see exactly
+    * the old or exactly the new snapshot. Ledger semantics unchanged
+    * (every requested key gets a row, zeros included), written AFTER
+    * the commit so a ledger row still means the erasure is live. */
+  def erasePartitionScopedAtomic(spark: SparkSession, targetPath: String,
+                                 partCol: String, subjects: DataFrame,
+                                 keys: Seq[String], batchId: String,
+                                 ledgerPath: Option[String] = None): Unit = {
+    import graft.sources.Manifest
+    require(keys.nonEmpty, "erase needs at least one key column")
+    require(!keys.contains(partCol),
+      s"$partCol partitions the tree; key on the subject id columns")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(sess.sessionState.newHadoopConf())
+    require(fs.exists(root), s"erasure target $targetPath does not exist")
+    Manifest.bootstrap(sess, targetPath) // adopt a plain tree idempotently
+    val subj = sess.createDataFrame(subjects.rdd, subjects.schema)
+      .select(keys.map(col): _*).distinct().persist()
+    try {
+      val snapshot = Manifest.read(sess, targetPath)
+      val matched = snapshot
+        .select((keys :+ partCol).map(col): _*)
+        .join(broadcast(subj), keys, "left_semi")
+        .persist()
+      val touched = matched.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val erasedPerKey = matched.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_rows_erased"))
+      val ledger = subj
+        .join(erasedPerKey, keys, "left")
+        .select(keys.map(col) ++ Seq(
+          coalesce(col("n_rows_erased"), lit(0L)).as("n_rows_erased"),
+          lit(batchId).as("batch_id"),
+          lit(touched.size.toLong).as("n_partitions_touched")): _*)
+        .coalesce(1)
+        .localCheckpoint(true)
+      if (touched.nonEmpty) {
+        val affected = snapshot
+          .filter(col(partCol).cast("string").isin(touched: _*))
+        val surviving = affected.join(broadcast(subj), keys, "left_anti")
+          .persist()
+        // partitions with no survivors just drop from the manifest —
+        // `touched` covers them via stage's replaced-partition set, and
+        // the empty append writes no file for them
+        val newFiles = Manifest.stagePartitionReplacement(sess, targetPath,
+          partCol, surviving, touched)
+        Manifest.commit(sess, targetPath, newFiles)
+        surviving.unpersist()
+        Manifest.vacuum(sess, targetPath)
+      }
+      ledgerPath.foreach(lp =>
+        ledger.write.mode(SaveMode.Append).parquet(lp))
+      matched.unpersist()
+    } finally subj.unpersist()
+  }
 }

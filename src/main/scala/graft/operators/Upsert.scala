@@ -103,4 +103,52 @@ object Upsert {
         .parquet(targetPath)
     } finally src.unpersist()
   }
+
+  /** ATOMIC partition-scoped merge — [[upsertPartitionScoped]] with the
+    * [[graft.sources.Manifest]] commit protocol closing its documented
+    * crash window: the merged partitions are STAGED as fresh appended
+    * files (old files untouched), the new file list publishes in one
+    * manifest rename, and only then are the replaced files vacuumed.
+    * A crash at ANY point leaves manifest readers on exactly the old or
+    * exactly the new snapshot, never a mix of rewritten and stale
+    * partitions. Readers resolve the table via `Manifest.read`; the
+    * same key/partition contract as the non-atomic form applies. */
+  def upsertPartitionScopedAtomic(spark: org.apache.spark.sql.SparkSession,
+                                  targetPath: String, partCol: String,
+                                  source: DataFrame, keys: Seq[String]): Unit = {
+    import graft.sources.Manifest
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!keys.contains(partCol), s"$partCol partitions the tree; key on the id columns")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(sess.sessionState.newHadoopConf())
+    val src = sess.createDataFrame(source.rdd, source.schema).persist()
+    try {
+      if (!fs.exists(root) || Manifest.current(sess, targetPath).isEmpty) {
+        // bootstrap: either a brand-new table (whole source = new
+        // partitions) or an existing plain tree adopted under manifest
+        // control before the merge
+        if (fs.exists(root)) Manifest.bootstrap(sess, targetPath)
+        else if (!src.isEmpty) {
+          src.write.partitionBy(partCol).parquet(targetPath)
+          Manifest.bootstrap(sess, targetPath)
+          return
+        } else return
+      }
+      val touched = src.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      require(!touched.contains(null),
+        s"source rows with NULL $partCol cannot be partition-scoped")
+      if (touched.isEmpty) return
+      // pinned snapshot read: the staging append cannot disturb it
+      val affected = Manifest.read(sess, targetPath)
+        .filter(col(partCol).cast("string").isin(touched: _*))
+        .withColumn(partCol, col(partCol).cast(source.schema(partCol).dataType))
+      val newFiles = Manifest.stagePartitionReplacement(sess, targetPath,
+        partCol, upsert(affected, src, keys), touched)
+      Manifest.commit(sess, targetPath, newFiles)
+      Manifest.vacuum(sess, targetPath)
+    } finally src.unpersist()
+  }
 }

@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions.{col, count}
 object JoinElimination extends Rule[LogicalPlan] {
 
   final case class Spec(factRoots: Set[String], fk: String,
-                        dimRoots: Set[String], pk: String)
+                        dimRoots: Set[String], pk: String,
+                        factFiles: Set[String], dimFiles: Set[String])
 
   private val specs = new CopyOnWriteArrayList[Spec]()
 
@@ -57,6 +58,19 @@ object JoinElimination extends Rule[LogicalPlan] {
 
   private def rootsOf(rel: LogicalRelation): Set[String] = rel.relation match {
     case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+    case _ => Set.empty
+  }
+
+  /** Data-file fingerprint (the [[SummaryRewrite]] staleness discipline):
+    * the constraint was VALIDATED against the registration-time files;
+    * appending to the fact can introduce orphan fks, appending to the
+    * dim can duplicate pks — either silently breaks the row-preservation
+    * proof. Spark writers always create fresh UUID-named part files, so
+    * any data change changes the set; a mismatch at rewrite time
+    * declines the elimination and the join runs for real — fail-safe to
+    * correctness. */
+  private def filesOf(rel: LogicalRelation): Set[String] = rel.relation match {
+    case fs: HadoopFsRelation => fs.location.inputFiles.toSet
     case _ => Set.empty
   }
 
@@ -82,13 +96,16 @@ object JoinElimination extends Rule[LogicalPlan] {
       require(orphan == 0,
         s"join-elimination: $factPath.$fk has values absent from $dimPath.$pk")
     }
-    val factRoots = fact.queryExecution.analyzed
-      .collect { case lr: LogicalRelation => rootsOf(lr) }.flatten.toSet
-    val dimRoots = dim.queryExecution.analyzed
-      .collect { case lr: LogicalRelation => rootsOf(lr) }.flatten.toSet
+    val factRels = fact.queryExecution.analyzed
+      .collect { case lr: LogicalRelation => lr }
+    val dimRels = dim.queryExecution.analyzed
+      .collect { case lr: LogicalRelation => lr }
+    val factRoots = factRels.flatMap(rootsOf).toSet
+    val dimRoots = dimRels.flatMap(rootsOf).toSet
     require(factRoots.nonEmpty && dimRoots.nonEmpty,
       "join-elimination: both sides must be file relations")
-    val spec = Spec(factRoots, fk, dimRoots, pk)
+    val spec = Spec(factRoots, fk, dimRoots, pk,
+      factRels.flatMap(filesOf).toSet, dimRels.flatMap(filesOf).toSet)
     specs.removeIf(s => s.factRoots == factRoots && s.dimRoots == dimRoots)
     specs.add(spec)
   }
@@ -156,6 +173,10 @@ object JoinElimination extends Rule[LogicalPlan] {
     }
     if (rootsOf(factRel) != spec.factRoots ||
         rootsOf(dimRel) != spec.dimRoots) return None
+    // staleness gate (see filesOf): either side's data changed since the
+    // constraint was validated → the join must run for real.
+    if (filesOf(factRel) != spec.factFiles ||
+        filesOf(dimRel) != spec.dimFiles) return None
     // the projection may touch the dim side only through pk
     val dimRefs = projList.flatMap(_.references).filter(dimSide.outputSet.contains)
     if (!dimRefs.forall(_.semanticEquals(pkAttr))) return None

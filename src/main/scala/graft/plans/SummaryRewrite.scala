@@ -49,7 +49,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   final case class Spec(baseRoots: Set[String], summary: LogicalRelation,
                         dims: Set[String], sums: Map[String, String],
-                        cnt: String)
+                        cnt: String, baseFiles: Set[String])
 
   private val specs = new CopyOnWriteArrayList[Spec]()
 
@@ -60,6 +60,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths.map(_.toString).toSet
+        case _ => Set.empty[String]
+      }
+    }.flatten.toSet
+
+  /** The base relation's data-file fingerprint. Registration into
+    * JVM-global state would otherwise outlive the data it summarizes: an
+    * append or overwrite of the base after register()/materialize()
+    * would silently answer matching queries from the STALE summary —
+    * exactly the silent-wrong-results failure an optimizer rule must
+    * never produce. The file list is a sound fingerprint because Spark
+    * writers always create fresh UUID-named part files (no in-place
+    * rewrite), so any data change changes the set; at rewrite time the
+    * query's own FileIndex already holds its listing, making the check
+    * a set compare, not a filesystem call. A mismatch means the rewrite
+    * declines and the query answers from the base — fail-safe to
+    * correctness, never to staleness. */
+  private def filesOf(plan: LogicalPlan): Set[String] =
+    plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.toSet
         case _ => Set.empty[String]
       }
     }.flatten.toSet
@@ -92,13 +112,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   def register(spark: SparkSession, basePath: String, summaryPath: String,
                dims: Seq[String], sums: Seq[(Column, String)],
                cnt: String): Unit = {
-    val roots = rootsOf(spark.read.parquet(basePath).queryExecution.analyzed)
+    val baseAnalyzed = spark.read.parquet(basePath).queryExecution.analyzed
+    val roots = rootsOf(baseAnalyzed)
     val sumRel = spark.read.parquet(summaryPath).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(throw new IllegalArgumentException(
         s"summary at $summaryPath did not produce a file relation"))
     val keys = sums.map { case (c, n) => measureKey(spark, basePath, c) -> n }
-    val spec = Spec(roots, sumRel, dims.toSet, keys.toMap, cnt)
+    val spec = Spec(roots, sumRel, dims.toSet, keys.toMap, cnt,
+      filesOf(baseAnalyzed))
     specs.removeIf(_.baseRoots == roots)
     specs.add(spec)
   }
@@ -161,6 +183,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Some(s) => s
       case None => return None
     }
+    // staleness gate (see filesOf): the query's relation lists the base
+    // as it is NOW; if that differs from the registration-time snapshot,
+    // the summary no longer describes the base — decline the rewrite.
+    if (filesOf(rel) != spec.baseFiles) return None
     // groupings: bare dim columns only
     val groupNames = groupings.map {
       case a: AttributeReference if spec.dims(a.name) => a.name

@@ -75,6 +75,24 @@ class AcScanSpec extends SparkTestBase {
     }
   }
 
+  test("null/empty pattern literals are rejected at analysis, not codegen") {
+    val df = Seq((1L, "abc")).toDF("id", "text")
+    def analyze(patCol: org.apache.spark.sql.Column): Throwable =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(call_function("ac_scan", col("text"), patCol)).collect()
+      }
+    // a null array literal (typed so the expression type-checks first)
+    assert(analyze(lit(null).cast("array<string>")).getMessage
+      .contains("null literal"))
+    // an empty array
+    assert(analyze(array().cast("array<string>")).getMessage
+      .contains("non-empty"))
+    // a null element and an empty-string element
+    assert(analyze(array(lit("ok"), lit(null).cast("string"))).getMessage
+      .contains("index 1"))
+    assert(analyze(array(lit(""))).getMessage.contains("index 0"))
+  }
+
   test("interpreted path agrees with codegen") {
     val pats = Seq("he", "she", "hers", "aa")
     val texts = Seq("ushers aaa", "he-SHE", "")

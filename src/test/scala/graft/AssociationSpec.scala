@@ -51,6 +51,21 @@ class AssociationSpec extends SparkTestBase {
     assert(out.forall(_._3 == 2L), s"repeats must not inflate n_co: $out")
   }
 
+  test("maxBasketSize drops a degenerate basket whole — pairs, counts, N") {
+    // baskets 1,2 carry the real pair; basket 99 is a 6-item blob that
+    // would add pair volume and inflate item counts if it leaked through
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 3L), (4L, 3L)) ++ (10L to 15L).map(i => (99L, i))
+    val out = Association.liftPairs(rows.toDF("b", "i"), col("b"), col("i"),
+        minCo = 2, topK = 3, maxBasketSize = 5)
+      .select("item", "partner", "n_co", "n_baskets", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // identical to the 4-basket perfect-pair case: the blob basket is
+    // excluded from N (4, not 5) and forms no pairs at all
+    assert(out == Seq((1L, 2L, 2L, 4L, 2000000L), (2L, 1L, 2L, 4L, 2000000L)),
+      out.toString)
+  }
+
   test("topK truncates per item by (lift desc, partner asc)") {
     // item 1 pairs with 2,3,4 — all lift-equal; topK=2 keeps partners 2,3
     val rows = (1L to 2L).flatMap(b => Seq((b, 1L), (b, 2L), (b, 3L), (b, 4L)))

@@ -74,6 +74,41 @@ class ErasureSpec extends SparkTestBase {
       (99L, 0L, "req-2024-06-01", 2L)))
   }
 
+  test("streaming erasure: requests in batch 2 erase rows admitted in " +
+    "batch 1 on the LIVE table; ledger rows per request") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("erase_stream").toString
+    val serving = s"$base/serving"
+    val ledger = s"$base/ledger"
+    // the live serving table: rows "admitted in batch 1" of an upstream
+    // ingest (the erasure stream is a SEPARATE stream of requests)
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+      .toDF("user_id", "day", "v")
+      .write.partitionBy("day").parquet(serving)
+    val requests = MemoryStream[Long](spark)
+    val q = graft.streaming.StreamingErasure.run(
+      requests.toDF().withColumnRenamed("value", "user_id"),
+      serving, s"$base/ckpt", "day", Seq("user_id"), ledger)
+    try {
+      requests.addData(1L)          // batch: erase user 1
+      q.processAllAvailable()
+      requests.addData(3L, 99L)     // batch: erase user 3 + a no-match
+      q.processAllAvailable()
+      val out = graft.sources.Manifest.read(spark, serving)
+        .select(col("user_id"), col("v"))
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((2L, 20L)), s"users 1 and 3 erased: $out")
+      // d2 was fully erased by the second batch — gone from disk too
+      assert(!new java.io.File(s"$serving/day=d2").exists())
+      val led = spark.read.parquet(ledger)
+        .select(col("user_id"), col("n_rows_erased"), col("batch_id"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(led.map(r => (r._1, r._2)) ==
+        Set((1L, 1L), (3L, 1L), (99L, 0L)), led.toString)
+      assert(led.map(_._3).size >= 1 && led.map(_._3).forall(_.startsWith("erase-")))
+    } finally q.stop()
+  }
+
   test("partition-scoped erasure: no-match batch rewrites nothing, " +
     "ledger still records the processed request") {
     val base = Files.createTempDirectory("erase_nm").toString

@@ -72,6 +72,40 @@ class JoinEliminationSpec extends SparkTestBase {
     }
   }
 
+  test("data change after registration declines the elimination " +
+    "(staleness fingerprint)") {
+    val fDir = java.nio.file.Files.createTempDirectory("graft_jefact").toString
+    val dDir = java.nio.file.Files.createTempDirectory("graft_jedim").toString
+    try {
+      orders.limit(100).write.mode("overwrite").parquet(fDir)
+      // dim must cover the fact's fks — keep all customers
+      customer.write.mode("overwrite").parquet(dDir)
+      JoinElimination.register(spark, fDir, "o_custkey", dDir, "c_custkey")
+      def q = {
+        val f = spark.read.parquet(fDir); val d = spark.read.parquet(dDir)
+        f.join(d, f("o_custkey") === d("c_custkey"))
+          .select(f("o_orderpriority"), d("c_custkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      }
+      assert(JoinElimination.joinFree(q), "fresh registration eliminates")
+      // append a fact row with an ORPHAN fk: the validated constraint no
+      // longer holds — the join must run for real (and drop the orphan)
+      val total = q.collect().map(_.getLong(1)).sum
+      orders.limit(1)
+        .withColumn("o_custkey", lit(-1L).cast(orders.schema("o_custkey").dataType))
+        .write.mode("append").parquet(fDir)
+      val after = q
+      assert(!JoinElimination.joinFree(after),
+        "stale constraint must not eliminate")
+      assert(after.collect().map(_.getLong(1)).sum == total,
+        "the real join drops the orphan row")
+    } finally {
+      JoinElimination.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dDir))
+    }
+  }
+
   test("validation rejects a non-unique pk and an orphaned fk") {
     val dupDim = s"${System.getProperty("java.io.tmpdir")}/graft_je_dup"
     customer.unionAll(customer.limit(5)).write.mode("overwrite").parquet(dupDim)

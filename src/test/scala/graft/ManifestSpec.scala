@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Compaction
+import graft.operators.{Erasure, Upsert}
+import graft.sources.Manifest
+
+/** The atomic commit layer: snapshot reads pin to the published
+  * manifest, stage-without-commit (= a crash before the rename) leaves
+  * readers on the OLD snapshot exactly, commit flips them to the NEW
+  * snapshot exactly, vacuum only ever removes unreferenced bytes. Then
+  * the three consumers — atomic MERGE, atomic erasure (incl. the
+  * fully-erased-partition guarantee), atomic compaction. */
+class ManifestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val path = Files.createTempDirectory("graft_manifest").toString + "/t"
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    Manifest.bootstrap(spark, path)
+    path
+  }
+
+  private def snap(path: String): Set[(Long, String, Long)] =
+    Manifest.read(spark, path)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet
+
+  test("bootstrap snapshot equals the plain directory read; idempotent") {
+    val path = freshTable()
+    Manifest.bootstrap(spark, path) // second call: no new version
+    assert(Manifest.current(spark, path).get._1 == 1L)
+    assert(snap(path) ==
+      Set((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L)))
+  }
+
+  test("crash before publish: staged files invisible, old snapshot exact; " +
+    "commit flips atomically; vacuum reclaims only garbage") {
+    val path = freshTable()
+    val before = snap(path)
+    // stage a replacement of d1 (id 1 updated, id 2 dropped) and STOP —
+    // the simulated crash between data write and manifest publish
+    val staged = Manifest.stagePartitionReplacement(spark, path, "day",
+      Seq((1L, "d1", 111L)).toDF("id", "day", "v"), Seq("d1"))
+    // the RAW directory read now sees mixed old+new rows in d1 ...
+    val raw = spark.read.parquet(path)
+      .filter(col("day") === "d1").count()
+    assert(raw == 3, s"raw read sees old+staged rows: $raw")
+    // ... but the manifest snapshot is byte-for-byte the old table
+    assert(snap(path) == before, "old snapshot must survive the crash")
+    // publish: the new snapshot appears in one step
+    Manifest.commit(spark, path, staged)
+    assert(snap(path) ==
+      Set((1L, "d1", 111L), (3L, "d2", 30L), (4L, "d3", 40L)))
+    // vacuum removes the replaced d1 files; snapshot unchanged
+    Manifest.vacuum(spark, path)
+    assert(snap(path) ==
+      Set((1L, "d1", 111L), (3L, "d2", 30L), (4L, "d3", 40L)))
+    // and the physical tree is now exactly the live set
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val phys = Manifest.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+    assert(phys.toSet == Manifest.current(spark, path).get._2.toSet)
+  }
+
+  test("atomic MERGE: semantics of upsert; old-or-new never mixed") {
+    val path = freshTable()
+    Upsert.upsertPartitionScopedAtomic(spark, path, "day",
+      Seq((3L, "d2", 333L), (6L, "d4", 60L)).toDF("id", "day", "v"),
+      Seq("id"))
+    assert(snap(path) == Set((1L, "d1", 10L), (2L, "d1", 20L),
+      (3L, "d2", 333L), (4L, "d3", 40L), (6L, "d4", 60L)))
+    // bootstrap-from-nothing path
+    val fresh = Files.createTempDirectory("graft_mup").toString + "/t"
+    Upsert.upsertPartitionScopedAtomic(spark, fresh, "day",
+      Seq((9L, "d9", 90L)).toDF("id", "day", "v"), Seq("id"))
+    assert(snap(fresh) == Set((9L, "d9", 90L)))
+  }
+
+  test("atomic erasure: fully-erased partition is GONE at publish time " +
+    "(no delete window); ledger rows incl. zero-match subjects") {
+    val path = freshTable()
+    val ledger = Files.createTempDirectory("graft_mled").toString + "/l"
+    // subjects: id 3 (all of d2 — fully-erased partition), id 1 (part of
+    // d1), id 99 (matches nothing)
+    Erasure.erasePartitionScopedAtomic(spark, path, "day",
+      Seq(3L, 1L, 99L).toDF("id"), Seq("id"), batchId = "b1",
+      ledgerPath = Some(ledger))
+    assert(snap(path) == Set((2L, "d1", 20L), (4L, "d3", 40L)))
+    // the fully-erased partition is absent from the manifest AND (after
+    // the vacuum inside the call) from disk
+    assert(!new java.io.File(s"$path/day=d2").exists(), "d2 reclaimed")
+    val led = spark.read.parquet(ledger)
+      .select(col("id"), col("n_rows_erased"))
+      .as[(Long, Long)].collect().toSet
+    assert(led == Set((3L, 1L), (1L, 1L), (99L, 0L)))
+  }
+
+  test("atomic compaction: content identical, touched partition's file " +
+    "count shrinks, untouched partition files untouched") {
+    val path = Files.createTempDirectory("graft_mcmp").toString + "/t"
+    // d1 fragmented into 4 files; d2 a single file
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, "d1", i * 10L)).toDF("id", "day", "v")
+        .write.mode("append").partitionBy("day").parquet(path)
+    }
+    Seq((9L, "d2", 90L)).toDF("id", "day", "v")
+      .write.mode("append").partitionBy("day").parquet(path)
+    Manifest.bootstrap(spark, path)
+    val before = snap(path)
+    val d2Files = new java.io.File(s"$path/day=d2")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    Compaction.compactAtomic(spark, path, "day",
+      targetBytes = 1L << 30, partitions = Some(Set("d1")))
+    assert(snap(path) == before, "compaction preserves content")
+    val d1After = new java.io.File(s"$path/day=d1")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(d1After.length == 1, s"d1 compacted to 1 file: ${d1After.length}")
+    val d2After = new java.io.File(s"$path/day=d2")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(d2After == d2Files, "untouched partition keeps its files")
+  }
+}

@@ -410,6 +410,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q216 phrase serving reads ONLY the index artifact — no scan " +
+    "of the documents corpus") {
+    val df = uncached(SparkEntry.queries("q216_phrase_from_index")(spark, sf))
+    // scan roots from the OPTIMIZED plan (the executed plan hides leaf
+    // scans inside AdaptiveSparkPlanExec until execution)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.nonEmpty, "expected file scans of the index")
+    assert(scans.forall(_.contains("graft_posting_idx_")),
+      s"plan must touch only the index table, scanned: $scans")
+    assert(!scans.exists(_.contains("documents.parquet")),
+      "the corpus must never be scanned at serve time")
+  }
+
   test("q212 top-10 is TakeOrdered, not a global sort or window") {
     val plan = uncached(SparkEntry.queries("q212_behavior_trigrams")(
       spark, sf).queryExecution.executedPlan.toString)

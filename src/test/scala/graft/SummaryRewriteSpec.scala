@@ -83,6 +83,36 @@ class SummaryRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("base-table change after registration declines the rewrite " +
+    "(staleness fingerprint) — fresh answers, never the stale summary") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_sumbase").toString
+    val sumDir = java.nio.file.Files.createTempDirectory("graft_sumstale").toString
+    try {
+      spark.read.parquet(base).limit(200)
+        .write.mode("overwrite").parquet(baseDir)
+      SummaryRewrite.materialize(spark, baseDir,
+        sumDir, Seq("l_returnflag", "l_linestatus"),
+        Seq(qtyL -> "s_qty", priceC -> "s_price"))
+      def q = spark.read.parquet(baseDir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qtyL).as("sum_qty"), count(lit(1)).as("n"))
+      assert(SummaryRewrite.readsOnlySummaries(q), "fresh registration rewrites")
+      val before = q.collect().map(_.getLong(3)).sum // total row count n
+      // append to the base: the summary is now stale
+      spark.read.parquet(base).limit(50)
+        .write.mode("append").parquet(baseDir)
+      val after = q
+      assert(!SummaryRewrite.readsOnlySummaries(after),
+        s"stale summary must not answer:\n${after.queryExecution.optimizedPlan}")
+      val total = after.collect().map(_.getLong(3)).sum
+      assert(total == before + 50, s"fresh rows must count: $total vs $before+50")
+    } finally {
+      SummaryRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(baseDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sumDir))
+    }
+  }
+
   test("empty registry leaves every plan untouched") {
     SummaryRewrite.clear()
     assert(!SummaryRewrite.readsOnlySummaries(aggQuery))

@@ -18,6 +18,21 @@ class UnigramLmSpec extends SparkTestBase {
     }
   }
 
+  test("astral text segments on the code-point grid: one <unk> per " +
+    "supplementary character, never two lone surrogates") {
+    val cnt = Map("a" -> 5L, "b" -> 5L, "ab" -> 10L)
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, 2 UTF-16 units
+    // the unknown astral char is ONE piece; neighbors segment normally
+    assert(UnigramLm.viterbiSafe(s"a${clef}b", cnt, 20L, 8) ==
+      Seq("a", UnigramLm.UnkPiece, "b"))
+    // a vocab piece CONTAINING an astral char is matched whole
+    val cnt2 = cnt + (s"x$clef" -> 7L)
+    assert(UnigramLm.viterbiSafe(s"x$clef", cnt2, 27L, 8) == Seq(s"x$clef"))
+    // seed extraction counts code points: no lone-surrogate seed pieces
+    val seed = UnigramLm.substrCounts(Seq((s"a$clef", 1L)), 2)
+    assert(seed.keySet == Set("a", clef, s"a$clef"), seed.keySet.toString)
+  }
+
   test("seed counts weight overlapping substrings by word frequency") {
     val seed = UnigramLm.substrCounts(Seq(("aba", 3L), ("b", 2L)), 2)
     // 'a' occurs twice in aba: 2*3; 'b' once in aba + the word b: 3+2

@@ -48,6 +48,19 @@ class VarintSpec extends SparkTestBase {
     intercept[IllegalArgumentException](roundtrip(Seq(5L, 4L)))
     // truncated: a continuation byte with nothing after it
     intercept[IllegalArgumentException](Varint.unpack(Array(0x85.toByte)))
+    // non-canonical 10-byte group: payload bits above bit 63 (10th byte
+    // 0x02) must throw, not silently truncate to a wrong value
+    val tenByte = Array.fill(9)(0x80.toByte) :+ 0x02.toByte
+    intercept[IllegalArgumentException](Varint.unpack(tenByte))
+    // ... and a set continuation bit on the 10th byte promises an
+    // impossible 11th group
+    val contTail = Array.fill(9)(0x80.toByte) ++ Array(0x81.toByte, 0x00.toByte)
+    intercept[IllegalArgumentException](Varint.unpack(contTail))
+    // the canonical 10-byte encoding of Long.MinValue-as-unsigned-ish
+    // shapes (LSB only in the 10th byte) still decodes: 9 full groups +
+    // 0x01 = bit 63 set
+    val canonical = Array.fill(9)(0xff.toByte) :+ 0x01.toByte
+    assert(Varint.unpack(canonical).getLong(0) == -1L) // all 64 bits set
   }
 
   test("plan-level roundtrip + compression on fixture posting lists") {

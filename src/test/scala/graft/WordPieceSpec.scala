@@ -89,6 +89,22 @@ class WordPieceSpec extends SparkTestBase {
     assert(WordPiece.encodeWord(w, Set("a", "##a"), 1).toSeq == Seq("[UNK]"))
   }
 
+  test("encoder: astral text matches on the code-point grid") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, 2 UTF-16 units
+    // a vocab covering the astral char matches it as ONE symbol
+    val pieces = Set("a", s"##$clef", "##b")
+    assert(WordPiece.encodeWord(s"a${clef}b", pieces, 1).toSeq ==
+      Seq("a", s"##$clef", "##b"))
+    // MaxWordChars counts code points, not UTF-16 units: a word of
+    // exactly MaxWordChars astral chars (2×units) still encodes
+    val w = clef * WordPiece.MaxWordChars
+    assert(WordPiece.encodeWord(w, Set(clef, s"##$clef"), 1).length ==
+      WordPiece.MaxWordChars)
+    // ... and one more code point collapses to [UNK]
+    assert(WordPiece.encodeWord(w + clef, Set(clef, s"##$clef"), 1).toSeq ==
+      Seq("[UNK]"))
+  }
+
   test("expression ≡ library on the fixture corpus, and the checked-in " +
     "artifact reproduces from its declared corpus") {
     val docs = graft.sources.Tables
