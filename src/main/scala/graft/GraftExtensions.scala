@@ -209,6 +209,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GramAggExpr(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("bloom_hit"),
+      new ExpressionInfo(classOf[BloomHitExpr].getName, "bloom_hit"),
+      (children: Seq[Expression]) => {
+        arity(children, 2, 2, "bloom_hit(<binary>, <bigint>)")
+        BloomHitExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName, "sorted_intersect_size"),
       (children: Seq[Expression]) => {

@@ -140,7 +140,7 @@ object SparkEntry {
     * the ContextCleaner once unreferenced. */
   def clearMemos(): Unit = {
     pairsMemo.clear(); gaOutputsMemo.clear(); corpusMemo.clear()
-    nbScoredMemo.clear(); copurchaseMemo.clear()
+    nbScoredMemo.clear(); copurchaseMemo.clear(); gaServingMemo.clear()
   }
 
   /** Shared stack of the ANN selectivity/quality gates (q161/q165):
@@ -270,6 +270,49 @@ object SparkEntry {
       GaPipeline.run(hits,
         GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-23",
         idAlgo = "md5", persistExport = false)
+    })
+
+  /** Session-scoped memo of the SERVING tree + catalog (q217/q218): the
+    * two-day daily layout a production deployment queries — per job
+    * date, pipeline run → `daily/type=X/year/month/day` write — with
+    * the per-type tables registered in the `ga_serving` db
+    * ([[graft.jobs.GaCatalog.registerTyped]]). Built once per session;
+    * the read queries then hit the CATALOG tables and prune on the
+    * partition columns (PlanSpec-asserted), exactly the "sessions for a
+    * date range" path a daily user exercises. */
+  private val gaServingMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private def gaServing(s: SparkSession): String =
+    gaServingMemo.computeIfAbsent(s, { s =>
+      import graft.jobs.GaPipeline
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ga_serving").toString
+      val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      val empty = GaPipeline.loadHistory(s, "/nonexistent/_gahist")
+      Seq("2019-09-22" -> "22", "2019-09-23" -> "23").foreach {
+        case (jobDate, d) =>
+          val out = GaPipeline.run(hits, empty, jobDate, idAlgo = "md5",
+            persistExport = false)
+          // sessions cluster by visitor across a few files per day — the
+          // layout a 100 TB serving tree would use so one visitor's rows
+          // co-locate (and the q219 bloom index prunes to them). The
+          // bucket is an EXPLICIT xxhash expression, not
+          // repartition(4, visitor): the pipeline's window stage already
+          // hash-partitions by visitor, so when shuffle.partitions
+          // equals 4 EnsureRequirements elides the bare repartition as
+          // redundant and AQE then coalesces the tiny stage to ONE file
+          // (observed round 10) — a distinct expression keeps the
+          // REPARTITION_BY_NUM exchange, which AQE never coalesces.
+          Seq("sessions" -> out.sessions.repartition(4,
+              pmod(xxhash64(col("fullVisitorId")), lit(4))),
+            "pageviews" -> out.pageviews)
+            .foreach { case (tpe, df) =>
+              df.write.mode("overwrite")
+                .parquet(s"$root/daily/type=$tpe/year=2019/month=09/day=$d")
+            }
+      }
+      graft.jobs.GaCatalog.registerTyped(s, root, db = "ga_serving")
+      root
     })
 
   // --------------------------------------------------------------- queries
@@ -1379,6 +1422,79 @@ object SparkEntry {
     // fingerprint a seasonal-naive forecast (q197) presumes and an
     // anomaly rule must not fire on. dow derives from the epoch day
     // ((d+3) mod 7, 0 = Monday), identical on both engines.
+    // RFM segmentation — recency/frequency/monetary quintile scores per
+    // customer (Hughes '94), the classic campaign-targeting table.
+    // Cutoffs from the map-combinable quantile bisection (never an
+    // ntile window — that is a global sort of the customer table at
+    // scale); every input an exact integer (epoch days, cents), scores
+    // ascending-in-metric by one uniform documented rule.
+    "q220_rfm_segmentation" -> ((s, dir) => {
+      import graft.operators.Rfm
+      Rfm.scores(Tables.orders(s, dir), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    }),
+
+    // Bloom-file-index point lookup — q218's visitor journey served
+    // through a PER-FILE bloom index over fullVisitorId: the lookup
+    // opens only files whose bloom admits the id (SkippingIndex's
+    // equality-predicate complement; min/max stats cannot prune a
+    // high-cardinality id). gate_pruned proves files were actually
+    // skipped; the hash gate against q218's journey oracle proves the
+    // pruning lost nothing (the row filter re-applies after the pruned
+    // read — bloom membership is necessary, not sufficient).
+    "q219_bloom_point_lookup" -> ((s, _) => {
+      import graft.sources.BloomFileIndex
+      val table = s"${gaServing(s)}/daily/type=sessions"
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_bloom_visitor_idx").toString
+      BloomFileIndex.build(s, table, "fullVisitorId", idx,
+        expectedPerFile = 10000L, numBits = 100000L)
+      val (files, total) = BloomFileIndex.prunedPaths(s, idx, lit("cid-v17"))
+      BloomFileIndex.scan(s, table, files)
+        .where(col("fullVisitorId") === "cid-v17")
+        .select(col("fullVisitorId"), col("visitId"),
+          col("visitNumber").cast("long").as("visitNumber"),
+          col("date").cast("long").as("date"),
+          col("trafficSource_source"), col("landingPage"))
+        .withColumn("gate_pruned", lit(files.length < total))
+    }),
+
+    // Session-serving read API #1 (round-9 verdict task #8): "sessions
+    // per traffic source for a date range" answered FROM the CATALOG
+    // table (`ga_serving.daily_sessions` — the registered two-day daily
+    // tree), not an in-memory frame. The year/month/day predicates are
+    // answered by the metastore's partition metadata (PlanSpec asserts
+    // PartitionFilters), so at 100 TB the scan opens only the range's
+    // directories. Oracle: the q59-style unfiltered session stack
+    // grouped the same way — catalog serving == recompute, row for row.
+    "q217_serving_sessions_by_source" -> ((s, _) => {
+      gaServing(s)
+      s.table("ga_serving.daily_sessions")
+        .where(col("year") === 2019 && col("month") === 9 &&
+          col("day").between(22, 23))
+        .groupBy(col("date").cast("long").as("date"),
+          col("trafficSource_source"))
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
+
+    // Session-serving read API #2: "visitor journey for id X" — every
+    // session of one visitor across the date range, from the same
+    // catalog table. The cross-midnight visitor (cid-v17) makes the
+    // range genuinely multi-partition: its night session lives under
+    // day=22, the morning one under day=23 — a single-day read would
+    // miss half the journey.
+    "q218_serving_visitor_journey" -> ((s, _) => {
+      gaServing(s)
+      s.table("ga_serving.daily_sessions")
+        .where(col("year") === 2019 && col("month") === 9 &&
+          col("day").between(22, 23) &&
+          col("fullVisitorId") === "cid-v17")
+        .select(col("fullVisitorId"), col("visitId"),
+          col("visitNumber").cast("long").as("visitNumber"),
+          col("date").cast("long").as("date"),
+          col("trafficSource_source"), col("landingPage"))
+    }),
+
     // Index-SERVED phrase search (round-9 verdict task #5): q103's
     // answers replayed FROM the exported posting-list artifact — per
     // (term, doc) rows with delta+varint-packed positions — instead of
@@ -3743,7 +3859,11 @@ object SparkEntry {
     // sketch arm; here the exact arm is the oracle anchor proving the
     // sketch honest.
     "q141_data_profile" -> ((s, dir) =>
-      graft.operators.Profiling.profile(Tables.lineitem(s, dir))),
+      // exact arm ON explicitly: this gate is the oracle anchor proving
+      // the sketch honest; production callers go through profileAuto,
+      // which picks the sketch-only scale mode for wide tables
+      graft.operators.Profiling.profile(Tables.lineitem(s, dir),
+        exactDistinct = true)),
 
     // Multi-touch attribution credit — the model layer over the GA
     // touchpoint paths (q10/q16): per channel, first-touch and
@@ -4804,8 +4924,107 @@ object SparkEntry {
       |  FROM p0 JOIN p1 USING (doc_id))
       |SELECT doc_id, n_matches FROM m WHERE n_matches > 0""".stripMargin
 
+  /** Shared by q218 (catalog serving) and q219 (bloom-pruned point
+    * lookup): the same journey rows must come back through BOTH serving
+    * paths. */
+  private lazy val VisitorJourneyOracle: String =
+    s"""WITH ${dGaSessionCtes("")},
+      |v AS (
+      |  SELECT *, MIN(ms) OVER wv AS first_value, MAX(ms) OVER wv AS last_value
+      |  FROM s WINDOW wv AS (PARTITION BY body_cid, seq)),
+      |st AS (SELECT * FROM v WHERE is_new = 1),
+      |${dUrlCtes("st")}
+      |SELECT body_cid AS fullVisitorId,
+      |  md5(body_cid || first_value::VARCHAR || last_value::VARCHAR) AS visitId,
+      |  CAST(seq AS BIGINT) AS visitNumber,
+      |  CAST(strftime(make_timestamp((ms // 1000) * 1000000), '%Y%m%d') AS BIGINT) AS "date",
+      |  $dSourceCase AS trafficSource_source,
+      |  ${dPath("body_dl")} AS landingPage
+      |FROM u2 WHERE body_cid = 'cid-v17'""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
+
+    // q217: the serving tree is the union of the day-22 and day-23
+    // pipeline runs, so the oracle is the UNFILTERED session stack
+    // (q59's shape) grouped by (date, source) — catalog == recompute.
+    "q217_serving_sessions_by_source" ->
+      s"""WITH ${dGaSessionCtes("")},
+        |v AS (
+        |  SELECT *, MIN(ms) OVER wv AS first_value
+        |  FROM s WINDOW wv AS (PARTITION BY body_cid, seq)),
+        |st AS (SELECT * FROM v WHERE is_new = 1),
+        |${dUrlCtes("st")},
+        |p AS (
+        |  SELECT
+        |    CAST(strftime(make_timestamp((ms // 1000) * 1000000), '%Y%m%d') AS BIGINT) AS "date",
+        |    $dSourceCase AS trafficSource_source
+        |  FROM u2)
+        |SELECT "date", trafficSource_source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // q218: one visitor's full journey — every session row of cid-v17
+    // across both days, with the md5 visit id and session ordinal.
+    "q218_serving_visitor_journey" -> VisitorJourneyOracle,
+
+    // q219: the SAME journey answered through the bloom-pruned file
+    // read — identical rows (pruning lost nothing) + the all-true
+    // pruning gate (q183's gate_pruned discipline).
+    "q219_bloom_point_lookup" ->
+      s"""SELECT *, TRUE AS gate_pruned FROM ($VisitorJourneyOracle)""",
+
+    // q220: the RFM quintile replay — per-metric cumulative-count
+    // cutoffs (smallest value covering k/5 of the mass, the q175
+    // bucketing shape ×3) and the same ascending CASE scoring.
+    "q220_rfm_segmentation" ->
+      """WITH pc AS (
+        |  SELECT o_custkey AS custkey,
+        |    MAX(epoch_ms(o_orderdate) // 86400000) AS last_od,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(last_od) AS anchor FROM pc),
+        |b AS (
+        |  SELECT custkey, CAST(anchor - last_od AS BIGINT) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM pc CROSS JOIN a),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM b),
+        |rcm AS (SELECT recency_days AS v, CAST(COUNT(*) OVER (ORDER BY recency_days, custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw FROM b),
+        |fcm AS (SELECT frequency AS v, CAST(COUNT(*) OVER (ORDER BY frequency, custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw FROM b),
+        |mcm AS (SELECT monetary_cents AS v, CAST(COUNT(*) OVER (ORDER BY monetary_cents, custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw FROM b),
+        |r1 AS (SELECT MIN(v) AS c FROM rcm CROSS JOIN t WHERE cw * 5 >= tot * 1),
+        |r2 AS (SELECT MIN(v) AS c FROM rcm CROSS JOIN t WHERE cw * 5 >= tot * 2),
+        |r3 AS (SELECT MIN(v) AS c FROM rcm CROSS JOIN t WHERE cw * 5 >= tot * 3),
+        |r4 AS (SELECT MIN(v) AS c FROM rcm CROSS JOIN t WHERE cw * 5 >= tot * 4),
+        |f1 AS (SELECT MIN(v) AS c FROM fcm CROSS JOIN t WHERE cw * 5 >= tot * 1),
+        |f2 AS (SELECT MIN(v) AS c FROM fcm CROSS JOIN t WHERE cw * 5 >= tot * 2),
+        |f3 AS (SELECT MIN(v) AS c FROM fcm CROSS JOIN t WHERE cw * 5 >= tot * 3),
+        |f4 AS (SELECT MIN(v) AS c FROM fcm CROSS JOIN t WHERE cw * 5 >= tot * 4),
+        |m1 AS (SELECT MIN(v) AS c FROM mcm CROSS JOIN t WHERE cw * 5 >= tot * 1),
+        |m2 AS (SELECT MIN(v) AS c FROM mcm CROSS JOIN t WHERE cw * 5 >= tot * 2),
+        |m3 AS (SELECT MIN(v) AS c FROM mcm CROSS JOIN t WHERE cw * 5 >= tot * 3),
+        |m4 AS (SELECT MIN(v) AS c FROM mcm CROSS JOIN t WHERE cw * 5 >= tot * 4),
+        |sc AS (
+        |  SELECT custkey, recency_days, frequency, monetary_cents,
+        |    CAST(CASE WHEN recency_days <= r1.c THEN 1 WHEN recency_days <= r2.c THEN 2
+        |         WHEN recency_days <= r3.c THEN 3 WHEN recency_days <= r4.c THEN 4
+        |         ELSE 5 END AS BIGINT) AS r,
+        |    CAST(CASE WHEN frequency <= f1.c THEN 1 WHEN frequency <= f2.c THEN 2
+        |         WHEN frequency <= f3.c THEN 3 WHEN frequency <= f4.c THEN 4
+        |         ELSE 5 END AS BIGINT) AS f,
+        |    CAST(CASE WHEN monetary_cents <= m1.c THEN 1 WHEN monetary_cents <= m2.c THEN 2
+        |         WHEN monetary_cents <= m3.c THEN 3 WHEN monetary_cents <= m4.c THEN 4
+        |         ELSE 5 END AS BIGINT) AS m
+        |  FROM b CROSS JOIN r1 CROSS JOIN r2 CROSS JOIN r3 CROSS JOIN r4
+        |    CROSS JOIN f1 CROSS JOIN f2 CROSS JOIN f3 CROSS JOIN f4
+        |    CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3 CROSS JOIN m4)
+        |SELECT custkey, recency_days, frequency, monetary_cents, r, f, m,
+        |  r * 100 + f * 10 + m AS rfm_code
+        |FROM sc""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,

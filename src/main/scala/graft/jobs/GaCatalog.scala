@@ -45,4 +45,30 @@ object GaCatalog {
     registerExternal("sessions_history", s"$outRoot/history/sessions",
       partitioned = false)
   }
+
+  /** Per-type serving tables — `<db>.daily_<type>` rooted at
+    * `daily/type=<type>` with `year/month/day` partitions. The unified
+    * `daily` table's schema is whichever export type inference sampled
+    * first, so TYPE-SPECIFIC columns (a session's trafficSource_source,
+    * a pageview's hitNumber) are only reliably addressable through a
+    * per-type root — which is also what the reference's crawler
+    * produces in Athena practice: one clean-schema table per export
+    * prefix. Types whose directory does not exist are skipped (a day-1
+    * deployment may not have written transactions yet). Same
+    * metastore-answered partition pruning as [[register]]. */
+  def registerTyped(spark: SparkSession, outRoot: String, db: String = "ga",
+                    types: Seq[String] = Seq("sessions", "pageviews",
+                      "events", "products", "transactions", "items")): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val conf = spark.sessionState.newHadoopConf()
+    types.foreach { tpe =>
+      val loc = s"$outRoot/daily/type=$tpe"
+      val p = new org.apache.hadoop.fs.Path(loc)
+      if (p.getFileSystem(conf).exists(p)) {
+        spark.sql(s"DROP TABLE IF EXISTS $db.daily_$tpe")
+        spark.sql(s"CREATE TABLE $db.daily_$tpe USING parquet LOCATION '$loc'")
+        spark.sql(s"ALTER TABLE $db.daily_$tpe RECOVER PARTITIONS")
+      }
+    }
+  }
 }

@@ -69,22 +69,25 @@ object Profiling {
     * scans) — never the multi-distinct Expand, which would copy every
     * row once per profiled column into one exchange.
     *
-    * `exactDistinct = false` is the documented SCALE MODE. Measured
-    * split on the q141 lineitem input (sf0.1, local[32], warm,
-    * tools/ProfProfile): sketch-only ≈ 1.6–2.4 s, full ≈ 2.3 s — at
-    * THIS scale the one-scan base (C×4 aggregates incl. C HLLs)
-    * carries most of the cost and the exact arm adds ~30%, so the
-    * round-8 "one-scan refactor didn't halve q141" observation is
-    * answered: there was no 2× left to win, the base scan is the
-    * floor. The flag still matters at 100 TB, where the exact arm's
-    * cost model is different in KIND: C extra full-column scans plus
-    * C corpus-cardinality distinct EXCHANGES (shuffle bytes ∝ distinct
-    * values) versus the base's single scan with constant-size
-    * (C×sketch) shuffle. Sketch mode keeps `n_distinct` as the HLL
-    * estimate and `distinct_in_bounds` vacuously true (same schema,
-    * so reports stay union-compatible across modes); the exact arm
-    * remains the oracle anchor proving the sketch honest at
-    * verification scale (q141 gates it).
+    * `exactDistinct = false` is the documented SCALE MODE, and via
+    * [[profileAuto]] the DEFAULT for wide tables (round-9 verdict task
+    * #6). Measured split on the q141 lineitem input (sf0.1, local[32],
+    * warm, tools/ProfProfile, round-10 re-run): full ≈ 2.5–2.6 s,
+    * sketch-only ≈ 1.8–2.2 s — at THIS scale the one-scan base (C×4
+    * aggregates incl. C HLLs) carries most of the cost and the exact
+    * arm adds ~30%, so the round-8 "one-scan refactor didn't halve
+    * q141" observation is answered: there was no 2× left to win, the
+    * base scan is the floor. The flag still matters at 100 TB, where
+    * the exact arm's cost model is different in KIND: C extra
+    * full-column scans plus C corpus-cardinality distinct EXCHANGES
+    * (shuffle bytes ∝ distinct values) versus the base's single scan
+    * with constant-size (C×sketch) shuffle — and it grows LINEARLY in
+    * width, which is why the auto policy keys on column count. Sketch
+    * mode keeps `n_distinct` as the HLL estimate and
+    * `distinct_in_bounds` vacuously true (same schema, so reports stay
+    * union-compatible across modes); the exact arm remains the oracle
+    * anchor proving the sketch honest at verification scale (q141
+    * gates it with exactDistinct = true explicitly).
     */
   def profile(t: DataFrame, rsd: Double = 0.02,
               exactDistinct: Boolean = true): DataFrame = {
@@ -125,6 +128,21 @@ object Profiling {
         col("nd").as("n_distinct"), col("min_s"), col("max_s"),
         inBounds(col("ad"), col("nd")).as("distinct_in_bounds"))
   }
+
+  /** Column-count threshold above which [[profileAuto]] drops the exact
+    * distinct arm: the exact arm costs C extra scans + C value-
+    * cardinality exchanges (linear in width), while the sketch base is
+    * one scan regardless of C — past ~this width the exact arm IS the
+    * profile's cost. */
+  val WideColumns = 24
+
+  /** Width-aware default entry point (the production face): narrow
+    * tables get the full profile with the exact-distinct oracle anchor;
+    * wide tables (> [[WideColumns]] columns — e.g. the 267-col GA
+    * export) default to the sketch-only scale mode. Callers who need a
+    * specific arm say so via [[profile]]. */
+  def profileAuto(t: DataFrame, rsd: Double = 0.02): DataFrame =
+    profile(t, rsd, exactDistinct = t.schema.fields.length <= WideColumns)
 
   /** One referential-integrity relation: total fact rows and orphan
     * rows (null-safe left_anti against the distinct dim key). Union

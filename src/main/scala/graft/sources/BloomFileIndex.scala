@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.GraftDatasetFactory.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom index for EQUALITY point lookups — the file-pruning
+  * complement of [[SkippingIndex]] (whose min/max stats answer RANGE
+  * predicates but are useless for a high-cardinality id: every file's
+  * [min, max] spans the id space, so nothing prunes). The canonical
+  * serving case is q218's visitor-journey lookup: a 100 TB sessions
+  * tree holds any one visitor's rows in a handful of files, and a point
+  * query should open exactly those — this is Parquet's own bloom-filter
+  * column-index idea (public format), materialized engine-side as a
+  * queryable table so pruning works on any layout and composes with the
+  * catalog/manifest reads.
+  *
+  * Index = one row per data file: `(file, bloom)` where `bloom` is
+  * Spark's own `BloomFilter` sketch (spark-sketch public API; the same
+  * one runtime row-level filtering ships) over `xxhash64(column)`.
+  * Build is one scan with a per-file map-combinable aggregate; lookup
+  * is a filter of the O(files) index table via the native
+  * `BloomFilterMightContain` predicate — no data file is opened to
+  * decide, and false positives only cost an extra file read, never a
+  * wrong answer (the row filter re-applies after the pruned scan,
+  * exactly the [[SkippingIndex]] necessary-not-sufficient discipline).
+  */
+object BloomFileIndex {
+
+  /** Build the index for `tablePath` over `column` at `indexPath`: one
+    * bloom per physical file. `expectedPerFile` sizes each bloom (at
+    * the default 1e5 items / 1e6 bits ≈ 120 KB and <1% fpp — index
+    * bytes are O(files), independent of table bytes). */
+  def build(spark: SparkSession, tablePath: String, column: String,
+            indexPath: String, expectedPerFile: Long = 100000L,
+            numBits: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = toCol(new BloomFilterAggregate(
+      toExpr(xxhash64(col(column))), Literal(expectedPerFile), Literal(numBits))
+      .toAggregateExpression())
+    spark.read.parquet(tablePath)
+      .select(input_file_name().as("file"), col(column))
+      .groupBy("file")
+      .agg(agg.as("bloom"), count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Files whose bloom MIGHT contain `value`, plus the total file
+    * count: `(candidate files, total)`. One filter over the O(files)
+    * index table; the driver holds file PATHS only, never data. */
+  def prunedPaths(spark: SparkSession, indexPath: String,
+                  value: Column): (Seq[String], Long) = {
+    val idx = spark.read.parquet(indexPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = idx.count()
+      // graft's bloom_hit, not Spark's might_contain: the latter demands
+      // a CONSTANT bloom (runtime-filter plumbing) and cannot probe a
+      // bloom COLUMN; bloom_hit evaluates per index row on executors
+      val hit = call_function("bloom_hit", col("bloom"), xxhash64(value))
+      val files = idx.where(hit).select("file")
+        .collect().map(_.getString(0)).toSeq
+      (files, total)
+    } finally idx.unpersist()
+  }
+
+  /** Read exactly `files` of the table at `tablePath`, partition
+    * columns intact (`basePath`). Callers re-apply the row predicate:
+    * bloom membership is necessary, not sufficient. */
+  def scan(spark: SparkSession, tablePath: String,
+           files: Seq[String]): DataFrame =
+    spark.read.option("basePath", tablePath).parquet(files: _*)
+}

@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftDatasetFactory {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ↔ Expression bridges (`private[sql]` in classic) — lets
+    * graft compose Spark's own internal-but-public expression classes
+    * (e.g. BloomFilterAggregate, the sketch the runtime row-filter
+    * ships) into DataFrame code without reimplementing them. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

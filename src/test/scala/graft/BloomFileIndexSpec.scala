@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.BloomFileIndex
+
+/** Per-file bloom point-lookup index: pruning is real (a looked-up id's
+  * candidate set is a strict subset of the files), NEVER lossy (every
+  * file actually holding the id is a candidate — bloom filters have no
+  * false negatives), and the pruned scan + row filter equals the full
+  * scan + row filter. */
+class BloomFileIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pruned lookup == full filter; no false negatives; real pruning") {
+    val base = Files.createTempDirectory("bloomidx").toString
+    val table = s"$base/t"
+    val idx = s"$base/idx"
+    // 8 files, ids clustered so each id lives in exactly one file
+    (0 until 8).foreach { b =>
+      (0 until 50).map(i => (b * 1000L + i, s"u${b * 1000 + i}", b))
+        .toDF("id", "uid", "bucket")
+        .coalesce(1) // exactly one file per cluster
+        .write.mode("append").parquet(table)
+    }
+    BloomFileIndex.build(spark, table, "uid", idx,
+      expectedPerFile = 1000L, numBits = 10000L)
+    val full = spark.read.parquet(table)
+    for (probe <- Seq("u0", "u3007", "u7049")) {
+      val (files, total) = BloomFileIndex.prunedPaths(spark, idx, lit(probe))
+      assert(total == 8, s"index rows: $total")
+      assert(files.nonEmpty && files.length < 8,
+        s"$probe: expected real pruning, got ${files.length} of $total")
+      val viaIndex = BloomFileIndex.scan(spark, table, files)
+        .where(col("uid") === probe).select("id").as[Long].collect().toSet
+      val viaFull = full.where(col("uid") === probe)
+        .select("id").as[Long].collect().toSet
+      assert(viaIndex == viaFull && viaFull.size == 1, s"$probe: $viaIndex")
+    }
+    // an absent id may false-positive into some files but the row filter
+    // still answers empty
+    val (files, _) = BloomFileIndex.prunedPaths(spark, idx, lit("nobody"))
+    val hits =
+      if (files.isEmpty) 0L
+      else BloomFileIndex.scan(spark, table, files)
+        .where(col("uid") === "nobody").count()
+    assert(hits == 0L)
+  }
+}

@@ -430,6 +430,29 @@ class PlanSpec extends SparkTestBase {
       "the corpus must never be scanned at serve time")
   }
 
+  test("q217/q218 serving reads are partition-pruned catalog scans") {
+    // the date-range predicates must be answered from partition
+    // metadata (PartitionFilters on year/month/day), and the scan must
+    // touch only the sessions type's directories
+    Seq("q217_serving_sessions_by_source", "q218_serving_visitor_journey")
+      .foreach { name =>
+        val df = uncached(SparkEntry.queries(name)(spark, sf))
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters: [") &&
+          "PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+          s"$name: no partition filter on day:\n$plan")
+      }
+    // file-level proof on the row-preserving query (input_file_name is
+    // undefined above an aggregate, so q217's agg can't carry it):
+    // every file the journey read came from the sessions type's range
+    val journey = uncached(SparkEntry.queries("q218_serving_visitor_journey")(
+      spark, sf))
+    val scanned = journey.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("type=sessions")),
+      s"journey touched non-sessions partitions: ${scanned.mkString(", ")}")
+  }
+
   test("q212 top-10 is TakeOrdered, not a global sort or window") {
     val plan = uncached(SparkEntry.queries("q212_behavior_trigrams")(
       spark, sf).queryExecution.executedPlan.toString)

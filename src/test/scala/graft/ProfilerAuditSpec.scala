@@ -58,6 +58,30 @@ class ProfilerAuditSpec extends SparkTestBase {
     assert(!plan.contains("Expand"))
   }
 
+  test("profileAuto picks the exact arm for narrow tables, the sketch " +
+    "scale mode for wide ones") {
+    import graft.operators.Profiling
+    val narrow = graft.sources.Tables.nation(spark, sf) // 4 cols
+    val n = Profiling.profileAuto(narrow)
+    // exact mode is detectable by a non-vacuous bounds gate being
+    // computed from a real exact count: n_distinct for n_nationkey is
+    // the exact 25, not an estimate allowed to wobble
+    assert(n.filter(col("col_name") === "n_nationkey")
+      .select("n_distinct").as[Long].head() == 25L)
+    // the exact mode is structurally a join of the one-scan base with
+    // the per-column exact-distinct arm; the sketch mode is the base
+    // alone — the join's presence discriminates the modes
+    assert(n.queryExecution.executedPlan.toString.contains("Join"),
+      "narrow: exact arm joined in")
+    // a wide frame (> WideColumns) flips to sketch-only
+    val wide = narrow.select(
+      (0 to Profiling.WideColumns).map(i => col("n_nationkey").as(s"c$i")): _*)
+    val w = Profiling.profileAuto(wide)
+    assert(!w.queryExecution.executedPlan.toString.contains("Join"),
+      "wide: no exact arm, one-scan base only")
+    assert(w.columns.toSeq == n.columns.toSeq, "modes stay union-compatible")
+  }
+
   test("q141 plan: no multi-distinct Expand; distincts stay two-level aggregates") {
     spark.catalog.clearCache()
     val plan = SparkEntry.queries("q141_data_profile")(spark, sf)
