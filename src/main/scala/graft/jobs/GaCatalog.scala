@@ -71,4 +71,20 @@ object GaCatalog {
       }
     }
   }
+
+  /** Table + column statistics for the cost-based optimizer — the
+    * ANALYZE step every warehouse's nightly crawler pairs with
+    * registration: without catalog stats, CBO (`spark.sql.cbo.enabled`)
+    * and join-reorder run on guesses; with them, row counts and column
+    * NDV/min/max drive broadcast decisions and join order. One
+    * stats-collection scan per table (the columns pass is
+    * column-pruned); results persist in the metastore next to the
+    * table entry, so every later session plans with them for free. */
+  def analyze(spark: SparkSession, db: String, table: String,
+              columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $db.$table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $db.$table COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.mkString(", ")}")
+  }
 }

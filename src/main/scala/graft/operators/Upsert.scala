@@ -35,6 +35,26 @@ object Upsert {
       .unionByName(source)
   }
 
+  /** Schema-EVOLVING keyed merge — [[upsert]] when the source carries
+    * columns the target predates (the additive half of schema
+    * evolution, the one a long-lived serving table actually meets: a
+    * new enrichment field appears mid-history). Output schema is the
+    * UNION of both schemas; carried target rows surface null for
+    * columns only the source has, and vice versa — exactly Delta's
+    * `mergeSchema` semantics for MERGE. Column REMOVAL is deliberately
+    * not expressed (a source that dropped a column leaves the target
+    * column in place, null on new rows): silent narrowing is a data
+    * loss bug, not evolution. */
+  def upsertEvolve(target: DataFrame, source: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(keys.forall(k => target.columns.contains(k) &&
+      source.columns.contains(k)), "key columns must exist on both sides")
+    target
+      .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(source, allowMissingColumns = true)
+  }
+
   /** PARTITION-SCOPED merge against a `partCol`-partitioned parquet
     * tree — the file-pruning shape a lakehouse MERGE has, and the 100 TB
     * answer to [[upsert]]'s whole-table rewrite: only partitions

@@ -72,23 +72,33 @@ object Manifest {
     out.toSeq.sorted
   }
 
-  /** (version, root-relative live files) of the highest committed
-    * manifest, if any. */
-  def current(spark: SparkSession, root: String): Option[(Long, Seq[String])] = {
+  /** Committed manifest versions under `root`, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, rootP) = fsOf(spark, root)
     val dir = new Path(rootP, Dir)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("manifest-") && !n.endsWith(".tmp"))
-      .map(_.stripPrefix("manifest-").toLong)
-    if (versions.isEmpty) return None
-    val v = versions.max
-    val in = fs.open(new Path(dir, f"manifest-$v%020d"))
+      .map(_.stripPrefix("manifest-").toLong).sorted.toSeq
+  }
+
+  /** Root-relative live files of committed version `v`. */
+  def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val in = fs.open(new Path(new Path(rootP, Dir), f"manifest-$v%020d"))
     try {
       val text = new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
-      Some((v, text.split("\n").filter(_.nonEmpty).toSeq))
+      text.split("\n").filter(_.nonEmpty).toSeq
     } finally in.close()
+  }
+
+  /** (version, root-relative live files) of the highest committed
+    * manifest, if any. */
+  def current(spark: SparkSession, root: String): Option[(Long, Seq[String])] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) None
+    else Some((vs.max, filesAt(spark, root, vs.max)))
   }
 
   /** Publish `files` as the next manifest version: write to a temp name,
@@ -124,9 +134,26 @@ object Manifest {
     * default read semantics); writers that need raw-string identity run
     * on their own cloned sessions as before. */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val (_, rootP) = fsOf(spark, root)
     val files = current(spark, root).getOrElse(throw new IllegalArgumentException(
       s"no committed manifest under $root — bootstrap() it first"))._2
+    readFiles(spark, root, files)
+  }
+
+  /** TIME-TRAVEL read: the table exactly as committed version `v`
+    * published it — every commit only ADDS data files, so any version
+    * whose manifest and files [[vacuum]]'s retention kept replays
+    * byte-identically. Composing two versions through
+    * [[graft.operators.SnapshotDiff]] yields the commit's row-level
+    * change feed (spec-pinned). */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    require(versions(spark, root).contains(v),
+      s"version $v is not committed under $root (vacuumed or never existed)")
+    readFiles(spark, root, filesAt(spark, root, v))
+  }
+
+  private def readFiles(spark: SparkSession, root: String,
+                        files: Seq[String]): DataFrame = {
+    val (_, rootP) = fsOf(spark, root)
     require(files.nonEmpty,
       s"manifest snapshot of $root is empty — the table was fully erased")
     spark.read.option("basePath", rootP.toString)
@@ -169,15 +196,21 @@ object Manifest {
     live.filterNot(f => gone(partitionOf(f, partCol))) ++ created
   }
 
-  /** Garbage collection AFTER a publish: delete physical data files the
-    * current manifest does not reference, drop partition directories
-    * left empty, and keep only the current manifest version. Crash-safe
-    * at every point — vacuum only ever removes what no committed reader
-    * can see. */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  /** Garbage collection AFTER a publish: delete physical data files no
+    * RETAINED manifest references, drop partition directories left
+    * empty, and keep only the newest `keepVersions` manifests.
+    * `keepVersions` is the time-travel retention window (Delta's
+    * VACUUM-retention idea): every kept version stays byte-replayable
+    * via [[readVersion]]; the default 1 keeps only the current
+    * snapshot. Crash-safe at every point — vacuum only ever removes
+    * what no retained reader can see. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"must retain at least the current version")
     val (fs, rootP) = fsOf(spark, root)
-    val (v, files) = current(spark, root).getOrElse(return)
-    val live = files.toSet
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val kept = vs.takeRight(keepVersions)
+    val live = kept.flatMap(filesAt(spark, root, _)).toSet
     listDataFiles(fs, rootP).filterNot(live).foreach { rel =>
       fs.delete(new Path(rootP, rel), false)
     }
@@ -187,8 +220,9 @@ object Manifest {
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
     val dir = new Path(rootP, Dir)
+    val keptNames = kept.map(v => f"manifest-$v%020d").toSet
     fs.listStatus(dir).map(_.getPath).foreach { p =>
-      if (p.getName != f"manifest-$v%020d") fs.delete(p, false)
+      if (!keptNames(p.getName)) fs.delete(p, false)
     }
   }
 }

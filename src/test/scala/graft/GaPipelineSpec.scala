@@ -407,6 +407,25 @@ class GaPipelineSpec extends SparkTestBase {
       .equalsIgnoreCase("static"))
   }
 
+  test("catalog statistics: ANALYZE persists row counts + column NDV " +
+    "for the cost-based optimizer") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("gastats").toString
+    spark.range(100).selectExpr("id", "id % 7 AS k")
+      .write.parquet(s"$tmp/daily/type=sessions/year=2019/month=09/day=23")
+    graft.jobs.GaCatalog.registerTyped(spark, tmp, db = "ga_stats_test",
+      types = Seq("sessions"))
+    graft.jobs.GaCatalog.analyze(spark, "ga_stats_test", "daily_sessions",
+      columns = Seq("k"))
+    val t = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "daily_sessions", Some("ga_stats_test")))
+    val stats = t.stats.getOrElse(fail("no table stats after ANALYZE"))
+    assert(stats.rowCount.contains(BigInt(100)), stats.toString)
+    val kStats = stats.colStats.getOrElse("k", fail("no column stats for k"))
+    assert(kStats.distinctCount.contains(BigInt(7)), kStats.toString)
+  }
+
   test("catalog registration: outputs readable BY TABLE NAME, daily scan " +
     "prunes on the type/year/month/day partitions") {
     val tmp = Files.createTempDirectory("gacat").toString

@@ -101,6 +101,48 @@ class ManifestSpec extends SparkTestBase {
     assert(led == Set((3L, 1L), (1L, 1L), (99L, 0L)))
   }
 
+  test("time travel: readVersion replays each committed snapshot; a " +
+    "MERGE's change feed falls out of SnapshotDiff over two versions; " +
+    "retention-aware vacuum keeps replayability, then reclaims it") {
+    val path = freshTable() // version 1
+    Upsert.upsertPartitionScopedAtomic(spark, path, "day",
+      Seq((1L, "d1", 111L), (6L, "d4", 60L)).toDF("id", "day", "v"),
+      Seq("id")) // version 2 (vacuum inside keeps only v2 — rebuild below)
+    // rebuild a 2-version history without the auto-vacuum: stage+commit
+    val v2 = Manifest.current(spark, path).get._1
+    val after = Seq((1L, "d1", 111L), (2L, "d1", 20L), (3L, "d2", 30L),
+      (4L, "d3", 40L), (6L, "d4", 60L))
+    assert(snap(path) == after.toSet)
+    // the upsert's internal vacuum dropped v1 (default retention 1):
+    // readVersion must refuse loudly, not replay a hollow manifest
+    intercept[IllegalArgumentException](
+      Manifest.readVersion(spark, path, v2 - 1))
+    // now a retained history: commit another change, vacuum keep=2
+    val staged = Manifest.stagePartitionReplacement(spark, path, "day",
+      Seq((4L, "d3", 444L)).toDF("id", "day", "v"), Seq("d3"))
+    val v3 = Manifest.commit(spark, path, staged)
+    Manifest.vacuum(spark, path, keepVersions = 2)
+    // both retained versions replay byte-identically
+    def rows(v: Long) = Manifest.readVersion(spark, path, v)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows(v2) == after.toSet)
+    assert(rows(v3) == after.toSet - ((4L, "d3", 40L)) + ((4L, "d3", 444L)))
+    // the commit's CHANGE FEED: SnapshotDiff across the two versions
+    import graft.operators.SnapshotDiff
+    val feed = SnapshotDiff.diff(
+      Manifest.readVersion(spark, path, v2),
+      Manifest.readVersion(spark, path, v3),
+      col("id"), col("v"))
+      .as[(Long, String)].collect().toMap
+    assert(feed(4L) == "changed" &&
+      feed.count(_._2 == "unchanged") == 4, feed.toString)
+    // tighten retention to 1: v2 is reclaimed, v3 still serves
+    Manifest.vacuum(spark, path, keepVersions = 1)
+    intercept[IllegalArgumentException](Manifest.readVersion(spark, path, v2))
+    assert(snap(path) == rows(v3))
+  }
+
   test("atomic compaction: content identical, touched partition's file " +
     "count shrinks, untouched partition files untouched") {
     val path = Files.createTempDirectory("graft_mcmp").toString + "/t"

@@ -21,6 +21,25 @@ class UpsertSpec extends SparkTestBase {
       (4L, "d", 40L)))
   }
 
+  test("schema-evolving merge: new source columns appear, carried rows " +
+    "null-fill; dropped source columns stay (no silent narrowing)") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val source = Seq((2L, "B", 9L), (3L, "c", 7L)).toDF("id", "name", "score")
+    val out = Upsert.upsertEvolve(target, source, Seq("id"))
+    assert(out.columns.toSet == Set("id", "name", "score"))
+    val rows = out.select("id", "name", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "B", Some(9L)),
+      (3L, "c", Some(7L))))
+    // reverse direction: a source MISSING a target column null-fills the
+    // inserted rows but never drops the column
+    val narrow = Seq((4L, 5L)).toDF("id", "score")
+    val out2 = Upsert.upsertEvolve(out, narrow, Seq("id"))
+    assert(out2.columns.toSet == Set("id", "name", "score"))
+    assert(out2.filter(col("id") === 4L).select("name")
+      .as[Option[String]].head().isEmpty)
+  }
+
   test("partition-scoped merge rewrites ONLY touched partitions; " +
     "untouched part-files are byte-identical on disk") {
     val path = Files.createTempDirectory("upsert_ps").toString + "/t"
