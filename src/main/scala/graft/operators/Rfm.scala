@@ -52,22 +52,31 @@ object Rfm {
         col("frequency"), col("monetary_cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
-    def cuts(metric: String): Seq[Long] = {
-      val rows = IntStats.weightedQuantilesBisect(
-        base, lit("g"), col(metric), lit(1L), qs)
-        .select(col("weighted_qs")).collect()
-      // empty input → no cutoff row; any placeholder works (the scored
-      // frame is empty too), but the schema must still come out
-      if (rows.isEmpty) Seq(0L, 0L, 0L, 0L) else rows.head.getSeq[Long](0)
-    }
+    // ONE keyed bisection for all three metrics: the metric name IS the
+    // bisection's group key, so the three value-domain searches share
+    // every aggregate pass (the search is per-key bracketed) — measured
+    // ~3× fewer driver rounds than three separate bisections (bench
+    // q220 was this operator's whole cost)
+    val melted = base.select(explode(array(
+      struct(lit("r").as("mk"), col("recency_days").as("mv")),
+      struct(lit("f").as("mk"), col("frequency").as("mv")),
+      struct(lit("m").as("mk"), col("monetary_cents").as("mv"))))
+      .as("s")).select(col("s.mk"), col("s.mv"))
+    val cutRows = IntStats.weightedQuantilesBisect(
+      melted, col("mk"), col("mv"), lit(1L), qs)
+      .select(col("k"), col("weighted_qs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // empty input → no cutoff rows; any placeholder works (the scored
+    // frame is empty too), but the schema must still come out
+    def cuts(k: String): Seq[Long] =
+      cutRows.getOrElse(k, Seq(0L, 0L, 0L, 0L))
     def score(metric: String, c: Seq[Long]): Column =
       when(col(metric) <= c(0), 1)
         .when(col(metric) <= c(1), 2)
         .when(col(metric) <= c(2), 3)
         .when(col(metric) <= c(3), 4)
         .otherwise(5).cast("long")
-    val (rc, fc, mc) =
-      (cuts("recency_days"), cuts("frequency"), cuts("monetary_cents"))
+    val (rc, fc, mc) = (cuts("r"), cuts("f"), cuts("m"))
     val out = base
       .withColumn("r", score("recency_days", rc))
       .withColumn("f", score("frequency", fc))

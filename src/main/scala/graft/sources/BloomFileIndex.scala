@@ -46,6 +46,50 @@ object BloomFileIndex {
       .write.mode("overwrite").parquet(indexPath)
   }
 
+  /** INCREMENTAL index maintenance tied to the [[Manifest]] commit log —
+    * the reason blooms are per-FILE: data files are immutable, so a
+    * commit invalidates nothing it carried over. Sync the index to the
+    * current live set: carried files keep their rows (never
+    * recomputed), files the latest commits added get blooms from ONE
+    * scan of exactly those files, vacuumed files drop out. Returns
+    * (kept, added, removed). The index is a derived artifact
+    * (rebuildable from data), so its own write is a plain overwrite —
+    * kept rows are materialized first since they read the path being
+    * replaced. */
+  def refresh(spark: SparkSession, tableRoot: String, column: String,
+              indexPath: String, expectedPerFile: Long = 100000L,
+              numBits: Long = 1000000L): (Long, Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val rootP = new org.apache.hadoop.fs.Path(tableRoot)
+    val live = Manifest.current(spark, tableRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"refresh needs a manifest under $tableRoot — bootstrap() it"))._2
+      .map(rel => new org.apache.hadoop.fs.Path(rootP, rel).toString)
+    val liveNorm = live.map(norm).toSet
+    val old = spark.read.parquet(indexPath).collect()
+      .map(r => norm(r.getString(0)) -> r).toMap
+    val keptRows = old.filter { case (n, _) => liveNorm(n) }
+    val toAdd = live.filter(p => !old.contains(norm(p)))
+    val agg = toCol(new BloomFilterAggregate(
+      toExpr(xxhash64(col(column))), Literal(expectedPerFile), Literal(numBits))
+      .toAggregateExpression())
+    val added =
+      if (toAdd.isEmpty) spark.read.parquet(indexPath).limit(0)
+      else spark.read.option("basePath", rootP.toString).parquet(toAdd: _*)
+        .select(input_file_name().as("file"), col(column))
+        .groupBy("file")
+        .agg(agg.as("bloom"), count(lit(1)).as("n_rows"))
+    import scala.jdk.CollectionConverters._
+    val kept = spark.createDataFrame(
+      keptRows.values.toSeq.asJava, added.schema)
+    kept.unionByName(added)
+      .localCheckpoint(true) // kept rows read the path we now overwrite
+      .write.mode("overwrite").parquet(indexPath)
+    (keptRows.size.toLong, toAdd.size.toLong,
+      (old.size - keptRows.size).toLong)
+  }
+
   /** Files whose bloom MIGHT contain `value`, plus the total file
     * count: `(candidate files, total)`. One filter over the O(files)
     * index table; the driver holds file PATHS only, never data. */

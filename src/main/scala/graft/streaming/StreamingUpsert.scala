@@ -41,15 +41,26 @@ object StreamingUpsert {
     * row instead of appending a growing history). */
   def run(rows: DataFrame, servingRoot: String, checkpointDir: String,
           partCol: String, keys: Seq[String],
-          outputMode: String = "append"): StreamingQuery =
+          outputMode: String = "append",
+          atomic: Boolean = false): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // empty trigger batches carry no partitions to touch
-        if (!batch.isEmpty)
-          Upsert.upsertPartitionScoped(batch.sparkSession, servingRoot,
-            partCol, batch, keys)
+        if (!batch.isEmpty) {
+          // atomic = the manifest-committed merge: a crash mid-batch
+          // leaves manifest readers on the previous batch's snapshot,
+          // never a partition mix — the streaming face of the
+          // [[graft.sources.Manifest]] protocol; plain mode keeps the
+          // dynamic-overwrite path for readers that list directories.
+          if (atomic)
+            Upsert.upsertPartitionScopedAtomic(batch.sparkSession,
+              servingRoot, partCol, batch, keys)
+          else
+            Upsert.upsertPartitionScoped(batch.sparkSession, servingRoot,
+              partCol, batch, keys)
+        }
       }
       .start()
 }

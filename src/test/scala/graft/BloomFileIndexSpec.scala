@@ -48,4 +48,39 @@ class BloomFileIndexSpec extends SparkTestBase {
         .where(col("uid") === "nobody").count()
     assert(hits == 0L)
   }
+
+  test("refresh syncs the index to the manifest incrementally: carried " +
+    "files keep their blooms, commit-added files gain them, vacuumed " +
+    "files drop; lookups stay exact across the MERGE") {
+    import graft.operators.Upsert
+    import graft.sources.Manifest
+    val base = Files.createTempDirectory("bloomrefresh").toString
+    val table = s"$base/t"
+    val idx = s"$base/idx"
+    (0 until 4).foreach { b =>
+      (0 until 20).map(i => (b * 100L + i, s"u${b * 100 + i}", s"d$b"))
+        .toDF("id", "uid", "day").coalesce(1)
+        .write.mode("append").partitionBy("day").parquet(table)
+    }
+    Manifest.bootstrap(spark, table)
+    BloomFileIndex.build(spark, table, "uid", idx, 1000L, 10000L)
+    // atomic MERGE touches d1 only: its file is replaced (vacuumed),
+    // the other three carry over
+    Upsert.upsertPartitionScopedAtomic(spark, table, "day",
+      Seq((100L, "u100x", "d1")).toDF("id", "uid", "day"), Seq("id"))
+    val (kept, added, removed) =
+      BloomFileIndex.refresh(spark, table, "uid", idx, 1000L, 10000L)
+    assert(kept == 3 && removed == 1 && added >= 1,
+      s"kept=$kept added=$added removed=$removed")
+    // the renamed key is findable through the refreshed index...
+    val (f1, total) = BloomFileIndex.prunedPaths(spark, idx, lit("u100x"))
+    assert(total == 3 + added)
+    assert(BloomFileIndex.scan(spark, table, f1)
+      .where(col("uid") === "u100x").count() == 1)
+    // ... and an untouched partition's key still prunes correctly
+    val (f2, _) = BloomFileIndex.prunedPaths(spark, idx, lit("u205"))
+    assert(f2.nonEmpty && f2.length < total.toInt)
+    assert(BloomFileIndex.scan(spark, table, f2)
+      .where(col("uid") === "u205").count() == 1)
+  }
 }

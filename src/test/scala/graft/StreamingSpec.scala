@@ -498,6 +498,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ATOMIC streaming upsert: each batch is one manifest commit; " +
+    "snapshot readers see whole batches only") {
+    import graft.sources.Manifest
+    val root = java.nio.file.Files.createTempDirectory("sua").toString + "/serve"
+    val ckpt = java.nio.file.Files.createTempDirectory("suack").toString
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = graft.streaming.StreamingUpsert.run(
+      input.toDF().toDF("id", "day", "v"), root, ckpt, "day", Seq("id"),
+      atomic = true)
+    try {
+      input.addData((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
+      q.processAllAvailable()
+      val v1 = Manifest.current(spark, root).get._1
+      input.addData((1L, "2024-01-01", 99L), (3L, "2024-01-03", 30L))
+      q.processAllAvailable()
+      val (v2, _) = Manifest.current(spark, root).get
+      assert(v2 > v1, "each non-empty batch publishes a new version")
+      val out = Manifest.read(spark, root)
+        .select(col("id"), col("day").cast("string"), col("v"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == Set((1L, "2024-01-01", 99L), (2L, "2024-01-02", 20L),
+        (3L, "2024-01-03", 30L)))
+    } finally q.stop()
+  }
+
   test("live serve composition: stream -> withLiveState sessionizer -> keyed " +
     "merge; late data UPDATES the serving row across triggers") {
     // The full advertised chain, live: events stream in, the
