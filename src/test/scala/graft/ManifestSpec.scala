@@ -143,6 +143,46 @@ class ManifestSpec extends SparkTestBase {
     assert(snap(path) == rows(v3))
   }
 
+  test("model check: a random interleaving of staged, committed, and " +
+    "vacuumed partition replacements never shows a reader anything but " +
+    "the last COMMITTED state") {
+    val rnd = new scala.util.Random(7)
+    val path = Files.createTempDirectory("graft_mmodel").toString + "/t"
+    // model: partition value -> rows (id, v); commit 1 = bootstrap
+    var model = Map(
+      "p0" -> Set((1L, 10L), (2L, 20L)),
+      "p1" -> Set((3L, 30L)))
+    model.foreach { case (p, rows) =>
+      rows.toSeq.map { case (id, v) => (id, p, v) }.toDF("id", "day", "v")
+        .write.mode("append").partitionBy("day").parquet(path)
+    }
+    Manifest.bootstrap(spark, path)
+    def snapNow(): Map[String, Set[(Long, Long)]] =
+      Manifest.read(spark, path)
+        .select(col("day").cast("string"), col("id"), col("v"))
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    var nextId = 100L
+    (1 to 12).foreach { step =>
+      val p = s"p${rnd.nextInt(3)}"
+      val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+        nextId += 1; (nextId, p, nextId * 10)
+      }
+      val staged = Manifest.stagePartitionReplacement(spark, path, "day",
+        rows.toDF("id", "day", "v"), Seq(p))
+      if (rnd.nextBoolean()) {
+        // crash before publish: staged files exist, model unchanged
+      } else {
+        Manifest.commit(spark, path, staged)
+        model = model - p + (p -> rows.map(r => (r._1, r._3)).toSet)
+        if (rnd.nextBoolean())
+          Manifest.vacuum(spark, path, keepVersions = 1 + rnd.nextInt(2))
+      }
+      assert(snapNow() == model.filter(_._2.nonEmpty),
+        s"step $step: snapshot diverged from the committed model")
+    }
+  }
+
   test("atomic compaction: content identical, touched partition's file " +
     "count shrinks, untouched partition files untouched") {
     val path = Files.createTempDirectory("graft_mcmp").toString + "/t"
