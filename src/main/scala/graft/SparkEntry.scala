@@ -1427,6 +1427,66 @@ object SparkEntry {
     // fingerprint a seasonal-naive forecast (q197) presumes and an
     // anomaly rule must not fire on. dow derives from the epoch day
     // ((d+3) mod 7, 0 = Monday), identical on both engines.
+    // Exact chi-square independence test — the classical significance
+    // complement of q133's mutual information on the same lang×source
+    // contingency: per cell (ZERO cells included — the margins' cross
+    // join builds the full grid), the chi² contribution on the floor-ppm
+    // grid, computed entirely in DECIMAL(38,0) so the cross-multiplied
+    // (O·N − rT·cT)² never rounds (the q208 HUGEINT-parity discipline).
+    // Scale shape: one contingency groupBy (map-combinable), two
+    // margin aggregates of the CELL table (never the corpus), one
+    // broadcast grid join; no window, no collect.
+    "q222_chi_square" -> ((s, dir) => {
+      val o = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rt = o.groupBy("lang").agg(sum("o").cast("long").as("rt"))
+      val ct = o.groupBy("source").agg(sum("o").cast("long").as("ct"))
+      val n = o.agg(sum("o").cast("long").as("n"))
+      val grid = rt.crossJoin(ct).crossJoin(broadcast(n))
+      val out = grid.join(o, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .withColumn("chi2_ppm", expr(
+          """CAST((CAST(o AS DECIMAL(19,0)) * n - CAST(rt AS DECIMAL(19,0)) * ct)
+            |  * (CAST(o AS DECIMAL(19,0)) * n - CAST(rt AS DECIMAL(19,0)) * ct)
+            |  * 1000000 div (CAST(n AS DECIMAL(19,0)) * rt * ct)
+            |  AS BIGINT)""".stripMargin))
+        .select(col("lang"), col("source"), col("o"), col("rt"),
+          col("ct"), col("n"), col("chi2_ppm"))
+        .localCheckpoint(true)
+      o.unpersist()
+      out
+    }),
+
+    // Time-series gap fill + forward fill — the resampling primitive
+    // every metrics pipeline needs before trend/backtest math (q197
+    // assumes a dense series; this MAKES one): per event type, a
+    // generated day spine from first to last observed day (sequence +
+    // explode — no RNG, no driver loop), missing days joined in as
+    // zero (n_filled) and as last-observation-carried-forward
+    // (n_ffill). Scale shape: one map-combinable daily groupBy, a
+    // per-series bounds aggregate exploded into the spine (bounded by
+    // series × days, not events), one left join, one per-series window
+    // ordered by day. The spine's first day always has data (it IS the
+    // series min), so the ffill column is total.
+    "q221_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy("event_type")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_filled"),
+          last(col("n"), ignoreNulls = true).over(w).as("n_ffill"))
+    }),
+
     // RFM segmentation — recency/frequency/monetary quintile scores per
     // customer (Hughes '94), the classic campaign-targeting table.
     // Cutoffs from the map-combinable quantile bisection (never an
@@ -4949,6 +5009,47 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
+
+    // q222: HUGEINT replay of the DECIMAL(38,0) chi-square grid —
+    // identical cross-multiplication, identical floor-ppm division.
+    "q222_chi_square" ->
+      """WITH o AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+        |g AS (SELECT lang, source, rt, ct, n
+        |      FROM rt CROSS JOIN ct CROSS JOIN nn),
+        |j AS (SELECT g.lang, g.source, COALESCE(o.o, 0) AS o, rt, ct, n
+        |      FROM g LEFT JOIN o ON g.lang = o.lang AND g.source = o.source)
+        |SELECT lang, source, o, rt, ct, n,
+        |  CAST((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |     * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+        |     * 1000000 // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT)
+        |    AS chi2_ppm
+        |FROM j""".stripMargin,
+
+    // q221: generate_series spine + the same LOCF window (frames
+    // mirrored exactly: unbounded preceding → current row).
+    "q221_gap_fill" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        |      FROM d GROUP BY 1),
+        |s AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day
+        |      FROM b),
+        |j AS (SELECT s.event_type, s.day, d.n
+        |      FROM s LEFT JOIN d ON s.event_type = d.event_type
+        |        AND s.day = d.day)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  COALESCE(n, 0) AS n_filled,
+        |  LAST_VALUE(n IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS n_ffill
+        |FROM j""".stripMargin,
 
     // q217: the serving tree is the union of the day-22 and day-23
     // pipeline runs, so the oracle is the UNFILTERED session stack
