@@ -1427,6 +1427,19 @@ object SparkEntry {
     // fingerprint a seasonal-naive forecast (q197) presumes and an
     // anomaly rule must not fire on. dow derives from the epoch day
     // ((d+3) mod 7, 0 = Monday), identical on both engines.
+    // Two-sample KS drift test per language: document-length
+    // distributions of the md5-even source pool vs the rest —
+    // sup|ECDF₁−ECDF₂| as the exact cross-multiplied integer, the
+    // distribution-level alarm the moments-based drift monitor
+    // (q143/q145) cannot raise. Window over the DISTINCT-length table
+    // per lang (bounded), never raw documents.
+    "q223_ks_drift" -> ((s, dir) => {
+      import graft.operators.IntStats
+      IntStats.ksByGroup(Tables.documents(s, dir), col("lang"),
+        col("source").isin("src0", "src2", "src4", "src6", "src8"),
+        length(col("text")))
+    }),
+
     // Exact chi-square independence test — the classical significance
     // complement of q133's mutual information on the same lang×source
     // contingency: per cell (ZERO cells included — the margins' cross
@@ -5009,6 +5022,38 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
+
+    // q223: the identical ECDF cross-multiplication over per-value
+    // counts; length() on both sides counts characters identically
+    // (ASCII fixture; DuckDB length = code points, Spark = UTF-16 — on
+    // this fixture equal, and the ORACLE is recomputed per sf).
+    "q223_ks_drift" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    source IN ('src0','src2','src4','src6','src8') AS s,
+        |    CAST(length(text) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, v,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT lang, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM c GROUP BY 1 HAVING SUM(c1) > 0 AND SUM(c2) > 0),
+        |r AS (
+        |  SELECT lang, v,
+        |    CAST(SUM(c1) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r1,
+        |    CAST(SUM(c2) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r2
+        |  FROM c)
+        |SELECT r.lang AS "group", n1, n2,
+        |  MAX(abs(r1 * n2 - r2 * n1)) AS d_num,
+        |  (1000000 * MAX(abs(r1 * n2 - r2 * n1))) // (n1 * n2) AS d_ppm
+        |FROM r JOIN t ON r.lang = t.lang
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // q222: HUGEINT replay of the DECIMAL(38,0) chi-square grid —
     // identical cross-multiplication, identical floor-ppm division.

@@ -61,6 +61,45 @@ object IntStats {
           .as("gini_ppm"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * DISTRIBUTION-level drift test next to the moments-based monitor
+    * ([[graft.llm.Drift]]): D = sup|ECDF₁ − ECDF₂| detects shape
+    * changes (bimodality, tail shifts) that leave means and variances
+    * untouched. Exact integer contract: with per-value side counts
+    * c₁, c₂ and running sums r₁, r₂, the supremum of
+    * |r₁/n₁ − r₂/n₂| is max|r₁·n₂ − r₂·n₁| / (n₁·n₂) — the numerator
+    * an exact Long (r ≤ n ≤ 2³¹ keeps the product in range), the
+    * ppm a floor division. One (group, value) count groupBy
+    * (map-combinable — the window runs over the DISTINCT-value table,
+    * never raw rows), one per-group ordered window (bounded partition:
+    * the group domain — the [[giniByGroup]] discipline), one max
+    * reduction. Groups missing either side are dropped (D undefined).
+    * `(group, n1, n2, d_num, d_ppm)`. */
+  def ksByGroup(df: DataFrame, group: Column, side: Column,
+                value: Column): DataFrame = {
+    val base = df.select(group.as("grp"), side.cast("boolean").as("s"),
+      value.cast("long").as("v"))
+    val counts = base.groupBy("grp", "v").agg(
+      sum(when(col("s"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("s"), 1L).otherwise(0L)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = counts.groupBy("grp")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      .where(col("n1") > 0 && col("n2") > 0)
+    counts
+      .withColumn("r1", sum("c1").over(w))
+      .withColumn("r2", sum("c2").over(w))
+      .join(broadcast(totals), "grp")
+      .withColumn("d", abs(col("r1") * col("n2") - col("r2") * col("n1")))
+      .groupBy(col("grp").as("group"), col("n1"), col("n2"))
+      .agg(max("d").as("d_num"))
+      .withColumn("d_ppm",
+        expr("(1000000L * d_num) div (n1 * n2)"))
+  }
+
   /** α-trimmed mean per group over integer values: drop the
     * ⌊n·αPct/100⌋ smallest and largest values (as multisets —
     * tie-rank order cannot change which VALUES are dropped), report

@@ -299,6 +299,27 @@ class IntStatsSpec extends SparkTestBase {
       out.toString)
   }
 
+  test("KS: identical samples D=0; disjoint samples D=1; hand-computed " +
+    "intermediate; one-sided groups dropped") {
+    import graft.operators.IntStats
+    // g=a: identical multisets both sides → D = 0
+    // g=b: side1 = {1,2}, side2 = {10,20} — disjoint → D = 1
+    // g=c: side1 = {1,2,3}, side2 = {2,3,3}: ECDFs at v=1: |1/3-0|=1/3;
+    //      v=2: |2/3-1/3|=1/3; v=3: 0 → D = 1/3 (d_num = 3, n1·n2 = 9)
+    // g=d: only one side present → dropped
+    val df = Seq(
+      ("a", true, 1L), ("a", true, 2L), ("a", false, 1L), ("a", false, 2L),
+      ("b", true, 1L), ("b", true, 2L), ("b", false, 10L), ("b", false, 20L),
+      ("c", true, 1L), ("c", true, 2L), ("c", true, 3L),
+      ("c", false, 2L), ("c", false, 3L), ("c", false, 3L),
+      ("d", true, 5L)).toDF("g", "s", "v")
+    val out = IntStats.ksByGroup(df, col("g"), col("s"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(out == Map("a" -> ((0L, 0L)), "b" -> ((4L, 1000000L)),
+      "c" -> ((3L, 333333L))), out.toString)
+  }
+
   test("trimmed mean: 20% trim drops exactly one from each tail of 5") {
     val df = Seq.tabulate(5)(i => ("g", Seq(1L, 2L, 3L, 4L, 100L)(i)))
       .toDF("g", "v")
