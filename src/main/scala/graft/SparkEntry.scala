@@ -1427,6 +1427,17 @@ object SparkEntry {
     // fingerprint a seasonal-naive forecast (q197) presumes and an
     // anomaly rule must not fire on. dow derives from the epoch day
     // ((d+3) mod 7, 0 = Monday), identical on both engines.
+    // CUSUM changepoint detection over per-type daily event volumes —
+    // the sequential level-shift alarm (Page '54): scaled-integer
+    // one-sided CUSUM with the max(0,·) recursion expressed as the
+    // reflection identity T − min(0, running-min T), two ordered
+    // windows per series, zero sequential state.
+    "q224_cusum" -> ((s, dir) => {
+      import graft.operators.Trend
+      Trend.cusum(Tables.events(s, dir), col("event_type"),
+        expr("unix_millis(ts) div 86400000"))
+    }),
+
     // Two-sample KS drift test per language: document-length
     // distributions of the md5-even source pool vs the rest —
     // sup|ECDF₁−ECDF₂| as the exact cross-multiplied integer, the
@@ -5022,6 +5033,33 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
+
+    // q224: the identical reflection-identity windows (cumsum + running
+    // min), same floor-percentage slack/threshold.
+    "q224_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series, epoch_ms(ts) // 86400000 AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT daily.series, d, x, n, sx,
+        |    n * x - sx - (sx * 10) // 100 AS cv
+        |  FROM daily JOIN tot ON daily.series = tot.series),
+        |t AS (
+        |  SELECT *, CAST(SUM(cv) OVER (PARTITION BY series ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tv
+        |  FROM c)
+        |SELECT series, CAST(d AS BIGINT) AS d, x,
+        |  tv - LEAST(0, MIN(tv) OVER (PARTITION BY series ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_scaled,
+        |  (tv - LEAST(0, MIN(tv) OVER (PARTITION BY series ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        |    > (sx * 50) // 100 AS alarm
+        |FROM t""".stripMargin,
 
     // q223: the identical ECDF cross-multiplication over per-value
     // counts; length() on both sides counts characters identically

@@ -71,6 +71,41 @@ object Trend {
     * `(series, d, y, med, mad, is_outlier)` — every observed day,
     * flagged. A constant series has MAD 0, so ANY deviation flags
     * (the documented Hampel-at-zero behavior). */
+  /** CUSUM changepoint detection per daily series — the SEQUENTIAL
+    * drift alarm completing the family (moments: Drift/q143; shape:
+    * KS/q223; level shift over time: this). Page '54's one-sided
+    * positive CUSUM, S_i = max(0, S_{i-1} + x_i − μ − k): a sustained
+    * upward shift accumulates; noise resets. All integers — values are
+    * SCALED BY n (the series' day count) so the mean needs no
+    * division: c_i = n·x_i − Σx exactly centers, the slack and alarm
+    * threshold are floor-percentages of Σx (k = n·(kPct% of μ) =
+    * ⌊Σx·kPct/100⌋, same for h).
+    *
+    * The max(0,·) recursion is NOT folded row-by-row: by the classic
+    * reflection identity S_i = T_i − min(0, min_{j≤i} T_j) with
+    * T = cumsum(c − k), so TWO ordered windows per series express it
+    * — no sequential state, no UDF, same plan shape batch or 100 TB.
+    * `(series, d, x, s_scaled, alarm)`. */
+  def cusum(events: DataFrame, series: Column, day: Column,
+            kPct: Int = 10, hPct: Int = 50): DataFrame = {
+    require(kPct >= 0 && hPct > 0, s"bad cusum params: $kPct/$hPct")
+    val daily = events
+      .select(series.as("series"), day.cast("long").as("d"))
+      .groupBy("series", "d").agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy("series")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val w = Window.partitionBy("series").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(tot), "series")
+      .withColumn("_c",
+        col("n") * col("x") - col("sx") - expr(s"(sx * ${kPct}L) div 100L"))
+      .withColumn("_t", sum("_c").over(w))
+      .withColumn("s_scaled",
+        col("_t") - least(lit(0L), min("_t").over(w)))
+      .withColumn("alarm", col("s_scaled") > expr(s"(sx * ${hPct}L) div 100L"))
+      .select(col("series"), col("d"), col("x"), col("s_scaled"), col("alarm"))
+  }
+
   def madOutliers(events: DataFrame, series: Column, day: Column,
                   k: Int = 3): DataFrame = {
     val daily = events

@@ -86,6 +86,31 @@ class TrendSpec extends SparkTestBase {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
   }
 
+  test("cusum: a sustained level shift alarms; noise resets to zero; " +
+    "hand-computed reflection identity") {
+    // series "shift": 4 days at 10, then 4 days at 30 — μ = 20.
+    // n=8, sx=160, k = ⌊160·10/100⌋ = 16; c_i = 8·x − 160 − 16.
+    // low days: c = 80−160−16 = −96; high days: c = 240−160−16 = 64.
+    // T: −96,−192,−288,−384,−320,−256,−192,−128; runMin hits −384 at
+    // day 4, so S = T − min(0, runMin): 0,0,0,0,64,128,192,256.
+    // h = ⌊160·50/100⌋ = 80 → alarms on days 6,7,8.
+    val rows = (1L to 4L).map(d => ("shift", d, 10L)) ++
+      (5L to 8L).map(d => ("shift", d, 30L))
+    val out = Trend.cusum(events(rows), col("s"), col("d"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._2)
+    assert(out.map(_._4).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 64L, 128L, 192L, 256L), out.mkString(","))
+    assert(out.map(_._5).toSeq ==
+      Seq(false, false, false, false, false, true, true, true))
+    // pure noise around the mean never accumulates past the slack
+    val noise = Seq(("n", 1L, 19L), ("n", 2L, 21L), ("n", 3L, 20L),
+      ("n", 4L, 20L), ("n", 5L, 21L), ("n", 6L, 19L))
+    val nOut = Trend.cusum(events(noise), col("s"), col("d"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(nOut.forall(!_._5), nOut.mkString(","))
+  }
+
   test("mad: a 100x burst flags; the median ignores it") {
     // y = 5 for 8 days, 500 on day 8
     val rows = (0L to 7L).map(d => ("s", d, 5L)) :+ (("s", 8L, 500L))
