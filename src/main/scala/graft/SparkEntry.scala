@@ -308,9 +308,13 @@ object SparkEntry {
           // redundant and AQE then coalesces the tiny stage to ONE file
           // (observed round 10) — a distinct expression keeps the
           // REPARTITION_BY_NUM exchange, which AQE never coalesces.
+          // pageviews are NOT day-filtered inside the pipeline (the
+          // sessions ARE — P5); apply the DailyJob dayOnly discipline
+          // here or both day partitions would carry the full export
           Seq("sessions" -> out.sessions.repartition(4,
               pmod(xxhash64(col("fullVisitorId")), lit(4))),
-            "pageviews" -> out.pageviews)
+            "pageviews" -> out.pageviews
+              .filter(to_date(col("timestamp")) === lit(jobDate)))
             .foreach { case (tpe, df) =>
               df.write.mode("overwrite")
                 .parquet(s"$root/daily/type=$tpe/year=2019/month=09/day=$d")
@@ -1427,6 +1431,22 @@ object SparkEntry {
     // fingerprint a seasonal-naive forecast (q197) presumes and an
     // anomaly rule must not fire on. dow derives from the epoch day
     // ((d+3) mod 7, 0 = Monday), identical on both engines.
+    // Serving read API #3: daily pageview volume per top-level path
+    // from the CATALOG pageviews table — the partition day must equal
+    // each hit's own day (the dayOnly write discipline; the
+    // cross-midnight visitor's night pageviews land under day=22), so
+    // the oracle derives the day from the raw hit timestamp and the
+    // engine reads it off the partition column: layout == truth.
+    "q225_serving_pageview_volume" -> ((s, _) => {
+      gaServing(s)
+      s.table("ga_serving.daily_pageviews")
+        .where(col("year") === 2019 && col("month") === 9 &&
+          col("day").between(22, 23))
+        .groupBy(col("day").cast("long").as("day"),
+          col("hits_page_pagePathLevel1").as("path1"))
+        .agg(count(lit(1)).as("n_pageviews"))
+    }),
+
     // CUSUM changepoint detection over per-type daily event volumes —
     // the sequential level-shift alarm (Page '54): scaled-integer
     // one-sided CUSUM with the max(0,·) recursion expressed as the
@@ -5033,6 +5053,19 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
+
+    // q225: the q17 pageview stack grouped by (hit day, path level 1).
+    "q225_serving_pageview_volume" ->
+      s"""WITH ${dGaSessionCtes("")},
+        |f2 AS (SELECT * FROM s WHERE body_t = 'pageview'),
+        |lv AS (
+        |  SELECT *, list_filter(string_split(${dPath("body_dl")}, '/'), x -> x <> '') AS parts
+        |  FROM f2)
+        |SELECT
+        |  CAST(strftime(make_timestamp((ms // 1000) * 1000000), '%d') AS BIGINT) AS day,
+        |  CASE WHEN len(parts) >= 1 THEN '/' || parts[1] ELSE '' END AS path1,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pageviews
+        |FROM lv GROUP BY 1, 2""".stripMargin,
 
     // q224: the identical reflection-identity windows (cumsum + running
     // min), same floor-percentage slack/threshold.
