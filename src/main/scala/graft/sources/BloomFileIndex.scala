@@ -60,6 +60,7 @@ object BloomFileIndex {
               indexPath: String, expectedPerFile: Long = 100000L,
               numBits: Long = 1000000L): (Long, Long, Long) = {
     import org.apache.spark.sql.catalyst.expressions.Literal
+    import spark.implicits._
     def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
     val rootP = new org.apache.hadoop.fs.Path(tableRoot)
     val live = Manifest.current(spark, tableRoot)
@@ -67,27 +68,36 @@ object BloomFileIndex {
         s"refresh needs a manifest under $tableRoot — bootstrap() it"))._2
       .map(rel => new org.apache.hadoop.fs.Path(rootP, rel).toString)
     val liveNorm = live.map(norm).toSet
-    val old = spark.read.parquet(indexPath).collect()
-      .map(r => norm(r.getString(0)) -> r).toMap
-    val keptRows = old.filter { case (n, _) => liveNorm(n) }
-    val toAdd = live.filter(p => !old.contains(norm(p)))
+    // driver holds PATHS only (O(files) strings — the manifest is
+    // already driver-resident); the blooms themselves never leave the
+    // executors: kept rows are a broadcast semi-join of the old index
+    // against the live path list
+    val oldIdx = spark.read.parquet(indexPath)
+    val oldNorms = oldIdx.select("file").collect()
+      .map(r => norm(r.getString(0))).toSet
+    val keptCount = oldNorms.count(liveNorm)
+    val toAdd = live.filter(p => !oldNorms(norm(p)))
+    // file paths render differently per producer ("file:///x" from
+    // input_file_name, "file:/x" from Path, bare "/x") — normalize the
+    // scheme prefix on the SQL side to match norm() above
+    val normCol = regexp_replace(col("file"), "^[a-zA-Z0-9]+:/*", "/")
+    val kept = oldIdx.join(
+      broadcast(liveNorm.toSeq.toDF("_lf")), normCol === col("_lf"),
+      "left_semi")
     val agg = toCol(new BloomFilterAggregate(
       toExpr(xxhash64(col(column))), Literal(expectedPerFile), Literal(numBits))
       .toAggregateExpression())
     val added =
-      if (toAdd.isEmpty) spark.read.parquet(indexPath).limit(0)
+      if (toAdd.isEmpty) oldIdx.limit(0)
       else spark.read.option("basePath", rootP.toString).parquet(toAdd: _*)
         .select(input_file_name().as("file"), col(column))
         .groupBy("file")
         .agg(agg.as("bloom"), count(lit(1)).as("n_rows"))
-    import scala.jdk.CollectionConverters._
-    val kept = spark.createDataFrame(
-      keptRows.values.toSeq.asJava, added.schema)
     kept.unionByName(added)
       .localCheckpoint(true) // kept rows read the path we now overwrite
       .write.mode("overwrite").parquet(indexPath)
-    (keptRows.size.toLong, toAdd.size.toLong,
-      (old.size - keptRows.size).toLong)
+    (keptCount.toLong, toAdd.size.toLong,
+      (oldNorms.size - keptCount).toLong)
   }
 
   /** Files whose bloom MIGHT contain `value`, plus the total file
