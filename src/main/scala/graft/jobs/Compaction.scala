@@ -129,7 +129,8 @@ object Compaction {
     * partition half-compacted. Readers resolve via `Manifest.read`. */
   def compactAtomic(spark: SparkSession, path: String, partCol: String,
                     targetBytes: Long = 128L * 1024 * 1024,
-                    partitions: Option[Set[String]] = None): Unit = {
+                    partitions: Option[Set[String]] = None,
+                    keepVersions: Int = 1): Unit = {
     import graft.sources.Manifest
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val sess = spark.newSession()
@@ -172,6 +173,6 @@ object Compaction {
     val newFiles = Manifest.stagePartitionReplacement(sess, path, partCol,
       salted, counts.keys.toSeq)
     Manifest.commit(sess, path, newFiles)
-    Manifest.vacuum(sess, path)
+    Manifest.vacuum(sess, path, keepVersions)
   }
 }

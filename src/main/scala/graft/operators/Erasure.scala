@@ -159,7 +159,8 @@ object Erasure {
   def erasePartitionScopedAtomic(spark: SparkSession, targetPath: String,
                                  partCol: String, subjects: DataFrame,
                                  keys: Seq[String], batchId: String,
-                                 ledgerPath: Option[String] = None): Unit = {
+                                 ledgerPath: Option[String] = None,
+                                 keepVersions: Int = 1): Unit = {
     import graft.sources.Manifest
     require(keys.nonEmpty, "erase needs at least one key column")
     require(!keys.contains(partCol),
@@ -202,7 +203,7 @@ object Erasure {
           partCol, surviving, touched)
         Manifest.commit(sess, targetPath, newFiles)
         surviving.unpersist()
-        Manifest.vacuum(sess, targetPath)
+        Manifest.vacuum(sess, targetPath, keepVersions)
       }
       ledgerPath.foreach(lp =>
         ledger.write.mode(SaveMode.Append).parquet(lp))

@@ -135,7 +135,8 @@ object Upsert {
     * same key/partition contract as the non-atomic form applies. */
   def upsertPartitionScopedAtomic(spark: org.apache.spark.sql.SparkSession,
                                   targetPath: String, partCol: String,
-                                  source: DataFrame, keys: Seq[String]): Unit = {
+                                  source: DataFrame, keys: Seq[String],
+                                  keepVersions: Int = 1): Unit = {
     import graft.sources.Manifest
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(!keys.contains(partCol), s"$partCol partitions the tree; key on the id columns")
@@ -168,7 +169,7 @@ object Upsert {
       val newFiles = Manifest.stagePartitionReplacement(sess, targetPath,
         partCol, upsert(affected, src, keys), touched)
       Manifest.commit(sess, targetPath, newFiles)
-      Manifest.vacuum(sess, targetPath)
+      Manifest.vacuum(sess, targetPath, keepVersions)
     } finally src.unpersist()
   }
 }
