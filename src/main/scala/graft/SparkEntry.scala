@@ -1431,6 +1431,43 @@ object SparkEntry {
     // fingerprint a seasonal-naive forecast (q197) presumes and an
     // anomaly rule must not fire on. dow derives from the epoch day
     // ((d+3) mod 7, 0 = Monday), identical on both engines.
+    // Spearman rank correlation between metric pairs — q154's robust
+    // twin: Pearson on DOUBLED average ranks (2·rank_min + ties − 1,
+    // the q192 integer trick — scaling ranks by 2 leaves r unchanged),
+    // so monotone-but-nonlinear co-movement scores 1.0 where Pearson
+    // under-reads it, and every moment stays an exact Long. Windows
+    // partition by the bounded pair key (type²), never by hour.
+    "q226_spearman" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.IntStats._
+      val hourly = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(sum("v").as("sv"))
+        .select(unix_millis(col("w.start")).as("h"), col("event_type"),
+          col("sv"))
+      val pairs = hourly.as("a").join(hourly.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          col("a.sv").as("x"), col("b.sv").as("y"))
+      def rank2(v: String) =
+        lit(2L) * rank().over(Window.partitionBy("ta", "tb").orderBy(v)) +
+          count(lit(1)).over(Window.partitionBy("ta", "tb", v)) - lit(1L)
+      val ranked = pairs
+        .withColumn("rx", rank2("x").cast("long"))
+        .withColumn("ry", rank2("y").cast("long"))
+      ranked.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"), sum("rx").as("sx"), sum("ry").as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .select(col("ta"), col("tb"), col("n").as("n_windows"),
+          corrFromSums(col("n"), col("sx"), col("sy"), col("sxy"),
+            col("sxx"), col("syy")).as("rho"))
+    }),
+
     // Serving read API #3: daily pageview volume per top-level path
     // from the CATALOG pageviews table — the partition day must equal
     // each hit's own day (the dayOnly write discipline; the
@@ -5053,6 +5090,36 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
+
+    // q226: the q154 series-pair CTEs + the same doubled-average-rank
+    // windows and shared corr formula on the ranks.
+    "q226_spearman" ->
+      s"""WITH b AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS h,
+        |    event_type, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT h, event_type, CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type AS ta, b2.event_type AS tb, a.sv AS x, b2.sv AS y
+        |  FROM m a JOIN m b2 ON a.h = b2.h AND a.event_type < b2.event_type),
+        |r AS (
+        |  SELECT ta, tb,
+        |    CAST(2 * RANK() OVER (PARTITION BY ta, tb ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY ta, tb, x) - 1 AS BIGINT) AS rx,
+        |    CAST(2 * RANK() OVER (PARTITION BY ta, tb ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY ta, tb, y) - 1 AS BIGINT) AS ry
+        |  FROM p),
+        |mm AS (
+        |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+        |    CAST(SUM(rx*ry) AS BIGINT) AS sxy, CAST(SUM(rx*rx) AS BIGINT) AS sxx,
+        |    CAST(SUM(ry*ry) AS BIGINT) AS syy
+        |  FROM r GROUP BY 1, 2)
+        |SELECT ta, tb, n AS n_windows,
+        |  ${dCorr("sx", "sy", "sxy", "sxx", "syy")} AS rho
+        |FROM mm""".stripMargin,
 
     // q225: the q17 pageview stack grouped by (hit day, path level 1).
     "q225_serving_pageview_volume" ->
