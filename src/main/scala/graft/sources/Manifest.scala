@@ -196,6 +196,85 @@ object Manifest {
     live.filterNot(f => gone(partitionOf(f, partCol))) ++ created
   }
 
+  /** Write the per-file ROW-COUNT stats sidecar for committed version
+    * `v` — the commit-log statistics every table format keeps so
+    * metadata queries never touch data: `stats-<v>` holds
+    * `relpath\tn_rows` lines, published by the same tmp→rename step as
+    * the manifest (a crash leaves an orphan tmp, never a half sidecar).
+    * Files are IMMUTABLE, so counts carry forward from any previous
+    * sidecar; only files never seen before are counted — one pruned
+    * scan of exactly those files (batch-sized after a merge, never the
+    * table). Stats are derived and rebuildable: writeStats can run (or
+    * re-run) for any retained version at any time. */
+  def writeStats(spark: SparkSession, root: String, v: Long): Unit = {
+    val (fs, rootP) = fsOf(spark, root)
+    val files = filesAt(spark, root, v)
+    val dir = new Path(rootP, Dir)
+    // carry-forward pool: union of all existing sidecars (any version)
+    val prior = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("stats-") && !p.getName.endsWith(".tmp"))
+      .flatMap { p =>
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).map { ln =>
+            val Array(f, n) = ln.split("\t"); f -> n.toLong
+          }
+        finally in.close()
+      }.toMap
+    val missing = files.filterNot(prior.contains)
+    val counted: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val rootUri = rootP.toUri.getPath
+        spark.read.option("basePath", rootP.toString)
+          .parquet(missing.map(f => new Path(rootP, f).toString): _*)
+          .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+          .count().collect()
+          .map { r =>
+            val abs = new Path(r.getString(0)).toUri.getPath
+            abs.stripPrefix(rootUri).stripPrefix("/") -> r.getLong(1)
+          }.toMap
+      }
+    val all = files.map(f => f -> prior.getOrElse(f,
+      counted.getOrElse(f, 0L))) // a 0-row file never appears in a groupBy
+    val tmp = new Path(dir, f"stats-$v%020d.tmp")
+    val target = new Path(dir, f"stats-$v%020d")
+    val out = fs.create(tmp, true)
+    try out.write(all.map { case (f, n) => s"$f\t$n" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, target), s"stats publish failed: $target")
+  }
+
+  /** COUNT answered FROM THE COMMIT LOG — zero data-file IO: sum the
+    * current version's per-file row counts, optionally restricted to
+    * partitions `partPredicate` accepts (evaluated on the Hive-unescaped
+    * `partCol` value). Requires [[writeStats]] to have run for the
+    * current version — fails loudly otherwise rather than silently
+    * falling back to a scan. */
+  def countRows(spark: SparkSession, root: String,
+                partCol: Option[String] = None,
+                partPredicate: String => Boolean = _ => true): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val (v, _) = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest under $root"))
+    val statsP = new Path(new Path(rootP, Dir), f"stats-$v%020d")
+    require(fs.exists(statsP),
+      s"no stats sidecar for version $v — run Manifest.writeStats first")
+    val in = fs.open(statsP)
+    val lines = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    finally in.close()
+    lines.map { ln =>
+      val Array(f, n) = ln.split("\t")
+      partCol match {
+        case Some(pc) => if (partPredicate(partitionOf(f, pc))) n.toLong else 0L
+        case None => n.toLong
+      }
+    }.sum
+  }
+
   /** Garbage collection AFTER a publish: delete physical data files no
     * RETAINED manifest references, drop partition directories left
     * empty, and keep only the newest `keepVersions` manifests.
@@ -220,7 +299,8 @@ object Manifest {
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
     val dir = new Path(rootP, Dir)
-    val keptNames = kept.map(v => f"manifest-$v%020d").toSet
+    val keptNames = kept.flatMap(v =>
+      Seq(f"manifest-$v%020d", f"stats-$v%020d")).toSet
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       if (!keptNames(p.getName)) fs.delete(p, false)
     }

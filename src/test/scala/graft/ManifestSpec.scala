@@ -143,6 +143,35 @@ class ManifestSpec extends SparkTestBase {
     assert(snap(path) == rows(v3))
   }
 
+  test("commit-log row-count stats: COUNT answered with ZERO data IO — " +
+    "carry-forward across a merge, partition-predicate sums, and the " +
+    "proof by deleted data file") {
+    val path = freshTable()
+    val v1 = Manifest.current(spark, path).get._1
+    Manifest.writeStats(spark, path, v1)
+    assert(Manifest.countRows(spark, path) == 4L)
+    assert(Manifest.countRows(spark, path, Some("day"), _ == "d1") == 2L)
+    // merge updates d1 and adds d4: stats for v2 count ONLY the new
+    // files (carry-forward is correctness-visible: totals must be exact)
+    Upsert.upsertPartitionScopedAtomic(spark, path, "day",
+      Seq((1L, "d1", 111L), (9L, "d4", 90L)).toDF("id", "day", "v"),
+      Seq("id"), keepVersions = 10)
+    val v2 = Manifest.current(spark, path).get._1
+    Manifest.writeStats(spark, path, v2)
+    assert(Manifest.countRows(spark, path) == 5L)
+    assert(Manifest.countRows(spark, path, Some("day"), _ == "d4") == 1L)
+    // the zero-IO proof: physically delete a data file — the manifest
+    // READ now fails, but the log-answered count is untouched
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = Manifest.current(spark, path).get._2.head
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), victim), false)
+    intercept[Exception](Manifest.read(spark, path).count())
+    assert(Manifest.countRows(spark, path) == 5L,
+      "count must come from the commit log, not the data files")
+  }
+
   test("model check: a random interleaving of staged, committed, and " +
     "vacuumed partition replacements never shows a reader anything but " +
     "the last COMMITTED state") {
