@@ -5189,7 +5189,8 @@ object SparkEntry {
         |  FROM c)
         |SELECT r.lang AS "group", n1, n2,
         |  MAX(abs(r1 * n2 - r2 * n1)) AS d_num,
-        |  (1000000 * MAX(abs(r1 * n2 - r2 * n1))) // (n1 * n2) AS d_ppm
+        |  CAST((1000000::HUGEINT * MAX(abs(r1 * n2 - r2 * n1)))
+        |    // (n1::HUGEINT * n2) AS BIGINT) AS d_ppm
         |FROM r JOIN t ON r.lang = t.lang
         |GROUP BY 1, 2, 3""".stripMargin,
 

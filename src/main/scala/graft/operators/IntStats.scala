@@ -96,8 +96,16 @@ object IntStats {
       .withColumn("d", abs(col("r1") * col("n2") - col("r2") * col("n1")))
       .groupBy(col("grp").as("group"), col("n1"), col("n2"))
       .agg(max("d").as("d_num"))
+      // ppm step in DECIMAL(38,0): d_num can reach n1·n2, so the naive
+      // `1000000L * d_num` Long multiply wraps once n1·n2 > ~9.2e12 —
+      // two ~3M-row sides, far below the 2³¹ per-side bound that keeps
+      // d_num itself exact. The decimal grid never wraps (38 digits ≥
+      // 6 + 2·19 needed), and the result ≤ 1e6 casts back to BIGINT
+      // losslessly — the q222 chi-square discipline.
       .withColumn("d_ppm",
-        expr("(1000000L * d_num) div (n1 * n2)"))
+        expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000
+               |  div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+          .stripMargin))
   }
 
   /** α-trimmed mean per group over integer values: drop the

@@ -28,6 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object BloomFileIndex {
 
+  /** ONE path normalization for every comparison in this file: strip
+    * the scheme AND authority, keep the absolute path. File paths
+    * render differently per producer — `file:///x` from
+    * `input_file_name`, `file:/x` from Hadoop `Path.toString`, bare
+    * `/x` from a manifest, `hdfs://nn:8020/x` with an authority — and
+    * round-10 used TWO normalizations (driver `Path.toUri.getPath`,
+    * SQL regexp_replace of the scheme prefix only) that agree on
+    * local paths but DISAGREE on authority-bearing URIs
+    * (`hdfs://nn/x` → `/x` vs `/nn/x`), which would make refresh()'s
+    * kept-semi-join silently match nothing on HDFS/S3. Driver side
+    * calls this function; the SQL side applies [[normExpr]], and
+    * [[BloomFileIndexSpec]] pins the two to byte-parity over every
+    * rendering above. */
+  private[graft] def norm(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+
+  /** The SQL rendering of [[norm]] — the SAME regex, applied to a
+    * column, so both sides of refresh()'s semi-join normalize
+    * identically by construction. */
+  private[graft] def normExpr(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+
   /** Build the index for `tablePath` over `column` at `indexPath`: one
     * bloom per physical file. `expectedPerFile` sizes each bloom (at
     * the default 1e5 items / 1e6 bits ≈ 120 KB and <1% fpp — index
@@ -61,7 +83,6 @@ object BloomFileIndex {
               numBits: Long = 1000000L): (Long, Long, Long) = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import spark.implicits._
-    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
     val rootP = new org.apache.hadoop.fs.Path(tableRoot)
     val live = Manifest.current(spark, tableRoot)
       .getOrElse(throw new IllegalArgumentException(
@@ -77,13 +98,9 @@ object BloomFileIndex {
       .map(r => norm(r.getString(0))).toSet
     val keptCount = oldNorms.count(liveNorm)
     val toAdd = live.filter(p => !oldNorms(norm(p)))
-    // file paths render differently per producer ("file:///x" from
-    // input_file_name, "file:/x" from Path, bare "/x") — normalize the
-    // scheme prefix on the SQL side to match norm() above
-    val normCol = regexp_replace(col("file"), "^[a-zA-Z0-9]+:/*", "/")
     val kept = oldIdx.join(
-      broadcast(liveNorm.toSeq.toDF("_lf")), normCol === col("_lf"),
-      "left_semi")
+      broadcast(liveNorm.toSeq.toDF("_lf")),
+      normExpr(col("file")) === col("_lf"), "left_semi")
     val agg = toCol(new BloomFilterAggregate(
       toExpr(xxhash64(col(column))), Literal(expectedPerFile), Literal(numBits))
       .toAggregateExpression())
@@ -93,6 +110,16 @@ object BloomFileIndex {
         .select(input_file_name().as("file"), col(column))
         .groupBy("file")
         .agg(agg.as("bloom"), count(lit(1)).as("n_rows"))
+    // Cross-check the SQL semi-join against the driver's own set
+    // arithmetic BEFORE overwriting the index: if the two ever drift
+    // (the round-10 authority bug's failure mode), fail loudly instead
+    // of publishing an index that silently prunes everything. O(files)
+    // rows — the count is metadata-cheap.
+    val keptWritten = kept.count()
+    require(keptWritten == keptCount,
+      s"bloom refresh normalization drift: semi-join kept $keptWritten " +
+        s"rows but the live set retains $keptCount — refusing to " +
+        s"overwrite $indexPath")
     kept.unionByName(added)
       .localCheckpoint(true) // kept rows read the path we now overwrite
       .write.mode("overwrite").parquet(indexPath)

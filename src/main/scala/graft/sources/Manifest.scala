@@ -58,14 +58,20 @@ object Manifest {
   }
 
   /** All physical data files under `root` (recursive), as root-relative
-    * paths — excludes the manifest dir and writer markers. */
+    * paths — excludes the manifest dir, writer markers, and (the
+    * InMemoryFileIndex discipline) every hidden entry whose name starts
+    * with `_` or `.`: a crashed or concurrent NON-manifest write leaves
+    * task-attempt files under `_temporary/`, and sweeping those in
+    * would let [[bootstrap]] publish partial/duplicate data as live and
+    * make [[partitionOf]] throw on the `_temporary` segment. */
   def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val rootUri = root.toUri.getPath
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
     def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory) { if (name != Dir) walk(st.getPath) }
-      else if (name.endsWith(".parquet"))
+      if (st.isDirectory) { if (!hidden(name)) walk(st.getPath) }
+      else if (name.endsWith(".parquet") && !hidden(name))
         out += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
     }
     if (fs.exists(root)) walk(root)

@@ -49,6 +49,23 @@ class BloomFileIndexSpec extends SparkTestBase {
     assert(hits == 0L)
   }
 
+  test("driver norm() and SQL normExpr are byte-identical over every " +
+    "path rendering, including authority-bearing URIs") {
+    // the round-10 defect class: two normalizations that agree on local
+    // file:// paths but diverge on hdfs://nn/x vs s3a://bucket/x would
+    // make refresh()'s kept semi-join silently empty on a real cluster
+    val renders = Seq(
+      "file:///a/b/c.parquet", "file:/a/b/c.parquet", "/a/b/c.parquet",
+      "hdfs://nn:8020/a/b/c.parquet", "hdfs://nn/a/b/c.parquet",
+      "s3a://bucket/a/b/c.parquet", "o.d-d+x://auth/a/b/c.parquet")
+    val viaDriver = renders.map(BloomFileIndex.norm)
+    val viaSql = renders.toDF("p")
+      .select(BloomFileIndex.normExpr(col("p"))).as[String].collect().toSeq
+    assert(viaDriver == viaSql, s"driver=$viaDriver sql=$viaSql")
+    assert(viaDriver.toSet == Set("/a/b/c.parquet"),
+      s"all renderings must collapse to the bare path: $viaDriver")
+  }
+
   test("refresh syncs the index to the manifest incrementally: carried " +
     "files keep their blooms, commit-added files gain them, vacuumed " +
     "files drop; lookups stay exact across the MERGE") {

@@ -39,6 +39,32 @@ class ManifestSpec extends SparkTestBase {
       Set((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L)))
   }
 
+  test("listDataFiles ignores hidden entries: _temporary task-attempt " +
+    "debris from a crashed non-manifest write is never swept into a " +
+    "bootstrap, and partition ops never see it") {
+    val path = freshTable()
+    // simulate a foreign writer's crash: a Spark committer leaves
+    // task-attempt parquet under _temporary/, plus stray dotfiles
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpDir = new org.apache.hadoop.fs.Path(
+      path, "_temporary/0/task_0/day=d1")
+    fs.mkdirs(tmpDir)
+    Seq((99L, "d1", 999L)).toDF("id", "day", "v").coalesce(1)
+      .write.parquet(s"$path/_temporary/stage")
+    val dot = new org.apache.hadoop.fs.Path(path, "day=d1/.hidden.parquet")
+    val out = fs.create(dot, true); out.write(1); out.close()
+    val listed = Manifest.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+    assert(listed.forall(f => !f.contains("_temporary") &&
+      !f.split("/").exists(s => s.startsWith(".") || s.startsWith("_"))),
+      s"hidden debris leaked into the listing: $listed")
+    // partitionOf never throws on the listing, and a re-bootstrap of a
+    // fresh manifest over this tree publishes only real data
+    listed.foreach(f => Manifest.partitionOf(f, "day"))
+    assert(snap(path) ==
+      Set((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L)))
+  }
+
   test("crash before publish: staged files invisible, old snapshot exact; " +
     "commit flips atomically; vacuum reclaims only garbage") {
     val path = freshTable()
