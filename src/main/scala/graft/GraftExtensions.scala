@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dimension joins the query doesn't consume
     // (plans/JoinElimination.scala). No-op until a constraint registers.
     ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
+    // Unified table read path: catalog tables marked graft.manifest=true
+    // resolve through the manifest commit log (snapshot isolation) with
+    // bloom file pruning on the declared point-lookup column
+    // (sources/GraftTable.scala). No-op for every other table.
+    ext.injectPostHocResolutionRule(s => graft.sources.ManifestTableResolution(s))
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),

@@ -453,6 +453,62 @@ class PlanSpec extends SparkTestBase {
       s"journey touched non-sessions partitions: ${scanned.mkString(", ")}")
   }
 
+  test("q218 unified table: resolves through ManifestFileIndex, and the " +
+    "scanned file set EQUALS the bloom index's prediction within the " +
+    "day range — snapshot + partition + bloom pruning in one " +
+    "spark.table() resolution") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.sources.BloomFileIndex
+    val df = uncached(SparkEntry.queries("q218_serving_visitor_journey")(
+      spark, sf))
+    // the relation must be pinned to a committed manifest version
+    val mfis = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fsr: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fsr.location match {
+              case m: graft.sources.ManifestFileIndex => Seq(m)
+              case _ => Seq.empty
+            }
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(mfis.nonEmpty, "q218 must resolve through ManifestFileIndex")
+    assert(mfis.head.version >= 1L)
+    val scanned = df.queryExecution.executedPlan.collectLeaves().flatMap {
+      case sc: FileSourceScanExec =>
+        sc.selectedPartitions.toPartitionArray
+          .map(f => f.filePath.toPath.toUri.getPath)
+      case _ => Nil
+    }.toSet
+    // the bloom index's own prediction for cid-v17 — PLUS any live
+    // file the index has no row for (a ZERO-ROW part file never
+    // appears in the build's groupBy; the fail-open contract keeps
+    // unprovable files as candidates) — restricted to the query's day
+    // range: the unified plan must open EXACTLY these
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ga_serving_bloom_idx").toString
+    val (cand, total) = BloomFileIndex.prunedPaths(spark, idx,
+      lit("cid-v17"))
+    val indexed = spark.read.parquet(idx).select("file")
+      .collect().map(r => BloomFileIndex.norm(r.getString(0))).toSet
+    val root = mfis.head.root
+    val live = graft.sources.Manifest.current(spark, root.toString).get._2
+      .map(f => BloomFileIndex.norm(
+        new org.apache.hadoop.fs.Path(root, f).toString)).toSet
+    val expect = (cand.map(BloomFileIndex.norm).toSet ++ (live -- indexed))
+      .filter(p => p.contains("day=22") || p.contains("day=23"))
+    assert(scanned == expect,
+      s"scanned=$scanned\nbloom-predicted=$expect")
+    assert(scanned.nonEmpty && scanned.size < total,
+      s"point lookup must prune files: ${scanned.size} of $total")
+    // and the bloom actually prunes within the day range: at least one
+    // live in-range file was NOT opened
+    val inRange = live.filter(p => p.contains("day=22") || p.contains("day=23"))
+    assert(scanned.size < inRange.size,
+      s"bloom pruned nothing: opened ${scanned.size} of ${inRange.size}")
+  }
+
   test("q212 top-10 is TakeOrdered, not a global sort or window") {
     val plan = uncached(SparkEntry.queries("q212_behavior_trigrams")(
       spark, sf).queryExecution.executedPlan.toString)
