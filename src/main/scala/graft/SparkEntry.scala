@@ -41,6 +41,17 @@ object SparkEntry {
   val GaRaw = "/root/repo/fixtures/ga/raw/records.jsonl"
   val GaEnriched = "/root/repo/fixtures/ga/enriched/year=2019/month=09/day=23"
   val GaEnrichedFile = s"$GaEnriched/part-00000.jsonl"
+
+  /** Supplementary-plane (astral) oracle fixture for the tokenizer
+    * encode gates q179/q186 (round-10 verdict #8): words mixing BMP
+    * ASCII with astral code points (math-bold X U+1D54F, G clef
+    * U+1D11E, emoji U+1F600). DuckDB's substr/len are code-point
+    * native, so hash parity on this row pins the engine's code-point
+    * iteration — a UTF-16 code-UNIT tokenizer splits each astral char
+    * into two garbage pieces and fails the gate. Unioned into the
+    * encode inputs engine-side, mirrored verbatim in the oracle SQL. */
+  val AstralDocId = 999999999L
+  val AstralText = "𝕏a b𝄞c 😀 hello"
   val GeoRanges = "/root/repo/fixtures/geo/ip_ranges.csv"
   val GaConcat = "/root/repo/fixtures/ga/raw/concatenated.json"
   val MediaFixtures = "/root/repo/fixtures/media"
@@ -1259,14 +1270,21 @@ object SparkEntry {
     // codegen projection — zero shuffle beyond the scan. The DuckDB
     // oracle replays the exact DP (position ascending, length
     // ascending, strict improvement) in list_reduce folds, so the
-    // piece stream hash-gates piece for piece.
+    // piece stream hash-gates piece for piece. The input unions the
+    // SUPPLEMENTARY-PLANE fixture row (round-10 verdict #8): DuckDB's
+    // substr/len are code-point native, so the hash gate now pins the
+    // engine's code-point grid — a UTF-16 code-unit iterator would
+    // split each astral char into two garbage pieces and hash-fail.
     "q179_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
       val pieces = call_function("unigram_encode", col("text"))
-      Tables.documents(s, dir).select(col("doc_id"),
-        coalesce(size(pieces).cast("long"), lit(0L)).as("n_pieces"),
-        coalesce(size(filter(pieces, p => p === "<unk>")).cast("long"),
-          lit(0L)).as("n_unk"),
-        coalesce(array_join(pieces, ","), lit("")).as("pieces_str"))
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(Seq((AstralDocId, AstralText)).toDF("doc_id", "text"))
+        .select(col("doc_id"),
+          coalesce(size(pieces).cast("long"), lit(0L)).as("n_pieces"),
+          coalesce(size(filter(pieces, p => p === "<unk>")).cast("long"),
+            lit(0L)).as("n_unk"),
+          coalesce(array_join(pieces, ","), lit("")).as("pieces_str"))
     }),
 
     // Unigram-LM tokenizer training (SentencePiece's model, the BPE
@@ -1289,12 +1307,18 @@ object SparkEntry {
     // LONGEST vocab member at pos, exactly the tie-free scan the
     // encoder runs.
     "q186_wordpiece_encode" -> ((s, dir) => {
+      import s.implicits._
       val pieces = call_function("wordpiece_encode", col("text"))
-      Tables.documents(s, dir).select(col("doc_id"),
-        coalesce(size(pieces).cast("long"), lit(0L)).as("n_pieces"),
-        coalesce(size(filter(pieces, p => p === "[UNK]")).cast("long"),
-          lit(0L)).as("n_unk"),
-        coalesce(array_join(pieces, ","), lit("")).as("pieces_str"))
+      // astral fixture row unioned in — the q179 discipline: the
+      // greedy matcher's position arithmetic is hash-gated against
+      // DuckDB's code-point-native substr/len
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(Seq((AstralDocId, AstralText)).toDF("doc_id", "text"))
+        .select(col("doc_id"),
+          coalesce(size(pieces).cast("long"), lit(0L)).as("n_pieces"),
+          coalesce(size(filter(pieces, p => p === "[UNK]")).cast("long"),
+            lit(0L)).as("n_unk"),
+          coalesce(array_join(pieces, ","), lit("")).as("pieces_str"))
     }),
 
     // WordPiece training provenance (the q128/q178 discipline):
@@ -1567,6 +1591,22 @@ object SparkEntry {
       import graft.operators.Trend
       Trend.cusum(Tables.events(s, dir), col("event_type"),
         expr("unix_millis(ts) div 86400000"))
+    }),
+
+    // q101 with the 100 TB levers ON (round-10 verdict #6): the same
+    // directed containment join, grams capped at df ≤ 200 before the
+    // prefix algorithm — stop-gram-free containment, the form a 100 TB
+    // dedup pass actually runs. Semantics are the exact containment
+    // join over the FILTERED sets (oracle mirrors the cap), so the
+    // recall trade is explicit and hash-gated, and candidate fan-out
+    // per probe gram is bounded by the cap: candidate volume is
+    // O(corpus × maxDf) — linear, where unguarded q101 measured
+    // 12.35× work per 10× rows at the top decade (SCALING.md).
+    "q228_containment_capped" -> ((s, dir) => {
+      import graft.llm.MinHashLsh
+      MinHashLsh.containmentJoinFromSetsCapped(
+        MinHashLsh.hashSets(Tables.documents(s, dir), col("doc_id"),
+          col("text")), 4, 5, maxDf = 200L)
     }),
 
     // Skipping index FROM THE COMMIT LOG (round-10 verdict #4): q183's
@@ -6577,12 +6617,14 @@ object SparkEntry {
         |    CAST(SUM(cnt) AS BIGINT) AS tot
         |  FROM read_csv('$UnigramVocab', delim='\t', header=true, quote='',
         |    columns={'rank':'BIGINT','piece':'VARCHAR','cnt':'BIGINT','p_ppm':'BIGINT'})),
+        |adocs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST($AstralDocId AS BIGINT), '$AstralText'),
         |uwords AS (
         |  SELECT doc_id, wi, word, len(word) AS n
         |  FROM (SELECT doc_id,
         |      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word,
         |      generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) AS wi
-        |    FROM documents)),
+        |    FROM adocs)),
         |urec AS (
         |  SELECT doc_id, wi, word, n, CAST(0 AS BIGINT) AS i,
         |    [CAST(0.0 AS DOUBLE)] AS ds, [CAST(0 AS BIGINT)] AS bk
@@ -6619,7 +6661,7 @@ object SparkEntry {
         |  CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_pieces,
         |  CAST(COALESCE(len(list_filter(toks, p -> p = '<unk>')), 0) AS BIGINT) AS n_unk,
         |  COALESCE(array_to_string(toks, ','), '') AS pieces_str
-        |FROM documents d LEFT JOIN utoks USING (doc_id)""".stripMargin
+        |FROM adocs d LEFT JOIN utoks USING (doc_id)""".stripMargin
     },
 
     // q186: greedy longest-match-first replay — a recursive CTE per
@@ -6635,12 +6677,14 @@ object SparkEntry {
         |  SELECT map(list(token), list(TRUE)) AS m
         |  FROM read_csv('$WordPieceVocab', delim='\t', header=true, quote='',
         |    columns={'id':'BIGINT','token':'VARCHAR'})),
+        |adocs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(${AstralDocId} AS BIGINT), '$AstralText'),
         |words AS (
         |  SELECT doc_id, wi, word, len(word) AS n
         |  FROM (SELECT doc_id,
         |      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word,
         |      generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) AS wi
-        |    FROM documents)),
+        |    FROM adocs)),
         |rec AS (
         |  SELECT doc_id, wi, word, n, CAST(0 AS BIGINT) AS pos,
         |    CAST([] AS VARCHAR[]) AS ps
@@ -6666,7 +6710,7 @@ object SparkEntry {
         |  CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_pieces,
         |  CAST(COALESCE(len(list_filter(toks, p -> p = '[UNK]')), 0) AS BIGINT) AS n_unk,
         |  COALESCE(array_to_string(toks, ','), '') AS pieces_str
-        |FROM documents d LEFT JOIN toks USING (doc_id)""".stripMargin
+        |FROM adocs d LEFT JOIN toks USING (doc_id)""".stripMargin
     },
 
     // q188: q20's exact-jaccard pair CTEs → symmetrized edge list →
@@ -8509,6 +8553,28 @@ object SparkEntry {
         |      (CAST(s AS DOUBLE) / 6) * (CAST(s AS DOUBLE) / 6),
         |      CAST(0.0 AS DOUBLE))) AS is_burst
         |FROM w WHERE cnt >= 6""".stripMargin,
+
+    // q228: q101's brute-force truth over the df-CAPPED gram sets —
+    // the oracle applies the identical df ≤ 200 filter before
+    // containment, so the stop-gram recall trade is itself hash-gated.
+    "q228_containment_capped" ->
+      s"""WITH ${dShingleCtes()},
+        |hh0 AS (SELECT doc_id, t AS h FROM sh),
+        |gdf AS (SELECT h, count(*) AS df FROM hh0 GROUP BY 1),
+        |hh AS (SELECT doc_id, hh0.h FROM hh0 JOIN gdf USING (h)
+        |       WHERE df <= 200),
+        |sz AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b, i, sa.n AS n_a, sb.n AS n_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |             JOIN sz sb ON sb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, i AS n_shared, n_a, n_b,
+        |  round(i * 1.0 / n_a, 4) AS containment
+        |FROM j WHERE i * 5 >= n_a * 4""".stripMargin,
 
     // q101: directed brute-force ground truth over raw word bigrams
     // (engine hashes them; no collisions at sf scale, the q21 contract);

@@ -22,7 +22,10 @@ object ScalingProbe {
   // windowed SCD2, wide-profile
   val Subset = Seq("q01_pricing_agg", "q16_ga_sessions", "q20_dedup_minhash",
     "q26_ann_brute", "q55_bm25", "q65_sequence_packing", "q100_pagerank",
-    "q101_containment_join", "q104_scd2_intervals", "q141_data_profile")
+    "q101_containment_join", "q104_scd2_intervals", "q141_data_profile",
+    // round 11: the df-capped containment twin — the measured proof
+    // that the maxDf lever turns q101's super-linear top decade linear
+    "q228_containment_capped")
 
   def main(args: Array[String]): Unit = {
     val sfs = if (args.nonEmpty) args.toSeq
