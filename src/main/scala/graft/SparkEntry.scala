@@ -1593,6 +1593,44 @@ object SparkEntry {
         expr("unix_millis(ts) div 86400000"))
     }),
 
+    // q183's range scan served through the UNIFIED TABLE: the layout
+    // is manifest-committed with colstats in the log, registered as a
+    // graft.manifest catalog table, and the 3-month predicate prunes
+    // files FROM THE SIDECAR inside a plain spark.table() read — no
+    // SkippingIndex library call, no separate index artifact; the
+    // q227 zero-IO stats now serve implicitly. gate_pruned inspects
+    // the planned scan's file count; the hash gate against the
+    // full-filter oracle proves the log-derived pruning lost nothing.
+    "q229_unified_range" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_uni_range_$tag").toString
+      s.read.parquet(base).repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      Manifest.writeColStats(s, layout, 1L, Seq("o_orderdate"))
+      GraftTable.register(s, "graft_unified", s"orders_ranged_$tag", layout)
+      val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+      val read = s.table(s"graft_unified.orders_ranged_$tag")
+        .where(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      // plan-level pruning proof, carried as an oracle-checked gate:
+      // the planned scan must open strictly fewer than the live files
+      val opened = read.queryExecution.executedPlan.collectLeaves().map {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.selectedPartitions.totalNumberOfFiles
+        case _ => 0L
+      }.sum
+      val total = Manifest.current(s, layout).get._2.size
+      read.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+        .withColumn("gate_pruned", lit(opened > 0 && opened < total))
+    }),
+
     // q101 with the 100 TB levers ON (round-10 verdict #6): the same
     // directed containment join, grams capped at df ≤ 200 before the
     // prefix algorithm — stop-gram-free containment, the form a 100 TB
@@ -6533,6 +6571,18 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(sm.n_bigrams, 0) AS n_bigrams,
         |  round(-sm.s / sm.n_bigrams, 4) AS xent
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN sm USING (doc_id)""".stripMargin,
+
+    // q229: the same full-table-filter truth, reproduced through the
+    // unified manifest table's implicit colstats pruning.
+    "q229_unified_range" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |  AND o_orderdate < TIMESTAMP '1995-06-01'
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // q227: same full-table-filter truth as q183 — the engine side
     // must reproduce it from LOG-derived stats pruning.

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftDatasetFactory.{column => toCol}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation, PartitionDirectory}
@@ -104,17 +104,124 @@ class ManifestFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    bloomCandidates(dataFilters) match {
+    // bloom membership and stats intersection are NECESSARY, never
+    // sufficient: dropping non-candidate files is sound, and the
+    // row-level predicate still runs over the survivors (stock
+    // FileSourceScanExec)
+    val afterBloom = bloomCandidates(dataFilters) match {
       case None => base
       case Some(cand) =>
-        // bloom membership is NECESSARY, never sufficient: dropping
-        // non-candidate files is sound, and the row-level predicate
-        // still runs over the survivors (stock FileSourceScanExec)
         base.map(pd => pd.copy(files = pd.files.filter(f =>
             cand(BloomFileIndex.norm(f.getPath.toString)))))
           .filter(_.files.nonEmpty)
     }
+    statsKeep(dataFilters) match {
+      case None => afterBloom
+      case Some(keep) =>
+        afterBloom.map(pd => pd.copy(files = pd.files.filter(f =>
+            keep(BloomFileIndex.norm(f.getPath.toString)))))
+          .filter(_.files.nonEmpty)
+    }
   }
+
+  /** RANGE pruning from the commit log's colstats sidecar — the
+    * SkippingIndex semantics served implicitly by the unified table:
+    * for every comparison `col (<|<=|>|>=|=) literal` over a column
+    * the sidecar covers, a file is kept iff its [min, max] can
+    * intersect the predicate. Same fail-open contract as the bloom
+    * arm: no sidecar for the current version, an unparseable entry, or
+    * a (file, col) the sidecar lacks → that file stays a candidate.
+    * All-null files (null min/max) are dropped under any comparison —
+    * exact, because NULL never satisfies one. Returns the KEEP
+    * predicate over normalized paths, or None when nothing prunes. */
+  private def statsKeep(dataFilters: Seq[Expression]): Option[String => Boolean] = {
+    val stats = colStats
+    if (stats.isEmpty) return None
+    // (column, op, literal-as-comparable) triples the sidecar can answer
+    def cmp(v: Any): Option[BigDecimal] = v match {
+      case null => None
+      case l: Long => Some(BigDecimal(l))
+      case i: Int => Some(BigDecimal(i))
+      case s: Short => Some(BigDecimal(s.toInt))
+      case b: Byte => Some(BigDecimal(b.toInt))
+      case d: Double => Some(BigDecimal(d))
+      case f: Float => Some(BigDecimal(f.toDouble))
+      case d: java.math.BigDecimal => Some(BigDecimal(d))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+      case t: java.sql.Timestamp =>
+        Some(BigDecimal(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L))
+      case t: java.time.LocalDateTime =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        Some(BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+      case _ => None // strings would need collation care; numbers only
+    }
+    // Catalyst literal internal values: timestamps are Long micros,
+    // dates Int days — already on the sidecar's integer grid
+    def litCmp(l: Literal): Option[BigDecimal] = (l.value, l.dataType) match {
+      case (null, _) => None
+      case (v: Long, _) => Some(BigDecimal(v))
+      case (v: Int, _) => Some(BigDecimal(v))
+      case (v: Short, _) => Some(BigDecimal(v.toInt))
+      case (v: Byte, _) => Some(BigDecimal(v.toInt))
+      case (v: Double, _) => Some(BigDecimal(v))
+      case (v: Float, _) => Some(BigDecimal(v.toDouble))
+      case (v: org.apache.spark.sql.types.Decimal, _) => Some(v.toBigDecimal)
+      case _ => None
+    }
+    case class Bound(col: String, lo: Option[BigDecimal], hi: Option[BigDecimal])
+    val resolver = spark.sessionState.analyzer.resolver
+    def attrCol(a: AttributeReference): Option[String] =
+      stats.keys.map(_._2).find(c => resolver(a.name, c))
+    val bounds: Seq[Bound] = dataFilters.flatMap {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, Some(v), None)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, Some(v), None)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, None, Some(v))))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, None, Some(v))))
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, Some(v), Some(v))))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, Some(v), Some(v))))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => // l >= a  ⇔  a <= l
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, None, Some(v))))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, None, Some(v))))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => // l <= a  ⇔  a >= l
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, Some(v), None)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        attrCol(a).flatMap(c => litCmp(l).map(v => Bound(c, Some(v), None)))
+      case _ => None
+    }
+    if (bounds.isEmpty) return None
+    Some { path =>
+      bounds.forall { b =>
+        statsByPath.get((path, b.col)) match {
+          case None => true // fail open: file the sidecar doesn't cover
+          case Some((mn, mx)) => (cmp(mn), cmp(mx)) match {
+            case (Some(mnV), Some(mxV)) =>
+              b.lo.forall(mxV >= _) && b.hi.forall(mnV <= _)
+            case _ =>
+              if (mn == null && mx == null) false // all-null: no match
+              else true // unparseable stat: fail open
+          }
+        }
+      }
+    }
+  }
+
+  /** colstats of the pinned version, keyed by (normalized path, col);
+    * empty when the sidecar doesn't exist (fail open). */
+  private lazy val colStats: Map[(String, String), (String, Any, Any, Long, Long)] =
+    try Manifest.readColStats(spark, root.toString, version)
+    catch { case _: Exception => Map.empty }
+
+  private lazy val statsByPath: Map[(String, String), (Any, Any)] =
+    colStats.map { case ((rel, c), (_, mn, mx, _, _)) =>
+      (BloomFileIndex.norm(new Path(root, rel).toString), c) -> (mn, mx)
+    }
 
   /** Normalized candidate paths for the FIRST equality predicate on
     * the bloom column, if any. The probe is one filter over the

@@ -104,6 +104,35 @@ class GraftTableSpec extends SparkTestBase {
       "partition pruning must hold alongside bloom pruning")
   }
 
+  test("colstats RANGE pruning inside the unified table: a range " +
+    "predicate opens only min/max-intersecting files once the sidecar " +
+    "exists; without it the read fails OPEN (all files, right answer)") {
+    val base = Files.createTempDirectory("graft_unified_rng").toString
+    val root = s"$base/t"
+    spark.range(400).select(col("id"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.parquet(root)
+    Manifest.bootstrap(spark, root)
+    GraftTable.register(spark, "graft_test", "ranged", root)
+    def q() = spark.table("graft_test.ranged")
+      .where(col("id") >= 150L && col("id") <= 160L)
+    // no colstats sidecar yet: fail open — correct answer, full scan
+    assert(q().count() == 11)
+    assert(scannedFiles(q()).size == 4, "no sidecar -> no pruning")
+    // sidecar written for the SAME committed version: the next
+    // resolution prunes from the log, zero data IO to decide
+    Manifest.writeColStats(spark, root, 1L, Seq("id"))
+    assert(q().count() == 11, "pruning must lose nothing")
+    val opened = scannedFiles(q())
+    assert(opened.nonEmpty && opened.size < 4,
+      s"range must prune files: ${opened.size} of 4")
+    // a disjoint range opens nothing at all
+    val none = spark.table("graft_test.ranged")
+      .where(col("id") >= 5000L && col("id") < 6000L)
+    assert(none.count() == 0)
+    assert(scannedFiles(none).isEmpty, "disjoint range must prune all files")
+  }
+
   test("no bloom predicate -> partition pruning only; no partition " +
     "predicate -> bloom-only pruning across all partitions") {
     val (root, idx) = mkTable()
