@@ -135,7 +135,7 @@ class ManifestFileIndex(
     * exact, because NULL never satisfies one. Returns the KEEP
     * predicate over normalized paths, or None when nothing prunes. */
   private def statsKeep(dataFilters: Seq[Expression]): Option[String => Boolean] = {
-    val stats = colStats
+    val (stats, statsByPath) = loadStats()
     if (stats.isEmpty) return None
     // (column, op, literal-as-comparable) triples the sidecar can answer
     def cmp(v: Any): Option[BigDecimal] = v match {
@@ -212,16 +212,22 @@ class ManifestFileIndex(
     }
   }
 
-  /** colstats of the pinned version, keyed by (normalized path, col);
-    * empty when the sidecar doesn't exist (fail open). */
-  private lazy val colStats: Map[(String, String), (String, Any, Any, Long, Long)] =
-    try Manifest.readColStats(spark, root.toString, version)
-    catch { case _: Exception => Map.empty }
-
-  private lazy val statsByPath: Map[(String, String), (Any, Any)] =
-    colStats.map { case ((rel, c), (_, mn, mx, _, _)) =>
+  /** colstats of the pinned version, keyed by (normalized path, col) —
+    * RE-READ per listing, not cached on the instance: the sidecar is a
+    * derived artifact that may be written AFTER the version published
+    * (writeColStats is re-runnable for any retained version), and a
+    * cached empty read would pin fail-open forever. One O(files×cols)
+    * text read per query plan; empty when absent (fail open). */
+  private def loadStats(): (Map[(String, String), (String, Any, Any, Long, Long)],
+                            Map[(String, String), (Any, Any)]) = {
+    val cs = try Manifest.readColStats(spark, root.toString, version)
+             catch { case _: Exception =>
+               Map.empty[(String, String), (String, Any, Any, Long, Long)] }
+    val byPath = cs.map { case ((rel, c), (_, mn, mx, _, _)) =>
       (BloomFileIndex.norm(new Path(root, rel).toString), c) -> (mn, mx)
     }
+    (cs, byPath)
+  }
 
   /** Normalized candidate paths for the FIRST equality predicate on
     * the bloom column, if any. The probe is one filter over the
@@ -273,12 +279,41 @@ class ManifestFileIndex(
     }
 }
 
+object ManifestFileIndex {
+  /** Process-wide index cache keyed by (session, root, VERSION, bloom
+    * config): data files are immutable and a manifest version's file
+    * list never changes, so a built index (file statuses + inferred
+    * partitions) stays valid forever — only the version key advances
+    * with commits, which the resolution rule reads fresh per analysis.
+    * Derived artifacts (bloom index table, colstats sidecar) are NOT
+    * baked into the instance — both are re-read per listing — so a
+    * cache hit can never serve stale pruning decisions, only stale
+    * file statuses that cannot exist. Session in the key keeps test
+    * sessions from cross-talking; crude size bound because versions
+    * retire monotonically. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long, Option[String], Option[String]),
+    ManifestFileIndex]()
+
+  def cached(spark: SparkSession, root: Path, version: Long,
+             files: Seq[Path], tableSchema: Option[StructType],
+             bloomColumn: Option[String],
+             bloomIndexPath: Option[String]): ManifestFileIndex = {
+    if (cache.size > 128) cache.clear()
+    cache.computeIfAbsent(
+      (spark, root.toString, version, bloomColumn, bloomIndexPath),
+      _ => new ManifestFileIndex(spark, root, version, files, tableSchema,
+        bloomColumn, bloomIndexPath))
+  }
+}
+
 /** Analyzer rule (post-hoc resolution): any resolved relation whose
   * catalog entry carries `graft.manifest=true` gets its file index
-  * swapped for a fresh [[ManifestFileIndex]] pinned to the CURRENT
-  * committed version — re-resolved per analysis so every new query
+  * swapped for a [[ManifestFileIndex]] pinned to the CURRENT committed
+  * version — the version is re-read per analysis so every new query
   * sees the latest commit, while one query's scans all share one
-  * snapshot. */
+  * snapshot; the index INSTANCE is version-cached (immutable files →
+  * forever-valid statuses). */
 case class ManifestTableResolution(spark: SparkSession)
   extends Rule[LogicalPlan] {
 
@@ -294,7 +329,7 @@ case class ManifestTableResolution(spark: SparkSession)
         fsRel.location match {
           case m: ManifestFileIndex if m.version == v => lr // already pinned
           case _ =>
-            val mfi = new ManifestFileIndex(spark, root, v,
+            val mfi = ManifestFileIndex.cached(spark, root, v,
               rel.map(f => new Path(root, f)), Some(fsRel.schema),
               tbl.properties.get(GraftTable.PropBloomCol),
               tbl.properties.get(GraftTable.PropBloomIdx))

@@ -398,7 +398,11 @@ object Manifest {
       }
     val all = files.map(f => f -> prior.getOrElse(f,
       counted.getOrElse(f, 0L))) // a 0-row file never appears in a groupBy
-    val tmp = new Path(dir, f"stats-$v%020d.tmp")
+    // uuid temp: two concurrent stats writers must never share a
+    // staging name (the tryCommit discipline); publish stays the
+    // idempotent rename — both racers write identical content
+    val tmp = new Path(dir,
+      f"stats-$v%020d." + java.util.UUID.randomUUID + ".tmp")
     val target = new Path(dir, f"stats-$v%020d")
     val out = fs.create(tmp, true)
     try out.write(all.map { case (f, n) => s"$f\t$n" }.mkString("", "\n", "\n")
@@ -479,7 +483,8 @@ object Manifest {
         s"${esc(f)}\t${esc(c)}\t$dt\t$mn\t$mx\t$nn\t$n"
       }
     }
-    val tmp = new Path(dir, f"colstats-$v%020d.tmp")
+    val tmp = new Path(dir,
+      f"colstats-$v%020d." + java.util.UUID.randomUUID + ".tmp")
     val target = new Path(dir, f"colstats-$v%020d")
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("", "\n", "\n")
@@ -582,16 +587,30 @@ object Manifest {
     * VACUUM-retention idea): every kept version stays byte-replayable
     * via [[readVersion]]; the default 1 keeps only the current
     * snapshot. Crash-safe at every point — vacuum only ever removes
-    * what no retained reader can see. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Unit = {
+    * what no retained reader can see.
+    *
+    * `minAgeMs` is the CONCURRENT-WRITER grace window (Delta's file
+    * retention check): a racing [[commitPartitionReplacementCas]] has
+    * staged-but-not-yet-committed files on disk that no manifest
+    * references YET — an ungated vacuum would delete them and the
+    * racer's commit would then publish dangling paths. Files younger
+    * than the grace survive; deployments that vacuum while writers
+    * run must set it above the longest stage→publish window. The
+    * default 0 keeps the single-writer behavior (reclaim everything
+    * immediately). */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+             minAgeMs: Long = 0L): Unit = {
     require(keepVersions >= 1, s"must retain at least the current version")
     val (fs, rootP) = fsOf(spark, root)
     val vs = versions(spark, root)
     if (vs.isEmpty) return
     val kept = vs.takeRight(keepVersions)
     val live = kept.flatMap(filesAt(spark, root, _)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     listDataFiles(fs, rootP).filterNot(live).foreach { rel =>
-      fs.delete(new Path(rootP, rel), false)
+      val p = new Path(rootP, rel)
+      if (minAgeMs <= 0L || fs.getFileStatus(p).getModificationTime <= cutoff)
+        fs.delete(p, false)
     }
     // empty partition directories (a fully-dropped partition) vanish too
     fs.listStatus(rootP).filter(s => s.isDirectory && s.getPath.getName != Dir)

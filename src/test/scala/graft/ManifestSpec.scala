@@ -319,6 +319,35 @@ class ManifestSpec extends SparkTestBase {
       (4L, "d3", 40L)))
   }
 
+  test("vacuum grace window: a racing writer's staged-but-uncommitted " +
+    "files survive vacuum inside minAgeMs; an aged orphan is reclaimed") {
+    val path = freshTable()
+    // orphan staged bytes no manifest references (the racer's window)
+    Seq((9L, "d1", 900L)).toDF("id", "day", "v").coalesce(1)
+      .write.mode("append").partitionBy("day").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val live = Manifest.current(spark, path).get._2.toSet
+    val orphans = Manifest.listDataFiles(fs, rootP).filterNot(live)
+    assert(orphans.nonEmpty)
+    // grace window covers the young orphan: vacuum must NOT delete it —
+    // an ungated vacuum here would make the racer publish dangling paths
+    Manifest.vacuum(spark, path, keepVersions = 1, minAgeMs = 3600000L)
+    assert(Manifest.listDataFiles(fs, rootP).filterNot(live) == orphans,
+      "staged files inside the grace window must survive")
+    // age the orphan past the cutoff; now it is reclaimable garbage
+    orphans.foreach { rel =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(rootP, rel),
+        System.currentTimeMillis() - 7200000L, -1)
+    }
+    Manifest.vacuum(spark, path, keepVersions = 1, minAgeMs = 3600000L)
+    assert(Manifest.listDataFiles(fs, rootP).filterNot(live).isEmpty,
+      "aged orphans must be reclaimed")
+    assert(snap(path) ==
+      Set((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L)))
+  }
+
   test("true thread race on disjoint replacements: both commit, state " +
     "is the union, versions stay linear under any interleaving") {
     val path = freshTable()

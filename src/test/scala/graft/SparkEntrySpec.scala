@@ -19,6 +19,13 @@ class SparkEntrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("every bench setup entry names a registered query") {
+    // a typo here would silently time the query WITH its fixture build
+    // again (the round-10 q59 accounting defect, resurrected)
+    val orphans = SparkEntry.setup.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"setup entries without queries: $orphans")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sf)
