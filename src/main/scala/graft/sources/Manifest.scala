@@ -447,6 +447,10 @@ object Manifest {
         finally in.close()
       }.toMap
     val missing = files.filter(f => cols.exists(c => !prior.contains((f, c))))
+    // dtype source for files the groupBy never emits (0-row files):
+    // the parquet footer schema is known even when the data is empty,
+    // so the sidecar never records an "unknown" dtype when a scan ran
+    var scanTypes: Map[String, String] = Map.empty
     val computed: Map[(String, String), (String, String, String, String, String)] =
       if (missing.isEmpty) Map.empty
       else {
@@ -456,6 +460,7 @@ object Manifest {
         val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
         cols.foreach(c => require(types.contains(c),
           s"column $c not in table schema ${types.keys.toSeq.sorted}"))
+        scanTypes = cols.map(c => c -> types(c).catalogString).toMap
         val aggs = cols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c")))
@@ -479,7 +484,7 @@ object Manifest {
         val (dt, mn, mx, nn, n) = prior.getOrElse((f, c),
           computed.getOrElse((f, c),
             // a 0-row file never appears in the groupBy: typed empty
-            ("unknown", NullStat, NullStat, "0", "0")))
+            (scanTypes.getOrElse(c, "unknown"), NullStat, NullStat, "0", "0")))
         s"${esc(f)}\t${esc(c)}\t$dt\t$mn\t$mx\t$nn\t$n"
       }
     }

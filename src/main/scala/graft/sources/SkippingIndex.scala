@@ -121,7 +121,12 @@ object SkippingIndex {
     val fields = StructField("file", StringType) ::
       StructField("n_rows", LongType) ::
       cols.toList.flatMap { c =>
-        val t = dt(stats((files.head, c))._1)
+        // a 0-row file's sidecar line may carry dtype "unknown" (all-null
+        // stats); take the first file with a real dtype, and when EVERY
+        // file is empty fall back to string — the min/max cells are all
+        // null, so the column type only shapes an all-null schema
+        val t = files.iterator.map(f => stats((f, c))._1)
+          .find(_ != "unknown").map(dt).getOrElse(StringType)
         Seq(StructField(s"min_$c", t), StructField(s"max_$c", t),
           StructField(s"nnull_$c", LongType))
       }
