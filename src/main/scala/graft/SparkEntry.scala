@@ -1593,6 +1593,43 @@ object SparkEntry {
         expr("unix_millis(ts) div 86400000"))
     }),
 
+    // Metadata-only COUNT through plain spark.table(): a global
+    // count(*) and a partition-filtered count(*) over a manifest
+    // catalog table answer from the commit log's row-count sidecar —
+    // the CountFromLog optimizer rule collapses both aggregates to
+    // LocalRelations, and gate_zero_io asserts NEITHER plan contains a
+    // file scan (zero data IO; the library-call-only Manifest.countRows
+    // now served implicitly, closing the q229 unification for counts).
+    // The layout partitions orders by priority digit, registered with
+    // an EXPLICIT schema (catalog-as-truth, no footer inference).
+    "q230_count_from_log" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_countlog_$tag").toString
+      val shaped = s.read.parquet(base)
+        .withColumn("opri", substring(col("o_orderpriority"), 1, 1))
+      shaped.repartition(4)
+        .write.mode("overwrite").partitionBy("opri").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      Manifest.writeStats(s, layout, 1L)
+      GraftTable.register(s, "graft_unified", s"orders_bypri_$tag", layout,
+        schema = Some(shaped.schema), partitionCols = Seq("opri"))
+      val t = s.table(s"graft_unified.orders_bypri_$tag")
+      val full = t.groupBy().agg(count(lit(1)).as("n_total"))
+      val part = t.where(col("opri").isin("1", "2"))
+        .groupBy().agg(count(lit(1)).as("n_urgent_high"))
+      // optimized-plan check (AQE hides physical children): zero
+      // relations left means the count came from the log alone
+      def zeroIo(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.isEmpty
+      full.crossJoin(part) // two single-row aggregates — broadcast, no product
+        .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
+    }),
+
     // q183's range scan served through the UNIFIED TABLE: the layout
     // is manifest-committed with colstats in the log, registered as a
     // graft.manifest catalog table, and the 3-month predicate prunes
@@ -6571,6 +6608,16 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(sm.n_bigrams, 0) AS n_bigrams,
         |  round(-sm.s / sm.n_bigrams, 4) AS xent
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN sm USING (doc_id)""".stripMargin,
+
+    // q230: the row-count truths the engine must answer WITHOUT
+    // scanning data (gate_zero_io pins the plan shape); DuckDB counts
+    // the base table directly.
+    "q230_count_from_log" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
+        |    AS n_urgent_high,
+        |  TRUE AS gate_zero_io""".stripMargin,
 
     // q229: the same full-table-filter truth, reproduced through the
     // unified manifest table's implicit colstats pruning.

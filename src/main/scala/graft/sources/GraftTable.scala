@@ -61,21 +61,33 @@ object GraftTable {
     * it first) as catalog table `db.table`. With `bloomColumn` +
     * `bloomIndexPath`, equality lookups on that column prune files
     * through the bloom index transparently. Idempotent re-registration
-    * (drop + create), data never touched. */
+    * (drop + create), data never touched. An explicit `schema` (with
+    * `partitionCols` naming its partition columns, in order) skips
+    * file-based inference — the catalog-as-truth discipline a 100 TB
+    * deployment wants anyway (inference opens footers), and the only
+    * way to register a still-EMPTY partitioned layout. */
   def register(spark: SparkSession, db: String, table: String, root: String,
                bloomColumn: Option[String] = None,
-               bloomIndexPath: Option[String] = None): Unit = {
+               bloomIndexPath: Option[String] = None,
+               schema: Option[StructType] = None,
+               partitionCols: Seq[String] = Nil): Unit = {
     require(Manifest.current(spark, root).isDefined,
       s"$root has no committed manifest — Manifest.bootstrap it first")
     require(bloomColumn.isDefined == bloomIndexPath.isDefined,
       "bloomColumn and bloomIndexPath come together")
+    require(partitionCols.isEmpty || schema.isDefined,
+      "partitionCols need an explicit schema")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     spark.sql(s"DROP TABLE IF EXISTS $db.$table")
     val props = Seq(s"'$PropManifest'='true'") ++
       bloomColumn.map(c => s"'$PropBloomCol'='$c'") ++
       bloomIndexPath.map(p => s"'$PropBloomIdx'='$p'")
-    spark.sql(s"CREATE TABLE $db.$table USING parquet LOCATION '$root' " +
-      s"TBLPROPERTIES (${props.mkString(", ")})")
+    val ddlCols = schema.map(s => "(" + s.fields.map(f =>
+      s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ") ").getOrElse("")
+    val partBy = if (partitionCols.isEmpty) ""
+      else s"PARTITIONED BY (${partitionCols.map(c => s"`$c`").mkString(", ")}) "
+    spark.sql(s"CREATE TABLE $db.$table $ddlCols USING parquet $partBy" +
+      s"LOCATION '$root' TBLPROPERTIES (${props.mkString(", ")})")
     // metastore partition entries keep the table fully usable without
     // the extension installed (plain metastore pruning, no snapshot);
     // unpartitioned layouts have nothing to recover
@@ -280,19 +292,23 @@ class ManifestFileIndex(
 }
 
 object ManifestFileIndex {
-  /** Process-wide index cache keyed by (session, root, VERSION, bloom
-    * config): data files are immutable and a manifest version's file
-    * list never changes, so a built index (file statuses + inferred
-    * partitions) stays valid forever — only the version key advances
-    * with commits, which the resolution rule reads fresh per analysis.
-    * Derived artifacts (bloom index table, colstats sidecar) are NOT
-    * baked into the instance — both are re-read per listing — so a
-    * cache hit can never serve stale pruning decisions, only stale
-    * file statuses that cannot exist. Session in the key keeps test
-    * sessions from cross-talking; crude size bound because versions
-    * retire monotonically. */
+  /** Process-wide index cache keyed by (session, root, VERSION,
+    * FILE-LIST fingerprint, bloom config): data files are immutable
+    * and a manifest version's file list never changes, so a built
+    * index (file statuses + inferred partitions) stays valid — but a
+    * root can be WIPED and re-bootstrapped (overwrite → fresh v1 over
+    * different files; the q229/q230 fixture pattern, re-run per bench
+    * pass), so version alone is NOT a sound key. The fingerprint is a
+    * hash of the manifest's (sorted) file list the resolution rule
+    * already holds — same version + same files → hit; a re-bootstrap
+    * changes the uuid part names and misses. Derived artifacts (bloom
+    * index table, colstats sidecar) are NOT baked into the instance —
+    * both are re-read per listing — so a cache hit can never serve
+    * stale pruning decisions. Session in the key keeps test sessions
+    * from cross-talking; crude size bound because versions retire
+    * monotonically. */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long, Option[String], Option[String]),
+    (SparkSession, String, Long, Int, Option[String], Option[String]),
     ManifestFileIndex]()
 
   def cached(spark: SparkSession, root: Path, version: Long,
@@ -300,8 +316,10 @@ object ManifestFileIndex {
              bloomColumn: Option[String],
              bloomIndexPath: Option[String]): ManifestFileIndex = {
     if (cache.size > 128) cache.clear()
+    val filesKey = scala.util.hashing.MurmurHash3
+      .orderedHash(files.map(_.toString))
     cache.computeIfAbsent(
-      (spark, root.toString, version, bloomColumn, bloomIndexPath),
+      (spark, root.toString, version, filesKey, bloomColumn, bloomIndexPath),
       _ => new ManifestFileIndex(spark, root, version, files, tableSchema,
         bloomColumn, bloomIndexPath))
   }

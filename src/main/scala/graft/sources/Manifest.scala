@@ -557,6 +557,25 @@ object Manifest {
     }.toMap
   }
 
+  /** The `stats-<v>` row-count sidecar as relpath → n_rows, or None
+    * when it was never written for `v` — callers that DERIVE answers
+    * from it (the CountFromLog optimizer rule) decline instead of
+    * guessing; callers that REQUIRE it keep using [[countRows]]'s
+    * loud failure. */
+  def readStatsMap(spark: SparkSession, root: String, v: Long)
+      : Option[Map[String, Long]] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val statsP = new Path(new Path(rootP, Dir), f"stats-$v%020d")
+    if (!fs.exists(statsP)) return None
+    val in = fs.open(statsP)
+    val lines = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    finally in.close()
+    Some(lines.map { ln =>
+      val Array(f, n) = ln.split("\t"); f -> n.toLong
+    }.toMap)
+  }
+
   /** COUNT answered FROM THE COMMIT LOG — zero data-file IO: sum the
     * current version's per-file row counts, optionally restricted to
     * partitions `partPredicate` accepts (evaluated on the Hive-unescaped
