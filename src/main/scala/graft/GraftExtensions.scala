@@ -56,11 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bloom file pruning on the declared point-lookup column
     // (sources/GraftTable.scala). No-op for every other table.
     ext.injectPostHocResolutionRule(s => graft.sources.ManifestTableResolution(s))
-    // Metadata-only COUNT: a global count(*) (under partition-only
-    // filters) over a manifest table answers from the commit log's
-    // row-count sidecar — zero data IO (plans/CountFromLog.scala).
-    // Declines (normal scan) whenever exactness isn't provable.
-    ext.injectOptimizerRule(s => graft.plans.CountFromLog(s))
+    // Metadata-only aggregates: a global count(*)/count(col)/min/max
+    // (under partition-only filters) over a manifest table answers
+    // from the commit log's stats sidecars — zero data IO
+    // (plans/AggFromLog.scala). Declines (normal scan) whenever
+    // exactness isn't provable.
+    ext.injectOptimizerRule(s => graft.plans.AggFromLog(s))
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),

@@ -1630,6 +1630,45 @@ object SparkEntry {
         .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
     }),
 
+    // Metadata-only MIN/MAX/count(col) (q230's completion): the
+    // colstats sidecar already carries exact per-file extrema and
+    // null counts, so a global freshness probe — first/last order
+    // timestamp, price extrema, non-null count, plus a
+    // partition-filtered arm — folds entirely at plan time
+    // (AggFromLog); gate_zero_io pins the no-relation optimized plan
+    // for BOTH arms. The Iceberg manifest-min/max behavior behind
+    // plain SQL.
+    "q231_minmax_from_log" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_agglog_$tag").toString
+      val shaped = s.read.parquet(base)
+        .withColumn("opri", substring(col("o_orderpriority"), 1, 1))
+      shaped.repartition(4)
+        .write.mode("overwrite").partitionBy("opri").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      Manifest.writeColStats(s, layout, 1L,
+        Seq("o_orderdate", "o_totalprice"))
+      GraftTable.register(s, "graft_unified", s"orders_stats_$tag", layout,
+        schema = Some(shaped.schema), partitionCols = Seq("opri"))
+      val t = s.table(s"graft_unified.orders_stats_$tag")
+      val full = t.groupBy().agg(
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        min(col("o_totalprice")).as("min_price"),
+        count(col("o_totalprice")).as("n_price"))
+      val part = t.where(col("opri").isin("1", "2"))
+        .groupBy().agg(max(col("o_totalprice")).as("hi_max_price"))
+      def zeroIo(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        }.isEmpty
+      full.crossJoin(part) // two single-row aggregates — broadcast, no product
+        .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
+    }),
+
     // q183's range scan served through the UNIFIED TABLE: the layout
     // is manifest-committed with colstats in the log, registered as a
     // graft.manifest catalog table, and the 3-month predicate prunes
@@ -6617,6 +6656,19 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders
         |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
         |    AS n_urgent_high,
+        |  TRUE AS gate_zero_io""".stripMargin,
+
+    // q231: the same extrema/count truths, answered in the engine
+    // with zero data IO (gate pins the plan); DuckDB reads the base.
+    "q231_minmax_from_log" ->
+      """SELECT (SELECT min(o_orderdate) FROM orders) AS first_order,
+        |  (SELECT max(o_orderdate) FROM orders) AS last_order,
+        |  (SELECT min(o_totalprice) FROM orders) AS min_price,
+        |  (SELECT CAST(count(o_totalprice) AS BIGINT) FROM orders)
+        |    AS n_price,
+        |  (SELECT max(o_totalprice) FROM orders
+        |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
+        |    AS hi_max_price,
         |  TRUE AS gate_zero_io""".stripMargin,
 
     // q229: the same full-table-filter truth, reproduced through the
