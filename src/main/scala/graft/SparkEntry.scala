@@ -1630,6 +1630,57 @@ object SparkEntry {
         .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
     }),
 
+    // CHANGE FEED through the manifest streaming source: the orders
+    // table lands in three commit waves (priorities 1–2 bootstrap,
+    // then 3, then 4–5 via CAS appends), a
+    // readStream.format(ManifestStreamProvider) query drains them
+    // micro-batch by micro-batch into an accumulator table, and the
+    // accumulated multiset must equal the full base table —
+    // exactly-once incremental consumption, hash-gated (any dropped
+    // or re-served commit breaks the per-priority counts).
+    // gate_multi_batch pins that the feed really arrived over ≥3
+    // separate micro-batches, not one snapshot read.
+    "q232_manifest_change_feed" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_feed_$tag").toString
+      val acc = new java.io.File(tmp, s"graft_feed_acc_$tag").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_feed_cp").toString
+      val shaped = s.read.parquet(base)
+        .withColumn("w", substring(col("o_orderpriority"), 1, 1))
+        .select("o_orderkey", "o_totalprice", "w")
+      // wave 1 IS the bootstrap; waves 2 and 3 are CAS appends of new
+      // partitions (append-only commits — nothing removed)
+      shaped.where(col("w").isin("1", "2")).repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      shaped.limit(0).write.mode("overwrite").parquet(acc) // seed schema
+      val q = s.readStream.schema(shaped.schema)
+        .format("graft.streaming.ManifestStreamProvider").load(layout)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(acc); ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        Manifest.commitPartitionReplacementCas(s, layout, "w",
+          shaped.where(col("w") === "3"), touched = Seq("3"))
+        q.processAllAvailable()
+        Manifest.commitPartitionReplacementCas(s, layout, "w",
+          shaped.where(col("w").isin("4", "5")), touched = Seq("4", "5"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      s.read.schema(shaped.schema).parquet(acc)
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+        .withColumn("gate_multi_batch", lit(nBatches >= 3))
+    }),
+
     // Metadata-only MIN/MAX/count(col) (q230's completion): the
     // colstats sidecar already carries exact per-file extrema and
     // null counts, so a global freshness probe — first/last order
@@ -6657,6 +6708,17 @@ object SparkEntry {
         |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
         |    AS n_urgent_high,
         |  TRUE AS gate_zero_io""".stripMargin,
+
+    // q232: the change feed's accumulated multiset must equal the
+    // base table — DuckDB aggregates the base directly; the engine
+    // side got there one commit at a time.
+    "q232_manifest_change_feed" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_multi_batch
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // q231: the same extrema/count truths, answered in the engine
     // with zero data IO (gate pins the plan); DuckDB reads the base.

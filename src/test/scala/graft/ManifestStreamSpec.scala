@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException}
+
+import graft.sources.Manifest
+
+/** Streaming read of a manifest table: offsets are commit versions,
+  * each micro-batch serves exactly the files a version range added,
+  * replacement commits refuse by default (append-only contract),
+  * checkpoints resume with no duplicates. */
+class ManifestStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Fmt = "graft.streaming.ManifestStreamProvider"
+
+  /** day-partitioned manifest table with 4 d1 rows + 2 d2 rows. */
+  private def mkRoot(): String = {
+    val root = Files.createTempDirectory("graft_mstream").toString + "/t"
+    ((0 until 4).map(i => (s"u$i", "d1")) ++ Seq(("v0", "d2"), ("v1", "d2")))
+      .toDF("uid", "day").repartition(2)
+      .write.partitionBy("day").parquet(root)
+    Manifest.bootstrap(spark, root)
+    root
+  }
+
+  /** Append-only commit: new rows land in a brand-new partition via
+    * the CAS path (touched = only that partition → no file removed). */
+  private def appendDay(root: String, day: String, uids: Seq[String]): Unit =
+    Manifest.commitPartitionReplacementCas(spark, root, "day",
+      uids.map((_, day)).toDF("uid", "day"), touched = Seq(day))
+
+  private def startMem(root: String, name: String,
+                       opts: Map[String, String] = Map.empty): StreamingQuery =
+    spark.readStream.format(Fmt).options(opts).load(root)
+      .writeStream.format("memory").queryName(name).start()
+
+  test("first batch = current snapshot; each commit streams exactly once") {
+    val root = mkRoot()
+    val q = startMem(root, "ms_snap")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ms_snap").count() == 6)
+      appendDay(root, "d3", Seq("w0", "w1", "w2"))
+      q.processAllAvailable()
+      val got = spark.table("ms_snap").select("uid").as[String]
+        .collect().sorted.toSeq
+      assert(got.count(_.startsWith("w")) == 3, got.toString)
+      assert(got.size == 9, "no row served twice")
+      appendDay(root, "d4", Seq("x0"))
+      q.processAllAvailable()
+      assert(spark.table("ms_snap").count() == 10)
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest streams only post-start commits") {
+    val root = mkRoot()
+    val q = startMem(root, "ms_latest", Map("startingVersion" -> "latest"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ms_latest").count() == 0,
+        "history must be skipped")
+      appendDay(root, "d3", Seq("w0", "w1"))
+      q.processAllAvailable()
+      assert(spark.table("ms_latest").select("uid").as[String]
+        .collect().sorted.toSeq == Seq("w0", "w1"))
+    } finally q.stop()
+  }
+
+  test("a replacement commit refuses by default; ignoreChanges serves the rewrite") {
+    val root = mkRoot()
+    val q = startMem(root, "ms_repl")
+    try {
+      q.processAllAvailable()
+      // rewrite d1 (4 rows -> 2 rows): files removed from the manifest
+      Manifest.commitPartitionReplacementCas(spark, root, "day",
+        Seq(("r0", "d1"), ("r1", "d1")).toDF("uid", "day"),
+        touched = Seq("d1"))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getCause.isInstanceOf[IllegalStateException] &&
+        e.getCause.getMessage.contains("REMOVED"), e.getCause.toString)
+    } finally q.stop()
+    // a fresh reader with ignoreChanges serves the post-rewrite snapshot
+    val q2 = startMem(root, "ms_repl2", Map("ignoreChanges" -> "true"))
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("ms_repl2").count() == 4) // 2 rewritten d1 + 2 d2
+    } finally q2.stop()
+  }
+
+  test("restart from checkpoint resumes at the recorded version, no duplicates") {
+    val root = mkRoot()
+    val cp = Files.createTempDirectory("graft_mstream_cp").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start(): StreamingQuery =
+      spark.readStream.format(Fmt).load(root)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("uid").collect().foreach(r => seen.add(r.getString(0)))
+          ()
+        }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.size == 6)
+    appendDay(root, "d3", Seq("w0", "w1"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = seen.toArray(Array.empty[String]).toSeq.sorted
+    assert(all.size == 8 && all.distinct.size == 8,
+      s"exactly-once across restart, got $all")
+  }
+}
