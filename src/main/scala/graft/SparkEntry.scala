@@ -1630,6 +1630,74 @@ object SparkEntry {
         .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
     }),
 
+    // ATOMIC MULTI-TABLE PUBLISH (the reference's 6-table daily
+    // export, made transactional): a facts table and its per-wave
+    // aggregate table publish through TWO group flips (waves 1–2,
+    // then wave 3); waves 4–5 then land physically AND commit to the
+    // facts table's OWN manifest — the crash window between per-table
+    // commits and the group flip — and must stay INVISIBLE to
+    // group-pinned readers. The full-outer join between the two
+    // members catches any leak (an unflipped wave appears as a row
+    // with null aggregate → rows/hash mismatch) and gate_consistent
+    // pins that both members serve the same publish.
+    "q233_group_snapshot" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest, ManifestGroup}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val rootA = new java.io.File(tmp, s"graft_grp_facts_$tag").toString
+      val rootB = new java.io.File(tmp, s"graft_grp_agg_$tag").toString
+      val meta = new java.io.File(tmp, s"graft_grp_meta_$tag").toString
+      val conf = s.sessionState.newHadoopConf()
+      Seq(rootA, rootB, meta).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      def listing(r: String) = {
+        val p = new org.apache.hadoop.fs.Path(r)
+        Manifest.listDataFiles(p.getFileSystem(conf), p)
+      }
+      val shaped = s.read.parquet(base)
+        .withColumn("w", substring(col("o_orderpriority"), 1, 1))
+        .select(col("o_orderkey"), col("o_totalprice"), col("w"))
+      def aggOf(ws: Seq[String]) = shaped.where(col("w").isin(ws: _*))
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+      def landFacts(ws: Seq[String]): Unit =
+        shaped.where(col("w").isin(ws: _*)).repartition(2)
+          .write.mode("append").partitionBy("w").parquet(rootA)
+      // publish 1: waves 1-2 into both members, one flip
+      landFacts(Seq("1", "2"))
+      aggOf(Seq("1", "2")).coalesce(1).write.mode("append").parquet(rootB)
+      ManifestGroup.publish(s, meta,
+        Map(rootA -> listing(rootA), rootB -> listing(rootB)))
+      // publish 2: wave 3 appended to both, one flip
+      landFacts(Seq("3"))
+      aggOf(Seq("3")).coalesce(1).write.mode("append").parquet(rootB)
+      ManifestGroup.publish(s, meta,
+        Map(rootA -> listing(rootA), rootB -> listing(rootB)))
+      // the crash window: waves 4-5 land AND commit to the facts
+      // table's own manifest — but no group flip ever happens
+      landFacts(Seq("4", "5"))
+      Manifest.commit(s, rootA, listing(rootA))
+      GraftTable.register(s, "graft_unified", s"grp_facts_$tag", rootA,
+        schema = Some(shaped.schema), partitionCols = Seq("w"),
+        group = Some(meta))
+      GraftTable.register(s, "graft_unified", s"grp_agg_$tag", rootB,
+        schema = Some(aggOf(Seq("1")).schema), group = Some(meta))
+      val a = s.table(s"graft_unified.grp_facts_$tag").groupBy("w")
+        .agg(count(lit(1)).as("n_facts"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("cents_facts"))
+      s.table(s"graft_unified.grp_agg_$tag")
+        .join(a, Seq("w"), "full_outer")
+        .select(col("w"), col("n_orders"), col("sum_price_cents"),
+          ((col("n_orders") <=> col("n_facts")) &&
+            (col("sum_price_cents") <=> col("cents_facts")))
+            .as("gate_consistent"))
+    }),
+
     // CHANGE FEED through the manifest streaming source: the orders
     // table lands in three commit waves (priorities 1–2 bootstrap,
     // then 3, then 4–5 via CAS appends), a
@@ -6708,6 +6776,19 @@ object SparkEntry {
         |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
         |    AS n_urgent_high,
         |  TRUE AS gate_zero_io""".stripMargin,
+
+    // q233: only the GROUP-published waves (1–3) may appear — waves
+    // 4–5 are committed to the facts table's own manifest but never
+    // flipped, so a leak shows up as extra rows with null aggregates.
+    "q233_group_snapshot" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_consistent
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2', '3')
+        |GROUP BY 1""".stripMargin,
 
     // q232: the change feed's accumulated multiset must equal the
     // base table — DuckDB aggregates the base directly; the engine

@@ -56,6 +56,7 @@ object GraftTable {
   val PropManifest = "graft.manifest"
   val PropBloomCol = "graft.bloom.column"
   val PropBloomIdx = "graft.bloom.index"
+  val PropGroup = "graft.group"
 
   /** Register `root` (a [[Manifest]]-controlled parquet tree; bootstrap
     * it first) as catalog table `db.table`. With `bloomColumn` +
@@ -70,7 +71,8 @@ object GraftTable {
                bloomColumn: Option[String] = None,
                bloomIndexPath: Option[String] = None,
                schema: Option[StructType] = None,
-               partitionCols: Seq[String] = Nil): Unit = {
+               partitionCols: Seq[String] = Nil,
+               group: Option[String] = None): Unit = {
     require(Manifest.current(spark, root).isDefined,
       s"$root has no committed manifest — Manifest.bootstrap it first")
     require(bloomColumn.isDefined == bloomIndexPath.isDefined,
@@ -81,7 +83,8 @@ object GraftTable {
     spark.sql(s"DROP TABLE IF EXISTS $db.$table")
     val props = Seq(s"'$PropManifest'='true'") ++
       bloomColumn.map(c => s"'$PropBloomCol'='$c'") ++
-      bloomIndexPath.map(p => s"'$PropBloomIdx'='$p'")
+      bloomIndexPath.map(p => s"'$PropBloomIdx'='$p'") ++
+      group.map(g => s"'$PropGroup'='$g'")
     val ddlCols = schema.map(s => "(" + s.fields.map(f =>
       s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ") ").getOrElse("")
     val partBy = if (partitionCols.isEmpty) ""
@@ -335,15 +338,35 @@ object ManifestFileIndex {
 case class ManifestTableResolution(spark: SparkSession)
   extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // one group read per analysis: every group-pinned member a query
+    // touches resolves against the SAME group version — a concurrent
+    // group flip cannot split one query across two publishes (the
+    // post-hoc resolution batch runs Once)
+    val groupCache =
+      scala.collection.mutable.Map.empty[String, Map[String, Long]]
     plan.resolveOperatorsUp {
       case lr @ LogicalRelation(fsRel: HadoopFsRelation, _, Some(tbl), _, _)
           if tbl.properties.get(GraftTable.PropManifest).contains("true") =>
         val root = new Path(tbl.location)
-        val (v, rel) = Manifest.current(spark, root.toString).getOrElse(
-          throw new IllegalStateException(
-            s"table ${tbl.identifier} is marked graft.manifest=true but " +
-              s"${tbl.location} has no committed manifest"))
+        val (v, rel) = tbl.properties.get(GraftTable.PropGroup) match {
+          case Some(meta) =>
+            val mapping = groupCache.getOrElseUpdate(meta,
+              ManifestGroup.currentGroup(spark, meta).getOrElse(
+                throw new IllegalStateException(
+                  s"table ${tbl.identifier} is group-pinned to $meta " +
+                    s"but no group was ever published"))._2)
+            val key = ManifestGroup.normKey(root.toString)
+            val gv = mapping.getOrElse(key,
+              throw new IllegalStateException(
+                s"group $meta does not reference ${tbl.identifier} " +
+                  s"($key) — publish it into the group first"))
+            (gv, Manifest.filesAt(spark, root.toString, gv))
+          case None => Manifest.current(spark, root.toString).getOrElse(
+            throw new IllegalStateException(
+              s"table ${tbl.identifier} is marked graft.manifest=true but " +
+                s"${tbl.location} has no committed manifest"))
+        }
         fsRel.location match {
           case m: ManifestFileIndex if m.version == v => lr // already pinned
           case _ =>
@@ -357,4 +380,5 @@ case class ManifestTableResolution(spark: SparkSession)
             lr.copy(relation = swapped)
         }
     }
+  }
 }

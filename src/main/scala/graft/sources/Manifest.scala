@@ -52,7 +52,7 @@ object Manifest {
 
   val Dir = "_graft_manifest"
 
-  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+  private[sources] def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
@@ -158,7 +158,7 @@ object Manifest {
   /** Claim `target` with `tmp`'s content, atomically failing if a racer
     * already claimed it. Returns true iff WE published; `tmp` is gone
     * either way. */
-  private def claimAtomic(fs: FileSystem, tmp: Path, target: Path): Boolean =
+  private[sources] def claimAtomic(fs: FileSystem, tmp: Path, target: Path): Boolean =
     if (fs.getUri.getScheme == "file") {
       try {
         java.nio.file.Files.createLink(

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTable, Manifest, ManifestGroup}
+
+/** Atomic multi-table publish: per-table commits stay invisible to
+  * group readers until the ONE group-pointer flip; the flip moves
+  * every member together; a rival that already published past us
+  * aborts instead of flipping a table backwards. */
+class ManifestGroupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def listing(root: String): Seq[String] = {
+    val p = new Path(root)
+    Manifest.listDataFiles(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** facts table (uid, w) + per-w agg table (w, n), both under one
+    * group; wave 1 published. Returns (rootA, rootB, meta, tblA, tblB). */
+  private def mkGroup(): (String, String, String, String, String) = {
+    val base = Files.createTempDirectory("graft_group").toString
+    val (rootA, rootB, meta) = (s"$base/facts", s"$base/agg", s"$base/meta")
+    val tag = Integer.toHexString(base.hashCode)
+    (0 until 3).map(i => (s"a$i", "w1")).toDF("uid", "w")
+      .coalesce(1).write.partitionBy("w").parquet(rootA)
+    Seq(("w1", 3L)).toDF("w", "n").coalesce(1).write.parquet(rootB)
+    ManifestGroup.publish(spark, meta,
+      Map(rootA -> listing(rootA), rootB -> listing(rootB)))
+    GraftTable.register(spark, "graft_test", s"grp_facts_$tag", rootA,
+      group = Some(meta))
+    GraftTable.register(spark, "graft_test", s"grp_agg_$tag", rootB,
+      group = Some(meta))
+    (rootA, rootB, meta,
+      s"graft_test.grp_facts_$tag", s"graft_test.grp_agg_$tag")
+  }
+
+  test("per-table commits are invisible to group readers until the flip") {
+    val (rootA, _, meta, tblA, _) = mkGroup()
+    assert(spark.table(tblA).count() == 3)
+    // wave 2 lands physically AND commits to the TABLE's own manifest —
+    // the crash window between table commits and the group flip
+    (0 until 4).map(i => (s"b$i", "w2")).toDF("uid", "w")
+      .coalesce(1).write.mode("append").partitionBy("w").parquet(rootA)
+    val v2 = Manifest.commit(spark, rootA, listing(rootA))
+    assert(spark.table(tblA).count() == 3,
+      "a committed-but-unflipped version must stay invisible")
+    ManifestGroup.flip(spark, meta, Map(ManifestGroup.normKey(rootA) -> v2))
+    assert(spark.table(tblA).count() == 7, "the flip publishes it")
+  }
+
+  test("one flip moves every member together — no mixed-version window") {
+    val (rootA, rootB, meta, tblA, tblB) = mkGroup()
+    def consistent(): Boolean = {
+      val a = spark.table(tblA).groupBy("w").agg(count(lit(1)).as("n_a"))
+      val b = spark.table(tblB)
+      b.join(a, Seq("w"), "full_outer")
+        .where(!(col("n") <=> col("n_a"))).isEmpty
+    }
+    assert(consistent())
+    // wave 2 into BOTH tables' own manifests; group still at wave 1
+    (0 until 4).map(i => (s"b$i", "w2")).toDF("uid", "w")
+      .coalesce(1).write.mode("append").partitionBy("w").parquet(rootA)
+    val vA = Manifest.commit(spark, rootA, listing(rootA))
+    Seq(("w2", 4L)).toDF("w", "n")
+      .coalesce(1).write.mode("append").parquet(rootB)
+    val vB = Manifest.commit(spark, rootB, listing(rootB))
+    assert(consistent(), "both members still serve wave 1")
+    assert(spark.table(tblA).count() == 3)
+    ManifestGroup.flip(spark, meta, Map(
+      ManifestGroup.normKey(rootA) -> vA, ManifestGroup.normKey(rootB) -> vB))
+    assert(consistent(), "both members flipped together")
+    assert(spark.table(tblA).count() == 7 && spark.table(tblB).count() == 2)
+  }
+
+  test("regression guard: a flip below the group's current version aborts") {
+    val (rootA, _, meta, _, _) = mkGroup()
+    (0 until 2).map(i => (s"b$i", "w2")).toDF("uid", "w")
+      .coalesce(1).write.mode("append").partitionBy("w").parquet(rootA)
+    val v2 = Manifest.commit(spark, rootA, listing(rootA))
+    ManifestGroup.flip(spark, meta, Map(ManifestGroup.normKey(rootA) -> v2))
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestGroup.flip(spark, meta, Map(ManifestGroup.normKey(rootA) -> 1L))
+    }
+  }
+
+  test("publish(): absent members carry forward; group versions are linear") {
+    val (rootA, rootB, meta, tblA, tblB) = mkGroup()
+    (0 until 2).map(i => (s"c$i", "w3")).toDF("uid", "w")
+      .coalesce(1).write.mode("append").partitionBy("w").parquet(rootA)
+    val (g2, mapping) = ManifestGroup.publish(spark, meta,
+      Map(rootA -> listing(rootA)))
+    assert(g2 == 2)
+    assert(mapping(ManifestGroup.normKey(rootB)) == 1L,
+      "untouched member carries forward")
+    assert(spark.table(tblA).count() == 5)
+    assert(spark.table(tblB).count() == 1, "agg table unchanged")
+    assert(ManifestGroup.versions(spark, meta) == Seq(1L, 2L))
+  }
+}
