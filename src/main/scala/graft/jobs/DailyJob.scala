@@ -225,6 +225,65 @@ object DailyJob {
       "transactions" -> out.transactions, "items" -> out.items),
       outRoot, days, catalogDb)
 
+  /** GROUP-ATOMIC daily export — the reference's six-table fan-out
+    * (sessions + five hit types, `functions/ga_pipeline.py` export)
+    * made TRANSACTIONAL: every table's day partitions stage as plain
+    * appends (the manifest, not the directory, decides liveness),
+    * each table's next version = current live files outside the
+    * written days + the staged files, and ALL SIX versions publish
+    * with one [[graft.sources.ManifestGroup]] pointer flip. A crash
+    * anywhere before the flip leaves readers on the previous
+    * consistent six-table set, with the staged files as plain
+    * vacuum-eligible orphans; a re-run of the same day is idempotent
+    * (the day's old files drop out of the publish list, the re-staged
+    * ones replace them). Registers the members as group-pinned
+    * catalog tables, so `spark.table("db.sessions")` and
+    * `spark.table("db.pageviews")` in one query ALWAYS serve the same
+    * publish. Single-group-writer discipline (the reference's daily
+    * job); racing table writers get the per-table CAS loser path.
+    * Returns (group version, member → pinned manifest version). */
+  def writeDailyGroupAtomic(spark: SparkSession, out: GaPipeline.Outputs,
+      outRoot: String, days: Seq[String],
+      catalogDb: Option[String] = Some("ga_lake"))
+      : (Long, Map[String, Long]) = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{GraftTable, Manifest, ManifestGroup}
+    val meta = s"$outRoot/daily"
+    val tables = Seq(
+      "sessions" -> out.sessions, "pageviews" -> out.pageviews,
+      "events" -> out.events, "products" -> out.products,
+      "transactions" -> out.transactions, "items" -> out.items)
+    val conf = spark.sessionState.newHadoopConf()
+    val dayPrefixes = days.map { d =>
+      val Array(y, m, dd) = d.split("-"); s"year=$y/month=$m/day=$dd/"
+    }
+    val lists: Map[String, Seq[String]] = tables.map { case (tpe, df) =>
+      val root = s"$outRoot/daily/type=$tpe"
+      val rootP = new Path(root)
+      val fs = rootP.getFileSystem(conf)
+      val live = Manifest.current(spark, root).map(_._2).getOrElse(Nil)
+      val before = Manifest.listDataFiles(fs, rootP).toSet
+      val d = to_date(col("timestamp"))
+      df.filter(d.isin(days: _*))
+        .withColumn("year", date_format(d, "yyyy"))
+        .withColumn("month", date_format(d, "MM"))
+        .withColumn("day", date_format(d, "dd"))
+        .write.mode("append").partitionBy("year", "month", "day")
+        .parquet(root)
+      val created = Manifest.listDataFiles(fs, rootP).filterNot(before)
+      val kept = live.filterNot(f => dayPrefixes.exists(f.startsWith))
+      root -> (kept ++ created)
+    }.toMap
+    val published = ManifestGroup.publish(spark, meta, lists)
+    catalogDb.foreach { db =>
+      tables.foreach { case (tpe, _) =>
+        GraftTable.register(spark, db, tpe, s"$outRoot/daily/type=$tpe",
+          group = Some(meta))
+      }
+    }
+    published
+  }
+
   /** Generic core: any (type, table-with-`timestamp`) set. */
   def writeTablesPartitioned(spark: SparkSession,
       tables: Seq[(String, DataFrame)], outRoot: String, days: Seq[String],

@@ -89,6 +89,42 @@ class ManifestGroupSpec extends SparkTestBase {
     }
   }
 
+  test("GA daily export: six tables publish as one group flip, re-run idempotent") {
+    import graft.ingest.Ingest
+    import graft.jobs.{DailyJob, GaPipeline}
+    val hits = Ingest.readEnrichedHits(spark,
+      "fixtures/ga/enriched/year=2019/month=09/day=23")
+    val out = GaPipeline.run(hits,
+      GaPipeline.loadHistory(spark, "/nonexistent/history"), "2019-09-23")
+    val tmp = Files.createTempDirectory("graft_ga_group").toString
+    val db = "ga_grp_test"
+    val (g1, m1) = DailyJob.writeDailyGroupAtomic(spark, out, tmp,
+      Seq("2019-09-23"), Some(db))
+    assert(g1 == 1 && m1.size == 6 && m1.values.forall(_ == 1L))
+    val types = Seq("sessions", "pageviews", "events", "products",
+      "transactions", "items")
+    def counts() = types.map(t => t -> spark.table(s"$db.$t").count()).toMap
+    val c1 = counts()
+    val expectedSessions = out.sessions
+      .filter(to_date(col("timestamp")) === "2019-09-23").count()
+    assert(c1("sessions") == expectedSessions && c1("pageviews") > 0)
+    // same-day re-run: every table re-publishes (v2), counts unchanged
+    val (g2, m2) = DailyJob.writeDailyGroupAtomic(spark, out, tmp,
+      Seq("2019-09-23"), Some(db))
+    assert(g2 == 2 && m2.values.forall(_ == 2L))
+    assert(counts() == c1, "idempotent re-run must not change any table")
+    // crash window: a rogue per-table commit without a flip is invisible
+    val sessRoot = s"$tmp/daily/type=sessions"
+    out.sessions.filter(to_date(col("timestamp")) === "2019-09-23")
+      .withColumn("year", lit("2019")).withColumn("month", lit("09"))
+      .withColumn("day", lit("24")) // a bogus extra day
+      .write.mode("append").partitionBy("year", "month", "day")
+      .parquet(sessRoot)
+    Manifest.commit(spark, sessRoot, listing(sessRoot))
+    assert(counts() == c1,
+      "a committed-but-unflipped table version must stay invisible")
+  }
+
   test("publish(): absent members carry forward; group versions are linear") {
     val (rootA, rootB, meta, tblA, tblB) = mkGroup()
     (0 until 2).map(i => (s"c$i", "w3")).toDF("uid", "w")
