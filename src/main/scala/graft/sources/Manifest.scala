@@ -623,12 +623,16 @@ object Manifest {
     * default 0 keeps the single-writer behavior (reclaim everything
     * immediately). */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
-             minAgeMs: Long = 0L): Unit = {
+             minAgeMs: Long = 0L, keepAlso: Set[Long] = Set.empty): Unit = {
     require(keepVersions >= 1, s"must retain at least the current version")
     val (fs, rootP) = fsOf(spark, root)
     val vs = versions(spark, root)
     if (vs.isEmpty) return
-    val kept = vs.takeRight(keepVersions)
+    // keepAlso: versions pinned by an EXTERNAL referent (a retained
+    // [[ManifestGroup]] publish) stay replayable beyond the last-N
+    // window — the group-retention contract
+    val kept = (vs.takeRight(keepVersions) ++
+      vs.filter(keepAlso.contains)).distinct.sorted
     val live = kept.flatMap(filesAt(spark, root, _)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     listDataFiles(fs, rootP).filterNot(live).foreach { rel =>

@@ -98,6 +98,37 @@ object ManifestGroup {
     flip(spark, metaRoot, committed)
   }
 
+  /** GROUP-AWARE retention: keep the newest `keepGroups` group
+    * versions fully replayable — every member table retains its own
+    * head (a committed-but-not-yet-flipped version must survive; its
+    * flip is still coming) PLUS every version a retained group
+    * references, and vacuums the rest through [[Manifest.vacuum]]'s
+    * `keepAlso` pin; older group files are then dropped. Members are
+    * discovered from the retained groups themselves (the union of
+    * their mappings), so callers can't forget one. `minAgeMs` is the
+    * same concurrent-stager grace window as the per-table vacuum. */
+  def vacuumGroup(spark: SparkSession, metaRoot: String,
+                  keepGroups: Int = 1, minAgeMs: Long = 0L): Unit = {
+    require(keepGroups >= 1, "must retain at least the current group")
+    val gs = versions(spark, metaRoot)
+    if (gs.isEmpty) return
+    val keptGs = gs.takeRight(keepGroups)
+    val mappings = keptGs.map(readGroup(spark, metaRoot, _))
+    val members: Map[String, Set[Long]] = mappings.flatten
+      .groupBy(_._1).map { case (r, vs) => r -> vs.map(_._2).toSet }
+    members.foreach { case (root, referenced) =>
+      Manifest.vacuum(spark, root, keepVersions = 1, minAgeMs = minAgeMs,
+        keepAlso = referenced)
+    }
+    val (fs, rootP) = Manifest.fsOf(spark, metaRoot)
+    val dir = new Path(rootP, Dir)
+    val keptNames = keptGs.map(g => f"group-$g%020d").toSet
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      if (!keptNames(p.getName) && !p.getName.endsWith(".tmp"))
+        fs.delete(p, false)
+    }
+  }
+
   /** Flip the group pointer to `newVersions` (already-committed
     * per-table versions, keyed by [[normKey]]), merged over the
     * current mapping. CAS loop with the regression guard described

@@ -89,6 +89,33 @@ class ManifestGroupSpec extends SparkTestBase {
     }
   }
 
+  test("vacuumGroup: retained groups replay, unreferenced versions reclaimed, " +
+    "unflipped head survives") {
+    val (rootA, rootB, meta, tblA, tblB) = mkGroup() // g1: A v1 (3×w1), B v1
+    // g2: REPLACE w1 with 2 rows — v1's files become reclaimable once g1 retires
+    val vA2 = Manifest.commitPartitionReplacementCas(spark, rootA, "w",
+      Seq(("r0", "w1"), ("r1", "w1")).toDF("uid", "w"), touched = Seq("w1"))
+    ManifestGroup.flip(spark, meta, Map(ManifestGroup.normKey(rootA) -> vA2))
+    // an unflipped head: committed to A's own manifest, in no group yet
+    // (CAS append of a new partition — v1's replaced files stay orphaned)
+    val vA3 = Manifest.commitPartitionReplacementCas(spark, rootA, "w",
+      (0 until 2).map(i => (s"h$i", "w3")).toDF("uid", "w"),
+      touched = Seq("w3"))
+    ManifestGroup.vacuumGroup(spark, meta, keepGroups = 1)
+    assert(ManifestGroup.versions(spark, meta) == Seq(2L),
+      "old group files retire")
+    assert(Manifest.versions(spark, rootA) == Seq(vA2, vA3),
+      "referenced version + unflipped head survive; v1 reclaimed")
+    assert(spark.table(tblA).count() == 2, "the retained group still serves")
+    assert(spark.table(tblB).count() == 1, "carried-forward member intact")
+    assert(Manifest.readVersion(spark, rootA, vA3).count() == 4,
+      "the unflipped head stays fully replayable for its coming flip")
+    // v1's replaced files are physically gone
+    assert(listing(rootA).toSet ==
+      (Manifest.filesAt(spark, rootA, vA2) ++
+        Manifest.filesAt(spark, rootA, vA3)).toSet)
+  }
+
   test("GA daily export: six tables publish as one group flip, re-run idempotent") {
     import graft.ingest.Ingest
     import graft.jobs.{DailyJob, GaPipeline}
