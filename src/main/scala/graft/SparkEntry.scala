@@ -1630,6 +1630,67 @@ object SparkEntry {
         .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
     }),
 
+    // CROSS-TABLE GDPR ERASURE, all-or-nothing: a deterministic
+    // subject set (custkey ≡ 0 mod 997) is erased from BOTH group
+    // members — the per-customer facts and their rollup — with ONE
+    // group flip: no window where one table is erased and the other
+    // still serves the subject. The hash gate is the per-priority
+    // aggregate over the erased facts table (oracle = base minus
+    // subjects); gate_erased pins subject absence in both members AND
+    // cross-member consistency (rollup row count == distinct
+    // surviving customers).
+    "q234_group_erasure" -> ((s, dir) => {
+      import graft.operators.Erasure
+      import graft.sources.{GraftTable, Manifest, ManifestGroup}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val rootA = new java.io.File(tmp, s"graft_ers_facts_$tag").toString
+      val rootB = new java.io.File(tmp, s"graft_ers_roll_$tag").toString
+      val meta = new java.io.File(tmp, s"graft_ers_meta_$tag").toString
+      val conf = s.sessionState.newHadoopConf()
+      Seq(rootA, rootB, meta).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      def listing(r: String) = {
+        val p = new org.apache.hadoop.fs.Path(r)
+        Manifest.listDataFiles(p.getFileSystem(conf), p)
+      }
+      val facts = s.read.parquet(base)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2).write.partitionBy("w").parquet(rootA)
+      val roll = facts
+        .withColumn("bucket", pmod(col("custkey"), lit(4)).cast("string"))
+        .groupBy("custkey", "bucket").agg(count(lit(1)).as("n_orders"))
+      roll.coalesce(1).write.partitionBy("bucket").parquet(rootB)
+      ManifestGroup.publish(s, meta,
+        Map(rootA -> listing(rootA), rootB -> listing(rootB)))
+      val subjects = facts.select("custkey")
+        .where(pmod(col("custkey"), lit(997)) === 0).distinct()
+      Erasure.eraseGroupAtomic(s, meta,
+        Seq(rootA -> "w", rootB -> "bucket"), subjects, Seq("custkey"),
+        batchId = "gdpr-batch-1")
+      GraftTable.register(s, "graft_unified", s"ers_facts_$tag", rootA,
+        schema = Some(facts.schema), partitionCols = Seq("w"),
+        group = Some(meta))
+      GraftTable.register(s, "graft_unified", s"ers_roll_$tag", rootB,
+        schema = Some(roll.schema), partitionCols = Seq("bucket"),
+        group = Some(meta))
+      val tA = s.table(s"graft_unified.ers_facts_$tag")
+      val tB = s.table(s"graft_unified.ers_roll_$tag")
+      val inA = tA.where(pmod(col("custkey"), lit(997)) === 0).count()
+      val inB = tB.where(pmod(col("custkey"), lit(997)) === 0).count()
+      val consistent =
+        tB.count() == tA.select("custkey").distinct().count()
+      tA.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+        .withColumn("gate_erased",
+          lit(inA == 0L && inB == 0L && consistent))
+    }),
+
     // ATOMIC MULTI-TABLE PUBLISH (the reference's 6-table daily
     // export, made transactional): a facts table and its per-wave
     // aggregate table publish through TWO group flips (waves 1–2,
@@ -6776,6 +6837,18 @@ object SparkEntry {
         |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
         |    AS n_urgent_high,
         |  TRUE AS gate_zero_io""".stripMargin,
+
+    // q234: the base table minus the erased subjects IS the truth the
+    // post-erasure group must serve.
+    "q234_group_erasure" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_erased
+        |FROM orders
+        |WHERE o_custkey % 997 <> 0
+        |GROUP BY 1""".stripMargin,
 
     // q233: only the GROUP-published waves (1–3) may appear — waves
     // 4–5 are committed to the facts table's own manifest but never

@@ -210,4 +210,98 @@ object Erasure {
       matched.unpersist()
     } finally subj.unpersist()
   }
+
+  /** CROSS-TABLE erasure, all-or-nothing: a data subject's rows
+    * disappear from EVERY member of a [[graft.sources.ManifestGroup]]
+    * with ONE pointer flip — there is no window where sessions are
+    * erased but pageviews still serve the subject (the compliance gap
+    * a six-table serving layer has when each table erases on its own
+    * schedule). Per member the mechanics are
+    * [[erasePartitionScopedAtomic]]'s: one thin key+partition
+    * projection finds the touched partitions, only those rewrite, and
+    * the rewritten file lists STAGE without committing; then the
+    * group publish commits every member and flips the pointer once.
+    * A crash anywhere before the flip leaves all members serving the
+    * pre-erasure (consistent) set, with staged files as vacuum
+    * fodder. Members whose tables never held the subjects are left
+    * untouched and carry forward in the flip. The ledger records one
+    * row per (member, subject) — zero-match rows included, so the
+    * audit trail proves every request was processed against every
+    * member. Returns the published (group version, member→version).
+    *
+    * All members key on the same subject column names (`keys`) —
+    * build serving layouts with a canonical subject-id column, the
+    * discipline a GDPR-ready store needs anyway. */
+  def eraseGroupAtomic(spark: SparkSession, metaRoot: String,
+                       members: Seq[(String, String)],
+                       subjects: DataFrame, keys: Seq[String],
+                       batchId: String,
+                       ledgerPath: Option[String] = None)
+      : (Long, Map[String, Long]) = {
+    import graft.sources.{Manifest, ManifestGroup}
+    require(keys.nonEmpty, "erase needs at least one key column")
+    members.foreach { case (root, pc) => require(!keys.contains(pc),
+      s"$pc partitions $root; key on the subject id columns") }
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val subj = sess.createDataFrame(subjects.rdd, subjects.schema)
+      .select(keys.map(col): _*).distinct().persist()
+    try {
+      val staged = members.map { case (root, partCol) =>
+        Manifest.bootstrap(sess, root)
+        if (Manifest.current(sess, root).forall(_._2.isEmpty)) {
+          // an empty member holds nobody's data; ledger still proves
+          // every request was processed against it
+          val ledger = subj.select(keys.map(col) ++ Seq(
+            lit(0L).as("n_rows_erased"), lit(root).as("member"),
+            lit(batchId).as("batch_id"),
+            lit(0L).as("n_partitions_touched")): _*)
+            .coalesce(1).localCheckpoint(true)
+          (root, None, ledger)
+        } else {
+        val snapshot = Manifest.read(sess, root)
+        val matched = snapshot
+          .select((keys :+ partCol).map(col): _*)
+          .join(broadcast(subj), keys, "left_semi")
+          .persist()
+        val touched = matched.select(col(partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val erasedPerKey = matched.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_rows_erased"))
+        val ledger = subj
+          .join(erasedPerKey, keys, "left")
+          .select(keys.map(col) ++ Seq(
+            coalesce(col("n_rows_erased"), lit(0L)).as("n_rows_erased"),
+            lit(root).as("member"),
+            lit(batchId).as("batch_id"),
+            lit(touched.size.toLong).as("n_partitions_touched")): _*)
+          .coalesce(1)
+          .localCheckpoint(true)
+        val newFiles =
+          if (touched.isEmpty) None
+          else {
+            val affected = snapshot
+              .filter(col(partCol).cast("string").isin(touched: _*))
+            val surviving = affected.join(broadcast(subj), keys, "left_anti")
+            Some(Manifest.stagePartitionReplacement(sess, root, partCol,
+              surviving, touched))
+          }
+        matched.unpersist()
+        (root, newFiles, ledger)
+        }
+      }
+      val toPublish = staged.collect {
+        case (root, Some(files), _) => root -> files
+      }.toMap
+      val published =
+        if (toPublish.nonEmpty) ManifestGroup.publish(spark, metaRoot, toPublish)
+        else ManifestGroup.currentGroup(spark, metaRoot)
+          .getOrElse((0L, Map.empty[String, Long])) // nothing matched anywhere
+      ledgerPath.foreach { lp =>
+        staged.foreach { case (_, _, l) =>
+          l.write.mode(SaveMode.Append).parquet(lp) }
+      }
+      published
+    } finally subj.unpersist()
+  }
 }
