@@ -1826,11 +1826,13 @@ object SparkEntry {
       val layout = new java.io.File(tmp, s"graft_agglog_$tag").toString
       val shaped = s.read.parquet(base)
         .withColumn("opri", substring(col("o_orderpriority"), 1, 1))
+        .withColumn("price_cents",
+          round(col("o_totalprice") * 100).cast("long"))
       shaped.repartition(4)
         .write.mode("overwrite").partitionBy("opri").parquet(layout)
       Manifest.bootstrap(s, layout)
       Manifest.writeColStats(s, layout, 1L,
-        Seq("o_orderdate", "o_totalprice"))
+        Seq("o_orderdate", "o_totalprice", "price_cents"))
       GraftTable.register(s, "graft_unified", s"orders_stats_$tag", layout,
         schema = Some(shaped.schema), partitionCols = Seq("opri"))
       val t = s.table(s"graft_unified.orders_stats_$tag")
@@ -1838,7 +1840,8 @@ object SparkEntry {
         min(col("o_orderdate")).as("first_order"),
         max(col("o_orderdate")).as("last_order"),
         min(col("o_totalprice")).as("min_price"),
-        count(col("o_totalprice")).as("n_price"))
+        count(col("o_totalprice")).as("n_price"),
+        sum(col("price_cents")).as("sum_price_cents"))
       val part = t.where(col("opri").isin("1", "2"))
         .groupBy().agg(max(col("o_totalprice")).as("hi_max_price"))
       def zeroIo(df: org.apache.spark.sql.DataFrame): Boolean =
@@ -6882,6 +6885,8 @@ object SparkEntry {
         |  (SELECT min(o_totalprice) FROM orders) AS min_price,
         |  (SELECT CAST(count(o_totalprice) AS BIGINT) FROM orders)
         |    AS n_price,
+        |  (SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     AS BIGINT) FROM orders) AS sum_price_cents,
         |  (SELECT max(o_totalprice) FROM orders
         |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
         |    AS hi_max_price,

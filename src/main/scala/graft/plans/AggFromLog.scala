@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -34,6 +34,15 @@ import graft.sources.{Manifest, ManifestFileIndex}
   *    float, string, timestamp, timestamp_ntz, date), and only when
   *    the sidecar's recorded dtype still equals the column's current
   *    type (schema evolution declines).
+  *  - `sum(col)` for INTEGRAL columns — colstats per-file exact sums
+  *    (recorded DECIMAL(38,0)-exact) folded as BigInt, guarded by an
+  *    OVERFLOW-IMPOSSIBILITY bound (Σ n_nonnull × max(|min|, |max|) ≤
+  *    Long.MAX ⇒ no accumulation order can overflow ⇒ the fold equals
+  *    the scan under LEGACY, ANSI and TRY alike); a possible overflow
+  *    declines to the scan so the session mode keeps its own
+  *    throw/wrap/null behavior. Doubles decline (per-file-then-fold
+  *    reassociates; floats aren't associative). Legacy sidecars
+  *    without the sum field decline.
   *
   * A rewrite fires only when it is provably exact:
   *  - the aggregate is GLOBAL (no grouping) and EVERY output is one of
@@ -81,6 +90,10 @@ case class AggFromLog(spark: SparkSession) extends Rule[LogicalPlan] {
           case Count(Seq(_: AttributeReference)) => true
           case Min(_: AttributeReference) => true
           case Max(_: AttributeReference) => true
+          case Sum(a: AttributeReference, _) => a.dataType match {
+            case LongType | IntegerType | ShortType | ByteType => true
+            case _ => false
+          }
           case _ => false
         }
       case _ => false
@@ -155,6 +168,7 @@ case class AggFromLog(spark: SparkSession) extends Rule[LogicalPlan] {
           case Count(Seq(a: AttributeReference)) => Some(a)
           case Min(a: AttributeReference) => Some(a)
           case Max(a: AttributeReference) => Some(a)
+          case Sum(a: AttributeReference, _) => Some(a)
           case _ => None
         }
         case _ => None
@@ -168,7 +182,8 @@ case class AggFromLog(spark: SparkSession) extends Rule[LogicalPlan] {
     val survivors = m.listFiles(conds, Nil).flatMap(_.files).map { f =>
       f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
     }
-    lazy val colStats: Map[(String, String), (String, Any, Any, Long, Long)] =
+    lazy val colStats: Map[(String, String),
+                           (String, Any, Any, Long, Long, Option[Option[BigInt]])] =
       try Manifest.readColStats(spark, root, m.version)
       catch { case _: Exception => Map.empty }
     // resolve an aggregated attribute to the sidecar's column name
@@ -179,7 +194,7 @@ case class AggFromLog(spark: SparkSession) extends Rule[LogicalPlan] {
     def colCovered(a: AttributeReference): Option[String] =
       sidecarCol(a).filter { c =>
         survivors.forall { f =>
-          colStats.get((f, c)).exists { case (dt, _, _, _, _) =>
+          colStats.get((f, c)).exists { case (dt, _, _, _, _, _) =>
             dt == a.dataType.catalogString
           }
         }
@@ -201,7 +216,7 @@ case class AggFromLog(spark: SparkSession) extends Rule[LogicalPlan] {
           CatalystTypeConverters.createToCatalystConverter(a.dataType)
         val ord = TypeUtils.getInterpretedOrdering(a.dataType)
         val vals = survivors.flatMap { f =>
-          val (_, mn, mx, _, _) = colStats((f, c))
+          val (_, mn, mx, _, _, _) = colStats((f, c))
           Option(if (isMin) mn else mx) // all-null file: no candidate
         }.map(v => toInternal(narrow(a.dataType, v)))
         if (vals.isEmpty) null
@@ -214,11 +229,41 @@ case class AggFromLog(spark: SparkSession) extends Rule[LogicalPlan] {
         case Count(Seq(a: AttributeReference)) =>
           colCovered(a).map { c =>
             survivors.map { f =>
-              val (_, _, _, nnull, n) = colStats((f, c)); n - nnull
+              val (_, _, _, nnull, n, _) = colStats((f, c)); n - nnull
             }.sum
           }
         case Min(a: AttributeReference) => foldExtreme(a, isMin = true)
         case Max(a: AttributeReference) => foldExtreme(a, isMin = false)
+        case Sum(a: AttributeReference, _) =>
+          colCovered(a).flatMap { c =>
+            val st = survivors.map(f => colStats((f, c)))
+            if (st.exists(_._6.isEmpty)) None // legacy sidecar: no sum field
+            else {
+              // OVERFLOW-IMPOSSIBILITY guard, mode-independent: every
+              // partial sum in ANY accumulation order is bounded by
+              // Σ n_nonnull × max(|min|, |max|); when that fits in a
+              // Long, no order can overflow, so LEGACY (wrap), ANSI
+              // (throw) and TRY (null) all equal the exact fold. A
+              // possible overflow declines to the scan, preserving the
+              // session mode's own semantics.
+              val bounds = st.map { case (_, mn, mx, nnull, n, _) =>
+                val nnz = n - nnull
+                if (nnz == 0L) Some(BigInt(0))
+                else (mn, mx) match {
+                  case (lo: Long, hi: Long) =>
+                    Some(BigInt(nnz) * BigInt(lo).abs.max(BigInt(hi).abs))
+                  case _ => None // stats inconsistent: decline
+                }
+              }
+              if (bounds.exists(_.isEmpty) ||
+                  bounds.flatten.sum > BigInt(Long.MaxValue)) None
+              else {
+                val known = st.flatMap(_._6).flatten // known-null files drop
+                // sum over zero non-null values is NULL, like the scan's
+                Some(if (known.isEmpty) null else known.sum.longValue)
+              }
+            }
+          }
         case _ => None
       }
       case _ => None

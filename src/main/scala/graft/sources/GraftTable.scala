@@ -233,12 +233,14 @@ class ManifestFileIndex(
     * (writeColStats is re-runnable for any retained version), and a
     * cached empty read would pin fail-open forever. One O(files×cols)
     * text read per query plan; empty when absent (fail open). */
-  private def loadStats(): (Map[(String, String), (String, Any, Any, Long, Long)],
+  private def loadStats(): (Map[(String, String),
+                                (String, Any, Any, Long, Long, Option[Option[BigInt]])],
                             Map[(String, String), (Any, Any)]) = {
     val cs = try Manifest.readColStats(spark, root.toString, version)
              catch { case _: Exception =>
-               Map.empty[(String, String), (String, Any, Any, Long, Long)] }
-    val byPath = cs.map { case ((rel, c), (_, mn, mx, _, _)) =>
+               Map.empty[(String, String),
+                 (String, Any, Any, Long, Long, Option[Option[BigInt]])] }
+    val byPath = cs.map { case ((rel, c), (_, mn, mx, _, _, _)) =>
       (BloomFileIndex.norm(new Path(root, rel).toString), c) -> (mn, mx)
     }
     (cs, byPath)

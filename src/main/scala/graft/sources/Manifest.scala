@@ -442,7 +442,10 @@ object Manifest {
           java.nio.charset.StandardCharsets.UTF_8)
           .split("\n").filter(_.nonEmpty).map { ln =>
             val a = ln.split("\t", -1)
-            (unesc(a(0)), unesc(a(1))) -> (a(2), a(3), a(4), a(5), a(6))
+            // 8th field (per-file exact SUM, round 11) is absent in
+            // legacy sidecars -> "?" = unknown, never served
+            (unesc(a(0)), unesc(a(1))) ->
+              (a(2), a(3), a(4), a(5), a(6), if (a.length > 7) a(7) else "?")
           }
         finally in.close()
       }.toMap
@@ -451,7 +454,9 @@ object Manifest {
     // the parquet footer schema is known even when the data is empty,
     // so the sidecar never records an "unknown" dtype when a scan ran
     var scanTypes: Map[String, String] = Map.empty
-    val computed: Map[(String, String), (String, String, String, String, String)] =
+    def integral(dt: String): Boolean =
+      dt == "bigint" || dt == "int" || dt == "smallint" || dt == "tinyint"
+    val computed: Map[(String, String), (String, String, String, String, String, String)] =
       if (missing.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions._
@@ -461,9 +466,16 @@ object Manifest {
         cols.foreach(c => require(types.contains(c),
           s"column $c not in table schema ${types.keys.toSeq.sorted}"))
         scanTypes = cols.map(c => c -> types(c).catalogString).toMap
+        // per-file SUM for integral columns only: DECIMAL(38,0)-exact
+        // at stat time (a 128 MB file of longs can overflow a long),
+        // fold-time wrap to Long matches the scan's modular semantics
         val aggs = cols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c")))
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c")) ++
+          (if (integral(types(c).catalogString))
+            Seq(sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as(s"sum_$c"))
+           else Nil))
         val rootUri = rootP.toUri.getPath
         df.groupBy(input_file_name().as("_f"))
           .agg(count(lit(1)).as("_n"), aggs: _*)
@@ -473,19 +485,27 @@ object Manifest {
             val n = r.getLong(1)
             cols.map { c =>
               val dt = types(c).catalogString
+              val sm =
+                if (!integral(dt)) "?"
+                else Option(r.getAs[java.math.BigDecimal](s"sum_$c"))
+                  .map(_.toBigInteger.toString).getOrElse(NullStat)
               (rel, c) -> (dt, serStat(r.getAs[Any](s"min_$c")),
                 serStat(r.getAs[Any](s"max_$c")),
-                r.getAs[Long](s"nnull_$c").toString, n.toString)
+                r.getAs[Long](s"nnull_$c").toString, n.toString, sm)
             }
           }.toMap
       }
     val lines = files.flatMap { f =>
       cols.map { c =>
-        val (dt, mn, mx, nn, n) = prior.getOrElse((f, c),
-          computed.getOrElse((f, c),
+        val (dt, mn, mx, nn, n, sm) = prior.getOrElse((f, c),
+          computed.getOrElse((f, c), {
             // a 0-row file never appears in the groupBy: typed empty
-            (scanTypes.getOrElse(c, "unknown"), NullStat, NullStat, "0", "0")))
-        s"${esc(f)}\t${esc(c)}\t$dt\t$mn\t$mx\t$nn\t$n"
+            // (its sum over zero rows is KNOWN null for integral cols)
+            val dt0 = scanTypes.getOrElse(c, "unknown")
+            (dt0, NullStat, NullStat, "0", "0",
+              if (integral(dt0)) NullStat else "?")
+          }))
+        s"${esc(f)}\t${esc(c)}\t$dt\t$mn\t$mx\t$nn\t$n\t$sm"
       }
     }
     val tmp = new Path(dir,
@@ -518,10 +538,14 @@ object Manifest {
   }
 
   /** Read the colstats sidecar of version `v`:
-    * (file, col) -> (dtype, min, max, nnull, n_rows) with min/max as
-    * TYPED values (null for all-null files). */
+    * (file, col) -> (dtype, min, max, nnull, n_rows, sum) with min/max
+    * as TYPED values (null for all-null files) and sum three-state:
+    * None = not recorded (legacy sidecar or non-integral column,
+    * never served), Some(None) = known null (all-null or empty file),
+    * Some(BigInt) = the file's exact sum. */
   def readColStats(spark: SparkSession, root: String, v: Long)
-      : Map[(String, String), (String, Any, Any, Long, Long)] = {
+      : Map[(String, String),
+            (String, Any, Any, Long, Long, Option[Option[BigInt]])] = {
     val (fs, rootP) = fsOf(spark, root)
     val p = new Path(new Path(rootP, Dir), f"colstats-$v%020d")
     require(fs.exists(p),
@@ -552,8 +576,12 @@ object Manifest {
             java.time.LocalDate.ofEpochDay(s.toLong))
           case _ => unesc(s)
         }
+      val sm: Option[Option[BigInt]] =
+        if (a.length <= 7 || a(7) == "?") None
+        else if (a(7) == NullStat) Some(None)
+        else Some(Some(BigInt(a(7))))
       (unesc(a(0)), unesc(a(1))) -> (dt, de(a(3)), de(a(4)),
-        a(5).toLong, a(6).toLong)
+        a(5).toLong, a(6).toLong, sm)
     }.toMap
   }
 

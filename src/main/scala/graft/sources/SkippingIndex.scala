@@ -142,7 +142,7 @@ object SkippingIndex {
       val abs = new org.apache.hadoop.fs.Path(rootP, f).toString
       val nRows = stats((f, cols.head))._5
       val cells = cols.flatMap { c =>
-        val (t, mn, mx, nn, _) = stats((f, c))
+        val (t, mn, mx, nn, _, _) = stats((f, c))
         Seq(narrow(t, mn), narrow(t, mx), nn)
       }
       Row.fromSeq(abs +: nRows +: cells)

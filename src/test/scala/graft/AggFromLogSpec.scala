@@ -83,6 +83,26 @@ class AggFromLogSpec extends SparkTestBase {
     assert(part.collect().head == org.apache.spark.sql.Row(110L, 8L))
   }
 
+  test("sum(col) folds exactly from per-file sums — nulls out, wrap-consistent") {
+    val (root, t) = mkTable(writeColStats = true)
+    val agg = spark.table(t).groupBy().agg(sum(col("score")).as("s"),
+      count(col("score")).as("n_s"))
+    assert(scans(agg) == 0, "integral sum must fold from the sidecar")
+    val truth = spark.read.parquet(root).groupBy()
+      .agg(sum(col("score")), count(col("score"))).collect().head
+    assert(agg.collect().head == truth)
+    // partition-filtered arm: d1 non-null scores are 10..110 skipping %3==0
+    val part = spark.table(t).where(col("day") === "d1")
+      .agg(sum(col("score")).as("s"))
+    assert(scans(part) == 0)
+    val partTruth = spark.read.parquet(root).where(col("day") === "d1")
+      .agg(sum(col("score"))).collect().head
+    assert(part.collect().head == partTruth)
+    // double sums DECLINE (per-file-then-fold reassociates)
+    val dbl = spark.table(t).agg(sum(col("score").cast("double")).as("s"))
+    assert(scans(dbl) == 1)
+  }
+
   test("count(*) falls back to colstats n_rows when the stats sidecar is absent") {
     val (_, t) = mkTable(writeStats = false, writeColStats = true)
     val agg = spark.table(t).groupBy().agg(count(lit(1)).as("n"))
