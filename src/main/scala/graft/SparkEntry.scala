@@ -1630,6 +1630,75 @@ object SparkEntry {
         .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
     }),
 
+    // GDPR ERASURE PROPAGATED THROUGH THE CHANGE FEED: a keyed mirror
+    // (the downstream derived store every serving layer has) follows
+    // the manifest table via changeFeed=true; the erasure's
+    // replacement commit arrives as delete(old partition rows) +
+    // insert(survivors), the mirror applies deletes by unique key
+    // then appends inserts, and the converged mirror must hash-equal
+    // the base minus the subjects — the right-to-be-forgotten
+    // reaching a derived store with NO rescan of the source table.
+    // Vacuum retention (keepVersions=2) covers the reader's lag, the
+    // universal CDF contract.
+    "q235_change_feed_mirror" -> ((s, dir) => {
+      import graft.operators.Erasure
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_cdc_$tag").toString
+      val mirrorDir = new java.io.File(tmp, s"graft_cdc_mirror_$tag").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_cdc_cp").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      facts.limit(0).write.mode("overwrite").parquet(mirrorDir) // seed schema
+      val factsSchema = facts.schema
+      val q = s.readStream.schema(factsSchema)
+        .format("graft.streaming.ManifestStreamProvider")
+        .option("changeFeed", "true").load(layout)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // keyed CDF application: deletes by the unique key, then
+          // inserts — localCheckpoint severs lineage from the dir the
+          // write replaces (the SkippingIndex.refresh discipline)
+          val cur = b.sparkSession.read.schema(factsSchema)
+            .parquet(mirrorDir).localCheckpoint(true)
+          val dataCols = factsSchema.fieldNames.map(col).toSeq
+          val del = b.where(col("_change_type") === "delete")
+            .select("o_orderkey").distinct()
+          val ins = b.where(col("_change_type") === "insert")
+            .select(dataCols: _*)
+          cur.join(del, Seq("o_orderkey"), "left_anti").unionByName(ins)
+            .write.mode("overwrite").parquet(mirrorDir)
+          ()
+        }.start()
+      try {
+        q.processAllAvailable() // snapshot batch: mirror = full table
+        // the erasure commit; keepVersions=2 keeps the removed files
+        // on disk for the feed's delete-side read
+        if (Manifest.current(s, layout).exists(_._2.nonEmpty)) {
+          val subjects = facts.select("custkey")
+            .where(pmod(col("custkey"), lit(997)) === 0).distinct()
+          Erasure.erasePartitionScopedAtomic(s, layout, "w", subjects,
+            Seq("custkey"), batchId = "cdc-erase-1", keepVersions = 2)
+        }
+        q.processAllAvailable() // delete+insert batch: mirror converges
+      } finally q.stop()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      val mirror = s.read.schema(factsSchema).parquet(mirrorDir)
+      val leftover =
+        mirror.where(pmod(col("custkey"), lit(997)) === 0).count()
+      mirror.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_cdc", lit(leftover == 0L && nBatches >= 2))
+    }),
+
     // CROSS-TABLE GDPR ERASURE, all-or-nothing: a deterministic
     // subject set (custkey ≡ 0 mod 997) is erased from BOTH group
     // members — the per-customer facts and their rollup — with ONE
@@ -6840,6 +6909,18 @@ object SparkEntry {
         |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
         |    AS n_urgent_high,
         |  TRUE AS gate_zero_io""".stripMargin,
+
+    // q235: the converged mirror must equal the base minus the erased
+    // subjects — identical truth to q234, reached through the feed.
+    "q235_change_feed_mirror" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_cdc
+        |FROM orders
+        |WHERE o_custkey % 997 <> 0
+        |GROUP BY 1""".stripMargin,
 
     // q234: the base table minus the erased subjects IS the truth the
     // post-erasure group must serve.

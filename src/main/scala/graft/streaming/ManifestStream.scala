@@ -37,6 +37,14 @@ import graft.sources.Manifest
   * Options: `startingVersion` — `latest` (only commits after stream
   * start), a version number (exclusive base), default 0 = the full
   * current snapshot as the first batch. `ignoreChanges` as above.
+  * `changeFeed=true` switches to ROW-LEVEL CDC (the Delta CDF
+  * analog): the schema gains a trailing `_change_type` column and a
+  * replacement commit emits its removed files' rows as `delete` plus
+  * its added files' rows as `insert` — an erasure or compaction
+  * propagates EXACTLY to a keyed downstream mirror (apply deletes by
+  * key, then inserts), which is how a GDPR erasure reaches every
+  * derived store. Deleted files must still exist: vacuum retention
+  * must cover reader lag, the universal CDF contract.
   * Retention: replaying from a vacuumed-away version fails loudly
   * (the manifest for the recorded offset is gone), matching every
   * table format's retention-vs-checkpoint contract.
@@ -48,14 +56,34 @@ import graft.sources.Manifest
   * no modification-time heuristics (the weakness of the stock file
   * stream source this replaces). */
 class ManifestStreamSource(spark: SparkSession, root: String,
-                           override val schema: StructType,
+                           dataSchema: StructType,
                            startVersion: Long,
-                           ignoreChanges: Boolean) extends Source {
+                           ignoreChanges: Boolean,
+                           changeFeed: Boolean) extends Source {
+
+  override val schema: StructType =
+    if (changeFeed) ManifestStreamProvider.withChangeType(dataSchema)
+    else dataSchema
 
   private def ver(o: Offset): Long = o.json.toLong
 
   private def filesOf(v: Long): Seq[String] =
     if (v <= 0L) Nil else Manifest.filesAt(spark, root, v)
+
+  /** The rows of `files`, as a STREAMING-marked relation (what
+    * MicroBatchExecution requires of a V1 getBatch result). */
+  private def fileDf(files: Seq[String]): DataFrame = {
+    val rootP = new Path(root)
+    val idx = new InMemoryFileIndex(spark, files.map(new Path(rootP, _)),
+      Map("basePath" -> root), Some(dataSchema))
+    val partSchema = idx.partitionSchema
+    val ds = StructType(
+      dataSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val rel = HadoopFsRelation(idx, partSchema, ds, None,
+      new ParquetFileFormat, Map("basePath" -> root))(spark)
+    GraftDatasetFactory.ofRows(spark,
+      LogicalRelation(rel, isStreaming = true))
+  }
 
   override def getOffset: Option[Offset] =
     Manifest.current(spark, root).map { case (v, _) => LongOffset(v) }
@@ -66,26 +94,31 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     val toV = ver(end)
     val before = filesOf(fromV).toSet
     val now = filesOf(toV)
-    val removed = before -- now.toSet
+    val removed = (before -- now.toSet).toSeq.sorted
+    val added = now.filterNot(before)
+    if (changeFeed) {
+      // ROW-LEVEL CHANGE FEED (the Delta CDF contract): removed files'
+      // rows emit as `delete`, added files' rows as `insert` — a
+      // replacement commit (erasure, compaction, partition merge)
+      // becomes delete(old partition rows) + insert(survivors), which
+      // a keyed mirror applies exactly. Deleted files must still be on
+      // disk: vacuum retention (minAgeMs / keepVersions) must cover
+      // the reader's lag, every table format's CDF contract.
+      import org.apache.spark.sql.functions.lit
+      return fileDf(added).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          fileDf(removed).withColumn("_change_type", lit("delete")))
+    }
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
         s"manifest stream over $root: version range ($fromV, $toV] " +
           s"REMOVED ${removed.size} file(s) (replacement/compaction " +
           s"commit) — an append-only stream cannot represent that " +
-          s"exactly. Re-run with ignoreChanges=true if the sink " +
+          s"exactly. Re-run with changeFeed=true to receive row-level " +
+          s"delete+insert events, ignoreChanges=true if the sink " +
           s"key-dedups (e.g. a keyed merge), or stream the table " +
           s"before compaction.")
-    val added = now.filterNot(before)
-    val rootP = new Path(root)
-    val idx = new InMemoryFileIndex(spark, added.map(new Path(rootP, _)),
-      Map("basePath" -> root), Some(schema))
-    val partSchema = idx.partitionSchema
-    val dataSchema = StructType(
-      schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
-    val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
-      new ParquetFileFormat, Map("basePath" -> root))(spark)
-    GraftDatasetFactory.ofRows(spark,
-      LogicalRelation(rel, isStreaming = true))
+    fileDf(added)
   }
 
   override def stop(): Unit = ()
@@ -94,6 +127,21 @@ class ManifestStreamSource(spark: SparkSession, root: String,
 /** `spark.readStream.format("graft.streaming.ManifestStreamProvider")`
   * — V1 streaming source provider (the stable micro-batch SPI; the
   * file stream source itself still ships on it). */
+object ManifestStreamProvider {
+  val ChangeTypeCol = "_change_type"
+
+  /** The CDF schema: the data schema plus a trailing `_change_type`
+    * (`insert` | `delete`); idempotent when already present. */
+  def withChangeType(s: StructType): StructType =
+    if (s.fieldNames.contains(ChangeTypeCol)) s
+    else s.add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
+      nullable = false)
+
+  /** Strip a user-supplied CDF schema back to the data schema. */
+  private[streaming] def withoutChangeType(s: StructType): StructType =
+    StructType(s.filterNot(_.name == ChangeTypeCol))
+}
+
 class ManifestStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -103,19 +151,28 @@ class ManifestStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "manifest stream needs a path: readStream.format(...).load(<root>)"))
 
+  private def changeFeedOf(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
-      : (String, StructType) =
-    (shortName(), schema.getOrElse(
-      Manifest.read(sqlContext.sparkSession, rootOf(parameters)).schema))
+      : (String, StructType) = {
+    val data = schema.map(ManifestStreamProvider.withoutChangeType)
+      .getOrElse(Manifest.read(sqlContext.sparkSession,
+        rootOf(parameters)).schema)
+    (shortName(),
+      if (changeFeedOf(parameters)) ManifestStreamProvider.withChangeType(data)
+      else data)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
-    val resolved = schema.getOrElse(Manifest.read(spark, root).schema)
+    val data = schema.map(ManifestStreamProvider.withoutChangeType)
+      .getOrElse(Manifest.read(spark, root).schema)
     val startVersion = parameters.get("startingVersion") match {
       case Some("latest") =>
         Manifest.current(spark, root).map(_._1).getOrElse(0L)
@@ -124,7 +181,7 @@ class ManifestStreamProvider extends StreamSourceProvider
     }
     val ignoreChanges =
       parameters.get("ignoreChanges").exists(_.toBoolean)
-    new ManifestStreamSource(spark, root, resolved, startVersion,
-      ignoreChanges)
+    new ManifestStreamSource(spark, root, data, startVersion,
+      ignoreChanges, changeFeedOf(parameters))
   }
 }

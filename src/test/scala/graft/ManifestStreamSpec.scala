@@ -91,6 +91,41 @@ class ManifestStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("changeFeed: a replacement commit emits delete+insert; a keyed mirror converges") {
+    val root = mkRoot() // 4 d1 rows (u0..u3) + 2 d2 rows
+    val mirror = scala.collection.mutable.Map.empty[String, String]
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = spark.readStream.format(Fmt).option("changeFeed", "true")
+      .load(root)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("uid", "day", "_change_type").collect()
+        mirror.synchronized {
+          // CDF application order: deletes by key first, then inserts
+          rows.filter(_.getString(2) == "delete")
+            .foreach(r => mirror.remove(r.getString(0)))
+          rows.filter(_.getString(2) == "insert")
+            .foreach(r => mirror(r.getString(0)) = r.getString(1))
+          events ++= rows.map(r => r.getString(2) -> r.getString(0))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(mirror.size == 6 && events.forall(_._1 == "insert"),
+        "snapshot batch is pure inserts")
+      events.clear()
+      // REPLACE d1: u0..u3 out, r0/r1 in — one commit, one batch
+      Manifest.commitPartitionReplacementCas(spark, root, "day",
+        Seq(("r0", "d1"), ("r1", "d1")).toDF("uid", "day"),
+        touched = Seq("d1"))
+      q.processAllAvailable()
+      assert(events.count(_._1 == "delete") == 4 &&
+        events.count(_._1 == "insert") == 2, events.toString)
+      assert(mirror.keySet == Set("r0", "r1", "v0", "v1"),
+        s"mirror must converge to the replacement: $mirror")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes at the recorded version, no duplicates") {
     val root = mkRoot()
     val cp = Files.createTempDirectory("graft_mstream_cp").toString
