@@ -1630,6 +1630,67 @@ object SparkEntry {
         .withColumn("gate_zero_io", lit(zeroIo(full) && zeroIo(part)))
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE over the change feed: a per-wave
+    // aggregate (count + cents sum) follows the manifest table via
+    // signed CDC deltas — each batch folds to O(batch keys) and the
+    // base is NEVER rescanned; the erasure's replacement commit nets
+    // the subjects' contribution out of the aggregate. The converged
+    // mirror must hash-equal the full recompute over base-minus-
+    // subjects (the additive-homomorphism exactness claim, hash-gated).
+    "q236_incremental_view" -> ((s, dir) => {
+      import graft.operators.Erasure
+      import graft.sources.Manifest
+      import graft.streaming.IncrementalAgg
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_ivm_$tag").toString
+      val aggDir = new java.io.File(tmp, s"graft_ivm_agg_$tag").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_ivm_cp").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      val keys = Seq("w"); val sums = Seq("price_cents")
+      val cdfSchema = facts.schema.add("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false)
+      val mirror0 = IncrementalAgg.emptyMirror(s, cdfSchema, keys, sums)
+      mirror0.write.mode("overwrite").parquet(aggDir) // seed schema
+      val mirrorSchema = mirror0.schema
+      val q = s.readStream.schema(facts.schema)
+        .format("graft.streaming.ManifestStreamProvider")
+        .option("changeFeed", "true").load(layout)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cur = b.sparkSession.read.schema(mirrorSchema)
+            .parquet(aggDir).localCheckpoint(true)
+          IncrementalAgg.applyDelta(cur, b, keys, sums)
+            .write.mode("overwrite").parquet(aggDir)
+          ()
+        }.start()
+      try {
+        q.processAllAvailable() // snapshot batch
+        if (Manifest.current(s, layout).exists(_._2.nonEmpty)) {
+          val subjects = facts.select("custkey")
+            .where(pmod(col("custkey"), lit(997)) === 0).distinct()
+          Erasure.erasePartitionScopedAtomic(s, layout, "w", subjects,
+            Seq("custkey"), batchId = "ivm-erase-1", keepVersions = 2)
+        }
+        q.processAllAvailable() // delta batch nets the subjects out
+      } finally q.stop()
+      // ≥2 data batches = the aggregate really was maintained by
+      // deltas (snapshot + erasure), not one final recompute
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      s.read.schema(mirrorSchema).parquet(aggDir)
+        .select(col("w"), col("n_rows").as("n_orders"),
+          col("sum_price_cents"))
+        .withColumn("gate_ivm", lit(nBatches >= 2))
+    }),
+
     // GDPR ERASURE PROPAGATED THROUGH THE CHANGE FEED: a keyed mirror
     // (the downstream derived store every serving layer has) follows
     // the manifest table via changeFeed=true; the erasure's
@@ -6909,6 +6970,18 @@ object SparkEntry {
         |     WHERE substring(o_orderpriority, 1, 1) IN ('1', '2'))
         |    AS n_urgent_high,
         |  TRUE AS gate_zero_io""".stripMargin,
+
+    // q236: the delta-maintained aggregate must equal the full
+    // recompute over base-minus-subjects.
+    "q236_incremental_view" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_ivm
+        |FROM orders
+        |WHERE o_custkey % 997 <> 0
+        |GROUP BY 1""".stripMargin,
 
     // q235: the converged mirror must equal the base minus the erased
     // subjects — identical truth to q234, reached through the feed.
