@@ -1637,6 +1637,214 @@ object SparkEntry {
     // the subjects' contribution out of the aggregate. The converged
     // mirror must hash-equal the full recompute over base-minus-
     // subjects (the additive-homomorphism exactness claim, hash-gated).
+    // MERGE-ON-READ GDPR ERASURE (deletion vectors): the subjects
+    // leave the table through an O(deleted rows) (file, pos) artifact
+    // commit — gate_mor pins that the data-file list is BYTE-IDENTICAL
+    // across the delete (zero rewrite, the 100 TB erasure lever vs the
+    // copy-on-write partition rewrite of q234) — and EVERY read face
+    // serves the deletion: the hash-gated aggregate goes through the
+    // unified spark.table() resolution (DV anti-join implicit in the
+    // plan), gate_count pins the log-answered COUNT (physical stats
+    // minus per-file DV counts == the scan truth), gate_gone pins
+    // subject absence.
+    "q237_dv_erasure" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_dv_ers_$tag").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      val filesBefore = Manifest.current(s, layout).get._2
+      val subjects = facts.select("custkey")
+        .where(pmod(col("custkey"), lit(89)) === 0).distinct()
+      val (v, nDeleted) =
+        Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+      Manifest.writeStats(s, layout, v)
+      val gateMor = nDeleted > 0L &&
+        Manifest.filesAt(s, layout, v) == filesBefore &&
+        Manifest.dvsAt(s, layout, v).nonEmpty
+      GraftTable.register(s, "graft_unified", s"dv_ers_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val t = s.table(s"graft_unified.dv_ers_$tag")
+      val gateCount = Manifest.countRows(s, layout) == t.count()
+      val gateGone =
+        t.where(pmod(col("custkey"), lit(89)) === 0).count() == 0L
+      t.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_mor", lit(gateMor))
+        .withColumn("gate_count", lit(gateCount))
+        .withColumn("gate_gone", lit(gateGone))
+    }),
+
+    // MERGE-ON-READ UPDATE: one atomic commit = a deletion vector over
+    // the old row positions + the updated copies staged as fresh files
+    // — O(changed rows) bytes written, with an assignment that MOVES
+    // rows across partitions (the hard case copy-on-write handles by
+    // rewriting both partitions): updated orders re-partition under
+    // w='9' while their originals stay physically in place, hidden by
+    // the DV. gate_mor_u pins that every original file is still listed
+    // and every NEW file lives under the destination partition.
+    "q239_dv_update" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_dv_upd_$tag").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      val before = Manifest.current(s, layout).get._2.toSet
+      val (v, n) = Manifest.updateWhere(s, layout,
+        pmod(col("custkey"), lit(101)) === 0,
+        Map("price_cents" -> (col("price_cents") * 2L),
+          "w" -> lit("9")),
+        partCol = Some("w"))
+      val after = Manifest.filesAt(s, layout, v).toSet
+      val gate = n > 0L && before.subsetOf(after) &&
+        (after -- before).forall(_.startsWith("w=9/")) &&
+        Manifest.dvsAt(s, layout, v).nonEmpty
+      Manifest.read(s, layout)
+        // partition-dir type inference reads w=9 as an int; the
+        // declared truth is the string code
+        .groupBy(col("w").cast("string").as("w"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_mor_u", lit(gate))
+    }),
+
+    // CROSS-TABLE GDPR ERASURE, MERGE-ON-READ (q234's truth with
+    // q237's cost model): the subjects leave BOTH group members via
+    // per-member deletion-vector commits — zero data files rewritten
+    // anywhere, gate-pinned — and ONE group flip publishes the erasure
+    // everywhere at once; the reads go through group-pinned unified
+    // tables, so the DV anti-join and the group version pinning
+    // compose in the same spark.table() plan.
+    "q240_dv_group_erasure" -> ((s, dir) => {
+      import graft.operators.Erasure
+      import graft.sources.{GraftTable, Manifest, ManifestGroup}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val rootA = new java.io.File(tmp, s"graft_dvg_facts_$tag").toString
+      val rootB = new java.io.File(tmp, s"graft_dvg_roll_$tag").toString
+      val meta = new java.io.File(tmp, s"graft_dvg_meta_$tag").toString
+      val conf = s.sessionState.newHadoopConf()
+      Seq(rootA, rootB, meta).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val facts = s.read.parquet(base)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2).write.partitionBy("w").parquet(rootA)
+      val roll = facts.groupBy("custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      roll.coalesce(1).write.parquet(rootB)
+      Manifest.bootstrap(s, rootA); Manifest.bootstrap(s, rootB)
+      ManifestGroup.publish(s, meta, Map(
+        rootA -> Manifest.current(s, rootA).get._2,
+        rootB -> Manifest.current(s, rootB).get._2))
+      val filesA = Manifest.current(s, rootA).get._2
+      val filesB = Manifest.current(s, rootB).get._2
+      val subjects = facts.select("custkey")
+        .where(pmod(col("custkey"), lit(103)) === 0).distinct()
+      Erasure.eraseGroupDv(s, meta, Seq(rootA, rootB), subjects,
+        Seq("custkey"), batchId = "dv-gdpr-grp-1")
+      val gateMor = Manifest.current(s, rootA).get._2 == filesA &&
+        Manifest.current(s, rootB).get._2 == filesB
+      GraftTable.register(s, "graft_unified", s"dvg_facts_$tag", rootA,
+        schema = Some(facts.schema), partitionCols = Seq("w"),
+        group = Some(meta))
+      GraftTable.register(s, "graft_unified", s"dvg_roll_$tag", rootB,
+        schema = Some(roll.schema), group = Some(meta))
+      val tA = s.table(s"graft_unified.dvg_facts_$tag")
+      val tB = s.table(s"graft_unified.dvg_roll_$tag")
+      val inA = tA.where(pmod(col("custkey"), lit(103)) === 0).count()
+      val inB = tB.where(pmod(col("custkey"), lit(103)) === 0).count()
+      val consistent =
+        tB.count() == tA.select("custkey").distinct().count()
+      tA.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+        .withColumn("gate_dv_group",
+          lit(gateMor && inA == 0L && inB == 0L && consistent))
+    }),
+
+    // MERGE-ON-READ DELETE THROUGH THE CHANGE FEED: a deletion-vector
+    // commit changes NO files, yet the CDC stream must still carry the
+    // deleted rows to every derived store — the source reads the new
+    // DV artifact, materializes exactly its (file, pos) rows from the
+    // still-live files, and emits them as `delete` events; the keyed
+    // mirror converges to base minus subjects with no source rescan.
+    // gate_dv_cdc additionally pins that the delete commit really was
+    // merge-on-read (file list unchanged) and arrived as its own
+    // batch.
+    "q238_dv_change_feed" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_dvcdc_$tag").toString
+      val mirrorDir =
+        new java.io.File(tmp, s"graft_dvcdc_mirror_$tag").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_dvcdc_cp").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      facts.limit(0).write.mode("overwrite").parquet(mirrorDir)
+      val factsSchema = facts.schema
+      val q = s.readStream.schema(factsSchema)
+        .format("graft.streaming.ManifestStreamProvider")
+        .option("changeFeed", "true").load(layout)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cur = b.sparkSession.read.schema(factsSchema)
+            .parquet(mirrorDir).localCheckpoint(true)
+          val dataCols = factsSchema.fieldNames.map(col).toSeq
+          val del = b.where(col("_change_type") === "delete")
+            .select("o_orderkey").distinct()
+          val ins = b.where(col("_change_type") === "insert")
+            .select(dataCols: _*)
+          cur.join(del, Seq("o_orderkey"), "left_anti").unionByName(ins)
+            .write.mode("overwrite").parquet(mirrorDir)
+          ()
+        }.start()
+      var morClean = false
+      try {
+        q.processAllAvailable() // snapshot batch: mirror = full table
+        val filesBefore = Manifest.current(s, layout).get._2
+        val subjects = facts.select("custkey")
+          .where(pmod(col("custkey"), lit(131)) === 0).distinct()
+        val (v, n) =
+          Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+        morClean = n > 0L && Manifest.filesAt(s, layout, v) == filesBefore
+        q.processAllAvailable() // the DV batch: deletes only
+      } finally q.stop()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      val mirror = s.read.schema(factsSchema).parquet(mirrorDir)
+      val leftover =
+        mirror.where(pmod(col("custkey"), lit(131)) === 0).count()
+      mirror.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_dv_cdc",
+          lit(morClean && leftover == 0L && nBatches >= 2))
+    }),
+
     "q236_incremental_view" -> ((s, dir) => {
       import graft.operators.Erasure
       import graft.sources.Manifest
@@ -6973,6 +7181,55 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q237: the table minus the DV-erased subjects IS the truth every
+    // read face (unified table, log count) must serve.
+    "q237_dv_erasure" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_mor, TRUE AS gate_count, TRUE AS gate_gone
+        |FROM orders
+        |WHERE o_custkey % 89 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    // q239: the update's truth — doubled price and w='9' for the
+    // updated customers — reached through one DV+staged-files commit.
+    "q239_dv_update" ->
+      """SELECT CASE WHEN o_custkey % 101 = 0 THEN '9'
+        |            ELSE substring(o_orderpriority, 1, 1) END AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) *
+        |           CASE WHEN o_custkey % 101 = 0 THEN 2 ELSE 1 END)
+        |       AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_mor_u
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // q240: base minus the erased subjects, served through the
+    // group-pinned unified tables after the one-flip DV erasure.
+    "q240_dv_group_erasure" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_dv_group
+        |FROM orders
+        |WHERE o_custkey % 103 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    // q238: the converged mirror after the deletion-vector commit —
+    // same truth, reached through row-level CDC with zero file churn.
+    "q238_dv_change_feed" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_dv_cdc
+        |FROM orders
+        |WHERE o_custkey % 131 <> 0
+        |GROUP BY 1""".stripMargin,
+
     "q236_incremental_view" ->
       """SELECT substring(o_orderpriority, 1, 1) AS w,
         |  CAST(count(*) AS BIGINT) AS n_orders,

@@ -304,4 +304,70 @@ object Erasure {
       published
     } finally subj.unpersist()
   }
+
+  /** Cross-table GDPR erasure, MERGE-ON-READ (the deletion-vector twin
+    * of [[eraseGroupAtomic]]): each member commits an O(deleted rows)
+    * (file, pos) artifact — ZERO data files rewritten anywhere — and
+    * ONE group flip makes every member's erasure visible together.
+    * Group-pinned readers never see a window where one table is erased
+    * and another still serves the subject; a crash before the flip
+    * leaves all members on the consistent pre-erasure publish (the
+    * committed DV versions wait, unreferenced by any group, until the
+    * re-run flips or vacuum reclaims them).
+    *
+    * At 100 TB this is the erasure cost model that actually works: the
+    * copy-on-write variant rewrites every touched partition of every
+    * member; this writes bytes proportional to the subjects' rows.
+    * Read amplification (the scan-side anti-join) amortizes until a
+    * scheduled [[graft.sources.Manifest.purgeDeletes]] per member.
+    *
+    * No partition columns are needed at all — the DV names rows by
+    * physical position, so members may be partitioned arbitrarily (or
+    * not at all). Ledger: one row per (member, subject key) with the
+    * exact rows erased, including zero-match proofs — the audit trail
+    * that every request was processed against every member. */
+  def eraseGroupDv(spark: SparkSession, metaRoot: String,
+                   members: Seq[String], subjects: DataFrame,
+                   keys: Seq[String], batchId: String,
+                   ledgerPath: Option[String] = None)
+      : (Long, Map[String, Long]) = {
+    import graft.sources.{Manifest, ManifestGroup}
+    require(keys.nonEmpty, "erase needs at least one key column")
+    val subj = subjects.select(keys.map(col): _*).distinct().persist()
+    try {
+      val results = members.map { root =>
+        Manifest.bootstrap(spark, root)
+        val empty = Manifest.current(spark, root).forall(_._2.isEmpty)
+        // ledger BEFORE the delete (its lineage reads the pre-delete
+        // snapshot), eagerly pinned — the erasePartitionScoped rule
+        val erasedPerKey =
+          if (empty) subj.limit(0).withColumn("n_rows_erased", lit(0L))
+          else Manifest.read(spark, root)
+            .join(broadcast(subj), keys, "left_semi")
+            .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows_erased"))
+        val ledger = subj.join(erasedPerKey, keys, "left")
+          .select(keys.map(col) ++ Seq(
+            coalesce(col("n_rows_erased"), lit(0L)).as("n_rows_erased"),
+            lit(root).as("member"), lit(batchId).as("batch_id")): _*)
+          .coalesce(1).localCheckpoint(true)
+        val (v, n) =
+          if (empty)
+            (Manifest.current(spark, root).map(_._1).getOrElse(
+              Manifest.commit(spark, root, Nil)), 0L)
+          else Manifest.deleteMatching(spark, root, subj, keys)
+        (root, v, n, ledger)
+      }
+      // every member's DV version is committed but no group references
+      // it yet — the crash window leaves group readers consistent; ONE
+      // flip moves all members together
+      val flipped = ManifestGroup.flip(spark, metaRoot,
+        results.map { case (r, v, _, _) =>
+          ManifestGroup.normKey(r) -> v }.toMap)
+      ledgerPath.foreach { lp =>
+        results.foreach { case (_, _, _, l) =>
+          l.write.mode(SaveMode.Append).parquet(lp) }
+      }
+      flipped
+    } finally subj.unpersist()
+  }
 }

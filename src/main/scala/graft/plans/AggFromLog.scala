@@ -155,6 +155,15 @@ case class AggFromLog(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(t) => t
       case None => return None
     }
+    // merge-on-read guard: a version carrying deletion vectors cannot
+    // fold from PHYSICAL per-file stats (deleted rows would count).
+    // Structurally unreachable today — the resolution rule wraps a
+    // DV'd relation in the anti-join, which descend() refuses — but a
+    // directly-constructed pinned index must decline too, never fold
+    // a stale truth. One O(files) manifest text read, only on plans
+    // that already matched every other gate.
+    if (Manifest.dvsAt(spark, m.root.toString, m.version).nonEmpty)
+      return None
     val resolver = spark.sessionState.analyzer.resolver
     val partCols = fsRel.partitionSchema.fieldNames
     if (!conds.forall(c =>

@@ -379,7 +379,43 @@ case class ManifestTableResolution(spark: SparkSession)
             val swapped = HadoopFsRelation(mfi, fsRel.partitionSchema,
               fsRel.dataSchema, fsRel.bucketSpec, fsRel.fileFormat,
               fsRel.options)(spark)
-            lr.copy(relation = swapped)
+            val pinned = lr.copy(relation = swapped)
+            // MERGE-ON-READ: when the pinned version carries deletion
+            // vectors, serve the table MINUS the deleted (file, pos)
+            // rows by wrapping the scan in the shared DV anti-join —
+            // deletes are correctness (unlike the fail-open pruning
+            // sidecars), so the wrap is unconditional and version-
+            // pinned with the snapshot. The project back onto the
+            // relation's own output attributes keeps the exprIds the
+            // outer plan references; the already-pinned fast path
+            // above never re-wraps (the wrap's inner relation matches
+            // it on re-analysis).
+            val dvs = Manifest.dvsAt(spark, root.toString, v)
+            if (dvs.isEmpty) pinned
+            else {
+              val base = org.apache.spark.sql.GraftDatasetFactory
+                .ofRows(spark, pinned)
+              val filtered =
+                Manifest.dvAntiJoin(spark, root.toString, base, dvs)
+              val out = filtered.select(
+                lr.output.map(org.apache.spark.sql.GraftDatasetFactory
+                  .column(_)): _*)
+              // Catalog.refreshTable walks the analyzed plan of
+              // spark.table() and calls `.catalogTable.get` on EVERY
+              // LogicalRelation (RECOVER PARTITIONS → refreshTable
+              // does this during registration) — so the DV-artifact
+              // scan must carry a catalog entry. It gets the outer
+              // table's, with the manifest/group markers stripped so
+              // no graft rule ever mistakes the artifact scan for the
+              // table itself; refresh-by-identifier then just
+              // invalidates the same table's cache twice, harmless.
+              val dvTbl = tbl.copy(properties = tbl.properties -
+                GraftTable.PropManifest - GraftTable.PropGroup)
+              out.queryExecution.analyzed.transform {
+                case dvLr @ LogicalRelation(_, _, None, _, _) =>
+                  dvLr.copy(catalogTable = Some(dvTbl))
+              }
+            }
         }
     }
   }

@@ -52,6 +52,15 @@ object Manifest {
 
   val Dir = "_graft_manifest"
 
+  /** Hidden directory holding deletion-vector parquet artifacts —
+    * outside [[listDataFiles]]'s sweep (hidden prefix), so bootstrap
+    * never publishes a DV as data and vacuum's data pass never touches
+    * one; DV garbage collection is its own retained-version-aware pass
+    * inside [[vacuum]]. */
+  val DvDir = "_graft_dv"
+
+  private val DvPrefix = "#dv\t"
+
   private[sources] def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -88,8 +97,27 @@ object Manifest {
       .map(_.stripPrefix("manifest-").toLong).sorted.toSeq
   }
 
-  /** Root-relative live files of committed version `v`. */
-  def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  /** Root-relative live files of committed version `v`. Annotation
+    * lines (`#`-prefixed — deletion-vector references) are not data
+    * files; pre-DV manifests contain none, so old logs read
+    * unchanged. */
+  def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).filterNot(_.startsWith("#"))
+
+  /** Root-relative DELETION-VECTOR artifacts live at version `v` —
+    * `#dv\t<relpath>` annotation lines of the manifest. A DV is a
+    * parquet dataset of (file, pos) pairs naming rows of otherwise
+    * LIVE data files that readers of this version must drop: the
+    * merge-on-read delete (Delta deletion vectors / Iceberg position
+    * deletes — public designs). DVs are version-pinned exactly like
+    * files, so time travel replays deletes too. */
+  def dvsAt(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestLines(spark, root, v).collect {
+      case ln if ln.startsWith(DvPrefix) => ln.stripPrefix(DvPrefix)
+    }
+
+  private def manifestLines(spark: SparkSession, root: String,
+                            v: Long): Seq[String] = {
     val (fs, rootP) = fsOf(spark, root)
     val in = fs.open(new Path(new Path(rootP, Dir), f"manifest-$v%020d"))
     try {
@@ -108,11 +136,20 @@ object Manifest {
   }
 
   /** Publish `files` as the next manifest version: write to a temp name,
-    * rename into place — the ONE atomic step of every commit. */
-  def commit(spark: SparkSession, root: String, files: Seq[String]): Long = {
+    * rename into place — the ONE atomic step of every commit.
+    *
+    * `dvs`: deletion-vector references of the new version. The default
+    * `None` CARRIES the current version's DVs forward — the safe
+    * choice for every append/replacement writer (a DV row whose target
+    * file a replacement dropped is inert: its (file, pos) can never
+    * match again, UUID file names are never reused). Pass `Some(Nil)`
+    * only when the commit physically materialized the deletes
+    * ([[purgeDeletes]]). */
+  def commit(spark: SparkSession, root: String, files: Seq[String],
+             dvs: Option[Seq[String]] = None): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val v = current(spark, root).map(_._1).getOrElse(0L)
-    tryCommit(spark, root, files, v).getOrElse(
+    tryCommit(spark, root, files, v, dvs).getOrElse(
       throw new IllegalStateException(
         s"manifest publish of version ${v + 1} failed — concurrent " +
           s"writer under $root; use commitPartitionReplacementCas for " +
@@ -138,18 +175,24 @@ object Manifest {
     * real S3 deployment the same contract is the conditional
     * `If-None-Match` put of the version object. */
   def tryCommit(spark: SparkSession, root: String, files: Seq[String],
-                base: Long): Option[Long] = {
+                base: Long, dvs: Option[Seq[String]] = None): Option[Long] = {
     val (fs, rootP) = fsOf(spark, root)
     val dir = new Path(rootP, Dir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val v = base + 1
     // fast path: the log has already moved past our slot
     if (versions(spark, root).exists(_ >= v)) return None
+    // DV carry-forward default: the base version's deletes stay live —
+    // a writer unaware of deletion vectors can never resurrect deleted
+    // rows by publishing a DV-free manifest
+    val dvLines = dvs.getOrElse(
+        if (base <= 0L) Nil else dvsAt(spark, root, base))
+      .sorted.map(DvPrefix + _)
     val target = new Path(dir, f"manifest-$v%020d")
     val tmp = new Path(dir,
       f"manifest-$v%020d." + java.util.UUID.randomUUID + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write((files.sorted.mkString("\n") + "\n")
+    try out.write(((files.sorted ++ dvLines).mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (claimAtomic(fs, tmp, target)) Some(v) else None
@@ -190,9 +233,9 @@ object Manifest {
     * default read semantics); writers that need raw-string identity run
     * on their own cloned sessions as before. */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val files = current(spark, root).getOrElse(throw new IllegalArgumentException(
-      s"no committed manifest under $root — bootstrap() it first"))._2
-    readFiles(spark, root, files)
+    val (v, files) = current(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"no committed manifest under $root — bootstrap() it first"))
+    readFiles(spark, root, files, dvsAt(spark, root, v))
   }
 
   /** TIME-TRAVEL read: the table exactly as committed version `v`
@@ -204,16 +247,309 @@ object Manifest {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(versions(spark, root).contains(v),
       s"version $v is not committed under $root (vacuumed or never existed)")
-    readFiles(spark, root, filesAt(spark, root, v))
+    readFiles(spark, root, filesAt(spark, root, v), dvsAt(spark, root, v))
   }
 
   private def readFiles(spark: SparkSession, root: String,
-                        files: Seq[String]): DataFrame = {
+                        files: Seq[String], dvs: Seq[String]): DataFrame = {
     val (_, rootP) = fsOf(spark, root)
     require(files.nonEmpty,
       s"manifest snapshot of $root is empty — the table was fully erased")
-    spark.read.option("basePath", rootP.toString)
+    val base = spark.read.option("basePath", rootP.toString)
       .parquet(files.map(f => new Path(rootP, f).toString): _*)
+    dvAntiJoin(spark, root, base, dvs)
+  }
+
+  /** Apply deletion vectors to a scan of a manifest snapshot: drop
+    * every (file, pos) row a DV artifact names. The join key is the
+    * ROOT-RELATIVE file path — recovered from `_metadata.file_path` by
+    * stripping the filesystem-QUALIFIED root prefix, which is exact by
+    * construction (the scan's input paths are `qualify(root)/<rel>`,
+    * and `_metadata.file_path` is that qualified string; both sides
+    * are computed here, in the same process, from the same fs). A row
+    * whose path does NOT carry the expected prefix raises rather than
+    * silently keeping a deleted row (fail LOUD, never fail open —
+    * deletes are correctness, unlike the bloom/colstats pruning
+    * sidecars). `_metadata.row_index` is the parquet row position —
+    * stable for immutable files.
+    *
+    * Scale shape: the DV side is O(deleted rows); Spark broadcasts it
+    * under the usual threshold, otherwise the anti-join shuffles on
+    * (file, pos) — commit-sized, never table-sized, and AQE picks the
+    * strategy at runtime. No DVs → the scan is returned untouched
+    * (zero overhead for tables that never saw a delete). */
+  def dvAntiJoin(spark: SparkSession, root: String, scan: DataFrame,
+                 dvs: Seq[String]): DataFrame = {
+    if (dvs.isEmpty) return scan
+    val (_, rootP) = fsOf(spark, root)
+    val dv = spark.read
+      .parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    scan
+      .withColumn("__graft_rel", relPathCol(spark, root))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(dv, col("__graft_rel") === col("__dv_file") &&
+        col("__graft_pos") === col("__dv_pos"), "left_anti")
+      .drop("__graft_rel", "__graft_pos")
+  }
+
+  /** Dual of [[dvAntiJoin]]: KEEP exactly the rows `dvRows` (a
+    * (file, pos) frame the caller already loaded) names — how the
+    * change feed materializes a deletion vector's rows as row-level
+    * `delete` events. */
+  def dvSemiJoin(spark: SparkSession, root: String, scan: DataFrame,
+                 dvRows: DataFrame): DataFrame = {
+    val dv = dvRows.select(col("file").as("__dv_file"),
+      col("pos").as("__dv_pos"))
+    scan
+      .withColumn("__graft_rel", relPathCol(spark, root))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(dv, col("__graft_rel") === col("__dv_file") &&
+        col("__graft_pos") === col("__dv_pos"), "left_semi")
+      .drop("__graft_rel", "__graft_pos")
+  }
+
+  /** `_metadata.file_path` as a ROOT-RELATIVE path — THE one
+    * normalization both DV writers and DV-applying readers share
+    * (the round-10 bloom-refresh advice: never normalize two ways). */
+  private def relPathCol(spark: SparkSession, root: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, expr, lit, raise_error, startswith, when}
+    val (fs, rootP) = fsOf(spark, root)
+    val prefix = fs.makeQualified(rootP).toString.stripSuffix("/") + "/"
+    when(startswith(col("_metadata.file_path"), lit(prefix)),
+      expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+      .otherwise(raise_error(concat(
+        lit(s"deletion-vector path mismatch under $root: expected " +
+          s"prefix $prefix, scan saw "),
+        col("_metadata.file_path"))))
+  }
+
+  /** MERGE-ON-READ DELETE (Delta deletion vectors / Iceberg position
+    * deletes — the public designs): mark every current-snapshot row
+    * matching `cond` deleted by writing a (file, pos) deletion-vector
+    * artifact and committing a manifest that references it — ZERO data
+    * files rewritten. At 100 TB this is the erasure lever: a
+    * copy-on-write delete rewrites every touched partition (O(table
+    * slice) bytes); a DV commit writes O(deleted rows) bytes, and the
+    * scan-side anti-join amortizes until [[purgeDeletes]] compacts.
+    *
+    * Semantics are AS-OF the snapshot the predicate evaluated against:
+    * on a CAS loss the artifact is discarded and the whole delete
+    * recomputes against the new current version (rows a racing append
+    * added ARE then candidates — same contract as running the DELETE a
+    * moment later). Already-deleted rows never re-match (the matching
+    * scan is itself DV-filtered), so DV artifacts never hold duplicate
+    * (file, pos) pairs and per-file deleted counts stay exact for
+    * [[countRows]].
+    *
+    * Returns (committed version, rows deleted); a no-match delete
+    * commits nothing and returns the current version with 0. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  cond: org.apache.spark.sql.Column,
+                  maxAttempts: Int = 10): (Long, Long) =
+    deleteRows(spark, root, _.where(cond), maxAttempts)
+
+  /** Keyed merge-on-read delete: drop every row whose `keys` match a
+    * row of `subjects` (the GDPR right-to-be-forgotten shape — subject
+    * batches carry no partition column, and here they need none). */
+  def deleteMatching(spark: SparkSession, root: String,
+                     subjects: DataFrame, keys: Seq[String],
+                     maxAttempts: Int = 10): (Long, Long) =
+    deleteRows(spark, root, _.join(subjects.select(keys.map(col): _*)
+      .distinct(), keys, "left_semi"), maxAttempts)
+
+  private def deleteRows(spark: SparkSession, root: String,
+                         matcher: DataFrame => DataFrame,
+                         maxAttempts: Int): (Long, Long) = {
+    val (fs, rootP) = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (v, files) = current(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest under $root — bootstrap() it first"))
+      val dvs = dvsAt(spark, root, v)
+      // (rel, pos) materialize as REAL columns before the matcher runs:
+      // `_metadata` is a scan-level pseudo-column that does not survive
+      // a matcher's own joins/projects (e.g. deleteMatching's semi-join)
+      val scan = spark.read.option("basePath", rootP.toString)
+        .parquet(files.map(f => new Path(rootP, f).toString): _*)
+        .withColumn("__graft_rel", relPathCol(spark, root))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+      val live =
+        if (dvs.isEmpty) scan
+        else scan.join(
+          spark.read.parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+            .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          col("__graft_rel") === col("__dv_file") &&
+            col("__graft_pos") === col("__dv_pos"), "left_anti")
+      val hits = matcher(live)
+        .select(col("__graft_rel").as("file"), col("__graft_pos").as("pos"))
+      val dvName = s"$DvDir/dv-${java.util.UUID.randomUUID}"
+      val dvPath = new Path(rootP, dvName)
+      hits.write.parquet(dvPath.toString)
+      val n = spark.read.parquet(dvPath.toString).count()
+      if (n == 0L) { fs.delete(dvPath, true); return (v, 0L) }
+      tryCommit(spark, root, files, v, Some(dvs :+ dvName)) match {
+        case Some(nv) => return (nv, n)
+        case None => // lost the slot: discard and re-plan on the new snapshot
+          fs.delete(dvPath, true)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the delete commit race $maxAttempts times under $root")
+  }
+
+  /** MERGE-ON-READ UPDATE: one atomic commit that (a) marks every row
+    * matching `cond` deleted via a deletion vector and (b) appends the
+    * same rows with `set`'s assignments applied as fresh files —
+    * together, an UPDATE whose write cost is O(changed rows), not
+    * O(touched partitions) (the copy-on-write upsert's bill). Readers
+    * flip from old rows to new rows at the manifest rename; a crash
+    * before it leaves the staged files + DV unreferenced (vacuum
+    * fodder), never a half-update.
+    *
+    * `partCol`: the table's one-level partition column, if any — an
+    * assignment may move a row ACROSS partitions (the updated copy
+    * lands under its new value; the DV hides the old copy in place).
+    * Unpartitioned tables pass None. Same as-of/CAS-retry contract as
+    * [[deleteWhere]]. Returns (committed version, rows updated). */
+  def updateWhere(spark: SparkSession, root: String,
+                  cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  partCol: Option[String] = None,
+                  maxAttempts: Int = 10): (Long, Long) = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val (fs, rootP) = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (v, files) = current(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest under $root — bootstrap() it first"))
+      val dvs = dvsAt(spark, root, v)
+      val scan = spark.read.option("basePath", rootP.toString)
+        .parquet(files.map(f => new Path(rootP, f).toString): _*)
+        .withColumn("__graft_rel", relPathCol(spark, root))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+      val live =
+        if (dvs.isEmpty) scan
+        else scan.join(
+          spark.read.parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+            .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          col("__graft_rel") === col("__dv_file") &&
+            col("__graft_pos") === col("__dv_pos"), "left_anti")
+      set.keys.foreach { c => require(
+        live.columns.exists(spark.sessionState.analyzer.resolver(_, c)),
+        s"assignment targets unknown column $c") }
+      // matched rows once: both the DV (old positions) and the staged
+      // rewrite (new values) derive from this frame
+      val matched = live.where(cond)
+        .localCheckpoint(true) // sever lineage: evaluate the match ONCE
+      val hits = matched
+        .select(col("__graft_rel").as("file"), col("__graft_pos").as("pos"))
+      val dvName = s"$DvDir/dv-${java.util.UUID.randomUUID}"
+      val dvPath = new Path(rootP, dvName)
+      hits.write.parquet(dvPath.toString)
+      val n = spark.read.parquet(dvPath.toString).count()
+      if (n == 0L) { fs.delete(dvPath, true); return (v, 0L) }
+      val updated = set.foldLeft(
+        matched.drop("__graft_rel", "__graft_pos")) {
+        case (df, (c, e)) => df.withColumn(c, e)
+      }
+      val created = partCol match {
+        case Some(pc) => stageUnique(spark, fs, rootP, pc, updated)
+        case None => stageUniqueFlat(spark, fs, rootP, updated)
+      }
+      tryCommit(spark, root, files ++ created, v, Some(dvs :+ dvName)) match {
+        case Some(nv) => return (nv, n)
+        case None => // lost the slot: discard artifacts, re-plan
+          fs.delete(dvPath, true)
+          created.foreach(c => fs.delete(new Path(rootP, c), false))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the update commit race $maxAttempts times under $root")
+  }
+
+  /** [[stageUnique]] for an UNPARTITIONED layout: uuid-named files
+    * straight under the root, attribution exact, reader-invisible
+    * until a manifest references them. */
+  private def stageUniqueFlat(spark: SparkSession, fs: FileSystem,
+                              rootP: Path, newData: DataFrame): Seq[String] = {
+    val uuid = java.util.UUID.randomUUID.toString
+    val scratch = new Path(rootP, s"_graft_stage/$uuid")
+    newData.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
+    val out = mutable.ArrayBuffer.empty[String]
+    fs.listStatus(scratch)
+      .filter(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val name = s"stage-$uuid-part-$i.parquet"
+        require(fs.rename(f.getPath, new Path(rootP, name)),
+          s"staging move failed for ${f.getPath}")
+        out += name
+      }
+    fs.delete(new Path(rootP, s"_graft_stage/$uuid"), true)
+    val stageRoot = new Path(rootP, "_graft_stage")
+    if (fs.exists(stageRoot) && fs.listStatus(stageRoot).isEmpty)
+      fs.delete(stageRoot, false)
+    out.toSeq.sorted
+  }
+
+  /** Materialize all live deletion vectors: rewrite exactly the files
+    * a DV touches (minus their deleted rows), drop every DV reference,
+    * one atomic commit — the compaction leg of merge-on-read (Delta's
+    * PURGE). Read amplification returns to zero; the replaced originals
+    * stay on disk for retained-version time travel until [[vacuum]].
+    * Work is O(DV'd files), never O(table): untouched files are
+    * carried by reference. */
+  def purgeDeletes(spark: SparkSession, root: String): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val (v, files) = current(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed manifest under $root — bootstrap() it first"))
+    val dvs = dvsAt(spark, root, v)
+    if (dvs.isEmpty) return v
+    val liveSet = files.toSet
+    // files the DVs actually touch (rows for replaced files are inert)
+    val affected = spark.read
+      .parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+      .select("file").distinct().collect().map(_.getString(0))
+      .filter(liveSet).sorted.toSeq
+    if (affected.isEmpty) // only inert DV debris: drop the references
+      return commit(spark, root, files, dvs = Some(Nil))
+    val uuid = java.util.UUID.randomUUID.toString
+    val created = mutable.ArrayBuffer.empty[String]
+    // one rewrite job per touched directory: rows go back beside their
+    // originals, so the partition layout (directory-encoded values)
+    // is untouched without re-deriving partition columns
+    affected.groupBy(rel => rel.lastIndexOf('/') match {
+      case -1 => ""
+      case i => rel.substring(0, i)
+    }).toSeq.sortBy(_._1).foreach { case (dirRel, rels) =>
+      val scan = spark.read
+        .parquet(rels.map(r => new Path(rootP, r).toString): _*)
+      val survivors = dvAntiJoin(spark, root, scan, dvs)
+      val scratch = new Path(rootP, s"_graft_stage/$uuid-purge")
+      survivors.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
+      val targetDir = if (dirRel.isEmpty) rootP else new Path(rootP, dirRel)
+      val baseIdx = created.length
+      fs.listStatus(scratch)
+        .filter(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val name = s"purge-$uuid-${baseIdx + i}.parquet"
+          require(fs.rename(f.getPath, new Path(targetDir, name)),
+            s"purge move failed for ${f.getPath}")
+          created += (if (dirRel.isEmpty) name else s"$dirRel/$name")
+        }
+      fs.delete(scratch, true)
+    }
+    val stageRoot = new Path(rootP, "_graft_stage")
+    if (fs.exists(stageRoot) && fs.listStatus(stageRoot).isEmpty)
+      fs.delete(stageRoot, false)
+    commit(spark, root,
+      files.filterNot(affected.toSet) ++ created, dvs = Some(Nil))
   }
 
   /** Partition value (Hive-unescaped) of a root-relative file path under
@@ -623,11 +959,24 @@ object Manifest {
     val lines = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
     finally in.close()
+    // deletion vectors subtract exactly: stats count PHYSICAL file
+    // rows (immutable, carry-forward-able); per-file deleted counts
+    // come from the O(deleted)-sized DV artifacts — never duplicated
+    // per (file, pos) because the delete's matching scan is itself
+    // DV-filtered — so COUNT stays log-answered through merge-on-read
+    // deletes with zero DATA-file IO
+    val dvs = dvsAt(spark, root, v)
+    val deleted: Map[String, Long] =
+      if (dvs.isEmpty) Map.empty
+      else spark.read.parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     lines.map { ln =>
       val Array(f, n) = ln.split("\t")
+      val liveN = n.toLong - deleted.getOrElse(f, 0L)
       partCol match {
-        case Some(pc) => if (partPredicate(partitionOf(f, pc))) n.toLong else 0L
-        case None => n.toLong
+        case Some(pc) => if (partPredicate(partitionOf(f, pc))) liveN else 0L
+        case None => liveN
       }
     }.sum
   }
@@ -673,6 +1022,20 @@ object Manifest {
       .foreach { d =>
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
+    // deletion-vector GC: an artifact survives iff a RETAINED version
+    // references it (same contract as data files); the grace window
+    // also protects a racing deleteWhere's staged-but-uncommitted DV
+    val dvLive = kept.flatMap(dvsAt(spark, root, _)).toSet
+    val dvRoot = new Path(rootP, DvDir)
+    if (fs.exists(dvRoot)) {
+      fs.listStatus(dvRoot).foreach { st =>
+        val rel = s"$DvDir/${st.getPath.getName}"
+        if (!dvLive(rel) &&
+            (minAgeMs <= 0L || st.getModificationTime <= cutoff))
+          fs.delete(st.getPath, true)
+      }
+      if (fs.listStatus(dvRoot).isEmpty) fs.delete(dvRoot, false)
+    }
     val dir = new Path(rootP, Dir)
     val keptNames = kept.flatMap(v =>
       Seq(f"manifest-$v%020d", f"stats-$v%020d", f"colstats-$v%020d")).toSet

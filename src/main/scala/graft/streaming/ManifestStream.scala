@@ -89,6 +89,9 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     Manifest.current(spark, root).map { case (v, _) => LongOffset(v) }
       .filter(_.offset > startVersion)
 
+  private def dvsOf(v: Long): Seq[String] =
+    if (v <= 0L) Nil else Manifest.dvsAt(spark, root, v)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(startVersion)
     val toV = ver(end)
@@ -96,29 +99,63 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     val now = filesOf(toV)
     val removed = (before -- now.toSet).toSeq.sorted
     val added = now.filterNot(before)
+    // DELETION VECTORS in the range: artifacts the range added name
+    // rows deleted WITHOUT a file change (merge-on-read). Rows of
+    // files already served (live at fromV) are retractions; rows of
+    // files this same batch adds were simply never live — the insert
+    // side filters them, no event needed. A purge commit shows up as
+    // plain file replacement (its DV refs drop, dvAdded is empty) and
+    // the existing removed/added handling is exact for it.
+    val dvBefore = dvsOf(fromV)
+    val dvAfter = dvsOf(toV)
+    val dvAdded = dvAfter.filterNot(dvBefore.toSet)
+    val rootP = new Path(root)
+    lazy val dvAddedRows = spark.read
+      .parquet(dvAdded.map(d => new Path(rootP, d).toString): _*)
+      .select("file", "pos")
+    // DV'd files that were live at fromV → already-served rows deleted
+    val dvTouchedBefore: Seq[String] =
+      if (dvAdded.isEmpty) Nil
+      else dvAddedRows.select("file").distinct().collect()
+        .map(_.getString(0)).filter(before).sorted.toSeq
     if (changeFeed) {
       // ROW-LEVEL CHANGE FEED (the Delta CDF contract): removed files'
-      // rows emit as `delete`, added files' rows as `insert` — a
-      // replacement commit (erasure, compaction, partition merge)
-      // becomes delete(old partition rows) + insert(survivors), which
-      // a keyed mirror applies exactly. Deleted files must still be on
-      // disk: vacuum retention (minAgeMs / keepVersions) must cover
-      // the reader's lag, every table format's CDF contract.
+      // rows emit as `delete` (minus rows already deleted at fromV —
+      // those events were emitted when their DV landed), added files'
+      // rows as `insert` (minus rows a DV in the same range deleted —
+      // never live), and a DV addition emits exactly its named rows of
+      // already-served files as `delete`. A replacement commit
+      // (erasure, compaction, partition merge) becomes delete(old
+      // partition rows) + insert(survivors); a merge-on-read delete
+      // becomes just its deletes — either way a keyed mirror applies
+      // the batch exactly. Deleted files must still be on disk: vacuum
+      // retention (minAgeMs / keepVersions) must cover the reader's
+      // lag, every table format's CDF contract.
       import org.apache.spark.sql.functions.lit
-      return fileDf(added).withColumn("_change_type", lit("insert"))
-        .unionByName(
-          fileDf(removed).withColumn("_change_type", lit("delete")))
+      val inserts = Manifest.dvAntiJoin(spark, root, fileDf(added), dvAfter)
+        .withColumn("_change_type", lit("insert"))
+      val removedDeletes =
+        Manifest.dvAntiJoin(spark, root, fileDf(removed), dvBefore)
+          .withColumn("_change_type", lit("delete"))
+      val dvDeletes =
+        if (dvTouchedBefore.isEmpty) None
+        else Some(Manifest.dvSemiJoin(spark, root,
+            fileDf(dvTouchedBefore.filter(now.toSet)), dvAddedRows)
+          .withColumn("_change_type", lit("delete")))
+      return dvDeletes.foldLeft(inserts.unionByName(removedDeletes))(
+        _ unionByName _)
     }
-    if (removed.nonEmpty && !ignoreChanges)
+    if ((removed.nonEmpty || dvTouchedBefore.nonEmpty) && !ignoreChanges)
       throw new IllegalStateException(
         s"manifest stream over $root: version range ($fromV, $toV] " +
-          s"REMOVED ${removed.size} file(s) (replacement/compaction " +
-          s"commit) — an append-only stream cannot represent that " +
-          s"exactly. Re-run with changeFeed=true to receive row-level " +
-          s"delete+insert events, ignoreChanges=true if the sink " +
-          s"key-dedups (e.g. a keyed merge), or stream the table " +
-          s"before compaction.")
-    fileDf(added)
+          s"REMOVED ${removed.size} file(s) and deleted rows from " +
+          s"${dvTouchedBefore.size} already-served file(s) " +
+          s"(replacement/compaction/merge-on-read-delete commit) — an " +
+          s"append-only stream cannot represent that exactly. Re-run " +
+          s"with changeFeed=true to receive row-level delete+insert " +
+          s"events, ignoreChanges=true if the sink key-dedups (e.g. a " +
+          s"keyed merge), or stream the table before compaction.")
+    Manifest.dvAntiJoin(spark, root, fileDf(added), dvAfter)
   }
 
   override def stop(): Unit = ()

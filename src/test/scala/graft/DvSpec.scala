@@ -1,0 +1,335 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.sources.{GraftTable, Manifest}
+
+/** MERGE-ON-READ DELETES (deletion vectors — Delta DV / Iceberg
+  * position-delete semantics, public designs): a delete commits an
+  * O(deleted rows) (file, pos) artifact and rewrites ZERO data files;
+  * every read path — Manifest.read, time travel, the unified
+  * spark.table() resolution, the change feed, log-answered COUNT —
+  * serves the table minus the deleted positions; purge materializes
+  * and vacuum garbage-collects. The 100 TB claim under test: file
+  * lists stay byte-identical across a delete, and deletes survive any
+  * later commit (carry-forward is the tryCommit DEFAULT, so a
+  * DV-unaware writer cannot resurrect rows). */
+class DvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** day-partitioned manifest table: 4 rows in d1, 2 in d2, 1 in d3. */
+  private def freshTable(): String = {
+    val path = Files.createTempDirectory("graft_dv").toString + "/t"
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d1", 30L), (4L, "d1", 40L),
+        (5L, "d2", 50L), (6L, "d2", 60L), (7L, "d3", 70L))
+      .toDF("id", "day", "v")
+      .repartition(2)
+      .write.partitionBy("day").parquet(path)
+    Manifest.bootstrap(spark, path)
+    path
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  private def snap(path: String): Set[Long] = ids(Manifest.read(spark, path))
+
+  test("deleteWhere: rows vanish from the snapshot, zero data files " +
+    "rewritten, the artifact is version-pinned metadata") {
+    val path = freshTable()
+    val filesBefore = Manifest.current(spark, path).get._2
+    val (v, n) = Manifest.deleteWhere(spark, path,
+      col("v") === 20L || col("id") === 5L)
+    assert(v == 2L && n == 2L)
+    assert(snap(path) == Set(1L, 3L, 4L, 6L, 7L))
+    // merge-on-read contract: the data-file list is BYTE-IDENTICAL —
+    // the delete wrote only the DV artifact
+    assert(Manifest.filesAt(spark, path, v) == filesBefore)
+    assert(Manifest.dvsAt(spark, path, v).size == 1)
+    assert(Manifest.dvsAt(spark, path, 1L).isEmpty)
+  }
+
+  test("deletes stack across commits; re-deleting deleted rows is a " +
+    "no-op commit (already-deleted rows never re-match)") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id") === 1L)
+    val (v2, n2) = Manifest.deleteWhere(spark, path, col("id") <= 2L)
+    assert(n2 == 1L, "id=1 is already deleted; only id=2 matches")
+    assert(Manifest.dvsAt(spark, path, v2).size == 2)
+    val (v3, n3) = Manifest.deleteWhere(spark, path, col("id") === 1L)
+    assert(n3 == 0L && v3 == v2, "no-match delete must not commit")
+    assert(snap(path) == Set(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("time travel replays deletes exactly: pre-delete versions show " +
+    "the rows, post-delete versions do not") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("day") === "d2")
+    assert(ids(Manifest.readVersion(spark, path, 1L)) == (1L to 7L).toSet)
+    assert(ids(Manifest.readVersion(spark, path, 2L)) == Set(1L, 2L, 3L, 4L, 7L))
+  }
+
+  test("deleteMatching: keyed GDPR-shaped delete, subjects carry no " +
+    "partition column") {
+    val path = freshTable()
+    val subjects = Seq(2L, 6L, 999L).toDF("id") // 999: no-match key
+    val (_, n) = Manifest.deleteMatching(spark, path, subjects, Seq("id"))
+    assert(n == 2L)
+    assert(snap(path) == Set(1L, 3L, 4L, 5L, 7L))
+  }
+
+  test("countRows stays log-answered through deletes: physical stats " +
+    "minus per-file DV counts, partition-filtered too") {
+    val path = freshTable()
+    val (v, _) = Manifest.deleteWhere(spark, path,
+      col("id") === 1L || col("id") === 5L)
+    Manifest.writeStats(spark, path, v)
+    assert(Manifest.countRows(spark, path) == 5L)
+    assert(Manifest.countRows(spark, path, Some("day"), _ == "d1") == 3L)
+    assert(Manifest.countRows(spark, path, Some("day"), _ == "d2") == 1L)
+  }
+
+  test("any later commit carries deletion vectors forward by default: " +
+    "a DV-unaware append cannot resurrect deleted rows") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id") === 4L)
+    // plain append + default commit (the pre-DV writer pattern)
+    Seq((8L, "d4", 80L)).toDF("id", "day", "v")
+      .write.mode("append").partitionBy("day").parquet(path)
+    val (fs, rootP) = (new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path))
+    val v = Manifest.commit(spark, path, Manifest.listDataFiles(fs, rootP))
+    assert(Manifest.dvsAt(spark, path, v).size == 1, "DV carried forward")
+    assert(snap(path) == Set(1L, 2L, 3L, 5L, 6L, 7L, 8L))
+  }
+
+  test("partition replacement with live DVs: untouched partitions keep " +
+    "their deletes; DV rows aimed at replaced files go inert") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id") === 2L) // d1 row
+    Manifest.deleteWhere(spark, path, col("id") === 5L) // d2 row
+    // replace d2 entirely (writes FRESH files there; the old d2 DV row
+    // now points at a dead file and must change nothing)
+    Manifest.commitPartitionReplacementCas(spark, path, "day",
+      Seq((50L, "d2", 500L), (51L, "d2", 510L)).toDF("id", "day", "v"),
+      touched = Seq("d2"))
+    assert(snap(path) == Set(1L, 3L, 4L, 7L, 50L, 51L),
+      "d1 delete survives; replaced d2 serves its new rows in full")
+  }
+
+  test("unified spark.table() read serves merge-on-read deletes, and " +
+    "count(*) through it is DV-exact (metadata fold declines)") {
+    val path = freshTable()
+    val (v, _) = Manifest.deleteWhere(spark, path, col("id").isin(1L, 6L))
+    Manifest.writeStats(spark, path, v)
+    val tag = Integer.toHexString(path.hashCode)
+    GraftTable.register(spark, "graft_test", s"dv_$tag", path)
+    val t = spark.table(s"graft_test.dv_$tag")
+    assert(ids(t) == Set(2L, 3L, 4L, 5L, 7L))
+    assert(t.count() == 5L,
+      "a stats-sidecar metadata fold over physical rows would say 7")
+    assert(ids(t.where(col("day") === "d1")) == Set(2L, 3L, 4L))
+    // a later delete is visible to the NEXT query (re-pinned version)
+    Manifest.deleteWhere(spark, path, col("id") === 7L)
+    assert(spark.table(s"graft_test.dv_$tag").count() == 4L)
+  }
+
+  test("purgeDeletes materializes: same rows, DV refs cleared, ONLY " +
+    "DV'd files rewritten, pre-purge version still time-travels") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id").isin(2L, 3L))
+    val before = Manifest.current(spark, path).get._2
+    val pv = Manifest.purgeDeletes(spark, path)
+    assert(Manifest.dvsAt(spark, path, pv).isEmpty)
+    assert(snap(path) == Set(1L, 4L, 5L, 6L, 7L))
+    val after = Manifest.filesAt(spark, path, pv)
+    // untouched files are carried BY REFERENCE (identical rel paths);
+    // only files the DV touched were replaced
+    val carried = after.toSet intersect before.toSet
+    assert(carried.nonEmpty, "files without deletes must not rewrite")
+    assert(after.toSet != before.toSet, "DV'd files must be replaced")
+    assert(ids(Manifest.readVersion(spark, path, 2L)) ==
+      Set(1L, 4L, 5L, 6L, 7L), "pre-purge version replays WITH its DV")
+    // purge on a clean table is a no-op version-wise
+    assert(Manifest.purgeDeletes(spark, path) == pv)
+  }
+
+  test("vacuum: retained versions keep their DV artifacts; dropping " +
+    "retention reclaims artifacts AND replaced files") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id") === 1L)
+    Manifest.purgeDeletes(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dvDirNonEmpty = {
+      val p = new org.apache.hadoop.fs.Path(path, Manifest.DvDir)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    // keep v2 (the DV version) → its artifact must survive vacuum
+    Manifest.vacuum(spark, path, keepVersions = 2)
+    assert(dvDirNonEmpty, "retained DV version needs its artifact")
+    assert(ids(Manifest.readVersion(spark, path, 2L)) ==
+      Set(2L, 3L, 4L, 5L, 6L, 7L))
+    // retention down to the purged head → artifact + originals go
+    Manifest.vacuum(spark, path, keepVersions = 1)
+    assert(!dvDirNonEmpty, "unreferenced DV artifact must be reclaimed")
+    assert(snap(path) == Set(2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("updateWhere: one atomic commit = DV over the old rows + staged " +
+    "updated rows; cross-partition moves land under their new value") {
+    val path = freshTable()
+    val filesBefore = Manifest.current(spark, path).get._2.toSet
+    val (v, n) = Manifest.updateWhere(spark, path,
+      col("id") === 2L || col("id") === 5L,
+      Map("v" -> (col("v") + 1000L), "day" -> lit("d9")),
+      partCol = Some("day"))
+    assert(n == 2L)
+    val got = Manifest.read(spark, path)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "d1", 10L), (2L, "d9", 1020L), (3L, "d1", 30L),
+      (4L, "d1", 40L), (5L, "d9", 1050L), (6L, "d2", 60L), (7L, "d3", 70L)))
+    val after = Manifest.filesAt(spark, path, v).toSet
+    assert(filesBefore.subsetOf(after), "merge-on-read: originals stay")
+    assert((after -- filesBefore).forall(_.startsWith("day=d9/")),
+      "only the updated copies are new bytes")
+    assert(Manifest.dvsAt(spark, path, v).size == 1)
+    // time travel: the pre-update version still shows the old rows
+    assert(ids(Manifest.readVersion(spark, path, 1L)) == (1L to 7L).toSet)
+    assert(Manifest.readVersion(spark, path, 1L)
+      .where(col("id") === 2L).select("v").as[Long].head() == 20L)
+    // update matching nothing: no commit
+    val (v2, n2) = Manifest.updateWhere(spark, path,
+      col("id") === 999L, Map("v" -> lit(0L)), partCol = Some("day"))
+    assert(v2 == v && n2 == 0L)
+  }
+
+  test("updateWhere on an unpartitioned table; purge afterwards " +
+    "materializes updates exactly once") {
+    val path = Files.createTempDirectory("graft_dvu").toString + "/t"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .coalesce(1).write.parquet(path)
+    Manifest.bootstrap(spark, path)
+    val (_, n) = Manifest.updateWhere(spark, path,
+      col("id") =!= 2L, Map("v" -> (col("v") * 2L)))
+    assert(n == 2L)
+    def rows() = Manifest.read(spark, path)
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    assert(rows() == Set((1L, 20L), (2L, 20L), (3L, 60L)))
+    Manifest.purgeDeletes(spark, path)
+    assert(rows() == Set((1L, 20L), (2L, 20L), (3L, 60L)))
+    assert(Manifest.dvsAt(spark, path,
+      Manifest.current(spark, path).get._1).isEmpty)
+  }
+
+  test("eraseGroupDv: subjects leave every member with one flip and " +
+    "ZERO rewritten files; ledger carries zero-match proofs") {
+    import graft.operators.Erasure
+    import graft.sources.ManifestGroup
+    val tmp = Files.createTempDirectory("graft_dvgrp").toString
+    val rootA = s"$tmp/facts"; val rootB = s"$tmp/roll"
+    val meta = s"$tmp/meta"; val ledger = s"$tmp/ledger"
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(rootA)
+    Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "n")
+      .coalesce(1).write.parquet(rootB)
+    Manifest.bootstrap(spark, rootA); Manifest.bootstrap(spark, rootB)
+    ManifestGroup.publish(spark, meta, Map(
+      rootA -> Manifest.current(spark, rootA).get._2,
+      rootB -> Manifest.current(spark, rootB).get._2))
+    val filesA = Manifest.current(spark, rootA).get._2
+    val filesB = Manifest.current(spark, rootB).get._2
+    val subjects = Seq(2L, 999L).toDF("id")
+    Erasure.eraseGroupDv(spark, meta, Seq(rootA, rootB), subjects,
+      Seq("id"), batchId = "dv-gdpr-1", ledgerPath = Some(ledger))
+    val (_, mapping) = ManifestGroup.currentGroup(spark, meta).get
+    def groupRead(root: String) = Manifest.readVersion(spark, root,
+      mapping(ManifestGroup.normKey(root)))
+    assert(ids(groupRead(rootA)) == Set(1L, 3L))
+    assert(ids(groupRead(rootB)) == Set(1L, 3L))
+    // zero rewrite: both members' file lists are byte-identical
+    assert(Manifest.current(spark, rootA).get._2 == filesA)
+    assert(Manifest.current(spark, rootB).get._2 == filesB)
+    // ledger: one row per (member, subject), zero-match proof included
+    val led = spark.read.parquet(ledger)
+      .select(col("member"), col("id"), col("n_rows_erased"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(led == Set((rootA, 2L, 1L), (rootA, 999L, 0L),
+      (rootB, 2L, 1L), (rootB, 999L, 0L)))
+  }
+
+  test("change feed: a DV commit emits exactly its deleted rows as " +
+    "row-level deletes; a keyed mirror converges to base minus subjects") {
+    val path = freshTable()
+    val q = spark.readStream
+      .format("graft.streaming.ManifestStreamProvider")
+      .option("changeFeed", "true").load(path)
+      .writeStream.format("memory").queryName("dv_cdc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dv_cdc").where(col("_change_type") === "insert")
+        .count() == 7)
+      Manifest.deleteWhere(spark, path, col("id").isin(3L, 6L))
+      q.processAllAvailable()
+      val dels = spark.table("dv_cdc")
+        .where(col("_change_type") === "delete")
+      assert(ids(dels) == Set(3L, 6L), "exactly the DV'd rows, no more")
+      // keyed mirror: inserts minus deletes per id = the live table
+      val mirror = spark.table("dv_cdc").groupBy("id")
+        .agg(sum(when(col("_change_type") === "insert", 1)
+          .otherwise(-1)).as("alive"))
+        .where(col("alive") === 1)
+      assert(ids(mirror) == snap(path))
+    } finally q.stop()
+  }
+
+  test("change feed first batch on an already-DV'd table serves the " +
+    "LIVE snapshot (deleted positions never insert)") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id") === 7L)
+    val q = spark.readStream
+      .format("graft.streaming.ManifestStreamProvider")
+      .option("changeFeed", "true").load(path)
+      .writeStream.format("memory").queryName("dv_cdc_snap").start()
+    try {
+      q.processAllAvailable()
+      assert(ids(spark.table("dv_cdc_snap")) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+      assert(spark.table("dv_cdc_snap")
+        .where(col("_change_type") === "delete").count() == 0)
+    } finally q.stop()
+  }
+
+  test("plain (append-only) stream REFUSES a mid-stream DV commit — " +
+    "deleting already-served rows is unrepresentable; ignoreChanges " +
+    "opts out; a fresh stream over the DV'd table just serves live rows") {
+    val path = freshTable()
+    val q = spark.readStream
+      .format("graft.streaming.ManifestStreamProvider").load(path)
+      .writeStream.format("memory").queryName("dv_plain").start()
+    try {
+      q.processAllAvailable()
+      Manifest.deleteWhere(spark, path, col("id") === 1L)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("deleted rows") ||
+        e.getCause.getMessage.contains("deleted rows"))
+    } finally q.stop()
+    val q2 = spark.readStream
+      .format("graft.streaming.ManifestStreamProvider")
+      .option("ignoreChanges", "true").load(path)
+      .writeStream.format("memory").queryName("dv_plain2").start()
+    try {
+      q2.processAllAvailable()
+      assert(ids(spark.table("dv_plain2")) == Set(2L, 3L, 4L, 5L, 6L, 7L),
+        "snapshot batch = live rows only")
+      Manifest.deleteWhere(spark, path, col("id") === 2L)
+      q2.processAllAvailable() // ignoreChanges: skipped, no refusal
+      assert(ids(spark.table("dv_plain2")) == Set(2L, 3L, 4L, 5L, 6L, 7L))
+    } finally q2.stop()
+  }
+}
