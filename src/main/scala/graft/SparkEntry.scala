@@ -1713,7 +1713,10 @@ object SparkEntry {
       val gate = n > 0L && before.subsetOf(after) &&
         (after -- before).forall(_.startsWith("w=9/")) &&
         Manifest.dvsAt(s, layout, v).nonEmpty
-      Manifest.read(s, layout)
+      val snap =
+        if (Manifest.current(s, layout).get._2.isEmpty) facts.limit(0)
+        else Manifest.read(s, layout)
+      snap
         // partition-dir type inference reads w=9 as an int; the
         // declared truth is the string code
         .groupBy(col("w").cast("string").as("w"))

@@ -368,6 +368,7 @@ object Manifest {
       val (v, files) = current(spark, root).getOrElse(
         throw new IllegalArgumentException(
           s"no committed manifest under $root — bootstrap() it first"))
+      if (files.isEmpty) return (v, 0L) // empty table: nothing to delete
       val dvs = dvsAt(spark, root, v)
       // (rel, pos) materialize as REAL columns before the matcher runs:
       // `_metadata` is a scan-level pseudo-column that does not survive
@@ -427,6 +428,7 @@ object Manifest {
       val (v, files) = current(spark, root).getOrElse(
         throw new IllegalArgumentException(
           s"no committed manifest under $root — bootstrap() it first"))
+      if (files.isEmpty) return (v, 0L) // empty table: nothing to update
       val dvs = dvsAt(spark, root, v)
       val scan = spark.read.option("basePath", rootP.toString)
         .parquet(files.map(f => new Path(rootP, f).toString): _*)
