@@ -1725,6 +1725,49 @@ object SparkEntry {
         .withColumn("gate_mor_u", lit(gate))
     }),
 
+    // MERGE-ON-READ KEYED MERGE (the upsert with the DV cost model):
+    // one commit replaces every matched order whole-row (tripled
+    // price) via a deletion vector and inserts the batch's new keys
+    // as staged files — O(batch + matched) bytes, zero partitions
+    // rewritten (gate-pinned: the pre-merge file list survives
+    // intact). The micro-batch MERGE shape a streaming keyed sink
+    // needs at 100 TB: the trigger pays for ITS rows, not for the
+    // partitions they land in.
+    "q241_dv_merge" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_dv_mrg_$tag").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      val before = Manifest.current(s, layout).get
+      val touched = facts.where(pmod(col("o_orderkey"), lit(113)) === 0)
+      val batch = touched // updates: replace whole-row, price tripled
+        .withColumn("price_cents", col("price_cents") * 3L)
+        .unionByName(touched // inserts: same rows under brand-new keys
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      val (v, matched, written) =
+        Manifest.mergeDv(s, layout, batch, Seq("o_orderkey"),
+          partCol = Some("w"))
+      val nTouched = touched.count()
+      val gate = matched == nTouched && written == 2L * nTouched &&
+        before._2.toSet.subsetOf(Manifest.filesAt(s, layout, v).toSet) &&
+        (nTouched == 0L || Manifest.dvsAt(s, layout, v).nonEmpty)
+      val snap =
+        if (Manifest.current(s, layout).get._2.isEmpty) facts.limit(0)
+        else Manifest.read(s, layout)
+      snap.groupBy(col("w").cast("string").as("w"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_merge", lit(gate))
+    }),
+
     // CROSS-TABLE GDPR ERASURE, MERGE-ON-READ (q234's truth with
     // q237's cost model): the subjects leave BOTH group members via
     // per-member deletion-vector commits — zero data files rewritten
@@ -7208,6 +7251,25 @@ object SparkEntry {
         |  TRUE AS gate_mor_u
         |FROM orders
         |GROUP BY 1""".stripMargin,
+
+    // q241: matched orders replaced whole-row (tripled price), the
+    // same rows re-inserted under new keys — the MERGE truth DuckDB
+    // states as one UNION ALL.
+    "q241_dv_merge" ->
+      """WITH p AS (SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderkey FROM orders)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_merge
+        |FROM (
+        |  SELECT w, CASE WHEN o_orderkey % 113 = 0
+        |                 THEN 3 * price_cents ELSE price_cents END
+        |           AS price_cents FROM p
+        |  UNION ALL
+        |  SELECT w, price_cents FROM p WHERE o_orderkey % 113 = 0
+        |)
+        |GROUP BY w""".stripMargin,
 
     // q240: base minus the erased subjects, served through the
     // group-pinned unified tables after the one-flip DV erasure.

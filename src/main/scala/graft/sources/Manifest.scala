@@ -475,6 +475,75 @@ object Manifest {
       s"lost the update commit race $maxAttempts times under $root")
   }
 
+  /** MERGE-ON-READ keyed MERGE (upsert): one atomic commit in which
+    * every live row whose `keys` match a `source` row is deleted via a
+    * deletion vector and ALL of `source` lands as fresh staged files —
+    * matched keys are replaced whole-row, unmatched keys are plain
+    * inserts (the [[graft.operators.Upsert]] contract with the DV cost
+    * model: O(batch + matched rows) bytes written, zero partitions
+    * rewritten). The micro-batch MERGE shape a streaming keyed sink
+    * wants at 100 TB: each trigger's bill is the trigger's data, not
+    * the partitions it brushes. Same as-of/CAS-retry contract as
+    * [[deleteWhere]]; returns (version, matched-and-replaced rows,
+    * source rows written). */
+  def mergeDv(spark: SparkSession, root: String, source: DataFrame,
+              keys: Seq[String], partCol: Option[String] = None,
+              maxAttempts: Int = 10): (Long, Long, Long) = {
+    require(keys.nonEmpty, "mergeDv needs at least one key column")
+    val (fs, rootP) = fsOf(spark, root)
+    bootstrap(spark, root) // adopt a fresh/plain root (no-op otherwise)
+    val src = source.localCheckpoint(true) // one evaluation for all attempts
+    val nSrc = src.count()
+    if (nSrc == 0L) return (current(spark, root).get._1, 0L, 0L)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (v, files) = current(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest under $root — bootstrap() it first"))
+      val dvs = dvsAt(spark, root, v)
+      val (hitsN, dvRef) =
+        if (files.isEmpty) (0L, None) // pure insert into an empty table
+        else {
+          val scan = spark.read.option("basePath", rootP.toString)
+            .parquet(files.map(f => new Path(rootP, f).toString): _*)
+            .withColumn("__graft_rel", relPathCol(spark, root))
+            .withColumn("__graft_pos", col("_metadata.row_index"))
+          val live =
+            if (dvs.isEmpty) scan
+            else scan.join(
+              spark.read
+                .parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+                .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+              col("__graft_rel") === col("__dv_file") &&
+                col("__graft_pos") === col("__dv_pos"), "left_anti")
+          val hits = live
+            .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .select(col("__graft_rel").as("file"),
+              col("__graft_pos").as("pos"))
+          val dvName = s"$DvDir/dv-${java.util.UUID.randomUUID}"
+          val dvPath = new Path(rootP, dvName)
+          hits.write.parquet(dvPath.toString)
+          val n = spark.read.parquet(dvPath.toString).count()
+          if (n == 0L) { fs.delete(dvPath, true); (0L, None) }
+          else (n, Some(dvName))
+        }
+      val created = partCol match {
+        case Some(pc) => stageUnique(spark, fs, rootP, pc, src)
+        case None => stageUniqueFlat(spark, fs, rootP, src)
+      }
+      tryCommit(spark, root, files ++ created, v,
+        Some(dvs ++ dvRef)) match {
+        case Some(nv) => return (nv, hitsN, nSrc)
+        case None =>
+          dvRef.foreach(d => fs.delete(new Path(rootP, d), true))
+          created.foreach(c => fs.delete(new Path(rootP, c), false))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the merge commit race $maxAttempts times under $root")
+  }
+
   /** [[stageUnique]] for an UNPARTITIONED layout: uuid-named files
     * straight under the root, attribution exact, reader-invisible
     * until a manifest references them. */

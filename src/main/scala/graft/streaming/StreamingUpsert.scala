@@ -42,19 +42,34 @@ object StreamingUpsert {
   def run(rows: DataFrame, servingRoot: String, checkpointDir: String,
           partCol: String, keys: Seq[String],
           outputMode: String = "append",
-          atomic: Boolean = false): StreamingQuery =
+          atomic: Boolean = false,
+          mergeOnRead: Boolean = false): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // empty trigger batches carry no partitions to touch
         if (!batch.isEmpty) {
-          // atomic = the manifest-committed merge: a crash mid-batch
-          // leaves manifest readers on the previous batch's snapshot,
-          // never a partition mix — the streaming face of the
-          // [[graft.sources.Manifest]] protocol; plain mode keeps the
-          // dynamic-overwrite path for readers that list directories.
-          if (atomic)
+          // mergeOnRead = the deletion-vector MERGE: each micro-batch
+          // is ONE [[graft.sources.Manifest.mergeDv]] commit — matched
+          // serving rows die by (file, pos), the batch stages as fresh
+          // files, and the trigger's write bill is O(batch + matched
+          // rows) instead of O(touched partitions); at 100 TB a
+          // frequent-trigger keyed sink cannot afford to rewrite a
+          // partition per trigger, so this is the steady-state mode,
+          // with a scheduled purgeDeletes amortizing materialization.
+          // Redelivery stays idempotent: re-merging a batch replaces
+          // rows with identical versions.
+          // atomic = the manifest-committed copy-on-write merge: a
+          // crash mid-batch leaves manifest readers on the previous
+          // batch's snapshot, never a partition mix; plain mode keeps
+          // the dynamic-overwrite path for readers that list
+          // directories.
+          if (mergeOnRead) {
+            graft.sources.Manifest.mergeDv(batch.sparkSession,
+              servingRoot, batch, keys, Some(partCol))
+            ()
+          } else if (atomic)
             Upsert.upsertPartitionScopedAtomic(batch.sparkSession,
               servingRoot, partCol, batch, keys)
           else

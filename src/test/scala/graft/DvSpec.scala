@@ -228,6 +228,45 @@ class DvSpec extends SparkTestBase {
       Manifest.current(spark, path).get._1).isEmpty)
   }
 
+  test("mergeDv: keyed MERGE in one commit — matched rows replaced " +
+    "whole-row via DV, new keys inserted, originals untouched on disk") {
+    val path = freshTable()
+    val before = Manifest.current(spark, path).get
+    val batch = Seq(
+      (2L, "d1", 222L),  // matched: replaces (2, d1, 20)
+      (6L, "d2", 666L),  // matched: replaces (6, d2, 60)
+      (8L, "d4", 80L))   // new key: plain insert
+      .toDF("id", "day", "v")
+    val (v, matched, written) =
+      Manifest.mergeDv(spark, path, batch, Seq("id"), partCol = Some("day"))
+    assert(v == before._1 + 1 && matched == 2L && written == 3L)
+    val got = Manifest.read(spark, path)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "d1", 10L), (2L, "d1", 222L), (3L, "d1", 30L),
+      (4L, "d1", 40L), (5L, "d2", 50L), (6L, "d2", 666L), (7L, "d3", 70L),
+      (8L, "d4", 80L)))
+    assert(before._2.toSet.subsetOf(
+      Manifest.filesAt(spark, path, v).toSet), "zero rewrites")
+    assert(Manifest.dvsAt(spark, path, v).size == 1)
+    // re-merging the same batch is idempotent in OUTCOME (its own rows
+    // match now) and stacks a second DV
+    val (v2, m2, _) = Manifest.mergeDv(spark, path, batch, Seq("id"),
+      partCol = Some("day"))
+    assert(m2 == 3L)
+    assert(Manifest.read(spark, path)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet == got)
+    assert(Manifest.dvsAt(spark, path, v2).size == 2)
+    // pre-merge version replays without the batch
+    assert(ids(Manifest.readVersion(spark, path, before._1)) ==
+      (1L to 7L).toSet)
+    // empty source: no commit at all
+    val (v3, m3, w3) = Manifest.mergeDv(spark, path, batch.limit(0),
+      Seq("id"), partCol = Some("day"))
+    assert(v3 == v2 && m3 == 0L && w3 == 0L)
+  }
+
   test("eraseGroupDv: subjects leave every member with one flip and " +
     "ZERO rewritten files; ledger carries zero-match proofs") {
     import graft.operators.Erasure
@@ -262,6 +301,39 @@ class DvSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSet
     assert(led == Set((rootA, 2L, 1L), (rootA, 999L, 0L),
       (rootB, 2L, 1L), (rootB, 999L, 0L)))
+  }
+
+  test("merge-on-read streaming upsert: each micro-batch is one " +
+    "mergeDv commit — keyed updates land with zero partition rewrites") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("dvsu").toString + "/serve"
+    val ckpt = Files.createTempDirectory("dvsuck").toString
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = graft.streaming.StreamingUpsert.run(
+      input.toDF().toDF("id", "day", "v"), root, ckpt, "day", Seq("id"),
+      mergeOnRead = true)
+    try {
+      input.addData((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
+      q.processAllAvailable()
+      val (v1, files1) = Manifest.current(spark, root).get
+      input.addData((1L, "2024-01-01", 99L), (3L, "2024-01-03", 30L))
+      q.processAllAvailable()
+      val (v2, files2) = Manifest.current(spark, root).get
+      assert(v2 > v1)
+      assert(files1.toSet.subsetOf(files2.toSet),
+        "batch 2 must not rewrite batch 1's files — key 1 dies by DV")
+      assert(Manifest.dvsAt(spark, root, v2).nonEmpty)
+      val out = Manifest.read(spark, root)
+        .select(col("id"), col("day").cast("string"), col("v"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == Set((1L, "2024-01-01", 99L), (2L, "2024-01-02", 20L),
+        (3L, "2024-01-03", 30L)))
+      // steady state: a scheduled purge materializes, truth unchanged
+      Manifest.purgeDeletes(spark, root)
+      assert(Manifest.read(spark, root)
+        .select(col("id"), col("day").cast("string"), col("v"))
+        .as[(Long, String, Long)].collect().toSet == out)
+    } finally q.stop()
   }
 
   test("change feed: a DV commit emits exactly its deleted rows as " +

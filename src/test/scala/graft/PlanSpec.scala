@@ -804,4 +804,50 @@ class PlanSpec extends SparkTestBase {
       assert(smj <= 1, s"only the RRF fusion may sort-merge, got $smj:\n$phys")
     }
   }
+
+  test("deletion vectors in the unified table plan: ZERO overhead " +
+    "while no DVs exist (no join in the plan), and once a DV lands " +
+    "the anti-join appears WITHOUT losing partition pruning") {
+    import graft.sources.{GraftTable, Manifest}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dvplan").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    Manifest.bootstrap(spark, path)
+    val tag = Integer.toHexString(path.hashCode)
+    GraftTable.register(spark, "graft_test", s"dvplan_$tag", path)
+    def q() = uncached(
+      spark.table(s"graft_test.dvplan_$tag").where(col("day") === "d1"))
+    // pre-DV: the resolution wrap must not exist — a table that never
+    // saw a delete pays nothing
+    val clean = q().queryExecution.optimizedPlan.toString
+    assert(!clean.contains("Join"),
+      s"DV-less table must plan as a bare scan:\n$clean")
+    Manifest.deleteWhere(spark, path, col("id") === 1L)
+    val df = q()
+    val phys = df.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findFirstIn(phys).nonEmpty,
+      s"DV'd table must serve through the anti-join:\n$phys")
+    // partition pruning pushes through the anti-join's left side: the
+    // day filter must reach the MAIN scan as a PartitionFilter, and
+    // the pruned file listing must hold exactly the d1 files
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(phys).isDefined,
+      s"day filter did not reach the scan as a partition filter:\n$phys")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec whose children aren't visible to collect
+    val mainScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.isInstanceOf[graft.sources.ManifestFileIndex]
+        => f
+    }
+    assert(mainScans.nonEmpty, s"no manifest-pinned scan in:\n$phys")
+    val listed = mainScans.head.relation.location
+      .listFiles(mainScans.head.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(listed.nonEmpty && listed.forall(_.contains("day=d1")),
+      s"partition pruning lost under the DV wrap: ${listed.mkString(", ")}")
+    assert(df.select("id").as[Long].collect().toSet == Set(2L))
+  }
 }
