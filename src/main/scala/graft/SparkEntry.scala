@@ -1725,6 +1725,99 @@ object SparkEntry {
         .withColumn("gate_mor_u", lit(gate))
     }),
 
+    // WRITE-TIME EXPECTATIONS ON THE COMMIT (Delta CHECK-constraint /
+    // Deequ-on-write analog): a poisoned batch (negative cents, null
+    // wave) stages physically but commitChecked REFUSES the publish —
+    // readers never see it, the files sit unreferenced until vacuum —
+    // while the clean batch admits; the hash-gated truth is base +
+    // clean batch ONLY. The validation pass is O(batch), one
+    // map-combinable aggregation, never a table scan: the admission
+    // gate holds at any table size.
+    "q243_checked_admission" -> ((s, dir) => {
+      import graft.operators.Expectations.{InRange, NotNull}
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_dv_chk_$tag").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      val conf = s.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(layout)
+      def listing() = Manifest.listDataFiles(rootP.getFileSystem(conf), rootP)
+      val exps = Seq(NotNull("price_cents"), NotNull("o_orderkey"),
+        InRange("price_cents", 0, Long.MaxValue.toDouble))
+      // poisoned batch: negative cents + a null key
+      facts.limit(50)
+        .withColumn("price_cents", -col("price_cents"))
+        .withColumn("o_orderkey",
+          when(pmod(col("o_orderkey"), lit(2)) === 0, col("o_orderkey")))
+        .write.mode("append").partitionBy("w").parquet(layout)
+      val refused =
+        try { Manifest.commitChecked(s, layout, listing(), exps); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("REFUSED") }
+      val unchanged = Manifest.current(s, layout).get._1 == 1L
+      Manifest.vacuum(s, layout) // reclaim the refused debris
+      // clean batch: the %127 orders re-keyed as new rows
+      val clean = facts.where(pmod(col("o_orderkey"), lit(127)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+      clean.write.mode("append").partitionBy("w").parquet(layout)
+      val v = Manifest.commitChecked(s, layout, listing(), exps)
+      val admitted = v == 2L
+      Manifest.read(s, layout)
+        .groupBy(col("w").cast("string").as("w"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_checked", lit(refused && unchanged && admitted))
+    }),
+
+    // VERSION AS OF THROUGH THE CATALOG: two names over one root —
+    // an audit PIN registered to the pre-erasure version and a LIVE
+    // name — serve side by side from the same files; the pinned
+    // spark.table() replays the full pre-erasure snapshot (the
+    // hash-gated result, == the raw base truth) while gate_travel
+    // pins that the live name already serves base-minus-subjects.
+    // The retention contract (a vacuumed pin fails loudly) is
+    // spec-pinned in DvSpec.
+    "q242_version_pinned_read" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_dv_pin_$tag").toString
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.repartition(2)
+        .write.mode("overwrite").partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      val pinV = Manifest.current(s, layout).get._1
+      val subjects = facts.select("custkey")
+        .where(pmod(col("custkey"), lit(107)) === 0).distinct()
+      Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+      GraftTable.register(s, "graft_unified", s"pin_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"),
+        versionAsOf = Some(pinV))
+      GraftTable.register(s, "graft_unified", s"pinlive_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val live = s.table(s"graft_unified.pinlive_$tag")
+      val gateTravel =
+        live.where(pmod(col("custkey"), lit(107)) === 0).count() == 0L &&
+        live.count() ==
+          facts.where(pmod(col("custkey"), lit(107)) =!= 0).count()
+      s.table(s"graft_unified.pin_$tag")
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_travel", lit(gateTravel))
+    }),
+
     // MERGE-ON-READ KEYED MERGE (the upsert with the DV cost model):
     // one commit replaces every matched order whole-row (tripled
     // price) via a deletion vector and inserts the batch's new keys
@@ -7249,6 +7342,34 @@ object SparkEntry {
         |           CASE WHEN o_custkey % 101 = 0 THEN 2 ELSE 1 END)
         |       AS BIGINT) AS sum_price_cents,
         |  TRUE AS gate_mor_u
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // q243: base + the clean batch only — the poisoned batch was
+    // refused at the commit gate and never served.
+    "q243_checked_admission" ->
+      """WITH p AS (SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderkey FROM orders)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_checked
+        |FROM (
+        |  SELECT w, price_cents FROM p
+        |  UNION ALL
+        |  SELECT w, price_cents FROM p WHERE o_orderkey % 127 = 0
+        |)
+        |GROUP BY w""".stripMargin,
+
+    // q242: the pinned name replays the PRE-erasure snapshot — the
+    // raw base truth, no WHERE — while the live name (gate) already
+    // serves the erased table.
+    "q242_version_pinned_read" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_travel
         |FROM orders
         |GROUP BY 1""".stripMargin,
 

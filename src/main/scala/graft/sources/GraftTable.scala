@@ -57,6 +57,7 @@ object GraftTable {
   val PropBloomCol = "graft.bloom.column"
   val PropBloomIdx = "graft.bloom.index"
   val PropGroup = "graft.group"
+  val PropVersionAsOf = "graft.versionAsOf"
 
   /** Register `root` (a [[Manifest]]-controlled parquet tree; bootstrap
     * it first) as catalog table `db.table`. With `bloomColumn` +
@@ -66,25 +67,43 @@ object GraftTable {
     * `partitionCols` naming its partition columns, in order) skips
     * file-based inference — the catalog-as-truth discipline a 100 TB
     * deployment wants anyway (inference opens footers), and the only
-    * way to register a still-EMPTY partitioned layout. */
+    * way to register a still-EMPTY partitioned layout.
+    *
+    * `versionAsOf` pins the table to ONE committed version forever —
+    * `VERSION AS OF` served through the catalog (the Delta/Iceberg
+    * time-travel face): queries replay that snapshot byte-identically
+    * (its files AND its deletion vectors) no matter how far the table
+    * moves, as long as vacuum retention keeps the version. Register a
+    * second name for the same root to serve "latest" next to an
+    * audit pin. Mutually exclusive with `group` (a group IS a version
+    * pin, chosen by the group log). */
   def register(spark: SparkSession, db: String, table: String, root: String,
                bloomColumn: Option[String] = None,
                bloomIndexPath: Option[String] = None,
                schema: Option[StructType] = None,
                partitionCols: Seq[String] = Nil,
-               group: Option[String] = None): Unit = {
+               group: Option[String] = None,
+               versionAsOf: Option[Long] = None): Unit = {
     require(Manifest.current(spark, root).isDefined,
       s"$root has no committed manifest — Manifest.bootstrap it first")
     require(bloomColumn.isDefined == bloomIndexPath.isDefined,
       "bloomColumn and bloomIndexPath come together")
     require(partitionCols.isEmpty || schema.isDefined,
       "partitionCols need an explicit schema")
+    require(group.isEmpty || versionAsOf.isEmpty,
+      "versionAsOf and group are both version pins — pick one")
+    versionAsOf.foreach { v =>
+      require(Manifest.versions(spark, root).contains(v),
+        s"version $v is not committed under $root (vacuumed or never " +
+          s"existed) — cannot pin a table to it")
+    }
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     spark.sql(s"DROP TABLE IF EXISTS $db.$table")
     val props = Seq(s"'$PropManifest'='true'") ++
       bloomColumn.map(c => s"'$PropBloomCol'='$c'") ++
       bloomIndexPath.map(p => s"'$PropBloomIdx'='$p'") ++
-      group.map(g => s"'$PropGroup'='$g'")
+      group.map(g => s"'$PropGroup'='$g'") ++
+      versionAsOf.map(v => s"'$PropVersionAsOf'='$v'")
     val ddlCols = schema.map(s => "(" + s.fields.map(f =>
       s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ") ").getOrElse("")
     val partBy = if (partitionCols.isEmpty) ""
@@ -364,10 +383,23 @@ case class ManifestTableResolution(spark: SparkSession)
                 s"group $meta does not reference ${tbl.identifier} " +
                   s"($key) — publish it into the group first"))
             (gv, Manifest.filesAt(spark, root.toString, gv))
-          case None => Manifest.current(spark, root.toString).getOrElse(
-            throw new IllegalStateException(
-              s"table ${tbl.identifier} is marked graft.manifest=true but " +
-                s"${tbl.location} has no committed manifest"))
+          case None =>
+            tbl.properties.get(GraftTable.PropVersionAsOf) match {
+              // VERSION AS OF: the registration pinned one committed
+              // version forever — time travel served through the
+              // catalog; a vacuumed-away pin fails loudly here (the
+              // retention-vs-pin contract, same as stream replay)
+              case Some(vStr) =>
+                val pv = vStr.toLong
+                require(Manifest.versions(spark, root.toString).contains(pv),
+                  s"table ${tbl.identifier} is pinned to version $pv of " +
+                    s"${tbl.location}, which retention has vacuumed away")
+                (pv, Manifest.filesAt(spark, root.toString, pv))
+              case None => Manifest.current(spark, root.toString).getOrElse(
+                throw new IllegalStateException(
+                  s"table ${tbl.identifier} is marked graft.manifest=true " +
+                    s"but ${tbl.location} has no committed manifest"))
+            }
         }
         fsRel.location match {
           case m: ManifestFileIndex if m.version == v => lr // already pinned
@@ -410,7 +442,8 @@ case class ManifestTableResolution(spark: SparkSession)
               // table itself; refresh-by-identifier then just
               // invalidates the same table's cache twice, harmless.
               val dvTbl = tbl.copy(properties = tbl.properties -
-                GraftTable.PropManifest - GraftTable.PropGroup)
+                GraftTable.PropManifest - GraftTable.PropGroup -
+                GraftTable.PropVersionAsOf)
               out.queryExecution.analyzed.transform {
                 case dvLr @ LogicalRelation(_, _, None, _, _) =>
                   dvLr.copy(catalogTable = Some(dvTbl))

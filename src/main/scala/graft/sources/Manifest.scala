@@ -156,6 +156,39 @@ object Manifest {
           s"racing committers"))
   }
 
+  /** Commit with WRITE-TIME CONSTRAINTS (the Delta CHECK-constraint /
+    * expectations-on-write design): the rows this commit would ADD —
+    * exactly the files in `files` the current version doesn't list —
+    * are validated against a [[graft.operators.Expectations]] suite
+    * BEFORE the publish rename. A violating batch never becomes live:
+    * the staged files stay unreferenced (vacuum fodder, the standard
+    * crash-window story) and the thrown error carries the per-rule
+    * report. Validation cost is O(new files) — ONE map-combinable
+    * aggregation pass over the batch, never a table scan — so the gate
+    * holds at any table size; `MinRows` reads as "the batch must carry
+    * at least n rows" under this scope. */
+  def commitChecked(spark: SparkSession, root: String, files: Seq[String],
+                    exps: Seq[graft.operators.Expectations.Expectation],
+                    dvs: Option[Seq[String]] = None): Long = {
+    require(exps.nonEmpty, "commitChecked needs at least one expectation")
+    val (_, rootP) = fsOf(spark, root)
+    val live = current(spark, root).map(_._2.toSet).getOrElse(Set.empty)
+    val added = files.filterNot(live)
+    if (added.nonEmpty) {
+      val batch = spark.read.option("basePath", rootP.toString)
+        .parquet(added.map(f => new Path(rootP, f).toString): _*)
+      val report = graft.operators.Expectations.check(batch, exps)
+      val failed = report.where(!col("passed"))
+        .collect().map(r => s"${r.getAs[String]("rule")}(${
+          r.getAs[String]("col")}) observed=${r.getAs[Double]("observed")}")
+      if (failed.nonEmpty) throw new IllegalStateException(
+        s"commit to $root REFUSED — the batch violates " +
+          s"${failed.length} expectation(s): ${failed.mkString("; ")} " +
+          s"(staged files stay unreferenced; vacuum reclaims them)")
+    }
+    commit(spark, root, files, dvs)
+  }
+
   /** The compare-and-swap primitive of the commit protocol: attempt to
     * publish `files` as version `base + 1`, where `base` is the version
     * the caller PLANNED against. Exactly one of N racers for the same
@@ -347,8 +380,9 @@ object Manifest {
     * commits nothing and returns the current version with 0. */
   def deleteWhere(spark: SparkSession, root: String,
                   cond: org.apache.spark.sql.Column,
-                  maxAttempts: Int = 10): (Long, Long) =
-    deleteRows(spark, root, _.where(cond), maxAttempts)
+                  maxAttempts: Int = 10,
+                  afterPlan: () => Unit = () => ()): (Long, Long) =
+    deleteRows(spark, root, _.where(cond), maxAttempts, afterPlan)
 
   /** Keyed merge-on-read delete: drop every row whose `keys` match a
     * row of `subjects` (the GDPR right-to-be-forgotten shape — subject
@@ -357,11 +391,17 @@ object Manifest {
                      subjects: DataFrame, keys: Seq[String],
                      maxAttempts: Int = 10): (Long, Long) =
     deleteRows(spark, root, _.join(subjects.select(keys.map(col): _*)
-      .distinct(), keys, "left_semi"), maxAttempts)
+      .distinct(), keys, "left_semi"), maxAttempts, () => ())
 
+  /** `afterPlan` is the race-injection seam between an attempt's DV
+    * write and its CAS (the commitPartitionReplacementCas `afterStage`
+    * discipline): a spec lands a rival commit there to pin the loser
+    * path — discard the artifact, re-read the log, re-plan against the
+    * NEW snapshot — deterministically. */
   private def deleteRows(spark: SparkSession, root: String,
                          matcher: DataFrame => DataFrame,
-                         maxAttempts: Int): (Long, Long) = {
+                         maxAttempts: Int,
+                         afterPlan: () => Unit): (Long, Long) = {
     val (fs, rootP) = fsOf(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -391,6 +431,7 @@ object Manifest {
       hits.write.parquet(dvPath.toString)
       val n = spark.read.parquet(dvPath.toString).count()
       if (n == 0L) { fs.delete(dvPath, true); return (v, 0L) }
+      afterPlan()
       tryCommit(spark, root, files, v, Some(dvs :+ dvName)) match {
         case Some(nv) => return (nv, n)
         case None => // lost the slot: discard and re-plan on the new snapshot
@@ -547,7 +588,7 @@ object Manifest {
   /** [[stageUnique]] for an UNPARTITIONED layout: uuid-named files
     * straight under the root, attribution exact, reader-invisible
     * until a manifest references them. */
-  private def stageUniqueFlat(spark: SparkSession, fs: FileSystem,
+  private[graft] def stageUniqueFlat(spark: SparkSession, fs: FileSystem,
                               rootP: Path, newData: DataFrame): Seq[String] = {
     val uuid = java.util.UUID.randomUUID.toString
     val scratch = new Path(rootP, s"_graft_stage/$uuid")
@@ -735,7 +776,7 @@ object Manifest {
     * exact under any concurrency (no listing diff), and nothing is
     * reader-visible until a manifest references the returned
     * root-relative paths. */
-  private def stageUnique(spark: SparkSession, fs: FileSystem, rootP: Path,
+  private[graft] def stageUnique(spark: SparkSession, fs: FileSystem, rootP: Path,
                           partCol: String, newData: DataFrame): Seq[String] = {
     val uuid = java.util.UUID.randomUUID.toString
     val scratch = new Path(rootP, s"_graft_stage/$uuid")

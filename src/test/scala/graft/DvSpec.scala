@@ -303,6 +303,95 @@ class DvSpec extends SparkTestBase {
       (rootB, 2L, 1L), (rootB, 999L, 0L)))
   }
 
+  test("commitChecked: a batch violating write-time expectations never " +
+    "becomes live — readers hold the old snapshot, staged files are " +
+    "vacuum fodder; a clean batch commits normally") {
+    import graft.operators.Expectations.{InRange, MinRows, NotNull}
+    val path = freshTable()
+    val exps = Seq(NotNull("v"), InRange("v", 0, 1000), MinRows(1))
+    // bad batch: a null v and an out-of-range v
+    Seq((Some(8L), "d4", None: Option[Long]), (Some(9L), "d4", Some(5000L)))
+      .toDF("id", "day", "v")
+      .write.mode("append").partitionBy("day").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def listing() = Manifest.listDataFiles(fs,
+      new org.apache.hadoop.fs.Path(path))
+    val e = intercept[IllegalStateException] {
+      Manifest.commitChecked(spark, path, listing(), exps)
+    }
+    assert(e.getMessage.contains("REFUSED") &&
+      e.getMessage.contains("not_null") && e.getMessage.contains("in_range"))
+    assert(Manifest.current(spark, path).get._1 == 1L &&
+      snap(path) == (1L to 7L).toSet, "readers keep the old snapshot")
+    // the refused files are unreferenced: vacuum reclaims them
+    Manifest.vacuum(spark, path)
+    assert(listing().toSet == Manifest.current(spark, path).get._2.toSet)
+    // clean batch: admitted
+    Seq((8L, "d4", 80L)).toDF("id", "day", "v")
+      .write.mode("append").partitionBy("day").parquet(path)
+    val v = Manifest.commitChecked(spark, path, listing(), exps)
+    assert(v == 2L && snap(path) == (1L to 8L).toSet)
+  }
+
+  test("two racing deletes: the CAS loser discards its artifact, " +
+    "re-plans on the rival's snapshot, and both deletes land — " +
+    "versions linear, no duplicate positions") {
+    val path = freshTable()
+    var injected = false
+    val (v, n) = Manifest.deleteWhere(spark, path, col("id") === 2L,
+      afterPlan = () => if (!injected) {
+        injected = true
+        // rival lands a FULL delete commit inside the loser's window
+        val (rv, rn) = Manifest.deleteWhere(spark, path, col("id") === 5L)
+        assert(rv == 2L && rn == 1L)
+      })
+    assert(v == 3L && n == 1L, "loser re-plans and takes the next slot")
+    assert(snap(path) == Set(1L, 3L, 4L, 6L, 7L))
+    assert(Manifest.dvsAt(spark, path, 3L).size == 2)
+    assert(Manifest.versions(spark, path) == Seq(1L, 2L, 3L))
+    // countRows stays exact across the raced artifacts
+    Manifest.writeStats(spark, path, 3L)
+    assert(Manifest.countRows(spark, path) == 5L)
+  }
+
+  test("VERSION AS OF through the catalog: a version-pinned " +
+    "registration replays its snapshot (deletes included) forever, " +
+    "next to a latest-serving name on the same root") {
+    import graft.sources.GraftTable
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id") === 3L) // v2: DV delete
+    val tag = Integer.toHexString(path.hashCode)
+    GraftTable.register(spark, "graft_test", s"pin1_$tag", path,
+      versionAsOf = Some(1L)) // pre-delete audit pin
+    GraftTable.register(spark, "graft_test", s"pin2_$tag", path,
+      versionAsOf = Some(2L)) // post-delete pin (replays the DV)
+    GraftTable.register(spark, "graft_test", s"live_$tag", path)
+    // the table keeps moving: an update lands after the pins
+    Manifest.updateWhere(spark, path, col("id") === 1L,
+      Map("v" -> lit(111L)), partCol = Some("day"))
+    assert(ids(spark.table(s"graft_test.pin1_$tag")) == (1L to 7L).toSet)
+    assert(ids(spark.table(s"graft_test.pin2_$tag")) ==
+      Set(1L, 2L, 4L, 5L, 6L, 7L))
+    assert(spark.table(s"graft_test.pin2_$tag")
+      .where(col("id") === 1L).select("v").as[Long].head() == 10L,
+      "the pin must predate the update")
+    assert(spark.table(s"graft_test.live_$tag")
+      .where(col("id") === 1L).select("v").as[Long].head() == 111L)
+    // a pin to a never-committed version refuses at registration
+    intercept[IllegalArgumentException] {
+      GraftTable.register(spark, "graft_test", s"pinx_$tag", path,
+        versionAsOf = Some(99L))
+    }
+    // retention drops v1 → the pinned table fails LOUDLY, not stale
+    Manifest.vacuum(spark, path, keepVersions = 2)
+    val e = intercept[Exception] {
+      spark.table(s"graft_test.pin1_$tag").count()
+    }
+    assert(e.getMessage.contains("vacuumed away"),
+      s"expected the retention-vs-pin refusal, got: ${e.getMessage}")
+  }
+
   test("merge-on-read streaming upsert: each micro-batch is one " +
     "mergeDv commit — keyed updates land with zero partition rewrites") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
