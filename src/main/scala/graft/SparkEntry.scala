@@ -1725,6 +1725,59 @@ object SparkEntry {
         .withColumn("gate_mor_u", lit(gate))
     }),
 
+    // OPTIMIZE ... ZORDER BY (Delta's clustered rewrite, public
+    // design): the shuffled orders layout — every file spanning the
+    // whole (xk, yk) grid — is rewritten in ONE atomic full-
+    // replacement commit as z-clustered files, and the commit-log
+    // colstats then prune on BOTH dimensions (gate-pinned: files
+    // intersecting a narrow xk range AND a narrow yk range both drop
+    // strictly below the pre-optimize count, where a plain ORDER BY
+    // xk would leave yk pruning at zero). A pending merge-on-read
+    // delete materializes in the same rewrite (DV refs cleared
+    // atomically), so the hash-gated truth is base minus subjects.
+    "q244_optimize_zorder" -> ((s, dir) => {
+      import graft.jobs.Compaction
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_zord_$tag").toString
+      val conf = s.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(layout)
+      rootP.getFileSystem(conf).delete(rootP, true)
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          pmod(col("o_custkey"), lit(128)).as("xk"),
+          pmod(col("o_orderkey"), lit(128)).as("yk"))
+      facts.repartition(8).write.parquet(layout)
+      Manifest.bootstrap(s, layout)
+      Manifest.writeColStats(s, layout, 1L, Seq("xk", "yk"))
+      def intersecting(v: Long, c: String, lo: Long, hi: Long): Int =
+        Manifest.readColStats(s, layout, v).collect {
+          case ((_, col0), (_, mn: Long, mx: Long, _, _, _))
+              if col0 == c && mx >= lo && mn <= hi => 1
+        }.sum
+      val nFiles = Manifest.current(s, layout).get._2.size
+      val xBefore = intersecting(1L, "xk", 10L, 13L)
+      val yBefore = intersecting(1L, "yk", 10L, 13L)
+      val subjects = facts.select("custkey")
+        .where(pmod(col("custkey"), lit(109)) === 0).distinct()
+      Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+      val v = Compaction.optimizeZOrder(s, layout, "xk", "yk",
+        zBits = 7, statsCols = Seq("xk", "yk"), numFiles = 8)
+      val xAfter = intersecting(v, "xk", 10L, 13L)
+      val yAfter = intersecting(v, "yk", 10L, 13L)
+      val gate = xBefore == nFiles && yBefore == nFiles &&
+        xAfter < xBefore && yAfter < yBefore &&
+        Manifest.dvsAt(s, layout, v).isEmpty
+      Manifest.read(s, layout)
+        .groupBy(pmod(col("custkey"), lit(8)).as("g"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_zorder", lit(gate))
+    }),
+
     // WRITE-TIME EXPECTATIONS ON THE COMMIT (Delta CHECK-constraint /
     // Deequ-on-write analog): a poisoned batch (negative cents, null
     // wave) stages physically but commitChecked REFUSES the publish —
@@ -7343,6 +7396,18 @@ object SparkEntry {
         |       AS BIGINT) AS sum_price_cents,
         |  TRUE AS gate_mor_u
         |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // q244: the clustered rewrite changes LAYOUT, never truth — base
+    // minus the DV-erased subjects, grouped on the customer residue.
+    "q244_optimize_zorder" ->
+      """SELECT o_custkey % 8 AS g,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_zorder
+        |FROM orders
+        |WHERE o_custkey % 109 <> 0
         |GROUP BY 1""".stripMargin,
 
     // q243: base + the clean batch only — the poisoned batch was

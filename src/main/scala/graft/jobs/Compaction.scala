@@ -175,4 +175,60 @@ object Compaction {
     Manifest.commit(sess, path, newFiles)
     Manifest.vacuum(sess, path, keepVersions)
   }
+
+  /** OPTIMIZE … ZORDER BY (x, y) — the clustered rewrite every table
+    * format pairs with its data-skipping stats (Delta's OPTIMIZE
+    * ZORDER, public design): ONE atomic full-replacement commit whose
+    * files each cover a narrow z-range over BOTH columns, so the
+    * commit-log colstats sidecar — and through it the unified table's
+    * implicit range pruning AND `SkippingIndex.fromLog` — prunes on
+    * EITHER column (`ORDER BY x` alone gives perfect x-pruning and
+    * none on y; the z-curve gives ~sqrt pruning on each, the right
+    * trade for a table queried by more than one dimension).
+    *
+    * Composes with merge-on-read: the rewrite reads the DV-filtered
+    * snapshot, so an OPTIMIZE also MATERIALIZES pending deletes and
+    * clears the DV refs (`dvs = Some(Nil)`), exactly like
+    * [[graft.sources.Manifest.purgeDeletes]] but producing a clustered
+    * layout. Crash anywhere = old or new snapshot; replaced files stay
+    * for time travel until vacuum. Returns the committed version.
+    *
+    * `zBits` bounds the interleave ([[graft.operators.ZOrder.zValue]]);
+    * x/y must be non-negative integral expressions on that grid (the
+    * caller rescales — epoch days, dictionary codes, bucketed longs).
+    * One-level `partCol` layouts keep their directory partitioning;
+    * the z-clustering applies within the staged write. */
+  def optimizeZOrder(spark: SparkSession, path: String,
+                     x: String, y: String,
+                     partCol: Option[String] = None,
+                     zBits: Int = 10,
+                     statsCols: Seq[String] = Nil,
+                     numFiles: Int = 0): Long = {
+    import graft.operators.ZOrder
+    import graft.sources.Manifest
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
+    Manifest.bootstrap(sess, path)
+    val (v0, live) = Manifest.current(sess, path).get
+    if (live.isEmpty) return v0
+    val (fs, rootP) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(sess.sessionState.newHadoopConf()), p)
+    }
+    val snapshot = Manifest.read(sess, path) // DV-filtered: deletes die here
+    val clustered =
+      ZOrder.layoutBy(snapshot, col(x), col(y), zBits, numFiles)
+    val created = partCol match {
+      case Some(pc) => Manifest.stageUnique(sess, fs, rootP, pc, clustered)
+      case None => Manifest.stageUniqueFlat(sess, fs, rootP, clustered)
+    }
+    // full replacement: ONLY the clustered files are live; pending DVs
+    // are materialized by the rewrite, so their refs drop atomically
+    val v = Manifest.commit(sess, path, created, dvs = Some(Nil))
+    val cols = if (statsCols.nonEmpty) statsCols else Seq(x, y)
+    Manifest.writeStats(sess, path, v)
+    Manifest.writeColStats(sess, path, v, cols)
+    v
+  }
 }

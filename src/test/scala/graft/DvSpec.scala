@@ -303,6 +303,47 @@ class DvSpec extends SparkTestBase {
       (rootB, 2L, 1L), (rootB, 999L, 0L)))
   }
 
+  test("optimizeZOrder: one atomic clustered rewrite — colstats range " +
+    "pruning improves on BOTH dimensions, pending deletes materialize, " +
+    "pre-optimize version still time-travels") {
+    import graft.jobs.Compaction
+    val path = Files.createTempDirectory("graft_zopt").toString + "/t"
+    // 4096 (x, y) points over a 64x64 grid, written hash-shuffled so
+    // every one of the 8 initial files spans the whole grid
+    spark.range(4096)
+      .select((col("id") % 64).as("x"),
+        ((col("id") * 2654435761L) % 64).as("y"),
+        col("id").as("payload"))
+      .repartition(8).write.parquet(path)
+    Manifest.bootstrap(spark, path)
+    Manifest.writeColStats(spark, path, 1L, Seq("x", "y"))
+    def intersecting(v: Long, c: String, lo: Long, hi: Long): Int =
+      Manifest.readColStats(spark, path, v).collect {
+        case ((_, col0), (_, mn: Long, mx: Long, _, _, _))
+            if col0 == c && mx >= lo && mn <= hi => 1
+      }.sum
+    assert(intersecting(1L, "x", 10L, 12L) == 8 &&
+      intersecting(1L, "y", 10L, 12L) == 8,
+      "shuffled layout: every file spans the whole grid")
+    // pending merge-on-read deletes must materialize in the rewrite
+    val (_, nDel) = Manifest.deleteWhere(spark, path, col("x") === 63L)
+    assert(nDel == 64L)
+    val v = Compaction.optimizeZOrder(spark, path, "x", "y",
+      zBits = 6, numFiles = 8)
+    assert(Manifest.dvsAt(spark, path, v).isEmpty,
+      "OPTIMIZE materializes pending deletes")
+    val got = Manifest.read(spark, path).select("x", "y", "payload")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.size == 4096 - 64 && !got.exists(_._1 == 63L))
+    // the z-curve claim: BOTH dimensions prune after clustering
+    val xAfter = intersecting(v, "x", 10L, 12L)
+    val yAfter = intersecting(v, "y", 10L, 12L)
+    assert(xAfter < 8 && yAfter < 8,
+      s"clustered layout must prune both dims: x=$xAfter y=$yAfter of 8")
+    // pre-optimize versions replay (files retained until vacuum)
+    assert(Manifest.readVersion(spark, path, 1L).count() == 4096L)
+  }
+
   test("commitChecked: a batch violating write-time expectations never " +
     "becomes live — readers hold the old snapshot, staged files are " +
     "vacuum fodder; a clean batch commits normally") {
