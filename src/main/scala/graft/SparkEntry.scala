@@ -1725,6 +1725,168 @@ object SparkEntry {
         .withColumn("gate_mor_u", lit(gate))
     }),
 
+    // RESTORE TABLE … TO VERSION AS OF (the operational undo): a bad
+    // commit wipes wave 2; restore(1) publishes a NEW version serving
+    // v1's exact snapshot — the log stays append-only (bootstrap, the
+    // bad commit, the restore: three linear versions, full audit
+    // trail), and the hash-gated truth is the original table as if
+    // the incident never reached a reader that queries now.
+    "q247_restore" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_rst_$tag").toString
+      val conf = s.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(layout)
+      rootP.getFileSystem(conf).delete(rootP, true)
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.where(col("w").isin("1", "2", "3")).repartition(2)
+        .write.partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)                           // v1
+      Manifest.commit(s, layout,                              // v2: incident
+        Manifest.current(s, layout).get._2.filterNot(_.startsWith("w=2/")))
+      val wiped = Manifest.read(s, layout)
+        .where(col("w").cast("string") === "2").count() == 0L
+      val v = Manifest.restore(s, layout, 1L)                 // v3
+      val gate = wiped && v == 3L &&
+        Manifest.versions(s, layout) == Seq(1L, 2L, 3L)
+      Manifest.read(s, layout)
+        .groupBy(col("w").cast("string").as("w"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_restore", lit(gate))
+    }),
+
+    // TABLE HISTORY (DESCRIBE HISTORY from the log alone): a scripted
+    // lifecycle — bootstrap, append, merge-on-read delete, update,
+    // partition replacement, purge — read back as one row per version
+    // with the OPERATION INFERRED from the file/DV delta shape (the
+    // log records file lists, not intents; the inference is exactly
+    // what an auditor can verify from the log). Only script-
+    // deterministic columns are emitted (counts vary with the scale
+    // factor's file sizes); the oracle is the expected lifecycle as a
+    // VALUES literal.
+    "q246_table_history" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_hist_$tag").toString
+      val conf = s.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(layout)
+      rootP.getFileSystem(conf).delete(rootP, true)
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      def wave(ws: String*) = facts.where(col("w").isin(ws: _*))
+      wave("1", "2").repartition(2)
+        .write.partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)                          // v1
+      Manifest.commitPartitionReplacementCas(s, layout, "w",
+        wave("3"), touched = Seq("3"))                       // v2 append
+      Manifest.deleteWhere(s, layout,
+        pmod(col("custkey"), lit(139)) === 0)                // v3 delete
+      Manifest.updateWhere(s, layout,
+        pmod(col("o_orderkey"), lit(151)) === 0,
+        Map("price_cents" -> (col("price_cents") + 1L)),
+        partCol = Some("w"))                                 // v4 update
+      Manifest.commitPartitionReplacementCas(s, layout, "w",
+        wave("2").withColumn("price_cents", col("price_cents") * 2L),
+        touched = Seq("2"))                                  // v5 replace
+      Manifest.purgeDeletes(s, layout)                       // v6 replace
+      Manifest.history(s, layout)
+        .select(col("version"), col("operation"),
+          (col("files_added") > 0L).as("had_adds"),
+          (col("files_removed") > 0L).as("had_removes"),
+          (col("dvs_added") > 0L).as("had_dvs"))
+    }),
+
+    // PER-COMMIT CHANGE FEED (Delta CDF's _commit_version): the
+    // reader starts AFTER four commits — bootstrap, append, a
+    // partition replacement that doubles wave-1 prices, and a
+    // merge-on-read delete — so its ONE catch-up offset range spans
+    // the whole log; commitVersions=true decomposes it into
+    // per-commit events (a net diff would erase the replaced files'
+    // history), and replaying the events in _commit_version order
+    // inside the single batch reproduces the table exactly.
+    // gate_cv pins one input batch, ≥4 distinct commit versions, and
+    // subject absence.
+    "q245_cdc_commit_versions" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_cv_$tag").toString
+      val mirrorDir = new java.io.File(tmp, s"graft_cv_mirror_$tag").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_cv_cp").toString
+      val conf = s.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(layout)
+      rootP.getFileSystem(conf).delete(rootP, true)
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      def wave(ws: String*) = facts.where(col("w").isin(ws: _*))
+      // v1: waves 1-2; v2: wave 3 appended; v3: wave 1 REPLACED with
+      // doubled prices; v4: merge-on-read delete of the subjects
+      wave("1", "2").repartition(2)
+        .write.partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)
+      Manifest.commitPartitionReplacementCas(s, layout, "w",
+        wave("3"), touched = Seq("3"))
+      Manifest.commitPartitionReplacementCas(s, layout, "w",
+        wave("1").withColumn("price_cents", col("price_cents") * 2L),
+        touched = Seq("1"))
+      val subjects = facts.select("custkey")
+        .where(pmod(col("custkey"), lit(149)) === 0).distinct()
+      Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+      val nVersions = Manifest.versions(s, layout).size
+      facts.limit(0).write.mode("overwrite").parquet(mirrorDir)
+      val factsSchema = facts.schema
+      val q = s.readStream.schema(factsSchema)
+        .format("graft.streaming.ManifestStreamProvider")
+        .option("changeFeed", "true").option("commitVersions", "true")
+        .load(layout)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // version-ordered replay WITHIN the batch: each commit's
+          // deletes by key, then its inserts — log replay, not net
+          val sess = b.sparkSession
+          val dataCols = factsSchema.fieldNames.map(col).toSeq
+          val pinned = b.localCheckpoint(true)
+          val versions = pinned.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          var cur = sess.read.schema(factsSchema).parquet(mirrorDir)
+            .localCheckpoint(true)
+          versions.foreach { v =>
+            val step = pinned.where(col("_commit_version") === v)
+            val del = step.where(col("_change_type") === "delete")
+              .select("o_orderkey").distinct()
+            val ins = step.where(col("_change_type") === "insert")
+              .select(dataCols: _*)
+            cur = cur.join(del, Seq("o_orderkey"), "left_anti")
+              .unionByName(ins).localCheckpoint(true)
+          }
+          cur.write.mode("overwrite").parquet(mirrorDir)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      val mirror = s.read.schema(factsSchema).parquet(mirrorDir)
+      val leftover =
+        mirror.where(pmod(col("custkey"), lit(149)) === 0).count()
+      mirror.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_cv",
+          lit(nBatches == 1 && nVersions >= 4 && leftover == 0L))
+    }),
+
     // OPTIMIZE ... ZORDER BY (Delta's clustered rewrite, public
     // design): the shuffled orders layout — every file spanning the
     // whole (xk, yk) grid — is rewritten in ONE atomic full-
@@ -7396,6 +7558,45 @@ object SparkEntry {
         |       AS BIGINT) AS sum_price_cents,
         |  TRUE AS gate_mor_u
         |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // q247: after the restore the table IS waves 1-3 again — the
+    // incident left only audit-log entries behind.
+    "q247_restore" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_restore
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2', '3')
+        |GROUP BY 1""".stripMargin,
+
+    // q246: the scripted lifecycle's expected history — operations
+    // inferred from delta shapes, stated as a literal.
+    "q246_table_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'bootstrap', TRUE,  FALSE, FALSE),
+        |  (CAST(2 AS BIGINT), 'append',    TRUE,  FALSE, FALSE),
+        |  (CAST(3 AS BIGINT), 'delete',    FALSE, FALSE, TRUE),
+        |  (CAST(4 AS BIGINT), 'update',    TRUE,  FALSE, TRUE),
+        |  (CAST(5 AS BIGINT), 'replace',   TRUE,  TRUE,  FALSE),
+        |  (CAST(6 AS BIGINT), 'replace',   TRUE,  TRUE,  FALSE))
+        | AS t(version, operation, had_adds, had_removes, had_dvs)""".stripMargin,
+
+    // q245: waves 1-3 with wave-1 prices doubled (the replacement
+    // commit), minus the DV-erased subjects — reached by replaying
+    // the per-commit events of ONE catch-up batch in version order.
+    "q245_cdc_commit_versions" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) *
+        |           CASE WHEN substring(o_orderpriority, 1, 1) = '1'
+        |                THEN 2 ELSE 1 END) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_cv
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2', '3')
+        |  AND o_custkey % 149 <> 0
         |GROUP BY 1""".stripMargin,
 
     // q244: the clustered rewrite changes LAYOUT, never truth — base

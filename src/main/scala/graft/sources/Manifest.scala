@@ -1093,6 +1093,87 @@ object Manifest {
     }.sum
   }
 
+  /** RESTORE the table to retained version `v` (Delta's RESTORE TABLE
+    * … TO VERSION AS OF, public design): publish a NEW version whose
+    * file list and deletion vectors are exactly `v`'s — the log stays
+    * append-only and linear (an audit sees the bad commits AND the
+    * restore; nothing is rewritten or erased), readers flip to the old
+    * snapshot at the rename, and a re-vacuum keeps working because the
+    * restored files are referenced by the new head again. Requires
+    * every file and DV artifact of `v` to still be on disk — i.e.
+    * retention kept `v` replayable (the same contract as
+    * [[readVersion]]); fails loudly otherwise BEFORE committing.
+    * Restoring to the current head is a no-op (no empty commit). */
+  def restore(spark: SparkSession, root: String, v: Long): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    require(versions(spark, root).contains(v),
+      s"version $v is not committed under $root (vacuumed or never existed)")
+    val files = filesAt(spark, root, v)
+    val dvs = dvsAt(spark, root, v)
+    val (cur, curFiles) = current(spark, root).get
+    if (v == cur || (files == curFiles && dvs == dvsAt(spark, root, cur)))
+      return cur // already serving that snapshot
+    val missing = (files ++ dvs).filterNot(f => fs.exists(new Path(rootP, f)))
+    require(missing.isEmpty,
+      s"cannot restore $root to version $v — ${missing.size} of its " +
+        s"files were vacuumed: ${missing.take(3).mkString(", ")}…")
+    commit(spark, root, files, dvs = Some(dvs))
+  }
+
+  /** Table HISTORY (the DESCRIBE HISTORY face of the commit log): one
+    * row per RETAINED version with its file/DV deltas vs the previous
+    * retained version and the operation those deltas imply — the log
+    * records file lists, not intents, so the operation is INFERRED
+    * from the delta shape, which is exactly what an auditor can verify
+    * from the log alone:
+    *
+    *  - `append`: files added, none removed, no new DVs
+    *  - `delete` (merge-on-read): DV added, file list unchanged
+    *  - `update`: DV added AND files added, none removed
+    *  - `replace`: files removed and added (partition replacement,
+    *    compaction, purge, optimize)
+    *  - `erase`: files removed, none added (full-partition drop)
+    *  - `bootstrap`: the first retained version
+    *  - `noop`: nothing changed (a carried-forward republish)
+    *
+    * O(versions × files) manifest text reads, zero data IO. Timestamps
+    * come from the manifest files' modification times — informational,
+    * excluded from any oracle gate (wall-clock is not replayable). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val vs = versions(spark, root)
+    val rows = vs.foldLeft((Option.empty[Long],
+        Vector.empty[(Long, Long, Long, Long, Long, String, Long)])) {
+      case ((prev, acc), v) =>
+        val files = filesAt(spark, root, v).toSet
+        val dvs = dvsAt(spark, root, v).toSet
+        val (pf, pd) = prev match {
+          case Some(p) => (filesAt(spark, root, p).toSet,
+            dvsAt(spark, root, p).toSet)
+          case None => (Set.empty[String], Set.empty[String])
+        }
+        val added = (files -- pf).size.toLong
+        val removed = (pf -- files).size.toLong
+        val dvAdded = (dvs -- pd).size.toLong
+        val op =
+          if (prev.isEmpty) "bootstrap"
+          else if (added == 0 && removed == 0 && dvAdded == 0) "noop"
+          else if (removed == 0 && dvAdded > 0 && added > 0) "update"
+          else if (removed == 0 && dvAdded > 0) "delete"
+          else if (removed > 0 && added > 0) "replace"
+          else if (removed > 0) "erase"
+          else "append"
+        val ts = fs.getFileStatus(
+          new Path(new Path(rootP, Dir), f"manifest-$v%020d"))
+          .getModificationTime
+        (Some(v), acc :+ ((v, files.size.toLong, added, removed,
+          dvAdded, op, ts)))
+    }._2
+    import spark.implicits._
+    rows.toDF("version", "n_files", "files_added", "files_removed",
+      "dvs_added", "operation", "timestamp_ms")
+  }
+
   /** Garbage collection AFTER a publish: delete physical data files no
     * RETAINED manifest references, drop partition directories left
     * empty, and keep only the newest `keepVersions` manifests.

@@ -45,6 +45,11 @@ import graft.sources.Manifest
   * key, then inserts), which is how a GDPR erasure reaches every
   * derived store. Deleted files must still exist: vacuum retention
   * must cover reader lag, the universal CDF contract.
+  * `commitVersions=true` (with changeFeed) adds a `_commit_version`
+  * column and decomposes a multi-commit offset range into PER-COMMIT
+  * events — a catch-up batch then carries the commit HISTORY instead
+  * of its net effect (a file added then removed inside the range
+  * emits both sides), the Delta CDF `_commit_version` contract.
   * Retention: replaying from a vacuumed-away version fails loudly
   * (the manifest for the recorded offset is gone), matching every
   * table format's retention-vs-checkpoint contract.
@@ -59,11 +64,18 @@ class ManifestStreamSource(spark: SparkSession, root: String,
                            dataSchema: StructType,
                            startVersion: Long,
                            ignoreChanges: Boolean,
-                           changeFeed: Boolean) extends Source {
+                           changeFeed: Boolean,
+                           commitVersions: Boolean = false) extends Source {
+
+  require(!commitVersions || changeFeed,
+    "commitVersions=true needs changeFeed=true (per-commit attribution " +
+      "is a change-feed concept)")
 
   override val schema: StructType =
-    if (changeFeed) ManifestStreamProvider.withChangeType(dataSchema)
-    else dataSchema
+    if (changeFeed) {
+      val ct = ManifestStreamProvider.withChangeType(dataSchema)
+      if (commitVersions) ManifestStreamProvider.withCommitVersion(ct) else ct
+    } else dataSchema
 
   private def ver(o: Offset): Long = o.json.toLong
 
@@ -95,6 +107,31 @@ class ManifestStreamSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(startVersion)
     val toV = ver(end)
+    if (changeFeed && commitVersions) {
+      // PER-COMMIT granularity (Delta CDF's `_commit_version`): one
+      // offset range may span several commits (a restarted reader
+      // catching up); the snapshot-diff over the whole range NETS OUT
+      // a file added then removed inside it, which is fine for a
+      // convergent mirror but loses the commit history an auditor or
+      // ordered applier needs. Here the range decomposes into its
+      // committed version STEPS — each step's events computed by the
+      // same endpoint-diff logic, tagged with the version that
+      // published them — so replaying steps in `_commit_version`
+      // order IS replaying the log. Vacuumed-away intermediate
+      // manifests collapse their steps into the next surviving
+      // version (their net effect attributed there), the same
+      // retention-vs-lag contract as everywhere else.
+      import org.apache.spark.sql.functions.lit
+      val steps = Manifest.versions(spark, root)
+        .filter(v => v > fromV && v <= toV)
+      val frames = steps.foldLeft((fromV, Vector.empty[DataFrame])) {
+        case ((prev, acc), v2) =>
+          (v2, acc :+ cdcEvents(prev, v2)
+            .withColumn("_commit_version", lit(v2)))
+      }._2
+      return frames.reduce(_ unionByName _)
+    }
+    if (changeFeed) return cdcEvents(fromV, toV)
     val before = filesOf(fromV).toSet
     val now = filesOf(toV)
     val removed = (before -- now.toSet).toSeq.sorted
@@ -118,33 +155,6 @@ class ManifestStreamSource(spark: SparkSession, root: String,
       if (dvAdded.isEmpty) Nil
       else dvAddedRows.select("file").distinct().collect()
         .map(_.getString(0)).filter(before).sorted.toSeq
-    if (changeFeed) {
-      // ROW-LEVEL CHANGE FEED (the Delta CDF contract): removed files'
-      // rows emit as `delete` (minus rows already deleted at fromV —
-      // those events were emitted when their DV landed), added files'
-      // rows as `insert` (minus rows a DV in the same range deleted —
-      // never live), and a DV addition emits exactly its named rows of
-      // already-served files as `delete`. A replacement commit
-      // (erasure, compaction, partition merge) becomes delete(old
-      // partition rows) + insert(survivors); a merge-on-read delete
-      // becomes just its deletes — either way a keyed mirror applies
-      // the batch exactly. Deleted files must still be on disk: vacuum
-      // retention (minAgeMs / keepVersions) must cover the reader's
-      // lag, every table format's CDF contract.
-      import org.apache.spark.sql.functions.lit
-      val inserts = Manifest.dvAntiJoin(spark, root, fileDf(added), dvAfter)
-        .withColumn("_change_type", lit("insert"))
-      val removedDeletes =
-        Manifest.dvAntiJoin(spark, root, fileDf(removed), dvBefore)
-          .withColumn("_change_type", lit("delete"))
-      val dvDeletes =
-        if (dvTouchedBefore.isEmpty) None
-        else Some(Manifest.dvSemiJoin(spark, root,
-            fileDf(dvTouchedBefore.filter(now.toSet)), dvAddedRows)
-          .withColumn("_change_type", lit("delete")))
-      return dvDeletes.foldLeft(inserts.unionByName(removedDeletes))(
-        _ unionByName _)
-    }
     if ((removed.nonEmpty || dvTouchedBefore.nonEmpty) && !ignoreChanges)
       throw new IllegalStateException(
         s"manifest stream over $root: version range ($fromV, $toV] " +
@@ -158,6 +168,48 @@ class ManifestStreamSource(spark: SparkSession, root: String,
     Manifest.dvAntiJoin(spark, root, fileDf(added), dvAfter)
   }
 
+  /** ROW-LEVEL CHANGE FEED events of the version range (the Delta CDF
+    * contract): removed files' rows emit as `delete` (minus rows
+    * already deleted at `fromV` — those events were emitted when
+    * their DV landed), added files' rows as `insert` (minus rows a DV
+    * in the same range deleted — never live), and a DV addition emits
+    * exactly its named rows of already-served files as `delete`. A
+    * replacement commit (erasure, compaction, partition merge)
+    * becomes delete(old partition rows) + insert(survivors); a
+    * merge-on-read delete becomes just its deletes — either way a
+    * keyed mirror applies the batch exactly. Deleted files must still
+    * be on disk: vacuum retention (minAgeMs / keepVersions) must
+    * cover the reader's lag, every table format's CDF contract. */
+  private def cdcEvents(fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = filesOf(fromV).toSet
+    val now = filesOf(toV)
+    val removed = (before -- now.toSet).toSeq.sorted
+    val added = now.filterNot(before)
+    val dvBefore = dvsOf(fromV)
+    val dvAfter = dvsOf(toV)
+    val dvAdded = dvAfter.filterNot(dvBefore.toSet)
+    val rootP = new Path(root)
+    lazy val dvAddedRows = spark.read
+      .parquet(dvAdded.map(d => new Path(rootP, d).toString): _*)
+      .select("file", "pos")
+    val dvTouchedBefore: Seq[String] =
+      if (dvAdded.isEmpty) Nil
+      else dvAddedRows.select("file").distinct().collect()
+        .map(_.getString(0)).filter(before).sorted.toSeq
+    val inserts = Manifest.dvAntiJoin(spark, root, fileDf(added), dvAfter)
+      .withColumn("_change_type", lit("insert"))
+    val removedDeletes =
+      Manifest.dvAntiJoin(spark, root, fileDf(removed), dvBefore)
+        .withColumn("_change_type", lit("delete"))
+    val dvDeletes =
+      if (dvTouchedBefore.isEmpty) None
+      else Some(Manifest.dvSemiJoin(spark, root,
+          fileDf(dvTouchedBefore.filter(now.toSet)), dvAddedRows)
+        .withColumn("_change_type", lit("delete")))
+    dvDeletes.foldLeft(inserts.unionByName(removedDeletes))(_ unionByName _)
+  }
+
   override def stop(): Unit = ()
 }
 
@@ -166,6 +218,7 @@ class ManifestStreamSource(spark: SparkSession, root: String,
   * file stream source itself still ships on it). */
 object ManifestStreamProvider {
   val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 
   /** The CDF schema: the data schema plus a trailing `_change_type`
     * (`insert` | `delete`); idempotent when already present. */
@@ -174,9 +227,17 @@ object ManifestStreamProvider {
     else s.add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
       nullable = false)
 
+  /** `commitVersions=true` additionally tags every event with the
+    * manifest version that published it. */
+  def withCommitVersion(s: StructType): StructType =
+    if (s.fieldNames.contains(CommitVersionCol)) s
+    else s.add(CommitVersionCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+
   /** Strip a user-supplied CDF schema back to the data schema. */
   private[streaming] def withoutChangeType(s: StructType): StructType =
-    StructType(s.filterNot(_.name == ChangeTypeCol))
+    StructType(s.filterNot(f =>
+      f.name == ChangeTypeCol || f.name == CommitVersionCol))
 }
 
 class ManifestStreamProvider extends StreamSourceProvider
@@ -191,6 +252,9 @@ class ManifestStreamProvider extends StreamSourceProvider
   private def changeFeedOf(parameters: Map[String, String]): Boolean =
     parameters.get("changeFeed").exists(_.toBoolean)
 
+  private def commitVersionsOf(parameters: Map[String, String]): Boolean =
+    parameters.get("commitVersions").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
@@ -198,9 +262,14 @@ class ManifestStreamProvider extends StreamSourceProvider
     val data = schema.map(ManifestStreamProvider.withoutChangeType)
       .getOrElse(Manifest.read(sqlContext.sparkSession,
         rootOf(parameters)).schema)
+    val cdf =
+      if (changeFeedOf(parameters))
+        ManifestStreamProvider.withChangeType(data)
+      else data
     (shortName(),
-      if (changeFeedOf(parameters)) ManifestStreamProvider.withChangeType(data)
-      else data)
+      if (commitVersionsOf(parameters))
+        ManifestStreamProvider.withCommitVersion(cdf)
+      else cdf)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -219,6 +288,7 @@ class ManifestStreamProvider extends StreamSourceProvider
     val ignoreChanges =
       parameters.get("ignoreChanges").exists(_.toBoolean)
     new ManifestStreamSource(spark, root, data, startVersion,
-      ignoreChanges, changeFeedOf(parameters))
+      ignoreChanges, changeFeedOf(parameters),
+      commitVersionsOf(parameters))
   }
 }

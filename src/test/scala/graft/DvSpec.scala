@@ -303,6 +303,50 @@ class DvSpec extends SparkTestBase {
       (rootB, 2L, 1L), (rootB, 999L, 0L)))
   }
 
+  test("restore: the table flips back to a retained snapshot via one " +
+    "APPEND-ONLY commit — bad commits stay in the audit log, deletes " +
+    "restore too, missing history refuses loudly") {
+    val path = freshTable()                                  // v1
+    Manifest.deleteWhere(spark, path, col("id") === 1L)      // v2
+    // the "bad" commit: wipe partition d1 entirely
+    Manifest.commit(spark, path,                             // v3
+      Manifest.current(spark, path).get._2.filterNot(_.startsWith("day=d1/")))
+    assert(snap(path) == Set(5L, 6L, 7L))
+    val v = Manifest.restore(spark, path, 2L)                // v4 == v2's view
+    assert(v == 4L, "restore is a NEW version — the log stays linear")
+    assert(snap(path) == Set(2L, 3L, 4L, 5L, 6L, 7L),
+      "v2's files AND its deletion vector are back")
+    assert(Manifest.dvsAt(spark, path, 4L).size == 1)
+    // the full audit trail survives: nothing was erased from the log
+    assert(Manifest.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+    // restoring to the serving snapshot commits nothing
+    assert(Manifest.restore(spark, path, 4L) == 4L)
+    assert(Manifest.versions(spark, path).size == 4)
+    // a version retention dropped refuses loudly
+    intercept[IllegalArgumentException] {
+      Manifest.restore(spark, path, 99L)
+    }
+  }
+
+  test("history: operations inferred from delta shapes, including the " +
+    "noop republish and the full-partition erase the q246 script skips") {
+    val path = freshTable()                                   // v1
+    val files = Manifest.current(spark, path).get._2
+    Manifest.commit(spark, path, files)                       // v2: noop
+    Manifest.deleteWhere(spark, path, col("id") === 1L)       // v3: delete
+    // v4: drop partition d3 entirely — files removed, none added
+    Manifest.commit(spark, path,
+      Manifest.current(spark, path).get._2.filterNot(_.startsWith("day=d3/")))
+    val h = Manifest.history(spark, path)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(h == Map(1L -> "bootstrap", 2L -> "noop", 3L -> "delete",
+      4L -> "erase"), h.toString)
+    // timestamps are informational but must be monotone non-decreasing
+    val ts = Manifest.history(spark, path).orderBy("version")
+      .select("timestamp_ms").as[Long].collect()
+    assert(ts.sorted.sameElements(ts))
+  }
+
   test("optimizeZOrder: one atomic clustered rewrite — colstats range " +
     "pruning improves on BOTH dimensions, pending deletes materialize, " +
     "pre-optimize version still time-travels") {

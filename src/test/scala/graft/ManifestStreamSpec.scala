@@ -126,6 +126,43 @@ class ManifestStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("commitVersions: a catch-up batch decomposes into per-commit " +
+    "events — an intra-range add-then-replace emits BOTH sides instead " +
+    "of netting out, and version-ordered replay is log replay") {
+    val root = mkRoot()                       // v1: u0..u3 d1 + v0/v1 d2
+    appendDay(root, "d3", Seq("w0", "w1"))    // v2: +2
+    Manifest.commitPartitionReplacementCas(spark, root, "day",
+      Seq(("r0", "d3")).toDF("uid", "day"),   // v3: REPLACES d3 (w0/w1 out)
+      touched = Seq("d3"))
+    Manifest.deleteWhere(spark, root, col("uid") === "u1") // v4: DV
+    // the stream starts AFTER all four commits: ONE offset range
+    val q = spark.readStream.format(Fmt)
+      .option("changeFeed", "true").option("commitVersions", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("ms_cv").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val ev = spark.table("ms_cv")
+      .select("uid", "_change_type", "_commit_version")
+      .as[(String, String, Long)].collect().toSeq
+    assert(ev.map(_._3).distinct.sorted == Seq(1L, 2L, 3L, 4L),
+      s"one batch must carry all four commits: $ev")
+    // the net-diff would never show w0/w1 (added v2, removed v3);
+    // per-commit granularity shows both sides
+    assert(ev.contains(("w0", "insert", 2L)) &&
+      ev.contains(("w0", "delete", 3L)), s"intra-range history lost: $ev")
+    assert(ev.contains(("r0", "insert", 3L)))
+    assert(ev.contains(("u1", "delete", 4L)), "the DV delete is v4's event")
+    // replaying commits in _commit_version order reproduces the table
+    val mirror = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (v, rows) =>
+      rows.filter(_._2 == "delete").foreach(r => mirror.remove(r._1))
+      rows.filter(_._2 == "insert").foreach(r => mirror(r._1) = v)
+    }
+    assert(mirror.keySet ==
+      Manifest.read(spark, root).select("uid").as[String].collect().toSet,
+      s"version-ordered replay must equal the live table: $mirror")
+  }
+
   test("restart from checkpoint resumes at the recorded version, no duplicates") {
     val root = mkRoot()
     val cp = Files.createTempDirectory("graft_mstream_cp").toString
