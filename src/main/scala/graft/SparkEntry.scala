@@ -1749,12 +1749,15 @@ object SparkEntry {
       Manifest.bootstrap(s, layout)                           // v1
       Manifest.commit(s, layout,                              // v2: incident
         Manifest.current(s, layout).get._2.filterNot(_.startsWith("w=2/")))
-      val wiped = Manifest.read(s, layout)
+      def snapRst() =
+        if (Manifest.current(s, layout).get._2.isEmpty) facts.limit(0)
+        else Manifest.read(s, layout)
+      val wiped = snapRst()
         .where(col("w").cast("string") === "2").count() == 0L
       val v = Manifest.restore(s, layout, 1L)                 // v3
       val gate = wiped && v == 3L &&
         Manifest.versions(s, layout) == Seq(1L, 2L, 3L)
-      Manifest.read(s, layout)
+      snapRst()
         .groupBy(col("w").cast("string").as("w"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price_cents")).as("sum_price_cents"))
@@ -1985,7 +1988,10 @@ object SparkEntry {
       clean.write.mode("append").partitionBy("w").parquet(layout)
       val v = Manifest.commitChecked(s, layout, listing(), exps)
       val admitted = v == 2L
-      Manifest.read(s, layout)
+      val snapChk =
+        if (Manifest.current(s, layout).get._2.isEmpty) facts.limit(0)
+        else Manifest.read(s, layout)
+      snapChk
         .groupBy(col("w").cast("string").as("w"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price_cents")).as("sum_price_cents"))
