@@ -1725,6 +1725,64 @@ object SparkEntry {
         .withColumn("gate_mor_u", lit(gate))
     }),
 
+    // GDPR ERASURE ACROSS THE GA SIX-TABLE SERVING GROUP, MERGE-ON-
+    // READ (the reference-domain capstone of the DV stack): the daily
+    // job publishes sessions/pageviews/events/products/transactions/
+    // items as ONE group commit (the reference's 6-table export made
+    // transactional), then a visitor's right-to-be-forgotten request
+    // erases them from EVERY member with per-member deletion-vector
+    // commits and ONE group flip — zero data files rewritten in any
+    // of the six trees, no table ever serving a mix of pre- and
+    // post-erasure publishes. Per member the gates pin: the subject
+    // is gone, the file list is byte-identical, and the surviving
+    // row count equals the day's rows minus the subject's — stated
+    // as a VALUES-literal oracle (the table contents themselves are
+    // hash-gated by q16/q17/q45-q48).
+    "q248_ga_group_dv_erasure" -> ((s, dir) => {
+      import graft.operators.Erasure
+      import graft.sources.{Manifest, ManifestGroup}
+      val out = gaOutputs(s)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val outRoot = new java.io.File(tmp, "graft_ga_dvgrp").toString
+      val conf = s.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(outRoot)
+      rootP.getFileSystem(conf).delete(rootP, true)
+      graft.jobs.DailyJob.writeDailyGroupAtomic(s, out, outRoot,
+        Seq("2019-09-23"), catalogDb = None)
+      val meta = s"$outRoot/daily"
+      val tables = Seq(
+        "sessions" -> out.sessions, "pageviews" -> out.pageviews,
+        "events" -> out.events, "products" -> out.products,
+        "transactions" -> out.transactions, "items" -> out.items)
+      val members = tables.map { case (t, _) => s"$outRoot/daily/type=$t" }
+      val subject = out.sessions
+        .agg(min(col("fullVisitorId")).as("fullVisitorId"))
+        .localCheckpoint(true)
+      val beforeMap = ManifestGroup.currentGroup(s, meta).get._2
+      Erasure.eraseGroupDv(s, meta, members, subject,
+        Seq("fullVisitorId"), batchId = "ga-dv-gdpr-1")
+      val afterMap = ManifestGroup.currentGroup(s, meta).get._2
+      val day = to_date(col("timestamp")) === lit("2019-09-23")
+      val rows = tables.map { case (tpe, df) =>
+        val root = s"$outRoot/daily/type=$tpe"
+        val key = ManifestGroup.normKey(root)
+        val gv = afterMap(key)
+        val served =
+          if (Manifest.filesAt(s, root, gv).isEmpty) df.limit(0)
+          else Manifest.readVersion(s, root, gv)
+        val subjVal = subject.collect().head.getString(0)
+        val gone = served
+          .where(col("fullVisitorId") === subjVal).count() == 0L
+        val zeroRewrite = Manifest.filesAt(s, root, gv) ==
+          Manifest.filesAt(s, root, beforeMap(key))
+        val expected = df.where(day)
+          .where(col("fullVisitorId") =!= subjVal).count()
+        (tpe, gone, zeroRewrite, served.count() == expected)
+      }
+      import s.implicits._
+      rows.toDF("tpe", "gate_gone", "gate_zero_rewrite", "gate_counts")
+    }),
+
     // RESTORE TABLE … TO VERSION AS OF (the operational undo): a bad
     // commit wipes wave 2; restore(1) publishes a NEW version serving
     // v1's exact snapshot — the log stays append-only (bootstrap, the
@@ -7565,6 +7623,16 @@ object SparkEntry {
         |  TRUE AS gate_mor_u
         |FROM orders
         |GROUP BY 1""".stripMargin,
+
+    // q248: the six-table erasure's claims, one row per member — the
+    // contents themselves are hash-gated by the GA table queries.
+    "q248_ga_group_dv_erasure" ->
+      """SELECT * FROM (VALUES
+        |  ('events', TRUE, TRUE, TRUE), ('items', TRUE, TRUE, TRUE),
+        |  ('pageviews', TRUE, TRUE, TRUE), ('products', TRUE, TRUE, TRUE),
+        |  ('sessions', TRUE, TRUE, TRUE),
+        |  ('transactions', TRUE, TRUE, TRUE))
+        | AS t(tpe, gate_gone, gate_zero_rewrite, gate_counts)""".stripMargin,
 
     // q247: after the restore the table IS waves 1-3 again — the
     // incident left only audit-log entries behind.
