@@ -1725,6 +1725,54 @@ object SparkEntry {
         .withColumn("gate_mor_u", lit(gate))
     }),
 
+    // SCHEMA-IN-LOG EVOLUTION (the Delta/Iceberg schema-tracking
+    // piece): waves 1-2 commit with the base schema; wave 3 lands as
+    // NEW files carrying an extra discount_cents column; the evolved
+    // schema is recorded in the log, so the snapshot read serves the
+    // declared union deterministically (old files null-fill — a bare
+    // parquet read would play the file-enumeration-order lottery and
+    // could drop the column entirely) with ZERO footer inference,
+    // while time travel to v1 serves v1's OWN schema (gate: the
+    // column does not exist there).
+    "q249_schema_evolution" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val base = s"$dir/orders.parquet"
+      val tag = Integer.toHexString(base.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val layout = new java.io.File(tmp, s"graft_schev_$tag").toString
+      val conf = s.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(layout)
+      rootP.getFileSystem(conf).delete(rootP, true)
+      val facts = s.read.parquet(base)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          substring(col("o_orderpriority"), 1, 1).as("w"))
+      facts.where(col("w").isin("1", "2")).repartition(2)
+        .write.partitionBy("w").parquet(layout)
+      Manifest.bootstrap(s, layout)                            // v1
+      Manifest.writeSchema(s, layout, 1L, facts.schema)
+      // the evolution: wave 3 arrives WITH the new enrichment column
+      facts.where(col("w") === "3")
+        .withColumn("discount_cents", expr("price_cents div 10"))
+        .write.mode("append").partitionBy("w").parquet(layout)
+      def listing() = Manifest.listDataFiles(
+        rootP.getFileSystem(conf), rootP)
+      val v2 = Manifest.commit(s, layout, listing())
+      Manifest.writeSchema(s, layout, v2,
+        facts.withColumn("discount_cents", lit(0L)).schema)
+      val gate =
+        !Manifest.readVersion(s, layout, 1L)
+          .columns.contains("discount_cents") &&
+        Manifest.read(s, layout).columns.contains("discount_cents")
+      Manifest.read(s, layout)
+        .groupBy(col("w").cast("string").as("w"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"),
+          sum(coalesce(col("discount_cents"), lit(0L)))
+            .as("sum_discount_cents"))
+        .withColumn("gate_schema", lit(gate))
+    }),
+
     // GDPR ERASURE ACROSS THE GA SIX-TABLE SERVING GROUP, MERGE-ON-
     // READ (the reference-domain capstone of the DV stack): the daily
     // job publishes sessions/pageviews/events/products/transactions/
@@ -7622,6 +7670,21 @@ object SparkEntry {
         |       AS BIGINT) AS sum_price_cents,
         |  TRUE AS gate_mor_u
         |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // q249: waves 1-3 where only wave 3 carries the evolved column —
+    // null-filled elsewhere, truth stated per wave.
+    "q249_schema_evolution" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '3'
+        |           THEN CAST(round(o_totalprice * 100) AS BIGINT) // 10
+        |           ELSE 0 END) AS BIGINT) AS sum_discount_cents,
+        |  TRUE AS gate_schema
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2', '3')
         |GROUP BY 1""".stripMargin,
 
     // q248: the six-table erasure's claims, one row per member — the

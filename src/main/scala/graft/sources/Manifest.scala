@@ -268,7 +268,8 @@ object Manifest {
   def read(spark: SparkSession, root: String): DataFrame = {
     val (v, files) = current(spark, root).getOrElse(throw new IllegalArgumentException(
       s"no committed manifest under $root — bootstrap() it first"))
-    readFiles(spark, root, files, dvsAt(spark, root, v))
+    readFiles(spark, root, files, dvsAt(spark, root, v),
+      schemaAt(spark, root, v))
   }
 
   /** TIME-TRAVEL read: the table exactly as committed version `v`
@@ -280,15 +281,22 @@ object Manifest {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(versions(spark, root).contains(v),
       s"version $v is not committed under $root (vacuumed or never existed)")
-    readFiles(spark, root, filesAt(spark, root, v), dvsAt(spark, root, v))
+    readFiles(spark, root, filesAt(spark, root, v), dvsAt(spark, root, v),
+      schemaAt(spark, root, v))
   }
 
   private def readFiles(spark: SparkSession, root: String,
-                        files: Seq[String], dvs: Seq[String]): DataFrame = {
+                        files: Seq[String], dvs: Seq[String],
+                        schema: Option[org.apache.spark.sql.types.StructType]
+                          = None): DataFrame = {
     val (_, rootP) = fsOf(spark, root)
     require(files.nonEmpty,
       s"manifest snapshot of $root is empty — the table was fully erased")
-    val base = spark.read.option("basePath", rootP.toString)
+    val reader = spark.read.option("basePath", rootP.toString)
+    // schema-in-log: declared schema beats inference — zero footer
+    // reads, deterministic union schema across evolved files (absent
+    // columns null-fill), partition types as recorded
+    val base = schema.fold(reader)(reader.schema)
       .parquet(files.map(f => new Path(rootP, f).toString): _*)
     dvAntiJoin(spark, root, base, dvs)
   }
@@ -1093,6 +1101,56 @@ object Manifest {
     }.sum
   }
 
+  /** SCHEMA-IN-LOG (the Delta/Iceberg schema-tracking piece): record
+    * the table's full schema (data + partition columns) as the
+    * `schema-<v>` sidecar. Once present, snapshot reads use it
+    * DECLARATIVELY — no footer inference (a 100 TB tree stops opening
+    * files to learn its own schema), no partition-value type guessing,
+    * and, after an ADDITIVE evolution ([[graft.operators.Upsert
+    * .upsertEvolve]] writing new files with a new column beside old
+    * ones), a deterministic union schema with null-fill instead of the
+    * file-enumeration-order lottery a bare parquet read runs. Schemas
+    * CARRY: a version without its own sidecar reads with the newest
+    * sidecar at or below it, so time travel serves each version with
+    * the schema it had — readVersion of a pre-evolution version does
+    * NOT show the later column. Published tmp→rename like every
+    * sidecar; derived and re-writable for any retained version. */
+  def writeSchema(spark: SparkSession, root: String, v: Long,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, rootP) = fsOf(spark, root)
+    require(versions(spark, root).contains(v),
+      s"version $v is not committed under $root")
+    val dir = new Path(rootP, Dir)
+    val tmp = new Path(dir,
+      f"schema-$v%020d." + java.util.UUID.randomUUID + ".tmp")
+    val target = new Path(dir, f"schema-$v%020d")
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, target), s"schema publish failed: $target")
+  }
+
+  /** The schema EFFECTIVE at version `v`: the newest `schema-<sv>`
+    * sidecar with `sv` ≤ `v`, if any (None → reads fall back to
+    * inference, the pre-sidecar behavior). */
+  def schemaAt(spark: SparkSession, root: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, Dir)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("schema-") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("schema-").toLong).filter(_ <= v)
+      .maxOption.map { sv =>
+        val in = fs.open(new Path(dir, f"schema-$sv%020d"))
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(text)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+  }
+
   /** RESTORE the table to retained version `v` (Delta's RESTORE TABLE
     * … TO VERSION AS OF, public design): publish a NEW version whose
     * file list and deletion vectors are exactly `v`'s — the log stays
@@ -1230,8 +1288,19 @@ object Manifest {
       if (fs.listStatus(dvRoot).isEmpty) fs.delete(dvRoot, false)
     }
     val dir = new Path(rootP, Dir)
+    // schema sidecars CARRY (a kept version may read with an older
+    // version's schema), so retention keeps each kept version's
+    // EFFECTIVE sidecar, not just same-version ones
+    val schemaVs =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("schema-") && !n.endsWith(".tmp"))
+        .map(_.stripPrefix("schema-").toLong).toSeq
+    val effectiveSchemas =
+      kept.flatMap(k => schemaVs.filter(_ <= k).maxOption).distinct
     val keptNames = kept.flatMap(v =>
-      Seq(f"manifest-$v%020d", f"stats-$v%020d", f"colstats-$v%020d")).toSet
+      Seq(f"manifest-$v%020d", f"stats-$v%020d", f"colstats-$v%020d")).toSet ++
+      (kept ++ effectiveSchemas).map(v => f"schema-$v%020d").toSet
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       if (!keptNames(p.getName)) fs.delete(p, false)
     }

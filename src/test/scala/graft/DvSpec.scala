@@ -303,6 +303,45 @@ class DvSpec extends SparkTestBase {
       (rootB, 2L, 1L), (rootB, 999L, 0L)))
   }
 
+  test("schema-in-log: declared schema beats inference — evolved files " +
+    "union with null-fill, time travel keeps each version's OWN schema, " +
+    "vacuum retains the carried effective sidecar") {
+    val path = Files.createTempDirectory("graft_schlog").toString + "/t"
+    Seq((1L, "d1", 10L), (2L, "d2", 20L)).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    Manifest.bootstrap(spark, path)                            // v1
+    Manifest.writeSchema(spark, path, 1L, Manifest.read(spark, path).schema)
+    // ADDITIVE evolution: new files carry `note`, old files predate it
+    Seq((3L, "d3", 30L, "x")).toDF("id", "day", "v", "note")
+      .write.mode("append").partitionBy("day").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v2 = Manifest.commit(spark, path,
+      Manifest.listDataFiles(fs, new org.apache.hadoop.fs.Path(path)))
+    Manifest.writeSchema(spark, path, v2,
+      Seq((1L, "d1", 10L, "x")).toDF("id", "day", "v", "note").schema)
+    val now = Manifest.read(spark, path)
+    // data columns in declared order; Spark always surfaces partition
+    // columns last (its partitioned-read contract, schema or not)
+    assert(now.columns.toSeq == Seq("id", "v", "note", "day"),
+      s"declared data order + trailing partition col: ${now.columns.toSeq}")
+    assert(now.select("id", "note").as[(Long, Option[String])]
+      .collect().toMap == Map(1L -> None, 2L -> None, 3L -> Some("x")),
+      "old files null-fill the evolved column deterministically")
+    // time travel: v1 reads with ITS schema — the later column absent
+    assert(!Manifest.readVersion(spark, path, 1L)
+      .columns.contains("note"))
+    // v3 without its own sidecar CARRIES v2's schema
+    Manifest.commit(spark, path, Manifest.filesAt(spark, path, v2))
+    assert(Manifest.schemaAt(spark, path, 3L).get.fieldNames
+      .contains("note"))
+    // retention: kept={v3}, whose effective sidecar is schema-2 → kept
+    Manifest.vacuum(spark, path, keepVersions = 1)
+    assert(Manifest.schemaAt(spark, path, 3L).get.fieldNames
+      .contains("note"), "vacuum must keep the carried effective schema")
+    assert(Manifest.read(spark, path).columns.contains("note"))
+  }
+
   test("restore: the table flips back to a retained snapshot via one " +
     "APPEND-ONLY commit — bad commits stay in the audit log, deletes " +
     "restore too, missing history refuses loudly") {
