@@ -1760,11 +1760,15 @@ object SparkEntry {
       val v2 = Manifest.commit(s, layout, listing())
       Manifest.writeSchema(s, layout, v2,
         facts.withColumn("discount_cents", lit(0L)).schema)
-      val gate =
+      val emptyT = Manifest.current(s, layout).get._2.isEmpty
+      val gate = !emptyT &&
         !Manifest.readVersion(s, layout, 1L)
           .columns.contains("discount_cents") &&
         Manifest.read(s, layout).columns.contains("discount_cents")
-      Manifest.read(s, layout)
+      val snapEv =
+        if (emptyT) facts.withColumn("discount_cents", lit(0L)).limit(0)
+        else Manifest.read(s, layout)
+      snapEv
         .groupBy(col("w").cast("string").as("w"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price_cents")).as("sum_price_cents"),
