@@ -1191,31 +1191,45 @@ object Manifest {
     *  - `replace`: files removed and added (partition replacement,
     *    compaction, purge, optimize)
     *  - `erase`: files removed, none added (full-partition drop)
+    *  - `restore`: ONLY deletion-vector references dropped (file list
+    *    unchanged) — a [[restore]] to a pre-delete version or a
+    *    [[purgeDeletes]] of inert-only debris RESURRECTS previously
+    *    deleted rows, which an auditor-facing view must never report
+    *    as `noop`
     *  - `bootstrap`: the first retained version
     *  - `noop`: nothing changed (a carried-forward republish)
     *
-    * O(versions × files) manifest text reads, zero data IO. Timestamps
-    * come from the manifest files' modification times — informational,
-    * excluded from any oracle gate (wall-clock is not replayable). */
+    * O(versions × files) manifest text reads — each version's manifest
+    * is opened ONCE (the previous version's sets ride the fold
+    * accumulator), zero data IO. Timestamps come from the manifest
+    * files' modification times — informational, excluded from any
+    * oracle gate (wall-clock is not replayable). */
   def history(spark: SparkSession, root: String): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
     val vs = versions(spark, root)
-    val rows = vs.foldLeft((Option.empty[Long],
-        Vector.empty[(Long, Long, Long, Long, Long, String, Long)])) {
+    type Acc = (Option[(Long, Set[String], Set[String])],
+      Vector[(Long, Long, Long, Long, Long, Long, String, Long)])
+    val rows = vs.foldLeft((Option.empty[(Long, Set[String], Set[String])],
+        Vector.empty[(Long, Long, Long, Long, Long, Long, String, Long)])
+        : Acc) {
       case ((prev, acc), v) =>
         val files = filesAt(spark, root, v).toSet
         val dvs = dvsAt(spark, root, v).toSet
         val (pf, pd) = prev match {
-          case Some(p) => (filesAt(spark, root, p).toSet,
-            dvsAt(spark, root, p).toSet)
+          case Some((_, f, d)) => (f, d)
           case None => (Set.empty[String], Set.empty[String])
         }
         val added = (files -- pf).size.toLong
         val removed = (pf -- files).size.toLong
         val dvAdded = (dvs -- pd).size.toLong
+        // DV references DROPPED without the files themselves going
+        // away: the commit brought previously deleted rows back
+        val dvRemoved = (pd -- dvs).size.toLong
         val op =
           if (prev.isEmpty) "bootstrap"
-          else if (added == 0 && removed == 0 && dvAdded == 0) "noop"
+          else if (added == 0 && removed == 0 && dvAdded == 0 &&
+            dvRemoved == 0) "noop"
+          else if (added == 0 && removed == 0 && dvAdded == 0) "restore"
           else if (removed == 0 && dvAdded > 0 && added > 0) "update"
           else if (removed == 0 && dvAdded > 0) "delete"
           else if (removed > 0 && added > 0) "replace"
@@ -1224,12 +1238,12 @@ object Manifest {
         val ts = fs.getFileStatus(
           new Path(new Path(rootP, Dir), f"manifest-$v%020d"))
           .getModificationTime
-        (Some(v), acc :+ ((v, files.size.toLong, added, removed,
-          dvAdded, op, ts)))
+        (Some((v, files, dvs)), acc :+ ((v, files.size.toLong, added,
+          removed, dvAdded, dvRemoved, op, ts)))
     }._2
     import spark.implicits._
     rows.toDF("version", "n_files", "files_added", "files_removed",
-      "dvs_added", "operation", "timestamp_ms")
+      "dvs_added", "dvs_removed", "operation", "timestamp_ms")
   }
 
   /** Garbage collection AFTER a publish: delete physical data files no
@@ -1275,14 +1289,30 @@ object Manifest {
       }
     // deletion-vector GC: an artifact survives iff a RETAINED version
     // references it (same contract as data files); the grace window
-    // also protects a racing deleteWhere's staged-but-uncommitted DV
+    // also protects a racing deleteWhere's staged-but-uncommitted DV.
+    // The age check reads the max mtime of the FILES INSIDE the
+    // artifact (a parquet dataset = a directory), matching the
+    // per-file check the data pass uses: object stores synthesize
+    // directory entries with mtime 0 (S3A), so a directory-mtime gate
+    // would delete a racer's staged-but-uncommitted DV despite the
+    // grace window and the racer's winning commit would publish a
+    // dangling DV reference.
     val dvLive = kept.flatMap(dvsAt(spark, root, _)).toSet
     val dvRoot = new Path(rootP, DvDir)
     if (fs.exists(dvRoot)) {
+      def newestInside(p: Path): Long = {
+        val sts = fs.listStatus(p)
+        if (sts.isEmpty) fs.getFileStatus(p).getModificationTime
+        else sts.map(st =>
+          if (st.isDirectory) newestInside(st.getPath)
+          else st.getModificationTime).max
+      }
       fs.listStatus(dvRoot).foreach { st =>
         val rel = s"$DvDir/${st.getPath.getName}"
-        if (!dvLive(rel) &&
-            (minAgeMs <= 0L || st.getModificationTime <= cutoff))
+        val newest =
+          if (st.isDirectory) newestInside(st.getPath)
+          else st.getModificationTime
+        if (!dvLive(rel) && (minAgeMs <= 0L || newest <= cutoff))
           fs.delete(st.getPath, true)
       }
       if (fs.listStatus(dvRoot).isEmpty) fs.delete(dvRoot, false)

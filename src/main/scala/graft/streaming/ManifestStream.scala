@@ -124,6 +124,16 @@ class ManifestStreamSource(spark: SparkSession, root: String,
       import org.apache.spark.sql.functions.lit
       val steps = Manifest.versions(spark, root)
         .filter(v => v > fromV && v <= toV)
+      // a lagging checkpoint plus aggressive vacuum retention can
+      // leave NO retained version in (fromV, toV] — the offsets the
+      // checkpoint recorded were vacuumed away; fail with the same
+      // loud retention contract as a missing manifest, never an
+      // opaque empty.reduce crash
+      if (steps.isEmpty) throw new IllegalStateException(
+        s"manifest stream over $root: no retained version in " +
+          s"($fromV, $toV] — vacuum retention dropped the manifests " +
+          s"this checkpointed offset range needs; keep more versions " +
+          s"(Manifest.vacuum keepVersions) than the reader's lag")
       val frames = steps.foldLeft((fromV, Vector.empty[DataFrame])) {
         case ((prev, acc), v2) =>
           (v2, acc :+ cdcEvents(prev, v2)
@@ -259,6 +269,13 @@ class ManifestStreamProvider extends StreamSourceProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) = {
+    // option-pairing validation lives HERE too, not only in the
+    // source constructor: the schema probe runs first, and happily
+    // appending _commit_version for an invalid pairing would let the
+    // failure surface only after schema negotiation
+    require(!commitVersionsOf(parameters) || changeFeedOf(parameters),
+      "commitVersions=true needs changeFeed=true (per-commit " +
+        "attribution is a change-feed concept)")
     val data = schema.map(ManifestStreamProvider.withoutChangeType)
       .getOrElse(Manifest.read(sqlContext.sparkSession,
         rootOf(parameters)).schema)

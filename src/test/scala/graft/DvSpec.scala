@@ -386,6 +386,44 @@ class DvSpec extends SparkTestBase {
     assert(ts.sorted.sameElements(ts))
   }
 
+  test("vacuum DV grace window gates on the files INSIDE the artifact, " +
+    "not the directory mtime — object stores report directory mtime 0") {
+    val path = freshTable()
+    Manifest.deleteWhere(spark, path, col("id") === 1L)       // v2: DV live
+    // stage an UNREFERENCED artifact (a racing deleteWhere between its
+    // DV write and its CAS) whose freshly-written files sit inside a
+    // directory that — as on S3A — reports mtime 0
+    val staged = new java.io.File(new java.io.File(path, Manifest.DvDir),
+      "dv-racer-staged")
+    Seq(("w=1/zzz.parquet", 0L)).toDF("file", "pos")
+      .write.parquet(staged.toString)
+    assert(staged.setLastModified(0L), "test needs a settable dir mtime")
+    Manifest.vacuum(spark, path, keepVersions = 1, minAgeMs = 3600 * 1000L)
+    assert(staged.exists(),
+      "grace window must protect a staged DV whose DIRECTORY mtime is 0")
+    // with no grace window the unreferenced artifact is reclaimed
+    Manifest.vacuum(spark, path, keepVersions = 1)
+    assert(!staged.exists())
+    // the referenced artifact survived both passes
+    assert(snap(path) == Set(2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("history: a commit that only DROPS deletion-vector references " +
+    "(restore to a pre-delete version) reports 'restore', never 'noop' " +
+    "— the commit resurrected deleted rows") {
+    val path = freshTable()                                   // v1
+    Manifest.deleteWhere(spark, path, col("id") === 1L)       // v2: delete
+    assert(snap(path) == Set(2L, 3L, 4L, 5L, 6L, 7L))
+    Manifest.restore(spark, path, 1L)                         // v3: files
+    assert(snap(path) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))     // unchanged,
+    val h = Manifest.history(spark, path)                     // DVs dropped
+      .select("version", "operation", "dvs_removed")
+      .as[(Long, String, Long)].collect()
+      .map { case (v, op, dr) => v -> ((op, dr)) }.toMap
+    assert(h == Map(1L -> (("bootstrap", 0L)), 2L -> (("delete", 0L)),
+      3L -> (("restore", 1L))), h.toString)
+  }
+
   test("optimizeZOrder: one atomic clustered rewrite — colstats range " +
     "pruning improves on BOTH dimensions, pending deletes materialize, " +
     "pre-optimize version still time-travels") {

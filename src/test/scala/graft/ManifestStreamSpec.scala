@@ -163,6 +163,34 @@ class ManifestStreamSpec extends SparkTestBase {
       s"version-ordered replay must equal the live table: $mirror")
   }
 
+  test("commitVersions without changeFeed fails at SCHEMA time, before " +
+    "source construction — the probe and the constructor must agree") {
+    val root = mkRoot()
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format(Fmt)
+        .option("commitVersions", "true").load(root)
+    }
+    assert(e.getMessage.contains("changeFeed"), e.getMessage)
+  }
+
+  test("commitVersions getBatch over a range with NO retained version " +
+    "fails with a retention-violation error, not empty.reduce") {
+    import graft.streaming.ManifestStreamSource
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = mkRoot()                       // v1
+    appendDay(root, "d3", Seq("w0"))          // v2
+    val schema = Manifest.read(spark, root).schema
+    val src = new ManifestStreamSource(spark, root, schema,
+      startVersion = 0L, ignoreChanges = false, changeFeed = true,
+      commitVersions = true)
+    // a lagging checkpoint recorded (2, 5] but retention vacuumed
+    // everything in that range away — versions 3..5 never survived
+    val e = intercept[IllegalStateException] {
+      src.getBatch(Some(LongOffset(2L)), LongOffset(5L))
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+  }
+
   test("restart from checkpoint resumes at the recorded version, no duplicates") {
     val root = mkRoot()
     val cp = Files.createTempDirectory("graft_mstream_cp").toString
