@@ -10,13 +10,24 @@ import org.apache.spark.sql.SparkSession
   *    Catalyst prune the whole projection away and under-measures scan +
   *    project cost (round-1 verdict finding).
   *  - LOAD ROBUSTNESS (round-4 verdict): each query runs
-  *    SPARK_GRAFT_BENCH_ITERS times (default 3) and the per-query number
-  *    reported in `queries` is the MEDIAN; `queries_min` carries the
-  *    per-query minimum so a contended machine shows up as median >> min
-  *    instead of as a phantom regression. Iteration is outermost (pass
-  *    over all queries, repeat) so JIT/cache warmth is comparable across
-  *    queries, and SparkEntry memos are cleared per pass so shared
-  *    intermediates (q20 -> q37/q38) are re-measured each pass.
+  *    SPARK_GRAFT_BENCH_ITERS times (default 3). Iteration is outermost
+  *    (pass over all queries, repeat) so JIT/cache warmth is comparable
+  *    across queries, and SparkEntry memos are cleared per pass so
+  *    shared intermediates (q20 -> q37/q38) are re-measured each pass.
+  *  - HEADLINE = PER-QUERY MIN (round-11 verdict #1): the in-process
+  *    suite runs 249 queries x N passes in ONE JVM, and the round-11
+  *    fresh-JVM root-cause (tools/GaScalePass) proved that accumulated
+  *    heap/code-cache state makes MEDIANS unexplainable — q100's code
+  *    was untouched since r7 yet its median moved 7.50 -> 12.89 s while
+  *    its per-pass MIN (6.54 s) was FASTER than the old median; q147
+  *    showed a 3.6x med/min spread the same way. The minimum of N
+  *    passes is the statistic JVM-state noise can only inflate, never
+  *    deflate, so it is the one that tracks the PLAN; the median now
+  *    rides in `queries_median` and the med/min ratio in
+  *    `queries_spread` so contention is still visible (a healthy run
+  *    shows spread near 1; a spread >> 1 pairs with the per-pass GC
+  *    telemetry in `pass_gc_sec`, which explains it instead of letting
+  *    it masquerade as a regression).
   *  - GA-pipeline throughput at synthetic scale (round-4 verdict): the
   *    151-row GA fixture measures plan latency, not engine throughput, so
   *    the bench also runs the full GA pipeline on
@@ -223,7 +234,16 @@ object Bench {
     // so registry-growth planning drift is visible in the record
     // instead of inferred from sub-second medians
     val buildTimes = scala.collection.mutable.Map.empty[String, List[Double]]
+    // per-pass GC + wall telemetry: when a query's med/min spread is
+    // large, the pass-level GC seconds say WHY (the round-11 lesson:
+    // suite-JVM heap history, not the plan)
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val passGcSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passWallSec = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to iters) {
+      val passG0 = gcMs(); val passW0 = System.nanoTime()
       SparkEntry.clearMemos()
       names.foreach { case (name, fn) =>
         // per-query isolation: queries that persist internal tables must
@@ -251,11 +271,19 @@ object Bench {
           errors += name
         }
       }
+      passGcSec += (gcMs() - passG0) / 1e3
+      passWallSec += (System.nanoTime() - passW0) / 1e9
     }
     val med = names.map { case (n, _) =>
       n -> times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0) }
     val mins = names.map { case (n, _) =>
       n -> times.get(n).filter(_.nonEmpty).map(_.min).getOrElse(-1.0) }
+    // med/min per query: ~1 = clean; >>1 = JVM-state/contention noise
+    // on the median passes (see pass_gc_sec), never a plan property
+    val spread = names.map { case (n, _) =>
+      n -> times.get(n).filter(_.nonEmpty)
+        .map(ts => if (ts.min > 0) median(ts) / ts.min else 1.0)
+        .getOrElse(-1.0) }
     val setupMed = setupTimes.toSeq.sortBy(_._1).map { case (n, ts) =>
       n -> median(ts) }
     val buildMed = names.flatMap { case (n, _) =>
@@ -264,12 +292,16 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val errJson = errors.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    // headline total = sum of per-query MINS (the plan-tracking
+    // statistic); the median total rides beside it
+    val total = mins.collect { case (_, v) if v >= 0 => v }.sum
+    val totalMed = med.collect { case (_, v) if v >= 0 => v }.sum
     val (calib1tEnd, calibNtEnd, _) = calibrate()
     def d2c(t: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+    def darr(xs: Seq[Double]) = xs.map(d2c).mkString("[", ",", "]")
     val calibJson =
       s"""{"sec_1t":${d2c(calib1t)},"sec_nt":${d2c(calibNt)},"sec_1t_end":${d2c(calib1tEnd)},"sec_nt_end":${d2c(calibNtEnd)},"threads":$calibThreads}"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"queries":${jmap(med)},"queries_min":${jmap(mins)},"queries_build":${jmap(buildMed)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"method":"noop-sink full materialization; per-query median of $iters passes (min in queries_min; DataFrame-construction share in queries_build; one-time fixture/artifact cost in setup_sec, excluded from the query time); ga_scale = fresh-JVM child, warmup passes excluded, all-core-tick contention gate; calibration = fixed 400M-iter xorshift loop, 1-thread and all-cores, at start and end","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$iters,"queries":${jmap(mins)},"queries_median":${jmap(med)},"queries_spread":${jmap(spread)},"queries_build":${jmap(buildMed)},"setup_sec":${jmap(setupMed)},"pass_gc_sec":${darr(passGcSec.toSeq)},"pass_wall_sec":${darr(passWallSec.toSeq)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"method":"noop-sink full materialization; per-query MIN of $iters passes is the headline (round-11 verdict: one-JVM medians are contaminated by accumulated heap state; min is the statistic noise can only inflate) with the median in queries_median and med/min in queries_spread; per-pass GC seconds in pass_gc_sec explain any large spread; DataFrame-construction share in queries_build; one-time fixture/artifact cost in setup_sec, excluded from the query time; ga_scale = fresh-JVM child, warmup passes excluded, all-core-tick contention gate; calibration = fixed 400M-iter xorshift loop, 1-thread and all-cores, at start and end","sf":"$sfDir"}"""
     // The FULL record (per-query medians + mins for all queries) lands
     // in a file only: BENCH_r05/r06's stdout tail truncated mid-value —
     // a 115-entry map is larger than the driver's tail window, so the
@@ -286,9 +318,11 @@ object Bench {
     val headline = Seq("q01_pricing_agg", "q16_ga_sessions", "q20_dedup_minhash",
       "q26_ann_brute", "q55_bm25", "q65_sequence_packing", "q96_edit_distance_pairs",
       "q100_pagerank", "q101_containment_join", "q115_ga_transitions")
-    val medMap = med.toMap
-    val headlineMap = headline.flatMap(n => medMap.get(n).map(n -> _))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"n_queries":${med.size},"queries":${jmap(headlineMap)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
+    val minMap = mins.toMap
+    val spreadMap = spread.toMap
+    val headlineMap = headline.flatMap(n => minMap.get(n).map(n -> _))
+    val headlineSpread = headline.flatMap(n => spreadMap.get(n).map(n -> _))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$iters,"n_queries":${med.size},"queries":${jmap(headlineMap)},"queries_spread":${jmap(headlineSpread)},"pass_gc_sec":${darr(passGcSec.toSeq)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
