@@ -152,7 +152,263 @@ object SparkEntry {
   def clearMemos(): Unit = {
     pairsMemo.clear(); gaOutputsMemo.clear(); corpusMemo.clear()
     nbScoredMemo.clear(); copurchaseMemo.clear(); gaServingMemo.clear()
-    gaHistMemo.clear(); postingIdxMemo.clear()
+    gaHistMemo.clear(); postingIdxMemo.clear(); stagedLakeFixtures.clear()
+  }
+
+  /** STAGED lakehouse fixtures (round-11 verdict #5): the q232–q249
+    * queries exercise DML/streaming OPERATORS against a manifest table
+    * that, in production, already exists — but each run must MUTATE it
+    * (delete/update/merge/restore), so unlike the read-only memos the
+    * fixture must be rebuilt FRESH before every run and cannot be
+    * memoized. The split: the query's `setup` closure builds the
+    * fixture and marks it staged; the query body CONSUMES the mark
+    * (skipping its own inline build) — so the bench times construction
+    * in `setup_sec` and the query number is the operator's cost, while
+    * a body run WITHOUT setup (Verify, specs) builds inline and stays
+    * correct. One-shot by design: a second body run without a new
+    * stage rebuilds, because the first run dirtied the table. */
+  private val stagedLakeFixtures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+
+  private def stageLakeFixture(s: SparkSession, dir: String, name: String)
+                              (build: => Unit): Unit = {
+    build
+    stagedLakeFixtures.add((s, dir, name)); ()
+  }
+
+  private def ensureLakeFixture(s: SparkSession, dir: String, name: String)
+                               (build: => Unit): Unit =
+    if (!stagedLakeFixtures.remove((s, dir, name))) build
+
+  /** The one orders shaping every lakehouse fixture shares:
+    * (o_orderkey, custkey, price_cents, w) with w = first char of the
+    * order priority (the partition wave). */
+  private def ordersFacts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        substring(col("o_orderpriority"), 1, 1).as("w"))
+
+  /** Deterministic /tmp layout path for a lakehouse fixture. */
+  private def lakeLayout(dir: String, prefix: String): String = {
+    val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_$tag").toString
+  }
+
+  private def wipeRoots(s: SparkSession, roots: String*): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    roots.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  private def lakeListing(s: SparkSession, r: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(r)
+    graft.sources.Manifest.listDataFiles(
+      p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** The plain "existing manifest table" every DV/stream query starts
+    * from: the shaped orders facts, two files per wave partition,
+    * bootstrapped as v1. The static overwrite wipes any previous run's
+    * manifest tree, so the fixture is byte-fresh each build. */
+  private def fixOrdersTable(s: SparkSession, dir: String,
+                             prefix: String, reparts: Int = 2): String = {
+    val layout = lakeLayout(dir, prefix)
+    ordersFacts(s, dir).repartition(reparts)
+      .write.mode("overwrite").partitionBy("w").parquet(layout)
+    graft.sources.Manifest.bootstrap(s, layout)
+    layout
+  }
+
+  // ---- scripted fixtures with their own commit history ----
+
+  /** q232: waves 1-2 bootstrapped (waves 3-5 are committed by the
+    * query itself, mid-stream — they are the operator, not fixture). */
+  private def fixQ232(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_feed")
+    val shaped = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("w", substring(col("o_orderpriority"), 1, 1))
+      .select("o_orderkey", "o_totalprice", "w")
+    shaped.where(col("w").isin("1", "2")).repartition(2)
+      .write.mode("overwrite").partitionBy("w").parquet(layout)
+    Manifest.bootstrap(s, layout)
+  }
+
+  /** q233: two group publishes plus the crash-window landing — the
+    * whole scripted history is the pre-existing state; the query reads
+    * it through group-pinned tables. */
+  private def fixQ233(s: SparkSession, dir: String): Unit = {
+    import graft.sources.{Manifest, ManifestGroup}
+    val rootA = lakeLayout(dir, "graft_grp_facts")
+    val rootB = lakeLayout(dir, "graft_grp_agg")
+    val meta = lakeLayout(dir, "graft_grp_meta")
+    wipeRoots(s, rootA, rootB, meta)
+    val shaped = s.read.parquet(s"$dir/orders.parquet")
+      .withColumn("w", substring(col("o_orderpriority"), 1, 1))
+      .select(col("o_orderkey"), col("o_totalprice"), col("w"))
+    def aggOf(ws: Seq[String]) = shaped.where(col("w").isin(ws: _*))
+      .groupBy("w").agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("sum_price_cents"))
+    def landFacts(ws: Seq[String]): Unit =
+      shaped.where(col("w").isin(ws: _*)).repartition(2)
+        .write.mode("append").partitionBy("w").parquet(rootA)
+    landFacts(Seq("1", "2"))
+    aggOf(Seq("1", "2")).coalesce(1).write.mode("append").parquet(rootB)
+    ManifestGroup.publish(s, meta,
+      Map(rootA -> lakeListing(s, rootA), rootB -> lakeListing(s, rootB)))
+    landFacts(Seq("3"))
+    aggOf(Seq("3")).coalesce(1).write.mode("append").parquet(rootB)
+    ManifestGroup.publish(s, meta,
+      Map(rootA -> lakeListing(s, rootA), rootB -> lakeListing(s, rootB)))
+    landFacts(Seq("4", "5"))
+    Manifest.commit(s, rootA, lakeListing(s, rootA))
+  }
+
+  /** q234: facts + rollup members published as one group. */
+  private def fixQ234(s: SparkSession, dir: String): Unit = {
+    import graft.sources.ManifestGroup
+    val rootA = lakeLayout(dir, "graft_ers_facts")
+    val rootB = lakeLayout(dir, "graft_ers_roll")
+    val meta = lakeLayout(dir, "graft_ers_meta")
+    wipeRoots(s, rootA, rootB, meta)
+    val facts = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+        substring(col("o_orderpriority"), 1, 1).as("w"))
+    facts.repartition(2).write.partitionBy("w").parquet(rootA)
+    val roll = facts
+      .withColumn("bucket", pmod(col("custkey"), lit(4)).cast("string"))
+      .groupBy("custkey", "bucket").agg(count(lit(1)).as("n_orders"))
+    roll.coalesce(1).write.partitionBy("bucket").parquet(rootB)
+    ManifestGroup.publish(s, meta,
+      Map(rootA -> lakeListing(s, rootA), rootB -> lakeListing(s, rootB)))
+  }
+
+  /** q240: facts + rollup members, unpartitioned rollup, one group. */
+  private def fixQ240(s: SparkSession, dir: String): Unit = {
+    import graft.sources.{Manifest, ManifestGroup}
+    val rootA = lakeLayout(dir, "graft_dvg_facts")
+    val rootB = lakeLayout(dir, "graft_dvg_roll")
+    val meta = lakeLayout(dir, "graft_dvg_meta")
+    wipeRoots(s, rootA, rootB, meta)
+    val facts = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+        substring(col("o_orderpriority"), 1, 1).as("w"))
+    facts.repartition(2).write.partitionBy("w").parquet(rootA)
+    facts.groupBy("custkey").agg(count(lit(1)).as("n_orders"))
+      .coalesce(1).write.parquet(rootB)
+    Manifest.bootstrap(s, rootA); Manifest.bootstrap(s, rootB)
+    ManifestGroup.publish(s, meta, Map(
+      rootA -> Manifest.current(s, rootA).get._2,
+      rootB -> Manifest.current(s, rootB).get._2))
+  }
+
+  /** q244: hash-shuffled (xk, yk) layout with colstats in the log. */
+  private def fixQ244(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_zord")
+    wipeRoots(s, layout)
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        pmod(col("o_custkey"), lit(128)).as("xk"),
+        pmod(col("o_orderkey"), lit(128)).as("yk"))
+      .repartition(8).write.parquet(layout)
+    Manifest.bootstrap(s, layout)
+    Manifest.writeColStats(s, layout, 1L, Seq("xk", "yk"))
+  }
+
+  /** q245: the four-commit log the catch-up reader replays. */
+  private def fixQ245(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_cv")
+    wipeRoots(s, layout)
+    val facts = ordersFacts(s, dir)
+    def wave(ws: String*) = facts.where(col("w").isin(ws: _*))
+    wave("1", "2").repartition(2)
+      .write.partitionBy("w").parquet(layout)
+    Manifest.bootstrap(s, layout)
+    Manifest.commitPartitionReplacementCas(s, layout, "w",
+      wave("3"), touched = Seq("3"))
+    Manifest.commitPartitionReplacementCas(s, layout, "w",
+      wave("1").withColumn("price_cents", col("price_cents") * 2L),
+      touched = Seq("1"))
+    val subjects = facts.select("custkey")
+      .where(pmod(col("custkey"), lit(149)) === 0).distinct()
+    Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+  }
+
+  /** q246: the six-version lifecycle history() reads back. */
+  private def fixQ246(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_hist")
+    wipeRoots(s, layout)
+    val facts = ordersFacts(s, dir)
+    def wave(ws: String*) = facts.where(col("w").isin(ws: _*))
+    wave("1", "2").repartition(2)
+      .write.partitionBy("w").parquet(layout)
+    Manifest.bootstrap(s, layout)                          // v1
+    Manifest.commitPartitionReplacementCas(s, layout, "w",
+      wave("3"), touched = Seq("3"))                       // v2 append
+    Manifest.deleteWhere(s, layout,
+      pmod(col("custkey"), lit(139)) === 0)                // v3 delete
+    Manifest.updateWhere(s, layout,
+      pmod(col("o_orderkey"), lit(151)) === 0,
+      Map("price_cents" -> (col("price_cents") + 1L)),
+      partCol = Some("w"))                                 // v4 update
+    Manifest.commitPartitionReplacementCas(s, layout, "w",
+      wave("2").withColumn("price_cents", col("price_cents") * 2L),
+      touched = Seq("2"))                                  // v5 replace
+    Manifest.purgeDeletes(s, layout)                       // v6 replace
+  }
+
+  /** q247: waves 1-3 bootstrapped, then the incident commit wiping
+    * wave 2 — the state a restore is called to undo. */
+  private def fixQ247(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_rst")
+    wipeRoots(s, layout)
+    val facts = ordersFacts(s, dir)
+    facts.where(col("w").isin("1", "2", "3")).repartition(2)
+      .write.partitionBy("w").parquet(layout)
+    Manifest.bootstrap(s, layout)                           // v1
+    Manifest.commit(s, layout,                              // v2: incident
+      Manifest.current(s, layout).get._2.filterNot(_.startsWith("w=2/")))
+  }
+
+  /** q248: the six-table GA daily export, group-committed — the state
+    * a production deployment already serves when the GDPR request
+    * arrives. */
+  private def fixQ248(s: SparkSession): Unit = {
+    val out = gaOutputs(s)
+    val outRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ga_dvgrp").toString
+    wipeRoots(s, outRoot)
+    graft.jobs.DailyJob.writeDailyGroupAtomic(s, out, outRoot,
+      Seq("2019-09-23"), catalogDb = None)
+  }
+
+  /** q249: waves 1-2 under the base schema, wave 3 landing WITH the
+    * evolved column, both schemas recorded in the log. */
+  private def fixQ249(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_schev")
+    wipeRoots(s, layout)
+    val facts = ordersFacts(s, dir)
+    facts.where(col("w").isin("1", "2")).repartition(2)
+      .write.partitionBy("w").parquet(layout)
+    Manifest.bootstrap(s, layout)                            // v1
+    Manifest.writeSchema(s, layout, 1L, facts.schema)
+    facts.where(col("w") === "3")
+      .withColumn("discount_cents", expr("price_cents div 10"))
+      .write.mode("append").partitionBy("w").parquet(layout)
+    val v2 = Manifest.commit(s, layout, lakeListing(s, layout))
+    Manifest.writeSchema(s, layout, v2,
+      facts.withColumn("discount_cents", lit(0L)).schema)
   }
 
   /** SETUP closures for queries whose body depends on a one-time
@@ -165,13 +421,52 @@ object SparkEntry {
     * is idempotent (memo-backed), and every query body calls the same
     * memo, so running a query WITHOUT its setup (Verify does) is
     * correct — just untimed. */
-  def setup: Map[String, (SparkSession, String) => Unit] = Map(
-    "q59_ga_touchpoints_incremental" -> ((s, _) => { gaIncrementalHistory(s); () }),
-    "q216_phrase_from_index" -> ((s, dir) => { postingIdx(s, dir); () }),
-    "q217_serving_sessions_by_source" -> ((s, _) => { gaServing(s); () }),
-    "q218_serving_visitor_journey" -> ((s, _) => { gaServing(s); () }),
-    "q219_bloom_point_lookup" -> ((s, _) => { gaServing(s); () }),
-    "q225_serving_pageview_volume" -> ((s, _) => { gaServing(s); () }))
+  def setup: Map[String, (SparkSession, String) => Unit] = {
+    val base: Map[String, (SparkSession, String) => Unit] = Map(
+      "q59_ga_touchpoints_incremental" -> ((s, _) => { gaIncrementalHistory(s); () }),
+      "q216_phrase_from_index" -> ((s, dir) => { postingIdx(s, dir); () }),
+      "q217_serving_sessions_by_source" -> ((s, _) => { gaServing(s); () }),
+      "q218_serving_visitor_journey" -> ((s, _) => { gaServing(s); () }),
+      "q219_bloom_point_lookup" -> ((s, _) => { gaServing(s); () }),
+      "q225_serving_pageview_volume" -> ((s, _) => { gaServing(s); () }))
+    // lakehouse fixtures (round-11 verdict #5): the manifest tree the
+    // DML/stream operator mutates is built here, timed as setup
+    base ++ lakeFixtureBuilders.map { case (name, build) =>
+      name -> ((s: SparkSession, dir: String) =>
+        stageLakeFixture(s, dir, name)(build(s, dir)))
+    }
+  }
+
+  /** One fixture builder per lakehouse query — shared by the `setup`
+    * closure (stage, timed apart) and the query body (inline fallback
+    * when no staged fixture is pending). */
+  private val lakeFixtureBuilders: Map[String, (SparkSession, String) => Unit] = Map(
+    "q232_manifest_change_feed" -> ((s, dir) => fixQ232(s, dir)),
+    "q233_group_snapshot" -> ((s, dir) => fixQ233(s, dir)),
+    "q234_group_erasure" -> ((s, dir) => fixQ234(s, dir)),
+    "q235_change_feed_mirror" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_cdc"); () }),
+    "q236_incremental_view" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_ivm"); () }),
+    "q237_dv_erasure" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_dv_ers"); () }),
+    "q238_dv_change_feed" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_dvcdc"); () }),
+    "q239_dv_update" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_dv_upd"); () }),
+    "q240_dv_group_erasure" -> ((s, dir) => fixQ240(s, dir)),
+    "q241_dv_merge" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_dv_mrg"); () }),
+    "q242_version_pinned_read" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_dv_pin"); () }),
+    "q243_checked_admission" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_dv_chk"); () }),
+    "q244_optimize_zorder" -> ((s, dir) => fixQ244(s, dir)),
+    "q245_cdc_commit_versions" -> ((s, dir) => fixQ245(s, dir)),
+    "q246_table_history" -> ((s, dir) => fixQ246(s, dir)),
+    "q247_restore" -> ((s, dir) => fixQ247(s, dir)),
+    "q248_ga_group_dv_erasure" -> ((s, _) => fixQ248(s)),
+    "q249_schema_evolution" -> ((s, dir) => fixQ249(s, dir)))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -1649,17 +1944,12 @@ object SparkEntry {
     // subject absence.
     "q237_dv_erasure" -> ((s, dir) => {
       import graft.sources.{GraftTable, Manifest}
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_dv_ers_$tag").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_dv_ers")
+      ensureLakeFixture(s, dir, "q237_dv_erasure") {
+        fixOrdersTable(s, dir, "graft_dv_ers"); ()
+      }
+      val facts = ordersFacts(s, dir)
       val filesBefore = Manifest.current(s, layout).get._2
       val subjects = facts.select("custkey")
         .where(pmod(col("custkey"), lit(89)) === 0).distinct()
@@ -1692,17 +1982,11 @@ object SparkEntry {
     // and every NEW file lives under the destination partition.
     "q239_dv_update" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_dv_upd_$tag").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
+      val layout = lakeLayout(dir, "graft_dv_upd")
+      ensureLakeFixture(s, dir, "q239_dv_update") {
+        fixOrdersTable(s, dir, "graft_dv_upd"); ()
+      }
+      val facts = ordersFacts(s, dir)
       val before = Manifest.current(s, layout).get._2.toSet
       val (v, n) = Manifest.updateWhere(s, layout,
         pmod(col("custkey"), lit(101)) === 0,
@@ -1736,30 +2020,9 @@ object SparkEntry {
     // column does not exist there).
     "q249_schema_evolution" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_schev_$tag").toString
-      val conf = s.sessionState.newHadoopConf()
-      val rootP = new org.apache.hadoop.fs.Path(layout)
-      rootP.getFileSystem(conf).delete(rootP, true)
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.where(col("w").isin("1", "2")).repartition(2)
-        .write.partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)                            // v1
-      Manifest.writeSchema(s, layout, 1L, facts.schema)
-      // the evolution: wave 3 arrives WITH the new enrichment column
-      facts.where(col("w") === "3")
-        .withColumn("discount_cents", expr("price_cents div 10"))
-        .write.mode("append").partitionBy("w").parquet(layout)
-      def listing() = Manifest.listDataFiles(
-        rootP.getFileSystem(conf), rootP)
-      val v2 = Manifest.commit(s, layout, listing())
-      Manifest.writeSchema(s, layout, v2,
-        facts.withColumn("discount_cents", lit(0L)).schema)
+      val layout = lakeLayout(dir, "graft_schev")
+      ensureLakeFixture(s, dir, "q249_schema_evolution")(fixQ249(s, dir))
+      val facts = ordersFacts(s, dir)
       val emptyT = Manifest.current(s, layout).get._2.isEmpty
       val gate = !emptyT &&
         !Manifest.readVersion(s, layout, 1L)
@@ -1793,14 +2056,10 @@ object SparkEntry {
     "q248_ga_group_dv_erasure" -> ((s, dir) => {
       import graft.operators.Erasure
       import graft.sources.{Manifest, ManifestGroup}
+      ensureLakeFixture(s, dir, "q248_ga_group_dv_erasure")(fixQ248(s))
       val out = gaOutputs(s)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val outRoot = new java.io.File(tmp, "graft_ga_dvgrp").toString
-      val conf = s.sessionState.newHadoopConf()
-      val rootP = new org.apache.hadoop.fs.Path(outRoot)
-      rootP.getFileSystem(conf).delete(rootP, true)
-      graft.jobs.DailyJob.writeDailyGroupAtomic(s, out, outRoot,
-        Seq("2019-09-23"), catalogDb = None)
+      val outRoot = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ga_dvgrp").toString
       val meta = s"$outRoot/daily"
       val tables = Seq(
         "sessions" -> out.sessions, "pageviews" -> out.pageviews,
@@ -1843,22 +2102,9 @@ object SparkEntry {
     // the incident never reached a reader that queries now.
     "q247_restore" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_rst_$tag").toString
-      val conf = s.sessionState.newHadoopConf()
-      val rootP = new org.apache.hadoop.fs.Path(layout)
-      rootP.getFileSystem(conf).delete(rootP, true)
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.where(col("w").isin("1", "2", "3")).repartition(2)
-        .write.partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)                           // v1
-      Manifest.commit(s, layout,                              // v2: incident
-        Manifest.current(s, layout).get._2.filterNot(_.startsWith("w=2/")))
+      val layout = lakeLayout(dir, "graft_rst")
+      ensureLakeFixture(s, dir, "q247_restore")(fixQ247(s, dir))
+      val facts = ordersFacts(s, dir)
       def snapRst() =
         if (Manifest.current(s, layout).get._2.isEmpty) facts.limit(0)
         else Manifest.read(s, layout)
@@ -1885,33 +2131,8 @@ object SparkEntry {
     // VALUES literal.
     "q246_table_history" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_hist_$tag").toString
-      val conf = s.sessionState.newHadoopConf()
-      val rootP = new org.apache.hadoop.fs.Path(layout)
-      rootP.getFileSystem(conf).delete(rootP, true)
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      def wave(ws: String*) = facts.where(col("w").isin(ws: _*))
-      wave("1", "2").repartition(2)
-        .write.partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)                          // v1
-      Manifest.commitPartitionReplacementCas(s, layout, "w",
-        wave("3"), touched = Seq("3"))                       // v2 append
-      Manifest.deleteWhere(s, layout,
-        pmod(col("custkey"), lit(139)) === 0)                // v3 delete
-      Manifest.updateWhere(s, layout,
-        pmod(col("o_orderkey"), lit(151)) === 0,
-        Map("price_cents" -> (col("price_cents") + 1L)),
-        partCol = Some("w"))                                 // v4 update
-      Manifest.commitPartitionReplacementCas(s, layout, "w",
-        wave("2").withColumn("price_cents", col("price_cents") * 2L),
-        touched = Seq("2"))                                  // v5 replace
-      Manifest.purgeDeletes(s, layout)                       // v6 replace
+      val layout = lakeLayout(dir, "graft_hist")
+      ensureLakeFixture(s, dir, "q246_table_history")(fixQ246(s, dir))
       Manifest.history(s, layout)
         .select(col("version"), col("operation"),
           (col("files_added") > 0L).as("had_adds"),
@@ -1931,34 +2152,15 @@ object SparkEntry {
     // subject absence.
     "q245_cdc_commit_versions" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_cv_$tag").toString
-      val mirrorDir = new java.io.File(tmp, s"graft_cv_mirror_$tag").toString
+      val layout = lakeLayout(dir, "graft_cv")
+      val mirrorDir = lakeLayout(dir, "graft_cv_mirror")
       val cp = java.nio.file.Files
         .createTempDirectory("graft_cv_cp").toString
-      val conf = s.sessionState.newHadoopConf()
-      val rootP = new org.apache.hadoop.fs.Path(layout)
-      rootP.getFileSystem(conf).delete(rootP, true)
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      def wave(ws: String*) = facts.where(col("w").isin(ws: _*))
-      // v1: waves 1-2; v2: wave 3 appended; v3: wave 1 REPLACED with
-      // doubled prices; v4: merge-on-read delete of the subjects
-      wave("1", "2").repartition(2)
-        .write.partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
-      Manifest.commitPartitionReplacementCas(s, layout, "w",
-        wave("3"), touched = Seq("3"))
-      Manifest.commitPartitionReplacementCas(s, layout, "w",
-        wave("1").withColumn("price_cents", col("price_cents") * 2L),
-        touched = Seq("1"))
-      val subjects = facts.select("custkey")
-        .where(pmod(col("custkey"), lit(149)) === 0).distinct()
-      Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+      // fixture = the four-commit log (v1 waves 1-2; v2 wave 3
+      // appended; v3 wave 1 REPLACED with doubled prices; v4
+      // merge-on-read delete of the subjects)
+      ensureLakeFixture(s, dir, "q245_cdc_commit_versions")(fixQ245(s, dir))
+      val facts = ordersFacts(s, dir)
       val nVersions = Manifest.versions(s, layout).size
       facts.limit(0).write.mode("overwrite").parquet(mirrorDir)
       val factsSchema = facts.schema
@@ -2013,21 +2215,13 @@ object SparkEntry {
     "q244_optimize_zorder" -> ((s, dir) => {
       import graft.jobs.Compaction
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_zord_$tag").toString
-      val conf = s.sessionState.newHadoopConf()
-      val rootP = new org.apache.hadoop.fs.Path(layout)
-      rootP.getFileSystem(conf).delete(rootP, true)
-      val facts = s.read.parquet(base)
+      val layout = lakeLayout(dir, "graft_zord")
+      ensureLakeFixture(s, dir, "q244_optimize_zorder")(fixQ244(s, dir))
+      val facts = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey").as("custkey"),
           round(col("o_totalprice") * 100).cast("long").as("price_cents"),
           pmod(col("o_custkey"), lit(128)).as("xk"),
           pmod(col("o_orderkey"), lit(128)).as("yk"))
-      facts.repartition(8).write.parquet(layout)
-      Manifest.bootstrap(s, layout)
-      Manifest.writeColStats(s, layout, 1L, Seq("xk", "yk"))
       def intersecting(v: Long, c: String, lo: Long, hi: Long): Int =
         Manifest.readColStats(s, layout, v).collect {
           case ((_, col0), (_, mn: Long, mx: Long, _, _, _))
@@ -2064,20 +2258,12 @@ object SparkEntry {
     "q243_checked_admission" -> ((s, dir) => {
       import graft.operators.Expectations.{InRange, NotNull}
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_dv_chk_$tag").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
-      val conf = s.sessionState.newHadoopConf()
-      val rootP = new org.apache.hadoop.fs.Path(layout)
-      def listing() = Manifest.listDataFiles(rootP.getFileSystem(conf), rootP)
+      val layout = lakeLayout(dir, "graft_dv_chk")
+      ensureLakeFixture(s, dir, "q243_checked_admission") {
+        fixOrdersTable(s, dir, "graft_dv_chk"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      def listing() = lakeListing(s, layout)
       val exps = Seq(NotNull("price_cents"), NotNull("o_orderkey"),
         InRange("price_cents", 0, Long.MaxValue.toDouble))
       // poisoned batch: negative cents + a null key
@@ -2118,17 +2304,12 @@ object SparkEntry {
     // spec-pinned in DvSpec.
     "q242_version_pinned_read" -> ((s, dir) => {
       import graft.sources.{GraftTable, Manifest}
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_dv_pin_$tag").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_dv_pin")
+      ensureLakeFixture(s, dir, "q242_version_pinned_read") {
+        fixOrdersTable(s, dir, "graft_dv_pin"); ()
+      }
+      val facts = ordersFacts(s, dir)
       val pinV = Manifest.current(s, layout).get._1
       val subjects = facts.select("custkey")
         .where(pmod(col("custkey"), lit(107)) === 0).distinct()
@@ -2159,17 +2340,11 @@ object SparkEntry {
     // partitions they land in.
     "q241_dv_merge" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_dv_mrg_$tag").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
+      val layout = lakeLayout(dir, "graft_dv_mrg")
+      ensureLakeFixture(s, dir, "q241_dv_merge") {
+        fixOrdersTable(s, dir, "graft_dv_mrg"); ()
+      }
+      val facts = ordersFacts(s, dir)
       val before = Manifest.current(s, layout).get
       val touched = facts.where(pmod(col("o_orderkey"), lit(113)) === 0)
       val batch = touched // updates: replace whole-row, price tripled
@@ -2202,28 +2377,16 @@ object SparkEntry {
     "q240_dv_group_erasure" -> ((s, dir) => {
       import graft.operators.Erasure
       import graft.sources.{GraftTable, Manifest, ManifestGroup}
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val rootA = new java.io.File(tmp, s"graft_dvg_facts_$tag").toString
-      val rootB = new java.io.File(tmp, s"graft_dvg_roll_$tag").toString
-      val meta = new java.io.File(tmp, s"graft_dvg_meta_$tag").toString
-      val conf = s.sessionState.newHadoopConf()
-      Seq(rootA, rootB, meta).foreach { r =>
-        val p = new org.apache.hadoop.fs.Path(r)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      val facts = s.read.parquet(base)
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val rootA = lakeLayout(dir, "graft_dvg_facts")
+      val rootB = lakeLayout(dir, "graft_dvg_roll")
+      val meta = lakeLayout(dir, "graft_dvg_meta")
+      ensureLakeFixture(s, dir, "q240_dv_group_erasure")(fixQ240(s, dir))
+      val facts = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_custkey").as("custkey"), col("o_totalprice"),
           substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2).write.partitionBy("w").parquet(rootA)
       val roll = facts.groupBy("custkey")
         .agg(count(lit(1)).as("n_orders"))
-      roll.coalesce(1).write.parquet(rootB)
-      Manifest.bootstrap(s, rootA); Manifest.bootstrap(s, rootB)
-      ManifestGroup.publish(s, meta, Map(
-        rootA -> Manifest.current(s, rootA).get._2,
-        rootB -> Manifest.current(s, rootB).get._2))
       val filesA = Manifest.current(s, rootA).get._2
       val filesB = Manifest.current(s, rootB).get._2
       val subjects = facts.select("custkey")
@@ -2261,21 +2424,14 @@ object SparkEntry {
     // batch.
     "q238_dv_change_feed" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_dvcdc_$tag").toString
-      val mirrorDir =
-        new java.io.File(tmp, s"graft_dvcdc_mirror_$tag").toString
+      val layout = lakeLayout(dir, "graft_dvcdc")
+      val mirrorDir = lakeLayout(dir, "graft_dvcdc_mirror")
       val cp = java.nio.file.Files
         .createTempDirectory("graft_dvcdc_cp").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
+      ensureLakeFixture(s, dir, "q238_dv_change_feed") {
+        fixOrdersTable(s, dir, "graft_dvcdc"); ()
+      }
+      val facts = ordersFacts(s, dir)
       facts.limit(0).write.mode("overwrite").parquet(mirrorDir)
       val factsSchema = facts.schema
       val q = s.readStream.schema(factsSchema)
@@ -2319,20 +2475,14 @@ object SparkEntry {
       import graft.operators.Erasure
       import graft.sources.Manifest
       import graft.streaming.IncrementalAgg
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_ivm_$tag").toString
-      val aggDir = new java.io.File(tmp, s"graft_ivm_agg_$tag").toString
+      val layout = lakeLayout(dir, "graft_ivm")
+      val aggDir = lakeLayout(dir, "graft_ivm_agg")
       val cp = java.nio.file.Files
         .createTempDirectory("graft_ivm_cp").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
+      ensureLakeFixture(s, dir, "q236_incremental_view") {
+        fixOrdersTable(s, dir, "graft_ivm"); ()
+      }
+      val facts = ordersFacts(s, dir)
       val keys = Seq("w"); val sums = Seq("price_cents")
       val cdfSchema = facts.schema.add("_change_type",
         org.apache.spark.sql.types.StringType, nullable = false)
@@ -2382,20 +2532,14 @@ object SparkEntry {
     "q235_change_feed_mirror" -> ((s, dir) => {
       import graft.operators.Erasure
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_cdc_$tag").toString
-      val mirrorDir = new java.io.File(tmp, s"graft_cdc_mirror_$tag").toString
+      val layout = lakeLayout(dir, "graft_cdc")
+      val mirrorDir = lakeLayout(dir, "graft_cdc_mirror")
       val cp = java.nio.file.Files
         .createTempDirectory("graft_cdc_cp").toString
-      val facts = s.read.parquet(base)
-        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
-          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
-          substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
+      ensureLakeFixture(s, dir, "q235_change_feed_mirror") {
+        fixOrdersTable(s, dir, "graft_cdc"); ()
+      }
+      val facts = ordersFacts(s, dir)
       facts.limit(0).write.mode("overwrite").parquet(mirrorDir) // seed schema
       val factsSchema = facts.schema
       val q = s.readStream.schema(factsSchema)
@@ -2449,32 +2593,18 @@ object SparkEntry {
     // surviving customers).
     "q234_group_erasure" -> ((s, dir) => {
       import graft.operators.Erasure
-      import graft.sources.{GraftTable, Manifest, ManifestGroup}
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val rootA = new java.io.File(tmp, s"graft_ers_facts_$tag").toString
-      val rootB = new java.io.File(tmp, s"graft_ers_roll_$tag").toString
-      val meta = new java.io.File(tmp, s"graft_ers_meta_$tag").toString
-      val conf = s.sessionState.newHadoopConf()
-      Seq(rootA, rootB, meta).foreach { r =>
-        val p = new org.apache.hadoop.fs.Path(r)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      def listing(r: String) = {
-        val p = new org.apache.hadoop.fs.Path(r)
-        Manifest.listDataFiles(p.getFileSystem(conf), p)
-      }
-      val facts = s.read.parquet(base)
+      import graft.sources.{GraftTable, ManifestGroup}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val rootA = lakeLayout(dir, "graft_ers_facts")
+      val rootB = lakeLayout(dir, "graft_ers_roll")
+      val meta = lakeLayout(dir, "graft_ers_meta")
+      ensureLakeFixture(s, dir, "q234_group_erasure")(fixQ234(s, dir))
+      val facts = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_custkey").as("custkey"), col("o_totalprice"),
           substring(col("o_orderpriority"), 1, 1).as("w"))
-      facts.repartition(2).write.partitionBy("w").parquet(rootA)
       val roll = facts
         .withColumn("bucket", pmod(col("custkey"), lit(4)).cast("string"))
         .groupBy("custkey", "bucket").agg(count(lit(1)).as("n_orders"))
-      roll.coalesce(1).write.partitionBy("bucket").parquet(rootB)
-      ManifestGroup.publish(s, meta,
-        Map(rootA -> listing(rootA), rootB -> listing(rootB)))
       val subjects = facts.select("custkey")
         .where(pmod(col("custkey"), lit(997)) === 0).distinct()
       Erasure.eraseGroupAtomic(s, meta,
@@ -2510,46 +2640,22 @@ object SparkEntry {
     // with null aggregate → rows/hash mismatch) and gate_consistent
     // pins that both members serve the same publish.
     "q233_group_snapshot" -> ((s, dir) => {
-      import graft.sources.{GraftTable, Manifest, ManifestGroup}
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val rootA = new java.io.File(tmp, s"graft_grp_facts_$tag").toString
-      val rootB = new java.io.File(tmp, s"graft_grp_agg_$tag").toString
-      val meta = new java.io.File(tmp, s"graft_grp_meta_$tag").toString
-      val conf = s.sessionState.newHadoopConf()
-      Seq(rootA, rootB, meta).foreach { r =>
-        val p = new org.apache.hadoop.fs.Path(r)
-        p.getFileSystem(conf).delete(p, true)
-      }
-      def listing(r: String) = {
-        val p = new org.apache.hadoop.fs.Path(r)
-        Manifest.listDataFiles(p.getFileSystem(conf), p)
-      }
-      val shaped = s.read.parquet(base)
+      import graft.sources.GraftTable
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val rootA = lakeLayout(dir, "graft_grp_facts")
+      val rootB = lakeLayout(dir, "graft_grp_agg")
+      val meta = lakeLayout(dir, "graft_grp_meta")
+      // fixture = two group publishes (waves 1-2, then 3) plus the
+      // crash window: waves 4-5 landed AND committed to the facts
+      // table's own manifest, with no group flip
+      ensureLakeFixture(s, dir, "q233_group_snapshot")(fixQ233(s, dir))
+      val shaped = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("w", substring(col("o_orderpriority"), 1, 1))
         .select(col("o_orderkey"), col("o_totalprice"), col("w"))
       def aggOf(ws: Seq[String]) = shaped.where(col("w").isin(ws: _*))
         .groupBy("w").agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long"))
             .as("sum_price_cents"))
-      def landFacts(ws: Seq[String]): Unit =
-        shaped.where(col("w").isin(ws: _*)).repartition(2)
-          .write.mode("append").partitionBy("w").parquet(rootA)
-      // publish 1: waves 1-2 into both members, one flip
-      landFacts(Seq("1", "2"))
-      aggOf(Seq("1", "2")).coalesce(1).write.mode("append").parquet(rootB)
-      ManifestGroup.publish(s, meta,
-        Map(rootA -> listing(rootA), rootB -> listing(rootB)))
-      // publish 2: wave 3 appended to both, one flip
-      landFacts(Seq("3"))
-      aggOf(Seq("3")).coalesce(1).write.mode("append").parquet(rootB)
-      ManifestGroup.publish(s, meta,
-        Map(rootA -> listing(rootA), rootB -> listing(rootB)))
-      // the crash window: waves 4-5 land AND commit to the facts
-      // table's own manifest — but no group flip ever happens
-      landFacts(Seq("4", "5"))
-      Manifest.commit(s, rootA, listing(rootA))
       GraftTable.register(s, "graft_unified", s"grp_facts_$tag", rootA,
         schema = Some(shaped.schema), partitionCols = Seq("w"),
         group = Some(meta))
@@ -2579,21 +2685,16 @@ object SparkEntry {
     // separate micro-batches, not one snapshot read.
     "q232_manifest_change_feed" -> ((s, dir) => {
       import graft.sources.Manifest
-      val base = s"$dir/orders.parquet"
-      val tag = Integer.toHexString(base.hashCode)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val layout = new java.io.File(tmp, s"graft_feed_$tag").toString
-      val acc = new java.io.File(tmp, s"graft_feed_acc_$tag").toString
+      val layout = lakeLayout(dir, "graft_feed")
+      val acc = lakeLayout(dir, "graft_feed_acc")
       val cp = java.nio.file.Files
         .createTempDirectory("graft_feed_cp").toString
-      val shaped = s.read.parquet(base)
+      // fixture = waves 1-2 bootstrapped; waves 3-5 are committed by
+      // the query itself, mid-stream (they ARE the operator)
+      ensureLakeFixture(s, dir, "q232_manifest_change_feed")(fixQ232(s, dir))
+      val shaped = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("w", substring(col("o_orderpriority"), 1, 1))
         .select("o_orderkey", "o_totalprice", "w")
-      // wave 1 IS the bootstrap; waves 2 and 3 are CAS appends of new
-      // partitions (append-only commits — nothing removed)
-      shaped.where(col("w").isin("1", "2")).repartition(2)
-        .write.mode("overwrite").partitionBy("w").parquet(layout)
-      Manifest.bootstrap(s, layout)
       shaped.limit(0).write.mode("overwrite").parquet(acc) // seed schema
       val q = s.readStream.schema(shaped.schema)
         .format("graft.streaming.ManifestStreamProvider").load(layout)

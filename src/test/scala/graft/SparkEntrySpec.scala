@@ -33,4 +33,18 @@ class SparkEntrySpec extends SparkTestBase {
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("staged lakehouse fixture path (bench flow: setup then query) " +
+    "matches the inline-build path") {
+    // the bench runs setup(name) immediately before the query; the body
+    // must CONSUME the staged fixture (not rebuild) and produce the
+    // same result as its inline build — gate columns included
+    for (name <- Seq("q237_dv_erasure", "q246_table_history",
+      "q249_schema_evolution")) {
+      val inline = SparkEntry.queries(name)(spark, sf).collect().toSet
+      SparkEntry.setup(name)(spark, sf)
+      val staged = SparkEntry.queries(name)(spark, sf).collect().toSet
+      assert(staged == inline, s"$name staged != inline")
+    }
+  }
 }
