@@ -879,9 +879,29 @@ object Manifest {
     * pruned scan stats exactly the never-seen files — after the
     * initial build, maintaining the sidecar costs O(new files), and
     * [[SkippingIndex.fromLog]] then derives the skipping index with
-    * ZERO data-file IO. */
+    * ZERO data-file IO.
+    *
+    * `fromFooters=true` (round-11 verdict #4) stats never-seen files
+    * from their PARQUET FOOTER metadata — per-row-group min/max/
+    * null-count aggregated per file — instead of a data scan: an
+    * O(new file FOOTERS) driver-side read, zero record-level IO and
+    * zero Spark jobs. Exactness contract: footer stats are used ONLY
+    * where they replay the scan byte-identically — integral types
+    * (signed comparison matches), DATE (epoch days), TIMESTAMP micros
+    * (the exact integer grid serStat uses), and UTF8 strings (parquet
+    * orders them by unsigned byte comparison, which IS Spark's
+    * UTF8String binary order). A file whose footer can't prove a
+    * requested column (partition column — not in the file; float/
+    * double — parquet-mr widens ±0.0 and omits stats under NaN, so
+    * footer min/max are bounds, not the scan's exact values; INT96
+    * timestamps — deprecated unordered stats; truncated/absent stats)
+    * falls back to the one pruned scan, never to a guess. The per-file
+    * exact SUM has no footer source: footer-stat'd integral columns
+    * record unknown ("?", never served) except the provably-null
+    * cases (0-row or all-null file).
+    */
   def writeColStats(spark: SparkSession, root: String, v: Long,
-                    cols: Seq[String]): Unit = {
+                    cols: Seq[String], fromFooters: Boolean = false): Unit = {
     require(cols.nonEmpty, "writeColStats needs at least one column")
     val (fs, rootP) = fsOf(spark, root)
     val files = filesAt(spark, root, v)
@@ -905,7 +925,20 @@ object Manifest {
           }
         finally in.close()
       }.toMap
-    val missing = files.filter(f => cols.exists(c => !prior.contains((f, c))))
+    val needed = files.filter(f => cols.exists(c => !prior.contains((f, c))))
+    // footer pass first: files it fully answers never reach the scan;
+    // files it can't prove (any requested column) fall through whole
+    val (fromFooter, missing) =
+      if (!fromFooters || needed.isEmpty)
+        (Map.empty[(String, String), (String, String, String, String, String, String)],
+          needed)
+      else {
+        val res = needed.map(f =>
+          f -> footerColStats(spark, new Path(rootP, f), cols))
+        (res.collect { case (f, Some(m)) =>
+           m.map { case (c, t) => (f, c) -> t } }.flatten.toMap,
+         res.collect { case (f, None) => f })
+      }
     // dtype source for files the groupBy never emits (0-row files):
     // the parquet footer schema is known even when the data is empty,
     // so the sidecar never records an "unknown" dtype when a scan ran
@@ -954,13 +987,14 @@ object Manifest {
     val lines = files.flatMap { f =>
       cols.map { c =>
         val (dt, mn, mx, nn, n, sm) = prior.getOrElse((f, c),
+          fromFooter.getOrElse((f, c),
           computed.getOrElse((f, c), {
             // a 0-row file never appears in the groupBy: typed empty
             // (its sum over zero rows is KNOWN null for integral cols)
             val dt0 = scanTypes.getOrElse(c, "unknown")
             (dt0, NullStat, NullStat, "0", "0",
               if (integral(dt0)) NullStat else "?")
-          }))
+          })))
         s"${esc(f)}\t${esc(c)}\t$dt\t$mn\t$mx\t$nn\t$n\t$sm"
       }
     }
@@ -975,6 +1009,134 @@ object Manifest {
   }
 
   private[sources] val NullStat = "\\N"
+
+  /** Control-flow marker: this file/column can't be proven from the
+    * footer — take the scan path (never a guess). */
+  private object FooterUnsupported extends scala.util.control.ControlThrowable
+
+  /** All requested columns of ONE file, stat'd from its parquet footer
+    * in the sidecar's serialized form — None when ANY column can't be
+    * replayed byte-identically to the scan (partition column, float/
+    * double, INT96, decimal, absent/truncated statistics): the whole
+    * file then falls back to the scan pass. Driver-side footer read,
+    * zero record-level IO, zero Spark jobs. */
+  private def footerColStats(spark: SparkSession, file: Path,
+                             cols: Seq[String])
+      : Option[Map[String, (String, String, String, String, String, String)]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val esc = ExternalCatalogUtils.escapePathName _
+    def unsupported(): Nothing = throw FooterUnsupported
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        file, spark.sessionState.newHadoopConf()))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val blocks = footer.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        def integral(dt: String): Boolean = dt == "bigint" || dt == "int" ||
+          dt == "smallint" || dt == "tinyint"
+        val out = cols.map { c =>
+          if (!schema.containsField(c)) unsupported() // partition col etc.
+          val t = schema.getType(schema.getFieldIndex(c))
+          if (!t.isPrimitive) unsupported()
+          val prim = t.asPrimitiveType()
+          // the exact-replay grid: signed ints (parquet signed stats ==
+          // Spark's), DATE days, TIMESTAMP micros, UTF8 strings
+          // (parquet's unsigned byte order == UTF8String binary order).
+          // Float/double are EXCLUDED: parquet-mr widens ±0.0 and drops
+          // stats under NaN — footer values are bounds, not the scan's.
+          val dt: String = (prim.getPrimitiveTypeName,
+              prim.getLogicalTypeAnnotation) match {
+            case (PrimitiveTypeName.INT32,
+                _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => "date"
+            case (PrimitiveTypeName.INT32,
+                i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+              if (!i.isSigned) unsupported()
+              i.getBitWidth match {
+                case 8 => "tinyint"; case 16 => "smallint"; case 32 => "int"
+                case _ => unsupported()
+              }
+            case (PrimitiveTypeName.INT32, null) => "int"
+            case (PrimitiveTypeName.INT64,
+                i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+              if (!i.isSigned || i.getBitWidth != 64) unsupported(); "bigint"
+            case (PrimitiveTypeName.INT64, null) => "bigint"
+            case (PrimitiveTypeName.INT64,
+                ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+              if (ts.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS)
+                unsupported()
+              if (ts.isAdjustedToUTC) "timestamp" else "timestamp_ntz"
+            case (PrimitiveTypeName.BINARY,
+                _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+              "string"
+            case _ => unsupported()
+          }
+          var nulls = 0L
+          var minL = Long.MaxValue; var maxL = Long.MinValue
+          var minB: Binary = null; var maxB: Binary = null
+          var seen = false
+          blocks.foreach { b =>
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).getOrElse(unsupported())
+            val st = chunk.getStatistics
+            if (st == null || !st.isNumNullsSet) unsupported()
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              seen = true
+              if (dt == "string") {
+                val mn = st.genericGetMin.asInstanceOf[Binary]
+                val mx = st.genericGetMax.asInstanceOf[Binary]
+                // parquet UTF8 stats order = unsigned lexicographic =
+                // Spark UTF8String binary order
+                def lt(a: Binary, b: Binary): Boolean =
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromBytes(a.getBytes).compareTo(
+                      org.apache.spark.unsafe.types.UTF8String
+                        .fromBytes(b.getBytes)) < 0
+                if (minB == null || lt(mn, minB)) minB = mn
+                if (maxB == null || lt(maxB, mx)) maxB = mx
+              } else {
+                val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Integer, b: java.lang.Integer) =>
+                    (a.longValue, b.longValue)
+                  case (a: java.lang.Long, b: java.lang.Long) =>
+                    (a.longValue, b.longValue)
+                  case _ => unsupported()
+                }
+                if (mn < minL) minL = mn
+                if (mx > maxL) maxL = mx
+              }
+            } else if (st.getNumNulls != chunk.getValueCount) {
+              unsupported() // values exist but stats were dropped
+            }
+          }
+          val (mnS, mxS) =
+            if (!seen) (NullStat, NullStat) // 0-row or all-null file
+            else if (dt == "string")
+              (esc(minB.toStringUsingUTF8), esc(maxB.toStringUsingUTF8))
+            else (minL.toString, maxL.toString)
+          // the exact per-file SUM has no footer source; the provably-
+          // null cases stay exact, the rest record unknown (never
+          // served) — the one scan-vs-footer divergence, documented
+          val sm =
+            if (!integral(dt)) "?"
+            else if (nRows == 0L || nulls == nRows) NullStat
+            else "?"
+          c -> ((dt, mnS, mxS, nulls.toString, nRows.toString, sm))
+        }
+        Some(out.toMap)
+      } finally reader.close()
+    } catch {
+      case FooterUnsupported => None
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
 
   /** Serialize one min/max cell: exact integers for temporal types
     * (micros / days since epoch), toString for the rest, Hive-escaped. */
