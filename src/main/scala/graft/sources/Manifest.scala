@@ -231,25 +231,28 @@ object Manifest {
     if (claimAtomic(fs, tmp, target)) Some(v) else None
   }
 
+  /** Pluggable claim arm: when set, EVERY slot claim (manifest
+    * versions AND group flips) goes through it — how a deployment
+    * installs an object-store conditional-put arm, and how the spec
+    * proves the protocol holds on a store whose only atomic primitive
+    * is `If-None-Match`. None = per-scheme default. */
+  @volatile private[sources] var claimerOverride: Option[CommitClaimer] = None
+
+  /** Run `body` with `c` as the claim arm (test/deployment seam). */
+  def withClaimer[T](c: CommitClaimer)(body: => T): T = {
+    claimerOverride = Some(c)
+    try body finally claimerOverride = None
+  }
+
   /** Claim `target` with `tmp`'s content, atomically failing if a racer
     * already claimed it. Returns true iff WE published; `tmp` is gone
-    * either way. */
+    * either way. Dispatches per scheme (see [[CommitClaimer]]) unless
+    * an override is installed. */
   private[sources] def claimAtomic(fs: FileSystem, tmp: Path, target: Path): Boolean =
-    if (fs.getUri.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        fs.delete(tmp, false); true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false); false
-      }
-    } else {
-      // HDFS-class semantics: rename to an existing destination fails
-      if (fs.rename(tmp, target)) true
-      else { fs.delete(tmp, false); false }
-    }
+    claimerOverride.getOrElse(
+      if (fs.getUri.getScheme == "file") CommitClaimer.HardLink
+      else CommitClaimer.RenameNoReplace
+    ).claim(fs, tmp, target)
 
   /** Bring an existing plain parquet tree under manifest control:
     * version 1 = the current physical listing. Idempotent (no-op when a

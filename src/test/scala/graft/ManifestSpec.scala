@@ -348,6 +348,93 @@ class ManifestSpec extends SparkTestBase {
       Set((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L)))
   }
 
+  /** Faked object store whose ONLY atomic primitive is a conditional
+    * put (`If-None-Match: *`) — no rename, no hard link: the JVM-global
+    * lock plays the store's internal serialization of puts to one key,
+    * and a losing put changes nothing at the target. Exactly the S3
+    * contract the [[graft.sources.CommitClaimer]] seam exists for. */
+  private class ConditionalPutStore extends graft.sources.CommitClaimer {
+    private val lock = new Object
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def claim(fs: org.apache.hadoop.fs.FileSystem,
+                       tmp: org.apache.hadoop.fs.Path,
+                       target: org.apache.hadoop.fs.Path): Boolean = {
+      val won = lock.synchronized {
+        if (fs.exists(target)) false
+        else {
+          // the conditional PUT: upload the staged bytes as the target
+          // object in one shot, iff absent
+          org.apache.hadoop.fs.FileUtil.copy(fs, tmp, fs, target,
+            false, fs.getConf)
+          true
+        }
+      }
+      if (won) wins.incrementAndGet() else losses.incrementAndGet()
+      fs.delete(tmp, false)
+      won
+    }
+  }
+
+  test("the commit protocol holds on a faked object store whose only " +
+    "atomic primitive is a conditional put: one CAS winner, stale " +
+    "attempts lose, disjoint rebases, overlap aborts, group flips") {
+    val store = new ConditionalPutStore
+    Manifest.withClaimer(store) {
+      // exactly-one-winner under a true thread race
+      val path = freshTable()
+      val base = Manifest.current(spark, path).get._1
+      val files = Manifest.current(spark, path).get._2
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 2).map { _ =>
+        new Thread(() => {
+          barrier.await()
+          if (Manifest.tryCommit(spark, path, files, base).isDefined)
+            wins.incrementAndGet()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get == 1, s"one conditional-put winner, got ${wins.get}")
+      assert(Manifest.tryCommit(spark, path, files, base).isEmpty)
+      assert(Manifest.versions(spark, path) == Seq(1L, 2L))
+      // loser path DISJOINT: rebase onto the rival's commit
+      val p2 = freshTable()
+      val rival: () => Unit = () => {
+        Manifest.commitPartitionReplacementCas(spark, p2, "day",
+          Seq((3L, "d2", 333L)).toDF("id", "day", "v"), Seq("d2")): Unit
+      }
+      val v = Manifest.commitPartitionReplacementCas(spark, p2, "day",
+        Seq((1L, "d1", 111L)).toDF("id", "day", "v"), Seq("d1"),
+        afterStage = rival)
+      assert(v == 3L)
+      assert(snap(p2) == Set((1L, "d1", 111L), (3L, "d2", 333L),
+        (4L, "d3", 40L)))
+      // loser path OVERLAP: abort, winner's data intact
+      val p3 = freshTable()
+      val rival3 = () => {
+        Manifest.commitPartitionReplacementCas(spark, p3, "day",
+          Seq((9L, "d1", 900L)).toDF("id", "day", "v"), Seq("d1")): Unit
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        Manifest.commitPartitionReplacementCas(spark, p3, "day",
+          Seq((1L, "d1", 111L)).toDF("id", "day", "v"), Seq("d1"),
+          afterStage = rival3)
+      }
+      assert(snap(p3) == Set((9L, "d1", 900L), (3L, "d2", 30L),
+        (4L, "d3", 40L)))
+      // the group flip publishes through the same conditional put
+      val meta = Files.createTempDirectory("graft_cput_meta").toString
+      graft.sources.ManifestGroup.flip(spark, meta,
+        Map(graft.sources.ManifestGroup.normKey(p3) ->
+          Manifest.current(spark, p3).get._1))
+      assert(graft.sources.ManifestGroup.versions(spark, meta) == Seq(1L))
+    }
+    assert(store.wins.get > 0, "the faked store must have served claims")
+    assert(store.losses.get > 0,
+      "the race cases must have exercised the losing conditional put")
+  }
+
   test("true thread race on disjoint replacements: both commit, state " +
     "is the union, versions stay linear under any interleaving") {
     val path = freshTable()
