@@ -197,13 +197,29 @@ object Compaction {
     * x/y must be non-negative integral expressions on that grid (the
     * caller rescales — epoch days, dictionary codes, bucketed longs).
     * One-level `partCol` layouts keep their directory partitioning;
-    * the z-clustering applies within the staged write. */
+    * the z-clustering applies within the staged write.
+    *
+    * `bloomColumn` + `bloomIndexPath` (round-11 verdict #8): a table
+    * serving point lookups through a [[graft.sources.BloomFileIndex]]
+    * must have that index REFRESHED in the same operation — a full-
+    * replacement commit retires every indexed file, and while the
+    * fail-open contract keeps a stale index CORRECT (unindexed live
+    * files are always candidates), it prunes NOTHING: the point lookup
+    * that motivated the index would open every file until someone
+    * remembered to refresh. The refresh here scans exactly the files
+    * the rewrite created (the kept-set is empty by construction) and
+    * runs AFTER the commit, so a reader between commit and refresh
+    * sees the stale-but-fail-open index, never a wrong answer. */
   def optimizeZOrder(spark: SparkSession, path: String,
                      x: String, y: String,
                      partCol: Option[String] = None,
                      zBits: Int = 10,
                      statsCols: Seq[String] = Nil,
-                     numFiles: Int = 0): Long = {
+                     numFiles: Int = 0,
+                     bloomColumn: Option[String] = None,
+                     bloomIndexPath: Option[String] = None): Long = {
+    require(bloomColumn.isDefined == bloomIndexPath.isDefined,
+      "bloomColumn and bloomIndexPath come together")
     import graft.operators.ZOrder
     import graft.sources.Manifest
     val sess = spark.newSession()
@@ -229,6 +245,15 @@ object Compaction {
     val cols = if (statsCols.nonEmpty) statsCols else Seq(x, y)
     Manifest.writeStats(sess, path, v)
     Manifest.writeColStats(sess, path, v, cols)
+    // derived-artifact refresh is part of the OPTIMIZE, not a separate
+    // chore someone forgets: the clustered files replace every indexed
+    // one, so without this the bloom index prunes nothing until the
+    // next manual refresh
+    (bloomColumn, bloomIndexPath) match {
+      case (Some(c), Some(idx)) =>
+        graft.sources.BloomFileIndex.refresh(sess, path, c, idx): Unit
+      case _ => ()
+    }
     v
   }
 }

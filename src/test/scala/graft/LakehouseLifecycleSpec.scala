@@ -111,4 +111,43 @@ class LakehouseLifecycleSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Manifest.readVersion(spark, path, v1))
     assert(snap(Manifest.read(spark, path)) == afterErase)
   }
+
+  test("OPTIMIZE ZORDER refreshes the bloom index in the same " +
+    "operation: a point lookup immediately after never loses pruning") {
+    val base = Files.createTempDirectory("lakehouse_zb").toString
+    val path = s"$base/t"
+    val idx = s"$base/idx"
+    // 4096 ids hash-shuffled over 8 files; per-file blooms over id
+    spark.range(4096)
+      .select(col("id"), (col("id") % 64).as("x"),
+        ((col("id") * 2654435761L) % 64).as("y"))
+      .repartition(8).write.parquet(path)
+    Manifest.bootstrap(spark, path)
+    BloomFileIndex.build(spark, path, "id", idx, 1000L, 10000L)
+    val (files0, total0) = BloomFileIndex.prunedPaths(spark, idx, lit(77L))
+    assert(total0 == 8 && files0.nonEmpty)
+    // the clustered rewrite replaces EVERY indexed file — the refresh
+    // must ride the same operation (verdict #8), or the next lookup's
+    // fail-open index prunes nothing
+    val v = Compaction.optimizeZOrder(spark, path, "x", "y", zBits = 6,
+      numFiles = 8, bloomColumn = Some("id"), bloomIndexPath = Some(idx))
+    val live = Manifest.filesAt(spark, path, v)
+      .map(rel => BloomFileIndex.norm(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path), rel).toString)).toSet
+    val idxFiles = spark.read.parquet(idx).select("file")
+      .as[String].collect().map(BloomFileIndex.norm).toSet
+    assert(idxFiles == live,
+      s"index must cover exactly the post-optimize live set")
+    // the lookup prunes over the NEW files and still answers exactly
+    for (probe <- Seq(77L, 4095L, 9999L)) {
+      val (files, total) = BloomFileIndex.prunedPaths(spark, idx, lit(probe))
+      assert(total == live.size)
+      assert(files.map(BloomFileIndex.norm).toSet.subsetOf(live),
+        "no retired file may be probed")
+      val n = if (files.isEmpty) 0L
+        else BloomFileIndex.scan(spark, path, files)
+          .where(col("id") === probe).count()
+      assert(n == (if (probe < 4096) 1L else 0L), s"lookup id=$probe")
+    }
+  }
 }
