@@ -392,6 +392,12 @@ object SparkEntry {
       Seq("2019-09-23"), catalogDb = None)
   }
 
+  /** q250: the plain orders manifest table the checkpointed-log churn
+    * runs against. */
+  private def fixQ250(s: SparkSession, dir: String): Unit = {
+    fixOrdersTable(s, dir, "graft_cklog"); ()
+  }
+
   /** q249: waves 1-2 under the base schema, wave 3 landing WITH the
     * evolved column, both schemas recorded in the log. */
   private def fixQ249(s: SparkSession, dir: String): Unit = {
@@ -466,7 +472,8 @@ object SparkEntry {
     "q246_table_history" -> ((s, dir) => fixQ246(s, dir)),
     "q247_restore" -> ((s, dir) => fixQ247(s, dir)),
     "q248_ga_group_dv_erasure" -> ((s, _) => fixQ248(s)),
-    "q249_schema_evolution" -> ((s, dir) => fixQ249(s, dir)))
+    "q249_schema_evolution" -> ((s, dir) => fixQ249(s, dir)),
+    "q250_log_checkpoint" -> ((s, dir) => fixQ250(s, dir)))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2018,6 +2025,61 @@ object SparkEntry {
     // could drop the column entirely) with ZERO footer inference,
     // while time travel to v1 serves v1's OWN schema (gate: the
     // column does not exist there).
+    // COMMIT-LOG CHECKPOINTING under per-commit churn (the streaming-
+    // sink lifetime problem): one merge-on-read delete, then 160
+    // commits with auto-checkpoint every 40 and log retention 50 — the
+    // log COMPACTS while versions march on. Gates pin: the log
+    // directory stays bounded (a 162-version table holds ~retention
+    // entries, the O(1)-per-analysis listing), the `_last_checkpoint`
+    // pointer names v160 and that version READS through its
+    // consolidated snapshot with the early delete's DV still applied,
+    // and the compacted region is gone (version 2 no longer listed)
+    // while the retention window is intact. The hash-gated truth is
+    // the final snapshot: base minus the erased subjects.
+    "q250_log_checkpoint" -> ((s, dir) => {
+      import graft.sources.Manifest
+      val layout = lakeLayout(dir, "graft_cklog")
+      ensureLakeFixture(s, dir, "q250_log_checkpoint")(fixQ250(s, dir))
+      val facts = ordersFacts(s, dir)
+      val prevI = s.conf.getOption("spark.graft.manifest.checkpointInterval")
+      val prevR = s.conf.getOption("spark.graft.manifest.logRetention")
+      s.conf.set("spark.graft.manifest.checkpointInterval", "40")
+      s.conf.set("spark.graft.manifest.logRetention", "50")
+      try {
+        val subjects = facts.select("custkey")
+          .where(pmod(col("custkey"), lit(151)) === 0).distinct()
+        Manifest.deleteMatching(s, layout, subjects, Seq("custkey")) // v2
+        val live = Manifest.current(s, layout).get._2
+        for (_ <- 1 to 160) Manifest.commit(s, layout, live) // v162
+        val vs = Manifest.versions(s, layout)
+        val logDir = new java.io.File(layout, Manifest.Dir)
+        val nEntries = Option(logDir.listFiles()).map(_.length).getOrElse(0)
+        val ck = Manifest.lastCheckpoint(s, layout)
+        val gateBounded = vs.max == 162L && nEntries < 120
+        val gateCkpt = ck.contains(160L) &&
+          Manifest.dvsAt(s, layout, 160L).nonEmpty &&
+          Manifest.readVersion(s, layout, 160L).count() ==
+            Manifest.read(s, layout).count()
+        val gateCutoff = !vs.contains(2L) && vs.contains(113L)
+        Manifest.read(s, layout)
+          .groupBy(col("w").cast("string").as("w"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_price_cents"))
+          .withColumn("gate_bounded", lit(gateBounded))
+          .withColumn("gate_ckpt", lit(gateCkpt))
+          .withColumn("gate_cutoff", lit(gateCutoff))
+      } finally {
+        prevI match {
+          case Some(v) => s.conf.set("spark.graft.manifest.checkpointInterval", v)
+          case None => s.conf.unset("spark.graft.manifest.checkpointInterval")
+        }
+        prevR match {
+          case Some(v) => s.conf.set("spark.graft.manifest.logRetention", v)
+          case None => s.conf.unset("spark.graft.manifest.logRetention")
+        }
+      }
+    }),
+
     "q249_schema_evolution" -> ((s, dir) => {
       import graft.sources.Manifest
       val layout = lakeLayout(dir, "graft_schev")
@@ -7752,6 +7814,19 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q250: 162 versions later, the snapshot is still base minus the
+    // erased subjects — checkpointing/compaction changes log SHAPE,
+    // never truth; the gates are the bounded-log claims.
+    "q250_log_checkpoint" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_bounded, TRUE AS gate_ckpt, TRUE AS gate_cutoff
+        |FROM orders
+        |WHERE o_custkey % 151 <> 0
+        |GROUP BY 1""".stripMargin,
+
     // q237: the table minus the DV-erased subjects IS the truth every
     // read face (unified table, log count) must serve.
     "q237_dv_erasure" ->

@@ -87,14 +87,31 @@ object Manifest {
     out.toSeq.sorted
   }
 
-  /** Committed manifest versions under `root`, ascending. */
+  private def manifestName(v: Long) = f"manifest-$v%020d"
+  private def ckptName(v: Long) = f"checkpoint-$v%020d"
+
+  /** The `_last_checkpoint` pointer file (the public Delta design):
+    * names the newest checkpointed version so readers and log
+    * maintenance resolve it in O(1) instead of scanning names. A hint,
+    * never a truth: [[versions]] unions what is actually on disk. */
+  val LastCheckpointFile = "_last_checkpoint"
+
+  /** Committed (readable) versions under `root`, ascending — a version
+    * is readable through its `manifest-<v>` OR its consolidated
+    * `checkpoint-<v>` (after [[cleanLog]] compacted the suffix away,
+    * the checkpoint alone serves it). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, rootP) = fsOf(spark, root)
     val dir = new Path(rootP, Dir)
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("manifest-") && !n.endsWith(".tmp"))
-      .map(_.stripPrefix("manifest-").toLong).sorted.toSeq
+      .filter(n => !n.endsWith(".tmp"))
+      .collect {
+        case n if n.startsWith("manifest-") =>
+          n.stripPrefix("manifest-").toLong
+        case n if n.startsWith("checkpoint-") =>
+          n.stripPrefix("checkpoint-").toLong
+      }.distinct.sorted.toSeq
   }
 
   /** Root-relative live files of committed version `v`. Annotation
@@ -119,7 +136,21 @@ object Manifest {
   private def manifestLines(spark: SparkSession, root: String,
                             v: Long): Seq[String] = {
     val (fs, rootP) = fsOf(spark, root)
-    val in = fs.open(new Path(new Path(rootP, Dir), f"manifest-$v%020d"))
+    val dir = new Path(rootP, Dir)
+    val m = new Path(dir, manifestName(v))
+    // a checkpointed version reads identically through its
+    // consolidated snapshot once cleanLog removed the manifest
+    val p =
+      if (fs.exists(m)) m
+      else {
+        val c = new Path(dir, ckptName(v))
+        if (fs.exists(c)) c
+        else throw new IllegalStateException(
+          s"version $v of $root is not retained — vacuum/cleanLog " +
+            s"removed its manifest (last checkpoint: " +
+            s"${lastCheckpoint(spark, root).getOrElse("none")})")
+      }
+    val in = fs.open(p)
     try {
       val text = new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -228,7 +259,31 @@ object Manifest {
     try out.write(((files.sorted ++ dvLines).mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (claimAtomic(fs, tmp, target)) Some(v) else None
+    if (!claimAtomic(fs, tmp, target)) return None
+    // AUTO-CHECKPOINT (off by default): with
+    // spark.graft.manifest.checkpointInterval=N, every Nth version
+    // checkpoints and compacts the log so a per-trigger streaming sink
+    // can commit forever without the log growing without bound.
+    // Retention spark.graft.manifest.logRetention (default 2N) bounds
+    // reader lag: a stream checkpointed within the last 2N versions
+    // still resumes. The commit IS published at this point — log
+    // maintenance failure must not be reported as a commit failure.
+    val interval = spark.conf
+      .get("spark.graft.manifest.checkpointInterval", "0").toInt
+    if (interval > 0 && v % interval == 0) {
+      try {
+        checkpoint(spark, root, Some(v))
+        val keep = spark.conf
+          .get("spark.graft.manifest.logRetention", (2 * interval).toString)
+          .toInt
+        cleanLog(spark, root, keep)
+      } catch { case scala.util.control.NonFatal(e) =>
+        Console.err.println(
+          s"[manifest] auto-checkpoint at $root v$v failed " +
+            s"(commit itself is published): ${e.getMessage}")
+      }
+    }
+    Some(v)
   }
 
   /** Pluggable claim arm: when set, EVERY slot claim (manifest
@@ -825,12 +880,11 @@ object Manifest {
     * scan of exactly those files (batch-sized after a merge, never the
     * table). Stats are derived and rebuildable: writeStats can run (or
     * re-run) for any retained version at any time. */
-  def writeStats(spark: SparkSession, root: String, v: Long): Unit = {
-    val (fs, rootP) = fsOf(spark, root)
-    val files = filesAt(spark, root, v)
-    val dir = new Path(rootP, Dir)
-    // carry-forward pool: union of all existing sidecars (any version)
-    val prior = fs.listStatus(dir).map(_.getPath)
+  /** Carry-forward pool: union of all existing row-count sidecars
+    * (any version). O(retained sidecars) text — [[cleanLog]] keeps the
+    * union bounded on long-lived tables. */
+  private def statsPool(fs: FileSystem, dir: Path): Map[String, Long] =
+    fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.startsWith("stats-") && !p.getName.endsWith(".tmp"))
       .flatMap { p =>
         val in = fs.open(p)
@@ -841,6 +895,35 @@ object Manifest {
           }
         finally in.close()
       }.toMap
+
+  /** Carry-forward pool of colstats lines, serialized form:
+    * (file, col) -> (dtype, min, max, nnull, n_rows, sum). */
+  private def colStatsPool(fs: FileSystem, dir: Path)
+      : Map[(String, String), (String, String, String, String, String, String)] = {
+    def unesc(s: String) = ExternalCatalogUtils.unescapePathName(s)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("colstats-") && !p.getName.endsWith(".tmp"))
+      .flatMap { p =>
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).map { ln =>
+            val a = ln.split("\t", -1)
+            // 8th field (per-file exact SUM, round 11) is absent in
+            // legacy sidecars -> "?" = unknown, never served
+            (unesc(a(0)), unesc(a(1))) ->
+              (a(2), a(3), a(4), a(5), a(6), if (a.length > 7) a(7) else "?")
+          }
+        finally in.close()
+      }.toMap
+  }
+
+  def writeStats(spark: SparkSession, root: String, v: Long): Unit = {
+    val (fs, rootP) = fsOf(spark, root)
+    val files = filesAt(spark, root, v)
+    val dir = new Path(rootP, Dir)
+    // carry-forward pool: union of all existing sidecars (any version)
+    val prior = statsPool(fs, dir)
     val missing = files.filterNot(prior.contains)
     val counted: Map[String, Long] =
       if (missing.isEmpty) Map.empty
@@ -910,24 +993,9 @@ object Manifest {
     val files = filesAt(spark, root, v)
     val dir = new Path(rootP, Dir)
     val esc = ExternalCatalogUtils.escapePathName _
-    def unesc(s: String) = ExternalCatalogUtils.unescapePathName(s)
     // carry-forward pool over all prior colstats sidecars:
-    // (file, col) -> (dtype, min, max, nnull, n_rows), serialized form
-    val prior = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith("colstats-") && !p.getName.endsWith(".tmp"))
-      .flatMap { p =>
-        val in = fs.open(p)
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty).map { ln =>
-            val a = ln.split("\t", -1)
-            // 8th field (per-file exact SUM, round 11) is absent in
-            // legacy sidecars -> "?" = unknown, never served
-            (unesc(a(0)), unesc(a(1))) ->
-              (a(2), a(3), a(4), a(5), a(6), if (a.length > 7) a(7) else "?")
-          }
-        finally in.close()
-      }.toMap
+    // (file, col) -> (dtype, min, max, nnull, n_rows, sum), serialized
+    val prior = colStatsPool(fs, dir)
     val needed = files.filter(f => cols.exists(c => !prior.contains((f, c))))
     // footer pass first: files it fully answers never reach the scan;
     // files it can't prove (any requested column) fall through whole
@@ -1400,15 +1468,176 @@ object Manifest {
           else if (removed > 0 && added > 0) "replace"
           else if (removed > 0) "erase"
           else "append"
-        val ts = fs.getFileStatus(
-          new Path(new Path(rootP, Dir), f"manifest-$v%020d"))
-          .getModificationTime
+        val ts = {
+          val m = new Path(new Path(rootP, Dir), manifestName(v))
+          val p = if (fs.exists(m)) m
+            else new Path(new Path(rootP, Dir), ckptName(v))
+          fs.getFileStatus(p).getModificationTime
+        }
         (Some((v, files, dvs)), acc :+ ((v, files.size.toLong, added,
           removed, dvAdded, dvRemoved, op, ts)))
     }._2
     import spark.implicits._
     rows.toDF("version", "n_files", "files_added", "files_removed",
       "dvs_added", "dvs_removed", "operation", "timestamp_ms")
+  }
+
+  /** The newest checkpointed version, resolved through the
+    * `_last_checkpoint` pointer in O(1) — None when never checkpointed
+    * or when the pointed-at file was itself vacuumed (the pointer is a
+    * hint; the checkpoint file is the truth). */
+  def lastCheckpoint(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val p = new Path(new Path(rootP, Dir), LastCheckpointFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+    ("\"version\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
+      .map(_.group(1).toLong)
+      .filter(v => fs.exists(new Path(new Path(rootP, Dir), ckptName(v))))
+  }
+
+  /** CHECKPOINT the log at committed version `v` (default: current) —
+    * the Delta `_last_checkpoint` design, adapted: since every
+    * manifest here is already a self-contained snapshot, the
+    * checkpoint's job is LOG-MAINTENANCE, not replay — it (a) copies
+    * `manifest-<v>` to `checkpoint-<v>`, a name [[cleanLog]] never
+    * removes while it is the newest checkpoint, so compaction of the
+    * per-commit suffix can't orphan the snapshot; (b) CONSOLIDATES the
+    * sidecar carry-forward at `v` (row-count stats when the pool
+    * covers every live file, colstats for every covered (file, col),
+    * the effective schema), so after cleanLog drops the per-commit
+    * sidecars the pools stay complete; and (c) advances the
+    * `_last_checkpoint` pointer (never backwards — two racing
+    * checkpointers can interleave). Pure metadata: O(files) text, zero
+    * data IO, idempotent at any retained version.
+    *
+    * A week of 10 s streaming triggers is ~60k commits; without this,
+    * every analysis lists 60k names and the sidecar carry-forward
+    * re-reads every sidecar ever written. With checkpoint + cleanLog
+    * every N commits, analysis-time log IO is bounded by N. */
+  def checkpoint(spark: SparkSession, root: String,
+                 vOpt: Option[Long] = None): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, Dir)
+    val v = vOpt.getOrElse(current(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed manifest under $root"))._1)
+    val lines = manifestLines(spark, root, v) // throws if not retained
+    val target = new Path(dir, ckptName(v))
+    if (!fs.exists(target)) {
+      val tmp = new Path(dir,
+        ckptName(v) + "." + java.util.UUID.randomUUID + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write((lines.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // idempotent: a racing checkpointer of the same version writes
+      // identical content — either claim outcome is correct
+      claimAtomic(fs, tmp, target): Unit
+    }
+    val files = lines.filterNot(_.startsWith("#"))
+    // sidecar consolidation — pure carry-forward copies, never a scan:
+    // row counts only when the pool proves EVERY live file (a partial
+    // stats sidecar would silently undercount), colstats per covered
+    // pair (readers are fail-open per (file, col))
+    if (!fs.exists(new Path(dir, f"stats-$v%020d"))) {
+      val pool = statsPool(fs, dir)
+      if (files.forall(pool.contains)) {
+        val tmp = new Path(dir,
+          f"stats-$v%020d." + java.util.UUID.randomUUID + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(files.map(f => s"$f\t${pool(f)}")
+          .mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        claimAtomic(fs, tmp, new Path(dir, f"stats-$v%020d")): Unit
+      }
+    }
+    if (!fs.exists(new Path(dir, f"colstats-$v%020d"))) {
+      val pool = colStatsPool(fs, dir)
+      if (pool.nonEmpty) {
+        val esc = ExternalCatalogUtils.escapePathName _
+        val lines2 = files.flatMap { f =>
+          pool.keys.filter(_._1 == f).toSeq.sortBy(_._2).map { k =>
+            val (dt, mn, mx, nn, n, sm) = pool(k)
+            s"${esc(k._1)}\t${esc(k._2)}\t$dt\t$mn\t$mx\t$nn\t$n\t$sm"
+          }
+        }
+        if (lines2.nonEmpty) {
+          val tmp = new Path(dir,
+            f"colstats-$v%020d." + java.util.UUID.randomUUID + ".tmp")
+          val out = fs.create(tmp, true)
+          try out.write(lines2.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          claimAtomic(fs, tmp, new Path(dir, f"colstats-$v%020d")): Unit
+        }
+      }
+    }
+    if (!fs.exists(new Path(dir, f"schema-$v%020d")))
+      schemaAt(spark, root, v).foreach(writeSchema(spark, root, v, _))
+    // advance the pointer, never regress it (racing checkpointers)
+    if (!lastCheckpoint(spark, root).exists(_ >= v)) {
+      val tmp = new Path(dir,
+        LastCheckpointFile + "." + java.util.UUID.randomUUID + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"""{"version":$v}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // plain rename-with-replace: the pointer is a monotonic hint and
+      // either racer's value is a valid checkpoint
+      fs.delete(new Path(dir, LastCheckpointFile), false)
+      require(fs.rename(tmp, new Path(dir, LastCheckpointFile)),
+        s"could not publish $LastCheckpointFile under $root")
+    }
+    v
+  }
+
+  /** COMPACT the log: drop every manifest and sidecar older than both
+    * the last checkpoint and the newest `keepVersions` versions. Data
+    * files are untouched ([[vacuum]]'s job); versions below the cutoff
+    * stop being time-travelable (their reads fail loudly with the
+    * retention message), exactly the Delta log-retention contract.
+    * Schema sidecars follow the vacuum discipline: each kept version's
+    * EFFECTIVE schema survives even if recorded below the cutoff. */
+  def cleanLog(spark: SparkSession, root: String,
+               keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val ck = lastCheckpoint(spark, root).getOrElse(return)
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, Dir)
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val cutoff = math.min(ck, vs.takeRight(keepVersions).head)
+    val schemaVs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("schema-") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("schema-").toLong).toSeq
+    val kept = vs.filter(_ >= cutoff)
+    val effectiveSchemas =
+      kept.flatMap(k => schemaVs.filter(_ <= k).maxOption).toSet
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val drop = n match {
+        case _ if n.endsWith(".tmp") => false // racers' staging, vacuum's job
+        case _ if n == LastCheckpointFile => false
+        case _ if n.startsWith("schema-") =>
+          val sv = n.stripPrefix("schema-").toLong
+          sv < cutoff && !effectiveSchemas(sv)
+        case _ if n.startsWith("manifest-") =>
+          n.stripPrefix("manifest-").toLong < cutoff
+        case _ if n.startsWith("checkpoint-") =>
+          val cv = n.stripPrefix("checkpoint-").toLong
+          cv < cutoff && cv != ck
+        case _ if n.startsWith("stats-") =>
+          n.stripPrefix("stats-").toLong < cutoff
+        case _ if n.startsWith("colstats-") =>
+          n.stripPrefix("colstats-").toLong < cutoff
+        case _ => false
+      }
+      if (drop) fs.delete(p, false)
+    }
   }
 
   /** Garbage collection AFTER a publish: delete physical data files no
@@ -1494,8 +1723,10 @@ object Manifest {
     val effectiveSchemas =
       kept.flatMap(k => schemaVs.filter(_ <= k).maxOption).distinct
     val keptNames = kept.flatMap(v =>
-      Seq(f"manifest-$v%020d", f"stats-$v%020d", f"colstats-$v%020d")).toSet ++
-      (kept ++ effectiveSchemas).map(v => f"schema-$v%020d").toSet
+      Seq(manifestName(v), ckptName(v), f"stats-$v%020d",
+        f"colstats-$v%020d")).toSet ++
+      (kept ++ effectiveSchemas).map(v => f"schema-$v%020d").toSet +
+      LastCheckpointFile
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       if (!keptNames(p.getName)) fs.delete(p, false)
     }
