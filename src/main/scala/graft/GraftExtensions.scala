@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bloom file pruning on the declared point-lookup column
     // (sources/GraftTable.scala). No-op for every other table.
     ext.injectPostHocResolutionRule(s => graft.sources.ManifestTableResolution(s))
+    // SQL DML on manifest tables: DELETE FROM / UPDATE / keyed MERGE
+    // INTO dispatch to the merge-on-read operators (deleteWhere /
+    // updateWhere / mergeDv) — the write-side twin of the unified read
+    // path (plans/ManifestDml.scala). Runs after the read resolution
+    // in the same post-hoc batch; no-op for every other table.
+    ext.injectPostHocResolutionRule(s => graft.plans.ManifestDmlResolution(s))
     // Metadata-only aggregates: a global count(*)/count(col)/min/max
     // (under partition-only filters) over a manifest table answers
     // from the commit log's stats sidecars — zero data IO

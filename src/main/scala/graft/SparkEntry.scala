@@ -473,7 +473,11 @@ object SparkEntry {
     "q247_restore" -> ((s, dir) => fixQ247(s, dir)),
     "q248_ga_group_dv_erasure" -> ((s, _) => fixQ248(s)),
     "q249_schema_evolution" -> ((s, dir) => fixQ249(s, dir)),
-    "q250_log_checkpoint" -> ((s, dir) => fixQ250(s, dir)))
+    "q250_log_checkpoint" -> ((s, dir) => fixQ250(s, dir)),
+    "q251_sql_delete" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqldel"); () }),
+    "q252_sql_merge" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqlmrg"); () }))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2025,6 +2029,79 @@ object SparkEntry {
     // could drop the column entirely) with ZERO footer inference,
     // while time travel to v1 serves v1's OWN schema (gate: the
     // column does not exist there).
+    // SQL DML, DELETE: the reference's Athena-style face writes
+    // `DELETE FROM t WHERE …`, and here that exact statement —
+    // through the injected ManifestDmlResolution rule — runs the
+    // q237 merge-on-read erasure: an O(deleted rows) deletion-vector
+    // commit, zero data files rewritten (gate-pinned byte-identical
+    // file list), served by the very next spark.table() read. Same
+    // truth as q237, reached through ANSI SQL instead of a library
+    // call — the write-side twin of the unified read path.
+    "q251_sql_delete" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqldel")
+      ensureLakeFixture(s, dir, "q251_sql_delete") {
+        fixOrdersTable(s, dir, "graft_sqldel"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      GraftTable.register(s, "graft_unified", s"sqldel_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val filesBefore = Manifest.current(s, layout).get._2
+      val res = s.sql(
+        s"DELETE FROM graft_unified.sqldel_$tag WHERE custkey % 89 = 0")
+        .collect().head
+      val (v, nDeleted) = (res.getLong(0), res.getLong(1))
+      val gateMor = nDeleted > 0L &&
+        Manifest.filesAt(s, layout, v) == filesBefore &&
+        Manifest.dvsAt(s, layout, v).nonEmpty
+      val t = s.table(s"graft_unified.sqldel_$tag")
+      val gateGone =
+        t.where(pmod(col("custkey"), lit(89)) === 0).count() == 0L
+      t.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_mor", lit(gateMor))
+        .withColumn("gate_gone", lit(gateGone))
+    }),
+
+    // SQL DML, keyed MERGE: the q241 upsert stated as ANSI
+    // `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    // THEN INSERT *` — matched orders replaced whole-row via a
+    // deletion vector (tripled price), new keys inserted as staged
+    // files, ONE commit, zero partitions rewritten (gate-pinned).
+    "q252_sql_merge" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqlmrg")
+      ensureLakeFixture(s, dir, "q252_sql_merge") {
+        fixOrdersTable(s, dir, "graft_sqlmrg"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      GraftTable.register(s, "graft_unified", s"sqlmrg_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val before = Manifest.current(s, layout).get
+      val touched = facts.where(pmod(col("o_orderkey"), lit(113)) === 0)
+      touched.withColumn("price_cents", col("price_cents") * 3L)
+        .unionByName(touched
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+        .createOrReplaceTempView(s"sqlmrg_src_$tag")
+      val res = s.sql(
+        s"""MERGE INTO graft_unified.sqlmrg_$tag t
+           |USING sqlmrg_src_$tag s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .collect().head
+      val (v, written) = (res.getLong(0), res.getLong(1))
+      val nTouched = touched.count()
+      val gate = written == 2L * nTouched &&
+        before._2.toSet.subsetOf(Manifest.filesAt(s, layout, v).toSet) &&
+        (nTouched == 0L || Manifest.dvsAt(s, layout, v).nonEmpty)
+      s.table(s"graft_unified.sqlmrg_$tag")
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_sql_merge", lit(gate))
+    }),
+
     // COMMIT-LOG CHECKPOINTING under per-commit churn (the streaming-
     // sink lifetime problem): one merge-on-read delete, then 160
     // commits with auto-checkpoint every 40 and log retention 50 — the
@@ -7814,6 +7891,36 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q251: the SQL DELETE serves exactly the q237 truth — base minus
+    // the modular subjects — through the ANSI statement.
+    "q251_sql_delete" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_mor, TRUE AS gate_gone
+        |FROM orders
+        |WHERE o_custkey % 89 <> 0
+        |GROUP BY 1""".stripMargin,
+
+    // q252: the ANSI MERGE serves exactly the q241 truth — matched
+    // rows tripled, the same rows re-inserted under new keys.
+    "q252_sql_merge" ->
+      """WITH p AS (SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderkey FROM orders)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_sql_merge
+        |FROM (
+        |  SELECT w, CASE WHEN o_orderkey % 113 = 0
+        |                 THEN 3 * price_cents ELSE price_cents END
+        |           AS price_cents FROM p
+        |  UNION ALL
+        |  SELECT w, price_cents FROM p WHERE o_orderkey % 113 = 0
+        |)
+        |GROUP BY w""".stripMargin,
+
     // q250: 162 versions later, the snapshot is still base minus the
     // erased subjects — checkpointing/compaction changes log SHAPE,
     // never truth; the gates are the bounded-log claims.

@@ -1,0 +1,220 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.GraftDatasetFactory.{column => toCol, ofRows}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.{GraftTable, Manifest}
+
+/** SQL DML ON MANIFEST TABLES (round-11 verdict #3): reads became
+  * SQL-native when [[graft.sources.ManifestTableResolution]] unified
+  * `spark.table()` over the commit log, but every WRITE was still a
+  * library call — a user at the reference's Athena-style face writes
+  * `DELETE FROM t WHERE …`, not `Manifest.deleteWhere(root, …)`. This
+  * rule closes the asymmetry the way Delta does (public design:
+  * DeltaAnalysis rewriting row-level commands into runnable commands):
+  * Spark's parser already produces [[DeleteFromTable]] /
+  * [[UpdateTable]] / [[MergeIntoTable]] for the ANSI DML syntax; for a
+  * catalog table marked `graft.manifest=true` the rule swaps the
+  * unrunnable-on-v1 node for a command dispatching to the existing
+  * merge-on-read operators — [[Manifest.deleteWhere]],
+  * [[Manifest.updateWhere]], [[Manifest.mergeDv]] — with their full
+  * contract (O(changed rows) deletion-vector commits, CAS retry,
+  * zero data-file rewrites). Runs in the post-hoc resolution batch,
+  * BEFORE CheckAnalysis would reject the v1 relation.
+  *
+  * Scope is the operators' contract, loudly enforced:
+  *  - conditions must be scalar row predicates (no subqueries);
+  *  - UPDATE assignments target top-level columns;
+  *  - MERGE is the keyed whole-row form the engine's upsert defines:
+  *    `ON` a conjunction of same-name column equalities, exactly
+  *    `WHEN MATCHED THEN UPDATE SET *` and
+  *    `WHEN NOT MATCHED THEN INSERT *`, source columns == target
+  *    columns. Anything else falls through untouched and fails with
+  *    Spark's own v2-only analysis error — never a silent partial DML.
+  *
+  * Each command returns `(version, rows_affected)` — the committed
+  * manifest version and the operator's row count. */
+case class ManifestDmlResolution(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  /** The manifest-marked catalog entry under a DML target, if any —
+    * the resolution rule may already have pinned the relation (and
+    * DV-wrapped it: a Project over a join whose INNER relation keeps
+    * the marker-stripped copy), so collect the one still marked. */
+  private def manifestTarget(plan: LogicalPlan): Option[CatalogTable] =
+    plan.collectFirst {
+      case LogicalRelation(_, _, Some(tbl), _, _)
+          if tbl.properties.get(GraftTable.PropManifest).contains("true") =>
+        tbl
+    }.filter { tbl =>
+      // DML against a version pin or a group member would fork history
+      // invisibly — reject by falling through to Spark's own error
+      !tbl.properties.contains(GraftTable.PropVersionAsOf) &&
+        !tbl.properties.contains(GraftTable.PropGroup)
+    }
+
+  private def rootOf(tbl: CatalogTable): String =
+    new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+
+  /** One-level partition column, if any (the operators' contract). */
+  private def partColOf(tbl: CatalogTable): Option[String] =
+    tbl.partitionColumnNames match {
+      case Seq() => None
+      case Seq(c) => Some(c)
+      case more => throw new UnsupportedOperationException(
+        s"manifest DML supports one-level partitioning, " +
+          s"${tbl.identifier} has ${more.mkString(", ")}")
+    }
+
+  /** Rebind a resolved predicate to plain names so the operator's own
+    * scan resolves it — subqueries are outside the row-predicate
+    * contract and fail loudly. */
+  private def unbind(e: Expression): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        "manifest DML conditions must be scalar row predicates — " +
+          "subqueries are not supported; materialize the subquery and " +
+          "MERGE/anti-join instead")
+    e.transform { case a: AttributeReference =>
+      UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  /** `ON` clause as same-name equality keys, if it is exactly that. */
+  private def mergeKeys(cond: Expression): Option[Seq[String]] = cond match {
+    case And(l, r) =>
+      for { a <- mergeKeys(l); b <- mergeKeys(r) } yield a ++ b
+    case EqualTo(a: AttributeReference, b: AttributeReference)
+        if a.name == b.name => Some(Seq(a.name))
+    case _ => None
+  }
+
+  /** A MATCHED/NOT-MATCHED action is "whole-row by name" when it is
+    * unconditional and every assignment maps a target column to the
+    * SAME-NAMED source attribute — exactly what `UPDATE SET *` /
+    * `INSERT *` expand to during resolution. */
+  private def wholeRowByName(assignments: Seq[Assignment],
+                             targetCols: Seq[String]): Boolean =
+    assignments.length == targetCols.length &&
+      assignments.forall {
+        case Assignment(k: AttributeReference, v: AttributeReference) =>
+          k.name == v.name
+        case _ => false
+      } &&
+      assignments.map { case Assignment(k: AttributeReference, _) => k.name }
+        .toSet == targetCols.toSet
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case d @ DeleteFromTable(target, condition)
+          if d.resolved && manifestTarget(target).isDefined =>
+        val tbl = manifestTarget(target).get
+        GraftDeleteCommand(rootOf(tbl), DmlExpr(unbind(condition)))
+
+      case u @ UpdateTable(target, assignments, condition)
+          if u.resolved && manifestTarget(target).isDefined =>
+        val tbl = manifestTarget(target).get
+        val set = assignments.map {
+          case Assignment(k: AttributeReference, v) =>
+            k.name -> DmlExpr(unbind(v))
+          case Assignment(k, _) => throw new UnsupportedOperationException(
+            s"manifest UPDATE assigns top-level columns, got $k")
+        }.toMap
+        GraftUpdateCommand(rootOf(tbl), set,
+          condition.map(e => DmlExpr(unbind(e))), partColOf(tbl))
+
+      case m: MergeIntoTable if m.childrenResolved &&
+          m.mergeCondition.resolved &&
+          manifestTarget(m.targetTable).isDefined &&
+          mergeKeys(m.mergeCondition).isDefined &&
+          !m.withSchemaEvolution &&
+          m.notMatchedBySourceActions.isEmpty && {
+            // exactly UPDATE SET * / INSERT *, as parsed (star actions)
+            // or as resolution expanded them (same-name assignments)
+            val targetCols = m.targetTable.output.map(_.name)
+            val matchedOk = m.matchedActions match {
+              case Seq(UpdateStarAction(None)) => true
+              case Seq(ua: UpdateAction) => ua.condition.isEmpty &&
+                wholeRowByName(ua.assignments, targetCols)
+              case _ => false
+            }
+            val notMatchedOk = m.notMatchedActions match {
+              case Seq(InsertStarAction(None)) => true
+              case Seq(ia: InsertAction) => ia.condition.isEmpty &&
+                wholeRowByName(ia.assignments, targetCols)
+              case _ => false
+            }
+            matchedOk && notMatchedOk
+          } =>
+        val tbl = manifestTarget(m.targetTable).get
+        val targetCols = m.targetTable.output.map(_.name).toSet
+        val sourceCols = m.sourceTable.output.map(_.name).toSet
+        if (sourceCols != targetCols) throw new UnsupportedOperationException(
+          s"manifest MERGE is keyed whole-row (UPDATE SET * / INSERT *): " +
+            s"source columns ${sourceCols.toSeq.sorted.mkString(",")} must " +
+            s"equal target columns ${targetCols.toSeq.sorted.mkString(",")}")
+        GraftMergeCommand(rootOf(tbl), m.sourceTable,
+          mergeKeys(m.mergeCondition).get.distinct, partColOf(tbl))
+    }
+}
+
+/** Opaque holder keeping a rebuilt (name-bound, deliberately
+  * unresolved) predicate OUT of `QueryPlan.expressions`: the command
+  * re-resolves it against the operator's own scan at run time, so
+  * CheckAnalysis must not reject it as an unresolved column of the
+  * command node. */
+case class DmlExpr(e: Expression)
+
+private[plans] trait DmlOutput extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("rows_affected", LongType, nullable = false)())
+}
+
+/** `DELETE FROM t WHERE …` → merge-on-read deletion-vector commit. */
+case class GraftDeleteCommand(root: String, condition: DmlExpr)
+  extends LeafRunnableCommand with DmlOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, n) = Manifest.deleteWhere(spark, root, toCol(condition.e))
+    spark.catalog.refreshByPath(root)
+    Seq(Row(v, n))
+  }
+}
+
+/** `UPDATE t SET … WHERE …` → one DV + staged-rewrite commit. */
+case class GraftUpdateCommand(root: String, set: Map[String, DmlExpr],
+                              condition: Option[DmlExpr],
+                              partCol: Option[String])
+  extends LeafRunnableCommand with DmlOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cond = condition.map(c => toCol(c.e))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val (v, n) = Manifest.updateWhere(spark, root, cond,
+      set.map { case (k, e) => k -> toCol(e.e) }, partCol)
+    spark.catalog.refreshByPath(root)
+    Seq(Row(v, n))
+  }
+}
+
+/** Keyed whole-row `MERGE INTO` → [[Manifest.mergeDv]]: matched keys
+  * replaced via a deletion vector, the batch staged as fresh files,
+  * one commit. `rows_affected` = source rows written (the batch). */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+                             keys: Seq[String], partCol: Option[String])
+  extends LeafRunnableCommand with DmlOutput {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, _, written) =
+      Manifest.mergeDv(spark, root, ofRows(spark, source), keys, partCol)
+    spark.catalog.refreshByPath(root)
+    Seq(Row(v, written))
+  }
+}

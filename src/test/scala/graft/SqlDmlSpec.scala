@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTable, Manifest}
+
+/** SQL DML on manifest tables (round-11 verdict #3): DELETE FROM /
+  * UPDATE / keyed MERGE INTO over a `graft.manifest=true` catalog
+  * table dispatch to the merge-on-read operators — zero data-file
+  * rewrites, deletion-vector commits, results visible to the very
+  * next spark.table() read. Everything outside the operators'
+  * contract falls through to Spark's own error, never a silent
+  * partial write. */
+class SqlDmlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private var n = 0
+  /** Registered manifest table over (id, day, v), day-partitioned. */
+  private def mkTable(): (String, String) = {
+    n += 1
+    val root = Files.createTempDirectory("graft_sqldml").toString + "/t"
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (3L, "d2", 30L), (4L, "d3", 40L))
+      .toDF("id", "day", "v").repartition(2)
+      .write.partitionBy("day").parquet(root)
+    Manifest.bootstrap(spark, root)
+    val name = s"graft_dml.t$n"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v BIGINT, day STRING")
+    GraftTable.register(spark, "graft_dml", s"t$n", root,
+      schema = Some(schema), partitionCols = Seq("day"))
+    (root, name)
+  }
+
+  private def rows(name: String): Set[(Long, String, Long)] =
+    spark.table(name)
+      .select(col("id"), col("day").cast("string"), col("v"))
+      .as[(Long, String, Long)].collect().toSet
+
+  test("DELETE FROM: a deletion-vector commit — zero files rewritten, " +
+    "the next spark.table() read serves base minus matches") {
+    val (root, name) = mkTable()
+    val before = Manifest.current(spark, root).get._2
+    val res = spark.sql(s"DELETE FROM $name WHERE v >= 30")
+      .as[(Long, Long)].collect().head
+    assert(res == ((2L, 2L)), s"(version, rows_affected) = $res")
+    assert(Manifest.current(spark, root).get._2 == before,
+      "merge-on-read: the file list must be byte-identical")
+    assert(Manifest.dvsAt(spark, root, 2L).nonEmpty)
+    assert(rows(name) == Set((1L, "d1", 10L), (2L, "d1", 20L)))
+  }
+
+  test("UPDATE: one DV + staged-files commit, partition moves included") {
+    val (root, name) = mkTable()
+    val res = spark.sql(
+      s"UPDATE $name SET v = v * 10, day = 'd9' WHERE id IN (1, 3)")
+      .as[(Long, Long)].collect().head
+    assert(res._2 == 2L)
+    assert(Manifest.dvsAt(spark, root, res._1).nonEmpty)
+    assert(rows(name) == Set((1L, "d9", 100L), (2L, "d1", 20L),
+      (3L, "d9", 300L), (4L, "d3", 40L)))
+    // originals stayed physically in place, hidden by the DV
+    val before = Manifest.filesAt(spark, root, 1L).toSet
+    assert(before.subsetOf(Manifest.current(spark, root).get._2.toSet))
+  }
+
+  test("MERGE INTO (keyed whole-row): matched keys replaced by DV, " +
+    "new keys inserted, one commit") {
+    val (root, name) = mkTable()
+    Seq((1L, "d1", 111L), (9L, "d2", 90L)).toDF("id", "day", "v")
+      .createOrReplaceTempView("dml_src")
+    val res = spark.sql(
+      s"""MERGE INTO $name t USING dml_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .as[(Long, Long)].collect().head
+    assert(res._2 == 2L, "rows_affected = source rows written")
+    assert(rows(name) == Set((1L, "d1", 111L), (2L, "d1", 20L),
+      (3L, "d2", 30L), (4L, "d3", 40L), (9L, "d2", 90L)))
+    assert(Manifest.dvsAt(spark, root, res._1).nonEmpty,
+      "the matched key dies by deletion vector")
+  }
+
+  test("out-of-contract DML fails loudly, never a silent partial write") {
+    val (root, name) = mkTable()
+    // subquery condition: outside the scalar-row-predicate contract
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM $name WHERE id IN (SELECT id FROM $name)")
+    }
+    // a plain (non-manifest) parquet table keeps Spark's own v1 error
+    val plain = Files.createTempDirectory("graft_plain").toString + "/p"
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(plain)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_dml")
+    spark.sql("DROP TABLE IF EXISTS graft_dml.plain")
+    spark.sql(s"CREATE TABLE graft_dml.plain USING parquet LOCATION '$plain'")
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_dml.plain WHERE a = 1")
+    }
+    // a version-pinned audit table refuses DML (falls through to
+    // Spark's error) — rewriting a pin would fork history invisibly
+    GraftTable.register(spark, "graft_dml", "pinned", root,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v BIGINT, day STRING")),
+      partitionCols = Seq("day"), versionAsOf = Some(1L))
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_dml.pinned WHERE id = 1")
+    }
+    // the table itself is untouched by all three failures
+    assert(rows(name) == Set((1L, "d1", 10L), (2L, "d1", 20L),
+      (3L, "d2", 30L), (4L, "d3", 40L)))
+  }
+}
