@@ -477,7 +477,8 @@ object SparkEntry {
     "q251_sql_delete" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqldel"); () }),
     "q252_sql_merge" -> ((s, dir) =>
-      { fixOrdersTable(s, dir, "graft_sqlmrg"); () }))
+      { fixOrdersTable(s, dir, "graft_sqlmrg"); () }),
+    "q253_group_stream" -> ((s, dir) => fixQ233(s, dir)))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2029,6 +2030,42 @@ object SparkEntry {
     // could drop the column entirely) with ZERO footer inference,
     // while time travel to v1 serves v1's OWN schema (gate: the
     // column does not exist there).
+    // GROUP-PINNED STREAMING (the q233 crash-window scenario, for
+    // streams): a readStream over the facts member with
+    // groupMeta=<meta> takes its offsets from GROUP versions — the
+    // accumulated stream is exactly the flipped publishes (waves
+    // 1-3); waves 4-5, committed to the member's OWN manifest but
+    // never flipped, stay invisible. The hash gate is the leak
+    // detector: an offset cut between per-table commits instead of
+    // publishes would surface wave 4/5 rows.
+    "q253_group_stream" -> ((s, dir) => {
+      import graft.sources.ManifestGroup
+      val rootA = lakeLayout(dir, "graft_grp_facts")
+      val meta = lakeLayout(dir, "graft_grp_meta")
+      val acc = lakeLayout(dir, "graft_gstream_acc")
+      ensureLakeFixture(s, dir, "q253_group_stream")(fixQ233(s, dir))
+      val shaped = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("w", substring(col("o_orderpriority"), 1, 1))
+        .select(col("o_orderkey"), col("o_totalprice"), col("w"))
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft_gstream_cp").toString
+      shaped.limit(0).write.mode("overwrite").parquet(acc) // seed schema
+      val q = s.readStream.schema(shaped.schema)
+        .format("graft.streaming.ManifestStreamProvider")
+        .option("groupMeta", meta).load(rootA)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(acc); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val gate = ManifestGroup.currentGroup(s, meta).exists(_._1 == 2L)
+      s.read.schema(shaped.schema).parquet(acc)
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+        .withColumn("gate_group_pinned", lit(gate))
+    }),
+
     // SQL DML, DELETE: the reference's Athena-style face writes
     // `DELETE FROM t WHERE …`, and here that exact statement —
     // through the injected ManifestDmlResolution rule — runs the
@@ -7891,6 +7928,19 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q253: the group-pinned stream accumulates exactly the flipped
+    // publishes — q233's truth, reached through offsets-are-group-
+    // versions instead of a snapshot read.
+    "q253_group_stream" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_group_pinned
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2', '3')
+        |GROUP BY 1""".stripMargin,
+
     // q251: the SQL DELETE serves exactly the q237 truth — base minus
     // the modular subjects — through the ANSI statement.
     "q251_sql_delete" ->

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.Manifest
+import graft.sources.{Manifest, ManifestGroup}
 
 /** STREAMING READ OF A MANIFEST TABLE — the incremental-consumption
   * leg of the lakehouse layer (Delta's streaming source / Iceberg's
@@ -53,6 +53,11 @@ import graft.sources.Manifest
   * Retention: replaying from a vacuumed-away version fails loudly
   * (the manifest for the recorded offset is gone), matching every
   * table format's retention-vs-checkpoint contract.
+  * `groupMeta=<metaRoot>` pins the stream to a [[ManifestGroup]]:
+  * offsets become GROUP versions and each batch is the member's diff
+  * between two group FLIPS, so a multi-table publish reaches the
+  * stream all-or-nothing and the member's own not-yet-flipped commits
+  * stay invisible (the group-read contract, for streams).
   *
   * Scale shape: getOffset is an O(versions) manifest-dir listing;
   * getBatch reads two O(files) manifest texts and plans a bounded
@@ -65,11 +70,40 @@ class ManifestStreamSource(spark: SparkSession, root: String,
                            startVersion: Long,
                            ignoreChanges: Boolean,
                            changeFeed: Boolean,
-                           commitVersions: Boolean = false) extends Source {
+                           commitVersions: Boolean = false,
+                           group: Option[String] = None) extends Source {
 
   require(!commitVersions || changeFeed,
     "commitVersions=true needs changeFeed=true (per-commit attribution " +
       "is a change-feed concept)")
+
+  /** GROUP-PINNED mode (`group=Some(metaRoot)`, round-11 verdict #7):
+    * offsets are GROUP versions, and each batch is the member's
+    * snapshot diff between two group FLIPS — the member's own commits
+    * are invisible until a flip publishes them (exactly the
+    * [[graft.sources.ManifestTableResolution]] group-read contract,
+    * now for streams). A multi-table publish therefore reaches a
+    * downstream consumer all-or-nothing: a flip mid-range is either
+    * entirely inside the batch's pinned (fromG, toG] window or
+    * entirely outside it — the two group mappings are read once per
+    * getBatch, so no batch can straddle half a publish. Six streams
+    * (one per GA member table) pinned to one group see consistent
+    * cut-points by construction: the offsets ARE the publishes. */
+  private def memberVersion(offsetV: Long): Long = group match {
+    case None => offsetV
+    case Some(meta) =>
+      if (offsetV <= 0L) 0L
+      else ManifestGroup.readGroup(spark, meta, offsetV)
+        .getOrElse(ManifestGroup.normKey(root), 0L)
+  }
+
+  /** Committed offsets in (fromV, toV] — manifest versions, or group
+    * versions when group-pinned. */
+  private def offsetsBetween(fromV: Long, toV: Long): Seq[Long] =
+    (group match {
+      case None => Manifest.versions(spark, root)
+      case Some(meta) => ManifestGroup.versions(spark, meta)
+    }).filter(v => v > fromV && v <= toV)
 
   override val schema: StructType =
     if (changeFeed) {
@@ -79,8 +113,10 @@ class ManifestStreamSource(spark: SparkSession, root: String,
 
   private def ver(o: Offset): Long = o.json.toLong
 
-  private def filesOf(v: Long): Seq[String] =
-    if (v <= 0L) Nil else Manifest.filesAt(spark, root, v)
+  private def filesOf(v: Long): Seq[String] = {
+    val mv = memberVersion(v)
+    if (mv <= 0L) Nil else Manifest.filesAt(spark, root, mv)
+  }
 
   /** The rows of `files`, as a STREAMING-marked relation (what
     * MicroBatchExecution requires of a V1 getBatch result). */
@@ -97,12 +133,15 @@ class ManifestStreamSource(spark: SparkSession, root: String,
       LogicalRelation(rel, isStreaming = true))
   }
 
-  override def getOffset: Option[Offset] =
-    Manifest.current(spark, root).map { case (v, _) => LongOffset(v) }
-      .filter(_.offset > startVersion)
+  override def getOffset: Option[Offset] = (group match {
+    case None => Manifest.current(spark, root).map(_._1)
+    case Some(meta) => ManifestGroup.currentGroup(spark, meta).map(_._1)
+  }).map(LongOffset(_)).filter(_.offset > startVersion)
 
-  private def dvsOf(v: Long): Seq[String] =
-    if (v <= 0L) Nil else Manifest.dvsAt(spark, root, v)
+  private def dvsOf(v: Long): Seq[String] = {
+    val mv = memberVersion(v)
+    if (mv <= 0L) Nil else Manifest.dvsAt(spark, root, mv)
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(startVersion)
@@ -122,8 +161,7 @@ class ManifestStreamSource(spark: SparkSession, root: String,
       // version (their net effect attributed there), the same
       // retention-vs-lag contract as everywhere else.
       import org.apache.spark.sql.functions.lit
-      val steps = Manifest.versions(spark, root)
-        .filter(v => v > fromV && v <= toV)
+      val steps = offsetsBetween(fromV, toV)
       // a lagging checkpoint plus aggressive vacuum retention can
       // leave NO retained version in (fromV, toV] — the offsets the
       // checkpoint recorded were vacuumed away; fail with the same
@@ -262,6 +300,9 @@ class ManifestStreamProvider extends StreamSourceProvider
   private def changeFeedOf(parameters: Map[String, String]): Boolean =
     parameters.get("changeFeed").exists(_.toBoolean)
 
+  private def groupOf(parameters: Map[String, String]): Option[String] =
+    parameters.get("groupMeta")
+
   private def commitVersionsOf(parameters: Map[String, String]): Boolean =
     parameters.get("commitVersions").exists(_.toBoolean)
 
@@ -296,9 +337,13 @@ class ManifestStreamProvider extends StreamSourceProvider
     val root = rootOf(parameters)
     val data = schema.map(ManifestStreamProvider.withoutChangeType)
       .getOrElse(Manifest.read(spark, root).schema)
+    val group = groupOf(parameters)
     val startVersion = parameters.get("startingVersion") match {
-      case Some("latest") =>
-        Manifest.current(spark, root).map(_._1).getOrElse(0L)
+      case Some("latest") => group match {
+        case None => Manifest.current(spark, root).map(_._1).getOrElse(0L)
+        case Some(meta) =>
+          ManifestGroup.currentGroup(spark, meta).map(_._1).getOrElse(0L)
+      }
       case Some(v) => v.toLong
       case None => 0L
     }
@@ -306,6 +351,6 @@ class ManifestStreamProvider extends StreamSourceProvider
       parameters.get("ignoreChanges").exists(_.toBoolean)
     new ManifestStreamSource(spark, root, data, startVersion,
       ignoreChanges, changeFeedOf(parameters),
-      commitVersionsOf(parameters))
+      commitVersionsOf(parameters), group)
   }
 }

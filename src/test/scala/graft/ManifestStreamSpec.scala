@@ -191,6 +191,68 @@ class ManifestStreamSpec extends SparkTestBase {
     assert(e.getMessage.contains("retention"), e.getMessage)
   }
 
+  test("group-pinned stream: a member's own commit is INVISIBLE until " +
+    "the group flips; the flip serves it fully — batches align to " +
+    "publishes, never to per-table commits") {
+    import graft.sources.ManifestGroup
+    val root = mkRoot()
+    val meta = Files.createTempDirectory("graft_msgrp").toString
+    ManifestGroup.publish(spark, meta,
+      Map(root -> Manifest.current(spark, root).get._2))    // g1
+    val q = startMem(root, "ms_grp", Map("groupMeta" -> meta))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ms_grp").count() == 6, "g1 snapshot")
+      // the crash window: the member commits, but no flip happens —
+      // a group-pinned reader must NOT see it
+      appendDay(root, "d3", Seq("w0", "w1"))
+      q.processAllAvailable()
+      assert(spark.table("ms_grp").count() == 6,
+        "an unflipped member commit must stay invisible to the stream")
+      // the flip publishes it — the batch serves the full diff
+      ManifestGroup.flip(spark, meta, Map(
+        ManifestGroup.normKey(root) -> Manifest.current(spark, root).get._1))
+      q.processAllAvailable()
+      val got = spark.table("ms_grp").select("uid").as[String]
+        .collect().sorted.toSeq
+      assert(got.size == 8 && got.count(_.startsWith("w")) == 2,
+        s"flip must serve exactly the published rows once: $got")
+    } finally q.stop()
+  }
+
+  test("group-pinned getBatch windows pin the flip all-or-nothing: a " +
+    "range ending before the flip excludes it entirely; the next " +
+    "range carries it entirely") {
+    import graft.streaming.ManifestStreamSource
+    import graft.sources.ManifestGroup
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val root = mkRoot()
+    val meta = Files.createTempDirectory("graft_msgrp2").toString
+    ManifestGroup.publish(spark, meta,
+      Map(root -> Manifest.current(spark, root).get._2))    // g1
+    val schema = Manifest.read(spark, root).schema
+    val src = new ManifestStreamSource(spark, root, schema,
+      startVersion = 0L, ignoreChanges = false, changeFeed = false,
+      commitVersions = false, group = Some(meta))
+    def toBatch(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftDatasetFactory.ofRows(spark,
+        df.queryExecution.logical.transform {
+          case lr: LogicalRelation => lr.copy(isStreaming = false)
+        })
+    assert(src.getOffset.map(_.json.toLong).contains(1L))
+    // the flip lands AFTER the reader pinned (0, g1]: the batch is the
+    // g1 snapshot exactly — nothing of g2 leaks in
+    appendDay(root, "d3", Seq("w0", "w1", "w2"))
+    ManifestGroup.flip(spark, meta, Map(
+      ManifestGroup.normKey(root) -> Manifest.current(spark, root).get._1))
+    assert(toBatch(src.getBatch(None, LongOffset(1L))).count() == 6,
+      "a batch pinned before the flip must exclude it entirely")
+    // the next window carries the whole flip
+    assert(toBatch(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+      .count() == 3, "the next batch must carry the full publish")
+  }
+
   test("restart from checkpoint resumes at the recorded version, no duplicates") {
     val root = mkRoot()
     val cp = Files.createTempDirectory("graft_mstream_cp").toString
