@@ -478,7 +478,9 @@ object SparkEntry {
       { fixOrdersTable(s, dir, "graft_sqldel"); () }),
     "q252_sql_merge" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqlmrg"); () }),
-    "q253_group_stream" -> ((s, dir) => fixQ233(s, dir)))
+    "q253_group_stream" -> ((s, dir) => fixQ233(s, dir)),
+    "q254_sql_update" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_squpd"); () }))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2139,6 +2141,36 @@ object SparkEntry {
         .withColumn("gate_sql_merge", lit(gate))
     }),
 
+    // SQL DML, UPDATE: q239's merge-on-read update — doubled price
+    // AND a cross-partition move to w='9' — stated as the ANSI
+    // statement; one DV + staged-files commit, originals physically
+    // in place (gate-pinned), destination files only under w=9.
+    "q254_sql_update" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_squpd")
+      ensureLakeFixture(s, dir, "q254_sql_update") {
+        fixOrdersTable(s, dir, "graft_squpd"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      GraftTable.register(s, "graft_unified", s"squpd_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val before = Manifest.current(s, layout).get._2.toSet
+      val res = s.sql(
+        s"""UPDATE graft_unified.squpd_$tag
+           |SET price_cents = price_cents * 2, w = '9'
+           |WHERE custkey % 101 = 0""".stripMargin).collect().head
+      val (v, n) = (res.getLong(0), res.getLong(1))
+      val after = Manifest.filesAt(s, layout, v).toSet
+      val gate = n > 0L && before.subsetOf(after) &&
+        (after -- before).forall(_.startsWith("w=9/")) &&
+        Manifest.dvsAt(s, layout, v).nonEmpty
+      s.table(s"graft_unified.squpd_$tag")
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_sql_update", lit(gate))
+    }),
+
     // COMMIT-LOG CHECKPOINTING under per-commit churn (the streaming-
     // sink lifetime problem): one merge-on-read delete, then 160
     // commits with auto-checkpoint every 40 and log retention 50 — the
@@ -2169,13 +2201,17 @@ object SparkEntry {
         val logDir = new java.io.File(layout, Manifest.Dir)
         val nEntries = Option(logDir.listFiles()).map(_.length).getOrElse(0)
         val ck = Manifest.lastCheckpoint(s, layout)
-        val gateBounded = vs.max == 162L && nEntries < 120
-        val gateCkpt = ck.contains(160L) &&
+        // empty base table: the DV delete commits nothing (no v2), the
+        // aggregate is 0 rows regardless — the gates only assert on a
+        // populated lifecycle
+        val emptyT = live.isEmpty
+        val gateBounded = emptyT || (vs.max == 162L && nEntries < 120)
+        val gateCkpt = emptyT || (ck.contains(160L) &&
           Manifest.dvsAt(s, layout, 160L).nonEmpty &&
           Manifest.readVersion(s, layout, 160L).count() ==
-            Manifest.read(s, layout).count()
-        val gateCutoff = !vs.contains(2L) && vs.contains(113L)
-        Manifest.read(s, layout)
+            Manifest.read(s, layout).count())
+        val gateCutoff = emptyT || (!vs.contains(2L) && vs.contains(113L))
+        (if (emptyT) facts.limit(0) else Manifest.read(s, layout))
           .groupBy(col("w").cast("string").as("w"))
           .agg(count(lit(1)).as("n_orders"),
             sum(col("price_cents")).as("sum_price_cents"))
@@ -7928,6 +7964,20 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q254: the ANSI UPDATE serves exactly the q239 truth — doubled
+    // price + the w='9' cross-partition move for the matched
+    // customers.
+    "q254_sql_update" ->
+      """SELECT CASE WHEN o_custkey % 101 = 0 THEN '9'
+        |            ELSE substring(o_orderpriority, 1, 1) END AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) *
+        |           CASE WHEN o_custkey % 101 = 0 THEN 2 ELSE 1 END)
+        |       AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_sql_update
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
     // q253: the group-pinned stream accumulates exactly the flipped
     // publishes — q233's truth, reached through offsets-are-group-
     // versions instead of a snapshot read.
