@@ -3051,7 +3051,12 @@ object SparkEntry {
       s.read.parquet(base).repartitionByRange(8, col("o_orderdate"))
         .write.mode("overwrite").parquet(layout)
       Manifest.bootstrap(s, layout)
-      Manifest.writeColStats(s, layout, 1L, Seq("o_orderdate"))
+      // footer mode (round 12): min/max/nulls come from the parquet
+      // footers — zero record reads when the write was MICROS-stamped;
+      // an INT96 layout falls back to the scan, identical sidecar
+      // either way (FooterStatsSpec pins both)
+      Manifest.writeColStats(s, layout, 1L, Seq("o_orderdate"),
+        fromFooters = true)
       SkippingIndex.fromLog(s, layout, Seq("o_orderdate"), idx)
       val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
       val hi = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
