@@ -62,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // path (plans/ManifestDml.scala). Runs after the read resolution
     // in the same post-hoc batch; no-op for every other table.
     ext.injectPostHocResolutionRule(s => graft.plans.ManifestDmlResolution(s))
+    // SQL operational surface (the injectParser tier): read-side time
+    // travel (`SELECT … FROM t VERSION AS OF v` — Spark's v1 path
+    // rejects it during MAIN resolution, so the parser is the one seam
+    // early enough) plus DESCRIBE HISTORY / VACUUM / RESTORE /
+    // OPTIMIZE ZORDER / CHECKPOINT, each dispatching to the existing
+    // operator (plans/GraftSqlParser.scala). Unmatched SQL delegates
+    // verbatim.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // Metadata-only aggregates: a global count(*)/count(col)/min/max
     // (under partition-only filters) over a manifest table answers
     // from the commit log's stats sidecars — zero data IO

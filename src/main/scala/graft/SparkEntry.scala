@@ -480,7 +480,9 @@ object SparkEntry {
       { fixOrdersTable(s, dir, "graft_sqlmrg"); () }),
     "q253_group_stream" -> ((s, dir) => fixQ233(s, dir)),
     "q254_sql_update" -> ((s, dir) =>
-      { fixOrdersTable(s, dir, "graft_squpd"); () }))
+      { fixOrdersTable(s, dir, "graft_squpd"); () }),
+    "q255_sql_time_travel" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqltt"); () }))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2139,6 +2141,38 @@ object SparkEntry {
         .groupBy("w").agg(count(lit(1)).as("n_orders"),
           sum(col("price_cents")).as("sum_price_cents"))
         .withColumn("gate_sql_merge", lit(gate))
+    }),
+
+    // SQL TIME TRAVEL: q242's audit-pin truth through the ANSI
+    // `VERSION AS OF` clause on ONE registered name — no second
+    // registration: the injected parser rewrites the clause into the
+    // pinned, DV-filtered plan before Spark's v1 path can reject it.
+    // The pinned read replays the full pre-erasure snapshot while
+    // gate_sql_tt pins that the SAME name, unpinned, already serves
+    // base-minus-subjects.
+    "q255_sql_time_travel" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqltt")
+      ensureLakeFixture(s, dir, "q255_sql_time_travel") {
+        fixOrdersTable(s, dir, "graft_sqltt"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      GraftTable.register(s, "graft_unified", s"sqltt_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val subjects = facts.select("custkey")
+        .where(pmod(col("custkey"), lit(107)) === 0).distinct()
+      Manifest.deleteMatching(s, layout, subjects, Seq("custkey"))
+      val live = s.table(s"graft_unified.sqltt_$tag")
+      val gate =
+        live.where(pmod(col("custkey"), lit(107)) === 0).count() == 0L &&
+        live.count() ==
+          facts.where(pmod(col("custkey"), lit(107)) =!= 0).count()
+      s.sql(s"""SELECT w, count(*) AS n_orders,
+               |  sum(price_cents) AS sum_price_cents
+               |FROM graft_unified.sqltt_$tag VERSION AS OF 1
+               |GROUP BY w""".stripMargin)
+        .withColumn("gate_sql_tt", lit(gate))
     }),
 
     // SQL DML, UPDATE: q239's merge-on-read update — doubled price
@@ -7969,6 +8003,17 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q255: the `VERSION AS OF 1` read replays the full pre-erasure
+    // base — q242's truth through the ANSI clause on one name.
+    "q255_sql_time_travel" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_sql_tt
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
     // q254: the ANSI UPDATE serves exactly the q239 truth — doubled
     // price + the w='9' cross-partition move for the matched
     // customers.

@@ -349,6 +349,51 @@ object ManifestFileIndex {
   }
 }
 
+object ManifestTableResolution {
+  /** The pinned, DV-filtered read plan of manifest catalog table `tbl`
+    * at committed version `v`, built FROM SCRATCH (no pre-resolved
+    * relation needed) — shared by the `versionAsOf` registration arm's
+    * semantics and the SQL `VERSION AS OF` parser hook
+    * ([[graft.plans.GraftSqlParser]]). The attached catalog entry has
+    * the graft markers STRIPPED so the post-hoc resolution rule never
+    * re-pins the plan to the current version. */
+  def versionedPlan(spark: SparkSession,
+                    tbl: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                    v: Long): LogicalPlan = {
+    val root = new Path(tbl.location)
+    require(Manifest.versions(spark, root.toString).contains(v),
+      s"version $v of ${tbl.identifier} is not committed under " +
+        s"${tbl.location} (vacuumed or never existed)")
+    val files = Manifest.filesAt(spark, root.toString, v)
+    val mfi = ManifestFileIndex.cached(spark, root, v,
+      files.map(f => new Path(root, f)), Some(tbl.schema),
+      tbl.properties.get(GraftTable.PropBloomCol),
+      tbl.properties.get(GraftTable.PropBloomIdx))
+    val partSchema = tbl.partitionSchema
+    val dataSchema = StructType(
+      tbl.schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val rel = HadoopFsRelation(mfi, partSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map("basePath" -> root.toString))(spark)
+    val stripped = tbl.copy(properties = tbl.properties -
+      GraftTable.PropManifest - GraftTable.PropGroup -
+      GraftTable.PropVersionAsOf)
+    val lr = LogicalRelation(rel, stripped)
+    val dvs = Manifest.dvsAt(spark, root.toString, v)
+    if (dvs.isEmpty) lr
+    else {
+      val base = org.apache.spark.sql.GraftDatasetFactory.ofRows(spark, lr)
+      val filtered = Manifest.dvAntiJoin(spark, root.toString, base, dvs)
+      val out = filtered.select(
+        lr.output.map(org.apache.spark.sql.GraftDatasetFactory.column(_)): _*)
+      out.queryExecution.analyzed.transform {
+        case dvLr @ LogicalRelation(_, _, None, _, _) =>
+          dvLr.copy(catalogTable = Some(stripped))
+      }
+    }
+  }
+}
+
 /** Analyzer rule (post-hoc resolution): any resolved relation whose
   * catalog entry carries `graft.manifest=true` gets its file index
   * swapped for a [[ManifestFileIndex]] pinned to the CURRENT committed
