@@ -482,7 +482,9 @@ object SparkEntry {
     "q254_sql_update" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_squpd"); () }),
     "q255_sql_time_travel" -> ((s, dir) =>
-      { fixOrdersTable(s, dir, "graft_sqltt"); () }))
+      { fixOrdersTable(s, dir, "graft_sqltt"); () }),
+    "q256_sql_insert" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqlins"); () }))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2141,6 +2143,39 @@ object SparkEntry {
         .groupBy("w").agg(count(lit(1)).as("n_orders"),
           sum(col("price_cents")).as("sum_price_cents"))
         .withColumn("gate_sql_merge", lit(gate))
+    }),
+
+    // SQL INSERT: `INSERT INTO` a manifest table lands as ONE staged
+    // manifest commit — without the rewrite Spark would drop part
+    // files into the directory that NO manifest publishes, rows
+    // silently invisible to every reader (the trap the commit log
+    // exists to prevent). Gates pin the commit (version 2), the
+    // carried old files, and next-read visibility; hash = base + the
+    // re-keyed batch.
+    "q256_sql_insert" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqlins")
+      ensureLakeFixture(s, dir, "q256_sql_insert") {
+        fixOrdersTable(s, dir, "graft_sqlins"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      GraftTable.register(s, "graft_unified", s"sqlins_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      facts.where(pmod(col("o_orderkey"), lit(127)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+        .createOrReplaceTempView(s"sqlins_src_$tag")
+      val before = Manifest.current(s, layout).get._2.toSet
+      val res = s.sql(s"INSERT INTO graft_unified.sqlins_$tag " +
+        s"SELECT * FROM sqlins_src_$tag").collect().head
+      val (v, n) = (res.getLong(0), res.getLong(1))
+      val gate = v == 2L &&
+        before.subsetOf(Manifest.filesAt(s, layout, v).toSet) &&
+        (n == 0L || Manifest.filesAt(s, layout, v).size > before.size)
+      s.table(s"graft_unified.sqlins_$tag")
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_sql_insert", lit(gate))
     }),
 
     // SQL TIME TRAVEL: q242's audit-pin truth through the ANSI
@@ -8003,6 +8038,19 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q256: base + the re-keyed %127 batch — the INSERT became one
+    // manifest commit, so the very next read serves it.
+    "q256_sql_insert" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_sql_insert
+        |FROM (SELECT * FROM orders
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderkey % 127 = 0)
+        |GROUP BY 1""".stripMargin,
+
     // q255: the `VERSION AS OF 1` read replays the full pre-erasure
     // base — q242's truth through the ANSI clause on one name.
     "q255_sql_time_travel" ->

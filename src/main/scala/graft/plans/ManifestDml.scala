@@ -163,6 +163,35 @@ case class ManifestDmlResolution(spark: SparkSession)
             s"equal target columns ${targetCols.toSeq.sorted.mkString(",")}")
         GraftMergeCommand(rootOf(tbl), m.sourceTable,
           mergeKeys(m.mergeCondition).get.distinct, partColOf(tbl))
+
+      // INSERT INTO / INSERT OVERWRITE a manifest table: without this,
+      // Spark's own InsertIntoHadoopFsRelationCommand writes part
+      // files straight into the directory and NO manifest commit ever
+      // publishes them — the rows are silently invisible to every
+      // manifest reader, the exact trap the commit log exists to
+      // prevent. The staged-commit twin: stage with unique names,
+      // publish through the CAS (append = live + staged; OVERWRITE
+      // static = full replacement clearing DV refs; OVERWRITE dynamic
+      // = replacement of exactly the written partitions).
+      case i: org.apache.spark.sql.execution.datasources
+          .InsertIntoHadoopFsRelationCommand
+          if i.catalogTable.exists(t =>
+            t.properties.get(GraftTable.PropManifest).contains("true") &&
+              !t.properties.contains(GraftTable.PropVersionAsOf) &&
+              !t.properties.contains(GraftTable.PropGroup)) =>
+        val tbl = i.catalogTable.get
+        if (i.staticPartitions.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"INSERT … PARTITION(col=value) into manifest table " +
+              s"${tbl.identifier} is not supported — write the " +
+              s"partition column as a row value instead")
+        val dynMode = spark.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+          .equalsIgnoreCase("dynamic")
+        GraftInsertCommand(rootOf(tbl), i.query,
+          overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite,
+          dynamic = dynMode && tbl.partitionColumnNames.nonEmpty,
+          partColOf(tbl))
     }
 }
 
@@ -201,6 +230,55 @@ case class GraftUpdateCommand(root: String, set: Map[String, DmlExpr],
       set.map { case (k, e) => k -> toCol(e.e) }, partCol)
     spark.catalog.refreshByPath(root)
     Seq(Row(v, n))
+  }
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE` → staged files + one manifest
+  * commit: append publishes live + staged; static OVERWRITE is a full
+  * replacement (DV refs cleared — every old file is gone, its deletes
+  * inert); dynamic OVERWRITE replaces exactly the partitions the
+  * batch wrote. CAS loop: append and dynamic rebase onto interleaved
+  * commits (staged files are immutable); `rows_affected` = rows
+  * written. */
+case class GraftInsertCommand(root: String, query: LogicalPlan,
+                              overwrite: Boolean, dynamic: Boolean,
+                              partCol: Option[String])
+  extends LeafRunnableCommand with DmlOutput {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (fs, rootP) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    val df = ofRows(spark, query).localCheckpoint(true)
+    val n = df.count()
+    val created = partCol match {
+      case Some(pc) => Manifest.stageUnique(spark, fs, rootP, pc, df)
+      case None => Manifest.stageUniqueFlat(spark, fs, rootP, df)
+    }
+    var attempt = 0
+    while (attempt < 10) {
+      val (base, live) = Manifest.current(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $root"))
+      val publish =
+        if (!overwrite) (live ++ created, None)
+        else if (!dynamic) (created, Some(Seq.empty[String]))
+        else {
+          val pc = partCol.getOrElse(throw new UnsupportedOperationException(
+            "dynamic INSERT OVERWRITE needs a partitioned manifest table"))
+          val touched = created.map(Manifest.partitionOf(_, pc)).toSet
+          (live.filterNot(f => touched(Manifest.partitionOf(f, pc))) ++
+            created, None)
+        }
+      Manifest.tryCommit(spark, root, publish._1, base, publish._2) match {
+        case Some(v) =>
+          spark.catalog.refreshByPath(root)
+          return Seq(Row(v, n))
+        case None => attempt += 1 // rebase: staged files are immutable
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the INSERT commit race 10 times under $root")
   }
 }
 

@@ -82,6 +82,45 @@ class SqlDmlSpec extends SparkTestBase {
       "the matched key dies by deletion vector")
   }
 
+  test("INSERT INTO: the rows land as a manifest COMMIT — visible to " +
+    "the very next read, not invisible uncommitted part files") {
+    val (root, name) = mkTable()
+    val res = spark.sql(
+      s"INSERT INTO $name VALUES (9, 90, 'd9'), (10, 100, 'd1')")
+      .as[(Long, Long)].collect().head
+    assert(res == ((2L, 2L)), s"(version, rows) = $res")
+    assert(rows(name) == Set((1L, "d1", 10L), (2L, "d1", 20L),
+      (3L, "d2", 30L), (4L, "d3", 40L), (9L, "d9", 90L), (10L, "d1", 100L)))
+    // the append carried the old files — nothing rewritten
+    assert(Manifest.filesAt(spark, root, 1L).toSet
+      .subsetOf(Manifest.current(spark, root).get._2.toSet))
+  }
+
+  test("INSERT OVERWRITE: static = full-replacement commit (DV refs " +
+    "cleared); dynamic = exactly the written partitions replaced") {
+    val (root, name) = mkTable()
+    spark.sql(s"DELETE FROM $name WHERE id = 1") // pending DV
+    spark.sql(s"INSERT OVERWRITE $name VALUES (7, 70, 'd7')")
+    assert(rows(name) == Set((7L, "d7", 70L)))
+    assert(Manifest.dvsAt(spark, root,
+      Manifest.current(spark, root).get._1).isEmpty,
+      "full replacement clears the now-inert DV refs")
+    val (root2, name2) = mkTable()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE $name2 VALUES (8, 80, 'd1')")
+      assert(rows(name2) == Set((8L, "d1", 80L), (3L, "d2", 30L),
+        (4L, "d3", 40L)), "only d1 replaced; d2/d3 untouched")
+      assert(root2.nonEmpty)
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("out-of-contract DML fails loudly, never a silent partial write") {
     val (root, name) = mkTable()
     // subquery condition: outside the scalar-row-predicate contract
