@@ -63,11 +63,18 @@ object ManifestGroup {
       .map(_.stripPrefix("group-").toLong).sorted.toSeq
   }
 
-  /** The table→version mapping of group version `g`. */
+  /** The table→version mapping of group version `g`. A vacuumed-away
+    * group fails with the retention contract every replay face uses —
+    * a group-pinned STREAM resuming from an old offset hits this, and
+    * the message must say "keep more groups", not FileNotFound. */
   def readGroup(spark: SparkSession, metaRoot: String, g: Long)
       : Map[String, Long] = {
     val (fs, rootP) = Manifest.fsOf(spark, metaRoot)
-    val in = fs.open(new Path(new Path(rootP, Dir), f"group-$g%020d"))
+    val p = new Path(new Path(rootP, Dir), f"group-$g%020d")
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"group version $g of $metaRoot is not retained — vacuumGroup " +
+        s"removed it; keep more groups than the reader's lag")
+    val in = fs.open(p)
     val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     text.split("\n").filter(_.nonEmpty).map { ln =>

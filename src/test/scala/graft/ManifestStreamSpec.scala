@@ -251,6 +251,13 @@ class ManifestStreamSpec extends SparkTestBase {
     // the next window carries the whole flip
     assert(toBatch(src.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
       .count() == 3, "the next batch must carry the full publish")
+    // a lagging reader whose recorded GROUP offset was vacuumed fails
+    // with the retention message, not FileNotFound
+    ManifestGroup.vacuumGroup(spark, meta, keepGroups = 1)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(None, LongOffset(1L))
+    }
+    assert(e.getMessage.contains("keep more groups"), e.getMessage)
   }
 
   test("restart from checkpoint resumes at the recorded version, no duplicates") {
