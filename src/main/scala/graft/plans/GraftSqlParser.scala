@@ -81,9 +81,17 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     t match {
       case DescribeHistoryRe(ident) =>
         GraftHistoryCommand(spark, mt(parseMultipartIdentifier(ident)))
-      case VacuumRe(ident, keep) =>
+      case VacuumRe(ident, keep, graceHours) =>
+        // default grace = 7 days (the Delta VACUUM default): vacuum's
+        // zero-grace arm deletes a racing DML's staged-but-uncommitted
+        // DV/files (the racer then publishes dangling references) and
+        // instantly destroys all time travel — an operator typing a
+        // bare `VACUUM t` gets the safe window; `GRACE 0 HOURS` is the
+        // explicit opt-out for scripted single-writer maintenance
         GraftVacuumCommand(spark, mt(parseMultipartIdentifier(ident)),
-          Option(keep).map(_.toInt).getOrElse(1))
+          Option(keep).map(_.toInt).getOrElse(1),
+          minAgeMs = Option(graceHours).map(_.toLong * 3600L * 1000L)
+            .getOrElse(7L * 24L * 3600L * 1000L))
       case RestoreRe(ident, v) =>
         GraftRestoreCommand(spark, mt(parseMultipartIdentifier(ident)),
           v.toLong)
@@ -95,7 +103,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           Option(keep).map(_.toInt))
       case _ =>
         val plan = delegate.parsePlan(sqlText)
-        if (!plan.exists(_.isInstanceOf[RelationTimeTravel])) plan
+        // the time-travel probe is ALWAYS ON (every spark.sql call
+        // funnels through here), so it must be provably O(1) for the
+        // 99.9% of statements with no time travel: a `VERSION AS OF`
+        // clause cannot parse into RelationTimeTravel without the
+        // token "VERSION" in the text, and the cheap contains-check
+        // skips the O(plan) traversal entirely
+        if (!containsIgnoreCase(sqlText, "VERSION") ||
+          !plan.exists(_.isInstanceOf[RelationTimeTravel])) plan
         else plan.transformUp {
           case RelationTimeTravel(ur: UnresolvedRelation, None, Some(v))
               if v.nonEmpty && v.forall(_.isDigit) &&
@@ -125,12 +140,26 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 }
 
 object GraftSqlParser {
+  /** Allocation-free case-insensitive substring probe — the always-on
+    * pre-check must not itself pay an upper-cased copy of every
+    * statement. */
+  private[plans] def containsIgnoreCase(s: String, token: String): Boolean = {
+    val n = token.length
+    var i = 0
+    while (i <= s.length - n) {
+      if (s.regionMatches(true, i, token, 0, n)) return true
+      i += 1
+    }
+    false
+  }
+
   private val Ident = """((?:[\w]+|`[^`]+`)(?:\.(?:[\w]+|`[^`]+`))*)"""
   private val DescribeHistoryRe =
     ("""(?is)^DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^VACUUM\s+""" + Ident +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(?:\s+GRACE\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^RESTORE\s+(?:TABLE\s+)?""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -166,14 +195,17 @@ private[plans] trait VersionOut extends LeafRunnableCommand {
     Seq(AttributeReference("version", LongType, nullable = false)())
 }
 
-/** `VACUUM t RETAIN n VERSIONS` — physical GC under the retention
-  * window; returns the current version. */
+/** `VACUUM t [RETAIN n VERSIONS] [GRACE h HOURS]` — physical GC under
+  * the retention window; files younger than the grace window survive
+  * (default 7 days — protects racing writers' staged-but-uncommitted
+  * artifacts and same-week time travel); returns the current version. */
 case class GraftVacuumCommand(@transient session: SparkSession,
-                              @transient tbl: CatalogTable, keep: Int)
+                              @transient tbl: CatalogTable, keep: Int,
+                              minAgeMs: Long)
   extends VersionOut {
   override def run(spark: SparkSession): Seq[Row] = {
     val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
-    Manifest.vacuum(spark, root, keepVersions = keep)
+    Manifest.vacuum(spark, root, keepVersions = keep, minAgeMs = minAgeMs)
     Seq(Row(Manifest.current(spark, root).map(_._1).getOrElse(0L)))
   }
 }

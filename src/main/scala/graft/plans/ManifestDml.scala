@@ -88,13 +88,25 @@ case class ManifestDmlResolution(spark: SparkSession)
     }
   }
 
-  /** `ON` clause as same-name equality keys, if it is exactly that. */
-  private def mergeKeys(cond: Expression): Option[Seq[String]] = cond match {
-    case And(l, r) =>
-      for { a <- mergeKeys(l); b <- mergeKeys(r) } yield a ++ b
-    case EqualTo(a: AttributeReference, b: AttributeReference)
-        if a.name == b.name => Some(Seq(a.name))
-    case _ => None
+  /** `ON` clause as same-name equality keys, if it is exactly that —
+    * and each equality must bind one side to the TARGET's output and
+    * the other to the SOURCE's (by exprId): `ON t.x = t.x` (or any
+    * same-side self-equality whose name both relations carry) is NOT
+    * a merge key, and accepting it would silently rewrite a statement
+    * stock Spark rejects into a keyed whole-row upsert. */
+  private def mergeKeys(cond: Expression, targetOut: Seq[Attribute],
+                        sourceOut: Seq[Attribute]): Option[Seq[String]] = {
+    val tIds = targetOut.map(_.exprId).toSet
+    val sIds = sourceOut.map(_.exprId).toSet
+    def walk(e: Expression): Option[Seq[String]] = e match {
+      case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name &&
+            ((tIds(a.exprId) && sIds(b.exprId)) ||
+              (sIds(a.exprId) && tIds(b.exprId))) => Some(Seq(a.name))
+      case _ => None
+    }
+    walk(cond)
   }
 
   /** A MATCHED/NOT-MATCHED action is "whole-row by name" when it is
@@ -134,7 +146,8 @@ case class ManifestDmlResolution(spark: SparkSession)
       case m: MergeIntoTable if m.childrenResolved &&
           m.mergeCondition.resolved &&
           manifestTarget(m.targetTable).isDefined &&
-          mergeKeys(m.mergeCondition).isDefined &&
+          mergeKeys(m.mergeCondition, m.targetTable.output,
+            m.sourceTable.output).isDefined &&
           !m.withSchemaEvolution &&
           m.notMatchedBySourceActions.isEmpty && {
             // exactly UPDATE SET * / INSERT *, as parsed (star actions)
@@ -162,7 +175,8 @@ case class ManifestDmlResolution(spark: SparkSession)
             s"source columns ${sourceCols.toSeq.sorted.mkString(",")} must " +
             s"equal target columns ${targetCols.toSeq.sorted.mkString(",")}")
         GraftMergeCommand(rootOf(tbl), m.sourceTable,
-          mergeKeys(m.mergeCondition).get.distinct, partColOf(tbl))
+          mergeKeys(m.mergeCondition, m.targetTable.output,
+            m.sourceTable.output).get.distinct, partColOf(tbl))
 
       // INSERT INTO / INSERT OVERWRITE a manifest table: without this,
       // Spark's own InsertIntoHadoopFsRelationCommand writes part
@@ -176,10 +190,22 @@ case class ManifestDmlResolution(spark: SparkSession)
       case i: org.apache.spark.sql.execution.datasources
           .InsertIntoHadoopFsRelationCommand
           if i.catalogTable.exists(t =>
-            t.properties.get(GraftTable.PropManifest).contains("true") &&
-              !t.properties.contains(GraftTable.PropVersionAsOf) &&
-              !t.properties.contains(GraftTable.PropGroup)) =>
+            t.properties.get(GraftTable.PropManifest).contains("true")) =>
         val tbl = i.catalogTable.get
+        // a version-pinned or group-member registration must refuse
+        // LOUDLY: DELETE/UPDATE/MERGE against one fall through to
+        // Spark's own v2-only analysis error, but INSERT has a stock
+        // v1 path (InsertIntoHadoopFsRelationCommand) that would
+        // happily write part files NO manifest ever publishes —
+        // silently invisible rows swept into the next listing-based
+        // commit, the exact trap this rule exists to prevent
+        if (tbl.properties.contains(GraftTable.PropVersionAsOf) ||
+            tbl.properties.contains(GraftTable.PropGroup))
+          throw new UnsupportedOperationException(
+            s"INSERT into ${tbl.identifier} is not supported — the " +
+              s"table is a version/group-pinned registration (a read " +
+              s"snapshot); write through the unpinned registration of " +
+              s"the same root instead")
         if (i.staticPartitions.nonEmpty)
           throw new UnsupportedOperationException(
             s"INSERT … PARTITION(col=value) into manifest table " +

@@ -267,21 +267,25 @@ object Manifest {
     // Retention spark.graft.manifest.logRetention (default 2N) bounds
     // reader lag: a stream checkpointed within the last 2N versions
     // still resumes. The commit IS published at this point — log
-    // maintenance failure must not be reported as a commit failure.
-    val interval = spark.conf
-      .get("spark.graft.manifest.checkpointInterval", "0").toInt
-    if (interval > 0 && v % interval == 0) {
-      try {
+    // maintenance failure must not be reported as a commit failure,
+    // so EVERYTHING from here on (including the conf parse: a
+    // malformed interval value throwing outside the guard would make
+    // CAS callers retry/abort a commit that landed) runs inside the
+    // NonFatal guard.
+    try {
+      val interval = spark.conf
+        .get("spark.graft.manifest.checkpointInterval", "0").toInt
+      if (interval > 0 && v % interval == 0) {
         checkpoint(spark, root, Some(v))
         val keep = spark.conf
           .get("spark.graft.manifest.logRetention", (2 * interval).toString)
           .toInt
         cleanLog(spark, root, keep)
-      } catch { case scala.util.control.NonFatal(e) =>
-        Console.err.println(
-          s"[manifest] auto-checkpoint at $root v$v failed " +
-            s"(commit itself is published): ${e.getMessage}")
       }
+    } catch { case scala.util.control.NonFatal(e) =>
+      Console.err.println(
+        s"[manifest] auto-checkpoint at $root v$v failed " +
+          s"(commit itself is published): ${e.getMessage}")
     }
     Some(v)
   }
@@ -1586,11 +1590,21 @@ object Manifest {
       try out.write(s"""{"version":$v}""".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      // plain rename-with-replace: the pointer is a monotonic hint and
-      // either racer's value is a valid checkpoint
+      // delete-then-rename, with a lost rename treated as a BENIGN
+      // lost race: two racing checkpointers can both pass the
+      // monotonic check, and on stores without rename-with-replace
+      // the loser's rename fails — its checkpoint file published
+      // fine, and the winner's pointer value is a valid (>= some
+      // retained) checkpoint, so failing the whole CHECKPOINT command
+      // for it would report an error for a success. Only when the
+      // pointer is MISSING after a failed rename (both the delete and
+      // our rename lost) is it a real publish failure.
       fs.delete(new Path(dir, LastCheckpointFile), false)
-      require(fs.rename(tmp, new Path(dir, LastCheckpointFile)),
-        s"could not publish $LastCheckpointFile under $root")
+      if (!fs.rename(tmp, new Path(dir, LastCheckpointFile))) {
+        fs.delete(tmp, false)
+        require(fs.exists(new Path(dir, LastCheckpointFile)),
+          s"could not publish $LastCheckpointFile under $root")
+      }
     }
     v
   }

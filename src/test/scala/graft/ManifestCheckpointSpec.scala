@@ -192,4 +192,36 @@ class ManifestCheckpointSpec extends SparkTestBase {
       } finally sink.stop()
     }
   }
+
+  test("a malformed checkpointInterval conf value must NOT be reported " +
+    "as a commit failure — the commit is already published when log " +
+    "maintenance runs") {
+    val root = Files.createTempDirectory("graft_ckpt_badconf").toString + "/t"
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(root)
+    Manifest.bootstrap(spark, root)
+    withConf("spark.graft.manifest.checkpointInterval" -> "not-a-number") {
+      val live = Manifest.current(spark, root).get._2
+      val v = Manifest.tryCommit(spark, root, live, 1L)
+      assert(v.contains(2L),
+        "tryCommit must succeed; the conf parse failure is maintenance")
+      assert(Manifest.current(spark, root).get._1 == 2L)
+    }
+  }
+
+  test("a lost _last_checkpoint pointer race is benign: the loser's " +
+    "checkpoint file published, and the command succeeds") {
+    val root = Files.createTempDirectory("graft_ckpt_race").toString + "/t"
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(root)
+    Manifest.bootstrap(spark, root)
+    val live = Manifest.current(spark, root).get._2
+    Manifest.commit(spark, root, live) // v2
+    // a rival already advanced the pointer PAST what our checkpoint
+    // would write — our checkpoint(v1) must still succeed (its file
+    // publishes; the pointer stays at the newer version)
+    Manifest.checkpoint(spark, root, Some(2L))
+    assert(Manifest.lastCheckpoint(spark, root).contains(2L))
+    Manifest.checkpoint(spark, root, Some(1L)) // must not throw/regress
+    assert(Manifest.lastCheckpoint(spark, root).contains(2L),
+      "the pointer never regresses")
+  }
 }

@@ -149,4 +149,41 @@ class SqlDmlSpec extends SparkTestBase {
     assert(rows(name) == Set((1L, "d1", 10L), (2L, "d1", 20L),
       (3L, "d2", 30L), (4L, "d3", 40L)))
   }
+
+  test("INSERT into a version/group-pinned registration refuses LOUDLY " +
+    "— the stock v1 insert would write part files no manifest commits") {
+    val (root, name) = mkTable()
+    GraftTable.register(spark, "graft_dml", s"pin_ins$n", root,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v BIGINT, day STRING")),
+      partitionCols = Seq("day"), versionAsOf = Some(1L))
+    val (fs, rootP) = ((new org.apache.hadoop.fs.Path(root))
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(root))
+    val before = Manifest.listDataFiles(fs, rootP)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"INSERT INTO graft_dml.pin_ins$n VALUES (9, 90, 'd9')")
+    }
+    assert(e.getMessage.contains("pinned"), e.getMessage)
+    assert(Manifest.listDataFiles(fs, rootP) == before,
+      "no stray part files may land on a refused pinned insert")
+    assert(rows(name).size == 4)
+  }
+
+  test("MERGE whose ON clause is a same-side self-equality (t.id = " +
+    "t.id) is NOT a merge key — falls through to Spark's own error, " +
+    "never a silent keyed whole-row upsert") {
+    val (root, name) = mkTable()
+    Seq((1L, "d1", 111L)).toDF("id", "day", "v")
+      .createOrReplaceTempView("dml_selfeq_src")
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $name t USING dml_selfeq_src s ON t.id = t.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(rows(name) == Set((1L, "d1", 10L), (2L, "d1", 20L),
+      (3L, "d2", 30L), (4L, "d3", 40L)), "table untouched")
+    assert(root.nonEmpty)
+  }
 }

@@ -108,11 +108,70 @@ class SqlOpsSpec extends SparkTestBase {
     assert(Manifest.versions(spark, root).size <= 6,
       "RETAIN must have compacted the per-commit suffix")
     assert(ids(s"SELECT * FROM $name") == before)
-    // VACUUM RETAIN 1 VERSIONS: physical GC, old versions unreadable
-    spark.sql(s"VACUUM $name RETAIN 1 VERSIONS")
+    // VACUUM RETAIN 1 VERSIONS GRACE 0 HOURS: physical GC, old
+    // versions unreadable (the explicit zero-grace opt-out — a bare
+    // VACUUM keeps a 7-day grace window, tested below)
+    spark.sql(s"VACUUM $name RETAIN 1 VERSIONS GRACE 0 HOURS")
     intercept[Exception](
       spark.sql(s"SELECT * FROM $name VERSION AS OF 2").collect())
     assert(ids(s"SELECT * FROM $name") == before)
+  }
+
+  test("bare VACUUM defaults to a 7-day grace window: freshly-written " +
+    "unreferenced files survive (a racing writer's staged artifacts " +
+    "and same-week time travel are protected)") {
+    val (root, name) = mkTable()                              // v1
+    // replace the snapshot: v1's files become unreferenced garbage
+    val live = Manifest.current(spark, root).get._2
+    Seq((9L, "d9", 90L)).toDF("id", "day", "v")
+      .write.mode("append").partitionBy("day").parquet(root)
+    val (fs, rootP) = ((new org.apache.hadoop.fs.Path(root))
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(root))
+    val all = Manifest.listDataFiles(fs, rootP)
+    Manifest.commit(spark, root, all.filterNot(live.toSet))   // v2: replace
+    spark.sql(s"VACUUM $name") // keep=1, grace=7d: nothing young dies
+    val after = Manifest.listDataFiles(fs, rootP).toSet
+    assert(live.forall(after), "grace window must keep the young " +
+      "unreferenced files a zero-grace vacuum would delete")
+    spark.sql(s"VACUUM $name GRACE 0 HOURS") // explicit opt-out
+    val after0 = Manifest.listDataFiles(fs, rootP).toSet
+    assert(live.forall(f => !after0(f)), "zero grace reclaims them")
+  }
+
+  test("the always-on time-travel probe is O(1) for plain statements: " +
+    "a statement without the VERSION token never traverses the plan") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.parser.ParserInterface
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+    // a plan that BOOBY-TRAPS traversal: any exists() walk throws
+    case class TraversalTrap() extends LeafNode {
+      override def output: Seq[Attribute] = Nil
+      override def exists(f: LogicalPlan => Boolean): Boolean =
+        throw new IllegalStateException("plan traversed")
+    }
+    val real = spark.sessionState.sqlParser
+    val trapDelegate = new ParserInterface {
+      override def parsePlan(sqlText: String): LogicalPlan = TraversalTrap()
+      override def parseExpression(s: String) = real.parseExpression(s)
+      override def parseTableIdentifier(s: String) =
+        real.parseTableIdentifier(s)
+      override def parseFunctionIdentifier(s: String) =
+        real.parseFunctionIdentifier(s)
+      override def parseMultipartIdentifier(s: String) =
+        real.parseMultipartIdentifier(s)
+      override def parseTableSchema(s: String) = real.parseTableSchema(s)
+      override def parseDataType(s: String) = real.parseDataType(s)
+      override def parseQuery(s: String): LogicalPlan = TraversalTrap()
+      override def parseRoutineParam(s: String) = real.parseRoutineParam(s)
+    }
+    val p = new graft.plans.GraftSqlParser(spark, trapDelegate)
+    // no VERSION token → the contains pre-check must skip the walk
+    assert(p.parsePlan("SELECT a FROM t WHERE b = 1").isInstanceOf[LeafNode])
+    // VERSION present → the probe runs (and trips the trap)
+    intercept[IllegalStateException] {
+      p.parsePlan("SELECT a FROM t VERSION AS OF 3")
+    }
   }
 
   test("maintenance statements refuse non-manifest targets loudly; " +
