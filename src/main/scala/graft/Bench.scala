@@ -84,32 +84,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val gaScaleHits = sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_HITS", "2000000").toLong
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup (no benchmark data touched — a throwaway
-    // synthetic parquet under /tmp): without it the alphabetically-first
-    // queries absorb seconds of JIT + first-use machinery cost (parquet
-    // reader, hash-agg/join/window codegen, AQE) and distort per-query
-    // numbers — q01 measured ~2.5 s of warmup on top of ~0.5 s of work.
-    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
-    spark.range(200000).selectExpr("id", "id % 97 AS k", "rand(7) AS v")
-      .write.mode("overwrite").parquet(warmDir)
-    val warm = spark.read.parquet(warmDir)
-    warm.filter("v > 0.1").groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
-      .join(warm.select("k").distinct(), "k")
-      .selectExpr("k", "s", "row_number() OVER (ORDER BY s) AS rn")
-      .write.format("noop").mode("overwrite").save()
-    // the warmup dataset is throwaway — don't accumulate it in /tmp
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
 
     // upper-middle median: conservative for even counts, exact for odd
     def median(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
@@ -138,6 +112,19 @@ object Bench {
     // passes EXCLUDED from the stats, and per-pass gc/tick_all
     // telemetry recorded so every outlier pass is explained in the
     // record, not averaged into it.
+    //
+    // ROUND-12 lesson: the fork must happen at the TOP of main, before
+    // this process creates its own SparkSession — BENCH_r12's ga_scale
+    // recorded 14.26 s warm against 8.1–9.6 s standalone at the same
+    // commit, with `valid: true` on every pass: the CPU-bound spin
+    // ticks are blind to memory-bandwidth/page-cache pressure from a
+    // large-heap sibling. Forking before any parquet warmup or suite
+    // heap exists removes the self-inflicted arm of that pressure, and
+    // the new tick_mem telemetry (a 256 MB random-walk pass inside the
+    // child) senses what remains: the validity gate now also excludes
+    // passes whose memory tick runs 1.5× above the run's best, and the
+    // recorded ticks let a judge divide cross-round ga_scale drift by
+    // memory-tick drift the way calibration already divides CPU drift.
     val gaScaleIters =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_ITERS", "5").toInt)
     val gaScaleWarmup =
@@ -173,7 +160,7 @@ object Bench {
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream))
         case class Pass(sec: Double, gcSec: Double, gcN: Long,
-                        tick1t: Double, tickAll: Double)
+                        tick1t: Double, tickAll: Double, tickMem: Double)
         val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
         var line: String = null
         while ({ line = reader.readLine(); line != null }) {
@@ -182,7 +169,7 @@ object Bench {
               (s""""$k":(-?[0-9.]+)""").r.findFirstMatchIn(line)
                 .map(_.group(1).toDouble).getOrElse(-1.0)
             passes += Pass(f("sec"), f("gc_sec"), f("gc_n").toLong,
-              f("tick_1t"), f("tick_all"))
+              f("tick_1t"), f("tick_all"), f("tick_mem"))
           }
         }
         val rc = proc.waitFor()
@@ -198,8 +185,20 @@ object Bench {
         // load that distorted round 9/10 (a 4.3× tick spike observed
         // alongside a 1.7× wall-time outlier). Excluded passes stay in
         // the record with their telemetry.
+        //
+        // Round-12 addition: the MEMORY tick gate. The CPU ticks were
+        // flat while the wall numbers ran 65% high — the pressure was
+        // memory-bandwidth/page-cache, which only a cache-missing
+        // random walk senses. Threshold 1.5×: the mem tick is a
+        // dependent-load chain, much steadier than the all-core spin
+        // (thread scheduling doesn't touch it), so a tighter gate
+        // doesn't discard healthy passes.
         val bestTickAll = passes.map(_.tickAll).min
-        val valid = measured.map(_.tickAll <= bestTickAll * 2.0)
+        val memTicks = passes.map(_.tickMem).filter(_ > 0)
+        val bestTickMem = if (memTicks.nonEmpty) memTicks.min else -1.0
+        val valid = measured.map(p => p.tickAll <= bestTickAll * 2.0 &&
+          (p.tickMem <= 0 || bestTickMem <= 0 ||
+            p.tickMem <= bestTickMem * 1.5))
         val warmValid = measured.zip(valid).collect { case (p, true) => p.sec }
         val warmPasses = if (warmValid.nonEmpty) warmValid
                          else measured.map(_.sec)
@@ -212,12 +211,41 @@ object Bench {
         def d2(t: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
         def d3(t: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
         def arr(xs: Seq[String]) = xs.mkString("[", ",", "]")
-        s"""{"hits":$gaScaleHits,"protocol":"fresh-jvm","heap":"$gaScaleMem","warmup_passes":$gaScaleWarmup,"iterations":${measured.length},"sec":${d2(warmSec)},"sec_cold":${d2(coldSec)},"sec_warm":${d2(warmSec)},"sec_min":${d2(bestSec)},"spread":${d2(spread)},"sec_all":${arr(passes.map(p => d2(p.sec)).toSeq)},"gc_sec_all":${arr(passes.map(p => d2(p.gcSec)).toSeq)},"gc_n_all":${arr(passes.map(_.gcN.toString).toSeq)},"ticks":${arr(passes.map(p => d3(p.tick1t)).toSeq)},"ticks_all":${arr(passes.map(p => d3(p.tickAll)).toSeq)},"valid":${arr(valid.map(_.toString))},"n_warm_valid":${warmValid.length},"hits_per_sec":${(gaScaleHits / warmSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
+        s"""{"hits":$gaScaleHits,"protocol":"fresh-jvm-first","heap":"$gaScaleMem","warmup_passes":$gaScaleWarmup,"iterations":${measured.length},"sec":${d2(warmSec)},"sec_cold":${d2(coldSec)},"sec_warm":${d2(warmSec)},"sec_min":${d2(bestSec)},"spread":${d2(spread)},"sec_all":${arr(passes.map(p => d2(p.sec)).toSeq)},"gc_sec_all":${arr(passes.map(p => d2(p.gcSec)).toSeq)},"gc_n_all":${arr(passes.map(_.gcN.toString).toSeq)},"ticks":${arr(passes.map(p => d3(p.tick1t)).toSeq)},"ticks_all":${arr(passes.map(p => d3(p.tickAll)).toSeq)},"ticks_mem":${arr(passes.map(p => d3(p.tickMem)).toSeq)},"valid":${arr(valid.map(_.toString))},"n_warm_valid":${warmValid.length},"hits_per_sec":${(gaScaleHits / warmSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
         errors += "ga_scale"
         "null"
       }
+
+    // The suite JVM's Spark session is created only AFTER the ga_scale
+    // child finished: the fork order is the round-12 fix (see above).
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup (no benchmark data touched — a throwaway
+    // synthetic parquet under /tmp): without it the alphabetically-first
+    // queries absorb seconds of JIT + first-use machinery cost (parquet
+    // reader, hash-agg/join/window codegen, AQE) and distort per-query
+    // numbers — q01 measured ~2.5 s of warmup on top of ~0.5 s of work.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    spark.range(200000).selectExpr("id", "id % 97 AS k", "rand(7) AS v")
+      .write.mode("overwrite").parquet(warmDir)
+    val warm = spark.read.parquet(warmDir)
+    warm.filter("v > 0.1").groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      .join(warm.select("k").distinct(), "k")
+      .selectExpr("k", "s", "row_number() OVER (ORDER BY s) AS rn")
+      .write.format("noop").mode("overwrite").save()
+    // the warmup dataset is throwaway — don't accumulate it in /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -242,7 +270,18 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val passGcSec = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passWallSec = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to iters) {
+    // STEADY-STATE STOP RULE (round-12 verdict #6): r12's pass walls
+    // were still descending at pass 3 (709 → 511 → 410 s — JIT/code-
+    // cache ramp across 256 queries), so the per-query min was mostly
+    // a single-pass sample carrying that pass's noise. Run at least
+    // `iters` passes, then keep going (up to maxIters, default
+    // iters+2) until the last two pass walls agree within 10% — the
+    // min then has at least two steady-state passes behind it.
+    val maxIters = math.max(iters, sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_MAX_ITERS", (iters + 2).toString).toInt)
+    var benchPass = 0
+    var steady = false
+    while (benchPass < iters || (!steady && benchPass < maxIters)) {
       val passG0 = gcMs(); val passW0 = System.nanoTime()
       SparkEntry.clearMemos()
       names.foreach { case (name, fn) =>
@@ -273,6 +312,12 @@ object Bench {
       }
       passGcSec += (gcMs() - passG0) / 1e3
       passWallSec += (System.nanoTime() - passW0) / 1e9
+      benchPass += 1
+      steady = passWallSec.length >= 2 && {
+        val prev = passWallSec(passWallSec.length - 2)
+        val last = passWallSec.last
+        math.abs(last - prev) / math.max(prev, 1e-9) <= 0.10
+      }
     }
     val med = names.map { case (n, _) =>
       n -> times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0) }
@@ -301,7 +346,7 @@ object Bench {
     def darr(xs: Seq[Double]) = xs.map(d2c).mkString("[", ",", "]")
     val calibJson =
       s"""{"sec_1t":${d2c(calib1t)},"sec_nt":${d2c(calibNt)},"sec_1t_end":${d2c(calib1tEnd)},"sec_nt_end":${d2c(calibNtEnd)},"threads":$calibThreads}"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$iters,"queries":${jmap(mins)},"queries_median":${jmap(med)},"queries_spread":${jmap(spread)},"queries_build":${jmap(buildMed)},"setup_sec":${jmap(setupMed)},"pass_gc_sec":${darr(passGcSec.toSeq)},"pass_wall_sec":${darr(passWallSec.toSeq)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"method":"noop-sink full materialization; per-query MIN of $iters passes is the headline (round-11 verdict: one-JVM medians are contaminated by accumulated heap state; min is the statistic noise can only inflate) with the median in queries_median and med/min in queries_spread; per-pass GC seconds in pass_gc_sec explain any large spread; DataFrame-construction share in queries_build; one-time fixture/artifact cost in setup_sec, excluded from the query time; ga_scale = fresh-JVM child, warmup passes excluded, all-core-tick contention gate; calibration = fixed 400M-iter xorshift loop, 1-thread and all-cores, at start and end","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$benchPass,"queries":${jmap(mins)},"queries_median":${jmap(med)},"queries_spread":${jmap(spread)},"queries_build":${jmap(buildMed)},"setup_sec":${jmap(setupMed)},"pass_gc_sec":${darr(passGcSec.toSeq)},"pass_wall_sec":${darr(passWallSec.toSeq)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"method":"noop-sink full materialization; per-query MIN of $benchPass passes is the headline (round-11 verdict: one-JVM medians are contaminated by accumulated heap state; min is the statistic noise can only inflate) with the median in queries_median and med/min in queries_spread; per-pass GC seconds in pass_gc_sec explain any large spread; DataFrame-construction share in queries_build; one-time fixture/artifact cost in setup_sec, excluded from the query time; ga_scale = fresh-JVM child forked BEFORE the suite (round-12: the CPU ticks are blind to sibling memory pressure), warmup passes excluded, all-core-tick + memory-tick contention gates; suite passes continue past the minimum until the last two pass walls agree within 10% (steady-state stop rule); calibration = fixed 400M-iter xorshift loop, 1-thread and all-cores, at start and end","sf":"$sfDir"}"""
     // The FULL record (per-query medians + mins for all queries) lands
     // in a file only: BENCH_r05/r06's stdout tail truncated mid-value —
     // a 115-entry map is larger than the driver's tail window, so the
@@ -322,7 +367,7 @@ object Bench {
     val spreadMap = spread.toMap
     val headlineMap = headline.flatMap(n => minMap.get(n).map(n -> _))
     val headlineSpread = headline.flatMap(n => spreadMap.get(n).map(n -> _))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$iters,"n_queries":${med.size},"queries":${jmap(headlineMap)},"queries_spread":${jmap(headlineSpread)},"pass_gc_sec":${darr(passGcSec.toSeq)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$benchPass,"n_queries":${med.size},"queries":${jmap(headlineMap)},"queries_spread":${jmap(headlineSpread)},"pass_gc_sec":${darr(passGcSec.toSeq)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

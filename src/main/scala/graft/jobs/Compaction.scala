@@ -130,7 +130,7 @@ object Compaction {
   def compactAtomic(spark: SparkSession, path: String, partCol: String,
                     targetBytes: Long = 128L * 1024 * 1024,
                     partitions: Option[Set[String]] = None,
-                    keepVersions: Int = 1): Unit = {
+                    keepVersions: Int = 1): Long = {
     import graft.sources.Manifest
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val sess = spark.newSession()
@@ -158,7 +158,7 @@ object Compaction {
         stats.view.filterKeys(ps).toMap
       case None => stats
     }
-    if (selected.isEmpty) return
+    if (selected.isEmpty) return Manifest.current(sess, path).get._1
     val counts = selected.map { case (value, bytes) =>
       value -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     }
@@ -172,8 +172,47 @@ object Compaction {
       .drop("_n", "_salt")
     val newFiles = Manifest.stagePartitionReplacement(sess, path, partCol,
       salted, counts.keys.toSeq)
-    Manifest.commit(sess, path, newFiles)
-    Manifest.vacuum(sess, path, keepVersions)
+    val v = Manifest.commit(sess, path, newFiles)
+    // keepVersions <= 0 = do NOT vacuum (SQL OPTIMIZE leaves old files
+    // for time travel; VACUUM is its own statement)
+    if (keepVersions > 0) Manifest.vacuum(sess, path, keepVersions)
+    v
+  }
+
+  /** [[compactAtomic]] for an UNPARTITIONED manifest table: one
+    * full-replacement commit packing the DV-filtered snapshot into
+    * `ceil(bytes / targetBytes)` files. Because the rewrite reads
+    * through the deletion vectors, pending deletes MATERIALIZE and
+    * their refs drop with the commit (`dvs = Some(Nil)` — every old
+    * file is replaced, so no carried DV could name a live row). A
+    * table already at or under the target file count with no pending
+    * DVs is left untouched (no empty commit). Returns the current
+    * version either way. */
+  def compactAtomicFlat(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L * 1024 * 1024,
+                        keepVersions: Int = 1): Long = {
+    import graft.sources.Manifest
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
+    Manifest.bootstrap(sess, path)
+    val (v0, live) = Manifest.current(sess, path).get
+    if (live.isEmpty) return v0
+    val (fs, rootP) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(sess.sessionState.newHadoopConf()), p)
+    }
+    val bytes = live.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(rootP, f)).getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val dvs = Manifest.dvsAt(sess, path, v0)
+    if (live.size <= n && dvs.isEmpty) return v0 // already compact
+    val packed = Manifest.read(sess, path).repartition(n)
+    val created = Manifest.stageUniqueFlat(sess, fs, rootP, packed)
+    val v = Manifest.commit(sess, path, created, dvs = Some(Nil))
+    if (keepVersions > 0) Manifest.vacuum(sess, path, keepVersions)
+    v
   }
 
   /** OPTIMIZE … ZORDER BY (x, y) — the clustered rewrite every table
@@ -217,7 +256,23 @@ object Compaction {
                      statsCols: Seq[String] = Nil,
                      numFiles: Int = 0,
                      bloomColumn: Option[String] = None,
-                     bloomIndexPath: Option[String] = None): Long = {
+                     bloomIndexPath: Option[String] = None): Long =
+    optimizeZOrderN(spark, path, Seq(x, y), partCol, zBits, statsCols,
+      numFiles, bloomColumn, bloomIndexPath)
+
+  /** [[optimizeZOrder]] at any clustering arity ≥ 1 (round-12 verdict
+    * #3): one column = a plain ORDER-BY layout (perfect pruning on
+    * that column), n columns = the n-ary Morton curve (~n-th-root
+    * pruning on each). */
+  def optimizeZOrderN(spark: SparkSession, path: String,
+                      zCols: Seq[String],
+                      partCol: Option[String] = None,
+                      zBits: Int = 10,
+                      statsCols: Seq[String] = Nil,
+                      numFiles: Int = 0,
+                      bloomColumn: Option[String] = None,
+                      bloomIndexPath: Option[String] = None): Long = {
+    require(zCols.nonEmpty, "optimizeZOrder needs at least one column")
     require(bloomColumn.isDefined == bloomIndexPath.isDefined,
       "bloomColumn and bloomIndexPath come together")
     import graft.operators.ZOrder
@@ -234,7 +289,7 @@ object Compaction {
     }
     val snapshot = Manifest.read(sess, path) // DV-filtered: deletes die here
     val clustered =
-      ZOrder.layoutBy(snapshot, col(x), col(y), zBits, numFiles)
+      ZOrder.layoutByN(snapshot, zCols.map(col), zBits, numFiles)
     val created = partCol match {
       case Some(pc) => Manifest.stageUnique(sess, fs, rootP, pc, clustered)
       case None => Manifest.stageUniqueFlat(sess, fs, rootP, clustered)
@@ -242,7 +297,7 @@ object Compaction {
     // full replacement: ONLY the clustered files are live; pending DVs
     // are materialized by the rewrite, so their refs drop atomically
     val v = Manifest.commit(sess, path, created, dvs = Some(Nil))
-    val cols = if (statsCols.nonEmpty) statsCols else Seq(x, y)
+    val cols = if (statsCols.nonEmpty) statsCols else zCols
     Manifest.writeStats(sess, path, v)
     Manifest.writeColStats(sess, path, v, cols)
     // derived-artifact refresh is part of the OPTIMIZE, not a separate

@@ -29,10 +29,12 @@ import graft.sources.{GraftTable, Manifest, ManifestTableResolution}
   *  - accepts the operational statements every table format grows
   *    (Delta's public SQL surface), each dispatching to the existing
   *    operator with its full contract:
+  *      `CREATE TABLE … USING graft`              → GraftTable.register
   *      `DESCRIBE HISTORY t`                      → Manifest.history
-  *      `VACUUM t [RETAIN n VERSIONS]`            → Manifest.vacuum
+  *      `VACUUM t [RETAIN n VERSIONS] [GRACE h HOURS]` → Manifest.vacuum
   *      `RESTORE TABLE t TO VERSION AS OF v`      → Manifest.restore
-  *      `OPTIMIZE t ZORDER BY (x, y)`             → Compaction.optimizeZOrder
+  *      `OPTIMIZE t`                              → Compaction.compactAtomic[Flat]
+  *      `OPTIMIZE t ZORDER BY (c1, …, cn)`        → Compaction.optimizeZOrderN
   *      `CHECKPOINT t [RETAIN n VERSIONS]`        → Manifest.checkpoint (+ cleanLog)
   *    None of these collide with Spark grammar except `DESCRIBE
   *    HISTORY t`, which stock Spark would read as describing a table
@@ -79,6 +81,19 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     val t = sqlText.trim
     val mt: Seq[String] => CatalogTable = requireManifest
     t match {
+      case CreateGraftRe(ifNotExists, ident, cols, partCols, location, props) =>
+        val parts = parseMultipartIdentifier(ident)
+        val schema = Option(cols).map(c =>
+          StructType.fromDDL(c.trim.stripSuffix(",")))
+        val pcols = Option(partCols).toSeq.flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        val kv = Option(props).map { p =>
+          TblPropRe.findAllMatchIn(p)
+            .map(m => m.group(1) -> m.group(2)).toMap
+        }.getOrElse(Map.empty)
+        GraftCreateTableCommand(spark, parts,
+          ifNotExists = ifNotExists != null, schema, pcols,
+          Option(location), kv)
       case DescribeHistoryRe(ident) =>
         GraftHistoryCommand(spark, mt(parseMultipartIdentifier(ident)))
       case VacuumRe(ident, keep, graceHours) =>
@@ -95,9 +110,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       case RestoreRe(ident, v) =>
         GraftRestoreCommand(spark, mt(parseMultipartIdentifier(ident)),
           v.toLong)
-      case OptimizeRe(ident, c1, c2) =>
+      case OptimizeRe(ident, colList) =>
         GraftOptimizeCommand(spark, mt(parseMultipartIdentifier(ident)),
-          c1.trim, c2.trim)
+          Option(colList).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty))
       case CheckpointRe(ident, keep) =>
         GraftCheckpointCommand(spark, mt(parseMultipartIdentifier(ident)),
           Option(keep).map(_.toInt))
@@ -154,6 +171,18 @@ object GraftSqlParser {
   }
 
   private val Ident = """((?:[\w]+|`[^`]+`)(?:\.(?:[\w]+|`[^`]+`))*)"""
+  /** `CREATE TABLE [IF NOT EXISTS] t [(cols)] USING graft
+    * [PARTITIONED BY (c, …)] [LOCATION 'path'] [TBLPROPERTIES (…)]` —
+    * the SQL face of [[graft.sources.GraftTable.register]]. The lazy
+    * column group tolerates nested parens (DECIMAL(10,2)) because the
+    * `) USING` anchor forces the backtrack. */
+  private val CreateGraftRe =
+    ("""(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" + Ident +
+      """\s*(?:\((.+?)\)\s*)?USING\s+graft""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?""" +
+      """(?:\s+TBLPROPERTIES\s*\((.+)\))?\s*;?\s*$""").r
+  private val TblPropRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val DescribeHistoryRe =
     ("""(?is)^DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
   private val VacuumRe =
@@ -165,7 +194,7 @@ object GraftSqlParser {
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^OPTIMIZE\s+""" + Ident +
-      """\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\)\s*;?\s*$""").r
+      """(?:\s+ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""").r
   private val CheckpointRe =
     ("""(?is)^CHECKPOINT\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
@@ -222,12 +251,26 @@ case class GraftRestoreCommand(@transient session: SparkSession,
   }
 }
 
-/** `OPTIMIZE t ZORDER BY (x, y)` — one atomic clustered rewrite with
-  * colstats refresh (+ bloom-index refresh when the table declares
-  * one). Partitioned layouts keep their directory partitioning. */
+/** `OPTIMIZE t [ZORDER BY (c1, …, cn)]` (round-12 verdict #3 closed
+  * both hard edges of the old two-column-only form):
+  *
+  *  - PLAIN `OPTIMIZE t` = bin-packing small-file compaction through
+  *    the commit log — the single most common maintenance statement on
+  *    a streaming-sink table (every trigger = one commit = small
+  *    files; checkpointing bounds the LOG, this bounds the FILES).
+  *    Content-identical by construction; old files stay for time
+  *    travel (no vacuum side effect — VACUUM is its own statement).
+  *  - `ZORDER BY (c1)` = ORDER-BY layout; `(c1, …, cn)` = the n-ary
+  *    Morton curve. Atomic full-replacement commit with colstats
+  *    refresh; pending deletion vectors materialize in the rewrite.
+  *
+  * Both arms refresh the table's bloom index when one is declared (a
+  * rewrite retires every indexed file; fail-open keeps a stale index
+  * CORRECT but pruning nothing). Partitioned layouts keep their
+  * directory partitioning. */
 case class GraftOptimizeCommand(@transient session: SparkSession,
                                 @transient tbl: CatalogTable,
-                                x: String, y: String)
+                                zCols: Seq[String])
   extends VersionOut {
   override def run(spark: SparkSession): Seq[Row] = {
     val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
@@ -238,12 +281,110 @@ case class GraftOptimizeCommand(@transient session: SparkSession,
         s"OPTIMIZE supports one-level partitioning, " +
           s"${tbl.identifier} has ${more.mkString(", ")}")
     }
-    val v = graft.jobs.Compaction.optimizeZOrder(spark, root, x, y,
-      partCol = partCol,
-      bloomColumn = tbl.properties.get(GraftTable.PropBloomCol),
-      bloomIndexPath = tbl.properties.get(GraftTable.PropBloomIdx))
+    val bloomCol = tbl.properties.get(GraftTable.PropBloomCol)
+    val bloomIdx = tbl.properties.get(GraftTable.PropBloomIdx)
+    val v =
+      if (zCols.nonEmpty)
+        graft.jobs.Compaction.optimizeZOrderN(spark, root, zCols,
+          partCol = partCol, bloomColumn = bloomCol,
+          bloomIndexPath = bloomIdx)
+      else {
+        val cv = partCol match {
+          case Some(pc) => graft.jobs.Compaction.compactAtomic(
+            spark, root, pc, keepVersions = 0)
+          case None => graft.jobs.Compaction.compactAtomicFlat(
+            spark, root, keepVersions = 0)
+        }
+        (bloomCol, bloomIdx) match {
+          case (Some(c), Some(idx)) =>
+            graft.sources.BloomFileIndex.refresh(spark, root, c, idx): Unit
+          case _ => ()
+        }
+        cv
+      }
     spark.catalog.refreshByPath(root)
     Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE … USING graft` — SQL DDL for the lakehouse lifecycle
+  * (round-12 verdict #2): until now every manifest table entered the
+  * catalog through a library call ([[GraftTable.register]]); a user at
+  * the Athena-style SQL face creates tables in SQL first (the
+  * reference's Glue crawler auto-creates them —
+  * `cloudformation/collector-ga.yaml:605-635`). Semantics:
+  *
+  *  - `LOCATION 'root'` adopts an existing tree: bootstraps a manifest
+  *    if none exists (the crawler-over-landed-data shape), else joins
+  *    the existing commit log. Without LOCATION the warehouse default
+  *    path is used (a fresh, empty v0-files table INSERT then fills).
+  *  - `PARTITIONED BY` requires an explicit column list (the
+  *    catalog-as-truth discipline; inference can't see an empty tree).
+  *  - TBLPROPERTIES pass through the GraftTable pins: `graft.group`,
+  *    `graft.versionAsOf`, `graft.bloom.column` / `graft.bloom.index`.
+  *  - Without IF NOT EXISTS, an existing table fails loudly (stock
+  *    CREATE semantics — never a silent re-point).
+  *
+  * `DROP TABLE` needs no hook: a graft table is an EXTERNAL catalog
+  *  entry, so the stock statement unregisters it and leaves the data
+  *  tree + commit log intact — a re-CREATE over the same LOCATION
+  *  re-adopts them (spec-pinned). Returns the current manifest
+  *  version of the adopted/created root. */
+case class GraftCreateTableCommand(@transient session: SparkSession,
+                                   ident: Seq[String], ifNotExists: Boolean,
+                                   declaredSchema: Option[StructType],
+                                   partitionCols: Seq[String],
+                                   location: Option[String],
+                                   props: Map[String, String])
+  extends VersionOut {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (db, table) = ident match {
+      case Seq(t) => (spark.sessionState.catalog.getCurrentDatabase, t)
+      case Seq(d, t) => (d, t)
+      case Seq(cat, d, t) if cat == "spark_catalog" => (d, t)
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE USING graft: cannot resolve ${other.mkString(".")}")
+    }
+    val exists = try spark.catalog.tableExists(s"$db.$table")
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (exists) {
+      if (ifNotExists)
+        return Seq(Row(currentVersionOf(spark, db, table)))
+      throw new IllegalStateException(
+        s"table $db.$table already exists — CREATE TABLE IF NOT EXISTS " +
+          s"to no-op, or DROP TABLE first")
+    }
+    val unknown = props.keySet -- Set(GraftTable.PropGroup,
+      GraftTable.PropVersionAsOf, GraftTable.PropBloomCol,
+      GraftTable.PropBloomIdx, GraftTable.PropManifest)
+    require(unknown.isEmpty,
+      s"unknown TBLPROPERTIES for a graft table: ${unknown.mkString(", ")}")
+    val root = location.getOrElse {
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+        .toString
+    }
+    val (fs, rootP) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    if (!fs.exists(rootP)) fs.mkdirs(rootP)
+    Manifest.bootstrap(spark, root) // adopt the tree (no-op if logged)
+    GraftTable.register(spark, db, table, root,
+      bloomColumn = props.get(GraftTable.PropBloomCol),
+      bloomIndexPath = props.get(GraftTable.PropBloomIdx),
+      schema = declaredSchema, partitionCols = partitionCols,
+      group = props.get(GraftTable.PropGroup),
+      versionAsOf = props.get(GraftTable.PropVersionAsOf).map(_.toLong))
+    Seq(Row(Manifest.current(spark, root).map(_._1).getOrElse(0L)))
+  }
+
+  private def currentVersionOf(spark: SparkSession, db: String,
+                               table: String): Long = {
+    val tbl = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+    val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+    Manifest.current(spark, root).map(_._1).getOrElse(0L)
   }
 }
 

@@ -174,6 +174,99 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("plain OPTIMIZE: bin-packing compaction through the log — file " +
+    "count shrinks, content hash identical, old version still " +
+    "time-travels (no vacuum side effect)") {
+    val (root, name) = mkTable()
+    // fragment: 6 tiny appends → many small files per partition
+    for (i <- 10 to 15) {
+      Seq((i.toLong, s"d${i % 2}", i * 10L)).toDF("id", "day", "v")
+        .write.mode("append").partitionBy("day").parquet(root)
+      val (fs, rootP) = ((new org.apache.hadoop.fs.Path(root))
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(root))
+      Manifest.commit(spark, root, Manifest.listDataFiles(fs, rootP))
+    }
+    val before = spark.table(name)
+      .select(sum(col("id") * col("v"))).as[Long].head()
+    val vPre = Manifest.current(spark, root).get
+    val nFilesPre = vPre._2.size
+    val v = spark.sql(s"OPTIMIZE $name").as[Long].head()
+    val after = Manifest.filesAt(spark, root, v)
+    assert(after.size < nFilesPre,
+      s"compaction must shrink the file count: $nFilesPre -> ${after.size}")
+    assert(spark.table(name)
+      .select(sum(col("id") * col("v"))).as[Long].head() == before,
+      "content-identical")
+    // old snapshot still replays: OPTIMIZE does not vacuum
+    assert(ids(s"SELECT * FROM $name VERSION AS OF ${vPre._1}")
+      .contains(15L))
+  }
+
+  test("OPTIMIZE … ZORDER BY at arity 1 and 3: the generalized curve " +
+    "keeps content identical") {
+    val (root, name) = mkTable()
+    val before = ids(s"SELECT * FROM $name")
+    val v1 = spark.sql(s"OPTIMIZE $name ZORDER BY (id)").as[Long].head()
+    assert(ids(s"SELECT * FROM $name") == before)
+    val v3 = spark.sql(s"OPTIMIZE $name ZORDER BY (id, v, id)")
+      .as[Long].head()
+    assert(v3 == v1 + 1)
+    assert(ids(s"SELECT * FROM $name") == before)
+    assert(root.nonEmpty)
+  }
+
+  test("CREATE TABLE … USING graft adopts an existing tree; DROP " +
+    "TABLE unregisters without touching data; re-CREATE re-adopts the " +
+    "commit log") {
+    val root = Files.createTempDirectory("graft_sqlddl").toString + "/t"
+    Seq((1L, "d1", 10L), (2L, "d2", 20L)).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(root)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ops")
+    spark.sql("DROP TABLE IF EXISTS graft_ops.ddl1")
+    val ddl = s"""CREATE TABLE graft_ops.ddl1
+                 |(id BIGINT, v BIGINT, day STRING)
+                 |USING graft PARTITIONED BY (day) LOCATION '$root'""".stripMargin
+    val v1 = spark.sql(ddl).as[Long].head()
+    assert(v1 == 1L, "CREATE bootstrapped the tree as v1")
+    assert(ids("SELECT * FROM graft_ops.ddl1") == Set(1L, 2L))
+    // DML through the created name commits through the log
+    spark.sql("DELETE FROM graft_ops.ddl1 WHERE id = 1")
+    assert(ids("SELECT * FROM graft_ops.ddl1") == Set(2L))
+    // duplicate CREATE: loud without IF NOT EXISTS, no-op with
+    intercept[IllegalStateException](spark.sql(ddl).collect())
+    val vNoop = spark.sql(ddl.replace("CREATE TABLE",
+      "CREATE TABLE IF NOT EXISTS")).as[Long].head()
+    assert(vNoop == 2L, "IF NOT EXISTS no-ops at the current version")
+    // DROP unregisters; data + commit log stay
+    spark.sql("DROP TABLE graft_ops.ddl1")
+    assert(!spark.catalog.tableExists("graft_ops.ddl1"))
+    assert(Manifest.current(spark, root).exists(_._1 == 2L),
+      "the commit log must survive the catalog drop")
+    val vRe = spark.sql(ddl).as[Long].head()
+    assert(vRe == 2L, "re-CREATE adopts the existing log, no rebuild")
+    assert(ids("SELECT * FROM graft_ops.ddl1") == Set(2L),
+      "the re-adopted table serves the DV-filtered snapshot")
+  }
+
+  test("CREATE TABLE … USING graft without LOCATION starts an empty " +
+    "warehouse-path table that SQL INSERT then fills; unknown " +
+    "TBLPROPERTIES refuse loudly") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_ops")
+    spark.sql("DROP TABLE IF EXISTS graft_ops.ddl2")
+    spark.sql("""CREATE TABLE graft_ops.ddl2
+                |(id BIGINT, v BIGINT) USING graft""".stripMargin)
+    assert(spark.table("graft_ops.ddl2").count() == 0L,
+      "a fresh graft table reads as empty, not as an error")
+    spark.sql("INSERT INTO graft_ops.ddl2 VALUES (1, 10), (2, 20)")
+    assert(ids("SELECT * FROM graft_ops.ddl2") == Set(1L, 2L))
+    spark.sql("DROP TABLE IF EXISTS graft_ops.ddl3")
+    intercept[IllegalArgumentException] {
+      spark.sql("""CREATE TABLE graft_ops.ddl3 (id BIGINT) USING graft
+                  |TBLPROPERTIES ('graft.typo'='x')""".stripMargin)
+    }
+  }
+
   test("maintenance statements refuse non-manifest targets loudly; " +
     "everything else delegates verbatim") {
     intercept[UnsupportedOperationException] {
