@@ -359,7 +359,7 @@ object SparkEntry {
     Manifest.updateWhere(s, layout,
       pmod(col("o_orderkey"), lit(151)) === 0,
       Map("price_cents" -> (col("price_cents") + 1L)),
-      partCol = Some("w"))                                 // v4 update
+      partCols = Seq("w"))                                 // v4 update
     Manifest.commitPartitionReplacementCas(s, layout, "w",
       wave("2").withColumn("price_cents", col("price_cents") * 2L),
       touched = Seq("2"))                                  // v5 replace
@@ -415,6 +415,23 @@ object SparkEntry {
     val v2 = Manifest.commit(s, layout, lakeListing(s, layout))
     Manifest.writeSchema(s, layout, v2,
       facts.withColumn("discount_cents", lit(0L)).schema)
+  }
+
+  /** q259: the reference-shaped MULTI-LEVEL layout (w/m/d — the
+    * `year=/month=/day=` analog, with zero-padded month values so the
+    * value-identity discipline is actually exercised), manifest-
+    * bootstrapped. */
+  private def fixQ259(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_mldml")
+    wipeRoots(s, layout)
+    ordersFacts(s, dir)
+      .withColumn("m", lpad(pmod(col("custkey"), lit(3)).cast("string"),
+        2, "0"))
+      .withColumn("d", pmod(col("o_orderkey"), lit(2)).cast("string"))
+      .repartition(2)
+      .write.partitionBy("w", "m", "d").parquet(layout)
+    Manifest.bootstrap(s, layout)
   }
 
   /** SETUP closures for queries whose body depends on a one-time
@@ -488,7 +505,8 @@ object SparkEntry {
     "q257_sql_create_table" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqlddl"); () }),
     "q258_sql_optimize" -> ((s, dir) =>
-      { fixOrdersTable(s, dir, "graft_sqlopt"); () }))
+      { fixOrdersTable(s, dir, "graft_sqlopt"); () }),
+    "q259_sql_multilevel_dml" -> ((s, dir) => fixQ259(s, dir)))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2014,7 +2032,7 @@ object SparkEntry {
         pmod(col("custkey"), lit(101)) === 0,
         Map("price_cents" -> (col("price_cents") * 2L),
           "w" -> lit("9")),
-        partCol = Some("w"))
+        partCols = Seq("w"))
       val after = Manifest.filesAt(s, layout, v).toSet
       val gate = n > 0L && before.subsetOf(after) &&
         (after -- before).forall(_.startsWith("w=9/")) &&
@@ -2156,6 +2174,48 @@ object SparkEntry {
     // exists to prevent). Gates pin the commit (version 2), the
     // carried old files, and next-read visibility; hash = base + the
     // re-keyed batch.
+    // MULTI-LEVEL SQL DML (round-12 verdict #4): the reference's own
+    // serving layout is three-level `year=/month=/day=` — here the
+    // w/m/d analog with ZERO-PADDED month directories (`m=00`), the
+    // exact shape partition-type inference silently corrupts (int 0
+    // re-renders as a NEW `m=0` family). The GDPR DELETE is one
+    // deletion-vector commit (file list byte-identical at every
+    // level); the UPDATE stages its moved rows ONLY under `w=9/…`
+    // leaves, originals carried. Gates pin both; hash = orders minus
+    // the %107 subjects, with the %101 customers doubled and moved.
+    "q259_sql_multilevel_dml" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_mldml")
+      ensureLakeFixture(s, dir, "q259_sql_multilevel_dml")(fixQ259(s, dir))
+      val name = s"graft_unified.mldml_$tag"
+      GraftTable.register(s, "graft_unified", s"mldml_$tag", layout,
+        schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, custkey BIGINT, price_cents BIGINT, " +
+            "w STRING, m STRING, d STRING")),
+        partitionCols = Seq("w", "m", "d"))
+      val before = Manifest.current(s, layout).get._2.toSet
+      val del = s.sql(
+        s"DELETE FROM $name WHERE custkey % 107 = 0").collect().head
+      val afterDel = Manifest.filesAt(s, layout, del.getLong(0)).toSet
+      val gateDelete = del.getLong(1) > 0L && afterDel == before &&
+        Manifest.dvsAt(s, layout, del.getLong(0)).nonEmpty
+      val upd = s.sql(
+        s"""UPDATE $name SET price_cents = price_cents * 2, w = '9'
+           |WHERE custkey % 101 = 0""".stripMargin).collect().head
+      val afterUpd = Manifest.filesAt(s, layout, upd.getLong(0)).toSet
+      val gateUpdate = upd.getLong(1) > 0L &&
+        afterDel.subsetOf(afterUpd) &&
+        (afterUpd -- afterDel).forall { f =>
+          Manifest.leafDirOf(f, Seq("w", "m", "d")).startsWith("w=9/")
+        }
+      s.table(name)
+        .groupBy("w", "m").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_ml_delete", lit(gateDelete))
+        .withColumn("gate_ml_update", lit(gateUpdate))
+    }),
+
     // PLAIN `OPTIMIZE t` — bin-packing compaction as SQL (round-12
     // verdict #3), composed with the q250 checkpoint/retention path:
     // a streaming-sink-shaped table takes 12 small SQL INSERTs under
@@ -2740,7 +2800,7 @@ object SparkEntry {
           .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
       val (v, matched, written) =
         Manifest.mergeDv(s, layout, batch, Seq("o_orderkey"),
-          partCol = Some("w"))
+          partCols = Seq("w"))
       val nTouched = touched.count()
       val gate = matched == nTouched && written == 2L * nTouched &&
         before._2.toSet.subsetOf(Manifest.filesAt(s, layout, v).toSet) &&
@@ -8144,6 +8204,23 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q259: DELETE the %107 subjects (merge-on-read), double + move
+    // the %101 customers to wave 9 — over the three-level layout; the
+    // zero-padded month key survives the round trip (the value-
+    // identity discipline the gates and hash pin).
+    "q259_sql_multilevel_dml" ->
+      """SELECT CASE WHEN o_custkey % 101 = 0 THEN '9'
+        |            ELSE substring(o_orderpriority, 1, 1) END AS w,
+        |  lpad(CAST(o_custkey % 3 AS VARCHAR), 2, '0') AS m,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) *
+        |           CASE WHEN o_custkey % 101 = 0 THEN 2 ELSE 1 END)
+        |       AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_ml_delete, TRUE AS gate_ml_update
+        |FROM orders
+        |WHERE o_custkey % 107 <> 0
+        |GROUP BY 1, 2""".stripMargin,
+
     // q258: after 12 small INSERTs of the %997 slices and one plain
     // OPTIMIZE, the table serves base + the slices — the compaction
     // changed layout, never content (the hash IS the gate).

@@ -211,6 +211,73 @@ object Erasure {
     } finally subj.unpersist()
   }
 
+  /** [[erasePartitionScopedAtomic]] for MULTI-LEVEL partitioning
+    * (round-12 verdict #4: the reference's own layout is three-level
+    * `year=/month=/day=`, `collector-ga.yaml:199` — a GDPR batch
+    * against it must prune and replace LEAVES, not a single level).
+    * The touched set is the distinct leaf TUPLES the matched
+    * projection carries; the pruned rewrite is a broadcast semi-join
+    * on those tuples; the publish swaps exactly the touched leaves
+    * (fully-erased leaves simply have no staged files — absent from
+    * the manifest the instant the rename lands). Ledger semantics
+    * identical: every requested key gets a row, zeros included,
+    * written after the commit. */
+  def erasePartitionScopedAtomicN(spark: SparkSession, targetPath: String,
+                                  partCols: Seq[String], subjects: DataFrame,
+                                  keys: Seq[String], batchId: String,
+                                  ledgerPath: Option[String] = None,
+                                  keepVersions: Int = 1): Unit = {
+    import graft.sources.Manifest
+    require(keys.nonEmpty, "erase needs at least one key column")
+    require(partCols.nonEmpty,
+      "use deleteMatching (merge-on-read) for unpartitioned trees")
+    partCols.foreach(pc => require(!keys.contains(pc),
+      s"$pc partitions the tree; key on the subject id columns"))
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(sess.sessionState.newHadoopConf())
+    require(fs.exists(root), s"erasure target $targetPath does not exist")
+    Manifest.bootstrap(sess, targetPath)
+    val subj = sess.createDataFrame(subjects.rdd, subjects.schema)
+      .select(keys.map(col): _*).distinct().persist()
+    try {
+      val snapshot = Manifest.read(sess, targetPath)
+      val matched = snapshot
+        .select((keys ++ partCols).map(col): _*)
+        .join(broadcast(subj), keys, "left_semi")
+        .persist()
+      val (touchedDirs, touchedDf) =
+        PartitionScope.touchedLeaves(sess, matched, partCols)
+      val erasedPerKey = matched.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_rows_erased"))
+      val ledger = subj
+        .join(erasedPerKey, keys, "left")
+        .select(keys.map(col) ++ Seq(
+          coalesce(col("n_rows_erased"), lit(0L)).as("n_rows_erased"),
+          lit(batchId).as("batch_id"),
+          lit(touchedDirs.size.toLong).as("n_partitions_touched")): _*)
+        .coalesce(1)
+        .localCheckpoint(true)
+      if (touchedDirs.nonEmpty) {
+        val affected =
+          PartitionScope.semiJoinLeaves(snapshot, touchedDf, partCols)
+        val surviving = affected.join(broadcast(subj), keys, "left_anti")
+        val created =
+          Manifest.stageUniqueParts(sess, fs, root, partCols, surviving)
+        PartitionScope.requireWithin(created, partCols, touchedDirs)
+        val live = Manifest.current(sess, targetPath).get._2
+        Manifest.commit(sess, targetPath,
+          live.filterNot(f =>
+            touchedDirs(Manifest.leafDirOf(f, partCols))) ++ created)
+        Manifest.vacuum(sess, targetPath, keepVersions)
+      }
+      ledgerPath.foreach(lp =>
+        ledger.write.mode(SaveMode.Append).parquet(lp))
+      matched.unpersist()
+    } finally subj.unpersist()
+  }
+
   /** CROSS-TABLE erasure, all-or-nothing: a data subject's rows
     * disappear from EVERY member of a [[graft.sources.ManifestGroup]]
     * with ONE pointer flip — there is no window where sessions are

@@ -172,4 +172,104 @@ object Upsert {
       Manifest.vacuum(sess, targetPath, keepVersions)
     } finally src.unpersist()
   }
+
+  /** [[upsertPartitionScopedAtomic]] for MULTI-LEVEL partitioning
+    * (round-12 verdict #4 — the reference's own serving layout is
+    * three-level `year=/month=/day=`): the touched set is the distinct
+    * LEAF tuples the source carries, the pruned read is a broadcast
+    * semi-join on those tuples (an `isin` per level would over-select
+    * the cross product), and the replacement publish swaps exactly the
+    * touched leaves — files outside them are carried by reference,
+    * byte-untouched. Same key/partition contract per leaf as the
+    * single-level form. */
+  def upsertPartitionScopedAtomicN(spark: org.apache.spark.sql.SparkSession,
+                                   targetPath: String, partCols: Seq[String],
+                                   source: DataFrame, keys: Seq[String],
+                                   keepVersions: Int = 1): Unit = {
+    import graft.sources.Manifest
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(partCols.nonEmpty, "use upsert()/mergeDv for unpartitioned")
+    partCols.foreach(pc => require(!keys.contains(pc),
+      s"$pc partitions the tree; key on the id columns"))
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = root.getFileSystem(sess.sessionState.newHadoopConf())
+    val src = sess.createDataFrame(source.rdd, source.schema).persist()
+    try {
+      if (!fs.exists(root) || Manifest.current(sess, targetPath).isEmpty) {
+        if (fs.exists(root)) Manifest.bootstrap(sess, targetPath)
+        else if (!src.isEmpty) {
+          src.write.partitionBy(partCols: _*).parquet(targetPath)
+          Manifest.bootstrap(sess, targetPath)
+          return
+        } else return
+      }
+      val (touchedDirs, touchedDf) =
+        PartitionScope.touchedLeaves(sess, src, partCols)
+      if (touchedDirs.isEmpty) return
+      val snapshot = Manifest.read(sess, targetPath)
+      val affected = PartitionScope.semiJoinLeaves(snapshot, touchedDf, partCols)
+        .select(snapshot.columns.map(c =>
+          col(c).cast(source.schema(c).dataType).as(c)): _*)
+      val merged = upsert(affected, src, keys)
+      val created = Manifest.stageUniqueParts(sess, fs, root, partCols, merged)
+      PartitionScope.requireWithin(created, partCols, touchedDirs)
+      val live = Manifest.current(sess, targetPath).get._2
+      Manifest.commit(sess, targetPath,
+        live.filterNot(f =>
+          touchedDirs(Manifest.leafDirOf(f, partCols))) ++ created)
+      Manifest.vacuum(sess, targetPath, keepVersions)
+    } finally src.unpersist()
+  }
+}
+
+/** Shared leaf-tuple plumbing of the multi-level partition-scoped
+  * operators. */
+private[operators] object PartitionScope {
+  import org.apache.spark.sql.{Row, SparkSession}
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  import graft.sources.Manifest
+
+  /** Distinct leaf tuples of `df` (string-cast, null-refused) as
+    * (escaped leaf-dir set, broadcastable tuple frame with `_t_`-
+    * prefixed columns). */
+  def touchedLeaves(sess: SparkSession, df: DataFrame,
+                    partCols: Seq[String]): (Set[String], DataFrame) = {
+    val tuples = df
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().map(_.toSeq.map(_.asInstanceOf[String]))
+    tuples.foreach(t => require(!t.contains(null),
+      s"rows with NULL in ${partCols.mkString(",")} cannot be " +
+        "partition-scoped (they would land in the Hive default " +
+        "partition outside the scan scope)"))
+    val esc = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName _
+    val dirs = tuples.map(t => partCols.zip(t)
+      .map { case (c, v) => s"$c=${esc(v)}" }.mkString("/")).toSet
+    val schema = StructType(partCols.map(c =>
+      StructField(s"_t_$c", StringType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val tdf = sess.createDataFrame(
+      tuples.map(t => Row.fromSeq(t)).toSeq.asJava, schema)
+    (dirs, tdf)
+  }
+
+  /** Keep exactly the rows of `df` whose leaf tuple appears in
+    * `touchedDf` — broadcast semi-join on all levels at once. */
+  def semiJoinLeaves(df: DataFrame, touchedDf: DataFrame,
+                     partCols: Seq[String]): DataFrame =
+    df.join(broadcast(touchedDf),
+      partCols.map(c => df(c).cast("string") === touchedDf(s"_t_$c"))
+        .reduce(_ && _), "left_semi")
+
+  /** Staged files must land only under declared-touched leaves. */
+  def requireWithin(created: Seq[String], partCols: Seq[String],
+                    touched: Set[String]): Unit = {
+    val bad = created.map(Manifest.leafDirOf(_, partCols))
+      .find(d => !touched(d))
+    require(bad.isEmpty,
+      s"staged data contains leaf ${bad.getOrElse("")} outside the " +
+        s"declared touched set")
+  }
 }

@@ -64,15 +64,12 @@ case class ManifestDmlResolution(spark: SparkSession)
   private def rootOf(tbl: CatalogTable): String =
     new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
 
-  /** One-level partition column, if any (the operators' contract). */
-  private def partColOf(tbl: CatalogTable): Option[String] =
-    tbl.partitionColumnNames match {
-      case Seq() => None
-      case Seq(c) => Some(c)
-      case more => throw new UnsupportedOperationException(
-        s"manifest DML supports one-level partitioning, " +
-          s"${tbl.identifier} has ${more.mkString(", ")}")
-    }
+  /** The table's partition columns, any depth in declared order —
+    * round-12 verdict #4: the one-level restriction here was the only
+    * thing keeping a `year=/month=/day=` table (the reference's own
+    * serving layout) from taking SQL DML. */
+  private def partColsOf(tbl: CatalogTable): Seq[String] =
+    tbl.partitionColumnNames
 
   /** Rebind a resolved predicate to plain names so the operator's own
     * scan resolves it — subqueries are outside the row-predicate
@@ -141,7 +138,7 @@ case class ManifestDmlResolution(spark: SparkSession)
             s"manifest UPDATE assigns top-level columns, got $k")
         }.toMap
         GraftUpdateCommand(rootOf(tbl), set,
-          condition.map(e => DmlExpr(unbind(e))), partColOf(tbl))
+          condition.map(e => DmlExpr(unbind(e))), partColsOf(tbl))
 
       case m: MergeIntoTable if m.childrenResolved &&
           m.mergeCondition.resolved &&
@@ -176,7 +173,7 @@ case class ManifestDmlResolution(spark: SparkSession)
             s"equal target columns ${targetCols.toSeq.sorted.mkString(",")}")
         GraftMergeCommand(rootOf(tbl), m.sourceTable,
           mergeKeys(m.mergeCondition, m.targetTable.output,
-            m.sourceTable.output).get.distinct, partColOf(tbl))
+            m.sourceTable.output).get.distinct, partColsOf(tbl))
 
       // INSERT INTO / INSERT OVERWRITE a manifest table: without this,
       // Spark's own InsertIntoHadoopFsRelationCommand writes part
@@ -217,7 +214,7 @@ case class ManifestDmlResolution(spark: SparkSession)
         GraftInsertCommand(rootOf(tbl), i.query,
           overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite,
           dynamic = dynMode && tbl.partitionColumnNames.nonEmpty,
-          partColOf(tbl))
+          partColsOf(tbl))
     }
 }
 
@@ -247,13 +244,13 @@ case class GraftDeleteCommand(root: String, condition: DmlExpr)
 /** `UPDATE t SET … WHERE …` → one DV + staged-rewrite commit. */
 case class GraftUpdateCommand(root: String, set: Map[String, DmlExpr],
                               condition: Option[DmlExpr],
-                              partCol: Option[String])
+                              partCols: Seq[String])
   extends LeafRunnableCommand with DmlOutput {
   override def run(spark: SparkSession): Seq[Row] = {
     val cond = condition.map(c => toCol(c.e))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val (v, n) = Manifest.updateWhere(spark, root, cond,
-      set.map { case (k, e) => k -> toCol(e.e) }, partCol)
+      set.map { case (k, e) => k -> toCol(e.e) }, partCols)
     spark.catalog.refreshByPath(root)
     Seq(Row(v, n))
   }
@@ -268,7 +265,7 @@ case class GraftUpdateCommand(root: String, set: Map[String, DmlExpr],
   * written. */
 case class GraftInsertCommand(root: String, query: LogicalPlan,
                               overwrite: Boolean, dynamic: Boolean,
-                              partCol: Option[String])
+                              partCols: Seq[String])
   extends LeafRunnableCommand with DmlOutput {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -278,10 +275,10 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
     }
     val df = ofRows(spark, query).localCheckpoint(true)
     val n = df.count()
-    val created = partCol match {
-      case Some(pc) => Manifest.stageUnique(spark, fs, rootP, pc, df)
-      case None => Manifest.stageUniqueFlat(spark, fs, rootP, df)
-    }
+    val created =
+      if (partCols.nonEmpty)
+        Manifest.stageUniqueParts(spark, fs, rootP, partCols, df)
+      else Manifest.stageUniqueFlat(spark, fs, rootP, df)
     var attempt = 0
     while (attempt < 10) {
       val (base, live) = Manifest.current(spark, root).getOrElse(
@@ -290,10 +287,12 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
         if (!overwrite) (live ++ created, None)
         else if (!dynamic) (created, Some(Seq.empty[String]))
         else {
-          val pc = partCol.getOrElse(throw new UnsupportedOperationException(
-            "dynamic INSERT OVERWRITE needs a partitioned manifest table"))
-          val touched = created.map(Manifest.partitionOf(_, pc)).toSet
-          (live.filterNot(f => touched(Manifest.partitionOf(f, pc))) ++
+          if (partCols.isEmpty) throw new UnsupportedOperationException(
+            "dynamic INSERT OVERWRITE needs a partitioned manifest table")
+          // replacement is per LEAF partition at any depth: only the
+          // exact leaves this batch wrote are swapped
+          val touched = created.map(Manifest.leafDirOf(_, partCols)).toSet
+          (live.filterNot(f => touched(Manifest.leafDirOf(f, partCols))) ++
             created, None)
         }
       Manifest.tryCommit(spark, root, publish._1, base, publish._2) match {
@@ -312,12 +311,12 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
   * replaced via a deletion vector, the batch staged as fresh files,
   * one commit. `rows_affected` = source rows written (the batch). */
 case class GraftMergeCommand(root: String, source: LogicalPlan,
-                             keys: Seq[String], partCol: Option[String])
+                             keys: Seq[String], partCols: Seq[String])
   extends LeafRunnableCommand with DmlOutput {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val (v, _, written) =
-      Manifest.mergeDv(spark, root, ofRows(spark, source), keys, partCol)
+      Manifest.mergeDv(spark, root, ofRows(spark, source), keys, partCols)
     spark.catalog.refreshByPath(root)
     Seq(Row(v, written))
   }

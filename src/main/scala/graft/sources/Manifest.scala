@@ -473,6 +473,14 @@ object Manifest {
                          maxAttempts: Int,
                          afterPlan: () => Unit): (Long, Long) = {
     val (fs, rootP) = fsOf(spark, root)
+    // VALUE-IDENTITY (the Compaction discipline): the operator scan
+    // reads partition values as the raw directory strings — inference
+    // would turn `m=09` into int 9, and a downstream staged rewrite
+    // would then create a NEW `m=9` directory family beside the old
+    // one (silent corruption). Scoped to a cloned session.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
     var attempt = 0
     while (attempt < maxAttempts) {
       val (v, files) = current(spark, root).getOrElse(
@@ -483,14 +491,14 @@ object Manifest {
       // (rel, pos) materialize as REAL columns before the matcher runs:
       // `_metadata` is a scan-level pseudo-column that does not survive
       // a matcher's own joins/projects (e.g. deleteMatching's semi-join)
-      val scan = spark.read.option("basePath", rootP.toString)
+      val scan = sess.read.option("basePath", rootP.toString)
         .parquet(files.map(f => new Path(rootP, f).toString): _*)
-        .withColumn("__graft_rel", relPathCol(spark, root))
+        .withColumn("__graft_rel", relPathCol(sess, root))
         .withColumn("__graft_pos", col("_metadata.row_index"))
       val live =
         if (dvs.isEmpty) scan
         else scan.join(
-          spark.read.parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+          sess.read.parquet(dvs.map(d => new Path(rootP, d).toString): _*)
             .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
           col("__graft_rel") === col("__dv_file") &&
             col("__graft_pos") === col("__dv_pos"), "left_anti")
@@ -522,18 +530,25 @@ object Manifest {
     * before it leaves the staged files + DV unreferenced (vacuum
     * fodder), never a half-update.
     *
-    * `partCol`: the table's one-level partition column, if any — an
-    * assignment may move a row ACROSS partitions (the updated copy
-    * lands under its new value; the DV hides the old copy in place).
-    * Unpartitioned tables pass None. Same as-of/CAS-retry contract as
-    * [[deleteWhere]]. Returns (committed version, rows updated). */
+    * `partCols`: the table's partition columns (any depth, in order —
+    * round-12 verdict #4: the reference's own serving layout is
+    * three-level `year=/month=/day=`), if any — an assignment may move
+    * a row ACROSS partitions (the updated copy lands under its new
+    * leaf; the DV hides the old copy in place). Unpartitioned tables
+    * pass Nil. Same as-of/CAS-retry contract as [[deleteWhere]].
+    * Returns (committed version, rows updated). */
   def updateWhere(spark: SparkSession, root: String,
                   cond: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
-                  partCol: Option[String] = None,
+                  partCols: Seq[String] = Nil,
                   maxAttempts: Int = 10): (Long, Long) = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     val (fs, rootP) = fsOf(spark, root)
+    // value-identity: inference-off scan (see deleteRows) — the staged
+    // rewrite must put rows back under their EXACT directory strings
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
     var attempt = 0
     while (attempt < maxAttempts) {
       val (v, files) = current(spark, root).getOrElse(
@@ -541,19 +556,19 @@ object Manifest {
           s"no committed manifest under $root — bootstrap() it first"))
       if (files.isEmpty) return (v, 0L) // empty table: nothing to update
       val dvs = dvsAt(spark, root, v)
-      val scan = spark.read.option("basePath", rootP.toString)
+      val scan = sess.read.option("basePath", rootP.toString)
         .parquet(files.map(f => new Path(rootP, f).toString): _*)
-        .withColumn("__graft_rel", relPathCol(spark, root))
+        .withColumn("__graft_rel", relPathCol(sess, root))
         .withColumn("__graft_pos", col("_metadata.row_index"))
       val live =
         if (dvs.isEmpty) scan
         else scan.join(
-          spark.read.parquet(dvs.map(d => new Path(rootP, d).toString): _*)
+          sess.read.parquet(dvs.map(d => new Path(rootP, d).toString): _*)
             .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
           col("__graft_rel") === col("__dv_file") &&
             col("__graft_pos") === col("__dv_pos"), "left_anti")
       set.keys.foreach { c => require(
-        live.columns.exists(spark.sessionState.analyzer.resolver(_, c)),
+        live.columns.exists(sess.sessionState.analyzer.resolver(_, c)),
         s"assignment targets unknown column $c") }
       // matched rows once: both the DV (old positions) and the staged
       // rewrite (new values) derive from this frame
@@ -570,10 +585,9 @@ object Manifest {
         matched.drop("__graft_rel", "__graft_pos")) {
         case (df, (c, e)) => df.withColumn(c, e)
       }
-      val created = partCol match {
-        case Some(pc) => stageUnique(spark, fs, rootP, pc, updated)
-        case None => stageUniqueFlat(spark, fs, rootP, updated)
-      }
+      val created =
+        if (partCols.nonEmpty) stageUniqueParts(sess, fs, rootP, partCols, updated)
+        else stageUniqueFlat(sess, fs, rootP, updated)
       tryCommit(spark, root, files ++ created, v, Some(dvs :+ dvName)) match {
         case Some(nv) => return (nv, n)
         case None => // lost the slot: discard artifacts, re-plan
@@ -598,10 +612,14 @@ object Manifest {
     * [[deleteWhere]]; returns (version, matched-and-replaced rows,
     * source rows written). */
   def mergeDv(spark: SparkSession, root: String, source: DataFrame,
-              keys: Seq[String], partCol: Option[String] = None,
+              keys: Seq[String], partCols: Seq[String] = Nil,
               maxAttempts: Int = 10): (Long, Long, Long) = {
     require(keys.nonEmpty, "mergeDv needs at least one key column")
     val (fs, rootP) = fsOf(spark, root)
+    // value-identity: inference-off scan (see deleteRows)
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
     bootstrap(spark, root) // adopt a fresh/plain root (no-op otherwise)
     val src = source.localCheckpoint(true) // one evaluation for all attempts
     val nSrc = src.count()
@@ -615,14 +633,14 @@ object Manifest {
       val (hitsN, dvRef) =
         if (files.isEmpty) (0L, None) // pure insert into an empty table
         else {
-          val scan = spark.read.option("basePath", rootP.toString)
+          val scan = sess.read.option("basePath", rootP.toString)
             .parquet(files.map(f => new Path(rootP, f).toString): _*)
-            .withColumn("__graft_rel", relPathCol(spark, root))
+            .withColumn("__graft_rel", relPathCol(sess, root))
             .withColumn("__graft_pos", col("_metadata.row_index"))
           val live =
             if (dvs.isEmpty) scan
             else scan.join(
-              spark.read
+              sess.read
                 .parquet(dvs.map(d => new Path(rootP, d).toString): _*)
                 .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
               col("__graft_rel") === col("__dv_file") &&
@@ -638,10 +656,9 @@ object Manifest {
           if (n == 0L) { fs.delete(dvPath, true); (0L, None) }
           else (n, Some(dvName))
         }
-      val created = partCol match {
-        case Some(pc) => stageUnique(spark, fs, rootP, pc, src)
-        case None => stageUniqueFlat(spark, fs, rootP, src)
-      }
+      val created =
+        if (partCols.nonEmpty) stageUniqueParts(spark, fs, rootP, partCols, src)
+        else stageUniqueFlat(spark, fs, rootP, src)
       tryCommit(spark, root, files ++ created, v,
         Some(dvs ++ dvRef)) match {
         case Some(nv) => return (nv, hitsN, nSrc)
@@ -741,6 +758,34 @@ object Manifest {
     require(seg.startsWith(partCol + "="),
       s"file $relPath is not under a $partCol= partition directory")
     ExternalCatalogUtils.unescapePathName(seg.substring(partCol.length + 1))
+  }
+
+  /** LEAF partition directory (escaped, root-relative — e.g.
+    * `year=2019/month=09/day=23`) of a file under multi-level
+    * partitioning — the identity replacement-set logic keys on
+    * (round-12 verdict #4: the reference's own serving layout is
+    * three-level, `collector-ga.yaml:199`). Validates every level
+    * loudly: a stray file outside the declared tree must never be
+    * silently classified. */
+  def leafDirOf(relPath: String, partCols: Seq[String]): String = {
+    require(partCols.nonEmpty, "leafDirOf needs at least one level")
+    val segs = relPath.split("/")
+    require(segs.length > partCols.length,
+      s"file $relPath is not under a ${partCols.mkString("/")}= tree")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      require(segs(i).startsWith(c + "="),
+        s"file $relPath: segment ${segs(i)} is not a $c= directory") }
+    segs.take(partCols.length).mkString("/")
+  }
+
+  /** Hive-unescaped partition VALUES of a file's leaf, in `partCols`
+    * order. */
+  def partitionValuesOf(relPath: String, partCols: Seq[String]): Seq[String] = {
+    leafDirOf(relPath, partCols): Unit // validates
+    relPath.split("/").take(partCols.length).zip(partCols).map {
+      case (seg, c) =>
+        ExternalCatalogUtils.unescapePathName(seg.substring(c.length + 1))
+    }.toSeq
   }
 
   /** STAGE phase of an atomic partition replacement: append `newData`
@@ -847,25 +892,47 @@ object Manifest {
     * reader-visible until a manifest references the returned
     * root-relative paths. */
   private[graft] def stageUnique(spark: SparkSession, fs: FileSystem, rootP: Path,
-                          partCol: String, newData: DataFrame): Seq[String] = {
+                          partCol: String, newData: DataFrame): Seq[String] =
+    stageUniqueParts(spark, fs, rootP, Seq(partCol), newData)
+
+  /** [[stageUnique]] at any partitioning depth ≥ 1 (round-12 verdict
+    * #4): the scratch write partitions by ALL levels and the walk
+    * descends exactly `partCols.length` directories, moving each file
+    * into its leaf under the root with a unique name. Attribution
+    * stays exact under any concurrency (no listing diff), and nothing
+    * is reader-visible until a manifest references the returned
+    * root-relative paths. */
+  private[graft] def stageUniqueParts(spark: SparkSession, fs: FileSystem,
+                                      rootP: Path, partCols: Seq[String],
+                                      newData: DataFrame): Seq[String] = {
+    require(partCols.nonEmpty, "stageUniqueParts needs at least one level")
     val uuid = java.util.UUID.randomUUID.toString
     val scratch = new Path(rootP, s"_graft_stage/$uuid")
-    newData.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    newData.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(scratch.toString)
     val out = mutable.ArrayBuffer.empty[String]
-    fs.listStatus(scratch).filter(_.isDirectory)
-      .filter(_.getPath.getName.startsWith(partCol + "=")).foreach { d =>
-        val partDir = new Path(rootP, d.getPath.getName)
+    var n = 0
+    def walk(dir: Path, depth: Int, rel: String): Unit =
+      if (depth == partCols.length) {
+        val partDir = new Path(rootP, rel)
         if (!fs.exists(partDir)) fs.mkdirs(partDir)
-        fs.listStatus(d.getPath)
+        fs.listStatus(dir)
           .filter(f => !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            val name = s"stage-$uuid-part-$i.parquet"
+          .foreach { f =>
+            val name = s"stage-$uuid-part-$n.parquet"
+            n += 1
             require(fs.rename(f.getPath, new Path(partDir, name)),
               s"staging move failed for ${f.getPath}")
-            out += s"${d.getPath.getName}/$name"
+            out += s"$rel/$name"
           }
-      }
+      } else fs.listStatus(dir).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith(partCols(depth) + "="))
+        .foreach { d =>
+          val seg = d.getPath.getName
+          walk(d.getPath, depth + 1,
+            if (rel.isEmpty) seg else s"$rel/$seg")
+        }
+    walk(scratch, 0, "")
     fs.delete(new Path(rootP, s"_graft_stage/$uuid"), true)
     // drop the scratch root when this was the last stager using it
     val stageRoot = new Path(rootP, "_graft_stage")

@@ -67,7 +67,7 @@ object StreamingUpsert {
           // directories.
           if (mergeOnRead) {
             graft.sources.Manifest.mergeDv(batch.sparkSession,
-              servingRoot, batch, keys, Some(partCol))
+              servingRoot, batch, keys, Seq(partCol))
             ()
           } else if (atomic)
             Upsert.upsertPartitionScopedAtomic(batch.sparkSession,

@@ -188,7 +188,7 @@ class DvSpec extends SparkTestBase {
     val (v, n) = Manifest.updateWhere(spark, path,
       col("id") === 2L || col("id") === 5L,
       Map("v" -> (col("v") + 1000L), "day" -> lit("d9")),
-      partCol = Some("day"))
+      partCols = Seq("day"))
     assert(n == 2L)
     val got = Manifest.read(spark, path)
       .select(col("id"), col("day").cast("string"), col("v"))
@@ -206,7 +206,7 @@ class DvSpec extends SparkTestBase {
       .where(col("id") === 2L).select("v").as[Long].head() == 20L)
     // update matching nothing: no commit
     val (v2, n2) = Manifest.updateWhere(spark, path,
-      col("id") === 999L, Map("v" -> lit(0L)), partCol = Some("day"))
+      col("id") === 999L, Map("v" -> lit(0L)), partCols = Seq("day"))
     assert(v2 == v && n2 == 0L)
   }
 
@@ -238,7 +238,7 @@ class DvSpec extends SparkTestBase {
       (8L, "d4", 80L))   // new key: plain insert
       .toDF("id", "day", "v")
     val (v, matched, written) =
-      Manifest.mergeDv(spark, path, batch, Seq("id"), partCol = Some("day"))
+      Manifest.mergeDv(spark, path, batch, Seq("id"), partCols = Seq("day"))
     assert(v == before._1 + 1 && matched == 2L && written == 3L)
     val got = Manifest.read(spark, path)
       .select(col("id"), col("day").cast("string"), col("v"))
@@ -252,7 +252,7 @@ class DvSpec extends SparkTestBase {
     // re-merging the same batch is idempotent in OUTCOME (its own rows
     // match now) and stacks a second DV
     val (v2, m2, _) = Manifest.mergeDv(spark, path, batch, Seq("id"),
-      partCol = Some("day"))
+      partCols = Seq("day"))
     assert(m2 == 3L)
     assert(Manifest.read(spark, path)
       .select(col("id"), col("day").cast("string"), col("v"))
@@ -263,7 +263,7 @@ class DvSpec extends SparkTestBase {
       (1L to 7L).toSet)
     // empty source: no commit at all
     val (v3, m3, w3) = Manifest.mergeDv(spark, path, batch.limit(0),
-      Seq("id"), partCol = Some("day"))
+      Seq("id"), partCols = Seq("day"))
     assert(v3 == v2 && m3 == 0L && w3 == 0L)
   }
 
@@ -531,7 +531,7 @@ class DvSpec extends SparkTestBase {
     GraftTable.register(spark, "graft_test", s"live_$tag", path)
     // the table keeps moving: an update lands after the pins
     Manifest.updateWhere(spark, path, col("id") === 1L,
-      Map("v" -> lit(111L)), partCol = Some("day"))
+      Map("v" -> lit(111L)), partCols = Seq("day"))
     assert(ids(spark.table(s"graft_test.pin1_$tag")) == (1L to 7L).toSet)
     assert(ids(spark.table(s"graft_test.pin2_$tag")) ==
       Set(1L, 2L, 4L, 5L, 6L, 7L))

@@ -254,6 +254,13 @@ class SqlOpsSpec extends SparkTestBase {
     "TBLPROPERTIES refuse loudly") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_ops")
     spark.sql("DROP TABLE IF EXISTS graft_ops.ddl2")
+    // DROP leaves the external tree behind BY DESIGN (re-CREATE
+    // adopts it); this test wants a truly fresh table, so wipe the
+    // warehouse path a previous suite run may have filled
+    val wh = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier("ddl2", Some("graft_ops")))
+    val whP = new org.apache.hadoop.fs.Path(wh)
+    whP.getFileSystem(spark.sessionState.newHadoopConf()).delete(whP, true)
     spark.sql("""CREATE TABLE graft_ops.ddl2
                 |(id BIGINT, v BIGINT) USING graft""".stripMargin)
     assert(spark.table("graft_ops.ddl2").count() == 0L,
