@@ -77,6 +77,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (plans/AggFromLog.scala). Declines (normal scan) whenever
     // exactness isn't provable.
     ext.injectOptimizerRule(s => graft.plans.AggFromLog(s))
+    // Batch CDC as a table-valued function (round-12 verdict #5; the
+    // Delta CDF design exposes the change feed to SQL as
+    // `table_changes`): `SELECT * FROM table_changes('db.t', v1, v2)`
+    // returns the row-level events of (v1, v2] with `_change_type` +
+    // `_commit_version` — how an auditor or a backfill job consumes
+    // commit history without standing up a stream. The first argument
+    // names a graft.manifest=true catalog table (or a raw
+    // manifest-controlled root path); versions must be constant.
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.sources.ManifestCdc.getClass.getName,
+        "table_changes"),
+      (children: Seq[Expression]) => {
+        arity(children, 3, 3, "table_changes('db.table' | '/root', from, to)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val nameArg = children.head
+        if (!nameArg.foldable) throw new IllegalArgumentException(
+          "table_changes: the table name must be a constant string")
+        val name = nameArg.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes: expected a string table name, got $other")
+        }
+        val (root, declared) =
+          if (name.contains("/")) (name, None)
+          else {
+            val ti = spark.sessionState.sqlParser.parseTableIdentifier(name)
+            val tbl = spark.sessionState.catalog.getTableMetadata(ti)
+            if (!tbl.properties.get(graft.sources.GraftTable.PropManifest)
+              .contains("true")) throw new UnsupportedOperationException(
+              s"$name is not a graft.manifest=true catalog table — " +
+                s"table_changes reads manifest commit logs only")
+            (new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath,
+              Some(tbl.schema))
+          }
+        val df = graft.sources.ManifestCdc.tableChanges(spark, root,
+          longLit(children(1), "table_changes from version"),
+          longLit(children(2), "table_changes to version"), declared)
+        df.queryExecution.logical
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeysExpr].getName, "minhash_band_keys"),

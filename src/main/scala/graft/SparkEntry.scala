@@ -506,7 +506,8 @@ object SparkEntry {
       { fixOrdersTable(s, dir, "graft_sqlddl"); () }),
     "q258_sql_optimize" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqlopt"); () }),
-    "q259_sql_multilevel_dml" -> ((s, dir) => fixQ259(s, dir)))
+    "q259_sql_multilevel_dml" -> ((s, dir) => fixQ259(s, dir)),
+    "q260_table_changes" -> ((s, dir) => fixQ245(s, dir)))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real
@@ -2174,6 +2175,50 @@ object SparkEntry {
     // exists to prevent). Gates pin the commit (version 2), the
     // carried old files, and next-read visibility; hash = base + the
     // re-keyed batch.
+    // BATCH CDC TVF (round-12 verdict #5): q245's four-commit history
+    // (append, replace-with-doubled-prices, merge-on-read delete)
+    // consumed as ONE bounded SQL query — `SELECT * FROM
+    // table_changes(t, 0, 4)` — instead of a stream. The replay
+    // applies each `_commit_version`'s deletes-then-inserts in order;
+    // gates pin that all four commits were attributed, that the range
+    // carried both event types, and that the replayed state equals
+    // the live snapshot row-for-row (exceptAll both ways empty).
+    // Truth = q245's: waves 1-3, wave-1 prices doubled, minus the
+    // %149 subjects.
+    "q260_table_changes" -> ((s, dir) => {
+      import graft.sources.GraftTable
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_cv")
+      ensureLakeFixture(s, dir, "q260_table_changes")(fixQ245(s, dir))
+      val facts = ordersFacts(s, dir)
+      val name = s"graft_unified.cvtf_$tag"
+      GraftTable.register(s, "graft_unified", s"cvtf_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val ch = s.sql(s"SELECT * FROM table_changes('$name', 0, 4)")
+        .localCheckpoint(true)
+      val dataCols = facts.schema.fieldNames.map(col).toSeq
+      val versions = ch.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted
+      var cur = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], facts.schema)
+      versions.foreach { v =>
+        val step = ch.where(col("_commit_version") === v)
+        val del = step.where(col("_change_type") === "delete")
+          .select("o_orderkey").distinct()
+        val ins = step.where(col("_change_type") === "insert")
+          .select(dataCols: _*)
+        cur = cur.join(del, Seq("o_orderkey"), "left_anti")
+          .unionByName(ins).localCheckpoint(true)
+      }
+      val live = s.table(name).select(dataCols: _*)
+      val gate = versions.toSeq == Seq(1L, 2L, 3L, 4L) &&
+        ch.select("_change_type").distinct().count() == 2L &&
+        cur.exceptAll(live).isEmpty && live.exceptAll(cur).isEmpty
+      cur.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_tvf", lit(gate))
+    }),
+
     // MULTI-LEVEL SQL DML (round-12 verdict #4): the reference's own
     // serving layout is three-level `year=/month=/day=` — here the
     // w/m/d analog with ZERO-PADDED month directories (`m=00`), the
@@ -8204,6 +8249,20 @@ object SparkEntry {
 
     // q236: the delta-maintained aggregate must equal the full
     // recompute over base-minus-subjects.
+    // q260: the TVF replay lands exactly q245's truth — the commit
+    // history consumed batch-wise instead of streamed.
+    "q260_table_changes" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) *
+        |           CASE WHEN substring(o_orderpriority, 1, 1) = '1'
+        |                THEN 2 ELSE 1 END) AS BIGINT) AS sum_price_cents,
+        |  TRUE AS gate_tvf
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2', '3')
+        |  AND o_custkey % 149 <> 0
+        |GROUP BY 1""".stripMargin,
+
     // q259: DELETE the %107 subjects (merge-on-read), double + move
     // the %101 customers to wave 9 — over the three-level layout; the
     // zero-padded month key survives the round trip (the value-

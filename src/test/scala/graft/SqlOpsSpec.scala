@@ -274,6 +274,35 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("table_changes TVF: batch CDC with per-commit attribution — " +
+    "deletes and inserts tagged by the version that published them") {
+    val (root, name) = mkTable()                              // v1
+    spark.sql(s"DELETE FROM $name WHERE id = 1")              // v2: DV
+    spark.sql(s"INSERT INTO $name VALUES (9, 90, 'd9')")      // v3: append
+    val ch = spark.sql(s"SELECT * FROM table_changes('$name', 0, 3)")
+    val events = ch.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(events.contains((1L, "insert", 1L)), "v1 bootstrap insert")
+    assert(events.contains((1L, "delete", 2L)), "v2 DV delete")
+    assert(events.contains((9L, "insert", 3L)), "v3 append insert")
+    assert(!events.exists(e => e._1 == 9L && e._2 == "delete"))
+    // a bounded sub-range carries only its own commits
+    val sub = spark.sql(s"SELECT * FROM table_changes('$name', 2, 3)")
+      .select("_commit_version").distinct().as[Long].collect().toSet
+    assert(sub == Set(3L))
+    // raw-path addressing works too (no catalog entry needed)
+    assert(spark.sql(s"SELECT count(*) AS n FROM table_changes('$root', 0, 1)")
+      .as[Long].head() == 4L)
+    // loud errors: uncommitted version, non-manifest table
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$name', 0, 99)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('graft_ops.plain', 0, 1)")
+        .collect()
+    }
+  }
+
   test("maintenance statements refuse non-manifest targets loudly; " +
     "everything else delegates verbatim") {
     intercept[UnsupportedOperationException] {
