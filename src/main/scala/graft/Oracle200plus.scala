@@ -17,6 +17,36 @@ private[graft] object Oracle200plus {
   val m: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
 
+    // q261: base rows read the evolved column as null (coalesced to 0
+    // in the sum); the inserted %113 slice carries price div 10.
+    "q261_sql_alter_add_column" ->
+      """SELECT w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(pc) AS BIGINT) AS sum_price_cents,
+        |  CAST(SUM(dc) AS BIGINT) AS sum_discount_cents,
+        |  TRUE AS gate_sql_alter
+        |FROM (
+        |  SELECT substring(o_orderpriority, 1, 1) AS w,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    CAST(0 AS BIGINT) AS dc
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT substring(o_orderpriority, 1, 1) AS w,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) // 10 AS dc
+        |  FROM orders WHERE o_orderkey % 113 = 0)
+        |GROUP BY 1""".stripMargin,
+
+    // q262: the log-only table facts — version 2 (bootstrap + DV
+    // delete), exactly one file per wave, one DV artifact, and the
+    // exact live row count (physical minus DV'd) with zero data IO.
+    "q262_describe_detail" ->
+      """SELECT CAST(2 AS BIGINT) AS version,
+        |  CAST(5 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS n_dvs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey % 131 <> 0) AS n_rows""".stripMargin,
+
     // q226: the q154 series-pair CTEs + the same doubled-average-rank
     // windows and shared corr formula on the ranks.
     "q226_spearman" ->

@@ -18,6 +18,76 @@ private[graft] object Queries200plus {
 
   val m: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ADDITIVE SCHEMA EVOLUTION AS SQL (the q249 library machinery as
+    // a statement): ALTER TABLE … ADD COLUMNS records the evolved
+    // schema in the commit log (schema-<v> sidecar) and re-registers
+    // the catalog entry; the next INSERT lands rows WITH the column
+    // beside old files WITHOUT it, and the very next read serves the
+    // union schema with deterministic null-fill. Gates pin: the
+    // sidecar exists, old files were not rewritten, and every
+    // pre-evolution row reads the new column as null (counted
+    // exactly). Hash = base (discount 0) + the %113 slice carrying
+    // price div 10.
+    "q261_sql_alter_add_column" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqlalt")
+      ensureLakeFixture(s, dir, "q261_sql_alter_add_column") {
+        fixOrdersTable(s, dir, "graft_sqlalt"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      val name = s"graft_unified.sqlalt_$tag"
+      GraftTable.register(s, "graft_unified", s"sqlalt_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val before = Manifest.current(s, layout).get._2.toSet
+      val baseN = facts.count()
+      s.sql(s"ALTER TABLE $name ADD COLUMNS (discount_cents BIGINT)")
+        .collect(): Unit
+      facts.where(pmod(col("o_orderkey"), lit(113)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(300000000L))
+        .select(col("o_orderkey"), col("custkey"), col("price_cents"),
+          expr("price_cents div 10").as("discount_cents"), col("w"))
+        .createOrReplaceTempView(s"sqlalt_src_$tag")
+      s.sql(s"INSERT INTO $name SELECT * FROM sqlalt_src_$tag")
+        .collect(): Unit
+      val t = s.table(name)
+      val gate =
+        Manifest.schemaAt(s, layout, 2L)
+          .exists(_.fieldNames.contains("discount_cents")) &&
+        before.subsetOf(Manifest.current(s, layout).get._2.toSet) &&
+        t.where(col("discount_cents").isNull).count() == baseN
+      t.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"),
+          sum(coalesce(col("discount_cents"), lit(0L)))
+            .as("sum_discount_cents"))
+        .withColumn("gate_sql_alter", lit(gate))
+    }),
+
+    // DESCRIBE DETAIL — table facts FROM THE LOG ALONE (the Delta
+    // statement): current version, live files, live DV artifacts, and
+    // the EXACT live row count served from the stats sidecar with the
+    // per-file DV counts subtracted — zero data IO (the countRows
+    // contract, now SQL-visible). The fixture writes exactly one file
+    // per wave (repartition BY the partition column), so n_files is
+    // deterministic at any scale factor; the merge-on-read delete
+    // contributes the DV and the row-count subtraction.
+    "q262_describe_detail" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqldd")
+      ensureLakeFixture(s, dir, "q262_describe_detail")(fixQ262(s, dir))
+      val name = s"graft_unified.sqldd_$tag"
+      GraftTable.register(s, "graft_unified", s"sqldd_$tag", layout,
+        schema = Some(ordersFacts(s, dir).schema),
+        partitionCols = Seq("w"))
+      s.sql(s"DELETE FROM $name WHERE custkey % 131 = 0").collect(): Unit
+      // empty-input robustness: a no-match delete commits nothing, so
+      // stats go to whatever version is actually current
+      Manifest.writeStats(s, layout, Manifest.current(s, layout).get._1)
+      s.sql(s"DESCRIBE DETAIL $name")
+        .select("version", "n_files", "n_dvs", "n_rows")
+    }),
+
     // Modularity scoring of two partitions of the same co-purchase
     // graph: connected components (real structure — every edge intra)
     // vs an md5 8-bucket null partition (must score ≈ 0). Detection
@@ -393,7 +463,11 @@ private[graft] object Queries200plus {
       val name = s"graft_unified.cvtf_$tag"
       GraftTable.register(s, "graft_unified", s"cvtf_$tag", layout,
         schema = Some(facts.schema), partitionCols = Seq("w"))
-      val ch = s.sql(s"SELECT * FROM table_changes('$name', 0, 4)")
+      // empty-input robustness: a no-match delete commits nothing, so
+      // the range end is whatever the log actually reached (4 on real
+      // data — the gate still pins the exact four-commit sequence)
+      val head = graft.sources.Manifest.current(s, layout).get._1
+      val ch = s.sql(s"SELECT * FROM table_changes('$name', 0, $head)")
         .localCheckpoint(true)
       val dataCols = facts.schema.fieldNames.map(col).toSeq
       val versions = ch.select("_commit_version").distinct()

@@ -434,6 +434,18 @@ object SparkEntry {
     Manifest.bootstrap(s, layout)
   }
 
+  /** q262: one file per wave (repartition BY the partition column →
+    * each shuffle task holds exactly one wave), so DESCRIBE DETAIL's
+    * file count is deterministic at any scale factor. */
+  private[graft] def fixQ262(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_sqldd")
+    wipeRoots(s, layout)
+    ordersFacts(s, dir).repartition(col("w"))
+      .write.partitionBy("w").parquet(layout)
+    Manifest.bootstrap(s, layout)
+  }
+
   /** SETUP closures for queries whose body depends on a one-time
     * artifact a production deployment would already have (yesterday's
     * session history, the serving tree + catalog, an exported index):
@@ -507,7 +519,10 @@ object SparkEntry {
     "q258_sql_optimize" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqlopt"); () }),
     "q259_sql_multilevel_dml" -> ((s, dir) => fixQ259(s, dir)),
-    "q260_table_changes" -> ((s, dir) => fixQ245(s, dir)))
+    "q260_table_changes" -> ((s, dir) => fixQ245(s, dir)),
+    "q261_sql_alter_add_column" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqlalt"); () }),
+    "q262_describe_detail" -> ((s, dir) => fixQ262(s, dir)))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real

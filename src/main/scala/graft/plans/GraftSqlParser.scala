@@ -96,6 +96,15 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           Option(location), kv)
       case DescribeHistoryRe(ident) =>
         GraftHistoryCommand(spark, mt(parseMultipartIdentifier(ident)))
+      case DescribeDetailRe(ident) =>
+        GraftDescribeDetailCommand(spark, mt(parseMultipartIdentifier(ident)))
+      case AlterAddColsRe(ident, cols)
+          if manifestTable(parseMultipartIdentifier(ident)).isDefined =>
+        // non-manifest ALTER TABLE ADD COLUMNS keeps Spark's own path
+        // (the guard falls through to delegation below)
+        GraftAlterAddColsCommand(spark,
+          mt(parseMultipartIdentifier(ident)),
+          StructType.fromDDL(cols.trim.stripSuffix(",")))
       case VacuumRe(ident, keep, graceHours) =>
         // default grace = 7 days (the Delta VACUUM default): vacuum's
         // zero-grace arm deletes a racing DML's staged-but-uncommitted
@@ -183,6 +192,11 @@ object GraftSqlParser {
       """(?:\s+LOCATION\s+'([^']+)')?""" +
       """(?:\s+TBLPROPERTIES\s*\((.+)\))?\s*;?\s*$""").r
   private val TblPropRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val DescribeDetailRe =
+    ("""(?is)^DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
+  private val AlterAddColsRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$""").r
   private val DescribeHistoryRe =
     ("""(?is)^DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
   private val VacuumRe =
@@ -385,6 +399,84 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
       org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
     val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
     Manifest.current(spark, root).map(_._1).getOrElse(0L)
+  }
+}
+
+/** `DESCRIBE DETAIL t` (the Delta statement): one row of table facts
+  * FROM THE LOG ALONE — current version, live file count, live
+  * deletion-vector count, physical byte size, and the exact live row
+  * count when the current version's stats sidecar exists (null
+  * otherwise — a DESCRIBE must never scan data or guess). */
+case class GraftDescribeDetailCommand(@transient session: SparkSession,
+                                      @transient tbl: CatalogTable)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_dvs", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+    val (v, files) = Manifest.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
+    val dvs = Manifest.dvsAt(spark, root, v)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val size = files.map(f => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(rootP, f)).getLen).sum
+    val nRows: Any =
+      if (Manifest.readStatsMap(spark, root, v).isDefined)
+        Manifest.countRows(spark, root)
+      else null
+    Seq(Row(v, files.size.toLong, dvs.size.toLong, size, nRows))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c type, …)` on a manifest table —
+  * ADDITIVE schema evolution through the commit log (the q249
+  * library machinery as a statement): the evolved schema is recorded
+  * as a `schema-<v>` sidecar at the CURRENT version (bare manifest
+  * reads null-fill deterministically from here on) and the catalog
+  * entry is re-registered with the new columns, so the very next
+  * catalog read serves them. Column REMOVAL is deliberately not
+  * expressed — silent narrowing is data loss, not evolution. Version
+  * or group pins refuse (a pin is a read snapshot). Non-manifest
+  * tables keep Spark's own ALTER path. */
+case class GraftAlterAddColsCommand(@transient session: SparkSession,
+                                    @transient tbl: CatalogTable,
+                                    newCols: StructType)
+  extends VersionOut {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
+    if (tbl.properties.contains(GraftTable.PropVersionAsOf) ||
+        tbl.properties.contains(GraftTable.PropGroup))
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE on ${tbl.identifier} is not supported — the table " +
+          s"is a version/group-pinned registration (a read snapshot)")
+    val resolver = spark.sessionState.analyzer.resolver
+    newCols.fieldNames.foreach { c =>
+      require(!tbl.schema.fieldNames.exists(resolver(_, c)),
+        s"column $c already exists on ${tbl.identifier}")
+    }
+    val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+    val v = Manifest.current(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest under $root"))._1
+    val partCols = tbl.partitionColumnNames
+    val dataFields = tbl.schema.filterNot(f => partCols.contains(f.name))
+    val partFields = tbl.schema.filter(f => partCols.contains(f.name))
+    val evolved = StructType(dataFields ++ newCols.fields ++ partFields)
+    // schema-in-log FIRST: once the sidecar exists, even bare
+    // Manifest.read serves the union schema deterministically
+    Manifest.writeSchema(spark, root, v, evolved)
+    val db = tbl.identifier.database.getOrElse(
+      spark.sessionState.catalog.getCurrentDatabase)
+    GraftTable.register(spark, db, tbl.identifier.table, root,
+      bloomColumn = tbl.properties.get(GraftTable.PropBloomCol),
+      bloomIndexPath = tbl.properties.get(GraftTable.PropBloomIdx),
+      schema = Some(evolved), partitionCols = partCols)
+    Seq(Row(v))
   }
 }
 

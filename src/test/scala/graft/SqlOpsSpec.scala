@@ -303,6 +303,53 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS: additive evolution through the log — " +
+    "old rows null-fill, the sidecar records the evolved schema, " +
+    "duplicate/pinned/removal shapes refuse") {
+    val (root, name) = mkTable()
+    spark.sql(s"ALTER TABLE $name ADD COLUMNS (score BIGINT)").collect()
+    assert(Manifest.schemaAt(spark, root, 1L)
+      .exists(_.fieldNames.contains("score")), "schema-in-log recorded")
+    // next read serves the union schema, old rows null
+    val t = spark.table(name)
+    assert(t.columns.contains("score"))
+    assert(t.where(col("score").isNull).count() == 4L)
+    // inserts carry the new column; old files not rewritten
+    val before = Manifest.filesAt(spark, root, 1L).toSet
+    spark.sql(s"INSERT INTO $name VALUES (9, 90, 77, 'd9')")
+    assert(before.subsetOf(Manifest.current(spark, root).get._2.toSet))
+    assert(spark.table(name).where(col("id") === 9L)
+      .select("score").as[Long].head() == 77L)
+    // duplicate column refuses loudly
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $name ADD COLUMNS (v BIGINT)")
+    }
+    // a pinned registration is a read snapshot — no ALTER
+    GraftTable.register(spark, "graft_ops", s"altpin$n", root,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v BIGINT, score BIGINT, day STRING")),
+      partitionCols = Seq("day"), versionAsOf = Some(1L))
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE graft_ops.altpin$n ADD COLUMNS (x BIGINT)")
+    }
+  }
+
+  test("DESCRIBE DETAIL: table facts from the log alone — exact row " +
+    "count from the stats sidecar minus DV'd rows, null when no " +
+    "sidecar exists (never a scan, never a guess)") {
+    val (root, name) = mkTable()
+    val d0 = spark.sql(s"DESCRIBE DETAIL $name")
+      .select("version", "n_files", "n_dvs").as[(Long, Long, Long)].head()
+    assert(d0._1 == 1L && d0._3 == 0L)
+    assert(spark.sql(s"DESCRIBE DETAIL $name").select("n_rows")
+      .collect().head.isNullAt(0), "no stats sidecar -> null, not a scan")
+    spark.sql(s"DELETE FROM $name WHERE id = 1")
+    Manifest.writeStats(spark, root, 2L)
+    val d2 = spark.sql(s"DESCRIBE DETAIL $name")
+      .select("version", "n_dvs", "n_rows").as[(Long, Long, Long)].head()
+    assert(d2 == ((2L, 1L, 3L)), s"exact live count minus the DV: $d2")
+  }
+
   test("maintenance statements refuse non-manifest targets loudly; " +
     "everything else delegates verbatim") {
     intercept[UnsupportedOperationException] {
