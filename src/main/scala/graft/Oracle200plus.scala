@@ -17,6 +17,17 @@ private[graft] object Oracle200plus {
   val m: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
 
+    // q263: the manifest's leaf partitions = the distinct waves of the
+    // base plus the inserted wave 9.
+    "q263_sql_show_partitions" ->
+      """SELECT 'w=' || w AS partition, TRUE AS gate_fresh
+        |FROM (SELECT DISTINCT substring(o_orderpriority, 1, 1) AS w
+        |      FROM orders
+        |      UNION
+        |      SELECT '9' AS w
+        |      WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey % 211 = 0))
+        |""".stripMargin,
+
     // q261: base rows read the evolved column as null (coalesced to 0
     // in the sum); the inserted %113 slice carries price div 10.
     "q261_sql_alter_add_column" ->

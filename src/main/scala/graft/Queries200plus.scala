@@ -88,6 +88,37 @@ private[graft] object Queries200plus {
         .select("version", "n_files", "n_dvs", "n_rows")
     }),
 
+    // SHOW PARTITIONS from the manifest (stock Spark answers from
+    // METASTORE entries, which go stale the moment a commit adds or
+    // erases a partition — the DML path never touches the metastore):
+    // an INSERT lands a brand-new wave 9 through the log, and the very
+    // next SHOW PARTITIONS lists it. The stock statement on the same
+    // table would still show only waves 1-5 — gate_fresh pins the
+    // difference by counting the manifest leaves directly.
+    "q263_sql_show_partitions" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqlshw")
+      ensureLakeFixture(s, dir, "q263_sql_show_partitions") {
+        fixOrdersTable(s, dir, "graft_sqlshw"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      val name = s"graft_unified.sqlshw_$tag"
+      GraftTable.register(s, "graft_unified", s"sqlshw_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      facts.where(pmod(col("o_orderkey"), lit(211)) === 0)
+        .withColumn("w", lit("9"))
+        .createOrReplaceTempView(s"sqlshw_src_$tag")
+      s.sql(s"INSERT INTO $name SELECT * FROM sqlshw_src_$tag")
+        .collect(): Unit
+      val shown = s.sql(s"SHOW PARTITIONS $name")
+      val manifestLeaves = Manifest.current(s, layout).get._2
+        .map(Manifest.leafDirOf(_, Seq("w"))).distinct.sorted
+      val gate = shown.orderBy("partition")
+        .collect().map(_.getString(0)).toSeq == manifestLeaves
+      shown.withColumn("gate_fresh", lit(gate))
+    }),
+
     // Modularity scoring of two partitions of the same co-purchase
     // graph: connected components (real structure — every edge intra)
     // vs an md5 8-bucket null partition (must score ≈ 0). Detection

@@ -522,7 +522,9 @@ object SparkEntry {
     "q260_table_changes" -> ((s, dir) => fixQ245(s, dir)),
     "q261_sql_alter_add_column" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqlalt"); () }),
-    "q262_describe_detail" -> ((s, dir) => fixQ262(s, dir)))
+    "q262_describe_detail" -> ((s, dir) => fixQ262(s, dir)),
+    "q263_sql_show_partitions" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqlshw"); () }))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real

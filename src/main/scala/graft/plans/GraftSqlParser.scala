@@ -127,15 +127,26 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       case CheckpointRe(ident, keep) =>
         GraftCheckpointCommand(spark, mt(parseMultipartIdentifier(ident)),
           Option(keep).map(_.toInt))
+      case ShowPartitionsRe(ident)
+          if manifestTable(parseMultipartIdentifier(ident)).isDefined =>
+        // stock SHOW PARTITIONS reads METASTORE entries, which go
+        // stale the moment a manifest commit adds or erases a
+        // partition (the DML path never updates the metastore — the
+        // manifest IS the partition truth); derive the answer from
+        // the current commit instead. Non-manifest tables keep
+        // Spark's own statement (the guard falls through).
+        GraftShowPartitionsCommand(spark,
+          mt(parseMultipartIdentifier(ident)))
       case _ =>
         val plan = delegate.parsePlan(sqlText)
         // the time-travel probe is ALWAYS ON (every spark.sql call
         // funnels through here), so it must be provably O(1) for the
-        // 99.9% of statements with no time travel: a `VERSION AS OF`
-        // clause cannot parse into RelationTimeTravel without the
-        // token "VERSION" in the text, and the cheap contains-check
-        // skips the O(plan) traversal entirely
-        if (!containsIgnoreCase(sqlText, "VERSION") ||
+        // 99.9% of statements with no time travel: a `VERSION AS OF` /
+        // `TIMESTAMP AS OF` clause cannot parse into
+        // RelationTimeTravel without its keyword in the text, and the
+        // cheap contains-check skips the O(plan) traversal entirely
+        if ((!containsIgnoreCase(sqlText, "VERSION") &&
+            !containsIgnoreCase(sqlText, "TIMESTAMP")) ||
           !plan.exists(_.isInstanceOf[RelationTimeTravel])) plan
         else plan.transformUp {
           case RelationTimeTravel(ur: UnresolvedRelation, None, Some(v))
@@ -143,9 +154,32 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
                 manifestTable(ur.multipartIdentifier).isDefined =>
             ManifestTableResolution.versionedPlan(spark,
               manifestTable(ur.multipartIdentifier).get, v.toLong)
+          // TIMESTAMP AS OF: resolve the (constant) timestamp to the
+          // newest version published at or before it — the Delta
+          // contract; non-constant or uncastable expressions keep
+          // Spark's own error
+          case RelationTimeTravel(ur: UnresolvedRelation, Some(ts), None)
+              if ts.resolved && ts.foldable &&
+                manifestTable(ur.multipartIdentifier).isDefined &&
+                tsMillisOf(ts).isDefined =>
+            val tbl = manifestTable(ur.multipartIdentifier).get
+            val root = new org.apache.hadoop.fs.Path(tbl.location)
+              .toUri.getPath
+            ManifestTableResolution.versionedPlan(spark, tbl,
+              Manifest.versionAtTimestamp(spark, root, tsMillisOf(ts).get))
         }
     }
   }
+
+  /** Constant timestamp expression → epoch millis (session zone for
+    * string literals), None when not castable. */
+  private def tsMillisOf(ts: Expression): Option[Long] =
+    try {
+      val cast = org.apache.spark.sql.catalyst.expressions.Cast(ts,
+        org.apache.spark.sql.types.TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
+      Option(cast.eval()).map(us => Math.floorDiv(us.asInstanceOf[Long], 1000L))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -194,6 +228,8 @@ object GraftSqlParser {
   private val TblPropRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val DescribeDetailRe =
     ("""(?is)^DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
+  private val ShowPartitionsRe =
+    ("""(?is)^SHOW\s+PARTITIONS\s+""" + Ident + """\s*;?\s*$""").r
   private val AlterAddColsRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$""").r
@@ -399,6 +435,30 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
       org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
     val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
     Manifest.current(spark, root).map(_._1).getOrElse(0L)
+  }
+}
+
+/** `SHOW PARTITIONS t` answered FROM THE MANIFEST: one row per
+  * distinct leaf partition directory of the CURRENT committed version
+  * (stock Spark's metastore answer goes stale the moment a commit
+  * adds or erases a partition — the DML path never touches the
+  * metastore). Output matches the stock statement's shape (one
+  * `partition` string, `c1=v1/c2=v2`), multi-level included; an
+  * unpartitioned manifest table answers empty like stock. Zero data
+  * IO — O(files) manifest text. */
+case class GraftShowPartitionsCommand(@transient session: SparkSession,
+                                      @transient tbl: CatalogTable)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+    val partCols = tbl.partitionColumnNames
+    if (partCols.isEmpty) return Nil
+    val (_, files) = Manifest.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
+    files.map(Manifest.leafDirOf(_, partCols)).distinct.sorted
+      .map(Row(_))
   }
 }
 

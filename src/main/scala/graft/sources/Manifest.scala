@@ -1553,6 +1553,32 @@ object Manifest {
       "dvs_added", "dvs_removed", "operation", "timestamp_ms")
   }
 
+  /** The newest committed version whose publish time is ≤ `tsMillis`
+    * (Delta's TIMESTAMP AS OF contract): version timestamps are the
+    * manifest files' modification times — monotone by construction
+    * (versions publish in order) — so the lookup is a simple floor.
+    * Loud when `tsMillis` predates the earliest RETAINED version
+    * (vacuum narrowed the window) — never a silent clamp to v1, which
+    * would serve a snapshot that did not exist at that time. */
+  def versionAtTimestamp(spark: SparkSession, root: String,
+                         tsMillis: Long): Long = {
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, Dir)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed manifest under $root")
+    val stamped = vs.map { v =>
+      val m = new Path(dir, manifestName(v))
+      val p = if (fs.exists(m)) m else new Path(dir, ckptName(v))
+      v -> fs.getFileStatus(p).getModificationTime
+    }
+    val at = stamped.filter(_._2 <= tsMillis).map(_._1).maxOption
+    at.getOrElse(throw new IllegalArgumentException(
+      s"no retained version of $root existed at timestamp $tsMillis — " +
+        s"the earliest retained version published at " +
+        s"${stamped.head._2} (vacuum/cleanLog may have narrowed the " +
+        s"time-travel window)"))
+  }
+
   /** The newest checkpointed version, resolved through the
     * `_last_checkpoint` pointer in O(1) — None when never checkpointed
     * or when the pointed-at file was itself vacuumed (the pointer is a

@@ -58,7 +58,8 @@ class SqlOpsSpec extends SparkTestBase {
   }
 
   test("VERSION AS OF on a NON-manifest table keeps Spark's own " +
-    "unsupported-feature error; TIMESTAMP AS OF stays Spark's too") {
+    "unsupported-feature error; TIMESTAMP AS OF on one stays Spark's " +
+    "too (manifest tables now resolve it — tested separately)") {
     val plain = Files.createTempDirectory("graft_sqlops_p").toString + "/p"
     Seq((1L, 2L)).toDF("a", "b").write.parquet(plain)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_ops")
@@ -68,10 +69,10 @@ class SqlOpsSpec extends SparkTestBase {
       spark.sql("SELECT * FROM graft_ops.plain VERSION AS OF 1").collect()
     }
     assert(e.getMessage.toLowerCase.contains("time travel"), e.getMessage)
-    val (_, name) = mkTable()
     val e2 = intercept[Exception] {
       spark.sql(
-        s"SELECT * FROM $name TIMESTAMP AS OF '2024-01-01'").collect()
+        "SELECT * FROM graft_ops.plain TIMESTAMP AS OF '2024-01-01'")
+        .collect()
     }
     assert(e2.getMessage.toLowerCase.contains("time travel"), e2.getMessage)
   }
@@ -348,6 +349,47 @@ class SqlOpsSpec extends SparkTestBase {
     val d2 = spark.sql(s"DESCRIBE DETAIL $name")
       .select("version", "n_dvs", "n_rows").as[(Long, Long, Long)].head()
     assert(d2 == ((2L, 1L, 3L)), s"exact live count minus the DV: $d2")
+  }
+
+  test("SHOW PARTITIONS answers from the manifest: a DML-created " +
+    "partition is visible immediately, an erased one disappears — " +
+    "where the metastore answer would be stale both ways") {
+    val (root, name) = mkTable()
+    assert(spark.sql(s"SHOW PARTITIONS $name")
+      .as[String].collect().sorted.toSeq == Seq("day=d1", "day=d2", "day=d3"))
+    spark.sql(s"INSERT INTO $name VALUES (9, 90, 'd9')")
+    assert(spark.sql(s"SHOW PARTITIONS $name")
+      .as[String].collect().toSet.contains("day=d9"),
+      "the committed-but-not-metastored partition must show")
+    // dynamic overwrite erases d9's only file? no — replace d1 and
+    // verify the listing tracks the MANIFEST, not the directory tree
+    val live = Manifest.current(spark, root).get._2
+    Manifest.commit(spark, root, live.filterNot(_.startsWith("day=d9/")))
+    assert(!spark.sql(s"SHOW PARTITIONS $name")
+      .as[String].collect().toSet.contains("day=d9"),
+      "an erased partition disappears even while its files sit on disk")
+    assert(root.nonEmpty)
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest version published at " +
+    "or before the timestamp; pre-history timestamps fail loudly") {
+    val (root, name) = mkTable()                              // v1
+    Thread.sleep(1500)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1500)
+    spark.sql(s"DELETE FROM $name WHERE id IN (1, 2)")        // v2
+    assert(ids(s"SELECT * FROM $name") == Set(3L, 4L))
+    assert(ids(s"SELECT * FROM $name TIMESTAMP AS OF '$mid'") ==
+      Set(1L, 2L, 3L, 4L), "mid-history timestamp serves v1")
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+    assert(ids(s"SELECT * FROM $name TIMESTAMP AS OF '$now'") ==
+      Set(3L, 4L), "post-delete timestamp serves v2")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM $name TIMESTAMP AS OF '2001-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no retained version"), e.getMessage)
   }
 
   test("maintenance statements refuse non-manifest targets loudly; " +
