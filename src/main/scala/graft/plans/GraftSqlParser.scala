@@ -81,7 +81,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     val t = sqlText.trim
     val mt: Seq[String] => CatalogTable = requireManifest
     t match {
-      case CreateGraftRe(ifNotExists, ident, cols, partCols, location, props) =>
+      case CreateGraftRe(ifNotExists, ident, cols, partCols, location,
+          props, ctas) =>
         val parts = parseMultipartIdentifier(ident)
         val schema = Option(cols).map(c =>
           StructType.fromDDL(c.trim.stripSuffix(",")))
@@ -93,7 +94,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         }.getOrElse(Map.empty)
         GraftCreateTableCommand(spark, parts,
           ifNotExists = ifNotExists != null, schema, pcols,
-          Option(location), kv)
+          Option(location), kv, Option(ctas))
       case DescribeHistoryRe(ident) =>
         GraftHistoryCommand(spark, mt(parseMultipartIdentifier(ident)))
       case DescribeDetailRe(ident) =>
@@ -224,7 +225,8 @@ object GraftSqlParser {
       """\s*(?:\((.+?)\)\s*)?USING\s+graft""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?""" +
-      """(?:\s+TBLPROPERTIES\s*\((.+)\))?\s*;?\s*$""").r
+      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?""" +
+      """(?:\s+AS\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.*))?\s*;?\s*$""").r
   private val TblPropRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val DescribeDetailRe =
     ("""(?is)^DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
@@ -385,7 +387,8 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
                                    declaredSchema: Option[StructType],
                                    partitionCols: Seq[String],
                                    location: Option[String],
-                                   props: Map[String, String])
+                                   props: Map[String, String],
+                                   ctasQuery: Option[String] = None)
   extends VersionOut {
   override def run(spark: SparkSession): Seq[Row] = {
     val (db, table) = ident match {
@@ -398,7 +401,7 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
     val exists = try spark.catalog.tableExists(s"$db.$table")
       catch { case scala.util.control.NonFatal(_) => false }
     if (exists) {
-      if (ifNotExists)
+      if (ifNotExists && ctasQuery.isEmpty)
         return Seq(Row(currentVersionOf(spark, db, table)))
       throw new IllegalStateException(
         s"table $db.$table already exists — CREATE TABLE IF NOT EXISTS " +
@@ -409,6 +412,20 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
       GraftTable.PropBloomIdx, GraftTable.PropManifest)
     require(unknown.isEmpty,
       s"unknown TBLPROPERTIES for a graft table: ${unknown.mkString(", ")}")
+    require(ctasQuery.isEmpty || props.isEmpty,
+      "CTAS into a pinned/bloom registration is not supported — " +
+        "CREATE the table first, then INSERT")
+    // CTAS: the query defines the schema (an explicit column list must
+    // not disagree — refuse rather than silently cast)
+    val querySchema = ctasQuery.map { q =>
+      val s = spark.sql(q).schema
+      declaredSchema.foreach { d =>
+        require(d.fieldNames.sameElements(s.fieldNames),
+          s"CTAS column list ${d.fieldNames.mkString(",")} does not " +
+            s"match the query's ${s.fieldNames.mkString(",")}")
+      }
+      s
+    }
     val root = location.getOrElse {
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
@@ -423,9 +440,13 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
     GraftTable.register(spark, db, table, root,
       bloomColumn = props.get(GraftTable.PropBloomCol),
       bloomIndexPath = props.get(GraftTable.PropBloomIdx),
-      schema = declaredSchema, partitionCols = partitionCols,
+      schema = querySchema.orElse(declaredSchema),
+      partitionCols = partitionCols,
       group = props.get(GraftTable.PropGroup),
       versionAsOf = props.get(GraftTable.PropVersionAsOf).map(_.toLong))
+    // the CTAS batch lands through the log (the q256 INSERT machinery
+    // re-entered through SQL — one staged commit, CAS-published)
+    ctasQuery.foreach(q => spark.sql(s"INSERT INTO $db.$table $q"))
     Seq(Row(Manifest.current(spark, root).map(_._1).getOrElse(0L)))
   }
 

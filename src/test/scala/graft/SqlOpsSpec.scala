@@ -351,6 +351,29 @@ class SqlOpsSpec extends SparkTestBase {
     assert(d2 == ((2L, 1L, 3L)), s"exact live count minus the DV: $d2")
   }
 
+  test("CTAS: CREATE TABLE … USING graft AS SELECT lands the batch " +
+    "through the log — one staged commit, immediately readable") {
+    val (_, src) = mkTable()
+    spark.sql("DROP TABLE IF EXISTS graft_ops.ctas1")
+    val loc = Files.createTempDirectory("graft_ctas").toString + "/t"
+    val v = spark.sql(
+      s"""CREATE TABLE graft_ops.ctas1 USING graft
+         |PARTITIONED BY (day) LOCATION '$loc'
+         |AS SELECT id, v * 2 AS v, day FROM $src WHERE id <= 3""".stripMargin)
+      .as[Long].head()
+    assert(v == 2L, "v1 = empty bootstrap, v2 = the CTAS batch commit")
+    assert(spark.table("graft_ops.ctas1")
+      .select("id", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 20L), (2L, 40L), (3L, 60L)))
+    assert(Manifest.current(spark, loc).exists(_._1 == 2L))
+    // a mismatched explicit column list refuses loudly
+    spark.sql("DROP TABLE IF EXISTS graft_ops.ctas2")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE TABLE graft_ops.ctas2 (a BIGINT, b BIGINT)
+                   |USING graft AS SELECT id FROM $src""".stripMargin)
+    }
+  }
+
   test("SHOW PARTITIONS answers from the manifest: a DML-created " +
     "partition is visible immediately, an erased one disappears — " +
     "where the metastore answer would be stale both ways") {
