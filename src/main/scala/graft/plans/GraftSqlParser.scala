@@ -401,7 +401,9 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
     val exists = try spark.catalog.tableExists(s"$db.$table")
       catch { case scala.util.control.NonFatal(_) => false }
     if (exists) {
-      if (ifNotExists && ctasQuery.isEmpty)
+      // stock CTAS semantics: IF NOT EXISTS on an existing table
+      // no-ops WITHOUT running the query
+      if (ifNotExists)
         return Seq(Row(currentVersionOf(spark, db, table)))
       throw new IllegalStateException(
         s"table $db.$table already exists — CREATE TABLE IF NOT EXISTS " +
