@@ -215,6 +215,62 @@ object Compaction {
     v
   }
 
+  /** [[compactAtomic]] for MULTI-LEVEL partitioning: per-LEAF byte
+    * budgets (grouped by the full `c1=v1/…/cn=vn` directory), rows
+    * salted within their leaf, staged at depth and published as one
+    * atomic leaf replacement — the weekly maintenance statement a
+    * y/m/d streaming sink needs. Content-identical by construction;
+    * `keepVersions <= 0` skips the vacuum (the SQL OPTIMIZE contract:
+    * old versions keep time-traveling). */
+  def compactAtomicLeaves(spark: SparkSession, path: String,
+                          partCols: Seq[String],
+                          targetBytes: Long = 128L * 1024 * 1024,
+                          keepVersions: Int = 1): Long = {
+    import graft.sources.Manifest
+    require(partCols.nonEmpty, "use compactAtomicFlat for unpartitioned")
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+      "false")
+    import sess.implicits._
+    Manifest.bootstrap(sess, path)
+    val (v0, live) = Manifest.current(sess, path).get
+    if (live.isEmpty) return v0
+    val (fs, rootP) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(sess.sessionState.newHadoopConf()), p)
+    }
+    // per-leaf byte budget from the LIVE list (crash debris excluded)
+    val counts = live.groupBy(Manifest.leafDirOf(_, partCols))
+      .map { case (leaf, fls) =>
+        val bytes = fls.map(f => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(rootP, f)).getLen).sum
+        leaf -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      }
+    val snapshot = Manifest.read(sess, path)
+    // leaf key = the escaped directory string, rebuilt per row — the
+    // same normalization leafDirOf uses, so the budget join is exact
+    val leafCol = concat_ws("/", partCols.map(c =>
+      concat(lit(c + "="), udfEscape(col(c).cast("string")))): _*)
+    val budget = broadcast(counts.toSeq.toDF("_leaf", "_n"))
+    val salted = snapshot.withColumn("_leaf", leafCol)
+      .join(budget, "_leaf")
+      .withColumn("_salt",
+        pmod(hash(struct(snapshot.columns.map(col): _*)), col("_n")))
+      .repartition(col("_leaf"), col("_salt"))
+      .drop("_leaf", "_n", "_salt")
+    val created = Manifest.stageUniqueParts(sess, fs, rootP, partCols, salted)
+    val v = Manifest.commit(sess, path, created, dvs = Some(Nil))
+    if (keepVersions > 0) Manifest.vacuum(sess, path, keepVersions)
+    v
+  }
+
+  /** Hive path-escape as a column op (matches
+    * ExternalCatalogUtils.escapePathName on the JVM side). */
+  private val udfEscape = org.apache.spark.sql.functions.udf(
+    (s: String) => org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(s))
+
   /** OPTIMIZE … ZORDER BY (x, y) — the clustered rewrite every table
     * format pairs with its data-skipping stats (Delta's OPTIMIZE
     * ZORDER, public design): ONE atomic full-replacement commit whose
@@ -257,7 +313,7 @@ object Compaction {
                      numFiles: Int = 0,
                      bloomColumn: Option[String] = None,
                      bloomIndexPath: Option[String] = None): Long =
-    optimizeZOrderN(spark, path, Seq(x, y), partCol, zBits, statsCols,
+    optimizeZOrderN(spark, path, Seq(x, y), partCol.toSeq, zBits, statsCols,
       numFiles, bloomColumn, bloomIndexPath)
 
   /** [[optimizeZOrder]] at any clustering arity ≥ 1 (round-12 verdict
@@ -266,7 +322,7 @@ object Compaction {
     * pruning on each). */
   def optimizeZOrderN(spark: SparkSession, path: String,
                       zCols: Seq[String],
-                      partCol: Option[String] = None,
+                      partCols: Seq[String] = Nil,
                       zBits: Int = 10,
                       statsCols: Seq[String] = Nil,
                       numFiles: Int = 0,
@@ -290,10 +346,10 @@ object Compaction {
     val snapshot = Manifest.read(sess, path) // DV-filtered: deletes die here
     val clustered =
       ZOrder.layoutByN(snapshot, zCols.map(col), zBits, numFiles)
-    val created = partCol match {
-      case Some(pc) => Manifest.stageUnique(sess, fs, rootP, pc, clustered)
-      case None => Manifest.stageUniqueFlat(sess, fs, rootP, clustered)
-    }
+    val created =
+      if (partCols.nonEmpty)
+        Manifest.stageUniqueParts(sess, fs, rootP, partCols, clustered)
+      else Manifest.stageUniqueFlat(sess, fs, rootP, clustered)
     // full replacement: ONLY the clustered files are live; pending DVs
     // are materialized by the rewrite, so their refs drop atomically
     val v = Manifest.commit(sess, path, created, dvs = Some(Nil))

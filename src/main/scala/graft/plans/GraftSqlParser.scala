@@ -326,26 +326,22 @@ case class GraftOptimizeCommand(@transient session: SparkSession,
   extends VersionOut {
   override def run(spark: SparkSession): Seq[Row] = {
     val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
-    val partCol = tbl.partitionColumnNames match {
-      case Seq() => None
-      case Seq(c) => Some(c)
-      case more => throw new UnsupportedOperationException(
-        s"OPTIMIZE supports one-level partitioning, " +
-          s"${tbl.identifier} has ${more.mkString(", ")}")
-    }
+    val partCols = tbl.partitionColumnNames
     val bloomCol = tbl.properties.get(GraftTable.PropBloomCol)
     val bloomIdx = tbl.properties.get(GraftTable.PropBloomIdx)
     val v =
       if (zCols.nonEmpty)
         graft.jobs.Compaction.optimizeZOrderN(spark, root, zCols,
-          partCol = partCol, bloomColumn = bloomCol,
+          partCols = partCols, bloomColumn = bloomCol,
           bloomIndexPath = bloomIdx)
       else {
-        val cv = partCol match {
-          case Some(pc) => graft.jobs.Compaction.compactAtomic(
-            spark, root, pc, keepVersions = 0)
-          case None => graft.jobs.Compaction.compactAtomicFlat(
+        val cv = partCols match {
+          case Seq() => graft.jobs.Compaction.compactAtomicFlat(
             spark, root, keepVersions = 0)
+          case Seq(pc) => graft.jobs.Compaction.compactAtomic(
+            spark, root, pc, keepVersions = 0)
+          case more => graft.jobs.Compaction.compactAtomicLeaves(
+            spark, root, more, keepVersions = 0)
         }
         (bloomCol, bloomIdx) match {
           case (Some(c), Some(idx)) =>

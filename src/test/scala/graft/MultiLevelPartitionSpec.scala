@@ -105,6 +105,30 @@ class MultiLevelPartitionSpec extends SparkTestBase {
     }
   }
 
+  test("plain OPTIMIZE on a y/m/d table: per-leaf bin-packing through " +
+    "the log — content identical, leaf directories preserved") {
+    val (root, name) = mkTable()
+    // fragment one leaf with tiny appends
+    for (i <- 20 to 25) {
+      Seq((i.toLong, i * 10L, "2019", "09", "22"))
+        .toDF("id", "v", "y", "m", "d")
+        .write.mode("append").partitionBy("y", "m", "d").parquet(root)
+      val (fs, rootP) = ((new org.apache.hadoop.fs.Path(root))
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(root))
+      Manifest.commit(spark, root, Manifest.listDataFiles(fs, rootP))
+    }
+    val before = rows(name)
+    val nPre = Manifest.current(spark, root).get._2.size
+    val v = spark.sql(s"OPTIMIZE $name").as[Long].head()
+    val after = Manifest.filesAt(spark, root, v)
+    assert(after.size < nPre, s"shrink: $nPre -> ${after.size}")
+    assert(after.forall(f =>
+      Manifest.leafDirOf(f, Seq("y", "m", "d")).nonEmpty),
+      "every packed file sits under a full y/m/d leaf")
+    assert(rows(name) == before, "content-identical")
+  }
+
   test("erasePartitionScopedAtomicN: leaf-scoped GDPR rewrite — " +
     "untouched leaves byte-identical, fully-erased leaf vanishes, " +
     "ledger covers zero-match subjects") {
