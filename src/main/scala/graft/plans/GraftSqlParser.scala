@@ -23,17 +23,21 @@ import graft.sources.{GraftTable, Manifest, ManifestTableResolution}
   *    the syntax for every table but its v1 session-catalog path
   *    throws UNSUPPORTED_FEATURE.TIME_TRAVEL during MAIN resolution,
   *    before any injected rule can run — the parser is the one seam
-  *    early enough. Non-manifest tables, temp views, `TIMESTAMP AS
-  *    OF`, and non-numeric versions are left untouched (Spark's own
-  *    errors stay authoritative — never a silent behavior change).
+  *    early enough. `TIMESTAMP AS OF` resolves constant timestamps to
+  *    the newest version published at or before them. Non-manifest
+  *    tables, temp views, and non-constant expressions are left
+  *    untouched (Spark's own errors stay authoritative — never a
+  *    silent behavior change).
   *  - accepts the operational statements every table format grows
   *    (Delta's public SQL surface), each dispatching to the existing
   *    operator with its full contract:
-  *      `CREATE TABLE … USING graft`              → GraftTable.register
-  *      `DESCRIBE HISTORY t`                      → Manifest.history
+  *      `CREATE TABLE … USING graft [AS query]`   → GraftTable.register (+ INSERT)
+  *      `ALTER TABLE t ADD COLUMNS (…)`           → schema-in-log + re-register
+  *      `DESCRIBE HISTORY t` / `DESCRIBE DETAIL t` → Manifest.history / log facts
+  *      `SHOW PARTITIONS t`                       → current manifest's leaf dirs
   *      `VACUUM t [RETAIN n VERSIONS] [GRACE h HOURS]` → Manifest.vacuum
   *      `RESTORE TABLE t TO VERSION AS OF v`      → Manifest.restore
-  *      `OPTIMIZE t`                              → Compaction.compactAtomic[Flat]
+  *      `OPTIMIZE t`                              → Compaction.compactAtomic[Flat|Leaves]
   *      `OPTIMIZE t ZORDER BY (c1, …, cn)`        → Compaction.optimizeZOrderN
   *      `CHECKPOINT t [RETAIN n VERSIONS]`        → Manifest.checkpoint (+ cleanLog)
   *    None of these collide with Spark grammar except `DESCRIBE
