@@ -124,6 +124,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       case RestoreRe(ident, v) =>
         GraftRestoreCommand(spark, mt(parseMultipartIdentifier(ident)),
           v.toLong)
+      case RestoreTsRe(ident, ts) =>
+        // RESTORE … TO TIMESTAMP AS OF: the versionAtTimestamp floor,
+        // then the same append-only undo
+        val tbl = mt(parseMultipartIdentifier(ident))
+        val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+        GraftRestoreCommand(spark, tbl,
+          Manifest.versionAtTimestamp(spark, root,
+            java.sql.Timestamp.valueOf(ts).getTime))
       case OptimizeRe(ident, colList) =>
         GraftOptimizeCommand(spark, mt(parseMultipartIdentifier(ident)),
           Option(colList).toSeq.flatMap(_.split(",").toSeq)
@@ -248,6 +256,9 @@ object GraftSqlParser {
   private val RestoreRe =
     ("""(?is)^RESTORE\s+(?:TABLE\s+)?""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val RestoreTsRe =
+    ("""(?is)^RESTORE\s+(?:TABLE\s+)?""" + Ident +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^OPTIMIZE\s+""" + Ident +
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""").r

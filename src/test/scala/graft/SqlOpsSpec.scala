@@ -413,6 +413,12 @@ class SqlOpsSpec extends SparkTestBase {
         .collect()
     }
     assert(e.getMessage.contains("no retained version"), e.getMessage)
+    // RESTORE to the mid-history timestamp = restore to v1
+    val rv = spark.sql(
+      s"RESTORE TABLE $name TO TIMESTAMP AS OF '$mid'").as[Long].head()
+    assert(rv == 3L, "the restore publishes a NEW version")
+    assert(ids(s"SELECT * FROM $name") == Set(1L, 2L, 3L, 4L),
+      "the deleted rows are resurrected")
   }
 
   test("maintenance statements refuse non-manifest targets loudly; " +
