@@ -126,12 +126,17 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           v.toLong)
       case RestoreTsRe(ident, ts) =>
         // RESTORE … TO TIMESTAMP AS OF: the versionAtTimestamp floor,
-        // then the same append-only undo
+        // then the same append-only undo; the timestamp parses through
+        // the same session-zone cast the read path uses (date-only
+        // strings included)
         val tbl = mt(parseMultipartIdentifier(ident))
         val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+        val millis = tsMillisOf(
+          org.apache.spark.sql.catalyst.expressions.Literal(ts))
+          .getOrElse(throw new IllegalArgumentException(
+            s"RESTORE TO TIMESTAMP AS OF: cannot parse '$ts' as a timestamp"))
         GraftRestoreCommand(spark, tbl,
-          Manifest.versionAtTimestamp(spark, root,
-            java.sql.Timestamp.valueOf(ts).getTime))
+          Manifest.versionAtTimestamp(spark, root, millis))
       case OptimizeRe(ident, colList) =>
         GraftOptimizeCommand(spark, mt(parseMultipartIdentifier(ident)),
           Option(colList).toSeq.flatMap(_.split(",").toSeq)
