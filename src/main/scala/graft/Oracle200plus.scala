@@ -17,6 +17,19 @@ private[graft] object Oracle200plus {
   val m: Map[String, String] = Map(
     "q216_phrase_from_index" -> PhraseSearchOracle,
 
+    // q264: the refused poisoned batch leaves no trace; the corrected
+    // slice lands — q256's truth behind the write-time gate.
+    "q264_sql_check_constraint" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_refused, TRUE AS gate_nothing_committed
+        |FROM (SELECT * FROM orders
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderkey % 127 = 0)
+        |GROUP BY 1""".stripMargin,
+
     // q263: the manifest's leaf partitions = the distinct waves of the
     // base plus the inserted wave 9.
     "q263_sql_show_partitions" ->

@@ -88,6 +88,51 @@ private[graft] object Queries200plus {
         .select("version", "n_files", "n_dvs", "n_rows")
     }),
 
+    // SQL CHECK CONSTRAINTS (the Delta write-time-gate design over
+    // the commitChecked machinery): ALTER TABLE ADD CONSTRAINT
+    // declares `price_cents >= 0` in the catalog; a poisoned INSERT
+    // (the %127 slice with NEGATED prices) is REFUSED in one
+    // aggregation pass with NOTHING committed — version unchanged,
+    // zero stray files — and the corrected batch then lands normally.
+    // Gates pin the refusal (version + listing identical around it)
+    // and the error naming the constraint; hash = base + the valid
+    // re-keyed slice, exactly q256's truth, now behind the gate.
+    "q264_sql_check_constraint" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqlchk")
+      ensureLakeFixture(s, dir, "q264_sql_check_constraint") {
+        fixOrdersTable(s, dir, "graft_sqlchk"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      val name = s"graft_unified.sqlchk_$tag"
+      GraftTable.register(s, "graft_unified", s"sqlchk_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      s.sql(s"ALTER TABLE $name ADD CONSTRAINT price_pos " +
+        s"CHECK (price_cents >= 0)").collect(): Unit
+      val slice = facts.where(pmod(col("o_orderkey"), lit(127)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+      slice.withColumn("price_cents", -col("price_cents") - 1L)
+        .createOrReplaceTempView(s"sqlchk_bad_$tag")
+      slice.createOrReplaceTempView(s"sqlchk_ok_$tag")
+      val before = Manifest.current(s, layout).get
+      val listing = lakeListing(s, layout)
+      val refused =
+        try { s.sql(s"INSERT INTO $name SELECT * FROM sqlchk_bad_$tag")
+                .collect(); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("price_pos") }
+      val unchanged = Manifest.current(s, layout).get == before &&
+        lakeListing(s, layout) == listing
+      s.sql(s"INSERT INTO $name SELECT * FROM sqlchk_ok_$tag")
+        .collect(): Unit
+      s.table(name)
+        .groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_price_cents"))
+        .withColumn("gate_refused", lit(refused))
+        .withColumn("gate_nothing_committed", lit(unchanged))
+    }),
+
     // SHOW PARTITIONS from the manifest (stock Spark answers from
     // METASTORE entries, which go stale the moment a commit adds or
     // erases a partition — the DML path never touches the metastore):

@@ -524,7 +524,9 @@ object SparkEntry {
       { fixOrdersTable(s, dir, "graft_sqlalt"); () }),
     "q262_describe_detail" -> ((s, dir) => fixQ262(s, dir)),
     "q263_sql_show_partitions" -> ((s, dir) =>
-      { fixOrdersTable(s, dir, "graft_sqlshw"); () }))
+      { fixOrdersTable(s, dir, "graft_sqlshw"); () }),
+    "q264_sql_check_constraint" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqlchk"); () }))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real

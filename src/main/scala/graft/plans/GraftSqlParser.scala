@@ -110,6 +110,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftAlterAddColsCommand(spark,
           mt(parseMultipartIdentifier(ident)),
           StructType.fromDDL(cols.trim.stripSuffix(",")))
+      case AddConstraintRe(ident, cName, cExpr)
+          if manifestTable(parseMultipartIdentifier(ident)).isDefined =>
+        GraftAddConstraintCommand(spark,
+          mt(parseMultipartIdentifier(ident)), cName, cExpr.trim)
+      case DropConstraintRe(ident, cName)
+          if manifestTable(parseMultipartIdentifier(ident)).isDefined =>
+        GraftDropConstraintCommand(spark,
+          mt(parseMultipartIdentifier(ident)), cName)
       case VacuumRe(ident, keep, graceHours) =>
         // default grace = 7 days (the Delta VACUUM default): vacuum's
         // zero-grace arm deletes a racing DML's staged-but-uncommitted
@@ -252,6 +260,12 @@ object GraftSqlParser {
   private val AlterAddColsRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+CONSTRAINT\s+([\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+CONSTRAINT\s+([\w]+)\s*;?\s*$""").r
   private val DescribeHistoryRe =
     ("""(?is)^DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
   private val VacuumRe =
@@ -576,6 +590,56 @@ case class GraftAlterAddColsCommand(@transient session: SparkSession,
       bloomIndexPath = tbl.properties.get(GraftTable.PropBloomIdx),
       schema = Some(evolved), partitionCols = partCols)
     Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — a write-time
+  * quality gate (the Delta CHECK-constraint design, SQL-declared over
+  * the [[Manifest.commitChecked]] machinery): the constraint lands in
+  * TBLPROPERTIES (`graft.check.<name>`) and every SQL write path
+  * (INSERT / CTAS / MERGE / UPDATE) validates its batch in one
+  * aggregation pass BEFORE committing — a violating batch never
+  * becomes live. Adding a constraint validates the EXISTING snapshot
+  * first (one scan) and refuses if current data already violates it —
+  * a constraint that silently doesn't hold is worse than none. */
+case class GraftAddConstraintCommand(@transient session: SparkSession,
+                                     @transient tbl: CatalogTable,
+                                     name: String, exprSql: String)
+  extends VersionOut {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = GraftTable.PropCheckPrefix + name
+    require(!tbl.properties.contains(key),
+      s"constraint $name already exists on ${tbl.identifier}")
+    val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+    val (v, files) = Manifest.current(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $root"))
+    // existing data must already satisfy the new gate — one scan
+    if (files.nonEmpty)
+      GraftTable.validateConstraints(Manifest.read(spark, root),
+        Map(name -> exprSql))
+    spark.sessionState.catalog.alterTable(
+      tbl.copy(properties = tbl.properties + (key -> exprSql)))
+    spark.catalog.refreshTable(tbl.identifier.quotedString)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — removes the gate; unknown
+  * names refuse loudly. */
+case class GraftDropConstraintCommand(@transient session: SparkSession,
+                                      @transient tbl: CatalogTable,
+                                      name: String)
+  extends VersionOut {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = GraftTable.PropCheckPrefix + name
+    require(tbl.properties.contains(key),
+      s"no constraint $name on ${tbl.identifier} — declared: ${
+        GraftTable.checkConstraints(tbl).keys.toSeq.sorted.mkString(", ")}")
+    spark.sessionState.catalog.alterTable(
+      tbl.copy(properties = tbl.properties - key))
+    spark.catalog.refreshTable(tbl.identifier.quotedString)
+    val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+    Seq(Row(Manifest.current(spark, root).map(_._1).getOrElse(0L)))
   }
 }
 

@@ -138,7 +138,8 @@ case class ManifestDmlResolution(spark: SparkSession)
             s"manifest UPDATE assigns top-level columns, got $k")
         }.toMap
         GraftUpdateCommand(rootOf(tbl), set,
-          condition.map(e => DmlExpr(unbind(e))), partColsOf(tbl))
+          condition.map(e => DmlExpr(unbind(e))), partColsOf(tbl),
+          GraftTable.checkConstraints(tbl))
 
       case m: MergeIntoTable if m.childrenResolved &&
           m.mergeCondition.resolved &&
@@ -173,7 +174,8 @@ case class ManifestDmlResolution(spark: SparkSession)
             s"equal target columns ${targetCols.toSeq.sorted.mkString(",")}")
         GraftMergeCommand(rootOf(tbl), m.sourceTable,
           mergeKeys(m.mergeCondition, m.targetTable.output,
-            m.sourceTable.output).get.distinct, partColsOf(tbl))
+            m.sourceTable.output).get.distinct, partColsOf(tbl),
+          GraftTable.checkConstraints(tbl))
 
       // INSERT INTO / INSERT OVERWRITE a manifest table: without this,
       // Spark's own InsertIntoHadoopFsRelationCommand writes part
@@ -214,7 +216,7 @@ case class ManifestDmlResolution(spark: SparkSession)
         GraftInsertCommand(rootOf(tbl), i.query,
           overwrite = i.mode == org.apache.spark.sql.SaveMode.Overwrite,
           dynamic = dynMode && tbl.partitionColumnNames.nonEmpty,
-          partColsOf(tbl))
+          partColsOf(tbl), GraftTable.checkConstraints(tbl))
     }
 }
 
@@ -244,13 +246,15 @@ case class GraftDeleteCommand(root: String, condition: DmlExpr)
 /** `UPDATE t SET … WHERE …` → one DV + staged-rewrite commit. */
 case class GraftUpdateCommand(root: String, set: Map[String, DmlExpr],
                               condition: Option[DmlExpr],
-                              partCols: Seq[String])
+                              partCols: Seq[String],
+                              checks: Map[String, String] = Map.empty)
   extends LeafRunnableCommand with DmlOutput {
   override def run(spark: SparkSession): Seq[Row] = {
     val cond = condition.map(c => toCol(c.e))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val (v, n) = Manifest.updateWhere(spark, root, cond,
-      set.map { case (k, e) => k -> toCol(e.e) }, partCols)
+      set.map { case (k, e) => k -> toCol(e.e) }, partCols,
+      validate = df => GraftTable.validateConstraints(df, checks))
     spark.catalog.refreshByPath(root)
     Seq(Row(v, n))
   }
@@ -265,7 +269,8 @@ case class GraftUpdateCommand(root: String, set: Map[String, DmlExpr],
   * written. */
 case class GraftInsertCommand(root: String, query: LogicalPlan,
                               overwrite: Boolean, dynamic: Boolean,
-                              partCols: Seq[String])
+                              partCols: Seq[String],
+                              checks: Map[String, String] = Map.empty)
   extends LeafRunnableCommand with DmlOutput {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -274,6 +279,9 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
       (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
     val df = ofRows(spark, query).localCheckpoint(true)
+    // declared CHECK constraints gate the batch BEFORE any staging —
+    // a violating INSERT leaves no files and no commit
+    GraftTable.validateConstraints(df, checks)
     val n = df.count()
     val created =
       if (partCols.nonEmpty)
@@ -311,12 +319,15 @@ case class GraftInsertCommand(root: String, query: LogicalPlan,
   * replaced via a deletion vector, the batch staged as fresh files,
   * one commit. `rows_affected` = source rows written (the batch). */
 case class GraftMergeCommand(root: String, source: LogicalPlan,
-                             keys: Seq[String], partCols: Seq[String])
+                             keys: Seq[String], partCols: Seq[String],
+                             checks: Map[String, String] = Map.empty)
   extends LeafRunnableCommand with DmlOutput {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
+    val src = ofRows(spark, source)
+    GraftTable.validateConstraints(src, checks)
     val (v, _, written) =
-      Manifest.mergeDv(spark, root, ofRows(spark, source), keys, partCols)
+      Manifest.mergeDv(spark, root, src, keys, partCols)
     spark.catalog.refreshByPath(root)
     Seq(Row(v, written))
   }

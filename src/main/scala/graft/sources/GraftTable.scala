@@ -58,6 +58,44 @@ object GraftTable {
   val PropBloomIdx = "graft.bloom.index"
   val PropGroup = "graft.group"
   val PropVersionAsOf = "graft.versionAsOf"
+  /** `graft.check.<name> = <boolean SQL expr>` — a CHECK constraint
+    * (the Delta design): every SQL write path validates its batch
+    * against all declared checks BEFORE committing, so a violating
+    * batch never becomes live (the [[Manifest.commitChecked]]
+    * discipline, SQL-declared). */
+  val PropCheckPrefix = "graft.check."
+
+  /** Declared CHECK constraints of a catalog entry: name → expr SQL. */
+  def checkConstraints(tbl: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Map[String, String] =
+    tbl.properties.collect {
+      case (k, v) if k.startsWith(PropCheckPrefix) =>
+        k.stripPrefix(PropCheckPrefix) -> v
+    }
+
+  /** ONE aggregation pass over `df` counting violators of every
+    * constraint (standard CHECK semantics: NULL satisfies — only an
+    * expression evaluating to FALSE violates); throws naming each
+    * violated constraint with its row count. O(batch), map-side
+    * combinable, zero shuffles beyond the final fold. */
+  def validateConstraints(df: org.apache.spark.sql.DataFrame,
+                          cs: Map[String, String]): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val ordered = cs.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, e) =>
+      coalesce(sum(when(not(coalesce(expr(e), lit(true))), 1L)
+        .otherwise(0L)), lit(0L)).as(s"_chk_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val bad = ordered.zipWithIndex.collect {
+      case ((n, e), i) if row.getLong(i) > 0 =>
+        s"$n — CHECK ($e) fails on ${row.getLong(i)} row(s)"
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"CHECK constraint violation, the batch was REFUSED (nothing " +
+        s"committed): ${bad.mkString("; ")}")
+  }
 
   /** Register `root` (a [[Manifest]]-controlled parquet tree; bootstrap
     * it first) as catalog table `db.table`. With `bloomColumn` +

@@ -541,7 +541,8 @@ object Manifest {
                   cond: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
                   partCols: Seq[String] = Nil,
-                  maxAttempts: Int = 10): (Long, Long) = {
+                  maxAttempts: Int = 10,
+                  validate: DataFrame => Unit = _ => ()): (Long, Long) = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     val (fs, rootP) = fsOf(spark, root)
     // value-identity: inference-off scan (see deleteRows) — the staged
@@ -584,6 +585,12 @@ object Manifest {
       val updated = set.foldLeft(
         matched.drop("__graft_rel", "__graft_pos")) {
         case (df, (c, e)) => df.withColumn(c, e)
+      }
+      // write-time gate (SQL CHECK constraints): the post-assignment
+      // rows must satisfy every declared check before anything stages;
+      // a violation discards the DV artifact and commits nothing
+      try validate(updated) catch { case e: Throwable =>
+        fs.delete(dvPath, true); throw e
       }
       val created =
         if (partCols.nonEmpty) stageUniqueParts(sess, fs, rootP, partCols, updated)

@@ -421,6 +421,48 @@ class SqlOpsSpec extends SparkTestBase {
       "the deleted rows are resurrected")
   }
 
+  test("CHECK constraints: ADD validates existing data, every SQL " +
+    "write path refuses a violating batch with nothing committed, " +
+    "DROP lifts the gate") {
+    val (root, name) = mkTable()
+    // existing data violates -> the ADD itself refuses
+    intercept[IllegalStateException] {
+      spark.sql(s"ALTER TABLE $name ADD CONSTRAINT v_small CHECK (v < 15)")
+    }
+    spark.sql(s"ALTER TABLE $name ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val vBefore = Manifest.current(spark, root).get
+    // violating INSERT: loud, no commit, no stray files
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"INSERT INTO $name VALUES (9, -5, 'd9')")
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    assert(Manifest.current(spark, root).get == vBefore,
+      "a refused batch commits nothing")
+    // violating UPDATE: loud, version unchanged
+    intercept[IllegalStateException] {
+      spark.sql(s"UPDATE $name SET v = v - 100 WHERE id = 1")
+    }
+    assert(Manifest.current(spark, root).get._1 == vBefore._1)
+    // violating MERGE: loud
+    Seq((1L, "d1", -1L)).toDF("id", "day", "v")
+      .createOrReplaceTempView("chk_src")
+    intercept[IllegalStateException] {
+      spark.sql(s"""MERGE INTO $name t USING chk_src s ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // satisfying writes pass; NULL satisfies (standard CHECK semantics)
+    spark.sql(s"INSERT INTO $name VALUES (9, 90, 'd9')")
+    assert(ids(s"SELECT * FROM $name").contains(9L))
+    // DROP lifts the gate; unknown names refuse
+    spark.sql(s"ALTER TABLE $name DROP CONSTRAINT v_pos")
+    spark.sql(s"INSERT INTO $name VALUES (10, -1, 'd9')")
+    assert(ids(s"SELECT * FROM $name").contains(10L))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $name DROP CONSTRAINT nope")
+    }
+  }
+
   test("maintenance statements refuse non-manifest targets loudly; " +
     "everything else delegates verbatim") {
     intercept[UnsupportedOperationException] {
