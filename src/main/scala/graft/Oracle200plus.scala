@@ -322,6 +322,18 @@ private[graft] object Oracle200plus {
         |  AND o_custkey % 149 <> 0
         |GROUP BY 1""".stripMargin,
 
+    // q265: two OPTIMIZE rewrites (WHERE-scoped, then plain
+    // incremental) change LAYOUT only — the hash pins content
+    // unchanged; the file-identity gates ride as literals.
+    "q265_sql_optimize_where" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  TRUE AS gate_optimize_scope, TRUE AS gate_optimize_incremental
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
     // q259: DELETE the %107 subjects (merge-on-read), double + move
     // the %101 customers to wave 9 — over the three-level layout; the
     // zero-padded month key survives the round trip (the value-

@@ -434,6 +434,21 @@ object SparkEntry {
     Manifest.bootstrap(s, layout)
   }
 
+  /** q265: a fragmented two-level (w, m) tree — every leaf lands in
+    * up to 6 files, the state a streaming sink leaves behind and the
+    * incremental OPTIMIZE exists to fix. */
+  private[graft] def fixQ265(s: SparkSession, dir: String): Unit = {
+    import graft.sources.Manifest
+    val layout = lakeLayout(dir, "graft_optwh")
+    wipeRoots(s, layout)
+    ordersFacts(s, dir)
+      .withColumn("m", lpad(pmod(col("custkey"), lit(3)).cast("string"),
+        2, "0"))
+      .repartition(6)
+      .write.partitionBy("w", "m").parquet(layout)
+    Manifest.bootstrap(s, layout)
+  }
+
   /** q262: one file per wave (repartition BY the partition column →
     * each shuffle task holds exactly one wave), so DESCRIBE DETAIL's
     * file count is deterministic at any scale factor. */
@@ -526,7 +541,8 @@ object SparkEntry {
     "q263_sql_show_partitions" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqlshw"); () }),
     "q264_sql_check_constraint" -> ((s, dir) =>
-      { fixOrdersTable(s, dir, "graft_sqlchk"); () }))
+      { fixOrdersTable(s, dir, "graft_sqlchk"); () }),
+    "q265_sql_optimize_where" -> ((s, dir) => fixQ265(s, dir)))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real

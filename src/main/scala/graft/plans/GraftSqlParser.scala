@@ -145,11 +145,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
             s"RESTORE TO TIMESTAMP AS OF: cannot parse '$ts' as a timestamp"))
         GraftRestoreCommand(spark, tbl,
           Manifest.versionAtTimestamp(spark, root, millis))
-      case OptimizeRe(ident, colList) =>
+      case OptimizeRe(ident, whereSql, colList) =>
         GraftOptimizeCommand(spark, mt(parseMultipartIdentifier(ident)),
           Option(colList).toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty))
+            .filter(_.nonEmpty),
+          Option(whereSql).map(_.trim).filter(_.nonEmpty))
       case CheckpointRe(ident, keep) =>
         GraftCheckpointCommand(spark, mt(parseMultipartIdentifier(ident)),
           Option(keep).map(_.toInt))
@@ -170,9 +171,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         // 99.9% of statements with no time travel: a `VERSION AS OF` /
         // `TIMESTAMP AS OF` clause cannot parse into
         // RelationTimeTravel without its keyword in the text, and the
-        // cheap contains-check skips the O(plan) traversal entirely
+        // cheap contains-check skips the O(plan) traversal entirely.
+        // SYSTEM_TIME / SYSTEM_VERSION are Spark's SQL-2011 spellings
+        // of the same clauses (`FOR SYSTEM_TIME AS OF ts` contains
+        // neither VERSION nor TIMESTAMP, so it needs its own probe).
         if ((!containsIgnoreCase(sqlText, "VERSION") &&
-            !containsIgnoreCase(sqlText, "TIMESTAMP")) ||
+            !containsIgnoreCase(sqlText, "TIMESTAMP") &&
+            !containsIgnoreCase(sqlText, "SYSTEM_TIME")) ||
           !plan.exists(_.isInstanceOf[RelationTimeTravel])) plan
         else plan.transformUp {
           case RelationTimeTravel(ur: UnresolvedRelation, None, Some(v))
@@ -280,6 +285,7 @@ object GraftSqlParser {
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^OPTIMIZE\s+""" + Ident +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""").r
   private val CheckpointRe =
     ("""(?is)^CHECKPOINT\s+""" + Ident +
@@ -337,15 +343,23 @@ case class GraftRestoreCommand(@transient session: SparkSession,
   }
 }
 
-/** `OPTIMIZE t [ZORDER BY (c1, …, cn)]` (round-12 verdict #3 closed
-  * both hard edges of the old two-column-only form):
+/** `OPTIMIZE t [WHERE <partition predicate>] [ZORDER BY (c1, …, cn)]`
+  * (round-12 verdict #3 closed the arity edges; round-13 verdict #1
+  * made the plain arm INCREMENTAL):
   *
   *  - PLAIN `OPTIMIZE t` = bin-packing small-file compaction through
   *    the commit log — the single most common maintenance statement on
   *    a streaming-sink table (every trigger = one commit = small
   *    files; checkpointing bounds the LOG, this bounds the FILES).
+  *    On a partitioned table only FRAGMENTED or DV-carrying leaves are
+  *    rewritten; already-compact leaves' files carry forward
+  *    byte-identically — O(today's small files), never O(table).
   *    Content-identical by construction; old files stay for time
   *    travel (no vacuum side effect — VACUUM is its own statement).
+  *  - `WHERE <pred>` scopes the run to the partitions satisfying the
+  *    predicate (partition columns only, loud otherwise — the Delta
+  *    OPTIMIZE contract). Requires a partitioned table; not composable
+  *    with ZORDER (a z-order rewrite is whole-table by design).
   *  - `ZORDER BY (c1)` = ORDER-BY layout; `(c1, …, cn)` = the n-ary
   *    Morton curve. Atomic full-replacement commit with colstats
   *    refresh; pending deletion vectors materialize in the rewrite.
@@ -356,13 +370,22 @@ case class GraftRestoreCommand(@transient session: SparkSession,
   * directory partitioning. */
 case class GraftOptimizeCommand(@transient session: SparkSession,
                                 @transient tbl: CatalogTable,
-                                zCols: Seq[String])
+                                zCols: Seq[String],
+                                whereSql: Option[String] = None)
   extends VersionOut {
   override def run(spark: SparkSession): Seq[Row] = {
     val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
     val partCols = tbl.partitionColumnNames
     val bloomCol = tbl.properties.get(GraftTable.PropBloomCol)
     val bloomIdx = tbl.properties.get(GraftTable.PropBloomIdx)
+    if (whereSql.isDefined) {
+      require(zCols.isEmpty,
+        "OPTIMIZE … WHERE does not compose with ZORDER BY — the " +
+          "z-order rewrite re-clusters the whole table by design")
+      require(partCols.nonEmpty,
+        s"OPTIMIZE … WHERE targets partition columns; " +
+          s"${tbl.identifier} is unpartitioned")
+    }
     val v =
       if (zCols.nonEmpty)
         graft.jobs.Compaction.optimizeZOrderN(spark, root, zCols,
@@ -372,10 +395,9 @@ case class GraftOptimizeCommand(@transient session: SparkSession,
         val cv = partCols match {
           case Seq() => graft.jobs.Compaction.compactAtomicFlat(
             spark, root, keepVersions = 0)
-          case Seq(pc) => graft.jobs.Compaction.compactAtomic(
-            spark, root, pc, keepVersions = 0)
           case more => graft.jobs.Compaction.compactAtomicLeaves(
-            spark, root, more, keepVersions = 0)
+            spark, root, more, keepVersions = 0,
+            partitionPredicate = whereSql)
         }
         (bloomCol, bloomIdx) match {
           case (Some(c), Some(idx)) =>
@@ -448,9 +470,13 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
       "CTAS into a pinned/bloom registration is not supported — " +
         "CREATE the table first, then INSERT")
     // CTAS: the query defines the schema (an explicit column list must
-    // not disagree — refuse rather than silently cast)
-    val querySchema = ctasQuery.map { q =>
-      val s = spark.sql(q).schema
+    // not disagree — refuse rather than silently cast). Analyzed ONCE:
+    // the same frame feeds the schema AND the insert below, so a
+    // non-deterministic query cannot register one schema and land
+    // different rows.
+    val ctasDf = ctasQuery.map(spark.sql)
+    val querySchema = ctasDf.map { df =>
+      val s = df.schema
       declaredSchema.foreach { d =>
         require(d.fieldNames.sameElements(s.fieldNames),
           s"CTAS column list ${d.fieldNames.mkString(",")} does not " +
@@ -467,6 +493,21 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
       val p = new org.apache.hadoop.fs.Path(root)
       (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
+    // CTAS into a NON-EMPTY location refuses (stock Spark's
+    // allowNonEmptyLocationInCTAS=false default, Delta likewise):
+    // adoption-then-append would silently serve pre-existing rows PLUS
+    // the query result as "the created table". Plain CREATE keeps the
+    // adoption semantics (the crawler-over-landed-data shape).
+    if (ctasQuery.isDefined) {
+      val committed = Manifest.current(spark, root).exists(_._2.nonEmpty)
+      val landed = fs.exists(rootP) &&
+        Manifest.listDataFiles(fs, rootP).nonEmpty
+      require(!committed && !landed,
+        s"CREATE TABLE … AS SELECT into non-empty location $root is " +
+          s"not allowed — the query result would silently merge with " +
+          s"the pre-existing data; CREATE (adopt) then INSERT, or " +
+          s"point the CTAS at an empty location")
+    }
     if (!fs.exists(rootP)) fs.mkdirs(rootP)
     Manifest.bootstrap(spark, root) // adopt the tree (no-op if logged)
     GraftTable.register(spark, db, table, root,
@@ -476,9 +517,18 @@ case class GraftCreateTableCommand(@transient session: SparkSession,
       partitionCols = partitionCols,
       group = props.get(GraftTable.PropGroup),
       versionAsOf = props.get(GraftTable.PropVersionAsOf).map(_.toLong))
-    // the CTAS batch lands through the log (the q256 INSERT machinery
-    // re-entered through SQL — one staged commit, CAS-published)
-    ctasQuery.foreach(q => spark.sql(s"INSERT INTO $db.$table $q"))
+    // the CTAS batch lands through the log (the q256 INSERT machinery,
+    // one staged commit, CAS-published) — bound BY NAME against the
+    // registered table: Spark reorders a partitioned datasource
+    // table's schema to put partition columns LAST, so a positional
+    // `INSERT INTO t <query>` with the partition column mid-query
+    // would silently swap columns (or throw a cast error); selecting
+    // the catalog's column order first makes the positional bind exact
+    ctasDf.foreach { df =>
+      val order = spark.table(s"$db.$table").schema.fieldNames.toSeq
+      df.select(order.map(org.apache.spark.sql.functions.col): _*)
+        .write.insertInto(s"$db.$table")
+    }
     Seq(Row(Manifest.current(spark, root).map(_._1).getOrElse(0L)))
   }
 
@@ -534,10 +584,9 @@ case class GraftDescribeDetailCommand(@transient session: SparkSession,
     val (v, files) = Manifest.current(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $root"))
     val dvs = Manifest.dvsAt(spark, root, v)
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-    val size = files.map(f => fs.getFileStatus(
-      new org.apache.hadoop.fs.Path(rootP, f)).getLen).sum
+    // log-served sizes (grouped listing only for uncovered files) —
+    // a DESCRIBE must never run O(files) status round trips
+    val size = Manifest.fileSizes(spark, root, files).values.sum
     val nRows: Any =
       if (Manifest.readStatsMap(spark, root, v).isDefined)
         Manifest.countRows(spark, root)

@@ -324,10 +324,16 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
   extends LeafRunnableCommand with DmlOutput {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    val src = ofRows(spark, source)
+    // checkpoint FIRST, validate the materialized batch, commit the
+    // SAME batch (the GraftInsertCommand order): validating a fresh
+    // evaluation while mergeDv commits its own would let a
+    // non-deterministic source (rand(), re-read external data) commit
+    // rows that were never the validated frame
+    val src = ofRows(spark, source).localCheckpoint(true)
     GraftTable.validateConstraints(src, checks)
     val (v, _, written) =
-      Manifest.mergeDv(spark, root, src, keys, partCols)
+      Manifest.mergeDv(spark, root, src, keys, partCols,
+        preMaterialized = true)
     spark.catalog.refreshByPath(root)
     Seq(Row(v, written))
   }

@@ -87,4 +87,141 @@ class CompactionSpec extends SparkTestBase {
     val back = spark.read.parquet(path).select("id").as[Long].collect().toSet
     assert(back == Set(1L, 2L, 3L, 4L), "rows duplicated or lost")
   }
+
+  test("incremental leaves compaction: already-compact leaves carry " +
+    "forward with BYTE-IDENTICAL file names; only fragmented leaves " +
+    "are rewritten; content and time travel are preserved") {
+    import graft.sources.Manifest
+    val path = Files.createTempDirectory("compact_incr").toString + "/t"
+    val compactLeaf = (1L to 50L).map(i => (i, "a", "x"))
+      .toDF("id", "w", "m")
+    val fragLeaf = (51L to 100L).map(i => (i, "b", "x")).toDF("id", "w", "m")
+    compactLeaf.coalesce(1).write.partitionBy("w", "m").parquet(path)
+    fragLeaf.repartition(8).write.mode("append")
+      .partitionBy("w", "m").parquet(path)
+    Manifest.bootstrap(spark, path)
+    val before = Manifest.current(spark, path).get._2
+    assert(before.count(_.startsWith("w=a/")) == 1)
+    assert(before.count(_.startsWith("w=b/")) >= 2, "fixture not fragmented")
+    val expected = spark.read.parquet(path).select("id")
+      .as[Long].collect().toSet
+
+    val v = Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+      targetBytes = 1L << 30, keepVersions = 0)
+    val after = Manifest.filesAt(spark, path, v)
+    assert(after.filter(_.startsWith("w=a/")) ==
+      before.filter(_.startsWith("w=a/")),
+      "the compact leaf must carry forward byte-identically (same names)")
+    assert(after.count(_.startsWith("w=b/")) == 1,
+      s"fragmented leaf must pack to its budget: $after")
+    assert(after.toSet.intersect(
+      before.filter(_.startsWith("w=b/")).toSet).isEmpty,
+      "rewritten leaf files are fresh")
+    assert(Manifest.read(spark, path).select("id").as[Long]
+      .collect().toSet == expected, "content must be identical")
+    // keepVersions=0: the pre-compaction version still replays
+    assert(Manifest.readVersion(spark, path, v - 1).count() == 100L)
+    // a second run is a NO-OP: everything is compact now
+    assert(Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+      targetBytes = 1L << 30, keepVersions = 0) == v,
+      "an all-compact table must not take an empty rewrite commit")
+  }
+
+  test("partitionPredicate (OPTIMIZE … WHERE) scopes the rewrite: " +
+    "out-of-scope FRAGMENTED leaves stay untouched; a DV'd leaf " +
+    "qualifies regardless of fragmentation; bad predicates are loud") {
+    import graft.sources.Manifest
+    val path = Files.createTempDirectory("compact_where").toString + "/t"
+    (1L to 90L).map(i => (i, (i % 3 + 1).toString, "x"))
+      .toDF("id", "w", "m").repartition(6)
+      .write.partitionBy("w", "m").parquet(path)
+    Manifest.bootstrap(spark, path)
+    val before = Manifest.current(spark, path).get._2
+    Seq("1", "2", "3").foreach(wv => assert(
+      before.count(_.startsWith(s"w=$wv/")) >= 2, "fixture not fragmented"))
+
+    val v = Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+      targetBytes = 1L << 30, keepVersions = 0,
+      partitionPredicate = Some("w = '1'"))
+    val after = Manifest.filesAt(spark, path, v)
+    assert(after.filter(_.startsWith("w=2/")) ==
+      before.filter(_.startsWith("w=2/")), "w=2 is out of scope")
+    assert(after.filter(_.startsWith("w=3/")) ==
+      before.filter(_.startsWith("w=3/")), "w=3 is out of scope")
+    assert(after.count(_.startsWith("w=1/")) == 1, "w=1 compacted")
+
+    // merge-on-read debt: delete a few w=2 rows, then a scoped run on
+    // w=2 — the leaf qualifies via its DV even at one file per leaf
+    Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+      targetBytes = 1L << 30, keepVersions = 0,
+      partitionPredicate = Some("w = '2'"))
+    Manifest.deleteWhere(spark, path, col("id") === 4L)
+    val preDv = Manifest.current(spark, path).get._2
+    assert(preDv.count(_.startsWith("w=2/")) == 1)
+    val v2 = Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+      targetBytes = 1L << 30, keepVersions = 0,
+      partitionPredicate = Some("w = '2'"))
+    assert(Manifest.dvsAt(spark, path, v2).isEmpty,
+      "the rewrite materialized the delete — no live DV refs remain")
+    assert(Manifest.read(spark, path).where(col("id") === 4L).count() == 0L)
+    assert(Manifest.read(spark, path).count() == 89L)
+
+    // predicates referencing non-partition columns refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+        partitionPredicate = Some("id > 5"))
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("the budget pass is log-served: with a stats sidecar covering " +
+    "the live files, computing byte sizes performs NO per-file status " +
+    "calls (counted through a wrapped FileSystem)") {
+    import graft.sources.Manifest
+    val dir = Files.createTempDirectory("compact_count").toString
+    val path = dir + "/t"
+    (1L to 60L).map(i => (i, (i % 2).toString)).toDF("id", "w")
+      .repartition(15).write.partitionBy("w").parquet(path)
+    Manifest.bootstrap(spark, path)
+    Manifest.writeStats(spark, path, 1L) // records rows AND bytes
+    val live = Manifest.current(spark, path).get._2
+    assert(live.size >= 20, s"want many files, got ${live.size}")
+    val truth = live.map(f =>
+      f -> new java.io.File(path, f).length()).toMap
+
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingFs].getName)
+    val countRoot = "countfs:" + path
+    CountingFs.statusCalls.set(0)
+    val served = Manifest.fileSizes(spark, countRoot, live)
+    val calls = CountingFs.statusCalls.get()
+    assert(served == truth, "log-served sizes must equal physical truth")
+    // a handful of O(1) calls (manifest-dir exists, fs init probes)
+    // are fine; the assertion is that the count does NOT scale with
+    // the live-file count
+    assert(calls <= 5 && calls < live.size / 2,
+      s"budget pass must not status files one by one — $calls " +
+        s"getFileStatus calls for ${live.size} files")
+    // and OPTIMIZE's output is unchanged by the log-served budgets:
+    // same packing as the physical truth implies
+    val v = Compaction.compactAtomicFlat(spark, path,
+      targetBytes = 1L << 30, keepVersions = 0)
+    assert(Manifest.filesAt(spark, path, v).size == 1)
+    assert(Manifest.read(spark, path).count() == 60L)
+  }
+}
+
+/** Local filesystem whose `getFileStatus` calls are counted — the
+  * instrument behind the zero-per-file-status budget assertion. */
+class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    CountingFs.statusCalls.incrementAndGet()
+    super.getFileStatus(f)
+  }
+}
+
+object CountingFs {
+  val statusCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }

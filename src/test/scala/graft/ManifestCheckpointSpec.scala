@@ -224,4 +224,31 @@ class ManifestCheckpointSpec extends SparkTestBase {
     assert(Manifest.lastCheckpoint(spark, root).contains(2L),
       "the pointer never regresses")
   }
+
+  test("versionAtTimestamp stays correct when a version is served only " +
+    "by its checkpoint: the checkpoint carries the ORIGINAL publish " +
+    "time, so a late checkpoint can't skip the version") {
+    val root = Files.createTempDirectory("graft_ckpt_ts").toString + "/t"
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(root)
+    Manifest.bootstrap(spark, root)                            // v1
+    Thread.sleep(1200)
+    val tMid = System.currentTimeMillis()                      // v1 era
+    Thread.sleep(1200)
+    val live = Manifest.current(spark, root).get._2
+    Manifest.commit(spark, root, live)                         // v2
+    Thread.sleep(1200)
+    // the checkpoint of v1 is written LONG after v2 published — its
+    // own mtime would be non-monotone vs v2's manifest stamp
+    Manifest.checkpoint(spark, root, Some(1L))
+    // simulate cleanLog having dropped manifest-1 (checkpoint serves)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      Manifest.Dir + "/manifest-" + "0" * 19 + "1"), false)
+    assert(Manifest.versions(spark, root) == Seq(1L, 2L))
+    assert(Manifest.versionAtTimestamp(spark, root, tMid) == 1L,
+      "a timestamp inside v1's era must resolve to v1, not error out " +
+        "or fall to an older snapshot, even when only the (later-" +
+        "written) checkpoint file serves v1")
+  }
 }

@@ -463,6 +463,81 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIMIZE … WHERE as SQL: scoped to partition predicates, " +
+    "refusing non-partition references, unpartitioned targets, and " +
+    "composition with ZORDER") {
+    val (root, name) = mkTable()
+    // fragment day=d1 further
+    (1 to 4).foreach(k =>
+      spark.sql(s"INSERT INTO $name VALUES (${100 + k}, ${k}0, 'd1')"))
+    val before = Manifest.current(spark, root).get._2
+    assert(before.count(_.startsWith("day=d1/")) >= 4)
+    spark.sql(s"OPTIMIZE $name WHERE day = 'd1'")
+    val after = Manifest.current(spark, root).get._2
+    assert(after.count(_.startsWith("day=d1/")) == 1, "d1 compacted")
+    assert(after.filterNot(_.startsWith("day=d1/")) ==
+      before.filterNot(_.startsWith("day=d1/")),
+      "out-of-scope leaves byte-untouched")
+    assert(ids(s"SELECT * FROM $name") ==
+      Set(1L, 2L, 3L, 4L, 101L, 102L, 103L, 104L))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE $name WHERE v > 5") // not a partition column
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE $name WHERE day = 'd1' ZORDER BY (id)")
+    }
+  }
+
+  test("CTAS binds by NAME: a partition column mid-query lands in its " +
+    "own column despite Spark reordering partition columns last") {
+    val (_, src) = mkTable()
+    spark.sql("DROP TABLE IF EXISTS graft_ops.ctas_mid")
+    val loc = Files.createTempDirectory("graft_ctas_mid").toString + "/t"
+    // `day` is NOT last in the query output: a positional INSERT
+    // against the catalog's reordered (id, v, day) schema would bind
+    // day->v (and v->day) — silently swapped data or a cast error
+    spark.sql(
+      s"""CREATE TABLE graft_ops.ctas_mid USING graft
+         |PARTITIONED BY (day) LOCATION '$loc'
+         |AS SELECT id, day, v * 2 AS v FROM $src WHERE id <= 3""".stripMargin)
+    assert(spark.table("graft_ops.ctas_mid")
+      .select("id", "v", "day").as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 20L, "d1"), (2L, 40L, "d1"), (3L, 60L, "d2")))
+  }
+
+  test("CTAS into a NON-EMPTY location refuses (stock Spark/Delta " +
+    "semantics) — plain CREATE keeps the adoption path") {
+    val (srcRoot, src) = mkTable()
+    spark.sql("DROP TABLE IF EXISTS graft_ops.ctas_ne")
+    // the source table's own root is a non-empty tree
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""CREATE TABLE graft_ops.ctas_ne USING graft
+                   |PARTITIONED BY (day) LOCATION '$srcRoot'
+                   |AS SELECT id, v, day FROM $src""".stripMargin)
+    }
+    assert(e.getMessage.contains("non-empty location"), e.getMessage)
+    assert(!spark.catalog.tableExists("graft_ops.ctas_ne"))
+    // non-CTAS CREATE over the same tree still adopts it
+    spark.sql(s"""CREATE TABLE graft_ops.ctas_ne
+                 |(id BIGINT, v BIGINT, day STRING) USING graft
+                 |PARTITIONED BY (day) LOCATION '$srcRoot'""".stripMargin)
+    assert(ids("SELECT * FROM graft_ops.ctas_ne") == Set(1L, 2L, 3L, 4L))
+    spark.sql("DROP TABLE graft_ops.ctas_ne")
+  }
+
+  test("FOR SYSTEM_TIME AS OF — Spark's SQL-2011 time-travel spelling " +
+    "resolves on a manifest table like TIMESTAMP AS OF") {
+    val (_, name) = mkTable()                                 // v1
+    Thread.sleep(1200)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1200)
+    spark.sql(s"DELETE FROM $name WHERE id IN (1, 2)")        // v2
+    assert(ids(s"SELECT * FROM $name FOR SYSTEM_TIME AS OF '$mid'") ==
+      Set(1L, 2L, 3L, 4L), "SYSTEM_TIME spelling serves v1")
+    assert(ids(s"SELECT * FROM $name FOR SYSTEM_VERSION AS OF 1") ==
+      Set(1L, 2L, 3L, 4L), "SYSTEM_VERSION spelling serves v1")
+  }
+
   test("maintenance statements refuse non-manifest targets loudly; " +
     "everything else delegates verbatim") {
     intercept[UnsupportedOperationException] {
