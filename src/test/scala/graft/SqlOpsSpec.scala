@@ -463,6 +463,42 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("CHECK constraints hold on EVERY write path via the log " +
+    "sidecar: a direct library Manifest.commit refuses a violating " +
+    "batch; RESTORE to a pre-constraint snapshot stays exempt") {
+    val (root, name) = mkTable()                               // v1
+    // pre-constraint history containing a VIOLATING row …
+    spark.sql(s"INSERT INTO $name VALUES (5, -5, 'd4')")       // v2
+    // … then erased (file-level), so the constraint can be declared
+    val live2 = Manifest.current(spark, root).get._2
+    Manifest.commit(spark, root,
+      live2.filterNot(_.startsWith("day=d4/")))                // v3
+    spark.sql(s"ALTER TABLE $name ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val (fs, rootP) = (new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(root))
+    // a PATH-ADDRESSED writer that never consults the catalog
+    val staged = Manifest.stageUniqueParts(spark, fs, rootP, Seq("day"),
+      Seq((99L, -5L, "d9")).toDF("id", "v", "day"))
+    val before = Manifest.current(spark, root).get
+    val e = intercept[IllegalStateException] {
+      Manifest.commit(spark, root, before._2 ++ staged)
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    assert(Manifest.current(spark, root).get == before,
+      "the violating library commit must publish nothing")
+    // a satisfying batch from the same path-addressed writer lands
+    val good = Manifest.stageUniqueParts(spark, fs, rootP, Seq("day"),
+      Seq((99L, 5L, "d9")).toDF("id", "v", "day"))
+    Manifest.commit(spark, root, before._2 ++ good)             // v4
+    assert(ids(s"SELECT * FROM $name").contains(99L))
+    // RESTORE replays history verbatim — exempt from the gate: the v2
+    // snapshot RE-ADDS the violating d4 file and must still restore
+    spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 2")
+    assert(ids(s"SELECT * FROM $name") == Set(1L, 2L, 3L, 4L, 5L),
+      "the auditor's undo resurrects pre-constraint history")
+  }
+
   test("OPTIMIZE … WHERE as SQL: scoped to partition predicates, " +
     "refusing non-partition references, unpartitioned targets, and " +
     "composition with ZORDER") {

@@ -523,6 +523,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("declared CHECK constraints gate the streaming MERGE sink " +
+    "through the log sidecar: a poisoned micro-batch refuses with " +
+    "NOTHING committed; a good stream over the table proceeds") {
+    import graft.sources.Manifest
+    val root = java.nio.file.Files.createTempDirectory("suchk").toString + "/serve"
+    val ckpt = java.nio.file.Files.createTempDirectory("suchkck").toString
+    Seq((1L, "2024-01-01", 10L)).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(root)
+    Manifest.bootstrap(spark, root)
+    // constraint declared IN THE LOG — the sink never consults a
+    // catalog; the commit protocol itself must refuse
+    Manifest.writeChecks(spark, root, 1L, Map("v_pos" -> "v > 0"))
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = graft.streaming.StreamingUpsert.run(
+      input.toDF().toDF("id", "day", "v"), root, ckpt, "day", Seq("id"),
+      mergeOnRead = true)
+    try {
+      input.addData((2L, "2024-01-02", 20L))
+      q.processAllAvailable()
+      val (v1, files1) = Manifest.current(spark, root).get
+      assert(Manifest.read(spark, root).count() == 2L)
+      input.addData((3L, "2024-01-03", -5L)) // poisoned batch
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("v_pos") ||
+        Option(e.getCause).exists(_.getMessage.contains("v_pos")),
+        s"refusal must name the constraint: ${e.getMessage}")
+      assert(Manifest.current(spark, root).get == ((v1, files1)),
+        "the poisoned batch must commit NOTHING — version and file " +
+          "list unchanged")
+      assert(Manifest.read(spark, root).count() == 2L)
+    } finally q.stop()
+    // the table keeps serving good streams: a fresh query (own
+    // checkpoint) with satisfying rows proceeds — the refusal poisoned
+    // one batch, not the table
+    val ckpt2 = java.nio.file.Files.createTempDirectory("suchkck2").toString
+    val input2 = MemoryStream[(Long, String, Long)](spark)
+    val q2 = graft.streaming.StreamingUpsert.run(
+      input2.toDF().toDF("id", "day", "v"), root, ckpt2, "day", Seq("id"),
+      mergeOnRead = true)
+    try {
+      input2.addData((3L, "2024-01-03", 30L))
+      q2.processAllAvailable()
+      assert(Manifest.read(spark, root).count() == 3L)
+    } finally q2.stop()
+  }
+
   test("live serve composition: stream -> withLiveState sessionizer -> keyed " +
     "merge; late data UPDATES the serving row across triggers") {
     // The full advertised chain, live: events stream in, the
