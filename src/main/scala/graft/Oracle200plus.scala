@@ -322,6 +322,20 @@ private[graft] object Oracle200plus {
         |  AND o_custkey % 149 <> 0
         |GROUP BY 1""".stripMargin,
 
+    // q266: base + the re-keyed %127 batch, summed under the NEW
+    // column name — the rename changed metadata, never values.
+    "q266_sql_rename_column" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_amount_cents,
+        |  TRUE AS gate_rename_meta, TRUE AS gate_rename_tt,
+        |  TRUE AS gate_rename_map
+        |FROM (SELECT * FROM orders
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderkey % 127 = 0)
+        |GROUP BY 1""".stripMargin,
+
     // q265: two OPTIMIZE rewrites (WHERE-scoped, then plain
     // incremental) change LAYOUT only — the hash pins content
     // unchanged; the file-identity gates ride as literals.

@@ -568,6 +568,51 @@ private[graft] object Queries200plus {
         .withColumn("gate_tvf", lit(gate))
     }),
 
+    // RENAME COLUMN via COLUMN MAPPING (round-13 "missing" #4): the
+    // rename is ONE metadata commit (file list byte-identical across
+    // it — gate-pinned); pre-rename files serve their rows under the
+    // new logical name through the physical-family coalesce; the
+    // post-rename INSERT binds the new name; and time travel to v1
+    // serves the OLD name with the base truth. Hash = base + the
+    // re-keyed %127 batch under the NEW column name.
+    "q266_sql_rename_column" -> ((s, dir) => {
+      import graft.sources.{GraftTable, Manifest}
+      val tag = Integer.toHexString(s"$dir/orders.parquet".hashCode)
+      val layout = lakeLayout(dir, "graft_sqlren")
+      ensureLakeFixture(s, dir, "q266_sql_rename_column") {
+        fixOrdersTable(s, dir, "graft_sqlren"); ()
+      }
+      val facts = ordersFacts(s, dir)
+      val name = s"graft_unified.sqlren_$tag"
+      GraftTable.register(s, "graft_unified", s"sqlren_$tag", layout,
+        schema = Some(facts.schema), partitionCols = Seq("w"))
+      val filesV1 = Manifest.current(s, layout).get._2
+      val v2 = s.sql(
+        s"ALTER TABLE $name RENAME COLUMN price_cents TO amount_cents")
+        .collect().head.getLong(0)
+      val gateMeta = v2 == 2L &&
+        Manifest.filesAt(s, layout, v2) == filesV1
+      facts.where(pmod(col("o_orderkey"), lit(127)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+        .withColumnRenamed("price_cents", "amount_cents")
+        .createOrReplaceTempView(s"sqlren_src_$tag")
+      s.sql(s"INSERT INTO $name SELECT * FROM sqlren_src_$tag")
+        .collect(): Unit
+      val tt = s.sql(s"SELECT * FROM $name VERSION AS OF 1")
+      val baseSum = facts.agg(sum(col("price_cents"))).head.getLong(0)
+      val gateTt = tt.columns.contains("price_cents") &&
+        !tt.columns.contains("amount_cents") &&
+        tt.agg(sum(col("price_cents"))).head.getLong(0) == baseSum
+      val cur = s.table(name)
+      val gateMap = cur.columns.contains("amount_cents") &&
+        !cur.columns.contains("price_cents")
+      cur.groupBy("w").agg(count(lit(1)).as("n_orders"),
+          sum(col("amount_cents")).as("sum_amount_cents"))
+        .withColumn("gate_rename_meta", lit(gateMeta))
+        .withColumn("gate_rename_tt", lit(gateTt))
+        .withColumn("gate_rename_map", lit(gateMap))
+    }),
+
     // INCREMENTAL `OPTIMIZE … WHERE` (round-13 verdict #1): on the
     // fragmented two-level tree, a WHERE-scoped run compacts ONLY the
     // w=1 leaves (file-identity gates pin every out-of-scope leaf

@@ -542,7 +542,9 @@ object SparkEntry {
       { fixOrdersTable(s, dir, "graft_sqlshw"); () }),
     "q264_sql_check_constraint" -> ((s, dir) =>
       { fixOrdersTable(s, dir, "graft_sqlchk"); () }),
-    "q265_sql_optimize_where" -> ((s, dir) => fixQ265(s, dir)))
+    "q265_sql_optimize_where" -> ((s, dir) => fixQ265(s, dir)),
+    "q266_sql_rename_column" -> ((s, dir) =>
+      { fixOrdersTable(s, dir, "graft_sqlren"); () }))
 
   /** q59's production-shape input: the day-22 session history (plus the
     * ghost-visitor gate row), persisted AND materialized — in a real

@@ -304,16 +304,10 @@ object Compaction {
     }
     if (selected.isEmpty) return v0 // nothing fragmented in scope
     val selFiles = selected.values.flatten.toSeq.sorted
-    // scan exactly the selected leaves' files (declared schema + DV
-    // filter — the Manifest.read semantics, pruned to the selection)
-    val reader = sess.read.option("basePath", rootP.toString)
-    val typed = Manifest.schemaAt(sess, path, v0) match {
-      case Some(sc) => reader.schema(sc)
-      case None => reader
-    }
-    val scan = typed.parquet(selFiles.map(f =>
-      new org.apache.hadoop.fs.Path(rootP, f).toString): _*)
-    val snapshot = Manifest.dvAntiJoin(sess, path, scan, dvs)
+    // scan exactly the selected leaves' files (declared schema, column
+    // mapping, DV filter — the Manifest.read semantics, pruned to the
+    // selection)
+    val snapshot = Manifest.readSubset(sess, path, selFiles, v0)
     // leaf key = the escaped directory string, rebuilt per row — the
     // same normalization leafDirOf uses, so the budget join is exact
     val leafCol = concat_ws("/", partCols.map(c =>

@@ -110,6 +110,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         GraftAlterAddColsCommand(spark,
           mt(parseMultipartIdentifier(ident)),
           StructType.fromDDL(cols.trim.stripSuffix(",")))
+      case AlterRenameColRe(ident, from, to)
+          if manifestTable(parseMultipartIdentifier(ident)).isDefined =>
+        // non-manifest RENAME COLUMN keeps Spark's own (v1-refusing)
+        // path — the guard falls through to delegation below
+        GraftRenameColumnCommand(spark,
+          mt(parseMultipartIdentifier(ident)), from, to)
       case AddConstraintRe(ident, cName, cExpr)
           if manifestTable(parseMultipartIdentifier(ident)).isDefined =>
         GraftAddConstraintCommand(spark,
@@ -265,6 +271,9 @@ object GraftSqlParser {
   private val AlterAddColsRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$""").r
+  private val AlterRenameColRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
+      """\s+RENAME\s+COLUMN\s+`?([\w]+)`?\s+TO\s+`?([\w]+)`?\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+CONSTRAINT\s+([\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -638,7 +647,114 @@ case class GraftAlterAddColsCommand(@transient session: SparkSession,
       bloomColumn = tbl.properties.get(GraftTable.PropBloomCol),
       bloomIndexPath = tbl.properties.get(GraftTable.PropBloomIdx),
       schema = Some(evolved), partitionCols = partCols)
+    // re-registration re-creates the catalog entry — declared CHECK
+    // constraints must survive the ALTER (round-14: same carry as
+    // RENAME COLUMN)
+    val checks = GraftTable.checkConstraints(tbl)
+    if (checks.nonEmpty) {
+      val nt = spark.sessionState.catalog.getTableMetadata(tbl.identifier)
+      spark.sessionState.catalog.alterTable(nt.copy(properties =
+        nt.properties ++ checks.map { case (n, e) =>
+          (GraftTable.PropCheckPrefix + n) -> e }))
+      spark.catalog.refreshTable(tbl.identifier.quotedString)
+    }
     Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — rename via COLUMN MAPPING
+  * (the public Delta/Iceberg design: logical→physical name indirection
+  * in the schema sidecar, so a rename is one METADATA commit): the
+  * evolved schema records `b` with `a` appended to its physical-name
+  * family (`graft.physical` field metadata), the sidecar lands at the
+  * current version, and the catalog re-registers under the new name.
+  * Old files stay byte-valid — every mapping-aware scan (unified
+  * table read, Manifest.read, DML matching scans, compaction,
+  * streaming batches) reads the expanded physical family and
+  * coalesces it back to the logical column; files written AFTER the
+  * rename carry the logical name. Time travel across the boundary
+  * serves each version with ITS OWN names (a pre-rename `VERSION AS
+  * OF` still shows `a`). Refused: partition columns (their name is
+  * baked into every directory path), version/group pins, collisions
+  * with any logical OR prior physical name, and renames of columns a
+  * declared CHECK constraint references (the stored expression text
+  * would go stale). DROP COLUMN stays deliberately inexpressible —
+  * removal is data loss, not evolution. */
+case class GraftRenameColumnCommand(@transient session: SparkSession,
+                                    @transient tbl: CatalogTable,
+                                    from: String, to: String)
+  extends VersionOut {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (tbl.properties.contains(GraftTable.PropVersionAsOf) ||
+        tbl.properties.contains(GraftTable.PropGroup))
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE on ${tbl.identifier} is not supported — the table " +
+          s"is a version/group-pinned registration (a read snapshot)")
+    val resolver = spark.sessionState.analyzer.resolver
+    require(!tbl.partitionColumnNames.exists(resolver(_, from)),
+      s"cannot rename partition column $from — its name is baked into " +
+        s"every partition directory path")
+    val root = new org.apache.hadoop.fs.Path(tbl.location).toUri.getPath
+    val v = Manifest.current(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest under $root"))._1
+    val base = Manifest.schemaAt(spark, root, v).getOrElse(tbl.schema)
+    require(base.fieldNames.exists(resolver(_, from)),
+      s"no column $from on ${tbl.identifier}")
+    val taken = base.fieldNames.toSeq ++
+      base.fields.flatMap(Manifest.physicalNamesOf)
+    require(!taken.exists(resolver(_, to)),
+      s"cannot rename $from to $to — $to collides with an existing " +
+        s"logical or prior physical column name")
+    // a stored CHECK expression referencing the old name would
+    // silently stop gating (or fail resolution) after the rename
+    val checks = GraftTable.checkConstraints(tbl)
+    checks.foreach { case (n, e) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+      require(!refs.exists(resolver(_, from)),
+        s"cannot rename $from — CHECK constraint $n references it " +
+          s"(DROP the constraint, rename, re-ADD it under the new name)")
+    }
+    val evolved = StructType(base.fields.map { f =>
+      if (resolver(f.name, from)) {
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putStringArray(Manifest.PhysicalKey,
+            (Manifest.physicalNamesOf(f) :+ f.name).toArray)
+          .build()
+        org.apache.spark.sql.types.StructField(to, f.dataType,
+          f.nullable, meta)
+      } else f
+    })
+    // the rename is a METADATA COMMIT (the Delta shape): pin the
+    // PRE-rename names at the current version (so time travel to it —
+    // and to everything before — serves the old name), publish a new
+    // version with the same files, and attach the evolved mapping
+    // schema there. No data file moves.
+    if (Manifest.schemaAt(spark, root, v).isEmpty)
+      Manifest.writeSchema(spark, root, v, base)
+    val nv = Manifest.commit(spark, root, Manifest.filesAt(spark, root, v),
+      validateChecks = false) // same files — nothing added
+    Manifest.writeSchema(spark, root, nv, evolved)
+    val db = tbl.identifier.database.getOrElse(
+      spark.sessionState.catalog.getCurrentDatabase)
+    GraftTable.register(spark, db, tbl.identifier.table, root,
+      bloomColumn = tbl.properties.get(GraftTable.PropBloomCol),
+      bloomIndexPath = tbl.properties.get(GraftTable.PropBloomIdx),
+      schema = Some(evolved), partitionCols = tbl.partitionColumnNames)
+    // re-registration re-creates the entry: carry the declared CHECK
+    // constraints (none references the renamed column — gated above)
+    if (checks.nonEmpty) {
+      val nt = spark.sessionState.catalog.getTableMetadata(tbl.identifier)
+      spark.sessionState.catalog.alterTable(nt.copy(properties =
+        nt.properties ++ checks.map { case (n, e) =>
+          (GraftTable.PropCheckPrefix + n) -> e }))
+      spark.catalog.refreshTable(tbl.identifier.quotedString)
+    }
+    Seq(Row(nv))
   }
 }
 

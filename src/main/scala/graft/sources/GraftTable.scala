@@ -403,13 +403,21 @@ object ManifestTableResolution {
       s"version $v of ${tbl.identifier} is not committed under " +
         s"${tbl.location} (vacuumed or never existed)")
     val files = Manifest.filesAt(spark, root.toString, v)
+    // the schema EFFECTIVE at v (schema-in-log): a pre-rename version
+    // serves its own column names — time travel across a RENAME
+    // COLUMN boundary shows the history as it was
+    val effSchema = Manifest.schemaAt(spark, root.toString, v)
+      .getOrElse(tbl.schema)
+    val partSchema = StructType(
+      effSchema.filter(f => tbl.partitionColumnNames.contains(f.name)))
+    val logicalData = StructType(
+      effSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val dataSchema = Manifest.expandPhysical(logicalData)
     val mfi = ManifestFileIndex.cached(spark, root, v,
-      files.map(f => new Path(root, f)), Some(tbl.schema),
+      files.map(f => new Path(root, f)),
+      Some(StructType(dataSchema ++ partSchema)),
       tbl.properties.get(GraftTable.PropBloomCol),
       tbl.properties.get(GraftTable.PropBloomIdx))
-    val partSchema = tbl.partitionSchema
-    val dataSchema = StructType(
-      tbl.schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val rel = HadoopFsRelation(mfi, partSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map("basePath" -> root.toString))(spark)
@@ -418,12 +426,17 @@ object ManifestTableResolution {
       GraftTable.PropVersionAsOf)
     val lr = LogicalRelation(rel, stripped)
     val dvs = Manifest.dvsAt(spark, root.toString, v)
-    if (dvs.isEmpty) lr
+    val mapped = Manifest.hasColumnMapping(effSchema)
+    if (dvs.isEmpty && !mapped) lr
     else {
       val base = org.apache.spark.sql.GraftDatasetFactory.ofRows(spark, lr)
-      val filtered = Manifest.dvAntiJoin(spark, root.toString, base, dvs)
-      val out = filtered.select(
-        lr.output.map(org.apache.spark.sql.GraftDatasetFactory.column(_)): _*)
+      val filtered =
+        if (dvs.isEmpty) base
+        else Manifest.dvAntiJoin(spark, root.toString, base, dvs)
+      val out =
+        if (mapped) Manifest.logicalProjection(filtered, effSchema)
+        else filtered.select(lr.output
+          .map(org.apache.spark.sql.GraftDatasetFactory.column(_)): _*)
       out.queryExecution.analyzed.transform {
         case dvLr @ LogicalRelation(_, _, None, _, _) =>
           dvLr.copy(catalogTable = Some(stripped))
@@ -450,8 +463,77 @@ case class ManifestTableResolution(spark: SparkSession)
     val groupCache =
       scala.collection.mutable.Map.empty[String, Map[String, Long]]
     plan.resolveOperatorsUp {
+      // `spark.readStream.table(t)` (round-13 "What's missing" #2):
+      // Spark resolves a v1 parquet catalog table to a StreamingRelation
+      // over the STOCK FILE STREAM source — a directory watcher that
+      // would serve staged-but-uncommitted files and never see a DV or
+      // a group pin. Swap it for the manifest stream source, options
+      // mapped (`readChangeFeed` — the public Delta spelling — or
+      // `changeFeed` → CDF schema; `commitVersions`, `startingVersion`,
+      // `ignoreChanges` pass through; a group-pinned registration
+      // streams group flips). The data output keeps the resolved
+      // relation's exprIds; CDF columns append fresh ones (this rule
+      // runs during the readStream.table analysis itself, so the
+      // returned frame carries them). Version-pinned registrations
+      // refuse loudly — a pin is a read snapshot, not a stream.
+      case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+          if sr.dataSource.catalogTable.exists(t =>
+            t.properties.get(GraftTable.PropManifest).contains("true")) &&
+            sr.sourceName != "graft-manifest" =>
+        val ds = sr.dataSource
+        val tbl = ds.catalogTable.get
+        if (tbl.properties.contains(GraftTable.PropVersionAsOf))
+          throw new UnsupportedOperationException(
+            s"readStream.table on ${tbl.identifier} is not supported — " +
+              s"the table is a version-pinned registration (a read " +
+              s"snapshot); stream the unpinned registration of the " +
+              s"same root instead")
+        val opts = org.apache.spark.sql.catalyst.util
+          .CaseInsensitiveMap(ds.options)
+        val changeFeed = opts.get("readChangeFeed").orElse(
+          opts.get("changeFeed")).exists(_.toBoolean)
+        val commitVersions = opts.get("commitVersions").exists(_.toBoolean)
+        val root = new Path(tbl.location).toUri.getPath
+        val newOpts = Map("path" -> root) ++
+          opts.get("startingVersion").map("startingVersion" -> _) ++
+          opts.get("ignoreChanges").map("ignoreChanges" -> _) ++
+          (if (changeFeed) Map("changeFeed" -> "true") else Map.empty) ++
+          (if (commitVersions) Map("commitVersions" -> "true")
+           else Map.empty) ++
+          tbl.properties.get(GraftTable.PropGroup).map("groupMeta" -> _)
+        val newDs = org.apache.spark.sql.execution.datasources.DataSource(
+          spark,
+          className = "graft.streaming.ManifestStreamProvider",
+          userSpecifiedSchema = Some(tbl.schema),
+          options = newOpts,
+          catalogTable = Some(tbl))
+        import org.apache.spark.sql.types.{LongType, StringType}
+        import graft.streaming.ManifestStreamProvider.{ChangeTypeCol, CommitVersionCol}
+        val extra =
+          (if (changeFeed) Seq(org.apache.spark.sql.catalyst.expressions
+            .AttributeReference(ChangeTypeCol, StringType,
+              nullable = false)()) else Nil) ++
+          (if (commitVersions) Seq(org.apache.spark.sql.catalyst.expressions
+            .AttributeReference(CommitVersionCol, LongType,
+              nullable = false)()) else Nil)
+        org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+          newDs, "graft-manifest", sr.output ++ extra)
+
+      // `!lr.isStreaming` + the root guard: MicroBatchExecution re-tags
+      // EVERY LogicalRelation of a micro-batch plan with the catalog
+      // entry — the manifest stream's getBatch legs (exactly the files
+      // a version range added) AND its deletion-vector artifact scans.
+      // Re-pinning either to the current snapshot would serve the whole
+      // table as "the batch" (or list partitioned table files under a
+      // flat DV schema — a partition-count assert in the reader), so
+      // the swap fires only on a BATCH relation actually rooted at the
+      // table location (the shape catalog resolution produces).
       case lr @ LogicalRelation(fsRel: HadoopFsRelation, _, Some(tbl), _, _)
-          if tbl.properties.get(GraftTable.PropManifest).contains("true") =>
+          if !lr.isStreaming &&
+            tbl.properties.get(GraftTable.PropManifest).contains("true") &&
+            (fsRel.location.isInstanceOf[ManifestFileIndex] ||
+              fsRel.location.rootPaths.map(_.toUri.getPath) ==
+                Seq(new Path(tbl.location).toUri.getPath)) =>
         val root = new Path(tbl.location)
         val (v, rel) = tbl.properties.get(GraftTable.PropGroup) match {
           case Some(meta) =>
@@ -486,6 +568,60 @@ case class ManifestTableResolution(spark: SparkSession)
         }
         fsRel.location match {
           case m: ManifestFileIndex if m.version == v => lr // already pinned
+          case _ if Manifest.schemaAt(spark, root.toString, v)
+              .exists(Manifest.hasColumnMapping) =>
+            // COLUMN MAPPING (RENAME COLUMN): pre-rename files carry
+            // prior physical names, so the pinned scan reads the
+            // EXPANDED schema (logical + physical twins), applies DVs,
+            // coalesces each family back to its logical column, and
+            // realigns onto lr.output's exprIds so the outer plan's
+            // references keep resolving.
+            import org.apache.spark.sql.functions.coalesce
+            val ms = Manifest.schemaAt(spark, root.toString, v).get
+            val logicalData = StructType(ms.filterNot(f =>
+              fsRel.partitionSchema.fieldNames.contains(f.name)))
+            val expandedData = Manifest.expandPhysical(logicalData)
+            val mfi = ManifestFileIndex.cached(spark, root, v,
+              rel.map(f => new Path(root, f)),
+              Some(StructType(expandedData ++ fsRel.partitionSchema)),
+              tbl.properties.get(GraftTable.PropBloomCol),
+              tbl.properties.get(GraftTable.PropBloomIdx))
+            val innerRel = HadoopFsRelation(mfi, fsRel.partitionSchema,
+              expandedData, fsRel.bucketSpec, fsRel.fileFormat,
+              fsRel.options)(spark)
+            val stripped = tbl.copy(properties = tbl.properties -
+              GraftTable.PropManifest - GraftTable.PropGroup -
+              GraftTable.PropVersionAsOf)
+            // the inner relation KEEPS the marked catalog entry: the
+            // DML resolution rule locates its target by collecting the
+            // still-marked relation under the wrap (the DV-wrap
+            // discipline); re-entry is cut by the already-pinned
+            // fast path and the analyzed-subtree skip
+            val innerLr = LogicalRelation(innerRel, tbl)
+            val base = org.apache.spark.sql.GraftDatasetFactory
+              .ofRows(spark, innerLr)
+            val dvs = Manifest.dvsAt(spark, root.toString, v)
+            val filtered = if (dvs.isEmpty) base
+              else Manifest.dvAntiJoin(spark, root.toString, base, dvs)
+            val byName = ms.fields.map(f => f.name -> f).toMap
+            val cols = lr.output.map { oa =>
+              byName.get(oa.name) match {
+                case Some(f) if Manifest.physicalNamesOf(f).nonEmpty =>
+                  coalesce((f.name +: Manifest.physicalNamesOf(f))
+                    .map(org.apache.spark.sql.functions.col): _*).as(f.name)
+                case _ => org.apache.spark.sql.functions.col(oa.name)
+              }
+            }
+            val analyzed = filtered.select(cols: _*)
+              .queryExecution.analyzed.transform {
+                case dvLr @ LogicalRelation(_, _, None, _, _) =>
+                  dvLr.copy(catalogTable = Some(stripped))
+              }
+            org.apache.spark.sql.catalyst.plans.logical.Project(
+              analyzed.output.zip(lr.output).map { case (na, oa) =>
+                org.apache.spark.sql.catalyst.expressions.Alias(
+                  na, oa.name)(exprId = oa.exprId)
+              }, analyzed)
           case _ =>
             val mfi = ManifestFileIndex.cached(spark, root, v,
               rel.map(f => new Path(root, f)), Some(fsRel.schema),

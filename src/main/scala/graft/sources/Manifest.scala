@@ -383,10 +383,67 @@ object Manifest {
     val reader = spark.read.option("basePath", rootP.toString)
     // schema-in-log: declared schema beats inference — zero footer
     // reads, deterministic union schema across evolved files (absent
-    // columns null-fill), partition types as recorded
-    val base = schema.fold(reader)(reader.schema)
+    // columns null-fill), partition types as recorded. COLUMN MAPPING
+    // (RENAME COLUMN): the scan schema expands each renamed field with
+    // its prior physical names (old files serve theirs, new files the
+    // logical one — the absent twin null-fills), and the projection
+    // coalesces the family back to the one logical column.
+    val base = schema.map(expandPhysical).fold(reader)(reader.schema)
       .parquet(files.map(f => new Path(rootP, f).toString): _*)
-    dvAntiJoin(spark, root, base, dvs)
+    val dvd = dvAntiJoin(spark, root, base, dvs)
+    schema.filter(hasColumnMapping).fold(dvd)(logicalProjection(dvd, _))
+  }
+
+  /** Snapshot-semantics read of an explicit FILE SUBSET at version `v`:
+    * declared schema, column mapping, DV filter — the full
+    * [[read]]/[[readVersion]] contract, pruned to `files` (the
+    * incremental-compaction scan shape: only the selected leaves'
+    * files are opened). */
+  def readSubset(spark: SparkSession, root: String, files: Seq[String],
+                 v: Long): DataFrame =
+    readFiles(spark, root, files, dvsAt(spark, root, v),
+      schemaAt(spark, root, v))
+
+  /** StructField metadata key listing a renamed column's PRIOR physical
+    * names, oldest first — the schema-in-log column-mapping record
+    * (the public Delta/Iceberg design: logical→physical indirection so
+    * a rename is a metadata commit and old files stay valid). */
+  val PhysicalKey = "graft.physical"
+
+  /** Prior physical names of a (possibly renamed) field. */
+  def physicalNamesOf(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PhysicalKey))
+      f.metadata.getStringArray(PhysicalKey).toSeq
+    else Nil
+
+  def hasColumnMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** The physical SCAN schema: each mapped field rides with its prior
+    * physical twins (same type, nullable — only one of the family
+    * exists in any given file). */
+  def expandPhysical(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (!hasColumnMapping(s)) s
+    else org.apache.spark.sql.types.StructType(s.fields.flatMap { f =>
+      f +: physicalNamesOf(f).map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType,
+          nullable = true))
+    })
+
+  /** Collapse an expanded scan back to the LOGICAL columns: each mapped
+    * field = coalesce(logical, physical twins); `keep` columns (DML
+    * bookkeeping) ride along verbatim. */
+  def logicalProjection(df: DataFrame,
+                        s: org.apache.spark.sql.types.StructType,
+                        keep: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val cols = s.fields.map { f =>
+      val phys = physicalNamesOf(f)
+      if (phys.isEmpty) col(f.name)
+      else coalesce((f.name +: phys).map(col): _*).as(f.name)
+    } ++ keep.map(col)
+    df.select(cols.toSeq: _*)
   }
 
   /** Apply deletion vectors to a scan of a manifest snapshot: drop
@@ -480,6 +537,25 @@ object Manifest {
                   afterPlan: () => Unit = () => ()): (Long, Long) =
     deleteRows(spark, root, _.where(cond), maxAttempts, afterPlan)
 
+  /** The DML matching scan: inference-off parquet over `files` with
+    * the (rel, pos) bookkeeping columns materialized — and, when the
+    * version's effective schema declares a COLUMN MAPPING (a rename),
+    * the physical twins expanded and collapsed back to logical names,
+    * so predicates and assignments written against the current schema
+    * match rows in pre-rename files. Unmapped tables keep the exact
+    * inference-off raw read (the value-identity discipline). */
+  private def dmlScan(sess: SparkSession, root: String, rootP: Path,
+                      files: Seq[String], v: Long): DataFrame = {
+    val reader = sess.read.option("basePath", rootP.toString)
+    val mapped = schemaAt(sess, root, v).filter(hasColumnMapping)
+    val base = mapped.map(expandPhysical).fold(reader)(reader.schema)
+      .parquet(files.map(f => new Path(rootP, f).toString): _*)
+      .withColumn("__graft_rel", relPathCol(sess, root))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    mapped.fold(base)(m =>
+      logicalProjection(base, m, keep = Seq("__graft_rel", "__graft_pos")))
+  }
+
   /** Keyed merge-on-read delete: drop every row whose `keys` match a
     * row of `subjects` (the GDPR right-to-be-forgotten shape — subject
     * batches carry no partition column, and here they need none). */
@@ -517,10 +593,7 @@ object Manifest {
       // (rel, pos) materialize as REAL columns before the matcher runs:
       // `_metadata` is a scan-level pseudo-column that does not survive
       // a matcher's own joins/projects (e.g. deleteMatching's semi-join)
-      val scan = sess.read.option("basePath", rootP.toString)
-        .parquet(files.map(f => new Path(rootP, f).toString): _*)
-        .withColumn("__graft_rel", relPathCol(sess, root))
-        .withColumn("__graft_pos", col("_metadata.row_index"))
+      val scan = dmlScan(sess, root, rootP, files, v)
       val live =
         if (dvs.isEmpty) scan
         else scan.join(
@@ -583,10 +656,7 @@ object Manifest {
           s"no committed manifest under $root — bootstrap() it first"))
       if (files.isEmpty) return (v, 0L) // empty table: nothing to update
       val dvs = dvsAt(spark, root, v)
-      val scan = sess.read.option("basePath", rootP.toString)
-        .parquet(files.map(f => new Path(rootP, f).toString): _*)
-        .withColumn("__graft_rel", relPathCol(sess, root))
-        .withColumn("__graft_pos", col("_metadata.row_index"))
+      val scan = dmlScan(sess, root, rootP, files, v)
       val live =
         if (dvs.isEmpty) scan
         else scan.join(
@@ -669,10 +739,7 @@ object Manifest {
       val (hitsN, dvRef) =
         if (files.isEmpty) (0L, None) // pure insert into an empty table
         else {
-          val scan = sess.read.option("basePath", rootP.toString)
-            .parquet(files.map(f => new Path(rootP, f).toString): _*)
-            .withColumn("__graft_rel", relPathCol(sess, root))
-            .withColumn("__graft_pos", col("_metadata.row_index"))
+          val scan = dmlScan(sess, root, rootP, files, v)
           val live =
             if (dvs.isEmpty) scan
             else scan.join(

@@ -119,18 +119,43 @@ class ManifestStreamSource(spark: SparkSession, root: String,
   }
 
   /** The rows of `files`, as a STREAMING-marked relation (what
-    * MicroBatchExecution requires of a V1 getBatch result). */
+    * MicroBatchExecution requires of a V1 getBatch result). When the
+    * table's effective schema declares a COLUMN MAPPING (RENAME
+    * COLUMN), the scan expands each renamed column's prior physical
+    * names and coalesces the family back — pre-rename files stream
+    * their rows under the logical name instead of null-filling. */
   private def fileDf(files: Seq[String]): DataFrame = {
     val rootP = new Path(root)
+    val mapping = Manifest.current(spark, root).map(_._1)
+      .flatMap(cv => Manifest.schemaAt(spark, root, cv))
+      .filter(Manifest.hasColumnMapping)
+    val byName = mapping.map(_.fields.map(f => f.name -> f).toMap)
+      .getOrElse(Map.empty)
+    def physOf(name: String): Seq[String] =
+      byName.get(name).map(Manifest.physicalNamesOf).getOrElse(Nil)
+    val scanSchema = StructType(dataSchema.fields.flatMap { f =>
+      f +: physOf(f.name).map(p =>
+        org.apache.spark.sql.types.StructField(p, f.dataType,
+          nullable = true))
+    })
     val idx = new InMemoryFileIndex(spark, files.map(new Path(rootP, _)),
-      Map("basePath" -> root), Some(dataSchema))
+      Map("basePath" -> root), Some(scanSchema))
     val partSchema = idx.partitionSchema
     val ds = StructType(
-      dataSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+      scanSchema.filterNot(f => partSchema.fieldNames.contains(f.name)))
     val rel = HadoopFsRelation(idx, partSchema, ds, None,
       new ParquetFileFormat, Map("basePath" -> root))(spark)
-    GraftDatasetFactory.ofRows(spark,
+    val base = GraftDatasetFactory.ofRows(spark,
       LogicalRelation(rel, isStreaming = true))
+    if (byName.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{coalesce, col}
+      base.select(dataSchema.fields.map { f =>
+        val phys = physOf(f.name)
+        if (phys.isEmpty) col(f.name)
+        else coalesce((f.name +: phys).map(col): _*).as(f.name)
+      }.toSeq: _*)
+    }
   }
 
   override def getOffset: Option[Offset] = (group match {

@@ -260,6 +260,98 @@ class ManifestStreamSpec extends SparkTestBase {
     assert(e.getMessage.contains("keep more groups"), e.getMessage)
   }
 
+  test("spark.readStream.table(t): the NAME-ADDRESSED manifest stream " +
+    "— snapshot-then-commits semantics; staged-but-uncommitted files " +
+    "stay invisible (the stock file watcher would serve them)") {
+    import graft.sources.GraftTable
+    val root = mkRoot()
+    GraftTable.register(spark, "graft_mst", "t1", root,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "uid STRING, day STRING")), partitionCols = Seq("day"))
+    val q = spark.readStream.table("graft_mst.t1")
+      .writeStream.format("memory").queryName("mst_base").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mst_base").count() == 6, "first batch = snapshot")
+      // stage WITHOUT committing: a directory watcher would serve this
+      val (fs, rootP) = (new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(root))
+      Manifest.stageUniqueParts(spark, fs, rootP, Seq("day"),
+        Seq(("ghost", "d9")).toDF("uid", "day"))
+      q.processAllAvailable()
+      assert(spark.table("mst_base").count() == 6,
+        "staged-but-uncommitted files must stay invisible to the stream")
+      appendDay(root, "d3", Seq("w0", "w1"))
+      q.processAllAvailable()
+      assert(spark.table("mst_base").count() == 8, "the commit streams")
+    } finally q.stop()
+  }
+
+  test("readStream.table options: readChangeFeed serves the CDF schema " +
+    "(deletes as row events); a group-pinned registration streams " +
+    "group FLIPS; a version-pinned one refuses loudly") {
+    import graft.sources.{GraftTable, ManifestGroup}
+    // CDF arm
+    val root = mkRoot()
+    GraftTable.register(spark, "graft_mst", "t2", root,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "uid STRING, day STRING")), partitionCols = Seq("day"))
+    val qc = spark.readStream.option("readChangeFeed", "true")
+      .table("graft_mst.t2")
+      .writeStream.format("memory").queryName("mst_cdf").start()
+    try {
+      qc.processAllAvailable()
+      assert(spark.table("mst_cdf")
+        .where(col("_change_type") === "insert").count() == 6)
+      Manifest.deleteWhere(spark, root, col("uid") === "u0")
+      qc.processAllAvailable()
+      val dels = spark.table("mst_cdf")
+        .where(col("_change_type") === "delete")
+        .select("uid").as[String].collect().toSeq
+      assert(dels == Seq("u0"),
+        s"the DV commit must stream as a row-level delete event: $dels")
+    } finally qc.stop()
+
+    // group-pinned arm: q253 semantics through the NAME
+    val root2 = mkRoot()
+    val meta = Files.createTempDirectory("graft_mstgrp").toString
+    ManifestGroup.publish(spark, meta,
+      Map(root2 -> Manifest.current(spark, root2).get._2))   // g1
+    GraftTable.register(spark, "graft_mst", "t3", root2,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "uid STRING, day STRING")), partitionCols = Seq("day"),
+      group = Some(meta))
+    val qg = spark.readStream.table("graft_mst.t3")
+      .writeStream.format("memory").queryName("mst_grp").start()
+    try {
+      qg.processAllAvailable()
+      assert(spark.table("mst_grp").count() == 6, "g1 snapshot")
+      appendDay(root2, "d3", Seq("w0", "w1"))
+      qg.processAllAvailable()
+      assert(spark.table("mst_grp").count() == 6,
+        "an unflipped member commit must stay invisible")
+      ManifestGroup.flip(spark, meta, Map(
+        ManifestGroup.normKey(root2) ->
+          Manifest.current(spark, root2).get._1))
+      qg.processAllAvailable()
+      assert(spark.table("mst_grp").count() == 8, "the flip streams")
+    } finally qg.stop()
+
+    // version-pin refusal
+    GraftTable.register(spark, "graft_mst", "t4", root,
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "uid STRING, day STRING")), partitionCols = Seq("day"),
+      versionAsOf = Some(1L))
+    val e = intercept[Exception] {
+      spark.readStream.table("graft_mst.t4")
+        .writeStream.format("memory").queryName("mst_pin").start()
+    }
+    assert(e.getMessage.contains("version-pinned") ||
+      Option(e.getCause).exists(_.getMessage.contains("version-pinned")),
+      e.getMessage)
+  }
+
   test("restart from checkpoint resumes at the recorded version, no duplicates") {
     val root = mkRoot()
     val cp = Files.createTempDirectory("graft_mstream_cp").toString

@@ -463,6 +463,61 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ALTER TABLE RENAME COLUMN via column mapping: old files stay " +
+    "valid, reads/INSERT/DML/OPTIMIZE serve the new name, time travel " +
+    "across the boundary serves each version's OWN names") {
+    val (root, name) = mkTable()                              // v1
+    val filesV1 = Manifest.current(spark, root).get._2
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN v TO score") // v2: metadata
+    assert(Manifest.filesAt(spark, root, 2L) == filesV1,
+      "a rename is a METADATA commit — no data file moves")
+    assert(spark.table(name).columns.toSeq == Seq("id", "score", "day"))
+    assert(spark.table(name).agg(sum("score")).as[Long].head() == 100L,
+      "pre-rename files serve their rows under the NEW name")
+    // INSERT binds the new name; old and new files coalesce
+    spark.sql(s"INSERT INTO $name VALUES (9, 90, 'd9')")
+    assert(spark.table(name).agg(sum("score")).as[Long].head() == 190L)
+    // DML written against the new name matches PRE-rename rows
+    spark.sql(s"UPDATE $name SET score = score + 1 WHERE id = 1")
+    spark.sql(s"DELETE FROM $name WHERE score = 20")
+    assert(spark.table(name).agg(sum("score")).as[Long].head() == 171L)
+    // time travel across the boundary: v1 = old name, later = new
+    val v1 = spark.sql(s"SELECT * FROM $name VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("id", "v", "day"),
+      "a pre-rename version serves the OLD column name")
+    assert(v1.agg(sum("v")).as[Long].head() == 100L)
+    assert(spark.sql(s"SELECT * FROM $name VERSION AS OF 2")
+      .columns.contains("score"))
+    // a rewrite (OPTIMIZE) materializes logical names, content intact
+    spark.sql(s"OPTIMIZE $name")
+    assert(spark.table(name).agg(sum("score")).as[Long].head() == 171L)
+  }
+
+  test("RENAME COLUMN refusal shapes: partition columns, name " +
+    "collisions (logical AND prior physical), CHECK references") {
+    val (_, name) = mkTable()
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN day TO d")
+    }
+    spark.sql(s"ALTER TABLE $name RENAME COLUMN v TO score")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN score TO id")
+    }
+    intercept[IllegalArgumentException] {
+      // `v` is now a PRIOR PHYSICAL name of score — still reserved
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN id TO v")
+    }
+    spark.sql(s"ALTER TABLE $name ADD CONSTRAINT s_pos CHECK (score > 0)")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN score TO points")
+    }
+    assert(e.getMessage.contains("s_pos"), e.getMessage)
+    // the constraint itself survived and still gates
+    intercept[IllegalStateException] {
+      spark.sql(s"INSERT INTO $name VALUES (9, -1, 'd9')")
+    }
+  }
+
   test("CHECK constraints hold on EVERY write path via the log " +
     "sidecar: a direct library Manifest.commit refuses a violating " +
     "batch; RESTORE to a pre-constraint snapshot stays exempt") {
