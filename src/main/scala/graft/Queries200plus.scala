@@ -568,6 +568,46 @@ private[graft] object Queries200plus {
         .withColumn("gate_tvf", lit(gate))
     }),
 
+    // TIMEZONE PARITY (round-13 next-round #8, SURVEY §4): the
+    // reference derives EVERY date/hour field in Europe/Berlin
+    // (main.py:298) while the engine's default session pins UTC
+    // (build.sbt). This arm runs the export's `date`/`hits_hour`
+    // derivations under `spark.sql.session.timeZone=Europe/Berlin` on
+    // a cloned session and hash-gates them against the oracle's
+    // explicitly-shifted timestamps (2019-09-22/23 is CEST = UTC+2):
+    // a derivation that silently assumed UTC — or applied the zone
+    // twice — misses by two hours and hash-fails. The zone-free
+    // integer arms (epoch arithmetic) gate the shift and the
+    // date ROLL (the two 23:xx-UTC hits land on the NEXT Berlin day)
+    // independently of any timestamp formatting.
+    "q267_ga_timezone_parity" -> ((s, _) => {
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+      val hits = Ingest.readEnrichedHits(sess, GaEnriched)
+      val ts = Ingest.receivedAtTs(col("received_at_apig"))
+      val derived = hits.select(
+        col("message_id").as("request_id"),
+        date_format(ts, "yMMdd").as("date_berlin"),
+        hour(ts).cast("long").as("hour_berlin"),
+        minute(ts).cast("long").as("minute_hit"),
+        // zone-free truth arms, straight from the epoch integers
+        expr("CAST(pmod(CAST(received_at_apig AS BIGINT) DIV 1000 " +
+          "DIV 3600, 24) AS BIGINT)").as("_utc_hour"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          expr("CAST(CAST(received_at_apig AS BIGINT) DIV 1000 " +
+            "DIV 86400 AS INT)")), "yMMdd").as("_utc_date"))
+        .localCheckpoint(true)
+      val gateShift = derived.where(col("hour_berlin") =!=
+        pmod(col("_utc_hour") + lit(2L), lit(24L))).count() == 0L
+      val gateRoll = derived.where(
+        (col("date_berlin") =!= col("_utc_date")) =!=
+          (col("_utc_hour") >= 22L)).count() == 0L &&
+        derived.where(col("_utc_hour") >= 22L).count() > 0L
+      derived.drop("_utc_hour", "_utc_date")
+        .withColumn("gate_tz_shift", lit(gateShift))
+        .withColumn("gate_tz_roll", lit(gateRoll))
+    }),
+
     // RENAME COLUMN via COLUMN MAPPING (round-13 "missing" #4): the
     // rename is ONE metadata commit (file list byte-identical across
     // it — gate-pinned); pre-rename files serve their rows under the
@@ -599,10 +639,14 @@ private[graft] object Queries200plus {
       s.sql(s"INSERT INTO $name SELECT * FROM sqlren_src_$tag")
         .collect(): Unit
       val tt = s.sql(s"SELECT * FROM $name VERSION AS OF 1")
-      val baseSum = facts.agg(sum(col("price_cents"))).head.getLong(0)
+      // coalesce: sum over an empty snapshot is NULL, and the gate must
+      // evaluate (not NPE) in the empty-input sweep
+      val baseSum = facts.agg(coalesce(sum(col("price_cents")), lit(0L)))
+        .head.getLong(0)
       val gateTt = tt.columns.contains("price_cents") &&
         !tt.columns.contains("amount_cents") &&
-        tt.agg(sum(col("price_cents"))).head.getLong(0) == baseSum
+        tt.agg(coalesce(sum(col("price_cents")), lit(0L)))
+          .head.getLong(0) == baseSum
       val cur = s.table(name)
       val gateMap = cur.columns.contains("amount_cents") &&
         !cur.columns.contains("price_cents")

@@ -31,6 +31,39 @@ class GaPipelineSpec extends SparkTestBase {
     assert(v17 == Seq(20190923))
   }
 
+  test("timezone parity: date/hour derivations track the SESSION zone " +
+    "(the reference computes everything in Europe/Berlin) — never a " +
+    "silent UTC assumption") {
+    val berlin = spark.newSession()
+    berlin.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    val bHits = Ingest.readEnrichedHits(berlin,
+      "fixtures/ga/enriched/year=2019/month=09/day=23")
+    val bOut = GaPipeline.run(bHits,
+      GaPipeline.loadHistory(berlin, "/nonexistent/history"), "2019-09-23",
+      persistExport = false)
+    val utcPv = out.pageviews.select(col("requestId"),
+      col("hits_hour").cast("long").as("h_utc")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val berPv = bOut.pageviews.select(col("requestId"),
+      col("hits_hour").cast("long").as("h_ber")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CEST for 2019-09-23: every shared hit derives hour = UTC + 2
+    val shared = utcPv.keySet.intersect(berPv.keySet)
+    assert(shared.size > 100, s"expected a large shared set: ${shared.size}")
+    shared.foreach { id =>
+      assert(berPv(id) == (utcPv(id) + 2) % 24,
+        s"$id: Berlin hour ${berPv(id)} vs UTC ${utcPv(id)}")
+    }
+    // roll witness: v17's night hits (23:xx UTC on the 22nd) derive
+    // Berlin hour 1 on the 23rd — the cross-midnight case the +2 rule
+    // must cover, not just same-day shifts
+    assert(shared.exists(id => utcPv(id) == 23 && berPv(id) == 1),
+      "expected the 23:xx-UTC night hits to derive Berlin hour 1")
+    // and every served date is the job date under EITHER zone
+    assert(bOut.sessions.select("date").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(20190923))
+  }
+
   test("per-session revenue lands on the session-start row as a string") {
     val v01 = out.sessions.filter(col("fullVisitorId") === "cid-v01")
       .select("visitNumber", "totals_transactionRevenue")
