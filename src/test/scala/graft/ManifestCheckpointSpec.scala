@@ -225,6 +225,35 @@ class ManifestCheckpointSpec extends SparkTestBase {
       "the pointer never regresses")
   }
 
+  test("a CHECK constraint declared in the log SURVIVES checkpoint + " +
+    "cleanLog churn: the gate still refuses after the sidecar's own " +
+    "version left the retention window") {
+    val root = Files.createTempDirectory("graft_ckpt_chk").toString + "/t"
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(root)
+    Manifest.bootstrap(spark, root)                            // v1
+    Manifest.writeChecks(spark, root, 1L, Map("v_pos" -> "v > 0"))
+    withConf("spark.graft.manifest.checkpointInterval" -> "20",
+             "spark.graft.manifest.logRetention" -> "25") {
+      val live = Manifest.current(spark, root).get._2
+      for (_ <- 1 to 100) Manifest.commit(spark, root, live)
+    }
+    assert(Manifest.versions(spark, root).head > 1L,
+      "the churn must have compacted v1 away")
+    assert(Manifest.checksAt(spark, root,
+      Manifest.current(spark, root).get._1) == Map("v_pos" -> "v > 0"),
+      "the effective checks sidecar survives log compaction")
+    val (fs, rootP) = (new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(root))
+    val bad = Manifest.stageUniqueFlat(spark, fs, rootP,
+      Seq((9L, -5L)).toDF("id", "v"))
+    val before = Manifest.current(spark, root).get
+    intercept[IllegalStateException] {
+      Manifest.commit(spark, root, before._2 ++ bad)
+    }
+    assert(Manifest.current(spark, root).get == before)
+  }
+
   test("versionAtTimestamp stays correct when a version is served only " +
     "by its checkpoint: the checkpoint carries the ORIGINAL publish " +
     "time, so a late checkpoint can't skip the version") {
