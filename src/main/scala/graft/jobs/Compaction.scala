@@ -431,10 +431,13 @@ object Compaction {
                       statsCols: Seq[String] = Nil,
                       numFiles: Int = 0,
                       bloomColumn: Option[String] = None,
-                      bloomIndexPath: Option[String] = None): Long = {
+                      bloomIndexPath: Option[String] = None,
+                      partitionPredicate: Option[String] = None): Long = {
     require(zCols.nonEmpty, "optimizeZOrder needs at least one column")
     require(bloomColumn.isDefined == bloomIndexPath.isDefined,
       "bloomColumn and bloomIndexPath come together")
+    require(partitionPredicate.isEmpty || partCols.nonEmpty,
+      "a partition-scoped ZORDER needs a partitioned table")
     import graft.operators.ZOrder
     import graft.sources.Manifest
     val sess = spark.newSession()
@@ -447,20 +450,49 @@ object Compaction {
       val p = new org.apache.hadoop.fs.Path(path)
       (p.getFileSystem(sess.sessionState.newHadoopConf()), p)
     }
-    val snapshot = Manifest.read(sess, path) // DV-filtered: deletes die here
+    // `OPTIMIZE … WHERE … ZORDER BY` (the Delta composition): cluster
+    // ONLY the leaves whose partition values satisfy the predicate —
+    // every in-scope leaf is rewritten (clustering is a layout choice,
+    // not a fragmentation question), everything else carries forward
+    // byte-identically. The incremental lever for a y/m/d tree whose
+    // closed days are already clustered: the weekly statement
+    // re-clusters this week, never the year.
+    val (selFiles, dvFilesLive) = partitionPredicate match {
+      case None => (live, Set.empty[String])
+      case Some(sql) =>
+        val byLeaf = live.groupBy(Manifest.leafDirOf(_, partCols))
+        val inScope = scopeLeaves(sess, path, v0, byLeaf.keys.toSeq,
+          partCols, sql)
+        val sel = byLeaf.filter(kv => inScope(kv._1))
+          .values.flatten.toSeq.sorted
+        val dvs0 = Manifest.dvsAt(sess, path, v0)
+        val liveSet = live.toSet
+        val refs: Set[String] =
+          if (dvs0.isEmpty) Set.empty
+          else sess.read.parquet(dvs0.map(d =>
+              new org.apache.hadoop.fs.Path(rootP, d).toString): _*)
+            .select("file").distinct().collect()
+            .map(_.getString(0)).filter(liveSet).toSet
+        (sel, refs)
+    }
+    if (selFiles.isEmpty) return v0 // nothing in scope
+    val dvs = Manifest.dvsAt(sess, path, v0)
+    val snapshot = // DV-filtered: in-scope deletes materialize here
+      if (partitionPredicate.isEmpty) Manifest.read(sess, path)
+      else Manifest.readSubset(sess, path, selFiles, v0)
     val clustered =
       ZOrder.layoutByN(snapshot, zCols.map(col), zBits, numFiles)
     val created =
       if (partCols.nonEmpty)
         Manifest.stageUniqueParts(sess, fs, rootP, partCols, clustered)
       else Manifest.stageUniqueFlat(sess, fs, rootP, clustered)
-    // full replacement: ONLY the clustered files are live; pending DVs
-    // are materialized by the rewrite, so their refs drop atomically.
+    // replacement of exactly the selected files; pending DVs on them
+    // are materialized by the rewrite, out-of-scope DVs stay live.
     // CAS publish: interleaved appends rebase into the clustered
     // manifest (unclustered but live — correctness first); removals
     // of / new DVs on the files being rewritten abort loudly.
-    val v = Manifest.commitRewriteCas(sess, path, v0, live.toSet, created,
-      Manifest.dvsAt(sess, path, v0), dvs0LiveRefs = Set.empty)
+    val v = Manifest.commitRewriteCas(sess, path, v0, selFiles.toSet,
+      created, dvs, dvs0LiveRefs = dvFilesLive)
     val cols = if (statsCols.nonEmpty) statsCols else zCols
     Manifest.writeStats(sess, path, v)
     Manifest.writeColStats(sess, path, v, cols)

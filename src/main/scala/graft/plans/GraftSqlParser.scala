@@ -388,18 +388,17 @@ case class GraftOptimizeCommand(@transient session: SparkSession,
     val bloomCol = tbl.properties.get(GraftTable.PropBloomCol)
     val bloomIdx = tbl.properties.get(GraftTable.PropBloomIdx)
     if (whereSql.isDefined) {
-      require(zCols.isEmpty,
-        "OPTIMIZE … WHERE does not compose with ZORDER BY — the " +
-          "z-order rewrite re-clusters the whole table by design")
       require(partCols.nonEmpty,
         s"OPTIMIZE … WHERE targets partition columns; " +
           s"${tbl.identifier} is unpartitioned")
     }
     val v =
       if (zCols.nonEmpty)
+        // WHERE + ZORDER (the Delta composition): re-cluster ONLY the
+        // scoped leaves; everything else carries byte-identically
         graft.jobs.Compaction.optimizeZOrderN(spark, root, zCols,
           partCols = partCols, bloomColumn = bloomCol,
-          bloomIndexPath = bloomIdx)
+          bloomIndexPath = bloomIdx, partitionPredicate = whereSql)
       else {
         val cv = partCols match {
           case Seq() => graft.jobs.Compaction.compactAtomicFlat(

@@ -222,6 +222,36 @@ class CompactionSpec extends SparkTestBase {
       "no staged compaction file leaked into the manifest")
   }
 
+  test("two disjoint WHERE-scoped compactions race: both land (the " +
+    "second rebases over the first's commit), every leaf ends compact, " +
+    "content preserved") {
+    import graft.sources.Manifest
+    val path = Files.createTempDirectory("compact_race3").toString + "/t"
+    (1L to 60L).map(i => (i, (i % 2).toString, "x"))
+      .toDF("id", "w", "m").repartition(6)
+      .write.partitionBy("w", "m").parquet(path)
+    Manifest.bootstrap(spark, path)
+    // racer A compacts w=0 INSIDE racer B's stage->publish window; B
+    // compacts w=1 — their read sets are disjoint, so B must REBASE
+    // over A's commit instead of failing
+    var vA = -1L
+    val vB = Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+      targetBytes = 1L << 30, keepVersions = 0,
+      partitionPredicate = Some("w = '1'"),
+      afterStage = () => {
+        vA = Compaction.compactAtomicLeaves(spark, path, Seq("w", "m"),
+          targetBytes = 1L << 30, keepVersions = 0,
+          partitionPredicate = Some("w = '0'"))
+      })
+    assert(vA == 2L && vB == 3L, s"both rewrites land: vA=$vA vB=$vB")
+    val after = Manifest.filesAt(spark, path, vB)
+    assert(after.count(_.startsWith("w=0/")) == 1 &&
+      after.count(_.startsWith("w=1/")) == 1,
+      s"both scopes compacted: $after")
+    assert(Manifest.read(spark, path).select("id").as[Long]
+      .collect().toSet == (1L to 60L).toSet)
+  }
+
   test("the budget pass is log-served: with a stats sidecar covering " +
     "the live files, computing byte sizes performs NO per-file status " +
     "calls (counted through a wrapped FileSystem)") {

@@ -554,9 +554,9 @@ class SqlOpsSpec extends SparkTestBase {
       "the auditor's undo resurrects pre-constraint history")
   }
 
-  test("OPTIMIZE … WHERE as SQL: scoped to partition predicates, " +
-    "refusing non-partition references, unpartitioned targets, and " +
-    "composition with ZORDER") {
+  test("OPTIMIZE … WHERE as SQL: scoped to partition predicates " +
+    "(composing with ZORDER BY as a scoped re-cluster), refusing " +
+    "non-partition references and unpartitioned targets") {
     val (root, name) = mkTable()
     // fragment day=d1 further
     (1 to 4).foreach(k =>
@@ -574,9 +574,19 @@ class SqlOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       spark.sql(s"OPTIMIZE $name WHERE v > 5") // not a partition column
     }
-    intercept[IllegalArgumentException] {
-      spark.sql(s"OPTIMIZE $name WHERE day = 'd1' ZORDER BY (id)")
-    }
+    // WHERE + ZORDER (the Delta composition): re-cluster ONLY the
+    // scoped leaves; out-of-scope leaves byte-untouched
+    val preZ = Manifest.current(spark, root).get._2
+    spark.sql(s"OPTIMIZE $name WHERE day = 'd1' ZORDER BY (id)")
+    val postZ = Manifest.current(spark, root).get._2
+    assert(postZ.filterNot(_.startsWith("day=d1/")) ==
+      preZ.filterNot(_.startsWith("day=d1/")),
+      "scoped ZORDER must not touch out-of-scope leaves")
+    assert(postZ.filter(_.startsWith("day=d1/")).toSet
+      .intersect(preZ.filter(_.startsWith("day=d1/")).toSet).isEmpty,
+      "in-scope leaves are re-clustered (fresh files)")
+    assert(ids(s"SELECT * FROM $name") ==
+      Set(1L, 2L, 3L, 4L, 101L, 102L, 103L, 104L))
   }
 
   test("CTAS binds by NAME: a partition column mid-query lands in its " +
