@@ -1045,21 +1045,30 @@ private[graft] object Queries200plus {
         Seq("fullVisitorId"), batchId = "ga-dv-gdpr-1")
       val afterMap = ManifestGroup.currentGroup(s, meta).get._2
       val day = to_date(col("timestamp")) === lit("2019-09-23")
-      val rows = tables.map { case (tpe, df) =>
+      // the subject key is ONE value consumed by all six gates — one
+      // collect, not one per member (same value, six fewer jobs)
+      val subjVal = subject.collect().head.getString(0)
+      // per-member gates are independent reads of separate roots:
+      // their jobs overlap (guide §2.6 / SparkEntry.parOrdered), and
+      // `gone` + the served row count fold into ONE aggregate pass per
+      // member instead of two separate count() jobs — the gate VALUES
+      // are identical, only the job count and overlap change
+      val rows = SparkEntry.parOrdered(tables) { case (tpe, df) =>
         val root = s"$outRoot/daily/type=$tpe"
         val key = ManifestGroup.normKey(root)
         val gv = afterMap(key)
         val served =
           if (Manifest.filesAt(s, root, gv).isEmpty) df.limit(0)
           else Manifest.readVersion(s, root, gv)
-        val subjVal = subject.collect().head.getString(0)
-        val gone = served
-          .where(col("fullVisitorId") === subjVal).count() == 0L
+        val servedAgg = served.agg(
+          count(when(col("fullVisitorId") === subjVal, lit(1))).as("n_subj"),
+          count(lit(1)).as("n_all")).collect().head
+        val gone = servedAgg.getLong(0) == 0L
         val zeroRewrite = Manifest.filesAt(s, root, gv) ==
           Manifest.filesAt(s, root, beforeMap(key))
         val expected = df.where(day)
           .where(col("fullVisitorId") =!= subjVal).count()
-        (tpe, gone, zeroRewrite, served.count() == expected)
+        (tpe, gone, zeroRewrite, servedAgg.getLong(1) == expected)
       }
       import s.implicits._
       rows.toDF("tpe", "gate_gone", "gate_zero_rewrite", "gate_counts")

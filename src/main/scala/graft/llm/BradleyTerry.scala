@@ -68,16 +68,24 @@ object BradleyTerry {
       .select(col("i"), expr("1000000L div _m").as("p"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      // the m-bounded state BROADCASTS into the persisted, already
+      // hash-partitioned edge table: the round's two joins stop
+      // re-exchanging (and re-sorting) edges, and the groupBy(i) rides
+      // the cached hashpartitioning(i) — zero exchanges on the edge
+      // side per round where the sort-merge form paid two plus the
+      // aggregation exchange. Integer sums are order-independent, so
+      // the join strategy cannot move a single ppm.
       val terms = edges
-        .join(state.select(col("i"), col("p").as("pi")), Seq("i"))
-        .join(state.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
+        .join(broadcast(state.select(col("i"), col("p").as("pi"))), Seq("i"))
+        .join(broadcast(state.select(col("i").as("j"), col("p").as("pj"))),
+          Seq("j"))
         .select(col("i"),
           expr("(n * 1000000000L) div greatest(pi + pj, 1L)").as("term"))
       // m-bounded; eager-checkpoint BEFORE the normalizer so the
       // corpus-sized terms pipeline runs once per round, not twice
       // (the Z aggregate and the crossJoin would each re-evaluate it)
       val raw = terms.groupBy("i").agg(sum("term").as("d"))
-        .join(wins, Seq("i"), "left")
+        .join(broadcast(wins), Seq("i"), "left")
         .select(col("i"),
           expr("(coalesce(wi, 0L) * 1000000000L) div greatest(d, 1L)")
             .as("raw"))
@@ -88,7 +96,7 @@ object BradleyTerry {
           expr("(raw * 1000000L) div greatest(_z, 1L)").as("p"))
     }
     val out = state
-      .join(wins, Seq("i"), "left")
+      .join(broadcast(wins), Seq("i"), "left")
       .join(edges.groupBy("i").agg(sum("n").as("games")), Seq("i"))
       .select(col("i").as("item"), col("p").as("strength_ppm"),
         coalesce(col("wi"), lit(0L)).as("wins"), col("games"))

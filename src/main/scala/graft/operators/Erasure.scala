@@ -27,6 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object Erasure {
 
+  /** Map `f` over independent group MEMBERS on a small driver thread
+    * pool, preserving input order (so downstream ledger writes and the
+    * flip map are byte-identical to the sequential form). Members are
+    * separate tables under separate roots: their scans, DV writes and
+    * per-root commits share nothing until the single group flip, so
+    * the driver serializing them leaves most of the cluster idle
+    * during each member's stage tail — submitting 2-3 members'
+    * Spark jobs concurrently lets the next member's tasks back-fill
+    * the executors the current member's stragglers freed (FIFO
+    * scheduling does exactly this). Width 3, not #members: enough to
+    * fill the tail, not enough to thrash execution memory. Exceptions
+    * propagate unchanged (Await rethrows the first failure). */
+  private def parMembers[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(3, xs.length))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        xs.map(x => Future(f(x))).map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
+    }
+
   /** Pure transform: rows of `target` whose key appears in `subjects`
     * are dropped. `subjects` is a deletion-request batch — small by
     * contract (bounded by the requests received, not by the data), so
@@ -314,7 +340,9 @@ object Erasure {
     val subj = sess.createDataFrame(subjects.rdd, subjects.schema)
       .select(keys.map(col): _*).distinct().persist()
     try {
-      val staged = members.map { case (root, partCol) =>
+      // members stage independently (separate roots, nothing shared
+      // until the group publish) — overlap their jobs (see parMembers)
+      val staged = parMembers(members) { case (root, partCol) =>
         Manifest.bootstrap(sess, root)
         if (Manifest.current(sess, root).forall(_._2.isEmpty)) {
           // an empty member holds nobody's data; ledger still proves
@@ -402,7 +430,9 @@ object Erasure {
     require(keys.nonEmpty, "erase needs at least one key column")
     val subj = subjects.select(keys.map(col): _*).distinct().persist()
     try {
-      val results = members.map { root =>
+      // per-member DV builds are independent until the single flip —
+      // overlap their jobs (see parMembers)
+      val results = parMembers(members) { root =>
         Manifest.bootstrap(spark, root)
         val empty = Manifest.current(spark, root).forall(_._2.isEmpty)
         // ledger BEFORE the delete (its lineage reads the pre-delete

@@ -78,7 +78,17 @@ object PageRank {
     * per-dst source-sorted fold, damping. The loop body PlanSpec pins. */
   private[graft] def step(g: DataFrame, ranks: DataFrame,
       damping: Double): DataFrame = {
-    val contribs = g.join(ranks, g("src") === ranks("node"))
+    // SHUFFLE_HASH on the node-sized rank table: the default sort-merge
+    // join re-SORTS the cached edge table every iteration (the cache
+    // keeps hashpartitioning(src) but no ordering) — a hash build of
+    // the small side streams the edges unsorted, same rows moved, zero
+    // per-iteration edge sorts. NOT a broadcast: the rank table grows
+    // with the node set, and the whole point of the per-iteration
+    // exchange budget is surviving graphs whose node list does not fit
+    // one machine. The per-dst fold below is source-sorted, so join
+    // strategy cannot move a bit of the doubles.
+    val contribs = g.join(ranks.hint("SHUFFLE_HASH"),
+        g("src") === ranks("node"))
       .select(g("src"), g("dst"), g("n"),
         (col("rank") / col("outdeg").cast("double")).as("contrib"))
     val summed = contribs.groupBy(col("dst"))
@@ -86,8 +96,8 @@ object PageRank {
         aggregate(sort_array(collect_list(struct(col("src"), col("contrib")))),
           lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
     ranks.select(col("node"))
-      .join(summed.select(col("dst").as("node"), col("n"), col("s")),
-        Seq("node"), "left")
+      .join(summed.select(col("dst").as("node"), col("n"), col("s"))
+        .hint("SHUFFLE_HASH"), Seq("node"), "left")
       .crossJoin(broadcast(g.select(col("n").as("_n")).limit(1)))
       .select(col("node"),
         (lit(1.0 - damping) / col("_n").cast("double") +

@@ -17,9 +17,16 @@ object ProfQuery {
     for (i <- 1 to passes) {
       SparkEntry.clearMemos()
       spark.catalog.clearCache()
+      // the bench protocol: staged fixtures are SETUP, timed apart —
+      // without this the first measured pass carries the fixture build
+      // and is not comparable to the bench's per-query numbers
+      val s0 = System.nanoTime()
+      SparkEntry.setup.get(name).foreach(_(spark, dir))
+      val setupSec = (System.nanoTime() - s0) / 1e9
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[prof] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[prof] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        (if (setupSec > 0.005) f" (setup ${setupSec}%.2f s)" else ""))
     }
     spark.stop()
   }
