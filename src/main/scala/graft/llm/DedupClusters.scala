@@ -34,8 +34,14 @@ object DedupClusters {
   /** (doc_id, cluster_id) for every doc that appears in `pairs`;
     * cluster_id = the minimum doc_id of the component. */
   def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // persisted WITH hashpartitioning(b) (the PageRank buildGraph
+    // discipline): every round's join probes edges BY `b`, so an
+    // InMemoryRelation that already carries that partitioning turns
+    // the per-round edge exchange into a cache read — without it the
+    // edge table re-shuffles every round
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Initialize with propagation round 1 already applied: label(v) =
     // min(v, neighbors(v)) in the same aggregation that discovers the
@@ -50,8 +56,13 @@ object DedupClusters {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // SHUFFLE_HASH on the node-sized label table: sort-merge would
+      // re-SORT the cached edges every round (cache keeps partitioning,
+      // not ordering); a hash build of labels streams edges unsorted —
+      // min-aggregation is order-independent, so results are identical
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), "b")
+        .join(labels.select(col("doc_id").as("b"), col("label").as("lb"))
+          .hint("SHUFFLE_HASH"), "b")
         .groupBy(col("a")).agg(min(col("lb")).as("nl"))
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("a"), "left")

@@ -47,7 +47,8 @@ object PerplexityBuckets {
       .persist()
     val cuts = IntStats.weightedQuantilesBisect(
       scored.filter(col("n_bigrams") > 0), col("lang"), col("xent_i"),
-      lit(1L), Seq((1L, 3L), (2L, 3L)))
+      lit(1L), Seq((1L, 3L), (2L, 3L)),
+      unitWeightApproxSeed = true) // w ≡ 1 here; seed cuts ~9 rounds to ~2
       .select(col("k").as("lang"),
         element_at(col("weighted_qs"), 1).as("p33"),
         element_at(col("weighted_qs"), 2).as("p66"))

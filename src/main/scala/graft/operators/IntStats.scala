@@ -240,7 +240,8 @@ object IntStats {
     * per round. Returns (k, total_w, weighted_qs) with the quantile
     * values in `qs` order. */
   def weightedQuantilesBisect(df: DataFrame, key: Column, x: Column,
-                              w: Column, qs: Seq[(Long, Long)]): DataFrame = {
+                              w: Column, qs: Seq[(Long, Long)],
+                              unitWeightApproxSeed: Boolean = false): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     qs.foreach { case (n, d) =>
       require(n >= 0 && d > 0 && n <= d, s"quantile must be in [0, 1]: $n/$d")
@@ -255,11 +256,46 @@ object IntStats {
     val base = df.select(key.as("k"), x.cast("long").as("x"),
       w.cast("long").as("w")).persist()
     try {
-      // one pass: per-key bounds + total weight (bounded rows collected);
-      // every quantile starts from the same [min, max] bracket
-      val seed = base.groupBy("k")
-        .agg(min("x").as("lo"), max("x").as("hi"), sum("w").as("tw"))
-        .as[(String, Long, Long, Long)].collect()
+      // APPROX-SEEDED BRACKETS (unit weights only — the caller asserts
+      // w ≡ 1): a [min, max] seed costs ~log_Fanout(value range) exact
+      // rounds — ~9 driver round-trips on a cents-scale domain, and the
+      // round count was the WHOLE cost of q220/q175. Greenwald–Khanna
+      // (Spark's percentile_approx) carries a HARD rank-error bound
+      // ε = 1/accuracy, so the values at ranks (q−2ε)·n and (q+2ε)·n
+      // PROVABLY bracket the exact answer (the returned value's true
+      // rank is within ε·n of the asked rank; the target rank sits ≥ε·n
+      // inside both margins), and the exact integer bisection still
+      // DECIDES the answer — the seed narrows the search, it never
+      // defines the result, so the hash-gated value is bit-identical.
+      // One extra aggregate on the same seed scan buys brackets ~4ε·n
+      // ranks wide: 1-2 exact rounds instead of ~9.
+      val eps = 1e-4
+      val acc = (1 / eps).toInt
+      val seedAgg =
+        if (!unitWeightApproxSeed)
+          base.groupBy("k")
+            .agg(min("x").as("lo"), max("x").as("hi"), sum("w").as("tw"))
+        else {
+          val ps = qs.flatMap { case (n, d) =>
+            val q = n.toDouble / d
+            Seq(math.max(0.0, q - 2 * eps), math.min(1.0, q + 2 * eps))
+          }
+          base.groupBy("k")
+            .agg(min("x").as("lo"), max("x").as("hi"), sum("w").as("tw"),
+              percentile_approx(col("x"),
+                array(ps.map(lit): _*), lit(acc)).as("brackets"))
+        }
+      val seedRows = seedAgg.collect()
+      // per-(key, quantile) approx brackets, clamped into [min, max]
+      val approxBr: Map[(String, Int), (Long, Long)] =
+        if (!unitWeightApproxSeed) Map.empty
+        else seedRows.flatMap { r =>
+          val k = r.getString(0)
+          val br = r.getSeq[Long](4)
+          qs.indices.map(qi => (k, qi) -> ((br(2 * qi), br(2 * qi + 1))))
+        }.toMap
+      val seed = seedRows.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       // Domain guards, ONCE per key (not per row), failing loudly instead
       // of silently wrapping: `hi - lo` overflows when a key's value
       // domain spans more than Long.MaxValue (values near both Long
@@ -281,8 +317,11 @@ object IntStats {
         }
       }
       var bounds: Map[(String, Int), (Long, Long, Long)] =
-        (for ((k, lo, hi, tw) <- seed; qi <- qs.indices)
-          yield (k, qi) -> ((lo, hi, tw))).toMap
+        (for ((k, lo, hi, tw) <- seed; qi <- qs.indices) yield {
+          val (blo, bhi) = approxBr.getOrElse((k, qi), (lo, hi))
+          // clamp into the exact [min, max] — belt over the G-K proof
+          (k, qi) -> ((math.max(lo, blo), math.min(hi, bhi), tw))
+        }).toMap
       // probes in [lo, hi): evenly spaced on a floorDiv step (hi − lo
       // checked non-overflowing above; step 0 degenerates to the single
       // probe `lo`, i.e. plain bisection on 1-wide brackets)

@@ -63,7 +63,8 @@ object Rfm {
       struct(lit("m").as("mk"), col("monetary_cents").as("mv"))))
       .as("s")).select(col("s.mk"), col("s.mv"))
     val cutRows = IntStats.weightedQuantilesBisect(
-      melted, col("mk"), col("mv"), lit(1L), qs)
+      melted, col("mk"), col("mv"), lit(1L), qs,
+      unitWeightApproxSeed = true) // w ≡ 1 here; seed cuts ~9 rounds to ~2
       .select(col("k"), col("weighted_qs")).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     // empty input → no cutoff rows; any placeholder works (the scored

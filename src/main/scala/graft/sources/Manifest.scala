@@ -246,18 +246,31 @@ object Manifest {
     val dir = new Path(rootP, Dir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val v = base + 1
+    // ONE log-dir listing serves both the fast-path version check and
+    // the CHECK-sidecar probe below: a per-trigger streaming sink (or
+    // q250's churn lifecycle) pays this method's fixed cost once per
+    // commit, and on an object store every listing is a round trip.
+    val entries = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => !n.endsWith(".tmp"))
     // fast path: the log has already moved past our slot
-    if (versions(spark, root).exists(_ >= v)) return None
+    val versionsNow = entries.collect {
+      case n if n.startsWith("manifest-") =>
+        n.stripPrefix("manifest-").toLong
+      case n if n.startsWith("checkpoint-") =>
+        n.stripPrefix("checkpoint-").toLong
+    }
+    if (versionsNow.exists(_ >= v)) return None
     // CHECK constraints from the log gate the ADDED files of EVERY
     // commit path — library, streaming sink, SQL — before the slot is
     // claimed (the Delta invariant protocol; see [[writeChecks]]). A
     // violating batch throws here: nothing published, staged files
     // stay unreferenced. Zero cost when no `checks-` sidecar exists
-    // (one directory listing this method's versions() scan already
-    // paid). `validateChecks = false` is for RESTORE, which replays
-    // history verbatim — a snapshot that predates a constraint must
-    // stay restorable.
-    if (validateChecks) {
+    // (the listing above already answers it). `validateChecks = false`
+    // is for RESTORE, which replays history verbatim — a snapshot that
+    // predates a constraint must stay restorable.
+    if (validateChecks &&
+        entries.exists(n => n.startsWith("checks-") &&
+          n.stripPrefix("checks-").toLong <= base)) {
       val checks = checksAt(spark, root, base)
       if (checks.nonEmpty) {
         val liveSet =
