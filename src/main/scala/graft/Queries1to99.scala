@@ -954,9 +954,26 @@ private[graft] object Queries1to99 {
     "q96_edit_distance_pairs" -> ((s, dir) => {
       import graft.llm.MinHashLsh
       val docs = Tables.documents(s, dir)
-      val cand = MinHashLsh.jaccardJoinFromSets(
-        MinHashLsh.charNgramHashSets(docs, col("doc_id"), col("text"), 5),
-        1, 2).select(col("doc_a"), col("doc_b"))
+      // The levenshtein length-gap pre-filter below (lev >= |la-lb|)
+      // is ALSO pushed into the PPJoin candidate join via the aux
+      // column (code-point length): this corpus's tiny 5-gram
+      // vocabulary makes the rarest-gram prefix filter weak (measured
+      // 27.6M raw candidate rows / 6.26M distinct pairs for 256
+      // survivors), while the 25% length band kills most pairs before
+      // the pair-distinct + set-verify shuffles. Same predicate, same
+      // exact quantities, applied earlier — the final pair set cannot
+      // change (a pair failing it was dropped by the WHERE below
+      // anyway).
+      val sets = docs.select(col("doc_id"),
+          call_function("char_ngram_hash_set", col("text"), lit(5)).as("hs"),
+          length(col("text")).cast("long").as("aux"))
+        .where(size(col("hs")) > 0)
+      val lenBand = (la: Column, lb: Column) =>
+        abs(la - lb).cast("double") <
+          lit(0.25005) * greatest(la, lb).cast("double")
+      val cand = MinHashLsh.jaccardJoinFromSets(sets, 1, 2,
+        auxPairFilter = Some(lenBand))
+        .select(col("doc_a"), col("doc_b"))
       val t = docs.select(col("doc_id"), col("text"))
       cand
         .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")),

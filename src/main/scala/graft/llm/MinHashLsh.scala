@@ -245,10 +245,23 @@ object MinHashLsh {
 
   /** [[jaccardJoin]] over ANY precomputed (doc_id, hs) table — hs must
     * be the sorted-distinct hash set of the document's tokens at the
-    * caller's chosen granularity (word bigrams, char n-grams, ...). */
+    * caller's chosen granularity (word bigrams, char n-grams, ...).
+    *
+    * `auxPairFilter`: an optional extra CANDIDATE filter over a
+    * per-doc `aux` long column carried in `sets0` — the caller
+    * promises the predicate is implied by whatever its own downstream
+    * verification enforces (q96: the levenshtein length gap bound),
+    * so pushing it from post-verify into the candidate join drops
+    * never-surviving pairs BEFORE the pair-distinct and the set-array
+    * verify shuffles (measured 27.6M → far fewer raw candidate rows
+    * on the char-5-gram corpus, whose tiny gram vocabulary makes the
+    * prefix filter weak). It does NOT change this method's own
+    * jaccard semantics for pairs it keeps. */
   def jaccardJoinFromSets(sets0: DataFrame,
                           thresholdNum: Int, thresholdDen: Int,
-                          cacheSets: Boolean = true): DataFrame = {
+                          cacheSets: Boolean = true,
+                          auxPairFilter: Option[(Column, Column) => Column]
+                            = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (p, q) = (thresholdNum, thresholdDen)
     val threshold = p.toDouble / q
@@ -272,8 +285,11 @@ object MinHashLsh {
     // carrying it here removes the unordered count() window the previous
     // shape paid over the full token table (one fewer WindowExec pass;
     // the rank sort below remains the only per-doc window).
-    val tok = sets.select(col("doc_id"), size(col("hs")).as("n"),
-      explode(col("hs")).as("h"))
+    val auxed = auxPairFilter.isDefined
+    val tokCols = Seq(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h")) ++
+      (if (auxed) Seq(col("aux")) else Nil)
+    val tok = sets.select(tokCols: _*)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     // prefix length = n - ceil(p*n/q) + 1; Column./ is DOUBLE division, so
     // integer-exact ceil is (x + q - 1) div q via try_divide-free floor
@@ -293,7 +309,8 @@ object MinHashLsh {
       .join(dfreq, Seq("h"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixLen)
-      .select("doc_id", "h", "rn", "n")
+      .select(Seq("doc_id", "h", "rn", "n").map(col) ++
+        (if (auxed) Seq(col("aux")) else Nil): _*)
     // The candidate join reads the prefix index TWICE (l/r sides) and the
     // self-join's attribute dedup defeats exchange reuse — without the
     // persist, both window pipelines run twice (measured in the q39
@@ -303,14 +320,19 @@ object MinHashLsh {
     val prefix = if (cacheSets)
       prefix0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else prefix0
-    val l = prefix.toDF("doc_a", "h", "rn_a", "n_a")
-    val r = prefix.toDF("doc_b", "h", "rn_b", "n_b")
+    val l =
+      if (auxed) prefix.toDF("doc_a", "h", "rn_a", "n_a", "aux_a")
+      else prefix.toDF("doc_a", "h", "rn_a", "n_a")
+    val r =
+      if (auxed) prefix.toDF("doc_b", "h", "rn_b", "n_b", "aux_b")
+      else prefix.toDF("doc_b", "h", "rn_b", "n_b")
     // alpha = ceil(p*(n_a+n_b)/(p+q)), integer-exact
     val alpha = floor(((col("n_a") + col("n_b")) * p + (p + q - 1)) / (p + q)).cast("long")
     val cand = l.join(r, Seq("h"))
       .where(col("doc_a") < col("doc_b") &&
         col("n_b") * q >= col("n_a") * p && col("n_a") * q >= col("n_b") * p &&
-        least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1 >= alpha)
+        least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1 >= alpha &&
+        auxPairFilter.map(f => f(col("aux_a"), col("aux_b"))).getOrElse(lit(true)))
       .select("doc_a", "doc_b").distinct()
     val result = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
