@@ -34,6 +34,30 @@ import org.apache.spark.sql.functions._
   */
 object BradleyTerry {
 
+  /** One MM round's un-normalized update pipeline — the m-bounded
+    * state BROADCASTS into the persisted, already hash-partitioned
+    * edge table: the round's two joins stop re-exchanging (and
+    * re-sorting) edges, and the groupBy(i) rides the cached
+    * hashpartitioning(i) — zero exchanges on the edge side per round
+    * where the sort-merge form paid two plus the aggregation
+    * exchange. Integer sums are order-independent, so the join
+    * strategy cannot move a single ppm. Package-private so the plan
+    * dump tool commits exactly the loop body's explain. */
+  private[graft] def oneRoundPlan(edges: DataFrame, state: DataFrame,
+                                  wins: DataFrame): DataFrame = {
+    val terms = edges
+      .join(broadcast(state.select(col("i"), col("p").as("pi"))), Seq("i"))
+      .join(broadcast(state.select(col("i").as("j"), col("p").as("pj"))),
+        Seq("j"))
+      .select(col("i"),
+        expr("(n * 1000000000L) div greatest(pi + pj, 1L)").as("term"))
+    terms.groupBy("i").agg(sum("term").as("d"))
+      .join(broadcast(wins), Seq("i"), "left")
+      .select(col("i"),
+        expr("(coalesce(wi, 0L) * 1000000000L) div greatest(d, 1L)")
+          .as("raw"))
+  }
+
   /** `(item, strength_ppm, wins, games)` for every item appearing in
     * at least one judgment. `prefs`: one row per judgment. */
   def fit(prefs: DataFrame, winner: Column, loser: Column,
@@ -68,28 +92,10 @@ object BradleyTerry {
       .select(col("i"), expr("1000000L div _m").as("p"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      // the m-bounded state BROADCASTS into the persisted, already
-      // hash-partitioned edge table: the round's two joins stop
-      // re-exchanging (and re-sorting) edges, and the groupBy(i) rides
-      // the cached hashpartitioning(i) — zero exchanges on the edge
-      // side per round where the sort-merge form paid two plus the
-      // aggregation exchange. Integer sums are order-independent, so
-      // the join strategy cannot move a single ppm.
-      val terms = edges
-        .join(broadcast(state.select(col("i"), col("p").as("pi"))), Seq("i"))
-        .join(broadcast(state.select(col("i").as("j"), col("p").as("pj"))),
-          Seq("j"))
-        .select(col("i"),
-          expr("(n * 1000000000L) div greatest(pi + pj, 1L)").as("term"))
       // m-bounded; eager-checkpoint BEFORE the normalizer so the
       // corpus-sized terms pipeline runs once per round, not twice
       // (the Z aggregate and the crossJoin would each re-evaluate it)
-      val raw = terms.groupBy("i").agg(sum("term").as("d"))
-        .join(broadcast(wins), Seq("i"), "left")
-        .select(col("i"),
-          expr("(coalesce(wi, 0L) * 1000000000L) div greatest(d, 1L)")
-            .as("raw"))
-        .localCheckpoint(true)
+      val raw = oneRoundPlan(edges, state, wins).localCheckpoint(true)
       state = raw
         .crossJoin(broadcast(raw.agg(sum("raw").as("_z"))))
         .select(col("i"),
