@@ -43,9 +43,17 @@ object Modularity {
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // SHUFFLE_HASH on the node-sized membership table (the
+    // PageRank.step discipline): sort-merge would sort the edge list
+    // twice (once per endpoint join); hash-building memb streams the
+    // edges unsorted — the downstream aggregates are unordered counts/
+    // sums, so results are identical. Not a broadcast: membership
+    // grows with the node set.
     val labeled = e
-      .join(memb.select(col("node").as("u"), col("community").as("cu")), "u")
-      .join(memb.select(col("node").as("v"), col("community").as("cv")), "v")
+      .join(memb.select(col("node").as("u"), col("community").as("cu"))
+        .hint("SHUFFLE_HASH"), "u")
+      .join(memb.select(col("node").as("v"), col("community").as("cv"))
+        .hint("SHUFFLE_HASH"), "v")
     val intra = labeled.filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("community"))
       .agg(count(lit(1)).as("m_intra"))
