@@ -130,8 +130,14 @@ object Bench {
     val gaScaleWarmup =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_WARMUP", "3").toInt)
     val gaScaleMem = sys.env.getOrElse("SPARK_GRAFT_GA_SCALE_MEM", "24g")
-    val gaScaleJson =
-      if (gaScaleHits <= 0) "null"
+    // (full, compact): the FULL block (per-pass arrays + telemetry) goes to
+    // bench_out.json; the stdout line gets the COMPACT block (scalars only).
+    // Round-14 verdict #1: the stdout line must stay under ~1.5 KB because
+    // the driver keeps a 2000-char tail — the full ga_scale arrays plus the
+    // setup_sec map pushed it to ~3 KB and the driver truncated it mid-JSON
+    // two rounds running (BENCH_r13/r14: parsed=null).
+    val (gaScaleJson, gaScaleJsonCompact) =
+      if (gaScaleHits <= 0) ("null", "null")
       else try {
         val totalPasses = gaScaleWarmup + gaScaleIters
         val javaBin = new java.io.File(
@@ -211,11 +217,13 @@ object Bench {
         def d2(t: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))
         def d3(t: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
         def arr(xs: Seq[String]) = xs.mkString("[", ",", "]")
-        s"""{"hits":$gaScaleHits,"protocol":"fresh-jvm-first","heap":"$gaScaleMem","warmup_passes":$gaScaleWarmup,"iterations":${measured.length},"sec":${d2(warmSec)},"sec_cold":${d2(coldSec)},"sec_warm":${d2(warmSec)},"sec_min":${d2(bestSec)},"spread":${d2(spread)},"sec_all":${arr(passes.map(p => d2(p.sec)).toSeq)},"gc_sec_all":${arr(passes.map(p => d2(p.gcSec)).toSeq)},"gc_n_all":${arr(passes.map(_.gcN.toString).toSeq)},"ticks":${arr(passes.map(p => d3(p.tick1t)).toSeq)},"ticks_all":${arr(passes.map(p => d3(p.tickAll)).toSeq)},"ticks_mem":${arr(passes.map(p => d3(p.tickMem)).toSeq)},"valid":${arr(valid.map(_.toString))},"n_warm_valid":${warmValid.length},"hits_per_sec":${(gaScaleHits / warmSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
+        val full = s"""{"hits":$gaScaleHits,"protocol":"fresh-jvm-first","heap":"$gaScaleMem","warmup_passes":$gaScaleWarmup,"iterations":${measured.length},"sec":${d2(warmSec)},"sec_cold":${d2(coldSec)},"sec_warm":${d2(warmSec)},"sec_min":${d2(bestSec)},"spread":${d2(spread)},"sec_all":${arr(passes.map(p => d2(p.sec)).toSeq)},"gc_sec_all":${arr(passes.map(p => d2(p.gcSec)).toSeq)},"gc_n_all":${arr(passes.map(_.gcN.toString).toSeq)},"ticks":${arr(passes.map(p => d3(p.tick1t)).toSeq)},"ticks_all":${arr(passes.map(p => d3(p.tickAll)).toSeq)},"ticks_mem":${arr(passes.map(p => d3(p.tickMem)).toSeq)},"valid":${arr(valid.map(_.toString))},"n_warm_valid":${warmValid.length},"hits_per_sec":${(gaScaleHits / warmSec).toLong},"hits_per_sec_max":${(gaScaleHits / bestSec).toLong}}"""
+        val compact = s"""{"hits":$gaScaleHits,"sec":${d2(warmSec)},"sec_min":${d2(bestSec)},"spread":${d2(spread)},"n_warm_valid":${warmValid.length},"hits_per_sec":${(gaScaleHits / warmSec).toLong}}"""
+        (full, compact)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ga_scale FAILED: ${e.getMessage}")
         errors += "ga_scale"
-        "null"
+        ("null", "null")
       }
 
     // The suite JVM's Spark session is created only AFTER the ga_scale
@@ -391,9 +399,15 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_QUERIES: ${e.getMessage}")
     }
     // Stdout gets a COMPACT summary as the LAST line: suite total, query
-    // count, a small headline subset of per-query medians (so the
-    // driver's {"metric",...,"queries",...} contract still parses), the
-    // ga_scale block, and the path to the full record.
+    // count, a small headline subset of per-query mins (so the
+    // driver's {"metric",...,"queries",...} contract still parses), a
+    // scalars-only ga_scale block, calibration, and the path to the full
+    // record. Round-14 verdict #1: this line MUST stay under ~1.5 KB —
+    // the driver keeps only a 2000-char stdout tail, and the previous
+    // line (~3 KB with the 41-entry setup_sec map + ga_scale arrays)
+    // truncated mid-JSON, leaving PERF_r13/r14 with parsed=null. The
+    // setup_sec map and all per-pass arrays now live ONLY in
+    // bench_out.json / BENCH_QUERIES_r*.json.
     val headline = Seq("q01_pricing_agg", "q16_ga_sessions", "q20_dedup_minhash",
       "q26_ann_brute", "q55_bm25", "q65_sequence_packing", "q96_edit_distance_pairs",
       "q100_pagerank", "q101_containment_join", "q115_ga_transitions")
@@ -401,7 +415,9 @@ object Bench {
     val spreadMap = spread.toMap
     val headlineMap = headline.flatMap(n => minMap.get(n).map(n -> _))
     val headlineSpread = headline.flatMap(n => spreadMap.get(n).map(n -> _))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$benchPass,"n_queries":${med.size},"queries":${jmap(headlineMap)},"queries_spread":${jmap(headlineSpread)},"pass_gc_sec":${darr(passGcSec.toSeq)},"setup_sec":${jmap(setupMed)},"ga_scale":$gaScaleJson,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_median":$totalMed,"iterations":$benchPass,"n_queries":${med.size},"queries":${jmap(headlineMap)},"queries_spread":${jmap(headlineSpread)},"ga_scale":$gaScaleJsonCompact,"calibration":$calibJson,"errors":$errJson,"full_record":"$outFile","sf":"$sfDir"}"""
+    if (line.length > 1500)
+      System.err.println(s"[bench] WARNING: stdout line is ${line.length} chars (>1500); the driver tail may truncate it")
     println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

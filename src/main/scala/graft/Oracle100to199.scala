@@ -1598,6 +1598,11 @@ private[graft] object Oracle100to199 {
       val d = 0.85
       val iters = 5
       val tele = (1.0 - d).toString
+      // two-level fold mirror (PageRank.FoldBucketWidth): per-bucket
+      // src-ordered partial sums, then bucket-ordered fold — the exact
+      // association the Spark operator uses, so the doubles replay
+      // bit-identically (`//` and Spark `div` both truncate toward zero)
+      val bw = graft.operators.PageRank.FoldBucketWidth
       val step = (k: Int) =>
         s"""pr$k AS (
            |  SELECT nd.node,
@@ -1605,10 +1610,15 @@ private[graft] object Oracle100to199 {
            |      $d * COALESCE(s$k.s, CAST(0.0 AS DOUBLE)) AS r
            |  FROM nd CROSS JOIN n1
            |  LEFT JOIN (
-           |    SELECT g.dst AS node,
-           |      list_reduce(list((p.r / CAST(g.outdeg AS DOUBLE)) ORDER BY g.src),
-           |        (a, b) -> a + b) AS s
-           |    FROM g JOIN pr${k - 1} p ON p.node = g.src GROUP BY g.dst
+           |    SELECT node, list_reduce(list(bs ORDER BY bk),
+           |      (a, b) -> a + b) AS s
+           |    FROM (
+           |      SELECT g.dst AS node, g.src // $bw AS bk,
+           |        list_reduce(list((p.r / CAST(g.outdeg AS DOUBLE)) ORDER BY g.src),
+           |          (a, b) -> a + b) AS bs
+           |      FROM g JOIN pr${k - 1} p ON p.node = g.src
+           |      GROUP BY g.dst, g.src // $bw
+           |    ) GROUP BY node
            |  ) s$k ON s$k.node = nd.node)""".stripMargin
       s"""WITH e0 AS (
         |  SELECT DISTINCT l_suppkey AS src,

@@ -197,25 +197,10 @@ object SparkEntry {
   }
 
   /** Order-preserving parallel map over INDEPENDENT per-table work in
-    * a query body (guide §2.6: Spark happily runs several jobs at
-    * once; a driver loop serializes them and leaves the executors
-    * idle through every job's tail). Results — and therefore every
-    * gate/oracle value — are byte-identical to the sequential map;
-    * only the job overlap changes. Width 3: enough to fill a tail,
-    * not enough to thrash execution memory. */
+    * a query body — the shared [[Par.ordered]] (one helper for this
+    * and Erasure's member overlap; round-14 advice). */
   private[graft] def parOrdered[A, B](xs: Seq[A])(f: A => B): Seq[B] =
-    if (xs.lengthCompare(2) < 0) xs.map(f)
-    else {
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(3, xs.length))
-      try {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutor(pool)
-        xs.map(x => Future(f(x))).map(Await.result(_, Duration.Inf))
-      } finally pool.shutdown()
-    }
+    Par.ordered(xs)(f)
 
   private[graft] def wipeRoots(s: SparkSession, roots: String*): Unit = {
     val conf = s.sessionState.newHadoopConf()

@@ -34,25 +34,44 @@ import org.apache.spark.sql.functions._
   */
 object BradleyTerry {
 
+  /** Above this item count the per-round state joins stop
+    * BROADCASTING and fall back to SHUFFLE_HASH (round-14 verdict:
+    * the m-bounded-state argument is sound for judgment workloads,
+    * but an unbounded broadcast turns a huge item universe into a
+    * driver/executor OOM where the old plan degraded gracefully).
+    * 10⁶ (i, p) rows build a ~50 MB hash relation — comfortably
+    * inside broadcast territory at any cluster size; beyond it the
+    * hash-hinted shuffle join keeps the no-sort property and scales
+    * with the partition count. */
+  private[graft] val BroadcastStateMaxItems = 1000000L
+
   /** One MM round's un-normalized update pipeline — the m-bounded
     * state BROADCASTS into the persisted, already hash-partitioned
     * edge table: the round's two joins stop re-exchanging (and
     * re-sorting) edges, and the groupBy(i) rides the cached
     * hashpartitioning(i) — zero exchanges on the edge side per round
     * where the sort-merge form paid two plus the aggregation
-    * exchange. Integer sums are order-independent, so the join
-    * strategy cannot move a single ppm. Package-private so the plan
-    * dump tool commits exactly the loop body's explain. */
+    * exchange. `broadcastState = false` (m above
+    * [[BroadcastStateMaxItems]]) swaps every broadcast for a
+    * SHUFFLE_HASH hint — the i-side join still rides the cached
+    * edge partitioning, the j-side exchanges by j as the original
+    * sort-merge form did, minus its sorts. Integer sums are
+    * order-independent, so the join strategy cannot move a single
+    * ppm. Package-private so the plan dump tool commits exactly the
+    * loop body's explain. */
   private[graft] def oneRoundPlan(edges: DataFrame, state: DataFrame,
-                                  wins: DataFrame): DataFrame = {
+                                  wins: DataFrame,
+                                  broadcastState: Boolean = true): DataFrame = {
+    def mSide(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df.hint("SHUFFLE_HASH")
     val terms = edges
-      .join(broadcast(state.select(col("i"), col("p").as("pi"))), Seq("i"))
-      .join(broadcast(state.select(col("i").as("j"), col("p").as("pj"))),
+      .join(mSide(state.select(col("i"), col("p").as("pi"))), Seq("i"))
+      .join(mSide(state.select(col("i").as("j"), col("p").as("pj"))),
         Seq("j"))
       .select(col("i"),
         expr("(n * 1000000000L) div greatest(pi + pj, 1L)").as("term"))
     terms.groupBy("i").agg(sum("term").as("d"))
-      .join(broadcast(wins), Seq("i"), "left")
+      .join(mSide(wins), Seq("i"), "left")
       .select(col("i"),
         expr("(coalesce(wi, 0L) * 1000000000L) div greatest(d, 1L)")
           .as("raw"))
@@ -86,23 +105,29 @@ object BradleyTerry {
     val wins = wl.groupBy(col("w").as("i")).agg(count(lit(1)).as("wi"))
       .localCheckpoint(true)
     val items = edges.select("i").distinct()
+    // m drives BOTH the uniform start and the broadcast-vs-shuffle gate
+    // below; counting it here replaces the start state's crossJoin +
+    // broadcast aggregate (one fewer job, same value)
+    val m = items.count()
+    val broadcastState = m <= BroadcastStateMaxItems
     // uniform integer start: p0 = floor(1e6 / m)
     var state = items
-      .crossJoin(broadcast(items.agg(count(lit(1)).as("_m"))))
-      .select(col("i"), expr("1000000L div _m").as("p"))
+      .select(col("i"), lit(1000000L / math.max(m, 1L)).as("p"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       // m-bounded; eager-checkpoint BEFORE the normalizer so the
       // corpus-sized terms pipeline runs once per round, not twice
       // (the Z aggregate and the crossJoin would each re-evaluate it)
-      val raw = oneRoundPlan(edges, state, wins).localCheckpoint(true)
+      val raw = oneRoundPlan(edges, state, wins, broadcastState)
+        .localCheckpoint(true)
       state = raw
         .crossJoin(broadcast(raw.agg(sum("raw").as("_z"))))
         .select(col("i"),
           expr("(raw * 1000000L) div greatest(_z, 1L)").as("p"))
     }
     val out = state
-      .join(broadcast(wins), Seq("i"), "left")
+      .join(if (broadcastState) broadcast(wins) else wins.hint("SHUFFLE_HASH"),
+        Seq("i"), "left")
       .join(edges.groupBy("i").agg(sum("n").as("games")), Seq("i"))
       .select(col("i").as("item"), col("p").as("strength_ppm"),
         coalesce(col("wi"), lit(0L)).as("wins"), col("games"))

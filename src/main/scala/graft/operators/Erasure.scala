@@ -27,31 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Erasure {
 
-  /** Map `f` over independent group MEMBERS on a small driver thread
-    * pool, preserving input order (so downstream ledger writes and the
-    * flip map are byte-identical to the sequential form). Members are
-    * separate tables under separate roots: their scans, DV writes and
-    * per-root commits share nothing until the single group flip, so
-    * the driver serializing them leaves most of the cluster idle
-    * during each member's stage tail — submitting 2-3 members'
-    * Spark jobs concurrently lets the next member's tasks back-fill
-    * the executors the current member's stragglers freed (FIFO
-    * scheduling does exactly this). Width 3, not #members: enough to
-    * fill the tail, not enough to thrash execution memory. Exceptions
-    * propagate unchanged (Await rethrows the first failure). */
+  /** Map `f` over independent group MEMBERS, preserving input order
+    * (so downstream ledger writes and the flip map are byte-identical
+    * to the sequential form). Members are separate tables under
+    * separate roots: their scans, DV writes and per-root commits share
+    * nothing until the single group flip, so overlapping their Spark
+    * jobs lets the next member's tasks back-fill each member's stage
+    * tail — the shared [[graft.Par.ordered]] helper (round-14 advice:
+    * this was a verbatim copy of SparkEntry.parOrdered). */
   private def parMembers[A, B](xs: Seq[A])(f: A => B): Seq[B] =
-    if (xs.lengthCompare(2) < 0) xs.map(f)
-    else {
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(3, xs.length))
-      try {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutor(pool)
-        xs.map(x => Future(f(x))).map(Await.result(_, Duration.Inf))
-      } finally pool.shutdown()
-    }
+    graft.Par.ordered(xs)(f)
 
   /** Pure transform: rows of `target` whose key appears in `subjects`
     * are dropped. `subjects` is a deletion-request batch — small by

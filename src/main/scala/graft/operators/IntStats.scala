@@ -238,7 +238,13 @@ object IntStats {
     * data reshuffle), so the round count is the max over quantiles
     * instead of their sum, and each bracket shrinks ~[[BisectFanout]]×
     * per round. Returns (k, total_w, weighted_qs) with the quantile
-    * values in `qs` order. */
+    * values in `qs` order.
+    *
+    * `unitWeightApproxSeed` callers assert w ≡ 1 AND non-null x for
+    * every row: percentile_approx skips null x while sum(w) counts the
+    * row, so null x rows would shift the sketch's ranks off the exact
+    * loop's (the runtime endpoint guard below catches such a drift and
+    * falls back to the exact bracket, at the cost of extra rounds). */
   def weightedQuantilesBisect(df: DataFrame, key: Column, x: Column,
                               w: Column, qs: Seq[(Long, Long)],
                               unitWeightApproxSeed: Boolean = false): DataFrame = {
@@ -316,12 +322,33 @@ object IntStats {
               s"denominator $maxDenom exceeds Long range; pre-scale weights")
         }
       }
+      val exactBounds: Map[String, (Long, Long)] =
+        seed.map { case (k, lo, hi, _) => k -> ((lo, hi)) }.toMap
       var bounds: Map[(String, Int), (Long, Long, Long)] =
         (for ((k, lo, hi, tw) <- seed; qi <- qs.indices) yield {
           val (blo, bhi) = approxBr.getOrElse((k, qi), (lo, hi))
           // clamp into the exact [min, max] — belt over the G-K proof
           (k, qi) -> ((math.max(lo, blo), math.min(hi, bhi), tw))
         }).toMap
+      // RUNTIME BRACKET GUARD (round-14 verdict/advice): the G-K rank
+      // bound proves the approx bracket contains the exact answer, but
+      // the loop below only probes strictly below `hi` — with a
+      // [min, max] seed ok(hi) is trivially true, with an approx seed a
+      // rank-convention drift (Spark internals, or a caller whose null
+      // x rows inflate tw past the sketch's row count) would make the
+      // bisection silently converge inside a wrong bracket. Every
+      // approx-seeded bracket therefore has its endpoints PROBED —
+      // ok(hi) && (lo == min || !ok(lo-1)) — in the first round it
+      // participates in, riding the same aggregate (zero extra rounds
+      // while any bracket is open; one validation round when the seed
+      // converged everything), and falls back to the exact [min, max]
+      // bracket on violation instead of returning a wrong quantile.
+      // .iterator first: collect on a Map with a pair-producing function
+      // rebuilds a MAP and silently drops same-first-element brackets
+      var unvalidated: Set[(String, Int)] =
+        if (!unitWeightApproxSeed) Set.empty
+        else bounds.iterator.collect { case (kq @ (k, _), (lo, hi, _))
+          if (lo, hi) != exactBounds(k) => kq }.toSet
       // probes in [lo, hi): evenly spaced on a floorDiv step (hi − lo
       // checked non-overflowing above; step 0 degenerates to the single
       // probe `lo`, i.e. plain bisection on 1-wide brackets)
@@ -333,22 +360,40 @@ object IntStats {
           case ps => ps
         }
       }
-      while (bounds.values.exists { case (lo, hi, _) => lo < hi }) {
-        val probes = bounds.toSeq.collect {
-          case ((k, qi), (lo, hi, _)) if lo < hi =>
-            probesOf(lo, hi).map(p => (k, qi, p))
-        }.flatten.toDF("k", "qi", "p")
+      while (bounds.values.exists { case (lo, hi, _) => lo < hi } ||
+          unvalidated.nonEmpty) {
+        val probes = bounds.toSeq.flatMap { case ((k, qi), (lo, hi, _)) =>
+          val open = if (lo < hi) probesOf(lo, hi) else Seq.empty[Long]
+          val guard =
+            if (unvalidated((k, qi)))
+              hi +: (if (lo > exactBounds(k)._1) Seq(lo - 1L) else Nil)
+            else Nil
+          (open ++ guard).distinct.map(p => (k, qi, p))
+        }.toDF("k", "qi", "p")
         val cum = base.join(broadcast(probes), "k")
           .groupBy("k", "qi", "p")
           .agg(sum(when(col("x") <= col("p"), col("w")).otherwise(0L)).as("cw"))
           .as[(String, Int, Long, Long)].collect()
           .map { case (k, qi, p, cw) => (k, qi, p) -> cw }.toMap
         bounds = bounds.map { case (kq @ (k, qi), (lo, hi, tw)) =>
-          if (lo >= hi) kq -> ((lo, hi, tw))
+          val (numer, denom) = qs(qi)
+          def ok(p: Long): Boolean =
+            denom * cum.getOrElse((k, qi, p), 0L) >= numer * tw
+          val bracketViolated = unvalidated(kq) && {
+            val exLo = exactBounds(k)._1
+            !(ok(hi) && (lo == exLo || !ok(lo - 1)))
+          }
+          if (bracketViolated) {
+            // the seed's bracket provably excludes the answer — widen to
+            // the exact [min, max] and re-bisect (loud: this indicates a
+            // rank-contract drift and should never fire)
+            System.err.println(s"[IntStats] approx bracket [$lo, $hi] for " +
+              s"key '$k' quantile ${qs(qi)._1}/${qs(qi)._2} violated the " +
+              "endpoint probe; falling back to the exact [min, max] bracket")
+            val (exLo, exHi) = exactBounds(k)
+            kq -> ((exLo, exHi, tw))
+          } else if (lo >= hi) kq -> ((lo, hi, tw))
           else {
-            val (numer, denom) = qs(qi)
-            def ok(p: Long): Boolean =
-              denom * cum.getOrElse((k, qi, p), 0L) >= numer * tw
             val ps = probesOf(lo, hi).sorted
             // the answer is the smallest x with ok(x); ok is monotone, hi
             // is always valid — clamp to the tightest cell the probes prove
@@ -358,6 +403,7 @@ object IntStats {
             kq -> ((lo2, hi2, tw))
           }
         }
+        unvalidated = Set.empty
       }
       bounds.toSeq.groupBy(_._1._1).toSeq.map { case (k, rows) =>
         val byQi = rows.map { case ((_, qi), (lo, _, _)) => qi -> lo }.toMap

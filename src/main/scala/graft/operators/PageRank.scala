@@ -74,8 +74,22 @@ object PageRank {
     (g, nodes)
   }
 
+  /** Bucket width of the two-level deterministic fold: level 1 folds a
+    * dst's contributions within each `src div width` bucket (buffer ≤
+    * width entries), level 2 folds the bucket sums in bucket order
+    * (buffer ≤ id-space / width entries). A single-level
+    * `collect_list` per dst materializes a celebrity node's ENTIRE
+    * in-neighbor list in one aggregation buffer — the round-14 verdict's
+    * OOM shape on a power-law graph (guide §2.5 skew / §5 spill); the
+    * two levels bound both buffers at ~2²⁰ for any graph below ~2⁴⁰
+    * node ids while keeping the fold order fixed: (bucket asc, src asc)
+    * IS ascending src, and the DuckDB oracle mirrors the identical
+    * two-level association, so the doubles replay exactly. */
+  private[graft] val FoldBucketWidth = 1L << 20
+
   /** One un-checkpointed power iteration: rank/outdeg along edges,
-    * per-dst source-sorted fold, damping. The loop body PlanSpec pins. */
+    * per-dst source-sorted two-level fold, damping. The loop body
+    * PlanSpec pins. */
   private[graft] def step(g: DataFrame, ranks: DataFrame,
       damping: Double): DataFrame = {
     // SHUFFLE_HASH on the node-sized rank table: the default sort-merge
@@ -91,10 +105,25 @@ object PageRank {
         g("src") === ranks("node"))
       .select(g("src"), g("dst"), g("n"),
         (col("rank") / col("outdeg").cast("double")).as("contrib"))
-    val summed = contribs.groupBy(col("dst"))
+    // Two-level fixed-order fold (round-14 verdict #4): bucket sums in
+    // ascending src order inside each `src div W` bucket, then the
+    // bucket sums in ascending bucket order — same deterministic
+    // replayable doubles (the oracle mirrors the association exactly),
+    // but NO buffer ever holds a full in-degree's rows: a celebrity
+    // dst's fold state is bounded by the bucket width at level 1 and by
+    // id-space/width at level 2. `div` truncates toward zero on both
+    // engines and is monotone in src, so (bucket, src) order IS src
+    // order. The level-2 exchange ships one row per (dst, bucket) —
+    // noise next to the contribution shuffle it rides behind.
+    val bucketed = contribs
+      .groupBy(col("dst"), expr(s"src div ${FoldBucketWidth}L").as("bk"))
       .agg(first(col("n")).as("n"),
         aggregate(sort_array(collect_list(struct(col("src"), col("contrib")))),
-          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("s"))
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("bs"))
+    val summed = bucketed.groupBy(col("dst"))
+      .agg(first(col("n")).as("n"),
+        aggregate(sort_array(collect_list(struct(col("bk"), col("bs")))),
+          lit(0.0), (acc, x) => acc + x.getField("bs")).as("s"))
     ranks.select(col("node"))
       .join(summed.select(col("dst").as("node"), col("n"), col("s"))
         .hint("SHUFFLE_HASH"), Seq("node"), "left")

@@ -100,19 +100,50 @@ object Manifest {
     * is readable through its `manifest-<v>` OR its consolidated
     * `checkpoint-<v>` (after [[cleanLog]] compacted the suffix away,
     * the checkpoint alone serves it). */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val (fs, rootP) = fsOf(spark, root)
-    val dir = new Path(rootP, Dir)
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).map(_.getPath.getName)
+  /** Log-dir entry names → committed version numbers, ascending — the
+    * ONE place the version-bearing name shapes (`manifest-`/
+    * `checkpoint-` prefixes, `.tmp` filter) are parsed, shared by
+    * [[versions]] and [[tryCommit]]'s single-listing fast path
+    * (round-14 advice: an inlined copy silently disagrees the next
+    * time the log gains a version-bearing file name). */
+  private def versionsOfNames(names: Iterable[String]): Seq[Long] =
+    names.iterator
       .filter(n => !n.endsWith(".tmp"))
       .collect {
         case n if n.startsWith("manifest-") =>
           n.stripPrefix("manifest-").toLong
         case n if n.startsWith("checkpoint-") =>
           n.stripPrefix("checkpoint-").toLong
-      }.distinct.sorted.toSeq
+      }.toSeq.distinct.sorted
+
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, Dir)
+    if (!fs.exists(dir)) return Nil
+    versionsOfNames(fs.listStatus(dir).map(_.getPath.getName))
   }
+
+  /** ONE listing of the log dir → (committed versions ascending,
+    * entry-name → mtime). [[history]] and [[versionAtTimestamp]] need a
+    * publish time per version; resolving each through exists() +
+    * getFileStatus() costs O(versions) driver round trips on an object
+    * store (round-14 verdict #8) — a single listStatus serves every
+    * mtime. */
+  private def versionsWithMtimes(spark: SparkSession,
+      root: String): (Seq[Long], Map[String, Long]) = {
+    val (fs, rootP) = fsOf(spark, root)
+    val dir = new Path(rootP, Dir)
+    if (!fs.exists(dir)) return (Nil, Map.empty)
+    val sts = fs.listStatus(dir)
+    (versionsOfNames(sts.map(_.getPath.getName).toSeq),
+      sts.map(st => st.getPath.getName -> st.getModificationTime).toMap)
+  }
+
+  /** Publish time of version `v` given the one-listing mtime map: the
+    * manifest file's mtime, or the checkpoint's when cleanLog compacted
+    * the manifest away. */
+  private def mtimeOf(mtimes: Map[String, Long], v: Long): Long =
+    mtimes.getOrElse(manifestName(v), mtimes(ckptName(v)))
 
   /** Root-relative live files of committed version `v`. Annotation
     * lines (`#`-prefixed — deletion-vector references) are not data
@@ -253,13 +284,7 @@ object Manifest {
     val entries = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => !n.endsWith(".tmp"))
     // fast path: the log has already moved past our slot
-    val versionsNow = entries.collect {
-      case n if n.startsWith("manifest-") =>
-        n.stripPrefix("manifest-").toLong
-      case n if n.startsWith("checkpoint-") =>
-        n.stripPrefix("checkpoint-").toLong
-    }
-    if (versionsNow.exists(_ >= v)) return None
+    if (versionsOfNames(entries).exists(_ >= v)) return None
     // CHECK constraints from the log gate the ADDED files of EVERY
     // commit path — library, streaming sink, SQL — before the slot is
     // claimed (the Delta invariant protocol; see [[writeChecks]]). A
@@ -1831,8 +1856,10 @@ object Manifest {
     * files' modification times — informational, excluded from any
     * oracle gate (wall-clock is not replayable). */
   def history(spark: SparkSession, root: String): DataFrame = {
-    val (fs, rootP) = fsOf(spark, root)
-    val vs = versions(spark, root)
+    // one listing serves the version list AND every version's publish
+    // mtime (was exists + getFileStatus per version — O(versions)
+    // driver round trips on an object store)
+    val (vs, mtimes) = versionsWithMtimes(spark, root)
     type Acc = (Option[(Long, Set[String], Set[String])],
       Vector[(Long, Long, Long, Long, Long, Long, String, Long)])
     val rows = vs.foldLeft((Option.empty[(Long, Set[String], Set[String])],
@@ -1861,12 +1888,7 @@ object Manifest {
           else if (removed > 0 && added > 0) "replace"
           else if (removed > 0) "erase"
           else "append"
-        val ts = {
-          val m = new Path(new Path(rootP, Dir), manifestName(v))
-          val p = if (fs.exists(m)) m
-            else new Path(new Path(rootP, Dir), ckptName(v))
-          fs.getFileStatus(p).getModificationTime
-        }
+        val ts = mtimeOf(mtimes, v)
         (Some((v, files, dvs)), acc :+ ((v, files.size.toLong, added,
           removed, dvAdded, dvRemoved, op, ts)))
     }._2
@@ -1892,15 +1914,11 @@ object Manifest {
     * snapshot that did not exist at that time. */
   def versionAtTimestamp(spark: SparkSession, root: String,
                          tsMillis: Long): Long = {
-    val (fs, rootP) = fsOf(spark, root)
-    val dir = new Path(rootP, Dir)
-    val vs = versions(spark, root)
+    // one listing serves the version list AND every version's mtime
+    // (was exists + getFileStatus per version)
+    val (vs, mtimes) = versionsWithMtimes(spark, root)
     require(vs.nonEmpty, s"no committed manifest under $root")
-    val raw = vs.map { v =>
-      val m = new Path(dir, manifestName(v))
-      val p = if (fs.exists(m)) m else new Path(dir, ckptName(v))
-      fs.getFileStatus(p).getModificationTime
-    }
+    val raw = vs.map(v => mtimeOf(mtimes, v))
     // monotone repair (see doc): stamp'(i) = min(stamp(i..n))
     val repaired = raw.scanRight(Long.MaxValue)(math.min).init
     val stamped = vs.zip(repaired)

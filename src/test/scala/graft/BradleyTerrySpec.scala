@@ -44,6 +44,24 @@ class BradleyTerrySpec extends SparkTestBase {
     assert(out(2L)._2 == 1L && out(2L)._3 == 3L, out.toString)
   }
 
+  test("shuffle-hash state rounds (large-m fallback) match the broadcast rounds") {
+    // mirrors fit's internal shapes: edges (i, j, n), state (i, p), wins (i, wi)
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 3L), (1L, 3L, 1L), (3L, 1L, 1L),
+      (2L, 3L, 2L), (3L, 2L, 2L)).toDF("i", "j", "n").repartition(col("i"))
+    val state = Seq((1L, 333333L), (2L, 333333L), (3L, 333333L)).toDF("i", "p")
+    val wins = Seq((1L, 3L), (2L, 2L)).toDF("i", "wi")
+    val viaBroadcast = BradleyTerry.oneRoundPlan(edges, state, wins,
+      broadcastState = true).as[(Long, Long)].collect().toMap
+    val viaShuffle = BradleyTerry.oneRoundPlan(edges, state, wins,
+      broadcastState = false).as[(Long, Long)].collect().toMap
+    assert(viaBroadcast == viaShuffle, s"$viaBroadcast vs $viaShuffle")
+    // the fallback plan really is hash-hinted shuffle joins, not broadcasts
+    val plan = BradleyTerry.oneRoundPlan(edges, state, wins,
+      broadcastState = false).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("result is invariant to judgment order and partitioning") {
     val prefs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L),
       (2L, 4L), (4L, 1L), (2L, 1L))

@@ -276,6 +276,28 @@ class IntStatsSpec extends SparkTestBase {
     assert(a == b && a.size == 5)
   }
 
+  test("approx-seeded bisection: endpoint guard survives an adversarial bracket") {
+    import graft.operators.IntStats
+    // seeded path on clean unit-weight data: bit-identical to unseeded
+    val clean = (1L to 100L).map(v => ("g", v, 1L)).toDF("k", "x", "w")
+    val qsM = Seq((1L, 2L), (9L, 10L))
+    def run(df: DataFrame, seeded: Boolean): Seq[Long] =
+      IntStats.weightedQuantilesBisect(df, col("k"), col("x"), col("w"),
+        qsM, unitWeightApproxSeed = seeded)
+        .select("weighted_qs").as[Seq[Long]].head()
+    assert(run(clean, seeded = true) == run(clean, seeded = false))
+    // ADVERSARIAL bracket (round-14 advice): null x rows are invisible
+    // to percentile_approx but counted in tw, so the sketch's bracket
+    // provably excludes the exact loop's answer — the endpoint guard
+    // must detect the violation, fall back to [min, max], and land on
+    // the same value the unseeded path computes.
+    val rows: Seq[(String, java.lang.Long, Long)] =
+      (1L to 6L).map(v => ("g", java.lang.Long.valueOf(v), 1L)) ++
+        Seq.fill(4)(("g", null.asInstanceOf[java.lang.Long], 1L))
+    val withNulls = rows.toDF("k", "x", "w")
+    assert(run(withNulls, seeded = true) == run(withNulls, seeded = false))
+  }
+
   test("length buckets: octile sizes balanced, rank endpoints correct") {
     val out = SparkEntry.queries("q136_length_buckets")(spark, sf)
     val sizes = out.groupBy("lang", "bucket").count()

@@ -6,8 +6,11 @@ import graft.operators.PageRank
 class PageRankSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** Driver-side reference: same literals, same per-node
-    * ascending-source fold, same association order as the operator. */
+  /** Driver-side reference: same literals, same per-node two-level
+    * fold (src-ordered partial sums per `src div FoldBucketWidth`
+    * bucket, then bucket-ordered fold), same association order as the
+    * operator and the DuckDB oracle. For ids inside one bucket this is
+    * bit-identical to the flat ascending-source fold (0.0 + x == x). */
   private def reference(edges: Seq[(Long, Long)], iters: Int,
                         d: Double): Map[Long, Double] = {
     val e0 = edges.distinct
@@ -21,7 +24,11 @@ class PageRankSpec extends SparkTestBase {
       val in = withLoops.groupBy(_._2)
       r = nodes.map { v =>
         val s = in.getOrElse(v, Seq.empty).map(_._1).sorted
-          .foldLeft(0.0)((acc, u) => acc + r(u) / outdeg(u).toDouble)
+          .groupBy(_ / PageRank.FoldBucketWidth).toSeq.sortBy(_._1)
+          .map { case (_, us) =>
+            us.sorted.foldLeft(0.0)((acc, u) => acc + r(u) / outdeg(u).toDouble)
+          }
+          .foldLeft(0.0)(_ + _)
         val hasIn = in.contains(v)
         v -> ((1.0 - d) / n.toDouble +
           d * (if (hasIn) s else 0.0))
@@ -41,6 +48,28 @@ class PageRankSpec extends SparkTestBase {
     out.foreach { case (v, r) =>
       assert(r == ref(v), s"node $v: $r != ${ref(v)}")
     }
+  }
+
+  test("two-level fold: multi-bucket in-neighbors match the reference bit-for-bit") {
+    // one hub whose in-neighbors span several fold buckets, so level 2
+    // really folds more than one bucket sum (ids straddle k * 2^20)
+    val w = PageRank.FoldBucketWidth
+    val hub = 7L
+    val srcs = Seq(3L, w - 1L, w, w + 5L, 2 * w + 1L, 5 * w + 9L)
+    val edges = srcs.map(u => (u, hub)) ++ Seq((hub, 3L), (3L, w))
+    val out = PageRank.ranks(edges.toDF("src", "dst"),
+        col("src"), col("dst"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val ref = reference(edges, 5, 0.85)
+    assert(out.keySet == ref.keySet)
+    out.foreach { case (v, r) =>
+      assert(r == ref(v), s"node $v: $r != ${ref(v)}")
+    }
+    // and still partitioning-invariant
+    val b = PageRank.ranks(edges.toDF("src", "dst").repartition(7),
+        col("src"), col("dst"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(out == b)
   }
 
   test("ranks are a probability distribution (self-loop normalization)") {

@@ -556,15 +556,22 @@ class PlanSpec extends SparkTestBase {
             outer ++= ln += '\n'
           }
         }
-        // budget: ranks side into the join + groupBy(dst) + the left
-        // join back onto nodes. The edge side must NOT add one — losing
-        // the InMemoryRelation's hashpartitioning(src) (e.g. swapping
-        // persist for checkpoint) pushes this to 4+ and costs a full
-        // edge shuffle PER ITERATION at scale.
+        // budget: ranks side into the join + groupBy(dst, bucket) + the
+        // level-2 groupBy(dst) (its exchange ships one row per
+        // (dst, bucket) — bucket partials, not contributions) + the
+        // left join back onto nodes. The edge side must NOT add one —
+        // losing the InMemoryRelation's hashpartitioning(src) (e.g.
+        // swapping persist for checkpoint) pushes this to 5+ and costs
+        // a full edge shuffle PER ITERATION at scale.
         val exchanges =
           "Exchange hashpartitioning".r.findAllIn(outer.result()).length
-        assert(exchanges <= 3,
+        assert(exchanges <= 4,
           s"iteration grew to $exchanges hash exchanges:\n$plan")
+        // the level-1 fold must key by (dst, bucket), never a bare dst
+        // collect_list over the full in-degree (the round-14 skew/OOM
+        // shape) — the bucket column div appears in the aggregate keys
+        assert(outer.result().contains(" div "),
+          s"two-level fold bucket key missing from the loop body:\n$plan")
       } finally g.unpersist()
     }
   }
