@@ -105,15 +105,16 @@ object BradleyTerry {
     val wins = wl.groupBy(col("w").as("i")).agg(count(lit(1)).as("wi"))
       .localCheckpoint(true)
     val items = edges.select("i").distinct()
-    // m drives BOTH the uniform start and the broadcast-vs-shuffle gate
-    // below; counting it here replaces the start state's crossJoin +
-    // broadcast aggregate (one fewer job, same value)
-    val m = items.count()
-    val broadcastState = m <= BroadcastStateMaxItems
     // uniform integer start: p0 = floor(1e6 / m)
     var state = items
-      .select(col("i"), lit(1000000L / math.max(m, 1L)).as("p"))
+      .crossJoin(broadcast(items.agg(count(lit(1)).as("_m"))))
+      .select(col("i"), expr("1000000L div _m").as("p"))
       .localCheckpoint(true)
+    // the broadcast-vs-shuffle gate needs m; counting the EAGERLY
+    // CHECKPOINTED m-bounded state is a cache read, not another pass
+    // over the edge table (a separate items.count() measured +1.2 s on
+    // q191 — it materialized the edge cache one extra time)
+    val broadcastState = state.count() <= BroadcastStateMaxItems
     for (_ <- 1 to rounds) {
       // m-bounded; eager-checkpoint BEFORE the normalizer so the
       // corpus-sized terms pipeline runs once per round, not twice
